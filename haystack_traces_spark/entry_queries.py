@@ -1,0 +1,341 @@
+"""Query registry backing __spark_entry__.py.
+
+Every entry here is one operator from SURVEY.md §2 (or a datapipe operator),
+expressed twice:
+  - a (spark, sf_dir) -> DataFrame callable (the engine), and
+  - an equivalent DuckDB SQL string (the oracle), sharing the
+    events→spans mapping CTE from sources/events.py.
+
+Column names/aliases MUST match pairwise — the driver sorts columns by name
+and hash-compares values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from haystack_traces_spark.operators import search as search_ops
+from haystack_traces_spark.operators.callgraph import span_call_edges
+from haystack_traces_spark.operators.counts import TraceCountsRequest, trace_counts
+from haystack_traces_spark.operators.expression import (
+    EQUAL,
+    GREATER_THAN,
+    ExpressionTree,
+    Field,
+)
+from haystack_traces_spark.operators.field_values import (
+    build_service_catalog,
+    field_values,
+)
+from haystack_traces_spark.operators.index import build_trace_index
+from haystack_traces_spark.sources.events import EVENT_SPANS_CTE, spans_from_events
+
+# Fixed query window: testdata events start 2024-01-01 UTC.
+T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
+T1 = 1_767_225_600_000_000  # 2026-01-01
+HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
+COUNTS_START = T0
+COUNTS_END = T0 + 7 * DAY_US
+COUNTS_INTERVAL = 6 * HOUR_US
+
+DUR_THRESHOLD = 100_000  # micros
+
+# DuckDB mirror of the trace_index trace-level aggregation (A1/A2/Q8):
+# per-trace min second-truncated start, root duration, lowcard durations.
+_IDX_CTE = """
+, idx AS (
+  SELECT trace_id,
+         MIN(start_time - start_time % 1000000) AS starttime,
+         COALESCE(MAX(CASE WHEN parent_span_id = '' THEN duration END), 0) AS rootduration,
+         BOOL_OR(lower(service_name) = 'error') AS has_error_svc,
+         BOOL_OR((CASE WHEN duration > 20000000
+                       THEN duration - duration % 1000000
+                       ELSE duration END) > {dur}) AS has_big_dur
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+""".format(dur=DUR_THRESHOLD)
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spans_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_trace_index(_spans(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- queries --
+
+def q_search_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 flagship: servicename='error' AND duration>threshold (independent
+    trace-level operands), newest 50. SURVEY §3.2."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=50,
+        expression=ExpressionTree(
+            (
+                Field("servicename", "error", EQUAL),
+                Field("duration", DUR_THRESHOLD, GREATER_THAN),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_traces() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + _IDX_CTE
+        + f"""
+SELECT trace_id AS traceid, starttime
+FROM idx
+WHERE starttime BETWEEN {T0} AND {T1} AND has_error_svc AND has_big_dur
+ORDER BY starttime DESC, traceid DESC
+LIMIT 50
+"""
+    )
+
+
+def q_search_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level co-occurrence group (Q1): fields must match the SAME
+    (service, operation) group — one nested bool in the reference
+    (SpansIndexQueryGenerator.scala:83-93)."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=100,
+        expression=ExpressionTree(
+            (
+                ExpressionTree(
+                    (
+                        Field("servicename", "error", EQUAL),
+                        Field("duration", DUR_THRESHOLD, GREATER_THAN),
+                    ),
+                    is_span_level=True,
+                ),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_span_level() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         BOOL_OR((CASE WHEN duration > 20000000
+                       THEN duration - duration % 1000000
+                       ELSE duration END) > {DUR_THRESHOLD}) AS has_big_dur
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2, 3
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id
+                AND g.servicename = 'error' AND g.has_big_dur)
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 100
+"""
+    )
+
+
+def q_trace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 histogram with empty buckets + range clipping."""
+    req = TraceCountsRequest(COUNTS_START, COUNTS_END, COUNTS_INTERVAL)
+    return trace_counts(_index(spark, sf_dir), req)
+
+
+def sql_trace_counts() -> str:
+    i = COUNTS_INTERVAL
+    first = (COUNTS_START // i) * i
+    last = (COUNTS_END // i) * i
+    return (
+        EVENT_SPANS_CTE
+        + _IDX_CTE
+        + f"""
+, buckets AS (
+  SELECT UNNEST(generate_series({first}, {last}, {i})) AS timestamp
+), counts AS (
+  SELECT starttime - starttime % {i} AS timestamp, COUNT(*) AS c
+  FROM idx WHERE starttime BETWEEN {COUNTS_START} AND {COUNTS_END}
+  GROUP BY 1
+)
+SELECT b.timestamp, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
+FROM buckets b LEFT JOIN counts c USING (timestamp)
+WHERE b.timestamp BETWEEN {COUNTS_START} AND {COUNTS_END}
+"""
+    )
+
+
+def q_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: operation names co-filtered by service (FieldValuesQueryGenerator)."""
+    return field_values(
+        _index(spark, sf_dir), "operationname", [Field("servicename", "click", EQUAL)]
+    )
+
+
+def sql_field_values() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT DISTINCT lower(operation_name) AS value
+FROM spans
+WHERE lower(service_name) = 'click'
+  AND service_name <> '' AND operation_name <> ''
+ORDER BY value
+LIMIT 1000
+"""
+    )
+
+
+def q_service_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 distinct (service, operation) catalog."""
+    return build_service_catalog(_spans(spark, sf_dir)).orderBy(
+        "servicename", "operationname"
+    )
+
+
+def sql_service_catalog() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT DISTINCT lower(service_name) AS servicename,
+       lower(operation_name) AS operationname
+FROM spans WHERE service_name <> '' AND operation_name <> ''
+ORDER BY 1, 2
+"""
+    )
+
+
+def q_trace_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat projection of the A1 index build: per-trace starttime,
+    rootduration, group count, and whitelisted-tag extraction (errorcode)."""
+    idx = _index(spark, sf_dir)
+    return idx.select(
+        "traceid",
+        "starttime",
+        F.col("rootduration").cast("long").alias("rootduration"),
+        F.size("spans").cast("long").alias("n_groups"),
+        F.expr("array_max(flatten(transform(spans, g -> g.errorcode)))")
+        .cast("long")
+        .alias("max_errorcode"),
+    )
+
+
+def sql_trace_index_stats() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT trace_id AS traceid,
+       MIN(start_time - start_time % 1000000) AS starttime,
+       COALESCE(MAX(CASE WHEN parent_span_id = '' THEN duration END), 0) AS rootduration,
+       CAST(COUNT(DISTINCT lower(service_name) || '|' || lower(operation_name)) AS BIGINT) AS n_groups,
+       MAX(errorcode) AS max_errorcode
+FROM spans
+WHERE service_name <> '' AND operation_name <> ''
+GROUP BY trace_id
+"""
+    )
+
+
+def q_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 corpus call graph: parent→child service edges."""
+    e = span_call_edges(_spans(spark, sf_dir))
+    return e.select(
+        "from_service",
+        "to_service",
+        F.col("calls").cast("long").alias("calls"),
+        F.round("avg_duration", 6).alias("avg_duration"),
+    )
+
+
+def sql_call_graph() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT p.service_name AS from_service,
+       c.service_name AS to_service,
+       CAST(COUNT(*) AS BIGINT) AS calls,
+       ROUND(AVG(c.duration), 6) AS avg_duration
+FROM spans c JOIN spans p
+  ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+WHERE c.parent_span_id <> ''
+GROUP BY 1, 2
+"""
+    )
+
+
+def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 key lookup: flat spans of one trace (getRawTrace without pipeline)."""
+    from haystack_traces_spark.sources.spans import build_trace_store, get_raw_trace
+
+    store = build_trace_store(_spans(spark, sf_dir))
+    return (
+        get_raw_trace(store, "42")
+        .select(F.explode("spans").alias("s"))
+        .select(
+            "s.trace_id",
+            "s.span_id",
+            "s.parent_span_id",
+            "s.service_name",
+            "s.operation_name",
+            "s.start_time",
+            "s.duration",
+        )
+    )
+
+
+def sql_get_trace() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT trace_id, span_id, parent_span_id, service_name, operation_name,
+       start_time, duration
+FROM spans WHERE trace_id = '42'
+"""
+    )
+
+
+# -------------------------------------------------------------- registry --
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "search_traces": q_search_traces,
+        "search_span_level": q_search_span_level,
+        "trace_counts": q_trace_counts,
+        "field_values": q_field_values,
+        "service_catalog": q_service_catalog,
+        "trace_index_stats": q_trace_index_stats,
+        "call_graph": q_call_graph,
+        "get_trace": q_get_trace,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "search_traces": sql_search_traces(),
+        "search_span_level": sql_search_span_level(),
+        "trace_counts": sql_trace_counts(),
+        "field_values": sql_field_values(),
+        "service_catalog": sql_service_catalog(),
+        "trace_index_stats": sql_trace_index_stats(),
+        "call_graph": sql_call_graph(),
+        "get_trace": sql_get_trace(),
+    }

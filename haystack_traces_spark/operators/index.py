@@ -1,0 +1,115 @@
+"""trace_index builder — the A1/A2/Q8 aggregation (SURVEY.md §2.5).
+
+Produces one row per trace with per-(service, operation) span groups holding
+*sets* of values, mirroring the reference's TraceIndexDoc
+(commons/.../clients/es/document/TraceIndexDoc.scala:36-38; grouping at
+indexer/.../writers/es/IndexDocumentGenerator.scala:52-101).
+
+Scale notes (100 TB design point):
+- Single wide shuffle on (trace_id, service, operation) does all set
+  accumulation map-side-combinable; the trace-level re-group then shuffles
+  the *pre-aggregated* groups (orders of magnitude smaller) on the prefix
+  key trace_id.
+- ``starttime`` and the partition columns (dt, hb) are top-level, so the
+  mandatory time-range predicate prunes parquet files without touching the
+  nested spans array (the reference's root-doc-starttime denormalization,
+  reader base.conf:40, and 6h index bucketing, ElasticSearchWriter.scala:47-53).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from haystack_traces_spark.config import DEFAULT_WHITELIST, WhitelistConfig
+from haystack_traces_spark.functions.span_funcs import (
+    low_cardinality_duration,
+    tag_value,
+    truncate_to_second,
+)
+
+# 6-hour buckets, mirroring the reference's haystack-traces-{yyyy-MM-dd}-{hour/6}
+# index naming (ElasticSearchWriter.scala:47-53).
+HOURS_PER_BUCKET = 6
+
+
+def build_trace_index(
+    spans: DataFrame,
+    whitelist: WhitelistConfig = DEFAULT_WHITELIST,
+    root_duration_mode: str = "parent_empty",
+    with_partition_cols: bool = False,
+) -> DataFrame:
+    """spans → one index row per trace.
+
+    Output schema:
+      traceid string, starttime long (sec-truncated micros, min over spans),
+      rootduration long, spans array<struct<servicename, operationname,
+      starttime array<long>, duration array<long>, <wl-tag> array<typed>...>>
+
+    root_duration_mode:
+      'parent_empty'    — duration of the span whose parent_span_id == ''
+                          (the evident intent)
+      'reference_quirk' — constant 0: the reference compares
+                          parentSpanId == null, never true for proto3 strings
+                          (IndexDocumentGenerator.scala:56), so shipped
+                          behavior is always 0.
+    """
+    has_tags = "tags" in spans.columns
+    wl_aggs = []
+    wl_names: list[str] = []
+    if has_tags:
+        for f in whitelist.enabled_fields():
+            wl_aggs.append(
+                F.collect_set(tag_value("tags", f.name, f.type)).alias(f.name)
+            )
+            wl_names.append(f.name)
+
+    if root_duration_mode == "reference_quirk":
+        root_dur = F.lit(None).cast("long")
+    else:
+        root_dur = F.when(F.col("parent_span_id") == "", F.col("duration"))
+
+    # Q8: drop spans with empty service/operation (IndexDocumentGenerator.scala:72-74).
+    groups = (
+        spans.filter((F.col("service_name") != "") & (F.col("operation_name") != ""))
+        .groupBy(
+            F.col("trace_id"),
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.collect_set(truncate_to_second("start_time")).alias("starttime_set"),
+            F.collect_set(low_cardinality_duration("duration")).alias("duration_set"),
+            F.min(truncate_to_second("start_time")).alias("_min_start"),
+            F.max(root_dur).alias("_root_dur"),
+            *wl_aggs,
+        )
+    )
+
+    group_struct = F.struct(
+        F.col("servicename"),
+        F.col("operationname"),
+        F.col("starttime_set").alias("starttime"),
+        F.col("duration_set").alias("duration"),
+        *[F.col(n) for n in wl_names],
+    )
+
+    idx = groups.groupBy(F.col("trace_id").alias("traceid")).agg(
+        F.min("_min_start").alias("starttime"),
+        F.coalesce(F.max("_root_dur"), F.lit(0)).alias("rootduration"),
+        F.collect_list(group_struct).alias("spans"),
+    )
+
+    if with_partition_cols:
+        ts = F.timestamp_micros(F.col("starttime"))
+        idx = idx.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
+            "hb", (F.hour(ts) / HOURS_PER_BUCKET).cast("int")
+        )
+    return idx
+
+
+def write_trace_index(idx: DataFrame, path: str) -> None:
+    """Persist partitioned by (dt, hb) so time-range predicates prune whole
+    partitions — the Spark analog of the reference's hourly-bucketed ES index
+    list (SpansIndexQueryGenerator.scala:181-215)."""
+    idx.write.mode("overwrite").partitionBy("dt", "hb").parquet(path)

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for the 100 TB design point (AQE on, skew-join handling,
+zstd parquet) while remaining correct on local[N]:
+
+- ``spark.sql.adaptive.enabled`` + skewJoin: runtime re-plan of shuffles, the
+  first line of defense against hot traceIds / hot join keys at scale.
+- ``spark.sql.session.timeZone=UTC``: all reference timestamps are epoch
+  micros (UTC); keeps parquet/DuckDB/Spark agreement.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata stores
+  TIMESTAMP(NANOS) which Spark has no native type for; reading them as raw
+  nanos longs is lossless and avoids tz ambiguity entirely.
+- ``spark.sql.parquet.compression.codec=zstd``: the reference ships zstd as a
+  packer option (commons/.../packer/Packer.scala:29-77); parquet-zstd is the
+  columnar equivalent.
+- Arrow enabled for the pandas-UDF transformer chain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "haystack-traces-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,113 @@
+"""events.parquet → spans mapping (FIXTURES.md §6).
+
+The driver's synthetic ``events`` table is the volume source; each event row
+is projected onto the span schema deterministically so that every engine
+query has an exact DuckDB-oracle mirror:
+
+    trace_id        = CAST(user_id AS STRING)        -- a user's events form a trace
+    span_id         = CAST(event_id AS STRING)
+    parent_span_id  = previous event of the same user (lag), '' for the first
+    service_name    = event_type
+    operation_name  = 'op_' || (props.k % 5)
+    start_time      = epoch micros of ts
+    duration        = floor(value * 1000) micros
+
+``EVENT_SPANS_CTE`` is the DuckDB-SQL mirror of :func:`spans_from_events`;
+the two MUST stay in lockstep — every oracle query in ``__spark_entry__``
+prepends the CTE.
+
+Note on ts: the testdata stores TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong`` Spark reads raw nanos longs, and
+``ts DIV 1000`` equals DuckDB ``epoch_us(ts)`` exactly (DuckDB timestamps are
+micro-precision, so the nano remainder is dropped by both engines).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# DuckDB mirror — prepended to every oracle SQL statement that queries spans.
+EVENT_SPANS_CTE = """
+WITH spans AS (
+  SELECT
+    CAST(user_id AS VARCHAR) AS trace_id,
+    CAST(event_id AS VARCHAR) AS span_id,
+    COALESCE(CAST(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR), '') AS parent_span_id,
+    event_type AS service_name,
+    'op_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS VARCHAR) AS operation_name,
+    epoch_us(ts) AS start_time,
+    CAST(FLOOR(value * 1000) AS BIGINT) AS duration,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS errorcode
+  FROM events
+)
+"""
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLES)}
+
+
+def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
+    """Project the events table onto the span schema.
+
+    The lag() for parent_span_id partitions by user — at 100 TB this is a
+    single window shuffle on the trace key, the same key every downstream
+    trace-level operator groups on, so the exchange is reused by Catalyst.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = events.select(
+        F.col("user_id").cast("string").alias("trace_id"),
+        F.col("event_id").cast("string").alias("span_id"),
+        F.coalesce(
+            F.lag("event_id").over(w).cast("string"), F.lit("")
+        ).alias("parent_span_id"),
+        F.col("event_type").alias("service_name"),
+        F.concat(F.lit("op_"), (k % 5).cast("string")).alias("operation_name"),
+        F.col("ts").cast("long").alias("_ts_ns"),
+        F.floor(F.col("value") * 1000).cast("long").alias("duration"),
+        k.alias("_k"),
+    ).withColumn("start_time", F.expr("_ts_ns DIV 1000"))  # integer div: float
+    # division loses ULPs at 1.7e18-scale nanos (53-bit mantissa) → off-by-1 µs
+
+    if with_tags:
+        # Real typed-tag machinery: errorcode LONG from props.k, role STRING.
+        # Oracle queries recompute from json instead (independent impl).
+        out = out.withColumn(
+            "tags",
+            F.array(
+                F.struct(
+                    F.lit("errorcode").alias("key"),
+                    F.lit("LONG").alias("vtype"),
+                    F.lit(None).cast("string").alias("vstr"),
+                    F.col("_k").alias("vlong"),
+                    F.lit(None).cast("double").alias("vdouble"),
+                    F.lit(None).cast("boolean").alias("vbool"),
+                    F.lit(None).cast("binary").alias("vbytes"),
+                ),
+                F.struct(
+                    F.lit("role").alias("key"),
+                    F.lit("STRING").alias("vtype"),
+                    F.lit("haystack").alias("vstr"),
+                    F.lit(None).cast("long").alias("vlong"),
+                    F.lit(None).cast("double").alias("vdouble"),
+                    F.lit(None).cast("boolean").alias("vbool"),
+                    F.lit(None).cast("binary").alias("vbytes"),
+                ),
+            ),
+        ).withColumn("logs", F.expr("CAST(array() AS array<struct<timestamp:bigint,fields:array<struct<key:string,vstr:string>>>>)"))
+    return out.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "service_name",
+        "operation_name",
+        "start_time",
+        "duration",
+        *( ["tags", "logs"] if with_tags else [] ),
+    )

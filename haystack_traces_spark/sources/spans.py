@@ -1,0 +1,73 @@
+"""Trace store construction and key-lookup reads (S3/S7, SURVEY.md §2.1).
+
+The reference stores one row per (traceId, ingest-ts) in Cassandra with the
+spans as a compressed protobuf blob (GrpcTraceWriter.scala:57-63; DDL at
+backends/cassandra/src/main/resources/config/base.conf:57). Here the blob is
+a first-class nested array column in parquet — columnar, prunable, no custom
+framing needed (zstd page compression subsumes the reference's packer,
+commons/.../packer/Packer.scala:29-77).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from haystack_traces_spark.schemas import span_field_names
+
+
+def build_trace_store(spans: DataFrame, ingest_ts_ms: int | None = None) -> DataFrame:
+    """Group flat spans into one row per trace: (trace_id, ingest_ts, spans).
+
+    One shuffle on trace_id; at scale write bucketed by trace_id so the
+    search-phase semi-join and the re-group are co-located.
+    """
+    cols = [c for c in span_field_names() if c in spans.columns]
+    span_struct = F.struct(*[F.col(c) for c in cols])
+    out = spans.groupBy("trace_id").agg(F.collect_list(span_struct).alias("spans"))
+    if ingest_ts_ms is not None:
+        out = out.withColumn("ingest_ts", F.lit(ingest_ts_ms))
+    return out
+
+
+def write_trace_store(trace_store: DataFrame, path: str, buckets: int = 0) -> None:
+    w = trace_store.write.mode("overwrite")
+    if buckets:
+        # bucketing co-locates the id semi-join + regroup without a shuffle
+        (
+            w.format("parquet")
+            .bucketBy(buckets, "trace_id")
+            .sortBy("trace_id")
+            .option("path", path)
+            .saveAsTable("trace_store")
+        )
+    else:
+        w.parquet(path)
+
+
+def read_trace_records(trace_store: DataFrame, trace_ids: list[str]) -> DataFrame:
+    """S7 key lookup: all stored rows for the given ids (IN-list semantics,
+    CassandraSession.scala:68-76). Multiple rows per id are preserved —
+    callers re-union via groupBy (TraceMerger.scala:24-34)."""
+    return trace_store.filter(F.col("trace_id").isin([str(t) for t in trace_ids]))
+
+
+def get_raw_trace(trace_store: DataFrame, trace_id: str) -> DataFrame:
+    """getRawTrace: stored rows merged to one (trace_id, spans) row, no
+    transform pipeline (TraceReader.scala:52-57)."""
+    return (
+        read_trace_records(trace_store, [trace_id])
+        .groupBy("trace_id")
+        .agg(F.flatten(F.collect_list("spans")).alias("spans"))
+    )
+
+
+def get_raw_span(trace_store: DataFrame, trace_id: str, span_id: str) -> DataFrame:
+    """getRawSpan: the stored span rows for one (traceId, spanId) — may be
+    several for partial spans (TraceReader.scala:58-68)."""
+    return (
+        get_raw_trace(trace_store, trace_id)
+        .select(F.explode("spans").alias("s"))
+        .filter(F.col("s.span_id") == span_id)
+        .select("s.*")
+    )

@@ -1,0 +1,30 @@
+"""Every registry query hash-matches its DuckDB oracle at sf0.001 — the local
+mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from haystack_traces_spark import entry_queries
+from tests.oracle_harness import compare, run_oracle
+
+NAMES = sorted(entry_queries.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = entry_queries.queries()[name]
+    sql = entry_queries.oracle_sql()[name]
+    compare(q(spark, sf_dir), run_oracle(sql, sf_dir), name)
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    mod = importlib.import_module("__spark_entry__")
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"traceid", "starttime"}
