@@ -1,0 +1,134 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Mirrors the reference architecture: the indexer materializes trace_store +
+trace_index once (write path), then query endpoints run against the stored
+tables (read path). value = total seconds (build + queries).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from haystack_traces_spark import entry_queries as EQ  # noqa: E402
+from haystack_traces_spark.operators import search as search_ops  # noqa: E402
+from haystack_traces_spark.operators.callgraph import span_call_edges  # noqa: E402
+from haystack_traces_spark.operators.counts import TraceCountsRequest, trace_counts  # noqa: E402
+from haystack_traces_spark.operators.expression import (  # noqa: E402
+    EQUAL,
+    GREATER_THAN,
+    ExpressionTree,
+    Field,
+)
+from haystack_traces_spark.operators.field_values import (  # noqa: E402
+    build_service_catalog,
+    field_values,
+)
+from haystack_traces_spark.operators.index import build_trace_index  # noqa: E402
+from haystack_traces_spark.session import get_spark  # noqa: E402
+from haystack_traces_spark.sources.events import spans_from_events  # noqa: E402
+from haystack_traces_spark.sources.spans import build_trace_store  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("haystack-bench")
+
+    tmp = tempfile.mkdtemp(prefix="haystack_bench_")
+    times: dict[str, float] = {}
+    t_all = time.perf_counter()
+    try:
+        # ---- write path: ingest events -> trace_store + trace_index ----
+        t0 = time.perf_counter()
+        spans = spans_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        build_trace_store(spans).write.mode("overwrite").parquet(f"{tmp}/trace_store")
+        idx = build_trace_index(spans, with_partition_cols=True)
+        idx.write.mode("overwrite").partitionBy("dt", "hb").parquet(f"{tmp}/trace_index")
+        times["build_index"] = time.perf_counter() - t0
+
+        trace_store = spark.read.parquet(f"{tmp}/trace_store")
+        trace_index = spark.read.parquet(f"{tmp}/trace_index")
+
+        def timed(name, fn):
+            t = time.perf_counter()
+            n = fn()
+            times[name] = time.perf_counter() - t
+            return n
+
+        expr = ExpressionTree(
+            (
+                Field("servicename", "error", EQUAL),
+                Field("duration", EQ.DUR_THRESHOLD, GREATER_THAN),
+            )
+        )
+        req = search_ops.SearchRequest(EQ.T0, EQ.T1, 50, expr)
+        timed(
+            "search_traces",
+            lambda: search_ops.search_traces(trace_index, trace_store, req).count(),
+        )
+        timed(
+            "search_ids",
+            lambda: search_ops.search_trace_ids(trace_index, req).count(),
+        )
+        timed(
+            "trace_counts",
+            lambda: trace_counts(
+                trace_index,
+                TraceCountsRequest(EQ.COUNTS_START, EQ.COUNTS_END, EQ.COUNTS_INTERVAL),
+            ).count(),
+        )
+        timed(
+            "field_values",
+            lambda: field_values(
+                trace_index, "operationname", [Field("servicename", "click", EQUAL)]
+            ).count(),
+        )
+        timed("service_catalog", lambda: build_service_catalog(spans).count())
+        timed("call_graph", lambda: span_call_edges(spans).count())
+        timed(
+            "trace_index_stats",
+            lambda: trace_index.select(
+                "traceid", F.size("spans").alias("n")
+            ).agg(F.sum("n")).collect(),
+        )
+
+        # datapipe operators (added as implemented)
+        try:
+            from haystack_traces_spark.datapipe import bench_queries as dp_bench
+
+            for name, fn in dp_bench(spark, sf_dir).items():
+                timed(name, fn)
+        except ImportError:
+            pass
+
+        total = time.perf_counter() - t_all
+        print(
+            json.dumps(
+                {
+                    "metric": "haystack_traces_spark end-to-end (build+query)",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in times.items()},
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
