@@ -19,9 +19,13 @@ from haystack_traces_spark import entry_queries  # noqa: E402
 
 
 def _ensure_confs(spark: SparkSession) -> None:
+    from haystack_traces_spark.session import ship_package
+
     # the testdata stores TIMESTAMP(NANOS); Spark needs this to read it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # pandas-UDF closures need the package on executor workers
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -313,6 +313,37 @@ FROM spans WHERE trace_id = '42'
     )
 
 
+def q_search_traces_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reader path incl. the per-trace transform pipeline (U1-U11):
+    index→fetch→dedup/merge/skew/sort via applyInPandas. Non-SQL-expressible
+    (iterative BFS tree collapse) → rows-only driver check; per-transformer
+    golden tests live in tests/test_transformers.py."""
+    from haystack_traces_spark.api import TraceEngine
+
+    eng = TraceEngine(_spans(spark, sf_dir))
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=25,
+        expression=ExpressionTree((Field("servicename", "error", EQUAL),)),
+    )
+    traces = eng.search_traces(req, processed=True)
+    return traces.select(
+        "trace_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(
+            F.filter(
+                "spans",
+                lambda s: F.exists(
+                    s["tags"], lambda t: t["key"] == "X-HAYSTACK-IS-MERGED-SPAN"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("n_merged"),
+    ).orderBy("trace_id")
+
+
 # -------------------------------------------------------------- registry --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -325,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_index_stats": q_trace_index_stats,
         "call_graph": q_call_graph,
         "get_trace": q_get_trace,
+        "search_traces_processed": q_search_traces_processed,
     }
 
 

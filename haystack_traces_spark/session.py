@@ -19,8 +19,29 @@ zstd parquet) while remaining correct on local[N]:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make haystack_traces_spark importable on executor Python workers.
+
+    Pandas-UDF closures reference this package by name; workers (local-mode
+    subprocesses AND remote executors on a real cluster) need it on their
+    path. ``addPyFile`` is the cluster-correct mechanism — a zip shipped with
+    the job, unzipped into each worker's runtime path.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "haystack_traces_spark_pkg.zip"
+    src_mtime = max(p.stat().st_mtime for p in pkg_dir.rglob("*.py"))
+    if not zip_path.exists() or zip_path.stat().st_mtime < src_mtime:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in pkg_dir.rglob("*.py"):
+                zf.write(p, f"haystack_traces_spark/{p.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
 
 
 def get_spark(
@@ -52,4 +73,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
     return spark

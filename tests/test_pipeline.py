@@ -1,0 +1,75 @@
+"""End-to-end transform pipeline over Spark (applyInPandas, Arrow round-trip)."""
+
+from __future__ import annotations
+
+from haystack_traces_spark.schemas import SPAN
+from haystack_traces_spark.transform.model import tag_string_value
+from haystack_traces_spark.transform.pipeline import (
+    TraceProcessor,
+    process_single,
+    transform_traces,
+)
+from haystack_traces_spark.transform.transformers import InvalidTraceError
+from tests.fixtures import T0, partial_client_server, span, valid_single_root
+
+
+def _df(spark, spans):
+    return spark.createDataFrame(spans, SPAN)
+
+
+def test_pipeline_valid_trace_passthrough(spark):
+    df = _df(spark, valid_single_root("tA"))
+    out = transform_traces(df).collect()
+    assert len(out) == 4
+    assert out[0]["span_id"] == "root"  # sort: root first
+    starts = [r["start_time"] for r in out[1:]]
+    assert starts == sorted(starts)
+
+
+def test_pipeline_merges_partials_and_drops_invalid(spark):
+    rows = partial_client_server("tB")  # valid, has mergeable partials
+    rows += [
+        span(trace_id="tC", span_id="a", parent=""),
+        span(trace_id="tC", span_id="b", parent=""),  # two roots -> invalid -> dropped
+    ]
+    out = transform_traces(_df(spark, rows)).collect()
+    by_trace = {}
+    for r in out:
+        by_trace.setdefault(r["trace_id"], []).append(r)
+    assert "tC" not in by_trace
+    tb = by_trace["tB"]
+    assert len(tb) == 2  # root + merged span
+    merged = next(r for r in tb if r["span_id"] == "x")
+    tags = [t.asDict() for t in merged["tags"]]
+    assert any(t["key"] == "X-HAYSTACK-IS-MERGED-SPAN" for t in tags)
+
+
+def test_pipeline_dedup_in_pre_chain(spark):
+    s = span(trace_id="tD", span_id="r", parent="")
+    rows = [s, dict(s)]
+    out = transform_traces(_df(spark, rows)).collect()
+    assert len(out) == 1
+
+
+def test_process_single_raises_for_invalid():
+    import pytest
+
+    bad = [span(span_id="a", parent=""), span(span_id="b", parent="")]
+    with pytest.raises(InvalidTraceError):
+        process_single("t1", bad)
+
+
+def test_process_single_with_repair_chain():
+    """invalid_root repairs a multi-root trace when configured (U8 wired in)."""
+    proc = TraceProcessor(
+        validators=(),
+        post=("partial_span_merge", "invalid_root", "sort"),
+        span_id_factory=lambda: "fx",
+    )
+    bad = [
+        span(span_id="a", parent="", start=T0, duration=10),
+        span(span_id="b", parent="", start=T0 + 5, duration=10),
+    ]
+    out = process_single("t1", bad, proc)
+    assert out[0]["span_id"] == "fx"
+    assert len(out) == 3
