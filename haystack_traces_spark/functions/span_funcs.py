@@ -57,7 +57,7 @@ def tag_value(tags: Column | str, key: str, declared_type: str) -> Column:
     tags_c = F.col(tags) if isinstance(tags, str) else tags
     key_l = key.lower()
     hit = F.filter(tags_c, lambda t: F.lower(t["key"]) == key_l)
-    t = F.element_at(hit, 1)
+    t = F.try_element_at(hit, F.lit(1))  # ANSI-safe: NULL when tag absent
     raw = (
         F.when(t["vtype"] == "STRING", t["vstr"])
         .when(t["vtype"] == "LONG", t["vlong"].cast("string"))
@@ -81,7 +81,7 @@ def get_event_timestamp(logs: Column | str, event: str) -> Column:
             lambda f: (F.lower(f["key"]) == "event") & (F.lower(f["vstr"]) == ev),
         ),
     )
-    return F.element_at(hit, 1)["timestamp"]
+    return F.try_element_at(hit, F.lit(1))["timestamp"]
 
 
 def has_log_events(logs: Column | str, *events: str) -> Column:

@@ -68,6 +68,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # huge plan treeStrings (stateful streaming + nested span schema) feed
+        # regex-based redaction on the stream thread → StackOverflowError;
+        # capping the rendered plan string avoids it and speeds up big plans
+        .config("spark.sql.maxPlanStringLength", "8192")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

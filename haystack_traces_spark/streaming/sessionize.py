@@ -1,0 +1,166 @@
+"""T1/T2/T4 — trace sessionization as a custom stateful streaming operator
+(SURVEY.md §2.2).
+
+Reference semantics (indexer/.../store/impl/SpanBufferMemoryStore.scala:78-126,
+SpanIndexProcessor.scala:69-128, indexer/README.md:1-20):
+
+- key = traceId; the first span opens a buffer stamped firstSpanSeenAt,
+- the buffer EMITS when `now - window > firstSpanSeenAt` — a fixed window
+  anchored at first-seen processing time, NOT an inactivity gap,
+- spans arriving after emission reopen a fresh buffer → a second emitted
+  row for the same traceId (T4 late data); readers re-union via groupBy,
+- optional max-spans cap force-emits oversized buffers (T2's eviction
+  pressure, reduced to a per-key guard — Spark's RocksDB state store makes
+  the reference's global LRU cap unnecessary).
+
+Spark mapping: ``groupBy(trace_id).applyInPandasWithState`` with
+ProcessingTimeTimeout. State holds the buffered spans; the timeout is
+re-armed to the REMAINING anchored window on every invocation (GroupState
+clears timers each call). Timers fire when a micro-batch runs — under
+continuous traffic that is every trigger; with a fully idle source, emission
+waits for the next arriving batch, the same way the reference's sweep only
+runs on its consumer poll loop (SpanIndexProcessor.scala:108-128). This runs identically on
+one executor or a thousand — state is partitioned by the shuffle on
+trace_id and checkpointed (the reference's hand-rolled offset math becomes
+Structured Streaming's WAL, SURVEY §2.2 T3).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_WINDOW_MS = 10_000  # span.accumulate.window.ms (indexer base.conf:10)
+
+# Emitted SpanBuffer row (flat JSON-encoded spans keep state/output schemas
+# simple and engine-version stable; downstream re-parses into SPAN structs).
+BUFFER_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("first_seen_ms", T.LongType()),
+        T.StructField("emitted_ms", T.LongType()),
+        T.StructField("n_spans", T.IntegerType()),
+        T.StructField("emit_reason", T.StringType()),  # window | overflow | final
+        T.StructField("spans_json", T.ArrayType(T.StringType())),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_seen_ms", T.LongType()),
+        T.StructField("spans_json", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def make_session_fn(window_ms: int = DEFAULT_WINDOW_MS, max_spans: int | None = None):
+    """Build the stateful function; extracted for direct unit testing."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        trace_id = key[0]
+        now_ms = int(time.time() * 1000)
+
+        if state.hasTimedOut:
+            first_seen, spans = state.get
+            state.remove()
+            yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
+            return
+
+        new_spans: list[str] = []
+        for pdf in pdfs:
+            new_spans.extend(pdf["span_json"].tolist())
+
+        if state.exists:
+            first_seen, spans = state.get
+            spans = list(spans) + new_spans
+        else:
+            first_seen, spans = now_ms, new_spans
+
+        if max_spans is not None and len(spans) >= max_spans:
+            state.remove()
+            yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "overflow")
+            return
+
+        # Anchored window: emit `window_ms` after FIRST-seen, never extended
+        # by later spans. GroupState clears the timer on every invocation, so
+        # re-arm with the REMAINING window; if already expired (a span landed
+        # between expiry and the sweep — the reference appends then emits,
+        # SpanIndexProcessor.scala:108-128), emit right away.
+        remaining = first_seen + window_ms - now_ms
+        if remaining <= 0:
+            state.remove()
+            yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
+            return
+
+        state.update((first_seen, spans))
+        state.setTimeoutDuration(int(remaining))
+        yield _empty_buffer_pdf()
+
+    return fn
+
+
+def _buffer_pdf(trace_id, first_seen, now_ms, spans, reason) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "trace_id": trace_id,
+                "first_seen_ms": int(first_seen),
+                "emitted_ms": int(now_ms),
+                "n_spans": len(spans),
+                "emit_reason": reason,
+                "spans_json": list(spans),
+            }
+        ]
+    )
+
+
+def _empty_buffer_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "trace_id": pd.Series(dtype="object"),
+            "first_seen_ms": pd.Series(dtype="int64"),
+            "emitted_ms": pd.Series(dtype="int64"),
+            "n_spans": pd.Series(dtype="int32"),
+            "emit_reason": pd.Series(dtype="object"),
+            "spans_json": pd.Series(dtype="object"),
+        }
+    )
+
+
+def sessionize(
+    span_stream: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    max_spans: int | None = None,
+) -> DataFrame:
+    """spans stream (any schema with trace_id) → emitted SpanBuffer stream.
+
+    Input rows are JSON-packed per span so arbitrary span schemas flow
+    through one stable state schema.
+    """
+    packed = span_stream.select(
+        F.col("trace_id"),
+        F.to_json(F.struct(*[c for c in span_stream.columns])).alias("span_json"),
+    )
+    return packed.groupBy("trace_id").applyInPandasWithState(
+        make_session_fn(window_ms, max_spans),
+        outputStructType=BUFFER_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def buffers_to_spans(buffers: DataFrame, span_schema: T.StructType) -> DataFrame:
+    """Emitted buffers → flat spans (for writing trace_store/trace_index)."""
+    return buffers.select(
+        "trace_id",
+        F.explode("spans_json").alias("j"),
+    ).select(F.from_json("j", span_schema).alias("s")).select("s.*")

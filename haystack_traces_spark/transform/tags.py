@@ -39,7 +39,8 @@ SPAN_KIND_TAG = "span.kind"
 def tag_str(tags: Column | str, key: str) -> Column:
     """String value of the first tag with the given key (any vtype)."""
     tags_c = F.col(tags) if isinstance(tags, str) else tags
-    hit = F.element_at(F.filter(tags_c, lambda t: t["key"] == key), 1)
+    # try_element_at: ANSI-safe on empty arrays (no-tag spans)
+    hit = F.try_element_at(F.filter(tags_c, lambda t: t["key"] == key), F.lit(1))
     return (
         F.when(hit["vtype"] == "STRING", hit["vstr"])
         .when(hit["vtype"] == "LONG", hit["vlong"].cast("string"))

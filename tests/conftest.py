@@ -11,6 +11,10 @@ sys.path.insert(0, str(REPO))
 from haystack_traces_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("haystack-tests", master="local[4]", shuffle_partitions=4)
