@@ -1,0 +1,125 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is REAL — binary payload column, schema'd metadata,
+`mapInPandas` Arrow-batch feature extraction with bounded batch sizes — while
+the codec itself is STUBBED (no image/audio libs in this container):
+
+- `decode_stub_features` derives deterministic pseudo-metadata from the
+  payload bytes (md5-based), so outputs are oracle-checkable;
+- `decode_real` raises NotImplementedError at the exact seam where
+  PIL/ffmpeg/torchaudio would plug in; batch shape and signatures are what
+  a real decoder needs (bytes in, struct out).
+
+At 100 TB: payloads live in their own parquet column (never projected unless
+asked — columnar pruning is the point), metadata is scannable without
+touching bytes, and decode runs in `mapInPandas` so Arrow batches stream
+through Python with constant memory (`maxRecordsPerBatch` bounds peak RSS).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-harness media table: the document text bytes act as the payload
+    (deterministic), media_type round-robins by doc_id."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """The seam for a real codec (PIL.Image.open / av / soundfile).
+
+    STUB: the container ships no media libraries; a deployment overrides
+    this. Signature and return contract are the real ones."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "environment; override decode_real or use decode_stub_features"
+    )
+
+
+def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int, str]:
+    """Deterministic pseudo-decode: dimensions derived from payload md5 —
+    mirrored exactly by the DuckDB oracle (hash60 % bounds)."""
+    md5_hex = hashlib.md5(payload).hexdigest()
+    h60 = int(md5_hex[:15], 16)
+    width = h60 % 1920 if media_type in ("image", "video") else 0
+    height = int(hashlib.md5(b"h:" + payload).hexdigest()[:15], 16) % 1080 if media_type in ("image", "video") else 0
+    n_frames = h60 % 300 if media_type in ("video", "audio") else 1
+    return width, height, n_frames, md5_hex
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction — the real distribution shape for
+    decode: Arrow batches of (bytes, type) through Python, constant memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                width, height, n_frames, md5_hex = _stub_decode(payload, r.media_type)
+                out.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "media_type": r.media_type,
+                        "n_bytes": r.n_bytes,
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "payload_md5": md5_hex,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Video frame-sampling plan: (doc_id, frame_idx) rows for decode
+    targets — pure expressions; the decode itself is the stubbed seam."""
+    feats = extract_features(media).filter(F.col("media_type") == "video")
+    return feats.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
+        ).alias("frame_idx"),
+    )

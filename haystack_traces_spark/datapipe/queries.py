@@ -1,0 +1,348 @@
+"""Datapipe query registry + DuckDB oracle mirrors.
+
+Every oracle reproduces the Spark computation exactly — including the
+md5-based hash60 sketches — so MinHash/SimHash/winnowing are verified
+bit-for-bit, not just statistically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from haystack_traces_spark.datapipe import dedup as D
+from haystack_traces_spark.datapipe import multimodal as M
+from haystack_traces_spark.datapipe import similarity as S
+from haystack_traces_spark.datapipe import text as X
+from haystack_traces_spark.datapipe.hashing import hash60_sql, word_shingles_sql
+
+JACCARD_THRESHOLD = 0.8
+COS_THRESHOLD = 0.4
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+_SHINGLES = word_shingles_sql("text", 3)
+
+_SIZES = "SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id"
+
+_JACCARD_PAIRS = f"""
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS ({_SIZES}),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         ROUND(p.inter / (sa.n_sh + sb.n_sh - p.inter), 6) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- dedup ------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def sql_dedup_exact() -> str:
+    return """
+WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
+      FROM hashed GROUP BY 1)
+SELECT h.doc_id, h.text_hash, g.keep_doc_id,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM hashed h JOIN g USING (text_hash)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def sql_dedup_minhash_lsh() -> str:
+    n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
+    mins = ",\n         ".join(
+        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
+    )
+    band_joins = []
+    for bi in range(bands):
+        cond = " AND ".join(
+            f"a.mh_{bi * rpb + j} = b.mh_{bi * rpb + j}" for j in range(rpb)
+        )
+        band_joins.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+            f" ON a.doc_id < b.doc_id AND {cond}"
+        )
+    candidates = " UNION ".join(band_joins)
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+cand AS ({candidates}),
+{_JACCARD_PAIRS.lstrip().rstrip()}
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def sql_dedup_simhash(bits: int = 16) -> str:
+    h = hash60_sql("w", seed="sh:")
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+),
+h AS (SELECT doc_id, {h} AS h FROM toks)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM h GROUP BY doc_id
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return D.embedding_neardup_pairs(_emb(spark, sf_dir), COS_THRESHOLD)
+
+
+_COS = """
+list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+ (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+def sql_dedup_embedding() -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {COS_THRESHOLD}
+"""
+
+
+# -------------------------------------------------------- similarity ------
+
+def q_ann_brute_force(spark, sf_dir):
+    return S.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_ann_brute_force() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    cos = _COS.replace("a.embedding", "q.embedding").replace(
+        "a.vec_id", "q.vec_id"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, {cos} AS cos_raw
+  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN — the scale path. Approximate by design
+    (bucket recall < 1): rows-only driver check; tests compare its recall
+    against brute force."""
+    return S.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+# --------------------------------------------------------------- text -----
+
+def q_text_stats(spark, sf_dir):
+    return X.text_stats(_docs(spark, sf_dir))
+
+
+def sql_text_stats() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_filter(toks, w -> lower(w) IN ({stop_list}))) AS BIGINT) AS stop_hits,
+         CAST(len(toks) + list_sum(list_transform(toks,
+              w -> CASE WHEN length(w) > 4
+                        THEN CAST(FLOOR((length(w) - 1) / 4) AS BIGINT)
+                        ELSE 0 END)) AS BIGINT) AS n_bpe_est,
+         n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         n_chars - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct_chars
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_bpe_est,
+       ROUND(stop_hits / n_tokens, 6) AS stopword_ratio,
+       ROUND(n_distinct_tokens / n_tokens, 6) AS ttr,
+       ROUND(digit_chars / n_chars, 6) AS digit_ratio,
+       ROUND(punct_chars / n_chars, 6) AS punct_ratio,
+       ROUND((stop_hits / n_tokens) * 0.4 + (n_distinct_tokens / n_tokens) * 0.4 +
+             (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+         AS quality_score
+FROM feats
+"""
+
+
+def q_language_id(spark, sf_dir):
+    return X.language_id(_docs(spark, sf_dir))
+
+
+def sql_language_id() -> str:
+    hits = {
+        lang: f"len(list_filter(toks, w -> lower(w) IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(f"h_{l}" for l in X.LANG_MARKERS) + ")"
+    case = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in X.LANG_MARKERS)
+    hit_sel = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS n_tokens, {hit_sel} FROM base
+), b AS (
+  SELECT *, {greatest} AS best FROM h
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred,
+       ROUND(best / n_tokens, 6) AS confidence
+FROM b
+"""
+
+
+def q_winnowing(spark, sf_dir):
+    return X.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+def sql_winnowing(n: int = 3, window: int = 4) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH pos_sh AS (
+  SELECT doc_id, i AS pos, {hash60_sql(f"'fp:' || {parts}")} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - {n - 1})) t(i)
+), winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+  FROM pos_sh
+), fp AS (
+  SELECT DISTINCT doc_id, m FROM winmin WHERE pos <= n_h - {window - 1}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       MIN(m) AS min_fp, MAX(m) AS max_fp
+FROM fp GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------- multimodal -----
+
+def q_multimodal_features(spark, sf_dir):
+    media = M.documents_as_media(_docs(spark, sf_dir))
+    return M.extract_features(media)
+
+
+def sql_multimodal_features() -> str:
+    h60 = hash60_sql("text")
+    h60h = hash60_sql("'h:' || text")
+    return f"""
+SELECT doc_id,
+       media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN media_type IN ('image', 'video') THEN {h60} % 1920 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN media_type IN ('image', 'video') THEN {h60h} % 1080 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN media_type IN ('video', 'audio') THEN {h60} % 300 ELSE 1 END AS BIGINT) AS n_frames,
+       md5(text) AS payload_md5
+FROM (
+  SELECT doc_id, text,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type
+  FROM documents
+)
+"""
+
+
+# ------------------------------------------------------------ registry ----
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "winnowing": q_winnowing,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+        "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "dedup_embedding": sql_dedup_embedding(),
+        "ann_brute_force": sql_ann_brute_force(),
+        # ann_lsh: approximate by construction → rows-only
+        "text_stats": sql_text_stats(),
+        "language_id": sql_language_id(),
+        "winnowing": sql_winnowing(),
+        "multimodal_features": sql_multimodal_features(),
+    }
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
+    """Headline datapipe timings for bench.py."""
+    return {
+        f"dp_{name}": (lambda fn=fn: fn(spark, sf_dir).count())
+        for name, fn in queries().items()
+    }

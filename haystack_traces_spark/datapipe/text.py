@@ -1,0 +1,118 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting (winnowing). All pure Column expressions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from haystack_traces_spark.datapipe.hashing import hash60, ordered_word_shingles
+
+EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+# tiny marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ per-doc token counts + quality features + composite score.
+
+    BPE-ish token estimate: whitespace tokens + one extra per 4 chars of
+    long words (subword pieces), a cheap deterministic proxy."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(list(EN_STOPWORDS)))
+    )
+    long_word_extra = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        # explicit floor: Spark double→int casts truncate but DuckDB rounds
+        lambda acc, w: acc
+        + F.when(F.length(w) > 4, F.floor((F.length(w) - 1) / F.lit(4)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    digit_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    punct_chars = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        (n_tokens + long_word_extra).cast("long").alias("n_bpe_est"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_distinct / n_tokens, 6).alias("ttr"),
+        F.round(digit_chars / n_chars, 6).alias("digit_ratio"),
+        F.round(punct_chars / n_chars, 6).alias("punct_ratio"),
+        F.round(
+            (stop_hits / n_tokens) * 0.4
+            + (n_distinct / n_tokens) * 0.4
+            + F.when(n_tokens.between(10, 1000), 0.2).otherwise(0.0),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, lang_pred, confidence): marker-word hit-count heuristic
+    with deterministic tie order en>es>de>fr, 'und' (unknown) when no hits."""
+    toks = F.transform(_tokens(text_col), lambda w: F.lower(w))
+
+    def marker_filter(markers):
+        # unary closure: PySpark HOF lambdas must take exactly one arg
+        return lambda w: w.isin(list(markers))
+
+    hit_cols = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # reversed: earlier langs win ties via later .when precedence
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    n_tokens = F.size(_tokens(text_col))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(best / n_tokens, 6).alias("confidence"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (local-minimum sampling of the rolling shingle-hash
+    sequence): fingerprint set = distinct min-of-window over positional
+    hashes. → (doc_id, n_fingerprints, min_fp, max_fp)."""
+    hashes = F.transform(
+        ordered_word_shingles(text_col, n), lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("fp:"), s)), 1, 15), 16, 10).cast("long")
+    )
+    n_h = F.size(hashes)
+    win_idx = F.sequence(F.lit(0), F.greatest(n_h - window, F.lit(0)))
+    minima = F.when(
+        n_h >= window,
+        F.array_distinct(
+            F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+        ),
+    ).otherwise(F.when(n_h > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
+    return docs.select(
+        "doc_id",
+        F.size(minima).cast("long").alias("n_fingerprints"),
+        F.array_min(minima).alias("min_fp"),
+        F.array_max(minima).alias("max_fp"),
+    )

@@ -347,6 +347,14 @@ def q_search_traces_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- registry --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from haystack_traces_spark.datapipe import queries as dp
+
+    out = dict(dp.queries())
+    out.update(_trace_queries())
+    return out
+
+
+def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_traces": q_search_traces,
         "search_span_level": q_search_span_level,
@@ -361,6 +369,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from haystack_traces_spark.datapipe import queries as dp
+
+    out = dict(dp.oracle_sql())
+    out.update(_trace_oracles())
+    return out
+
+
+def _trace_oracles() -> dict[str, str]:
     return {
         "search_traces": sql_search_traces(),
         "search_span_level": sql_search_span_level(),

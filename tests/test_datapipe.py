@@ -1,0 +1,99 @@
+"""Datapipe operator semantics beyond the oracle hash-compare (which
+tests/test_entry_queries.py covers for every registry entry at sf0.001)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from haystack_traces_spark.datapipe import dedup as D
+from haystack_traces_spark.datapipe import multimodal as M
+from haystack_traces_spark.datapipe import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_finds_all_planted_neardups(docs):
+    """LSH candidates must cover every true pair at this jaccard level
+    (8 hashes / 4 bands: P[miss | j>=0.9] ≈ (1-0.81)^4 ≈ 0.1% per pair)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, 0.8).collect()
+    }
+    assert truth, "expected planted near-duplicates in testdata"
+    assert lsh == truth
+
+
+def test_exact_dedup_self_consistent(docs):
+    out = D.exact_dedup(docs)
+    assert out.count() == docs.count()
+    # keep_doc_id is always a member of its own group
+    bad = out.filter(F.col("keep_doc_id") > F.col("doc_id")).count()
+    assert bad == 0 or out.filter(F.col("doc_id") == F.col("keep_doc_id")).count() > 0
+
+
+def test_simhash_neardups_are_close(docs):
+    """Planted near-dup pairs should sit closer in simhash space than the
+    median random pair."""
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    near = [(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs(docs, 0.9).collect()]
+    assert near
+    near_d = [bin(fp[a] ^ fp[b]).count("1") for a, b in near]
+    import random
+
+    rng = random.Random(7)
+    ids = list(fp)
+    rand_d = [
+        bin(fp[rng.choice(ids)] ^ fp[rng.choice(ids)]).count("1") for _ in range(200)
+    ]
+    assert sum(near_d) / len(near_d) < sum(rand_d) / len(rand_d)
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    qids = [0, 1, 2]
+    bf = S.brute_force_topk(emb, qids, 10).collect()
+    lsh = S.lsh_topk(emb, qids, 10).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    # bucketed ANN trades recall for cost; it must still be far above chance
+    # (random 10-of-N recall ≈ 2%); cosine ranking within bucket is exact
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    for r in lsh:
+        assert r["rank"] >= 1 and r["cos"] <= 1.0001
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = M.documents_as_media(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = M.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_type = {}
+    for r in feats:
+        by_type.setdefault(r["media_type"], []).append(r)
+    assert set(by_type) == {"image", "audio", "video"}
+    for r in by_type["image"]:
+        assert 0 <= r["width"] < 1920 and r["n_frames"] == 1
+    for r in by_type["video"]:
+        assert r["n_frames"] >= 0 and r["width"] >= 0
+    # frame-sample plan only targets videos
+    plan = M.frame_sample_plan(media, every_nth=30)
+    ids = {r["doc_id"] for r in plan.collect()}
+    assert ids <= {r["doc_id"] for r in by_type["video"]}
+
+
+def test_decode_real_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"bytes", "image")
