@@ -23,6 +23,8 @@ from haystack_traces_spark.operators.counts import TraceCountsRequest, trace_cou
 from haystack_traces_spark.operators.expression import (
     EQUAL,
     GREATER_THAN,
+    LESS_THAN,
+    NOT_EQUAL,
     ExpressionTree,
     Field,
 )
@@ -344,6 +346,185 @@ def q_search_traces_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("trace_id")
 
 
+def q_get_raw_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getRawTraces (TraceReader.scala:121-125): multi-id point lookup, flat
+    spans, no pipeline. S7 IN-list semantics."""
+    from haystack_traces_spark.sources.spans import build_trace_store, read_trace_records
+
+    store = build_trace_store(_spans(spark, sf_dir))
+    return (
+        read_trace_records(store, ["7", "42", "99"])
+        .select(F.explode("spans").alias("s"))
+        .select(
+            "s.trace_id",
+            "s.span_id",
+            "s.parent_span_id",
+            "s.service_name",
+            "s.operation_name",
+            "s.start_time",
+            "s.duration",
+        )
+    )
+
+
+def sql_get_raw_traces() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT trace_id, span_id, parent_span_id, service_name, operation_name,
+       start_time, duration
+FROM spans WHERE trace_id IN ('7', '42', '99')
+"""
+    )
+
+
+def q_get_raw_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getRawSpan (TraceReader.scala:58-68): one (traceId, spanId) point
+    lookup. The spanId is resolved to the trace's first span so the entry is
+    stable across scale factors (point lookups are driver-initiated by
+    nature — the reference takes the literal id from the gRPC request)."""
+    from haystack_traces_spark.sources.spans import build_trace_store, get_raw_span
+
+    spans = _spans(spark, sf_dir)
+    store = build_trace_store(spans)
+    row = (
+        spans.filter(F.col("trace_id") == "42")
+        .agg(F.min(F.col("span_id").cast("long")).alias("sid"))
+        .collect()
+    )
+    sid = str(row[0]["sid"]) if row and row[0]["sid"] is not None else "-1"
+    return get_raw_span(store, "42", sid).select(
+        "trace_id", "span_id", "parent_span_id", "service_name",
+        "operation_name", "start_time", "duration",
+    )
+
+
+def sql_get_raw_span() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT trace_id, span_id, parent_span_id, service_name, operation_name,
+       start_time, duration
+FROM spans
+WHERE trace_id = '42'
+  AND CAST(span_id AS BIGINT) =
+      (SELECT MIN(CAST(span_id AS BIGINT)) FROM spans WHERE trace_id = '42')
+"""
+    )
+
+
+def q_field_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFieldNames (EsIndexedTraceStore.scala:90-102): whitelist-configured
+    field names + the two intrinsic fields, sorted."""
+    from haystack_traces_spark.config import DEFAULT_WHITELIST
+
+    names = sorted(DEFAULT_WHITELIST.field_names() + ["servicename", "operationname"])
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def sql_field_names() -> str:
+    return """
+SELECT * FROM (VALUES ('errorcode'), ('operationname'), ('role'), ('servicename'))
+AS t(name) ORDER BY name
+"""
+
+
+def q_search_not_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT_EQUAL + LESS_THAN coverage. NOT_EQUAL replicates mustNot-inside-
+    nested (SpansIndexQueryGenerator.scala:149-150): ∃ span group where the
+    value does NOT occur — not a trace-level negation."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=50,
+        expression=ExpressionTree(
+            (
+                Field("servicename", "click", NOT_EQUAL),
+                Field("duration", 5_000, LESS_THAN),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_not_equal() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         BOOL_OR((CASE WHEN duration > 20000000
+                       THEN duration - duration % 1000000
+                       ELSE duration END) < 5000) AS has_small_dur
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2, 3
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id AND g.servicename <> 'click')
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id AND g.has_small_dur)
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 50
+"""
+    )
+
+
+def q_search_flat_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 deprecated flat-field query (SpansIndexQueryGenerator.scala:44-63):
+    span-context fields form ONE co-occurrence group — servicename='view'
+    and whitelisted tag errorcode=3 must hit the same (svc, op) group."""
+    from haystack_traces_spark.operators.expression import compile_fields
+
+    idx = _index(spark, sf_dir)
+    pred = compile_fields(
+        [Field("servicename", "view", EQUAL), Field("errorcode", 3, EQUAL)]
+    )
+    return (
+        idx.filter(F.col("starttime").between(T0, T1))
+        .filter(pred)
+        .select("traceid", "starttime")
+        .orderBy(F.col("starttime").desc(), F.col("traceid").desc())
+        .limit(50)
+    )
+
+
+def sql_search_flat_fields() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         BOOL_OR(errorcode = 3) AS has_ec3
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2, 3
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id
+                AND g.servicename = 'view' AND g.has_ec3)
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 50
+"""
+    )
+
+
 # -------------------------------------------------------------- registry --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -364,6 +545,11 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_index_stats": q_trace_index_stats,
         "call_graph": q_call_graph,
         "get_trace": q_get_trace,
+        "get_raw_traces": q_get_raw_traces,
+        "get_raw_span": q_get_raw_span,
+        "field_names": q_field_names,
+        "search_not_equal": q_search_not_equal,
+        "search_flat_fields": q_search_flat_fields,
         "search_traces_processed": q_search_traces_processed,
     }
 
@@ -386,4 +572,9 @@ def _trace_oracles() -> dict[str, str]:
         "trace_index_stats": sql_trace_index_stats(),
         "call_graph": sql_call_graph(),
         "get_trace": sql_get_trace(),
+        "get_raw_traces": sql_get_raw_traces(),
+        "get_raw_span": sql_get_raw_span(),
+        "field_names": sql_field_names(),
+        "search_not_equal": sql_search_not_equal(),
+        "search_flat_fields": sql_search_flat_fields(),
     }
