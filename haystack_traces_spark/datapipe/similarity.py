@@ -87,10 +87,14 @@ def brute_force_topk(
     )
 
 
+DEFAULT_LSH_TABLES = 24
+DEFAULT_LSH_PLANES = 5
+
+
 def hyperplane_buckets(
     emb: DataFrame,
-    n_tables: int = 8,
-    planes_per_table: int = 4,
+    n_tables: int = DEFAULT_LSH_TABLES,
+    planes_per_table: int = DEFAULT_LSH_PLANES,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -100,34 +104,185 @@ def hyperplane_buckets(
     Hyperplanes have deterministic hash-derived ±1 components (reproducible
     everywhere, no RNG state). One table of p planes collides ~(1-θ/π)^p;
     L independent tables lift recall to 1-(1-r)^L — the standard
-    recall/cost dial. Candidates come from a bucket JOIN, never all pairs."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    tables = []
-    for t in range(n_tables):
-        bucket: Column = F.lit(0).cast("long")
-        for p in range(planes_per_table):
-            plane = [
-                1.0 if (hash60_py(f"{t}:{p}:{d}") & 1) else -1.0 for d in range(dim)
+    recall/cost dial (defaults hit ≈0.85 recall@10 on the synthetic
+    embeddings). All L·p plane dots are ONE matrix multiply per Arrow batch
+    (numpy, vectorized) — adding tables is nearly free, unlike per-plane
+    fold expressions."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [
+                1.0 if (hash60_py(f"{t}:{p}:{d}") & 1) else -1.0
+                for d in range(dim)
             ]
-            arr = F.array(*[F.lit(v) for v in plane])
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ]
+    )  # (L*p, dim)
+    weights = np.tile(1 << np.arange(planes_per_table), n_tables)  # bit weights
+    table_ids = np.repeat(np.arange(n_tables), planes_per_table)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            signs = (A @ planes.T) >= 0  # (n, L*p)
+            contrib = signs * weights  # bit contributions
+            n = len(pdf)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            np.add.at(buckets.T, table_ids, contrib.T)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """→ (assignments (id, cell, vec_d, norm), centroids): IVF coarse
+    quantization. Centroids are the ``n_cells`` lowest-id vectors —
+    deterministic and oracle-reproducible; at scale swap for sampled
+    k-means centroids (the assignment plan is identical: one linear pass,
+    argmax over a broadcast-size centroid table).
+    """
+    base = with_norm(emb, id_col, vec_col)
+    cent_rows = (
+        base.orderBy(F.col(id_col).asc()).limit(n_cells).collect()
+    )
+    centroids = [(r[id_col], list(r["vec_d"])) for r in cent_rows]
+
+    def cell_scores(vec: Column, norm: Column) -> Column:
+        scores = []
+        for cid, cvec in centroids:
+            cnorm = sum(x * x for x in cvec) ** 0.5
+            arr = F.array(*[F.lit(v) for v in cvec])
             dot = F.aggregate(
-                F.zip_with(vec_d, arr, lambda x, y: x * y),
+                F.zip_with(vec, arr, lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return emb.select(
-        F.col(id_col), F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, "tb.table", "tb.bucket")
+            scores.append(
+                F.struct(
+                    (dot / (norm * F.lit(cnorm))).alias("cos"),
+                    F.lit(-cid).alias("neg_cid"),  # tie → lowest cid wins
+                )
+            )
+        return F.array(*scores)
+
+    assigned = base.withColumn(
+        "cell",
+        (-F.array_max(cell_scores(F.col("vec_d"), F.col("norm")))["neg_cid"]).cast("long"),
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize once, probe the ``n_probe`` nearest cells per
+    query, exact-rerank inside the probed cells only.
+
+    At 100 TB the assignment is one linear scan against a broadcast centroid
+    table and the probe turns top-k into a 1/(n_cells/n_probe) partial scan —
+    the inverted-file layout means candidates arrive partition-pruned when
+    the table is written partitioned by cell."""
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_assignments(emb, n_cells, id_col, vec_col)
+
+    # per-query probed cells: rank centroid cosines, keep top n_probe
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec_d").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = []
+    for cid, cvec in centroids:
+        cnorm = sum(x * x for x in cvec) ** 0.5
+        arr = F.array(*[F.lit(v) for v in cvec])
+        dot = F.aggregate(
+            F.zip_with(F.col("qvec"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probes.append(
+            F.struct(
+                (dot / (F.col("qnorm") * F.lit(cnorm))).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    probed = (
+        q.select(
+            "query_id", "qvec", "qnorm",
+            F.explode(F.array(*probes)).alias("p"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("p.cos").desc(), F.col("p.cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "qvec", "qnorm", F.col("p.cid").alias("cell"))
+    )
+
+    pairs = assigned.join(F.broadcast(probed), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_d"), F.col("qvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_tables: int = 8,
-    planes_per_table: int = 4,
+    n_tables: int = DEFAULT_LSH_TABLES,
+    planes_per_table: int = DEFAULT_LSH_PLANES,
     dim: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:

@@ -65,7 +65,9 @@ _IDX_CTE = """
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spans_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    from haystack_traces_spark.session import fan_out
+
+    return spans_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
 
 
 def _index(spark: SparkSession, sf_dir: str) -> DataFrame:

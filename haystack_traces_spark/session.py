@@ -44,6 +44,22 @@ def ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(str(zip_path))
 
 
+def fan_out(df, min_parts: int | None = None):
+    """Spread a narrow input across cores before a CPU-bound chain.
+
+    Small/single-file parquet arrives as 1 input split, which serializes
+    every downstream expression until the first shuffle. One round-robin
+    repartition up front is far cheaper than single-threading the scan-side
+    work. A real multi-file table (the 100 TB case) already has >= cores
+    splits and is returned untouched — the repartition is strictly a
+    small-input adaptation, never an extra shuffle at scale.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "haystack-traces-spark",
     master: str | None = None,

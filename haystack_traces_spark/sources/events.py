@@ -59,10 +59,17 @@ def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
     single window shuffle on the trace key, the same key every downstream
     trace-level operator groups on, so the exchange is reused by Catalyst.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Materialize trace_id BEFORE the window and partition by the column
+    # itself: the window's exchange is then HashPartitioning(trace_id), which
+    # satisfies every downstream trace-level groupBy/agg clustering — the
+    # store build, index build, and trace re-group all reuse this ONE shuffle
+    # instead of re-shuffling on cast(user_id) (expression-identity matters
+    # to Catalyst's exchange reuse, not semantic equality).
+    events = events.withColumn("trace_id", F.col("user_id").cast("string"))
+    w = Window.partitionBy("trace_id").orderBy("ts", "event_id")
     k = F.get_json_object("props", "$.k").cast("long")
     out = events.select(
-        F.col("user_id").cast("string").alias("trace_id"),
+        F.col("trace_id"),
         F.col("event_id").cast("string").alias("span_id"),
         F.coalesce(
             F.lag("event_id").over(w).cast("string"), F.lit("")
