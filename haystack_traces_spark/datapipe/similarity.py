@@ -51,26 +51,44 @@ def brute_force_topk(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos, rank): exact top-k per query vector.
 
-    Queries are broadcast (tiny side); ranking via window over cos desc with
-    id tiebreak — deterministic across engines."""
+    Query vectors are a broadcast (tiny side); each Arrow batch is scored
+    against all queries as ONE matrix multiply (the vectorized analog of a
+    broadcast nested-loop join), then a window ranks cos desc with id
+    tiebreak — deterministic across engines."""
+    import numpy as np
     from pyspark.sql import Window
 
-    base = with_norm(emb, id_col, vec_col)
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("vec_d").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("vec_d"), F.col("qvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        (dot / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"),
+    spark = emb.sparkSession
+    q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
+    Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, Qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            qcos = An @ Qn_.T  # (n, n_q)
+            n, nq = qcos.shape
+            mask = ids[:, None] != qids_[None, :]
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[qi],
+                    "neighbor_id": ids[ri],
+                    "cos_raw": qcos[ri, qi],
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -148,49 +166,6 @@ def hyperplane_buckets(
     )
 
 
-def ivf_assignments(
-    emb: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """→ (assignments (id, cell, vec_d, norm), centroids): IVF coarse
-    quantization. Centroids are the ``n_cells`` lowest-id vectors —
-    deterministic and oracle-reproducible; at scale swap for sampled
-    k-means centroids (the assignment plan is identical: one linear pass,
-    argmax over a broadcast-size centroid table).
-    """
-    base = with_norm(emb, id_col, vec_col)
-    cent_rows = (
-        base.orderBy(F.col(id_col).asc()).limit(n_cells).collect()
-    )
-    centroids = [(r[id_col], list(r["vec_d"])) for r in cent_rows]
-
-    def cell_scores(vec: Column, norm: Column) -> Column:
-        scores = []
-        for cid, cvec in centroids:
-            cnorm = sum(x * x for x in cvec) ** 0.5
-            arr = F.array(*[F.lit(v) for v in cvec])
-            dot = F.aggregate(
-                F.zip_with(vec, arr, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            scores.append(
-                F.struct(
-                    (dot / (norm * F.lit(cnorm))).alias("cos"),
-                    F.lit(-cid).alias("neg_cid"),  # tie → lowest cid wins
-                )
-            )
-        return F.array(*scores)
-
-    assigned = base.withColumn(
-        "cell",
-        (-F.array_max(cell_scores(F.col("vec_d"), F.col("norm")))["neg_cid"]).cast("long"),
-    )
-    return assigned, centroids
-
-
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -200,67 +175,66 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize once, probe the ``n_probe`` nearest cells per
+    """IVF ANN: coarse-quantize, probe the ``n_probe`` nearest cells per
     query, exact-rerank inside the probed cells only.
 
-    At 100 TB the assignment is one linear scan against a broadcast centroid
-    table and the probe turns top-k into a 1/(n_cells/n_probe) partial scan —
-    the inverted-file layout means candidates arrive partition-pruned when
-    the table is written partitioned by cell."""
+    Centroids are the ``n_cells`` lowest-id vectors — deterministic and
+    oracle-reproducible; at scale swap in sampled k-means centroids (the
+    plan shape is identical). Centroids + query vectors are a broadcast;
+    ONE vectorized mapInPandas pass assigns each row to its argmax-cosine
+    cell and scores it against every query probing that cell (cells are
+    1/(n_cells/n_probe) of the table — the IVF partial-scan win; written
+    partitioned by cell the candidates arrive partition-pruned). Global
+    top-k per query is a window over the scored survivors."""
+    import numpy as np
     from pyspark.sql import Window
 
-    assigned, centroids = ivf_assignments(emb, n_cells, id_col, vec_col)
+    spark = emb.sparkSession
+    cent_pdf = (
+        emb.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).toPandas()
+    )
+    C = np.asarray(cent_pdf[vec_col].tolist(), dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = cent_pdf[id_col].to_numpy(dtype=np.int64)  # ascending (order-preserved)
 
-    # per-query probed cells: rank centroid cosines, keep top n_probe
-    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("vec_d").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    probes = []
-    for cid, cvec in centroids:
-        cnorm = sum(x * x for x in cvec) ** 0.5
-        arr = F.array(*[F.lit(v) for v in cvec])
-        dot = F.aggregate(
-            F.zip_with(F.col("qvec"), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        probes.append(
-            F.struct(
-                (dot / (F.col("qnorm") * F.lit(cnorm))).alias("cos"),
-                F.lit(cid).alias("cid"),
-            )
-        )
-    probed = (
-        q.select(
-            "query_id", "qvec", "qnorm",
-            F.explode(F.array(*probes)).alias("p"),
-        )
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("p.cos").desc(), F.col("p.cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("rnk") <= n_probe)
-        .select("query_id", "qvec", "qnorm", F.col("p.cid").alias("cell"))
-    )
+    q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
+    Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
 
-    pairs = assigned.join(F.broadcast(probed), "cell").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("vec_d"), F.col("qvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        (dot / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"),
+    # per-query probed cells: top n_probe centroid cosines (tie → lowest cid;
+    # lexsort on (-cos, cid) gives exactly the oracle's ORDER BY cos DESC, cid)
+    qc = Qn @ Cn.T  # (n_q, n_cells)
+    probe_sets = []
+    for r in range(len(qids)):
+        order = np.lexsort((cids, -qc[r]))[:n_probe]
+        probe_sets.append(set(cids[order].tolist()))
+    bc = spark.sparkContext.broadcast((cids, Cn, qids, Qn, probe_sets))
+
+    def score_cells(batches):
+        import pandas as pd
+
+        cids_, Cn_, qids_, Qn_, probes_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = cids_[np.argmax(An @ Cn_.T, axis=1)]  # argmax: first (lowest cid) wins ties
+            qcos = An @ Qn_.T  # (n, n_q)
+            out = {"query_id": [], "neighbor_id": [], "cos_raw": []}
+            for qi, qid in enumerate(qids_):
+                sel = np.fromiter(
+                    (c in probes_[qi] for c in cells), bool, len(cells)
+                ) & (ids != qid)
+                out["query_id"].append(np.full(sel.sum(), qid))
+                out["neighbor_id"].append(ids[sel])
+                out["cos_raw"].append(qcos[sel, qi])
+            yield pd.DataFrame({k_: np.concatenate(v) for k_, v in out.items()})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score_cells, schema="query_id long, neighbor_id long, cos_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()

@@ -1,0 +1,323 @@
+"""Minimal protobuf wire codec for Span / SpanBuffer (S2/S5, SURVEY.md §2.1).
+
+The reference consumes protobuf ``Span`` messages from Kafka
+(indexer/.../serde/SpanDeserializer.scala:39-47) and re-publishes packed
+``SpanBuffer``s (indexer/.../writers/kafka/KafkaWriter.scala:36-50). The
+message shapes come from the public haystack-idl protos; field numbers used
+here:
+
+    Span       { traceId=1, spanId=2, parentSpanId=3, serviceName=4,
+                 operationName=5, startTime=6, duration=7,
+                 logs=8 (repeated Log), tags=9 (repeated Tag) }
+    Tag        { key=1, type=2 (enum STRING=0 DOUBLE=1 BOOL=2 LONG=3
+                 BINARY=4), vStr=3, vLong=4, vDouble=5, vBool=6, vBytes=7 }
+    Log        { timestamp=1, fields=2 (repeated Tag) }
+    SpanBuffer { traceId=1, childSpans=2 (repeated Span) }
+
+Pure-Python varint encode/decode (protobuf wire format is public spec);
+DataFrame plumbing is Arrow-batched ``mapInPandas`` — the per-row work is a
+byte-codec, inherently Python, but batched transfer keeps it off the
+row-at-a-time path. With spark-protobuf + a descriptor file available,
+``from_protobuf``/``to_protobuf`` replace these 1:1.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+# Tag.type enum (haystack-idl): value-field presence mapping
+TAG_STRING, TAG_DOUBLE, TAG_BOOL, TAG_LONG, TAG_BINARY = 0, 1, 2, 3, 4
+_VTYPE_TO_ENUM = {
+    "STRING": TAG_STRING,
+    "DOUBLE": TAG_DOUBLE,
+    "BOOL": TAG_BOOL,
+    "LONG": TAG_LONG,
+    "BINARY": TAG_BINARY,
+}
+_ENUM_TO_VTYPE = {v: k for k, v in _VTYPE_TO_ENUM.items()}
+
+
+# ------------------------------------------------------------ wire prims --
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        n += 1 << 64  # two's-complement 64-bit, per proto spec
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val, i
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _str(field: int, s: str | None) -> bytes:
+    if not isinstance(s, str) or not s:
+        return b""  # proto3 default: empty string not serialized
+    return _len_delim(field, s.encode("utf-8"))
+
+
+def _int(field: int, n) -> bytes:
+    # pandas surfaces nullable int64 struct fields as floats (None → NaN)
+    if n is None or n != n:
+        return b""
+    n = int(n)
+    if not n:
+        return b""
+    return _key(field, 0) + _varint(n)
+
+
+def _double(field: int, x) -> bytes:
+    if x is None or x != x or x == 0.0:
+        return b""
+    return _key(field, 1) + struct.pack("<d", float(x))
+
+
+def _bool(field: int, v: bool | None) -> bytes:
+    if not v:
+        return b""
+    return _key(field, 0) + b"\x01"
+
+
+def _bytes(field: int, v: bytes | None) -> bytes:
+    if not v:
+        return b""
+    return _len_delim(field, bytes(v))
+
+
+# --------------------------------------------------------------- encode ---
+
+def encode_tag(tag: dict) -> bytes:
+    vtype = tag.get("vtype") or "STRING"
+    return (
+        _str(1, tag.get("key"))
+        + _int(2, _VTYPE_TO_ENUM.get(vtype, TAG_STRING))
+        + _str(3, tag.get("vstr"))
+        + _int(4, tag.get("vlong"))
+        + _double(5, tag.get("vdouble"))
+        + _bool(6, tag.get("vbool"))
+        + _bytes(7, tag.get("vbytes"))
+    )
+
+
+def encode_log(log: dict) -> bytes:
+    out = _int(1, log.get("timestamp"))
+    fields = log.get("fields")
+    if fields is not None:
+        for f in fields:
+            out += _len_delim(2, encode_tag(f))
+    return out
+
+
+def encode_span(span: dict) -> bytes:
+    out = (
+        _str(1, span.get("trace_id"))
+        + _str(2, span.get("span_id"))
+        + _str(3, span.get("parent_span_id"))
+        + _str(4, span.get("service_name"))
+        + _str(5, span.get("operation_name"))
+        + _int(6, span.get("start_time"))
+        + _int(7, span.get("duration"))
+    )
+    logs = span.get("logs")
+    if logs is not None:
+        for log in logs:
+            out += _len_delim(8, encode_log(log))
+    tags = span.get("tags")
+    if tags is not None:
+        for tag in tags:
+            out += _len_delim(9, encode_tag(tag))
+    return out
+
+
+def encode_span_buffer(trace_id: str, spans: list[dict]) -> bytes:
+    out = _str(1, trace_id)
+    for s in spans:
+        out += _len_delim(2, encode_span(s))
+    return out
+
+
+# --------------------------------------------------------------- decode ---
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    i = 0
+    n = len(buf)
+    while i < n:
+        k, i = _read_varint(buf, i)
+        field, wire = k >> 3, k & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 1:
+            val = struct.unpack_from("<d", buf, i)[0]
+            i += 8
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        elif wire == 5:
+            val = struct.unpack_from("<f", buf, i)[0]
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def decode_tag(buf: bytes) -> dict:
+    tag = {
+        "key": "",
+        "vtype": "STRING",
+        "vstr": None,
+        "vlong": None,
+        "vdouble": None,
+        "vbool": None,
+        "vbytes": None,
+    }
+    for field, _w, val in _fields(buf):
+        if field == 1:
+            tag["key"] = val.decode("utf-8")
+        elif field == 2:
+            tag["vtype"] = _ENUM_TO_VTYPE.get(int(val), "STRING")
+        elif field == 3:
+            tag["vstr"] = val.decode("utf-8")
+        elif field == 4:
+            tag["vlong"] = int(val)
+        elif field == 5:
+            tag["vdouble"] = float(val)
+        elif field == 6:
+            tag["vbool"] = bool(val)
+        elif field == 7:
+            tag["vbytes"] = bytes(val)
+    return tag
+
+
+def decode_log(buf: bytes) -> dict:
+    log = {"timestamp": 0, "fields": []}
+    for field, _w, val in _fields(buf):
+        if field == 1:
+            log["timestamp"] = int(val)
+        elif field == 2:
+            t = decode_tag(val)
+            log["fields"].append({"key": t["key"], "vstr": t["vstr"]})
+    return log
+
+
+def decode_span(buf: bytes) -> dict:
+    span = {
+        "trace_id": "",
+        "span_id": "",
+        "parent_span_id": "",
+        "service_name": "",
+        "operation_name": "",
+        "start_time": 0,
+        "duration": 0,
+        "tags": [],
+        "logs": [],
+    }
+    strs = {1: "trace_id", 2: "span_id", 3: "parent_span_id",
+            4: "service_name", 5: "operation_name"}
+    for field, _w, val in _fields(buf):
+        if field in strs:
+            span[strs[field]] = val.decode("utf-8")
+        elif field == 6:
+            span["start_time"] = int(val)
+        elif field == 7:
+            span["duration"] = int(val)
+        elif field == 8:
+            span["logs"].append(decode_log(val))
+        elif field == 9:
+            span["tags"].append(decode_tag(val))
+    return span
+
+
+def decode_span_buffer(buf: bytes) -> tuple[str, list[dict]]:
+    trace_id = ""
+    spans: list[dict] = []
+    for field, _w, val in _fields(buf):
+        if field == 1:
+            trace_id = val.decode("utf-8")
+        elif field == 2:
+            spans.append(decode_span(val))
+    return trace_id, spans
+
+
+# ------------------------------------------------------ DataFrame plumbing --
+
+def proto_to_spans_df(raw, value_col: str = "value"):
+    """(.. value binary ..) → flat span rows: the Kafka-value decode step.
+
+    Arrow-batched mapInPandas; invalid/undecodable messages are skipped
+    (the reference's null-span filter, SpanIndexProcessor.scala:75-76).
+    """
+    import pandas as pd
+
+    from haystack_traces_spark.schemas import SPAN
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                try:
+                    rows.append(decode_span(bytes(v)))
+                except Exception:
+                    continue  # skipped + metered in the reference
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: [] for f in SPAN.fields}
+            )
+
+    return raw.mapInPandas(gen, schema=SPAN)
+
+
+def spans_df_to_buffer_proto(trace_store):
+    """(trace_id, spans array) rows → (key string, value binary) SpanBuffer
+    messages — the S5 Kafka re-publish payload."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"key": [], "value": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "key": pdf["trace_id"],
+                    "value": [
+                        encode_span_buffer(
+                            tid, [dict(s.asDict() if hasattr(s, "asDict") else s)
+                                  for s in spans]
+                        )
+                        for tid, spans in zip(pdf["trace_id"], pdf["spans"])
+                    ],
+                }
+            )
+
+    return trace_store.select("trace_id", "spans").mapInPandas(
+        gen, schema="key string, value binary"
+    )

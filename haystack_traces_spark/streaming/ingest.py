@@ -37,17 +37,29 @@ from haystack_traces_spark.streaming.sessionize import (
 
 
 def kafka_span_source(
-    spark: SparkSession, brokers: str, topic: str = "proto-spans"
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "proto-spans",
+    value_format: str = "proto",
 ) -> DataFrame:
-    """S1/S2: Kafka source. Value decoding is pluggable — protobuf via
-    spark-protobuf (`from_protobuf`) when a descriptor is available, else
-    JSON. (No Kafka in the test container; exercised via file source.)"""
+    """S1/S2: Kafka source. Value decoding:
+
+    - ``proto`` (reference wire format, SpanDeserializer.scala:39-47):
+      Arrow-batched decode via sources/proto.py; undecodable values skipped.
+    - ``json``: dev/test payloads.
+
+    (No Kafka broker in the test container; the decode paths are exercised
+    via tests/test_proto.py and the file source.)"""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .load()
     )
+    if value_format == "proto":
+        from haystack_traces_spark.sources.proto import proto_to_spans_df
+
+        return proto_to_spans_df(raw.select("value"))
     return raw.select(
         F.from_json(F.col("value").cast("string"), SPAN).alias("s")
     ).select("s.*")

@@ -1,0 +1,108 @@
+"""Span/SpanBuffer wire codec + packer framing round-trips (S2/S3/S5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from haystack_traces_spark.sources import packer as P
+from haystack_traces_spark.sources import proto as W
+
+
+SPAN = {
+    "trace_id": "t-1",
+    "span_id": "s-1",
+    "parent_span_id": "",
+    "service_name": "svc-a",
+    "operation_name": "op-1",
+    "start_time": 1_704_067_200_000_000,
+    "duration": 125_000,
+    "tags": [
+        {"key": "errorcode", "vtype": "LONG", "vstr": None, "vlong": 3,
+         "vdouble": None, "vbool": None, "vbytes": None},
+        {"key": "role", "vtype": "STRING", "vstr": "haystack", "vlong": None,
+         "vdouble": None, "vbool": None, "vbytes": None},
+        {"key": "sampled", "vtype": "BOOL", "vstr": None, "vlong": None,
+         "vdouble": None, "vbool": True, "vbytes": None},
+        {"key": "weight", "vtype": "DOUBLE", "vstr": None, "vlong": None,
+         "vdouble": 0.25, "vbool": None, "vbytes": None},
+        {"key": "blob", "vtype": "BINARY", "vstr": None, "vlong": None,
+         "vdouble": None, "vbool": None, "vbytes": b"\x00\x01\xff"},
+    ],
+    "logs": [
+        {"timestamp": 1_704_067_200_000_100,
+         "fields": [{"key": "event", "vstr": "cs"}]},
+    ],
+}
+
+
+def test_varint_roundtrip_edges():
+    for n in (0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -(2**63)):
+        buf = W._varint(n)
+        val, i = W._read_varint(buf, 0)
+        assert val == n and i == len(buf)
+
+
+def test_wire_format_golden():
+    # field 1 (traceId) wire: key 0x0A, len, utf8 — fixed by the proto spec
+    buf = W.encode_span({"trace_id": "ab"})
+    assert buf[:2] == b"\x0a\x02" and buf[2:4] == b"ab"
+
+
+def test_span_roundtrip():
+    decoded = W.decode_span(W.encode_span(SPAN))
+    assert decoded["trace_id"] == SPAN["trace_id"]
+    assert decoded["start_time"] == SPAN["start_time"]
+    assert decoded["duration"] == SPAN["duration"]
+    assert decoded["parent_span_id"] == ""  # proto3 default round-trips
+    tags = {t["key"]: t for t in decoded["tags"]}
+    assert tags["errorcode"]["vlong"] == 3 and tags["errorcode"]["vtype"] == "LONG"
+    assert tags["role"]["vstr"] == "haystack"
+    assert tags["sampled"]["vbool"] is True
+    assert tags["weight"]["vdouble"] == 0.25
+    assert tags["blob"]["vbytes"] == b"\x00\x01\xff"
+    assert decoded["logs"][0]["timestamp"] == SPAN["logs"][0]["timestamp"]
+    assert decoded["logs"][0]["fields"][0] == {"key": "event", "vstr": "cs"}
+
+
+def test_span_buffer_roundtrip():
+    buf = W.encode_span_buffer("t-1", [SPAN, dict(SPAN, span_id="s-2")])
+    tid, spans = W.decode_span_buffer(buf)
+    assert tid == "t-1"
+    assert [s["span_id"] for s in spans] == ["s-1", "s-2"]
+
+
+@pytest.mark.parametrize("codec", P.available_codecs())
+def test_pack_unpack(codec):
+    payload = W.encode_span_buffer("t-1", [SPAN]) * 20
+    packed = P.pack(payload, codec)
+    assert packed.startswith(P.MAGIC)
+    assert P.unpack(packed) == payload
+
+
+def test_unpack_legacy_raw():
+    raw = W.encode_span(SPAN)
+    assert P.unpack(raw) == raw  # no magic → passthrough (Unpacker.scala:52-80)
+
+
+def test_proto_spark_roundtrip(spark):
+    """binary Kafka values → proto_to_spans_df → flat span rows."""
+    vals = [(W.encode_span(dict(SPAN, span_id=f"s-{i}")),) for i in range(5)]
+    vals.append((b"\xff\xff\xff",))  # undecodable → skipped
+    raw = spark.createDataFrame(vals, "value binary")
+    out = W.proto_to_spans_df(raw).collect()
+    assert {r.span_id for r in out} == {f"s-{i}" for i in range(5)}
+    assert all(r.start_time == SPAN["start_time"] for r in out)
+
+
+def test_buffer_proto_spark(spark):
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.sources.spans import build_trace_store
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    store = build_trace_store(spans_from_events(events)).limit(10)
+    msgs = W.spans_df_to_buffer_proto(store).collect()
+    assert len(msgs) == 10
+    for m in msgs:
+        tid, spans = W.decode_span_buffer(bytes(m.value))
+        assert tid == m.key and len(spans) >= 1
+        assert all(s["trace_id"] == tid for s in spans)
