@@ -53,6 +53,20 @@ def search_trace_ids(
     oracle hash-compare).
     """
     req.validate()
+    # Partition pruning: when the index table carries the (dt, hb) layout
+    # (write_trace_index), derive partition predicates from the time range —
+    # the Spark analog of the reference's time-range -> concrete-ES-index-name
+    # mapping (SpansIndexQueryGenerator.scala:181-215). String comparison on
+    # yyyy-MM-dd is order-correct; Catalyst prunes whole directories before
+    # any file is opened.
+    if "dt" in trace_index.columns:
+        from datetime import datetime, timezone
+
+        lo = datetime.fromtimestamp(req.start_time / 1e6, tz=timezone.utc)
+        hi = datetime.fromtimestamp(req.end_time / 1e6, tz=timezone.utc)
+        trace_index = trace_index.filter(
+            F.col("dt").between(lo.strftime("%Y-%m-%d"), hi.strftime("%Y-%m-%d"))
+        )
     if use_root_doc_starttime:
         time_pred = F.col("starttime").between(req.start_time, req.end_time)
     else:
