@@ -70,6 +70,13 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # One BLAS thread per Python worker: N workers x M OpenBLAS threads
+    # otherwise oversubscribes the box and numpy-backed operators (GEMM
+    # scoring, LSH bucketing) show multi-x run-to-run variance. Parallelism
+    # comes from Spark's task fan-out, not from nested BLAS threading.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -89,6 +96,10 @@ def get_spark(
         # capping the rendered plan string avoids it and speeds up big plans
         .config("spark.sql.maxPlanStringLength", "8192")
     )
+    # cluster mode: same BLAS pinning on remote executors (local mode
+    # inherits the driver env set above)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
