@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the scale properties the engine is designed
+around (SURVEY.md §4). These lock in:
+
+- ingest: ONE hash exchange on trace_id feeds window + store + index
+  (exchange reuse via pre-window trace_id materialization)
+- search: (dt, hb) partition pruning + starttime pushdown at the scan
+- fetch: broadcast semi-join for the id point-lookup phase
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from haystack_traces_spark.operators import search as search_ops
+from haystack_traces_spark.operators.expression import EQUAL, ExpressionTree, Field
+from haystack_traces_spark.operators.index import build_trace_index
+from haystack_traces_spark.sources.events import spans_from_events
+from haystack_traces_spark.sources.spans import build_trace_store
+
+T0 = 1_704_067_200_000_000
+DAY_US = 86_400_000_000
+
+
+def _plan(df) -> str:
+    # the engine session caps rendered plan length (session.py); lift it so
+    # node-counting assertions see the whole tree
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "2000000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxPlanStringLength", old)
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    return spans_from_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+
+
+def test_ingest_single_hash_exchange(spark, spans):
+    """Store and index builds each need exactly one hash exchange — the
+    window's — because trace_id is materialized before the window."""
+    for df in (build_trace_store(spans), build_trace_index(spans)):
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_search_partition_pruning(spark, spans, tmp_path):
+    idx_path = str(tmp_path / "idx")
+    build_trace_index(spans, with_partition_cols=True).write.partitionBy(
+        "dt", "hb"
+    ).parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    req = search_ops.SearchRequest(
+        T0, T0 + DAY_US - 1, 10,
+        ExpressionTree((Field("servicename", "error", EQUAL),)),
+    )
+    plan = _plan(search_ops.search_trace_ids(idx, req))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), plan[:2000]
+    # starttime range reaches the parquet scan as a pushed filter
+    # (Spark elides long filter lists with '...', so match within the line)
+    assert re.search(r"PushedFilters: \[[^\n]*starttime", plan), plan[:2000]
+
+
+def test_fetch_uses_broadcast_join(spark, spans):
+    store = build_trace_store(spans)
+    ids = spark.createDataFrame([("1",), ("2",)], "traceid string")
+    plan = _plan(search_ops.fetch_traces(store, ids))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_search_topk_is_take_ordered(spark, spans):
+    """orderBy+limit must plan as TakeOrderedAndProject (top-k pushdown),
+    never a global sort."""
+    idx = build_trace_index(spans)
+    req = search_ops.SearchRequest(T0, T0 + 370 * DAY_US, 10, ExpressionTree())
+    plan = _plan(search_ops.search_trace_ids(idx, req))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection must not read the full events schema."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    narrow = spans_from_events(ev).select("trace_id", "service_name")
+    m = re.search(r"ReadSchema: ([^\n]*)", _plan(narrow))
+    assert m and "props" not in m.group(1), m.group(1) if m else "no ReadSchema"
