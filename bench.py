@@ -59,7 +59,7 @@ def main() -> None:
         spans.persist()
         build_trace_store(spans).write.mode("overwrite").parquet(f"{tmp}/trace_store")
         idx = build_trace_index(spans, with_partition_cols=True)
-        idx.write.mode("overwrite").partitionBy("dt", "hb").parquet(f"{tmp}/trace_index")
+        idx.repartition("dt", "hb").write.mode("overwrite").partitionBy("dt", "hb").parquet(f"{tmp}/trace_index")
         times["build_index"] = time.perf_counter() - t0
 
         trace_store = spark.read.parquet(f"{tmp}/trace_store")

@@ -111,5 +111,12 @@ def build_trace_index(
 def write_trace_index(idx: DataFrame, path: str) -> None:
     """Persist partitioned by (dt, hb) so time-range predicates prune whole
     partitions — the Spark analog of the reference's hourly-bucketed ES index
-    list (SpansIndexQueryGenerator.scala:181-215)."""
-    idx.write.mode("overwrite").partitionBy("dt", "hb").parquet(path)
+    list (SpansIndexQueryGenerator.scala:181-215).
+
+    Repartition on the partition keys first: without it every task writes a
+    sliver into every (dt, hb) directory — task_count x partition_count tiny
+    files, the classic small-file problem (at 100 TB, add a salt column to
+    this repartition to get k appropriately-sized files per partition)."""
+    idx.repartition("dt", "hb").write.mode("overwrite").partitionBy(
+        "dt", "hb"
+    ).parquet(path)

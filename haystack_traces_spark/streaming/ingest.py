@@ -109,7 +109,7 @@ class IngestTopology:
             idx = build_trace_index(
                 spans, self._load_whitelist(), with_partition_cols=True
             )
-            idx.write.mode("append").partitionBy("dt", "hb").parquet(f"{d}/trace_index")
+            idx.repartition("dt", "hb").write.mode("append").partitionBy("dt", "hb").parquet(f"{d}/trace_index")
 
             # S6: service catalog merge (distinct new pairs only)
             fresh = build_service_catalog(spans)
