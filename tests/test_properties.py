@@ -1,0 +1,138 @@
+"""Property-based invariants for the per-trace pipeline (SURVEY.md §5:
+property-style additions the reference's test suite lacks).
+
+Random trace forests — dangling parents, multi-root, duplicates, zero-length
+spans — checked against the repair/ordering invariants. Pure-Python level
+(the same functions the applyInPandas UDFs run), so hundreds of cases are
+cheap.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from haystack_traces_spark.transform import transformers as T
+from haystack_traces_spark.transform.model import (
+    AUTOGEN_FLAG_TAG,
+    contains_tag,
+)
+from haystack_traces_spark.transform.pipeline import TraceProcessor
+from haystack_traces_spark.transform.spantree import Forest
+
+T0 = 1_704_067_200_000_000
+
+
+@st.composite
+def traces(draw, min_spans=1, max_spans=12):
+    """Random flat trace: parent links may dangle, self-reference is excluded
+    (ParentIdValidator rejects those), roots may be 0 or many."""
+    n = draw(st.integers(min_spans, max_spans))
+    spans = []
+    for i in range(n):
+        # acyclic links only (parents point at earlier spans): cycles have no
+        # tree at all in the reference's forest builder (SpanTree.scala:90-116)
+        # and the whole trace is degenerate — out of scope for repair
+        parent_choices = [""] + [f"s{j}" for j in range(i)]
+        spans.append(
+            {
+                "trace_id": "t",
+                "span_id": f"s{i}",
+                "parent_span_id": draw(
+                    st.one_of(
+                        st.sampled_from(parent_choices),
+                        st.just("dangling"),
+                    )
+                ),
+                "service_name": draw(st.sampled_from(["a", "b", "c"])),
+                "operation_name": "op",
+                "start_time": T0 + draw(st.integers(0, 10_000_000)),
+                "duration": draw(st.integers(0, 5_000_000)),
+                "tags": [],
+                "logs": [],
+            }
+        )
+    return spans
+
+
+@settings(max_examples=200, deadline=None)
+@given(traces())
+def test_invalid_root_yields_single_empty_parent(spans):
+    """After invalid_root exactly ONE span has an empty parent id (the
+    RootValidator criterion). Dangling trees are re-attached later by
+    invalid_parent — the reference splits the work the same way."""
+    forest = T.invalid_root(Forest(spans), span_id_factory=lambda: "autogen-id")
+    empty_parents = [s for s in forest.spans if s["parent_span_id"] == ""]
+    assert len(empty_parents) == 1
+    root = empty_parents[0]
+    if root["span_id"] == "autogen-id":  # synthesized roots must be marked
+        assert contains_tag(root, AUTOGEN_FLAG_TAG)
+
+
+@settings(max_examples=200, deadline=None)
+@given(traces())
+def test_invalid_root_then_parent_resolves_all_parents(spans):
+    forest = T.invalid_parent(T.invalid_root(Forest(spans)))
+    out = forest.spans
+    ids = {s["span_id"] for s in out}
+    roots = [s for s in out if s["parent_span_id"] == ""]
+    assert len(roots) == 1
+    for s in out:
+        if s is not roots[0] and s["parent_span_id"] != "":
+            assert s["parent_span_id"] in ids
+
+
+@settings(max_examples=200, deadline=None)
+@given(traces(min_spans=2))
+def test_clamp_keeps_children_inside_parent_envelope(spans):
+    forest = T.clock_skew_from_parent(T.invalid_root(Forest(spans)))
+    by_id = {s["span_id"]: s for s in forest.spans}
+    for s in forest.spans:
+        p = by_id.get(s["parent_span_id"])
+        if p is None:
+            continue
+        # child start is never before the parent's start, and whenever the
+        # child FITS in the parent envelope its end stays inside too
+        if s["duration"] <= p["duration"]:
+            assert s["start_time"] >= p["start_time"]
+            assert (
+                s["start_time"] + s["duration"]
+                <= p["start_time"] + p["duration"]
+            )
+
+
+@settings(max_examples=200, deadline=None)
+@given(traces())
+def test_dedup_idempotent(spans):
+    # duplicate some spans
+    doubled = spans + [dict(s) for s in spans[: len(spans) // 2]]
+    once = T.dedup_spans(doubled)
+    twice = T.dedup_spans(list(once))
+    assert once == twice
+    keys = [(s["span_id"], s["start_time"], s["duration"]) for s in once]
+    assert len(keys) == len(set(keys))
+
+
+@settings(max_examples=200, deadline=None)
+@given(traces())
+def test_sort_puts_root_first_then_ascending(spans):
+    forest = T.sort_spans(T.invalid_parent(T.invalid_root(Forest(spans))))
+    out = forest.spans
+    assert out[0]["parent_span_id"] == ""
+    rest = [s["start_time"] for s in out[1:]]
+    assert rest == sorted(rest)
+
+
+@settings(max_examples=150, deadline=None)
+@given(traces())
+def test_repair_pipeline_is_total_and_single_rooted(spans):
+    """A processor whose post chain includes the repair transformers accepts
+    ANY well-formed-id trace (no InvalidTraceError) and emits one root."""
+    proc = TraceProcessor(
+        pre=("dedup",),
+        validators=(),  # repair handles root/parent anomalies
+        post=("invalid_root", "invalid_parent", "clock_skew_from_parent", "sort"),
+    )
+    out = proc.process("t", spans)
+    assert out, "repair pipeline must not drop the trace"
+    assert sum(1 for s in out if s["parent_span_id"] == "") == 1
