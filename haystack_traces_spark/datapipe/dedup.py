@@ -217,6 +217,56 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> Data
     )
 
 
+def dup_clusters(pairs: DataFrame) -> DataFrame:
+    """→ (doc_id, cluster): connected components over duplicate pairs,
+    cluster = min doc_id in the component (the canonical survivor).
+
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the min; rounds needed = graph diameter ≤ O(log n) for
+    near-dup clusters (they are dense). Every round is a pair of
+    distributed joins — no driver-side graph. The loop ends when a round
+    changes nothing (count of changed labels == 0, one cheap action per
+    round). GraphFrames/Pregel would express the same thing; this stays
+    dependency-free."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(64):  # diameter guard; near-dup components are shallow
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        updated.persist()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the first, un-persisted iteration
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -157,6 +157,65 @@ WHERE {_COS} >= {COS_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs — iterative label
+    propagation (distributed joins per round); oracle is a WITH RECURSIVE
+    reachability query computing the same min-id component labels."""
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+    return D.dup_clusters(pairs)
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dup AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION SELECT doc_b, doc_a FROM dup
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster
+FROM reach GROUP BY node
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    return X.token_histogram(_docs(spark, sf_dir))
+
+
+def sql_token_histogram() -> str:
+    return """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT lower(UNNEST(string_split(text, ' '))) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+def q_token_percentiles(spark, sf_dir):
+    return X.token_percentiles(_docs(spark, sf_dir))
+
+
+def sql_token_percentiles() -> str:
+    return """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # -------------------------------------------------------- similarity ------
 
 def q_ann_brute_force(spark, sf_dir):
@@ -380,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "token_histogram": q_token_histogram,
+        "token_percentiles": q_token_percentiles,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -397,6 +459,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_embedding": sql_dedup_embedding(),
+        "dedup_clusters": sql_dedup_clusters(),
+        "token_histogram": sql_token_histogram(),
+        "token_percentiles": sql_token_percentiles(),
         "ann_brute_force": sql_ann_brute_force(),
         "ann_ivf": sql_ann_ivf(),
         # ann_lsh: approximate by construction → rows-only

@@ -93,6 +93,44 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_histogram(docs: DataFrame, top_n: int = 100, text_col: str = "text") -> DataFrame:
+    """→ (token, n): top-N corpus token frequencies (lowercased).
+
+    One explode + hash-agg with map-side combine — the canonical
+    vocabulary-building pass; at 100 TB this is a single shuffle of
+    pre-combined (token, partial-count) pairs, and top-N is
+    TakeOrderedAndProject. Tie order (n desc, token asc) is deterministic."""
+    return (
+        docs.select(
+            F.explode(F.transform(_tokens(text_col), lambda w: F.lower(w))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ per-language exact token-count percentiles (p50/p90/p99).
+
+    Exact `percentile` (linear interpolation, identical to DuckDB
+    quantile_cont); at 100 TB swap to `percentile_approx` — documented
+    accuracy/cost trade, same plan shape."""
+    n_tokens = F.size(_tokens(text_col)).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
 ) -> DataFrame:
