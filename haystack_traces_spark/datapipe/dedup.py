@@ -233,6 +233,9 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
     )
+    # every round joins against edges — persist once or each iteration
+    # re-runs the whole upstream pair-generation pipeline
+    edges.persist()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
