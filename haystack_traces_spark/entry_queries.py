@@ -527,6 +527,49 @@ LIMIT 50
     )
 
 
+def q_search_nested_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 nested variant (use.root.doc.starttime=false, reader base.conf:40):
+    the time range tests the per-group starttime SETS inside the spans array
+    instead of the denormalized root starttime."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T0 + 3 * DAY_US,
+        limit=50,
+        expression=ExpressionTree((Field("servicename", "error", EQUAL),)),
+    )
+    return search_ops.search_trace_ids(
+        _index(spark, sf_dir), req, use_root_doc_starttime=False
+    )
+
+
+def sql_search_nested_time() -> str:
+    t_hi = T0 + 3 * DAY_US
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         BOOL_OR((start_time - start_time % 1000000) BETWEEN {T0} AND {t_hi}) AS in_range
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id AND g.in_range)
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id AND g.servicename = 'error')
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 50
+"""
+    )
+
+
 # -------------------------------------------------------------- registry --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -552,6 +595,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_names": q_field_names,
         "search_not_equal": q_search_not_equal,
         "search_flat_fields": q_search_flat_fields,
+        "search_nested_time": q_search_nested_time,
         "search_traces_processed": q_search_traces_processed,
     }
 
@@ -579,4 +623,5 @@ def _trace_oracles() -> dict[str, str]:
         "field_names": sql_field_names(),
         "search_not_equal": sql_search_not_equal(),
         "search_flat_fields": sql_search_flat_fields(),
+        "search_nested_time": sql_search_nested_time(),
     }
