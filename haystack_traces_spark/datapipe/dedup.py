@@ -197,22 +197,51 @@ def simhash_fingerprints(
 def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
     """→ (doc_a, doc_b, hamming): fingerprint pairs within hamming distance.
 
-    Small-data form is an all-pairs join; the scale path buckets on
-    fingerprint halves (a pair within hamming k must agree exactly on at
-    least one of k+1 segments — pigeonhole)."""
+    Candidates come from PIGEONHOLE bucketing: the fingerprint is split
+    into (max_hamming + 1) bit segments — a pair within hamming k must
+    agree EXACTLY on at least one segment, so candidates are an equality
+    join per segment, never all pairs. Exact: candidates are then verified
+    with the true XOR popcount. (The oracle deliberately uses the naive
+    all-pairs form — different algorithm, same result.)"""
+    n_seg = max_hamming + 1
+    seg_bits = bits // n_seg
     fp = simhash_fingerprints(docs, bits)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+
+    segs = []
+    for s in range(n_seg):
+        lo = s * seg_bits
+        width = bits - lo if s == n_seg - 1 else seg_bits  # last takes the remainder
+        mask = ((1 << width) - 1) << lo
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    buckets = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*segs)).alias("sv")
+    ).select("doc_id", "simhash", "sv.seg", "sv.val")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -138,6 +138,37 @@ FROM h GROUP BY doc_id
 """
 
 
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs within hamming distance — pigeonhole-bucketed
+    candidates + exact verify; the oracle is the naive all-pairs scan
+    (different algorithm, same result — the strongest kind of check)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING)
+
+
+def sql_dedup_simhash_pairs(bits: int = 16) -> str:
+    h = hash60_sql("w", seed="sh:")
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+fp AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     return D.embedding_neardup_pairs(_emb(spark, sf_dir), COS_THRESHOLD)
 
@@ -305,10 +336,67 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN — the scale path. Approximate by design
-    (bucket recall < 1): rows-only driver check; tests compare its recall
-    against brute force."""
+    """Hyperplane-LSH bucketed ANN — the scale path. Approximate vs brute
+    force (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes are
+    hash-derived, so the DuckDB oracle rebuilds the same planes, buckets,
+    candidates, and ranking."""
     return S.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_ann_lsh() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    n_t, n_p = S.DEFAULT_LSH_TABLES, S.DEFAULT_LSH_PLANES
+    h = (
+        "CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' || "
+        "CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    pcos = (
+        "list_dot_product(qe.v, ne.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT t.t, p.p, d.d,
+         CASE WHEN ({h} & 1) = 1 THEN 1.0 ELSE -1.0 END AS comp
+  FROM UNNEST(generate_series(0, {n_t - 1})) t(t),
+       UNNEST(generate_series(0, {n_p - 1})) p(p),
+       UNNEST(generate_series(0, 63)) d(d)
+),
+elems AS (
+  SELECT vec_id, i - 1 AS d, v[i] AS val
+  FROM e, UNNEST(generate_series(1, len(v))) s(i)
+),
+dots AS (
+  SELECT el.vec_id, pl.t, pl.p, SUM(el.val * pl.comp) AS dot
+  FROM elems el JOIN planes pl ON pl.d = el.d
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qb q JOIN buckets b ON b.t = q.t AND b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {pcos} AS cos_raw
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
 
 
 # --------------------------------------------------------------- text -----
@@ -438,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "token_histogram": q_token_histogram,
@@ -458,13 +547,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
         "dedup_simhash": sql_dedup_simhash(),
+        "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
         "dedup_embedding": sql_dedup_embedding(),
         "dedup_clusters": sql_dedup_clusters(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "ann_brute_force": sql_ann_brute_force(),
         "ann_ivf": sql_ann_ivf(),
-        # ann_lsh: approximate by construction → rows-only
+        "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),
         "language_id": sql_language_id(),
         "winnowing": sql_winnowing(),
