@@ -139,16 +139,19 @@ FROM h GROUP BY doc_id
 
 
 SIMHASH_MAX_HAMMING = 2
+SIMHASH_PAIR_BITS = 32  # 16-bit prints collapse on template-generated docs
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Near-dup pairs within hamming distance — pigeonhole-bucketed
     candidates + exact verify; the oracle is the naive all-pairs scan
     (different algorithm, same result — the strongest kind of check)."""
-    return D.simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING)
+    return D.simhash_pairs(
+        _docs(spark, sf_dir), SIMHASH_MAX_HAMMING, bits=SIMHASH_PAIR_BITS
+    )
 
 
-def sql_dedup_simhash_pairs(bits: int = 16) -> str:
+def sql_dedup_simhash_pairs(bits: int = SIMHASH_PAIR_BITS) -> str:
     h = hash60_sql("w", seed="sh:")
     bit_terms = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
