@@ -285,14 +285,15 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
                 ).alias("cluster"),
             )
         )
-        updated.persist()
+        # localCheckpoint truncates lineage — without it every round's plan
+        # embeds all prior rounds and planning time grows quadratically
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
             .filter(F.col("u.cluster") != F.col("l.cluster"))
             .count()
         )
-        labels.unpersist()  # no-op on the first, un-persisted iteration
         labels = updated
         if changed == 0:
             break
