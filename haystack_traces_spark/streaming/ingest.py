@@ -70,6 +70,16 @@ def file_span_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(SPAN).json(path)
 
 
+def proto_file_span_source(spark: SparkSession, path: str) -> DataFrame:
+    """Test/dev source with the KAFKA wire shape: parquet files carrying a
+    binary ``value`` column of protobuf-encoded Spans — the same decode path
+    as kafka_span_source(value_format='proto') without a broker."""
+    from haystack_traces_spark.sources.proto import proto_to_spans_df
+
+    raw = spark.readStream.schema("value binary").parquet(path)
+    return proto_to_spans_df(raw)
+
+
 class IngestTopology:
     def __init__(
         self,
