@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 from haystack_traces_spark.config import DEFAULT_WHITELIST, WhitelistConfig
 from haystack_traces_spark.operators.expression import ExpressionTree, compile_expression
+from haystack_traces_spark.operators.index import HOURS_PER_BUCKET
 
 
 @dataclass(frozen=True)
@@ -67,6 +68,12 @@ def search_trace_ids(
         trace_index = trace_index.filter(
             F.col("dt").between(lo.strftime("%Y-%m-%d"), hi.strftime("%Y-%m-%d"))
         )
+        if "hb" in trace_index.columns and lo.date() == hi.date():
+            # same-day range: also prune the 6 h hour-buckets (the reference
+            # addresses individual haystack-traces-{date}-{hour/6} indexes)
+            trace_index = trace_index.filter(
+                F.col("hb").between(lo.hour // HOURS_PER_BUCKET, hi.hour // HOURS_PER_BUCKET)
+            )
     if use_root_doc_starttime:
         time_pred = F.col("starttime").between(req.start_time, req.end_time)
     else:

@@ -62,11 +62,18 @@ def test_search_partition_pruning(spark, spans, tmp_path):
         ExpressionTree((Field("servicename", "error", EQUAL),)),
     )
     plan = _plan(search_ops.search_trace_ids(idx, req))
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "dt" in m.group(1), plan[:2000]
+    assert re.search(r"PartitionFilters: \[[^\n]*dt", plan), plan[:2000]
     # starttime range reaches the parquet scan as a pushed filter
     # (Spark elides long filter lists with '...', so match within the line)
     assert re.search(r"PushedFilters: \[[^\n]*starttime", plan), plan[:2000]
+
+    # same-day sub-range also prunes the 6 h hour-buckets
+    req_hours = search_ops.SearchRequest(
+        T0, T0 + 5 * 3_600_000_000, 10,
+        ExpressionTree((Field("servicename", "error", EQUAL),)),
+    )
+    plan = _plan(search_ops.search_trace_ids(idx, req_hours))
+    assert re.search(r"PartitionFilters: \[[^\n]*hb", plan), plan[:2000]
 
 
 def test_fetch_uses_broadcast_join(spark, spans):
