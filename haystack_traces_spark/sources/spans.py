@@ -16,15 +16,40 @@ from pyspark.sql import DataFrame
 from haystack_traces_spark.schemas import span_field_names
 
 
-def build_trace_store(spans: DataFrame, ingest_ts_ms: int | None = None) -> DataFrame:
+def build_trace_store(
+    spans: DataFrame,
+    ingest_ts_ms: int | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
     """Group flat spans into one row per trace: (trace_id, ingest_ts, spans).
 
     One shuffle on trace_id; at scale write bucketed by trace_id so the
     search-phase semi-join and the re-group are co-located.
+
+    ``salt_buckets``: skew guard for mega-traces (a runaway trace with
+    millions of spans would otherwise funnel through ONE reducer's
+    collect_list). With salting the collect happens in two phases —
+    (trace_id, salt) partial lists, then flatten per trace — so a hot key
+    fans out over ``salt_buckets`` reducers first. The final per-trace
+    flatten is unavoidable data movement, but it moves pre-built arrays,
+    not row-at-a-time structs. Off by default: the streaming path already
+    caps spans per trace (T2), and salting costs an extra shuffle.
     """
     cols = [c for c in span_field_names() if c in spans.columns]
     span_struct = F.struct(*[F.col(c) for c in cols])
-    out = spans.groupBy("trace_id").agg(F.collect_list(span_struct).alias("spans"))
+    if salt_buckets > 1:
+        partial = (
+            spans.withColumn(
+                "_salt", F.pmod(F.crc32(F.col("span_id")), F.lit(salt_buckets))
+            )
+            .groupBy("trace_id", "_salt")
+            .agg(F.collect_list(span_struct).alias("part"))
+        )
+        out = partial.groupBy("trace_id").agg(
+            F.flatten(F.collect_list("part")).alias("spans")
+        )
+    else:
+        out = spans.groupBy("trace_id").agg(F.collect_list(span_struct).alias("spans"))
     if ingest_ts_ms is not None:
         out = out.withColumn("ingest_ts", F.lit(ingest_ts_ms))
     return out

@@ -73,3 +73,25 @@ def test_process_single_with_repair_chain():
     out = process_single("t1", bad, proc)
     assert out[0]["span_id"] == "fx"
     assert len(out) == 3
+
+
+def test_salted_store_build_matches_unsalted(spark):
+    """Skew-guard path: salted two-phase collect produces the same per-trace
+    span SETS as the direct collect (order within the array may differ)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.sources.spans import build_trace_store
+
+    spans = spans_from_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    plain = {
+        r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
+        for r in build_trace_store(spans).collect()
+    }
+    salted = {
+        r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
+        for r in build_trace_store(spans, salt_buckets=8).collect()
+    }
+    assert plain == salted
