@@ -90,3 +90,15 @@ def has_log_events(logs: Column | str, *events: str) -> Column:
     for ev in events:
         cond = cond & get_event_timestamp(logs, ev).isNotNull()
     return cond
+
+
+def span_kind(tags: Column | str = "tags", logs: Column | str = "logs") -> Column:
+    """The span.kind tag when present, else inferred from zipkin markers:
+    sr∧ss → 'server', cs∧cr → 'client', else NULL
+    (reference: SpanUtils.scala:45-55)."""
+    explicit = tag_value(tags, "span.kind", "string")
+    return F.coalesce(
+        explicit,
+        F.when(has_log_events(logs, "sr", "ss"), F.lit("server")),
+        F.when(has_log_events(logs, "cs", "cr"), F.lit("client")),
+    )

@@ -95,3 +95,32 @@ def test_salted_store_build_matches_unsalted(spark):
         for r in build_trace_store(spans, salt_buckets=8).collect()
     }
     assert plain == salted
+
+
+def test_span_kind_column_function(spark):
+    """span.kind tag wins; else zipkin-log inference; else NULL
+    (SpanUtils.scala:45-55)."""
+    from haystack_traces_spark.functions.span_funcs import span_kind
+    from haystack_traces_spark.schemas import SPAN
+    from tests.fixtures import span
+    from haystack_traces_spark.transform.model import log, string_tag
+
+    rows = [
+        dict(span(trace_id="t", span_id="tagged"),
+             tags=[string_tag("span.kind", "client")]),
+        dict(span(trace_id="t", span_id="server_logs"),
+             logs=[log(1, "sr"), log(2, "ss")]),
+        dict(span(trace_id="t", span_id="client_logs"),
+             logs=[log(1, "cs"), log(2, "cr")]),
+        span(trace_id="t", span_id="bare"),
+    ]
+    df = spark.createDataFrame(rows, SPAN).select(
+        "span_id", span_kind().alias("kind")
+    )
+    got = {r["span_id"]: r["kind"] for r in df.collect()}
+    assert got == {
+        "tagged": "client",
+        "server_logs": "server",
+        "client_logs": "client",
+        "bare": None,
+    }
