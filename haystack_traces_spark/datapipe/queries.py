@@ -250,6 +250,70 @@ ORDER BY lang
 """
 
 
+QUALITY_MIN = 0.3
+
+
+def q_clean_corpus(spark, sf_dir):
+    """Composite training-data pipeline: quality gate → language gate →
+    exact-dup removal (keep min doc_id) → surviving docs. Each stage is a
+    previously-verified operator; this entry checks their COMPOSITION."""
+    docs = _docs(spark, sf_dir)
+    stats = X.text_stats(docs)
+    lang = X.language_id(docs)
+    dd = D.exact_dedup(docs)
+    survivors = (
+        stats.join(lang, "doc_id")
+        .join(dd, "doc_id")
+        .filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("lang_pred") == "en")
+            & (F.col("doc_id") == F.col("keep_doc_id"))
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+    return survivors
+
+
+def sql_clean_corpus() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    hits = {
+        lang: f"len(list_filter(toks, w -> lower(w) IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(f"h_{l}" for l in X.LANG_MARKERS) + ")"
+    case = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in X.LANG_MARKERS)
+    hit_sel = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+           AS quality_score,
+         {hit_sel}
+  FROM base
+), lang AS (
+  SELECT doc_id, CASE WHEN {greatest} = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+  FROM (SELECT *, {greatest} AS best FROM feats)
+), dd AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+  FROM documents
+)
+SELECT f.doc_id, f.n_tokens, f.quality_score
+FROM feats f
+JOIN lang l USING (doc_id)
+JOIN dd USING (doc_id)
+WHERE f.quality_score >= {QUALITY_MIN}
+  AND l.lang_pred = 'en'
+  AND doc_id = keep_doc_id
+ORDER BY f.doc_id
+"""
+
+
 # -------------------------------------------------------- similarity ------
 
 def q_ann_brute_force(spark, sf_dir):
@@ -534,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
+        "clean_corpus": q_clean_corpus,
         "ann_brute_force": q_ann_brute_force,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -555,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
+        "clean_corpus": sql_clean_corpus(),
         "ann_brute_force": sql_ann_brute_force(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
