@@ -18,4 +18,13 @@ Layers (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from haystack_traces_spark.session import get_spark  # noqa: F401
+import os as _os
+
+# BLAS pinning at package-import time: executor Python workers import this
+# package (closure deserialization) BEFORE numpy loads, so the setting takes
+# effect even under a driver session that didn't go through get_spark().
+# N workers x M BLAS threads oversubscribes any host (see SCALE.md §5).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
+from haystack_traces_spark.session import get_spark  # noqa: E402,F401
