@@ -1,0 +1,79 @@
+"""§2.9 scalar-function semantics — the known-hard coercion behaviors
+(SURVEY §7.3 #2/#3): typed-tag union resolution, coerce-or-drop, duration
+truncation thresholds, and the rootduration reference quirk."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from haystack_traces_spark.functions.span_funcs import (
+    LOW_CARDINALITY_DURATION_THRESHOLD,
+    low_cardinality_duration,
+    tag_value,
+)
+from haystack_traces_spark.operators.index import build_trace_index
+from haystack_traces_spark.schemas import SPAN
+from haystack_traces_spark.transform.model import long_tag, string_tag, tag
+from tests.fixtures import span
+
+
+def _df(spark, tags_per_row):
+    rows = [
+        dict(span(trace_id="t", span_id=f"s{i}"), tags=tags)
+        for i, tags in enumerate(tags_per_row)
+    ]
+    return spark.createDataFrame(rows, SPAN)
+
+
+def test_tag_value_typed_union_and_coerce_or_drop(spark):
+    """5-way union resolution + coercion to the declared whitelist type;
+    uncoercible values become NULL — the reference drops them
+    (IndexDocumentGenerator.scala:113-144)."""
+    df = _df(
+        spark,
+        [
+            [long_tag("code", 7)],                  # native long
+            [string_tag("code", "42")],             # numeric string coerces
+            [string_tag("code", "not-a-number")],   # coercion fails -> NULL
+            [tag("code", "BINARY", vbytes=b"9")],   # BINARY -> utf8 -> long
+            [string_tag("other", "x")],             # tag absent -> NULL
+        ],
+    )
+    got = [r[0] for r in df.select(tag_value("tags", "code", "long")).collect()]
+    assert got == [7, 42, None, 9, None]
+
+
+def test_tag_key_lookup_is_case_insensitive(spark):
+    df = _df(spark, [[long_tag("ErrorCode", 3)]])
+    got = df.select(tag_value("tags", "errorcode", "long")).collect()[0][0]
+    assert got == 3
+
+
+def test_low_cardinality_duration_threshold(spark):
+    """Durations above 20 s truncate to whole seconds; below pass through
+    (IndexDocumentGenerator.scala:37,146-157)."""
+    df = spark.createDataFrame(
+        [(19_999_999,), (20_000_000,), (20_000_001,), (25_123_456,)], "d long"
+    )
+    got = [r[0] for r in df.select(low_cardinality_duration("d")).collect()]
+    assert got == [19_999_999, 20_000_000, 20_000_000, 25_000_000]
+    assert LOW_CARDINALITY_DURATION_THRESHOLD == 20_000_000
+
+
+def test_rootduration_reference_quirk_mode(spark):
+    """'reference_quirk' replicates shipped behavior: parentSpanId == null is
+    never true for proto3 strings, so rootduration is always 0
+    (IndexDocumentGenerator.scala:56; SURVEY §7.3 #3)."""
+    rows = [
+        span(trace_id="t1", span_id="root", parent="", duration=500),
+        span(trace_id="t1", span_id="c", parent="root", duration=100),
+    ]
+    df = spark.createDataFrame(rows, SPAN)
+    evident = build_trace_index(df).select("rootduration").collect()[0][0]
+    quirk = (
+        build_trace_index(df, root_duration_mode="reference_quirk")
+        .select("rootduration")
+        .collect()[0][0]
+    )
+    assert evident == 500
+    assert quirk == 0
