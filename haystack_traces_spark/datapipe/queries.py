@@ -585,6 +585,29 @@ FROM (
 """
 
 
+FRAME_EVERY_NTH = 30
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: every Nth frame index per video doc —
+    the decode-target list a media pipeline feeds to the (stubbed) codec."""
+    media = M.documents_as_media(_docs(spark, sf_dir))
+    return M.frame_sample_plan(media, FRAME_EVERY_NTH)
+
+
+def sql_frame_sample() -> str:
+    h60 = hash60_sql("text")
+    return f"""
+WITH feats AS (
+  SELECT doc_id, {h60} % 300 AS n_frames
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) = 2  -- media_type round-robin: 2 -> video
+)
+SELECT doc_id, UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), {FRAME_EVERY_NTH})) AS frame_idx
+FROM feats
+"""
+
+
 # ------------------------------------------------------------ registry ----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -606,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "winnowing": q_winnowing,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -628,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": sql_language_id(),
         "winnowing": sql_winnowing(),
         "multimodal_features": sql_multimodal_features(),
+        "frame_sample": sql_frame_sample(),
     }
 
 
