@@ -80,7 +80,10 @@ def group_predicate(f: Field, whitelist: WhitelistConfig):
     """Return g -> Column: does span group g satisfy the field predicate."""
     ftype = _field_type(f.name, whitelist)
     lit = _coerce(f.value, ftype)
-    name = f.name
+    # resolve whitelist ALIASES to the canonical (stored) field name
+    # (WhitelistIndexFieldConfiguration.scala:33-45 alias matching)
+    wl = whitelist.get(f.name)
+    name = wl.name if wl is not None and f.name not in _SCALAR_FIELDS else f.name
 
     def pred(g) -> Column:
         if name in _SCALAR_FIELDS:
@@ -135,7 +138,7 @@ def compile_fields(
         (span_ctx if ctx == "span" else trace_ctx).append(f)
     operands: list = [ExpressionTree(tuple(span_ctx), is_span_level=True)] if span_ctx else []
     operands += trace_ctx
-    return compile_expression(ExpressionTree(tuple(operands)))
+    return compile_expression(ExpressionTree(tuple(operands)), whitelist)
 
 
 def _conjunction(preds):

@@ -77,3 +77,65 @@ def test_rootduration_reference_quirk_mode(spark):
     )
     assert evident == 500
     assert quirk == 0
+
+
+def test_whitelist_alias_and_trace_context_routing(spark):
+    """S9/Q2 subtleties: alias resolution (WhitelistIndexFieldConfiguration
+    aliases) and searchContext='trace' fields getting their OWN nested query
+    instead of joining the span-context co-occurrence group
+    (SpansIndexQueryGenerator.scala:44-63)."""
+    import pyspark.sql.functions as F2
+
+    from haystack_traces_spark.config import WhitelistConfig, WhitelistField
+    from haystack_traces_spark.operators.expression import (
+        EQUAL,
+        Field,
+        compile_fields,
+    )
+    from haystack_traces_spark.operators.index import build_trace_index
+
+    wl = WhitelistConfig(
+        (
+            WhitelistField("errorcode", "long", aliases=("ec", "err")),
+            WhitelistField("role", "string", search_context="trace"),
+        )
+    )
+    rows = [
+        # trace A: errorcode=1 on svc x, role=haystack on svc y (different groups)
+        dict(span(trace_id="A", span_id="a1", service="x"), tags=[long_tag("errorcode", 1)]),
+        dict(span(trace_id="A", span_id="a2", service="y"), tags=[string_tag("role", "haystack")]),
+        # trace B: both on the same group
+        dict(span(trace_id="B", span_id="b1", service="x"),
+             tags=[long_tag("errorcode", 1), string_tag("role", "haystack")]),
+    ]
+    df = spark.createDataFrame(rows, SPAN)
+    idx = build_trace_index(df, wl)
+
+    # alias 'ec' resolves to errorcode
+    got = {
+        r["traceid"]
+        for r in idx.filter(compile_fields([Field("ec", 1, EQUAL)], wl)).collect()
+    }
+    assert got == {"A", "B"}
+
+    # span-context errorcode + trace-context role: role does NOT need to
+    # co-occur on the same (svc, op) group -> trace A still matches
+    pred = compile_fields(
+        [Field("errorcode", 1, EQUAL), Field("role", "haystack", EQUAL)], wl
+    )
+    got = {r["traceid"] for r in idx.filter(pred).collect()}
+    assert got == {"A", "B"}
+
+    # two span-context fields MUST co-occur -> only trace B
+    wl_span = WhitelistConfig(
+        (
+            WhitelistField("errorcode", "long"),
+            WhitelistField("role", "string"),  # default context: span
+        )
+    )
+    idx2 = build_trace_index(df, wl_span)
+    pred2 = compile_fields(
+        [Field("errorcode", 1, EQUAL), Field("role", "haystack", EQUAL)], wl_span
+    )
+    got = {r["traceid"] for r in idx2.filter(pred2).collect()}
+    assert got == {"B"}
