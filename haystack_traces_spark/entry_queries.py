@@ -527,6 +527,56 @@ LIMIT 50
     )
 
 
+def q_trace_counts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 histogram with a predicate (getTraceCounts accepts the same
+    ExpressionTree as search, TraceCountsQueryGenerator.scala:76-99)."""
+    req = TraceCountsRequest(
+        COUNTS_START,
+        COUNTS_END,
+        COUNTS_INTERVAL,
+        expression=ExpressionTree((Field("servicename", "error", EQUAL),)),
+    )
+    return trace_counts(_index(spark, sf_dir), req)
+
+
+def sql_trace_counts_filtered() -> str:
+    i = COUNTS_INTERVAL
+    first = (COUNTS_START // i) * i
+    last = (COUNTS_END // i) * i
+    return (
+        EVENT_SPANS_CTE
+        + _IDX_CTE
+        + f"""
+, buckets AS (
+  SELECT UNNEST(generate_series({first}, {last}, {i})) AS timestamp
+), counts AS (
+  SELECT starttime - starttime % {i} AS timestamp, COUNT(*) AS c
+  FROM idx
+  WHERE starttime BETWEEN {COUNTS_START} AND {COUNTS_END} AND has_error_svc
+  GROUP BY 1
+)
+SELECT b.timestamp, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
+FROM buckets b LEFT JOIN counts c USING (timestamp)
+WHERE b.timestamp BETWEEN {COUNTS_START} AND {COUNTS_END}
+"""
+    )
+
+
+def q_trace_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful G1: per-trace call graph from MERGED client/server spans of
+    processed traces (TraceReader.scala:127-155). Depends on the transform
+    pipeline (iterative tree merges) → rows-only driver check."""
+    from haystack_traces_spark.operators.callgraph import trace_call_graph
+    from haystack_traces_spark.transform.pipeline import transform_traces
+
+    processed = transform_traces(_spans(spark, sf_dir))
+    return (
+        trace_call_graph(processed)
+        .orderBy("trace_id", "from_service", "to_service")
+        .limit(200)
+    )
+
+
 def q_search_nested_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 nested variant (use.root.doc.starttime=false, reader base.conf:40):
     the time range tests the per-group starttime SETS inside the spans array
@@ -585,6 +635,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_traces": q_search_traces,
         "search_span_level": q_search_span_level,
         "trace_counts": q_trace_counts,
+        "trace_counts_filtered": q_trace_counts_filtered,
         "field_values": q_field_values,
         "service_catalog": q_service_catalog,
         "trace_index_stats": q_trace_index_stats,
@@ -597,6 +648,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_flat_fields": q_search_flat_fields,
         "search_nested_time": q_search_nested_time,
         "search_traces_processed": q_search_traces_processed,
+        "trace_call_graph": q_trace_call_graph,
     }
 
 
@@ -613,6 +665,7 @@ def _trace_oracles() -> dict[str, str]:
         "search_traces": sql_search_traces(),
         "search_span_level": sql_search_span_level(),
         "trace_counts": sql_trace_counts(),
+        "trace_counts_filtered": sql_trace_counts_filtered(),
         "field_values": sql_field_values(),
         "service_catalog": sql_service_catalog(),
         "trace_index_stats": sql_trace_index_stats(),
