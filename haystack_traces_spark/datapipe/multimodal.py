@@ -113,6 +113,46 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, batch_size: int = 256
+) -> DataFrame:
+    """Image resize over the binary payload column — mapInPandas with the
+    decode/resize seam STUBBED (no PIL in this container): the 'resized'
+    payload is a deterministic function of (payload, target dims), so the
+    batch shape, schema, and plumbing are exactly what a real
+    `PIL.Image.resize` implementation slots into (bytes in → bytes +
+    metadata out), and the output is oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] == "image"]
+            out = []
+            for r in imgs.itertuples(index=False):
+                payload = bytes(r.payload)
+                # STUB: real impl = decode -> resize -> re-encode; here the
+                # resized bytes are an md5 fingerprint of (payload, dims)
+                resized_md5 = hashlib.md5(
+                    payload + f"|{target_w}x{target_h}".encode()
+                ).hexdigest()
+                out.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized_md5": resized_md5,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "resized_md5"]
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(
+        run, "doc_id long, width long, height long, resized_md5 string"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 30) -> DataFrame:
     """Video frame-sampling plan: (doc_id, frame_idx) rows for decode
     targets — pure expressions; the decode itself is the stubbed seam."""

@@ -608,6 +608,27 @@ FROM feats
 """
 
 
+RESIZE_W, RESIZE_H = 64, 64
+
+
+def q_image_resize(spark, sf_dir):
+    """Stubbed image resize: real Arrow-batch plumbing, deterministic fake
+    codec (md5 of payload+dims) — the oracle recomputes the same bytes."""
+    media = M.documents_as_media(_docs(spark, sf_dir))
+    return M.resize_images(media, RESIZE_W, RESIZE_H)
+
+
+def sql_image_resize() -> str:
+    return f"""
+SELECT doc_id,
+       CAST({RESIZE_W} AS BIGINT) AS width,
+       CAST({RESIZE_H} AS BIGINT) AS height,
+       md5(encode(text) || '|{RESIZE_W}x{RESIZE_H}') AS resized_md5
+FROM documents
+WHERE CAST(doc_id % 3 AS INT) = 0  -- media_type round-robin: 0 -> image
+"""
+
+
 # ------------------------------------------------------------ registry ----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -630,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "image_resize": q_image_resize,
     }
 
 
@@ -653,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": sql_winnowing(),
         "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),
+        "image_resize": sql_image_resize(),
     }
 
 
