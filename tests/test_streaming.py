@@ -298,7 +298,9 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
     finally:
         q2.stop()
 
-    # the first trace was not re-emitted by the restart (nudge traffic aside,
-    # its committed source file is not re-read)
+    # T3 contract: at-least-once. A batch in flight at stop() may replay on
+    # restart (the reference explicitly tolerates duplicate buffers,
+    # indexer/README.md:18-20) — so the first trace must still be present,
+    # bounded by one replayed emission, never silently lost.
     rows_after = len([r for r in store_rows() if r["trace_id"] == "ckpt_a"])
-    assert rows_after == rows_before
+    assert rows_before <= rows_after <= rows_before + 1
