@@ -317,35 +317,110 @@ FROM spans WHERE trace_id = '42'
     )
 
 
-def q_search_traces_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full reader path incl. the per-trace transform pipeline (U1-U11):
-    index→fetch→dedup/merge/skew/sort via applyInPandas. Non-SQL-expressible
-    (iterative BFS tree collapse) → rows-only driver check; per-transformer
-    golden tests live in tests/test_transformers.py."""
-    from haystack_traces_spark.api import TraceEngine
+def _cs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import spans_cs_from_events
 
-    eng = TraceEngine(_spans(spark, sf_dir))
+    return spans_cs_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
+
+
+# Search over the cs-span index shared by the two pipeline queries: traces
+# with an 'error'-service span in [T0, T1], newest 25.
+_CS_IDS_SQL = f"""
+, idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime,
+         BOOL_OR(lower(service_name) = 'error') AS has_err
+  FROM cs_spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+), ids AS (
+  SELECT trace_id FROM idx
+  WHERE starttime BETWEEN {T0} AND {T1} AND has_err
+  ORDER BY starttime DESC, trace_id DESC
+  LIMIT 25
+)
+"""
+
+
+def _cs_search_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = search_ops.SearchRequest(
         start_time=T0,
         end_time=T1,
         limit=25,
         expression=ExpressionTree((Field("servicename", "error", EQUAL),)),
     )
-    traces = eng.search_traces(req, processed=True)
-    return traces.select(
+    return search_ops.search_trace_ids(
+        build_trace_index(_cs_spans(spark, sf_dir)), req
+    ).select("traceid")
+
+
+def q_search_traces_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reader path incl. the per-trace transform pipeline (U1-U11) over
+    client/server span pairs: index→fetch→U2 log synthesis→U4 partial-span
+    merge (network delta, aux tags)→U5/U6 (kind/order-gated)→U11 sort, via
+    applyInPandas. The merged output is exact arithmetic over the events
+    projection, so the whole pipeline is DuckDB-oracle-verified — including
+    output ORDER via the pos column (root first, rest by start time)."""
+    from haystack_traces_spark.transform.pipeline import transform_traces
+    from haystack_traces_spark.transform.tags import (
+        CLIENT_DURATION,
+        CLIENT_OP_NAME,
+        CLIENT_SERVICE_NAME,
+        CLIENT_START_TIME,
+        IS_MERGED_SPAN,
+        NETWORK_DELTA,
+        tag_str,
+    )
+
+    ids = _cs_search_ids(spark, sf_dir)
+    cs = _cs_spans(spark, sf_dir).join(
+        F.broadcast(ids.withColumnRenamed("traceid", "trace_id")),
         "trace_id",
-        F.size("spans").cast("long").alias("n_spans"),
-        F.size(
-            F.filter(
-                "spans",
-                lambda s: F.exists(
-                    s["tags"], lambda t: t["key"] == "X-HAYSTACK-IS-MERGED-SPAN"
-                ),
-            )
-        )
-        .cast("long")
-        .alias("n_merged"),
-    ).orderBy("trace_id")
+        "left_semi",
+    )
+    out = transform_traces(cs, with_pos=True)
+    return out.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "service_name",
+        "operation_name",
+        "start_time",
+        "duration",
+        "pos",
+        F.coalesce(tag_str("tags", IS_MERGED_SPAN) == "true", F.lit(False)).alias(
+            "is_merged"
+        ),
+        tag_str("tags", NETWORK_DELTA).try_cast("long").alias("network_delta"),
+        tag_str("tags", CLIENT_SERVICE_NAME).alias("client_service"),
+        tag_str("tags", CLIENT_OP_NAME).alias("client_operation"),
+        tag_str("tags", CLIENT_START_TIME).try_cast("long").alias("client_start"),
+        tag_str("tags", CLIENT_DURATION).try_cast("long").alias("client_duration"),
+    )
+
+
+def sql_search_traces_processed() -> str:
+    from haystack_traces_spark.sources.events import EVENT_SPANS_CS_CTE
+
+    return (
+        EVENT_SPANS_CS_CTE
+        + _CS_IDS_SQL
+        + """
+SELECT e.trace_id, e.span_id, e.parent_span_id, e.service_name,
+       e.operation_name, e.start_time, e.duration,
+       ROW_NUMBER() OVER (
+         PARTITION BY e.trace_id
+         ORDER BY CASE WHEN e.parent_span_id = '' THEN 0 ELSE 1 END, e.start_time
+       ) AS pos,
+       e.parent_span_id <> '' AS is_merged,
+       CASE WHEN e.parent_span_id <> '' THEN 2 * e.net END AS network_delta,
+       CASE WHEN e.parent_span_id <> '' THEN e.parent_service END AS client_service,
+       CASE WHEN e.parent_span_id <> '' THEN e.parent_operation END AS client_operation,
+       CASE WHEN e.parent_span_id <> '' THEN e.start_time - e.net END AS client_start,
+       CASE WHEN e.parent_span_id <> '' THEN e.duration + 2 * e.net END AS client_duration
+FROM ev e JOIN ids USING (trace_id)
+"""
+    )
 
 
 def q_get_raw_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,16 +639,37 @@ WHERE b.timestamp BETWEEN {COUNTS_START} AND {COUNTS_END}
 
 def q_trace_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faithful G1: per-trace call graph from MERGED client/server spans of
-    processed traces (TraceReader.scala:127-155). Depends on the transform
-    pipeline (iterative tree merges) → rows-only driver check."""
+    processed traces (TraceReader.scala:127-155) — every edge extracted from
+    the X-HAYSTACK-* aux tags the merge pipeline stamped. Full DuckDB oracle:
+    edges = parent→child service/operation pairs with networkDelta = 2*net."""
     from haystack_traces_spark.operators.callgraph import trace_call_graph
     from haystack_traces_spark.transform.pipeline import transform_traces
 
-    processed = transform_traces(_spans(spark, sf_dir))
+    ids = _cs_search_ids(spark, sf_dir)
+    cs = _cs_spans(spark, sf_dir).join(
+        F.broadcast(ids.withColumnRenamed("traceid", "trace_id")),
+        "trace_id",
+        "left_semi",
+    )
+    return trace_call_graph(transform_traces(cs))
+
+
+def sql_trace_call_graph() -> str:
+    from haystack_traces_spark.sources.events import EVENT_SPANS_CS_CTE
+
     return (
-        trace_call_graph(processed)
-        .orderBy("trace_id", "from_service", "to_service")
-        .limit(200)
+        EVENT_SPANS_CS_CTE
+        + _CS_IDS_SQL
+        + """
+SELECT e.trace_id,
+       e.parent_service AS from_service,
+       e.parent_operation AS from_operation,
+       e.service_name AS to_service,
+       e.operation_name AS to_operation,
+       2 * e.net AS network_delta
+FROM ev e JOIN ids USING (trace_id)
+WHERE e.parent_span_id <> ''
+"""
     )
 
 
@@ -677,4 +773,6 @@ def _trace_oracles() -> dict[str, str]:
         "search_not_equal": sql_search_not_equal(),
         "search_flat_fields": sql_search_flat_fields(),
         "search_nested_time": sql_search_nested_time(),
+        "search_traces_processed": sql_search_traces_processed(),
+        "trace_call_graph": sql_trace_call_graph(),
     }

@@ -48,6 +48,44 @@ WITH spans AS (
 """
 
 
+# Client/server span-pair projection: each non-root event becomes TWO spans
+# sharing one span_id — the server span (callee side, the event itself) and a
+# client span recorded by the CALLER service (parent event's service), started
+# `net` micros earlier and lasting 2*net micros longer (symmetric network
+# hops). This drives the full merge pipeline (U2 log synthesis → U4 partial-
+# span merge → network delta → aux tags) with exactly mirrorable arithmetic:
+# the merged span inherits the server side, parent from the client, and
+# networkDelta = clientDur - serverDur = 2*net (SpanMerger.scala:53-64,96-106).
+# Root events stay single spans tagged span.kind=server so the U5 parent/child
+# collapse is kind-blocked at the root (SpanMerger.scala:136-157).
+EVENT_SPANS_CS_CTE = """
+WITH ev AS (
+  SELECT
+    CAST(user_id AS VARCHAR) AS trace_id,
+    CAST(event_id AS VARCHAR) AS span_id,
+    COALESCE(CAST(LAG(event_id) OVER w AS VARCHAR), '') AS parent_span_id,
+    event_type AS service_name,
+    'op_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS VARCHAR) AS operation_name,
+    LAG(event_type) OVER w AS parent_service,
+    'op_' || CAST((LAG(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER w) % 5 AS VARCHAR) AS parent_operation,
+    epoch_us(ts) AS start_time,
+    CAST(FLOOR(value * 1000) AS BIGINT) AS duration,
+    event_id % 97 + 1 AS net
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cs_spans AS (
+  SELECT trace_id, span_id, parent_span_id, service_name, operation_name,
+         start_time, duration
+  FROM ev
+  UNION ALL
+  SELECT trace_id, span_id, parent_span_id,
+         parent_service AS service_name, parent_operation AS operation_name,
+         start_time - net AS start_time, duration + 2 * net AS duration
+  FROM ev WHERE parent_span_id <> ''
+)
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLES)}
 
@@ -117,4 +155,88 @@ def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
         "start_time",
         "duration",
         *( ["tags", "logs"] if with_tags else [] ),
+    )
+
+
+def _kind_tag(kind) -> F.Column:
+    """tags array holding one span.kind STRING tag."""
+    return F.array(
+        F.struct(
+            F.lit("span.kind").alias("key"),
+            F.lit("STRING").alias("vtype"),
+            kind.alias("vstr"),
+            F.lit(None).cast("long").alias("vlong"),
+            F.lit(None).cast("double").alias("vdouble"),
+            F.lit(None).cast("boolean").alias("vbool"),
+            F.lit(None).cast("binary").alias("vbytes"),
+        )
+    )
+
+
+def spans_cs_from_events(events: DataFrame) -> DataFrame:
+    """Client/server span-pair projection (DuckDB mirror: EVENT_SPANS_CS_CTE).
+
+    Server span = the event itself, tagged span.kind=server; client span =
+    the same span_id recorded by the parent event's service, started ``net``
+    micros earlier with duration + 2*net, tagged span.kind=client. Root
+    events emit only the server span. One window shuffle on trace_id (same
+    exchange as every trace-level operator), then a narrow explode — no
+    extra shuffle for the pair fan-out.
+    """
+    events = events.withColumn("trace_id", F.col("user_id").cast("string"))
+    w = Window.partitionBy("trace_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("long")
+    op = F.concat(F.lit("op_"), (k % 5).cast("string"))
+    base = events.select(
+        "trace_id",
+        F.col("event_id").cast("string").alias("span_id"),
+        F.coalesce(F.lag("event_id").over(w).cast("string"), F.lit("")).alias(
+            "parent_span_id"
+        ),
+        F.col("event_type").alias("service_name"),
+        op.alias("operation_name"),
+        F.lag("event_type").over(w).alias("parent_service"),
+        F.lag(op).over(w).alias("parent_operation"),
+        F.expr("CAST(ts AS LONG) DIV 1000").alias("start_time"),
+        F.floor(F.col("value") * 1000).cast("long").alias("duration"),
+        (F.col("event_id") % 97 + 1).cast("long").alias("net"),
+    )
+    server = F.struct(
+        F.col("service_name").alias("service_name"),
+        F.col("operation_name").alias("operation_name"),
+        F.col("start_time").alias("start_time"),
+        F.col("duration").alias("duration"),
+        F.lit("server").alias("kind"),
+    )
+    client = F.struct(
+        F.col("parent_service").alias("service_name"),
+        F.col("parent_operation").alias("operation_name"),
+        (F.col("start_time") - F.col("net")).alias("start_time"),
+        (F.col("duration") + 2 * F.col("net")).alias("duration"),
+        F.lit("client").alias("kind"),
+    )
+    sides = F.when(F.col("parent_span_id") == "", F.array(server)).otherwise(
+        F.array(server, client)
+    )
+    return (
+        base.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            F.explode(sides).alias("s"),
+        )
+        .select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            F.col("s.service_name").alias("service_name"),
+            F.col("s.operation_name").alias("operation_name"),
+            F.col("s.start_time").alias("start_time"),
+            F.col("s.duration").alias("duration"),
+            _kind_tag(F.col("s.kind")).alias("tags"),
+            F.expr(
+                "CAST(array() AS array<struct<timestamp:bigint,"
+                "fields:array<struct<key:string,vstr:string>>>>)"
+            ).alias("logs"),
+        )
     )

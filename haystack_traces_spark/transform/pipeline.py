@@ -109,26 +109,40 @@ def spans_dicts_to_pdf(spans: list[Span]) -> pd.DataFrame:
     return pd.DataFrame([{c: s.get(c) for c in _SPAN_COLS} for s in spans])
 
 
-def transform_traces(spans_df, processor: TraceProcessor | None = None):
+def transform_traces(spans_df, processor: TraceProcessor | None = None, with_pos: bool = False):
     """Distributed pipeline: flat spans in → flat processed spans out.
 
     Invalid traces are dropped (search semantics, TraceReader.scala:82-90);
     use :func:`process_single` for the getTrace fail-fast path.
+
+    with_pos=True appends a ``pos`` column: the 1-based position of each span
+    in the pipeline's OUTPUT order (i.e. the U11 sort order — root first,
+    rest by start time), so order semantics survive order-insensitive
+    row-hash comparison.
     """
     proc = processor or TraceProcessor()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return spans_dicts_to_pdf([])
-        trace_id = pdf.iloc[0]["trace_id"]
-        spans = spans_pdf_to_dicts(pdf)
-        try:
-            out = proc.process(trace_id, spans)
-        except T.InvalidTraceError:
-            return spans_dicts_to_pdf([])
-        return spans_dicts_to_pdf(out)
+            out_pdf = spans_dicts_to_pdf([])
+        else:
+            trace_id = pdf.iloc[0]["trace_id"]
+            spans = spans_pdf_to_dicts(pdf)
+            try:
+                out = proc.process(trace_id, spans)
+            except T.InvalidTraceError:
+                out = []
+            out_pdf = spans_dicts_to_pdf(out)
+        if with_pos:
+            out_pdf["pos"] = range(1, len(out_pdf) + 1)
+        return out_pdf
 
-    return spans_df.select(_SPAN_COLS).groupBy("trace_id").applyInPandas(run, SPAN)
+    schema = SPAN
+    if with_pos:
+        import pyspark.sql.types as T_
+
+        schema = T_.StructType(SPAN.fields + [T_.StructField("pos", T_.LongType())])
+    return spans_df.select(_SPAN_COLS).groupBy("trace_id").applyInPandas(run, schema)
 
 
 def process_single(
