@@ -301,49 +301,140 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """→ (id_a, id_b, cos): exact cosine near-duplicate pairs via BLOCKED
-    matrix multiply — each Arrow batch is one row-block A; the right side B
-    is a task-broadcast of the normalized matrix, so the pair space is swept
-    as A_block @ Bᵀ in vectorized numpy instead of a per-pair expression
-    fold (≈100× over the naive all-pairs join).
+    """→ (id_a, id_b, cos): exact cosine near-duplicate pairs via a
+    DISTRIBUTED block-grid GEMM sweep.
 
-    Scale note: broadcasting B caps this at |B| ≈ executor memory — the
-    honest brute-force baseline. Past that, the ANN module's hyperplane-LSH
-    buckets are the candidate generator (same output, bucket-join instead
-    of full sweep)."""
+    Rows are hashed into B blocks; the symmetric pair space becomes a
+    triangular grid of B(B+1)/2 cells (bi ≤ bj), each unordered pair of rows
+    landing in exactly one cell. Every row is replicated to its B cells
+    (one shuffle, replication factor B); each cell is one `applyInPandas`
+    group that sweeps its sub-matrix as a vectorized numpy GEMM. Nothing is
+    ever materialized on the driver and per-task memory is bounded by
+    ~2·|emb|/B rows, so B is the scale dial: at 100 TB grow B with the
+    table (cells shrink quadratically). This is the exact-semantics
+    baseline; `embedding_neardup_pairs_lsh` is the subquadratic candidate
+    path when bucket recall < 1 is acceptable."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    b_pdf = emb.select(id_col, vec_col).toPandas()
-    B = np.asarray(b_pdf[vec_col].tolist(), dtype=np.float64)
-    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-    b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
-    bc = spark.sparkContext.broadcast((b_ids, Bn))
+    if n_blocks is None:
+        # ~2 cells per core: B(B+1)/2 ≈ 2·parallelism
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        n_blocks = max(2, int(np.ceil(2.0 * np.sqrt(par))))
+    nb = n_blocks
 
-    def block_sweep(batches):
-        ids_b, Bn_ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
-            C = An @ Bn_.T
-            # id_a < id_b (dedup within the full symmetric pair space)
-            mask = (C >= threshold) & (ids_a[:, None] < ids_b[None, :])
+    # block assignment only routes work — it never affects output values,
+    # so Spark's internal hash is fine here (no oracle mirror needed)
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(nb))
+    grid = (
+        emb.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nb - 1)),
+                    lambda j: F.struct(
+                        F.least(F.col("blk"), j).alias("gi"),
+                        F.greatest(F.col("blk"), j).alias("gj"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            id_col, vec_col, "blk",
+            F.col("cell.gi").alias("gi"), F.col("cell.gj").alias("gj"),
+        )
+    )
+
+    def sweep(keys, pdf):
+        gi, gj = int(keys[0]), int(keys[1])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if gi == gj:  # diagonal cell: triangle of one block
+            C = Vn @ Vn.T
+            mask = (C >= threshold) & (ids[:, None] < ids[None, :])
             ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ai],
-                    "id_b": ids_b[bj],
-                    "cos": np.round(C[ai, bj], 6),
-                }
-            )
+            out_a, out_b, cos = ids[ai], ids[bj], C[ai, bj]
+        else:  # off-diagonal: block gi × block gj, full rectangle
+            la = pdf["blk"].to_numpy() == gi
+            A, Bm = Vn[la], Vn[~la]
+            ida, idb = ids[la], ids[~la]
+            C = A @ Bm.T
+            ai, bj = np.nonzero(C >= threshold)
+            out_a = np.minimum(ida[ai], idb[bj])
+            out_b = np.maximum(ida[ai], idb[bj])
+            cos = C[ai, bj]
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cos": np.round(cos, 6)}
+        )
 
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    return emb.select(id_col, vec_col).repartition(n_parts).mapInPandas(
-        block_sweep, schema="id_a long, id_b long, cos double"
+    return grid.groupBy("gi", "gj").applyInPandas(
+        sweep, schema="id_a long, id_b long, cos double"
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 24,
+    planes_per_table: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_a, id_b, cos): near-duplicate pairs restricted to hyperplane-LSH
+    bucket collisions — the subquadratic 100 TB path.
+
+    Candidates = pairs sharing ≥1 (table, bucket); join volume scales with
+    bucket co-occupancy, never |emb|². Approximate by construction (bucket
+    recall < 1 — pairs that never collide are not emitted), but fully
+    DETERMINISTIC: the hyperplanes are hash-derived, so the DuckDB oracle
+    rebuilds the same planes, buckets, candidates, and cosines. Verification
+    is an exact JVM-side cosine over candidates only (in-index-order fold,
+    bit-identical to the oracle's list_dot_product)."""
+    from haystack_traces_spark.datapipe.similarity import (
+        cosine_expr,
+        hyperplane_buckets,
+        with_norm,
+    )
+
+    buckets = hyperplane_buckets(
+        emb, n_tables, planes_per_table, dim, id_col, vec_col
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    base = with_norm(emb, id_col, vec_col)
+    left = base.select(
+        F.col(id_col).alias("id_a"), F.col("vec_d").alias("va"), F.col("norm").alias("na")
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"), F.col("vec_d").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = cosine_expr("va", "vb", "na", "nb")
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
     )

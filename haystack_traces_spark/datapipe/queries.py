@@ -191,6 +191,48 @@ WHERE {_COS} >= {COS_THRESHOLD}
 """
 
 
+# 24 tables × 6 planes: the synthetic near-dup pairs sit at cos 0.40-0.48,
+# where per-plane collision ≈ 0.64 → per-table 0.64^6 ≈ 0.067 → recall over
+# 24 tables ≈ 0.81. On realistic near-dup corpora (cos ≥ 0.9) the same dial
+# gives recall > 0.999 with far fewer candidates — tables/planes are the
+# recall/cost knobs, not code changes.
+NEARDUP_LSH_TABLES = 24
+NEARDUP_LSH_PLANES = 6
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Subquadratic scale path: candidates restricted to hyperplane-LSH
+    bucket collisions, exact cosine verify on candidates only. Deterministic
+    (hash-derived planes) — the oracle rebuilds identical buckets."""
+    return D.embedding_neardup_pairs_lsh(
+        _emb(spark, sf_dir), COS_THRESHOLD,
+        NEARDUP_LSH_TABLES, NEARDUP_LSH_PLANES,
+    )
+
+
+def sql_dedup_embedding_lsh() -> str:
+    pcos = (
+        "list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+WITH {_lsh_bucket_ctes(NEARDUP_LSH_TABLES, NEARDUP_LSH_PLANES)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {pcos} AS cos_raw
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cos
+FROM scored WHERE cos_raw >= {COS_THRESHOLD}
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs — iterative label
     propagation (distributed joins per round); oracle is a WITH RECURSIVE
@@ -402,27 +444,14 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN — the scale path. Approximate vs brute
-    force (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes are
-    hash-derived, so the DuckDB oracle rebuilds the same planes, buckets,
-    candidates, and ranking."""
-    return S.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
-
-
-def sql_ann_lsh() -> str:
-    ids = ", ".join(map(str, ANN_QUERY_IDS))
-    n_t, n_p = S.DEFAULT_LSH_TABLES, S.DEFAULT_LSH_PLANES
+def _lsh_bucket_ctes(n_t: int, n_p: int) -> str:
+    """DuckDB CTEs rebuilding hyperplane_buckets exactly: e (double vectors),
+    planes (hash-derived ±1 components), dots, buckets (sign-pattern keys)."""
     h = (
         "CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' || "
         "CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
-    pcos = (
-        "list_dot_product(qe.v, ne.v) / "
-        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)))"
-    )
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 planes AS (
   SELECT t.t, p.p, d.d,
          CASE WHEN ({h} & 1) = 1 THEN 1.0 ELSE -1.0 END AS comp
@@ -442,7 +471,25 @@ dots AS (
 buckets AS (
   SELECT vec_id, t, SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
   FROM dots GROUP BY 1, 2
-),
+)"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN — the scale path. Approximate vs brute
+    force (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes are
+    hash-derived, so the DuckDB oracle rebuilds the same planes, buckets,
+    candidates, and ranking."""
+    return S.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_ann_lsh() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    pcos = (
+        "list_dot_product(qe.v, ne.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)))"
+    )
+    return f"""
+WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, S.DEFAULT_LSH_PLANES)},
 qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id IN ({ids})),
 cand AS (
   SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
@@ -639,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
@@ -663,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
         "dedup_embedding": sql_dedup_embedding(),
+        "dedup_embedding_lsh": sql_dedup_embedding_lsh(),
         "dedup_clusters": sql_dedup_clusters(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),

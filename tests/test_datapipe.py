@@ -97,3 +97,42 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         M.decode_real(b"bytes", "image")
+
+
+def test_embedding_neardup_no_driver_materialization(emb, monkeypatch):
+    """VERDICT r2's one scale-killer: the exact near-dup sweep must never
+    materialize the embedding table on the driver. Building AND executing
+    the block-grid plan with toPandas/collect poisoned proves every byte
+    stays executor-side."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    def _boom(self, *a, **k):
+        raise AssertionError(
+            "embedding_neardup_pairs materialized a DataFrame on the driver"
+        )
+
+    with monkeypatch.context() as m:
+        m.setattr(SparkDF, "toPandas", _boom)
+        m.setattr(SparkDF, "collect", _boom)
+        out = D.embedding_neardup_pairs(emb, 0.4)
+        n = out.count()
+    assert n > 0
+
+
+def test_embedding_neardup_block_grid_matches_any_blocking(emb):
+    """Output is invariant to the block count (pure routing parameter)."""
+    base = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(emb, 0.4, n_blocks=2).collect()}
+    other = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(emb, 0.4, n_blocks=7).collect()}
+    assert base and base == other
+
+
+def test_embedding_neardup_lsh_subset_and_recall(emb):
+    """The LSH-bucketed scale path emits only true pairs (exact verify) and
+    keeps recall near its analytic value (≈0.81 for cos 0.40-0.48 at
+    24 tables × 6 planes)."""
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(emb, 0.4).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs_lsh(emb, 0.4).collect()}
+    assert lsh, "LSH candidate generation found nothing"
+    assert lsh <= exact, "LSH emitted a pair below threshold"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"LSH recall collapsed: {recall}"
