@@ -265,37 +265,35 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
     # every round joins against edges — persist once or each iteration
     # re-runs the whole upstream pair-generation pipeline
     edges.persist()
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster", F.col("doc_id"))
+    # seed with min(self, min neighbor) — one aggregation, equivalent to a
+    # free first propagation round
+    labels = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.least(F.col("a"), F.min("b")).alias("cluster")
     )
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(64):  # diameter guard; near-dup components are shallow
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
-            )
+        # changed flag computed IN the update projection, so convergence is
+        # read off the already-materialized checkpoint — one heavy action per
+        # round instead of an extra join+count
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+            ).alias("cluster"),
+            (F.coalesce(F.col("nbr_min"), F.col("cluster")) < F.col("cluster")).alias(
+                "changed"
+            ),
         )
         # localCheckpoint truncates lineage — without it every round's plan
         # embeds all prior rounds and planning time grows quadratically
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.drop("changed")
+        if updated.filter("changed").isEmpty():
             break
     return labels.select("doc_id", "cluster")
 
