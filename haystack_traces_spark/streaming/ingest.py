@@ -87,11 +87,21 @@ class IngestTopology:
         window_ms: int = DEFAULT_WINDOW_MS,
         max_spans: int | None = None,
         whitelist_path: str | None = None,
+        span_buffer_topic: str | None = None,
+        span_buffer_brokers: str | None = None,
+        span_buffer_dir: str | None = None,
     ):
         self.tables_dir = tables_dir
         self.window_ms = window_ms
         self.max_spans = max_spans
         self.whitelist_path = whitelist_path
+        # S5 re-publish sink — gated on topic config exactly like the
+        # reference (StreamRunner.scala:65-67 only builds the KafkaWriter
+        # when the producer topic is configured). span_buffer_dir is the
+        # broker-less stand-in: same (key, value) wire rows to parquet.
+        self.span_buffer_topic = span_buffer_topic
+        self.span_buffer_brokers = span_buffer_brokers
+        self.span_buffer_dir = span_buffer_dir
 
     def _load_whitelist(self) -> WhitelistConfig:
         """Re-read per micro-batch — the reference's hot reload (S9)."""
@@ -132,6 +142,34 @@ class IngestTopology:
             except Exception:
                 pass  # first batch: no catalog yet
             fresh.write.mode("append").parquet(cat_path)
+
+            # S5: optional span-buffer re-publish — ONE message per emitted
+            # buffer, keyed by trace_id, value = SpanBuffer proto
+            # (KafkaWriter.scala:36-50 keying; a late buffer is a second
+            # message for the same key, as in the reference)
+            if self.span_buffer_topic or self.span_buffer_dir:
+                from haystack_traces_spark.sources.proto import (
+                    spans_df_to_buffer_proto,
+                )
+
+                per_buffer = buffers.select(
+                    "trace_id",
+                    F.transform(
+                        "spans_json", lambda j: F.from_json(j, SPAN)
+                    ).alias("spans"),
+                )
+                wire = spans_df_to_buffer_proto(per_buffer)
+                if self.span_buffer_dir:
+                    wire.write.mode("append").parquet(self.span_buffer_dir)
+                else:
+                    (
+                        wire.write.format("kafka")
+                        .option(
+                            "kafka.bootstrap.servers", self.span_buffer_brokers
+                        )
+                        .option("topic", self.span_buffer_topic)
+                        .save()
+                    )
         finally:
             buffers.unpersist()
 

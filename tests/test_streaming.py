@@ -304,3 +304,71 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
     # bounded by one replayed emission, never silently lost.
     rows_after = len([r for r in store_rows() if r["trace_id"] == "ckpt_a"])
     assert rows_before <= rows_after <= rows_before + 1
+
+
+def test_streaming_span_buffer_sink_round_trip(spark, tmp_path):
+    """S5: with the span-buffer sink configured, every emitted buffer is
+    re-published as (trace_id key, packed SpanBuffer proto value) — mirrored
+    here to parquet (no broker in the container). The bytes must round-trip
+    through sources/proto.py decode with span ids intact
+    (KafkaWriter.scala:36-50 keying, gated like StreamRunner.scala:65-67)."""
+    from haystack_traces_spark.sources.proto import decode_span_buffer
+    from haystack_traces_spark.streaming.ingest import IngestTopology, file_span_source
+    from tests.fixtures import valid_single_root
+
+    src = tmp_path / "src"
+    tables = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+    buf_dir = tmp_path / "span_buffer"
+    src.mkdir()
+
+    def write_file(name, spans):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for s in spans:
+                f.write(json.dumps(s) + "\n")
+        tmp.rename(src / name)
+
+    def wire_rows():
+        try:
+            return spark.read.parquet(str(buf_dir)).collect()
+        except Exception:
+            return []
+
+    write_file("a.json", valid_single_root("buf_a"))
+    topo = IngestTopology(
+        str(tables), window_ms=2000, span_buffer_dir=str(buf_dir)
+    )
+    q = topo.start(file_span_source(spark, str(src)), str(ckpt), trigger_sec=1)
+    try:
+        deadline = time.time() + 45
+        i = 0
+        while time.time() < deadline:
+            if any(r["key"] == "buf_a" for r in wire_rows()):
+                break
+            time.sleep(3)
+            i += 1
+            write_file(f"n{i}.json", valid_single_root(f"nudge_{i}"))
+        rows = wire_rows()
+        assert any(r["key"] == "buf_a" for r in rows), (
+            f"span-buffer message never published: {[r['key'] for r in rows]}"
+        )
+    finally:
+        q.stop()
+
+    msg = [r for r in wire_rows() if r["key"] == "buf_a"][0]
+    trace_id, spans = decode_span_buffer(bytes(msg["value"]))
+    assert trace_id == "buf_a"
+    assert {s["span_id"] for s in spans} == {
+        s["span_id"] for s in valid_single_root("buf_a")
+    }
+    assert all(s["trace_id"] == "buf_a" for s in spans)
+
+
+def test_span_buffer_sink_not_wired_without_topic(spark, tmp_path):
+    """Gating parity: no topic/dir configured → no sink output path even
+    after batches run (StreamRunner.scala:65-67)."""
+    from haystack_traces_spark.streaming.ingest import IngestTopology
+
+    topo = IngestTopology(str(tmp_path / "tables"), window_ms=2000)
+    assert topo.span_buffer_topic is None and topo.span_buffer_dir is None
