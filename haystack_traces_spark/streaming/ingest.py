@@ -87,6 +87,7 @@ class IngestTopology:
         window_ms: int = DEFAULT_WINDOW_MS,
         max_spans: int | None = None,
         whitelist_path: str | None = None,
+        global_span_budget: int | None = None,
         span_buffer_topic: str | None = None,
         span_buffer_brokers: str | None = None,
         span_buffer_dir: str | None = None,
@@ -95,6 +96,9 @@ class IngestTopology:
         self.window_ms = window_ms
         self.max_spans = max_spans
         self.whitelist_path = whitelist_path
+        # T2 full semantics: global spans-in-state cap divided across state
+        # partitions (maxEntriesAllStores, indexer base.conf:7-8)
+        self.global_span_budget = global_span_budget
         # S5 re-publish sink — gated on topic config exactly like the
         # reference (StreamRunner.scala:65-67 only builds the KafkaWriter
         # when the producer topic is configured). span_buffer_dir is the
@@ -174,7 +178,9 @@ class IngestTopology:
             buffers.unpersist()
 
     def start(self, span_stream: DataFrame, checkpoint_dir: str, trigger_sec: int = 2):
-        buffers = sessionize(span_stream, self.window_ms, self.max_spans)
+        buffers = sessionize(
+            span_stream, self.window_ms, self.max_spans, self.global_span_budget
+        )
         return (
             buffers.writeStream.outputMode("append")
             .foreachBatch(self.process_batch)

@@ -9,9 +9,22 @@ SpanIndexProcessor.scala:69-128, indexer/README.md:1-20):
   anchored at first-seen processing time, NOT an inactivity gap,
 - spans arriving after emission reopen a fresh buffer → a second emitted
   row for the same traceId (T4 late data); readers re-union via groupBy,
-- optional max-spans cap force-emits oversized buffers (T2's eviction
-  pressure, reduced to a per-key guard — Spark's RocksDB state store makes
-  the reference's global LRU cap unnecessary).
+- optional max-spans cap force-emits oversized buffers (T2 per-key guard),
+- optional GLOBAL span budget (T2 full semantics): the reference divides
+  ``maxEntriesAllStores`` evenly across live stores
+  (indexer/.../store/DynamicCacheSizer.scala:26-66) and LRU-evicts, force-
+  emitting partial buffers (SpanBufferMemoryStore.scala:55-65). Here the
+  "stores" are the state partitions: the global budget divides evenly by
+  shuffle partition, each partition tracks its aggregate spans-in-state,
+  and an insert that would exceed the budget force-emits that buffer as a
+  partial ("evicted"). Victim choice differs from the reference (the
+  inserting key sheds, not the LRU eldest — per-key state functions cannot
+  reach other keys' state), but the pressure-relief contract is identical:
+  over-budget partitions emit partials instead of growing without bound.
+  The per-partition counter lives in the (reused) Python worker; a worker
+  restart resets it and the count re-converges as keys are touched —
+  approximate accounting, like the reference's even division ignoring
+  actual per-store skew.
 
 Spark mapping: ``groupBy(trace_id).applyInPandasWithState`` with
 ProcessingTimeTimeout. State holds the buffered spans; the timeout is
@@ -59,7 +72,32 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def make_session_fn(window_ms: int = DEFAULT_WINDOW_MS, max_spans: int | None = None):
+# Per-partition aggregate spans-in-state, keyed by state partition id. Lives
+# in the (reused) Python worker process — the DynamicCacheSizer analog.
+_PARTITION_SPANS: dict[int, int] = {}
+
+
+def _partition_id() -> int:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.partitionId() if ctx is not None else -1
+
+
+def _track(pid: int, delta: int) -> None:
+    _PARTITION_SPANS[pid] = max(0, _PARTITION_SPANS.get(pid, 0) + delta)
+
+
+def reset_budget_tracker() -> None:
+    """Test hook: clear the per-partition accounting."""
+    _PARTITION_SPANS.clear()
+
+
+def make_session_fn(
+    window_ms: int = DEFAULT_WINDOW_MS,
+    max_spans: int | None = None,
+    partition_span_budget: int | None = None,
+):
     """Build the stateful function; extracted for direct unit testing."""
 
     def fn(
@@ -67,10 +105,12 @@ def make_session_fn(window_ms: int = DEFAULT_WINDOW_MS, max_spans: int | None = 
     ) -> Iterator[pd.DataFrame]:
         trace_id = key[0]
         now_ms = int(time.time() * 1000)
+        pid = _partition_id()
 
         if state.hasTimedOut:
             first_seen, spans = state.get
             state.remove()
+            _track(pid, -len(spans))
             yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
             return
 
@@ -80,13 +120,29 @@ def make_session_fn(window_ms: int = DEFAULT_WINDOW_MS, max_spans: int | None = 
 
         if state.exists:
             first_seen, spans = state.get
+            held = len(spans)
             spans = list(spans) + new_spans
         else:
-            first_seen, spans = now_ms, new_spans
+            first_seen, spans, held = now_ms, new_spans, 0
 
         if max_spans is not None and len(spans) >= max_spans:
             state.remove()
+            _track(pid, -held)
             yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "overflow")
+            return
+
+        # T2 global budget: if storing this buffer would push the partition
+        # over its share of the global cap, force-emit it now as a partial
+        # (DynamicCacheSizer pressure semantics; see module docstring for the
+        # victim-choice difference vs the reference's LRU eldest)
+        if (
+            partition_span_budget is not None
+            and _PARTITION_SPANS.get(pid, 0) - held + len(spans)
+            > partition_span_budget
+        ):
+            state.remove()
+            _track(pid, -held)
+            yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "evicted")
             return
 
         # Anchored window: emit `window_ms` after FIRST-seen, never extended
@@ -97,10 +153,12 @@ def make_session_fn(window_ms: int = DEFAULT_WINDOW_MS, max_spans: int | None = 
         remaining = first_seen + window_ms - now_ms
         if remaining <= 0:
             state.remove()
+            _track(pid, -held)
             yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
             return
 
         state.update((first_seen, spans))
+        _track(pid, len(spans) - held)
         state.setTimeoutDuration(int(remaining))
         yield _empty_buffer_pdf()
 
@@ -139,18 +197,28 @@ def sessionize(
     span_stream: DataFrame,
     window_ms: int = DEFAULT_WINDOW_MS,
     max_spans: int | None = None,
+    global_span_budget: int | None = None,
 ) -> DataFrame:
     """spans stream (any schema with trace_id) → emitted SpanBuffer stream.
 
     Input rows are JSON-packed per span so arbitrary span schemas flow
-    through one stable state schema.
+    through one stable state schema. ``global_span_budget`` mirrors the
+    reference's ``maxEntriesAllStores`` (20 000 spans, indexer base.conf:7-8),
+    divided evenly across state partitions like DynamicCacheSizer divides it
+    across stores.
     """
+    partition_budget = None
+    if global_span_budget is not None:
+        n_parts = int(
+            span_stream.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        partition_budget = max(1, global_span_budget // max(n_parts, 1))
     packed = span_stream.select(
         F.col("trace_id"),
         F.to_json(F.struct(*[c for c in span_stream.columns])).alias("span_json"),
     )
     return packed.groupBy("trace_id").applyInPandasWithState(
-        make_session_fn(window_ms, max_spans),
+        make_session_fn(window_ms, max_spans, partition_budget),
         outputStructType=BUFFER_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -372,3 +372,106 @@ def test_span_buffer_sink_not_wired_without_topic(spark, tmp_path):
 
     topo = IngestTopology(str(tmp_path / "tables"), window_ms=2000)
     assert topo.span_buffer_topic is None and topo.span_buffer_dir is None
+
+
+def test_budget_evicts_partial_buffer_under_pressure():
+    """T2 global-budget unit semantics (EvictedSpanBufferSpec cap=1 mirror):
+    with a 1-span partition budget, the first buffer occupies the budget and
+    every further insert force-emits as an 'evicted' partial instead of
+    growing state."""
+    from haystack_traces_spark.streaming.sessionize import reset_budget_tracker
+
+    reset_budget_tracker()
+    fn = make_session_fn(window_ms=600_000, partition_span_budget=1)
+
+    st1 = FakeState()
+    out1 = list(fn(("t1",), iter([_pdf([{"a": 1}])]), st1))
+    assert st1.exists  # first buffer fits the budget exactly
+    assert sum(len(p) for p in out1) == 0
+
+    st2 = FakeState()
+    out2 = pd.concat(list(fn(("t2",), iter([_pdf([{"b": 2}])]), st2)))
+    assert not st2.exists
+    assert len(out2) == 1
+    assert out2.iloc[0]["emit_reason"] == "evicted"
+    assert out2.iloc[0]["n_spans"] == 1  # partial single-span emission
+
+    # emission releases budget: after t1's window fires, new keys fit again
+    st1.hasTimedOut = True
+    pd.concat(list(fn(("t1",), iter([]), st1)))
+    st3 = FakeState()
+    list(fn(("t3",), iter([_pdf([{"c": 3}])]), st3))
+    assert st3.exists
+    reset_budget_tracker()
+
+
+def test_budget_accounts_growth_of_existing_key():
+    """Appending to an existing buffer charges only the increment; eviction
+    of that key refunds its full footprint."""
+    from haystack_traces_spark.streaming.sessionize import (
+        _PARTITION_SPANS,
+        reset_budget_tracker,
+    )
+
+    reset_budget_tracker()
+    fn = make_session_fn(window_ms=600_000, partition_span_budget=3)
+    st = FakeState()
+    list(fn(("t1",), iter([_pdf([{"a": 1}])]), st))
+    list(fn(("t1",), iter([_pdf([{"b": 2}])]), st))
+    assert _PARTITION_SPANS.get(-1) == 2  # one key, two spans — not double-counted
+    # third span for the same key would total 3 == budget: still fits
+    list(fn(("t1",), iter([_pdf([{"c": 3}])]), st))
+    assert st.exists and _PARTITION_SPANS.get(-1) == 3
+    # a second key now cannot fit: evicted, tracker unchanged
+    st2 = FakeState()
+    out = pd.concat(list(fn(("t2",), iter([_pdf([{"d": 4}])]), st2)))
+    assert out.iloc[0]["emit_reason"] == "evicted"
+    assert _PARTITION_SPANS.get(-1) == 3
+    reset_budget_tracker()
+
+
+@pytest.mark.slow
+def test_streaming_budget_forces_emission_live(spark, tmp_path):
+    """Live T2: with a tiny global budget and a huge window, buffers can ONLY
+    reach the store via forced partial emission — rows appearing in
+    trace_store prove the budget path fires under real streaming."""
+    from haystack_traces_spark.streaming.ingest import IngestTopology, file_span_source
+    from tests.fixtures import valid_single_root
+
+    src = tmp_path / "src"
+    tables = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_file(name, spans):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for s in spans:
+                f.write(json.dumps(s) + "\n")
+        tmp.rename(src / name)
+
+    def store_traces():
+        try:
+            return {
+                r["trace_id"]
+                for r in spark.read.parquet(str(tables / "trace_store")).collect()
+            }
+        except Exception:
+            return set()
+
+    # window far beyond the test horizon: only eviction can emit
+    topo = IngestTopology(str(tables), window_ms=600_000, global_span_budget=1)
+    write_file("a.json", valid_single_root("bgt_a"))
+    q = topo.start(file_span_source(spark, str(src)), str(ckpt), trigger_sec=1)
+    try:
+        deadline = time.time() + 45
+        i = 0
+        while time.time() < deadline:
+            if store_traces():
+                break
+            time.sleep(3)
+            i += 1
+            write_file(f"n{i}.json", valid_single_root(f"bgt_n{i}"))
+        assert store_traces(), "budget pressure never forced an emission"
+    finally:
+        q.stop()
