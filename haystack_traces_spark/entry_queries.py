@@ -209,6 +209,33 @@ LIMIT 1000
     )
 
 
+def q_field_values_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with ES terms-agg ordering (doc count desc, term asc —
+    SpansIndexQueryGenerator.scala:162-179). limit 3 < distinct values, so
+    the emitted SET itself proves the count ranking; the returned n column
+    is the terms-agg doc_count."""
+    return field_values(
+        _index(spark, sf_dir), "operationname", order_by="count", limit=3
+    )
+
+
+def sql_field_values_by_count() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, groups AS (
+  SELECT DISTINCT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+)
+SELECT operationname AS value, CAST(COUNT(*) AS BIGINT) AS n
+FROM groups GROUP BY 1
+ORDER BY n DESC, value ASC
+LIMIT 3
+"""
+    )
+
+
 def q_service_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 distinct (service, operation) catalog."""
     return build_service_catalog(_spans(spark, sf_dir)).orderBy(
@@ -733,6 +760,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_counts": q_trace_counts,
         "trace_counts_filtered": q_trace_counts_filtered,
         "field_values": q_field_values,
+        "field_values_by_count": q_field_values_by_count,
         "service_catalog": q_service_catalog,
         "trace_index_stats": q_trace_index_stats,
         "call_graph": q_call_graph,
@@ -763,6 +791,7 @@ def _trace_oracles() -> dict[str, str]:
         "trace_counts": sql_trace_counts(),
         "trace_counts_filtered": sql_trace_counts_filtered(),
         "field_values": sql_field_values(),
+        "field_values_by_count": sql_field_values_by_count(),
         "service_catalog": sql_service_catalog(),
         "trace_index_stats": sql_trace_index_stats(),
         "call_graph": sql_call_graph(),

@@ -48,12 +48,20 @@ def field_values(
     filters: list[Field] | None = None,
     whitelist: WhitelistConfig = DEFAULT_WHITELIST,
     limit: int = FIELD_VALUES_LIMIT,
+    order_by: str = "value",
 ) -> DataFrame:
-    """→ single column ``value`` (string), distinct, sorted, capped.
+    """→ ``value`` (string) column, distinct, sorted, capped; with
+    ``order_by="count"`` additionally a ``n`` doc-count column.
 
     Co-filters restrict to span groups matching ALL filters, then the target
     field's values are collected from those groups — the filter-agg wrapping
     of the reference (SpansIndexQueryGenerator.scala:162-179).
+
+    Ordering: ES terms aggs rank by doc count descending
+    (SpansIndexQueryGenerator.scala:162-179) — ``order_by="count"`` matches
+    that UX (count desc, value asc tiebreak, counts returned like an ES
+    terms response). The default ``"value"`` keeps the
+    deterministic-ascending cap used by the value-only endpoint.
     """
     field_name = field_name.lower()
     preds = [group_predicate(f, whitelist) for f in (filters or [])]
@@ -68,8 +76,16 @@ def field_values(
         vals = groups.select(
             F.explode(F.col(field_name)).cast("string").alias("value")
         )
-    # deterministic cap: sorted ascending before limit (ES terms agg orders by
-    # doc count; we document the difference — determinism wins for oracles)
+    if order_by == "count":
+        # doc count = number of (trace, service, operation) groups carrying
+        # the value (whitelisted fields are per-group sets, so explode yields
+        # one row per carrying group)
+        return (
+            vals.groupBy("value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value").asc())
+            .limit(limit)
+        )
     return vals.distinct().orderBy("value").limit(limit)
 
 
