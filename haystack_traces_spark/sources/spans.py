@@ -77,6 +77,45 @@ def read_trace_records(trace_store: DataFrame, trace_ids: list[str]) -> DataFram
     return trace_store.filter(F.col("trace_id").isin([str(t) for t in trace_ids]))
 
 
+def read_traces_fanout(
+    stores: list,
+    trace_ids: list[str],
+) -> DataFrame:
+    """S7/O5 multi-backend fan-out with per-backend failure recovery
+    (GrpcTraceReaders.scala:52-66): key-lookup every backend, union the
+    per-backend results, and recover a FAILED backend to an empty
+    contribution (`.recover { case _ => Seq.empty }`, :58-61) instead of
+    failing the read. Rows are then merged to one per trace — the
+    TraceMerger.merge step (J2, TraceMerger.scala:24-34).
+
+    ``stores``: DataFrames or zero-arg callables returning one. A callable
+    raising (unreachable path, missing table — the analog of a dead gRPC
+    backend) is the recover boundary; like the reference, recovery applies
+    per backend at call time, and only if EVERY backend is down does the
+    read fail.
+
+    Scale shape: each branch is a pruned key-lookup; the union is a no-
+    shuffle concatenation and the final per-trace merge is one hash
+    aggregation on trace_id (allowMissingColumns tolerates backends at
+    different schema versions).
+    """
+    branches = []
+    for s in stores:
+        try:
+            df = s() if callable(s) else s
+            branches.append(read_trace_records(df, trace_ids))
+        except Exception:
+            continue  # failed backend recovered to empty
+    if not branches:
+        raise RuntimeError("all trace backends failed")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out.groupBy("trace_id").agg(
+        F.flatten(F.collect_list("spans")).alias("spans")
+    )
+
+
 def get_raw_trace(trace_store: DataFrame, trace_id: str) -> DataFrame:
     """getRawTrace: stored rows merged to one (trace_id, spans) row, no
     transform pipeline (TraceReader.scala:52-57)."""

@@ -124,3 +124,38 @@ def test_span_kind_column_function(spark):
         "client_logs": "client",
         "bare": None,
     }
+
+
+def test_multi_backend_fanout_recovers_failed_store(spark):
+    """S7 multi-backend union with recover-to-empty
+    (GrpcTraceReaders.scala:52-66): a dead backend contributes nothing, live
+    backends' rows for one trace merge into a single row (J2), and only
+    all-backends-down fails the read."""
+    import pytest as _pytest
+
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.sources.spans import build_trace_store, read_traces_fanout
+
+    spans = spans_from_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    store_a = build_trace_store(spans.filter("CAST(span_id AS LONG) % 2 = 0"))
+    store_b = build_trace_store(spans.filter("CAST(span_id AS LONG) % 2 = 1"))
+
+    def dead_backend():
+        return spark.read.parquet("/no/such/backend")
+
+    whole = {
+        r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
+        for r in build_trace_store(spans.filter("trace_id = '42'")).collect()
+    }
+    merged = {
+        r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
+        for r in read_traces_fanout([store_a, dead_backend, store_b], ["42"]).collect()
+    }
+    # the two live partial backends reassemble the full trace; the dead one
+    # is recovered to empty
+    assert merged == whole
+
+    with _pytest.raises(RuntimeError, match="all trace backends failed"):
+        read_traces_fanout([dead_backend, dead_backend], ["42"])
