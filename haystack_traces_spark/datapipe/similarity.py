@@ -166,6 +166,49 @@ def hyperplane_buckets(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means on a DETERMINISTIC bounded sample → (n_cells, dim)
+    unit centroids.
+
+    The sample is the first ``sample_size`` rows under a hash(id, seed)
+    ordering — stable across runs/engines, no RNG state — and is the only
+    data that ever reaches the driver (bounded, not table-sized). Lloyd
+    iterations run in numpy: assign to argmax-cosine centroid, re-mean,
+    re-normalize; an emptied cell keeps its previous centroid. Deterministic
+    end to end, so results are reproducible (though not oracle-SQL-mirrored —
+    the registry keeps the lowest-id default for the oracle path)."""
+    import numpy as np
+
+    samp = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.hash(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.asarray(samp[vec_col].tolist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # deterministic init: first n_cells sample rows (hash order ≈ random)
+    C = Xn[:n_cells].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_cells):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -174,28 +217,38 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "lowest_id",
 ) -> DataFrame:
     """IVF ANN: coarse-quantize, probe the ``n_probe`` nearest cells per
     query, exact-rerank inside the probed cells only.
 
-    Centroids are the ``n_cells`` lowest-id vectors — deterministic and
-    oracle-reproducible; at scale swap in sampled k-means centroids (the
-    plan shape is identical). Centroids + query vectors are a broadcast;
-    ONE vectorized mapInPandas pass assigns each row to its argmax-cosine
-    cell and scores it against every query probing that cell (cells are
-    1/(n_cells/n_probe) of the table — the IVF partial-scan win; written
-    partitioned by cell the candidates arrive partition-pruned). Global
-    top-k per query is a window over the scored survivors."""
+    ``centroids="lowest_id"`` (default) uses the ``n_cells`` lowest-id
+    vectors — deterministic and oracle-reproducible. ``"kmeans"`` fits
+    spherical k-means on a deterministic bounded sample (kmeans_centroids)
+    — better-balanced cells at scale, same plan shape. Centroids + query
+    vectors are a broadcast; ONE vectorized mapInPandas pass assigns each
+    row to its argmax-cosine cell and scores it against every query probing
+    that cell (cells are 1/(n_cells/n_probe) of the table — the IVF
+    partial-scan win; written partitioned by cell the candidates arrive
+    partition-pruned). Global top-k per query is a window over the scored
+    survivors."""
     import numpy as np
     from pyspark.sql import Window
 
     spark = emb.sparkSession
-    cent_pdf = (
-        emb.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).toPandas()
-    )
-    C = np.asarray(cent_pdf[vec_col].tolist(), dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    cids = cent_pdf[id_col].to_numpy(dtype=np.int64)  # ascending (order-preserved)
+    if centroids == "kmeans":
+        Cn = kmeans_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+        cids = np.arange(n_cells, dtype=np.int64)  # synthetic cell ids
+    else:
+        cent_pdf = (
+            emb.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .toPandas()
+        )
+        C = np.asarray(cent_pdf[vec_col].tolist(), dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cids = cent_pdf[id_col].to_numpy(dtype=np.int64)  # ascending (order-preserved)
 
     q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
     Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)

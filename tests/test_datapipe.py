@@ -136,3 +136,24 @@ def test_embedding_neardup_lsh_subset_and_recall(emb):
     assert lsh <= exact, "LSH emitted a pair below threshold"
     recall = len(lsh) / len(exact)
     assert recall >= 0.6, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_kmeans_centroids_recall(emb):
+    """Sampled-k-means centroids must not lose recall vs the lowest-id
+    default under a fair query set (queries NOT among the lowest-id vectors
+    — those coincide with default centroids and rig the comparison).
+    Deterministic seed/sample → stable assertion."""
+    qids = [200, 250, 300, 350, 400]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, qids, 10).collect()
+    }
+    rec = {}
+    for mode in ("lowest_id", "kmeans"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(emb, qids, 10, centroids=mode).collect()
+        }
+        rec[mode] = len(truth & got) / len(truth)
+    assert rec["kmeans"] >= rec["lowest_id"], rec
+    assert rec["kmeans"] >= 0.4, rec
