@@ -437,7 +437,8 @@ SELECT e.trace_id, e.span_id, e.parent_span_id, e.service_name,
        e.operation_name, e.start_time, e.duration,
        ROW_NUMBER() OVER (
          PARTITION BY e.trace_id
-         ORDER BY CASE WHEN e.parent_span_id = '' THEN 0 ELSE 1 END, e.start_time
+         ORDER BY CASE WHEN e.parent_span_id = '' THEN 0 ELSE 1 END,
+                  e.start_time, e.span_id
        ) AS pos,
        e.parent_span_id <> '' AS is_merged,
        CASE WHEN e.parent_span_id <> '' THEN 2 * e.net END AS network_delta,

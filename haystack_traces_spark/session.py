@@ -55,7 +55,15 @@ def fan_out(df, min_parts: int | None = None):
     small-input adaptation, never an extra shuffle at scale.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    # inputFiles() is a catalog listing — unlike df.rdd.getNumPartitions()
+    # it never forces a plan-to-RDD conversion per query. A non-file source
+    # (in-memory test frame) lists zero files and gets the repartition,
+    # which is the safe direction for small inputs.
+    try:
+        n_src = len(df.inputFiles())
+    except Exception:
+        n_src = 0
+    if n_src < max(target // 2, 2):
         return df.repartition(target)
     return df
 

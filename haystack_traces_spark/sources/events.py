@@ -90,12 +90,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLES)}
 
 
-def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
-    """Project the events table onto the span schema.
+def _event_span_base(events: DataFrame) -> DataFrame:
+    """The ONE events→span base projection (trace_id, span_id, parent,
+    service, operation, start_time, duration + parent-side/net/_k extras)
+    shared by BOTH Spark builders below. ``EVENT_SPANS_CTE`` and
+    ``EVENT_SPANS_CS_CTE`` are its SQL mirrors — an edit here must be
+    reflected there (and vice versa); keeping the arithmetic in one Spark
+    function is what prevents the four copies from drifting.
 
-    The lag() for parent_span_id partitions by user — at 100 TB this is a
+    The lag() for parent columns partitions by user — at 100 TB this is a
     single window shuffle on the trace key, the same key every downstream
     trace-level operator groups on, so the exchange is reused by Catalyst.
+    Unused extras are pruned by Catalyst for callers that don't select them.
     """
     # Materialize trace_id BEFORE the window and partition by the column
     # itself: the window's exchange is then HashPartitioning(trace_id), which
@@ -106,19 +112,29 @@ def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
     events = events.withColumn("trace_id", F.col("user_id").cast("string"))
     w = Window.partitionBy("trace_id").orderBy("ts", "event_id")
     k = F.get_json_object("props", "$.k").cast("long")
-    out = events.select(
+    op = F.concat(F.lit("op_"), (k % 5).cast("string"))
+    return events.select(
         F.col("trace_id"),
         F.col("event_id").cast("string").alias("span_id"),
         F.coalesce(
             F.lag("event_id").over(w).cast("string"), F.lit("")
         ).alias("parent_span_id"),
         F.col("event_type").alias("service_name"),
-        F.concat(F.lit("op_"), (k % 5).cast("string")).alias("operation_name"),
+        op.alias("operation_name"),
+        F.lag("event_type").over(w).alias("parent_service"),
+        F.lag(op).over(w).alias("parent_operation"),
         F.col("ts").cast("long").alias("_ts_ns"),
         F.floor(F.col("value") * 1000).cast("long").alias("duration"),
+        (F.col("event_id") % 97 + 1).cast("long").alias("net"),
         k.alias("_k"),
     ).withColumn("start_time", F.expr("_ts_ns DIV 1000"))  # integer div: float
     # division loses ULPs at 1.7e18-scale nanos (53-bit mantissa) → off-by-1 µs
+
+
+def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
+    """Project the events table onto the span schema (base projection +
+    typed tags)."""
+    out = _event_span_base(events)
 
     if with_tags:
         # Real typed-tag machinery: errorcode LONG from props.k, role STRING.
@@ -183,24 +199,7 @@ def spans_cs_from_events(events: DataFrame) -> DataFrame:
     exchange as every trace-level operator), then a narrow explode — no
     extra shuffle for the pair fan-out.
     """
-    events = events.withColumn("trace_id", F.col("user_id").cast("string"))
-    w = Window.partitionBy("trace_id").orderBy("ts", "event_id")
-    k = F.get_json_object("props", "$.k").cast("long")
-    op = F.concat(F.lit("op_"), (k % 5).cast("string"))
-    base = events.select(
-        "trace_id",
-        F.col("event_id").cast("string").alias("span_id"),
-        F.coalesce(F.lag("event_id").over(w).cast("string"), F.lit("")).alias(
-            "parent_span_id"
-        ),
-        F.col("event_type").alias("service_name"),
-        op.alias("operation_name"),
-        F.lag("event_type").over(w).alias("parent_service"),
-        F.lag(op).over(w).alias("parent_operation"),
-        F.expr("CAST(ts AS LONG) DIV 1000").alias("start_time"),
-        F.floor(F.col("value") * 1000).cast("long").alias("duration"),
-        (F.col("event_id") % 97 + 1).cast("long").alias("net"),
-    )
+    base = _event_span_base(events)
     server = F.struct(
         F.col("service_name").alias("service_name"),
         F.col("operation_name").alias("operation_name"),
