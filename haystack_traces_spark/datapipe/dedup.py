@@ -85,6 +85,10 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     sh = shingle_rows(docs, n=n)
+    # sh feeds BOTH the document-frequency aggregate and the ranked join —
+    # two independent subtrees Spark would otherwise recompute (scan +
+    # shingle + explode twice); one materialization serves both
+    sh = sh.persist()
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ranked = (
