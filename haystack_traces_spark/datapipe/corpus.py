@@ -1,0 +1,243 @@
+"""Corpus-preparation operators a large-scale training-data pipeline needs
+beyond dedup/similarity: deterministic dataset splits, benchmark
+decontamination, tokenizer-vocabulary coverage, token-budget shard packing,
+and PII scanning. All pure Column expressions (zero Python in the loop) with
+exact DuckDB oracle mirrors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from haystack_traces_spark.datapipe.hashing import hash60, word_shingles
+
+# ---------------------------------------------------------------- splits --
+
+DEFAULT_SPLITS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def split_assign(
+    docs: DataFrame,
+    splits: tuple = DEFAULT_SPLITS,
+    seed: str = "split:",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, bucket, split): deterministic train/val/test assignment.
+
+    bucket = hash60(seed || id) % 10000 — a pure per-row expression, so the
+    assignment is reproducible across engines/runs/cluster sizes and stable
+    under re-partitioning (the property random() splits lack). Weights map to
+    contiguous bucket ranges. No shuffle at any scale."""
+    bucket = hash60(F.col(id_col).cast("string"), seed=seed) % 10000
+    expr = None
+    lo = 0
+    for name, w in splits:
+        hi = lo + int(w * 10000)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = expr.otherwise(splits[-1][0])  # rounding remainder → last split
+    return docs.select(
+        id_col, bucket.cast("long").alias("bucket"), expr.alias("split")
+    )
+
+
+def sql_split_assign(splits: tuple = DEFAULT_SPLITS, seed: str = "split:") -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    b = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed=seed)} % 10000"
+    lo, cases = 0, []
+    for name, w in splits:
+        hi = lo + int(w * 10000)
+        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
+        lo = hi
+    case = " ".join(cases)
+    return f"""
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE {case} ELSE '{splits[-1][0]}' END AS split
+FROM (SELECT doc_id, {b} AS bucket FROM documents)
+"""
+
+
+# -------------------------------------------------------- decontamination --
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_hits, contaminated): benchmark-overlap scan.
+
+    A doc is contaminated when it shares ≥1 word n-gram with the probe
+    (benchmark/eval) corpus — the standard train/test leakage gate. The
+    probe shingle set is the SMALL side: distinct + broadcast, so the
+    corpus-side scan is one map-side semi-match with no shuffle of the
+    corpus; per-doc hit count = intersection size of its shingle set with
+    the probe set (array_intersect against the broadcast-collected set
+    would bloat the plan — the explode+join form lets Catalyst broadcast)."""
+    probe_sh = (
+        probes.select(F.explode(word_shingles(text_col, n)).alias("s")).distinct()
+    )
+    doc_sh = docs.select(
+        "doc_id", F.explode(word_shingles(text_col, n)).alias("s")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(probe_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------------ vocabulary cover --
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_tokens, in_vocab, oov_rate): per-doc coverage against
+    the corpus top-``vocab_size`` vocabulary (tokenizer-fit proxy).
+
+    Two passes: the vocabulary is a tiny top-N aggregate (broadcast); the
+    coverage pass is then map-side only. Tie order in the vocabulary cut is
+    (count desc, token asc) — deterministic."""
+    from haystack_traces_spark.datapipe.text import token_histogram
+
+    vocab = token_histogram(docs, vocab_size, text_col).select("token")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.split(F.col(text_col), " "), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    in_vocab = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("in_vocab"))
+    )
+    return (
+        per_doc.join(in_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("in_vocab", F.lit(0)).cast("long").alias("in_vocab"),
+            F.round(
+                1.0 - F.coalesce("in_vocab", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------- shard packing --
+
+def pack_shards(
+    docs: DataFrame,
+    token_budget: int = 2000,
+    n_groups: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pack_group, n_tokens, shard): token-budget shard
+    assignment (the "fill ~N-token training files" step).
+
+    Docs hash into ``n_groups`` independent pack groups; within a group a
+    running token total (deterministic doc_id order) is chunked every
+    ``token_budget`` tokens: shard = floor(exclusive-cumsum / budget). The
+    group dimension is what scales — packing is inherently sequential, so
+    the sequential window runs per group, never globally (one bounded-width
+    window per group vs a single-reducer global sort). A doc longer than
+    the budget gets its own shard(s) boundary — chunking is by running
+    total, docs are never split."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    grouped = docs.select(
+        "doc_id",
+        (hash60(F.col("doc_id").cast("string"), seed="pack:") % n_groups)
+        .cast("long")
+        .alias("pack_group"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) - F.col("n_tokens")  # exclusive cumsum
+    return grouped.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        F.floor(cum / token_budget).cast("long").alias("shard"),
+    )
+
+
+def sql_pack_shards(token_budget: int = 2000, n_groups: int = 8) -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % {n_groups}"
+    return f"""
+WITH grouped AS (
+  SELECT doc_id, {g} AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / {token_budget}) AS BIGINT) AS shard
+FROM grouped
+"""
+
+
+# -------------------------------------------------------------- PII scan --
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) evaluate
+# identically, so the oracle is exact.
+PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phones": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, emails, phones, ipv4s, has_pii): per-doc PII pattern
+    counts — the scrub/filter gate of a training pipeline. Counting (not
+    just flagging) supports redaction-rate reporting. Pure regexp_count
+    expressions; the redaction itself would be the same patterns through
+    regexp_replace."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def sql_pii_scan() -> str:
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+SELECT doc_id,
+       {cols},
+       ({total}) > 0 AS has_pii
+FROM documents
+"""

@@ -605,6 +605,110 @@ FROM fp GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------ corpus prep -------
+
+VOCAB_SIZE = 20
+PACK_BUDGET = 2000
+PACK_GROUPS = 8
+# deterministic "benchmark" subset for the decontamination gate
+PROBE_MOD = 50
+
+
+def q_split_assign(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.split_assign(_docs(spark, sf_dir))
+
+
+def sql_split_assign() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_split_assign()
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-leakage gate: flag training docs sharing any 3-gram with
+    the (deterministic) probe subset; probes themselves are excluded from
+    the scanned corpus."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return C.decontaminate(train, probes)
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % {PROBE_MOD} = 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_hits
+  FROM sh d JOIN probe p ON p.s = d.s
+  WHERE d.doc_id % {PROBE_MOD} <> 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {PROBE_MOD} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.vocab_coverage(_docs(spark, sf_dir), VOCAB_SIZE)
+
+
+def sql_vocab_coverage() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {VOCAB_SIZE})
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+iv AS (
+  SELECT doc_id, COUNT(*) AS in_vocab
+  FROM toks JOIN vocab USING (token) GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(iv.in_vocab, 0) AS BIGINT) AS in_vocab,
+       ROUND(1.0 - COALESCE(iv.in_vocab, 0) / p.n_tokens, 6) AS oov_rate
+FROM per_doc p LEFT JOIN iv USING (doc_id)
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.pack_shards(_docs(spark, sf_dir), PACK_BUDGET, PACK_GROUPS)
+
+
+def sql_pack_shards() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_pack_shards(PACK_BUDGET, PACK_GROUPS)
+
+
+def q_pii_scan(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.pii_scan(_docs(spark, sf_dir))
+
+
+def sql_pii_scan() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_pii_scan()
+
+
 # --------------------------------------------------------- multimodal -----
 
 def q_multimodal_features(spark, sf_dir):
@@ -700,6 +804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
+        "split_assign": q_split_assign,
+        "decontaminate": q_decontaminate,
+        "vocab_coverage": q_vocab_coverage,
+        "pack_shards": q_pack_shards,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -725,6 +834,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),
         "image_resize": sql_image_resize(),
+        "split_assign": sql_split_assign(),
+        "decontaminate": sql_decontaminate(),
+        "vocab_coverage": sql_vocab_coverage(),
+        "pack_shards": sql_pack_shards(),
+        "pii_scan": sql_pii_scan(),
     }
 
 

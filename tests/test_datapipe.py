@@ -157,3 +157,62 @@ def test_ivf_kmeans_centroids_recall(emb):
         rec[mode] = len(truth & got) / len(truth)
     assert rec["kmeans"] >= rec["lowest_id"], rec
     assert rec["kmeans"] >= 0.4, rec
+
+
+def test_pii_scan_detects_planted_pii(spark):
+    """The synthetic corpus is digit-free (pii counts all zero there — the
+    oracle entry verifies the zero case); detection itself is proven on
+    planted PII."""
+    from haystack_traces_spark.datapipe.corpus import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org today"),
+            (2, "call 555-123-4567 now"),
+            (3, "server at 10.0.0.1 responded"),
+            (4, "perfectly clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert rows[1]["emails"] == 2 and rows[1]["has_pii"]
+    assert rows[2]["phones"] == 1 and rows[2]["has_pii"]
+    assert rows[3]["ipv4s"] == 1 and rows[3]["has_pii"]
+    assert not rows[4]["has_pii"]
+
+
+def test_split_assign_partitions_and_weights(docs):
+    """Every doc gets exactly one split; proportions track the weights
+    (hash-bucket assignment, so exact up to bucket granularity)."""
+    from haystack_traces_spark.datapipe.corpus import split_assign
+
+    out = split_assign(docs).collect()
+    assert len(out) == docs.count()
+    frac = {}
+    for r in out:
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    n = len(out)
+    assert set(frac) <= {"train", "val", "test"}
+    assert frac["train"] / n > 0.8
+    # stability: same input → identical assignment
+    again = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_pack_shards_respects_budget(docs):
+    """Within a pack group, consecutive shards chunk the running token total
+    every `budget` tokens: each shard's exclusive-start offset is inside its
+    shard window, and totals are preserved."""
+    from haystack_traces_spark.datapipe.corpus import pack_shards
+
+    budget = 500
+    rows = pack_shards(docs, token_budget=budget).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["shard"] == cum // budget, (g, r)
+            cum += r["n_tokens"]
