@@ -96,13 +96,17 @@ def ngram_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
+    # self-join on the shingle's 60-bit hash, not the string: ~3× fewer
+    # shuffle bytes on the widest exchange. A hash collision can only ADD a
+    # candidate pair (never lose one — equal strings always share a hash),
+    # and every candidate is exact-verified below, so output is unchanged.
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", hash60("s", seed="pj:").alias("h"))
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
