@@ -483,6 +483,40 @@ FROM spans WHERE trace_id IN ('7', '42', '99')
     )
 
 
+def q_get_raw_traces_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/O5 multi-backend fan-out (GrpcTraceReaders.scala:52-66) inside the
+    correctness gate: the store is SPLIT across two backends by span parity
+    with a dead third in the list; the fan-out read must recover the dead
+    backend to empty and reassemble spans identical to the single-store
+    oracle."""
+    from haystack_traces_spark.sources.spans import (
+        build_trace_store,
+        read_traces_fanout,
+    )
+
+    spans = _spans(spark, sf_dir)
+    store_a = build_trace_store(spans.filter(F.col("span_id").cast("long") % 2 == 0))
+    store_b = build_trace_store(spans.filter(F.col("span_id").cast("long") % 2 == 1))
+
+    def dead_backend():
+        return spark.read.parquet(f"{sf_dir}/no_such_backend.parquet")
+
+    merged = read_traces_fanout([store_a, dead_backend, store_b], ["7", "42", "99"])
+    return merged.select(F.explode("spans").alias("s")).select(
+        "s.trace_id",
+        "s.span_id",
+        "s.parent_span_id",
+        "s.service_name",
+        "s.operation_name",
+        "s.start_time",
+        "s.duration",
+    )
+
+
+def sql_get_raw_traces_fanout() -> str:
+    return sql_get_raw_traces()  # fan-out must equal the single-store read
+
+
 def q_get_raw_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getRawSpan (TraceReader.scala:58-68): one (traceId, spanId) point
     lookup. The spanId is resolved to the trace's first span so the entry is
@@ -767,6 +801,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_graph": q_call_graph,
         "get_trace": q_get_trace,
         "get_raw_traces": q_get_raw_traces,
+        "get_raw_traces_fanout": q_get_raw_traces_fanout,
         "get_raw_span": q_get_raw_span,
         "field_names": q_field_names,
         "search_not_equal": q_search_not_equal,
@@ -798,6 +833,7 @@ def _trace_oracles() -> dict[str, str]:
         "call_graph": sql_call_graph(),
         "get_trace": sql_get_trace(),
         "get_raw_traces": sql_get_raw_traces(),
+        "get_raw_traces_fanout": sql_get_raw_traces_fanout(),
         "get_raw_span": sql_get_raw_span(),
         "field_names": sql_field_names(),
         "search_not_equal": sql_search_not_equal(),
