@@ -98,3 +98,54 @@ def test_scan_prunes_columns(spark):
     narrow = spans_from_events(ev).select("trace_id", "service_name")
     m = re.search(r"ReadSchema: ([^\n]*)", _plan(narrow))
     assert m and "props" not in m.group(1), m.group(1) if m else "no ReadSchema"
+
+
+def test_decontaminate_broadcasts_probe_side(spark):
+    """The probe (benchmark) shingle set is the small side and must arrive
+    as a broadcast — the corpus scan never shuffles for the semi-match."""
+    from haystack_traces_spark.datapipe.corpus import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(decontaminate(docs.filter(F.col("doc_id") % 50 != 0), probes))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    from haystack_traces_spark.datapipe.corpus import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(vocab_coverage(docs, 20))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_pack_shards_window_is_per_group_not_global(spark):
+    """The sequential packing window must partition by pack_group — a
+    single-partition global window would bottleneck one reducer at scale."""
+    from haystack_traces_spark.datapipe.corpus import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_shards(docs))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert re.search(r"Window .*pack_group", plan), plan[:2000]
+
+
+def test_field_values_by_count_is_take_ordered(spark, spans):
+    """count-ordered field values with a limit must plan as top-k, never a
+    global sort of the value universe."""
+    from haystack_traces_spark.operators.field_values import field_values
+
+    idx = build_trace_index(spans)
+    plan = _plan(field_values(idx, "operationname", order_by="count", limit=3))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_embedding_lsh_bucket_join_no_cartesian(spark):
+    """The LSH near-dup candidate join must be a hash join on
+    (table, bucket) — never a cartesian/broadcast-nested-loop sweep."""
+    from haystack_traces_spark.datapipe.dedup import embedding_neardup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs_lsh(emb))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
