@@ -664,6 +664,46 @@ LIMIT 50
     )
 
 
+def q_search_tag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 range predicate on a WHITELISTED typed tag (errorcode LONG):
+    value coerced per whitelist type, compared inside the group's
+    accumulated value set (SpansIndexQueryGenerator.scala:111-138). The
+    duration-range queries cover the intrinsic-long path; this covers the
+    whitelist-coercion path."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=40,
+        expression=ExpressionTree(
+            (
+                Field("errorcode", 2, GREATER_THAN),
+                Field("errorcode", 5, LESS_THAN),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_tag_range() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + _IDX_CTE
+        + f"""
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM spans s
+              WHERE s.trace_id = i.trace_id AND s.service_name <> ''
+                AND s.operation_name <> '' AND s.errorcode > 2)
+  AND EXISTS (SELECT 1 FROM spans s
+              WHERE s.trace_id = i.trace_id AND s.service_name <> ''
+                AND s.operation_name <> '' AND s.errorcode < 5)
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 40
+"""
+    )
+
+
 def q_trace_counts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 histogram with a predicate (getTraceCounts accepts the same
     ExpressionTree as search, TraceCountsQueryGenerator.scala:76-99)."""
@@ -807,6 +847,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_not_equal": q_search_not_equal,
         "search_flat_fields": q_search_flat_fields,
         "search_nested_time": q_search_nested_time,
+        "search_tag_range": q_search_tag_range,
         "search_traces_processed": q_search_traces_processed,
         "trace_call_graph": q_trace_call_graph,
     }
@@ -839,6 +880,7 @@ def _trace_oracles() -> dict[str, str]:
         "search_not_equal": sql_search_not_equal(),
         "search_flat_fields": sql_search_flat_fields(),
         "search_nested_time": sql_search_nested_time(),
+        "search_tag_range": sql_search_tag_range(),
         "search_traces_processed": sql_search_traces_processed(),
         "trace_call_graph": sql_trace_call_graph(),
     }
