@@ -209,6 +209,29 @@ LIMIT 1000
     )
 
 
+def q_field_values_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 on a WHITELISTED tag field (errorcode): values come from the
+    group's accumulated value SET (explode path), co-filtered by service —
+    the scalar-field queries don't touch this branch."""
+    return field_values(
+        _index(spark, sf_dir), "errorcode", [Field("servicename", "view", EQUAL)]
+    )
+
+
+def sql_field_values_tag() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT DISTINCT CAST(errorcode AS VARCHAR) AS value
+FROM spans
+WHERE lower(service_name) = 'view'
+  AND service_name <> '' AND operation_name <> ''
+ORDER BY value
+LIMIT 1000
+"""
+    )
+
+
 def q_field_values_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 with ES terms-agg ordering (doc count desc, term asc —
     SpansIndexQueryGenerator.scala:162-179). limit 3 < distinct values, so
@@ -835,6 +858,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_counts": q_trace_counts,
         "trace_counts_filtered": q_trace_counts_filtered,
         "field_values": q_field_values,
+        "field_values_tag": q_field_values_tag,
         "field_values_by_count": q_field_values_by_count,
         "service_catalog": q_service_catalog,
         "trace_index_stats": q_trace_index_stats,
@@ -868,6 +892,7 @@ def _trace_oracles() -> dict[str, str]:
         "trace_counts": sql_trace_counts(),
         "trace_counts_filtered": sql_trace_counts_filtered(),
         "field_values": sql_field_values(),
+        "field_values_tag": sql_field_values_tag(),
         "field_values_by_count": sql_field_values_by_count(),
         "service_catalog": sql_service_catalog(),
         "trace_index_stats": sql_trace_index_stats(),

@@ -73,8 +73,10 @@ def field_values(
     if field_name in ("servicename", "operationname"):
         vals = groups.select(F.col(field_name).cast("string").alias("value"))
     else:
-        vals = groups.select(
-            F.explode(F.col(field_name)).cast("string").alias("value")
+        # explode must be top-level in its projection (generators can't nest
+        # inside expressions); cast in a second select
+        vals = groups.select(F.explode(F.col(field_name)).alias("v")).select(
+            F.col("v").cast("string").alias("value")
         )
     if order_by == "count":
         # doc count = number of (trace, service, operation) groups carrying
