@@ -35,16 +35,20 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct space-joined word n-grams, in no particular order.
 
     Pure array expressions (JVM-side, codegen) — no UDF, no explode until
-    the caller needs rows.
+    the caller needs rows. Docs shorter than n words yield an EMPTY set:
+    Spark's sequence(0, -1) counts DOWN ([0, -1]) rather than producing
+    nothing, which would emit junk partial grams the DuckDB mirror
+    (generate_series, empty when stop < start) never sees — the explicit
+    size guard keeps both engines identical on short docs.
     """
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(words, i + j) for j in range(n)]
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -61,9 +65,13 @@ def word_shingles_sql(expr: str = "text", n: int = 3) -> str:
 
 
 def ordered_word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Positional (non-distinct) shingles for winnowing."""
+    """Positional (non-distinct) shingles for winnowing. Same short-doc
+    guard as word_shingles (descending-sequence pitfall)."""
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -216,3 +216,24 @@ def test_pack_shards_respects_budget(docs):
         for r in rs:
             assert r["shard"] == cum // budget, (g, r)
             cum += r["n_tokens"]
+
+
+def test_short_docs_yield_no_shingles(spark):
+    """Docs shorter than n words must produce ZERO shingles (Spark's
+    sequence(0,-1) counts down and would otherwise emit junk partial grams
+    the DuckDB mirror never sees), and the jaccard pipeline must survive
+    them."""
+    from haystack_traces_spark.datapipe.hashing import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three word doc"), (4, "three word doc")],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles("text").alias("sh")).collect()
+    }
+    assert sh[1] == [] and sh[2] == []
+    assert sh[3] == ["three word doc"]
+    pairs = D.ngram_jaccard_pairs(df, 0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
