@@ -64,12 +64,36 @@ BUFFER_SCHEMA = T.StructType(
     ]
 )
 
+# State holds the buffered spans as ONE zlib-compressed blob of
+# RS-delimited JSON rather than an array of JSON strings: span JSON is
+# highly repetitive (schema keys, shared trace_id), so the blob is
+# typically 3-10x smaller — directly shrinking RocksDB state, checkpoint
+# IO, and the per-batch state (de)serialization at scale. The compression
+# boundary is invisible outside this module (emitted buffers still carry
+# plain spans_json).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("first_seen_ms", T.LongType()),
-        T.StructField("spans_json", T.ArrayType(T.StringType())),
+        T.StructField("packed", T.BinaryType()),
     ]
 )
+
+_RS = "\x1e"  # ASCII record separator — never appears in JSON output
+
+
+def _pack_spans(spans: list[str]) -> bytes:
+    import zlib
+
+    return zlib.compress(_RS.join(spans).encode("utf-8"), 1)
+
+
+def _unpack_spans(blob) -> list[str]:
+    import zlib
+
+    if blob is None:
+        return []
+    text = zlib.decompress(bytes(blob)).decode("utf-8")
+    return text.split(_RS) if text else []
 
 
 # Per-partition aggregate spans-in-state, keyed by state partition id. Lives
@@ -108,7 +132,8 @@ def make_session_fn(
         pid = _partition_id()
 
         if state.hasTimedOut:
-            first_seen, spans = state.get
+            first_seen, packed = state.get
+            spans = _unpack_spans(packed)
             state.remove()
             _track(pid, -len(spans))
             yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
@@ -119,9 +144,10 @@ def make_session_fn(
             new_spans.extend(pdf["span_json"].tolist())
 
         if state.exists:
-            first_seen, spans = state.get
-            held = len(spans)
-            spans = list(spans) + new_spans
+            first_seen, packed = state.get
+            held_spans = _unpack_spans(packed)
+            held = len(held_spans)
+            spans = held_spans + new_spans
         else:
             first_seen, spans, held = now_ms, new_spans, 0
 
@@ -157,7 +183,7 @@ def make_session_fn(
             yield _buffer_pdf(trace_id, first_seen, now_ms, spans, "window")
             return
 
-        state.update((first_seen, spans))
+        state.update((first_seen, _pack_spans(spans)))
         _track(pid, len(spans) - held)
         state.setTimeoutDuration(int(remaining))
         yield _empty_buffer_pdf()

@@ -11,7 +11,11 @@ from pathlib import Path
 import pandas as pd
 import pytest
 
-from haystack_traces_spark.streaming.sessionize import make_session_fn
+from haystack_traces_spark.streaming.sessionize import (
+    _pack_spans,
+    _unpack_spans,
+    make_session_fn,
+)
 
 
 class FakeState:
@@ -62,11 +66,11 @@ def test_subsequent_spans_rearm_remaining_window_only():
     fresh full window (fixed-from-first-seen, not an inactivity gap)."""
     fn = make_session_fn(window_ms=10_000)
     now = int(time.time() * 1000)
-    st = FakeState(value=(now - 4_000, ["x"]))  # opened 4s ago
+    st = FakeState(value=(now - 4_000, _pack_spans(["x"])))  # opened 4s ago
     list(fn(("t1",), iter([_pdf([{"b": 2}])]), st))
     assert st.timeout_ms is not None and st.timeout_ms <= 6_100  # remaining, not 10s
-    first_seen, spans = st.get
-    assert first_seen == now - 4_000 and len(spans) == 2
+    first_seen, packed = st.get
+    assert first_seen == now - 4_000 and len(_unpack_spans(packed)) == 2
 
 
 def test_span_after_expiry_emits_inclusive_buffer():
@@ -74,7 +78,7 @@ def test_span_after_expiry_emits_inclusive_buffer():
     the buffer emits (reference sweep-order semantics)."""
     fn = make_session_fn(window_ms=10_000)
     now = int(time.time() * 1000)
-    st = FakeState(value=(now - 60_000, ["x"]))
+    st = FakeState(value=(now - 60_000, _pack_spans(["x"])))
     out = pd.concat(list(fn(("t1",), iter([_pdf([{"b": 2}])]), st)))
     assert len(out) == 1 and out.iloc[0]["n_spans"] == 2
     assert out.iloc[0]["emit_reason"] == "window"
@@ -83,7 +87,7 @@ def test_span_after_expiry_emits_inclusive_buffer():
 
 def test_timeout_emits_buffer_and_clears_state():
     fn = make_session_fn(window_ms=10_000)
-    st = FakeState(value=(123, ["x", "y"]), timed_out=True)
+    st = FakeState(value=(123, _pack_spans(["x", "y"])), timed_out=True)
     out = pd.concat(list(fn(("t1",), iter([]), st)))
     assert st.removed
     assert len(out) == 1
@@ -475,3 +479,17 @@ def test_streaming_budget_forces_emission_live(spark, tmp_path):
         assert store_traces(), "budget pressure never forced an emission"
     finally:
         q.stop()
+
+
+def test_state_packing_round_trips_and_compresses():
+    import json as _json
+
+    spans = [
+        _json.dumps({"trace_id": "t", "span_id": str(i), "service_name": "svc",
+                     "operation_name": "op", "start_time": 1000 + i, "duration": 5})
+        for i in range(100)
+    ]
+    packed = _pack_spans(spans)
+    assert _unpack_spans(packed) == spans
+    assert _unpack_spans(None) == []
+    assert len(packed) * 3 < sum(len(s) for s in spans)  # ≥3x smaller
