@@ -52,6 +52,7 @@ class TraceEngine:
         service_catalog: DataFrame | None = None,
         whitelist: WhitelistConfig = DEFAULT_WHITELIST,
         processor: TraceProcessor | None = None,
+        extra_backends: list | None = None,
     ):
         from haystack_traces_spark.operators.field_values import build_service_catalog
 
@@ -61,6 +62,10 @@ class TraceEngine:
         self.trace_store = (
             trace_store if trace_store is not None else build_trace_store(spans)
         )
+        # additional trace backends (DataFrames or zero-arg callables) unioned
+        # into every key lookup with per-backend recover-to-empty — the
+        # reference's multi-backend reader config (GrpcTraceReaders.scala:52-66)
+        self.extra_backends = list(extra_backends or [])
         self.trace_index = (
             trace_index
             if trace_index is not None
@@ -72,6 +77,24 @@ class TraceEngine:
             else build_service_catalog(spans)
         )
 
+    def _store(self) -> DataFrame:
+        """The trace store every read sees: the primary plus any extra
+        backends, each recovered to empty if unreachable (O5 union;
+        GrpcTraceReaders.scala:52-66). Evaluated per read so a backend that
+        dies between calls degrades that call, not the engine."""
+        if not self.extra_backends:
+            return self.trace_store
+        dfs = [self.trace_store]
+        for b in self.extra_backends:
+            try:
+                dfs.append(b() if callable(b) else b)
+            except Exception:
+                continue  # dead backend → empty contribution
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
     # -- searches ----------------------------------------------------------
     def search_traces(
         self, req: search_ops.SearchRequest, processed: bool = True
@@ -79,7 +102,7 @@ class TraceEngine:
         """Index→fetch→(optionally) per-trace pipeline; invalid traces are
         dropped and counted (TraceReader.scala:82-90)."""
         traces = search_ops.search_traces(
-            self.trace_index, self.trace_store, req, self.whitelist
+            self.trace_index, self._store(), req, self.whitelist
         )
         if not processed:
             return traces
@@ -94,24 +117,24 @@ class TraceEngine:
     def get_trace(self, trace_id: str):
         """Processed single trace; raises InvalidTraceError on bad traces
         (fail-fast getTrace semantics, TraceReader.scala:44-51)."""
-        rows = get_raw_trace(self.trace_store, trace_id).collect()
+        rows = get_raw_trace(self._store(), trace_id).collect()
         if not rows:
             return []
         spans = [s.asDict(recursive=True) for s in rows[0]["spans"]]
         return process_single(trace_id, spans, self.processor)
 
     def get_raw_trace(self, trace_id: str) -> DataFrame:
-        return get_raw_trace(self.trace_store, trace_id)
+        return get_raw_trace(self._store(), trace_id)
 
     def get_raw_traces(self, trace_ids: list[str]) -> DataFrame:
         return (
-            read_trace_records(self.trace_store, trace_ids)
+            read_trace_records(self._store(), trace_ids)
             .groupBy("trace_id")
             .agg(F.flatten(F.collect_list("spans")).alias("spans"))
         )
 
     def get_raw_span(self, trace_id: str, span_id: str) -> DataFrame:
-        return get_raw_span(self.trace_store, trace_id, span_id)
+        return get_raw_span(self._store(), trace_id, span_id)
 
     # -- aggregations ------------------------------------------------------
     def get_trace_counts(self, req: TraceCountsRequest) -> DataFrame:
@@ -140,7 +163,7 @@ class TraceEngine:
 
     # -- graph -------------------------------------------------------------
     def get_trace_call_graph(self, trace_id: str) -> DataFrame:
-        rows = get_raw_trace(self.trace_store, trace_id).collect()
+        rows = get_raw_trace(self._store(), trace_id).collect()
         if not rows:
             spark = self.spans.sparkSession
             return trace_call_graph(

@@ -147,15 +147,44 @@ def test_multi_backend_fanout_recovers_failed_store(spark):
 
     whole = {
         r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
-        for r in build_trace_store(spans.filter("trace_id = '42'")).collect()
+        for r in build_trace_store(spans.filter("trace_id = '7'")).collect()
     }
     merged = {
         r["trace_id"]: sorted(s["span_id"] for s in r["spans"])
-        for r in read_traces_fanout([store_a, dead_backend, store_b], ["42"]).collect()
+        for r in read_traces_fanout([store_a, dead_backend, store_b], ["7"]).collect()
     }
     # the two live partial backends reassemble the full trace; the dead one
     # is recovered to empty
-    assert merged == whole
+    assert whole and merged == whole
 
     with _pytest.raises(RuntimeError, match="all trace backends failed"):
-        read_traces_fanout([dead_backend, dead_backend], ["42"])
+        read_traces_fanout([dead_backend, dead_backend], ["7"])
+
+
+def test_engine_reads_across_extra_backends(spark):
+    """TraceEngine configured with extra backends (one dead) reassembles a
+    trace split across the primary and a secondary store — every key-lookup
+    endpoint sees the union (GrpcTraceReaders.scala:52-66 config parity)."""
+    from haystack_traces_spark.api import TraceEngine
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.sources.spans import build_trace_store
+
+    spans = spans_from_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    even = spans.filter("CAST(span_id AS LONG) % 2 = 0")
+    odd = spans.filter("CAST(span_id AS LONG) % 2 = 1")
+
+    def dead():
+        return spark.read.parquet("/no/such/backend")
+
+    engine = TraceEngine(
+        even,
+        trace_store=build_trace_store(even),
+        extra_backends=[dead, build_trace_store(odd)],
+    )
+    got = {s["span_id"] for s in engine.get_raw_trace("7").collect()[0]["spans"]}
+    want = {
+        r["span_id"] for r in spans.filter("trace_id = '7'").collect()
+    }
+    assert got and got == want  # both halves present despite the dead backend
