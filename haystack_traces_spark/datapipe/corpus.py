@@ -196,6 +196,70 @@ FROM grouped
 """
 
 
+# ------------------------------------------------------- duplication rate --
+
+def dup_ngram_rate(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_shingles, n_repeated, dup_rate): fraction of a doc's
+    n-grams that occur in ANY other document — the per-document duplication
+    signal used to rank removal candidates (finer than pair output: a doc
+    30% covered by boilerplate scores 0.3 even if no single pair crosses a
+    Jaccard threshold).
+
+    Two aggregations over the shingle rows (per-shingle doc frequency, then
+    per-doc rollup) — both map-side combinable; nothing quadratic."""
+    sh = docs.select("doc_id", F.explode(word_shingles(text_col, n)).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count_distinct("doc_id").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_repeated"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(F.col("n_repeated") / F.col("n_shingles"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_rate"),
+        )
+    )
+
+
+# ------------------------------------------------------- source rollup ----
+
+def source_quality(docs: DataFrame) -> DataFrame:
+    """→ per-``source`` corpus-health rollup: doc/token volume, mean quality,
+    exact-duplicate rate — the dashboard a data curator reads before
+    deciding which sources to keep, reweight, or drop. One groupBy over
+    per-doc features (map-side combinable)."""
+    from haystack_traces_spark.datapipe.text import text_stats
+
+    feats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    base = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    return (
+        base.join(feats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(
+                1 - F.count_distinct("h") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # -------------------------------------------------------------- PII scan --
 
 # Patterns restricted to syntax Java regex and RE2 (DuckDB) evaluate

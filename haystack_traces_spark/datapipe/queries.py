@@ -697,6 +697,61 @@ def sql_pack_shards() -> str:
     return C.sql_pack_shards(PACK_BUDGET, PACK_GROUPS)
 
 
+def q_dup_ngram_rate(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.dup_ngram_rate(_docs(spark, sf_dir))
+
+
+def sql_dup_ngram_rate() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+dfreq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+per_doc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_repeated
+  FROM sh JOIN dfreq USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+       CASE WHEN COALESCE(p.n_shingles, 0) > 0
+            THEN ROUND(p.n_repeated / p.n_shingles, 6) ELSE 0.0 END AS dup_rate
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_source_quality(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.source_quality(_docs(spark, sf_dir))
+
+
+def sql_source_quality() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+           AS quality_score
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(f.quality_score), 6) AS mean_quality,
+       ROUND(1 - COUNT(DISTINCT md5(d.text)) / COUNT(*), 6) AS exact_dup_rate
+FROM documents d JOIN feats f USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def q_pii_scan(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
@@ -809,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "pack_shards": q_pack_shards,
         "pii_scan": q_pii_scan,
+        "dup_ngram_rate": q_dup_ngram_rate,
+        "source_quality": q_source_quality,
     }
 
 
@@ -839,6 +896,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": sql_vocab_coverage(),
         "pack_shards": sql_pack_shards(),
         "pii_scan": sql_pii_scan(),
+        "dup_ngram_rate": sql_dup_ngram_rate(),
+        "source_quality": sql_source_quality(),
     }
 
 

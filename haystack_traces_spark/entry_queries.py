@@ -687,6 +687,63 @@ LIMIT 50
     )
 
 
+def q_search_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 depth-2 composition: one TRACE-level field (own nested query) AND
+    one SPAN-level subtree (co-occurrence group) in the same AND — the full
+    operand-partitioning shape of SpansIndexQueryGenerator.scala:66-96 that
+    the single-shape queries don't exercise together."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=60,
+        expression=ExpressionTree(
+            (
+                Field("servicename", "click", EQUAL),
+                ExpressionTree(
+                    (
+                        Field("servicename", "error", EQUAL),
+                        Field("duration", DUR_THRESHOLD, GREATER_THAN),
+                    ),
+                    is_span_level=True,
+                ),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_mixed() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         BOOL_OR((CASE WHEN duration > 20000000
+                       THEN duration - duration % 1000000
+                       ELSE duration END) > {DUR_THRESHOLD}) AS has_big_dur
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2, 3
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id AND g.servicename = 'click')
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id
+                AND g.servicename = 'error' AND g.has_big_dur)
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 60
+"""
+    )
+
+
 def q_search_tag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 range predicate on a WHITELISTED typed tag (errorcode LONG):
     value coerced per whitelist type, compared inside the group's
@@ -871,6 +928,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_not_equal": q_search_not_equal,
         "search_flat_fields": q_search_flat_fields,
         "search_nested_time": q_search_nested_time,
+        "search_mixed": q_search_mixed,
         "search_tag_range": q_search_tag_range,
         "search_traces_processed": q_search_traces_processed,
         "trace_call_graph": q_trace_call_graph,
@@ -905,6 +963,7 @@ def _trace_oracles() -> dict[str, str]:
         "search_not_equal": sql_search_not_equal(),
         "search_flat_fields": sql_search_flat_fields(),
         "search_nested_time": sql_search_nested_time(),
+        "search_mixed": sql_search_mixed(),
         "search_tag_range": sql_search_tag_range(),
         "search_traces_processed": sql_search_traces_processed(),
         "trace_call_graph": sql_trace_call_graph(),
