@@ -687,6 +687,56 @@ LIMIT 50
     )
 
 
+def q_search_span_not_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 NOT_EQUAL inside a SPAN-LEVEL group: mustNot applies within the
+    nested co-occurrence bool (SpansIndexQueryGenerator.scala:149-150) —
+    ∃ a (service, operation) group that IS 'error' and is NOT op_1. The
+    trace-level search_not_equal can't distinguish this from a global
+    negation; this shape can."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=45,
+        expression=ExpressionTree(
+            (
+                ExpressionTree(
+                    (
+                        Field("servicename", "error", EQUAL),
+                        Field("operationname", "op_1", NOT_EQUAL),
+                    ),
+                    is_span_level=True,
+                ),
+            )
+        ),
+    )
+    return search_ops.search_trace_ids(_index(spark, sf_dir), req)
+
+
+def sql_search_span_not_equal() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, groups AS (
+  SELECT DISTINCT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+), idx AS (
+  SELECT trace_id, MIN(start_time - start_time % 1000000) AS starttime
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT i.trace_id AS traceid, i.starttime
+FROM idx i
+WHERE i.starttime BETWEEN {T0} AND {T1}
+  AND EXISTS (SELECT 1 FROM groups g
+              WHERE g.trace_id = i.trace_id
+                AND g.servicename = 'error' AND g.operationname <> 'op_1')
+ORDER BY i.starttime DESC, traceid DESC
+LIMIT 45
+"""
+    )
+
+
 def q_search_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 depth-2 composition: one TRACE-level field (own nested query) AND
     one SPAN-level subtree (co-occurrence group) in the same AND — the full
@@ -929,6 +979,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_flat_fields": q_search_flat_fields,
         "search_nested_time": q_search_nested_time,
         "search_mixed": q_search_mixed,
+        "search_span_not_equal": q_search_span_not_equal,
         "search_tag_range": q_search_tag_range,
         "search_traces_processed": q_search_traces_processed,
         "trace_call_graph": q_trace_call_graph,
@@ -964,6 +1015,7 @@ def _trace_oracles() -> dict[str, str]:
         "search_flat_fields": sql_search_flat_fields(),
         "search_nested_time": sql_search_nested_time(),
         "search_mixed": sql_search_mixed(),
+        "search_span_not_equal": sql_search_span_not_equal(),
         "search_tag_range": sql_search_tag_range(),
         "search_traces_processed": sql_search_traces_processed(),
         "trace_call_graph": sql_trace_call_graph(),
