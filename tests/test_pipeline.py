@@ -188,3 +188,42 @@ def test_engine_reads_across_extra_backends(spark):
         r["span_id"] for r in spans.filter("trace_id = '7'").collect()
     }
     assert got and got == want  # both halves present despite the dead backend
+
+
+def test_missing_key_lookups_return_empty(spark):
+    """NOT_FOUND paths (TraceServiceIntegrationTestSpec:90-210): unknown ids
+    yield 0 rows, never errors."""
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.sources.spans import (
+        build_trace_store,
+        get_raw_span,
+        get_raw_trace,
+        read_trace_records,
+    )
+
+    store = build_trace_store(
+        spans_from_events(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    )
+    assert get_raw_trace(store, "no-such-id").count() == 0
+    assert read_trace_records(store, ["nope", "also-nope"]).count() == 0
+    # existing trace, unknown span
+    assert get_raw_span(store, "7", "no-such-span").count() == 0
+
+
+def test_request_validation_fails_fast():
+    """Q6 fail-fast (TraceSearchQueryGenerator.scala:37-39,52-54): invalid
+    times/limit/interval raise BEFORE any plan is built."""
+    import pytest as _pytest
+
+    from haystack_traces_spark.operators.counts import TraceCountsRequest
+    from haystack_traces_spark.operators.search import SearchRequest
+
+    with _pytest.raises(ValueError):
+        SearchRequest(0, 10, 5).validate()
+    with _pytest.raises(ValueError):
+        SearchRequest(1, -1, 5).validate()
+    with _pytest.raises(ValueError):
+        SearchRequest(1, 10, 0).validate()
+    with _pytest.raises(ValueError):
+        TraceCountsRequest(1, 10, 0).validate()
+    SearchRequest(1, 10, 5).validate()  # valid passes
