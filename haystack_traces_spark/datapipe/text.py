@@ -153,4 +153,8 @@ def winnowing_fingerprints(
         F.size(minima).cast("long").alias("n_fingerprints"),
         F.array_min(minima).alias("min_fp"),
         F.array_max(minima).alias("max_fp"),
+    ).filter(
+        # a doc too short to shingle has NO fingerprint row — matching the
+        # SQL mirror, where such docs never enter the positional-hash CTE
+        F.col("n_fingerprints") > 0
     )

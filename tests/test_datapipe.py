@@ -237,3 +237,17 @@ def test_short_docs_yield_no_shingles(spark):
     assert sh[3] == ["three word doc"]
     pairs = D.ngram_jaccard_pairs(df, 0.8).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+
+
+def test_winnowing_short_docs_absent(spark):
+    """Docs too short to shingle produce NO fingerprint row (matching the
+    oracle, where they never enter the positional-hash CTE)."""
+    from haystack_traces_spark.datapipe.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "a proper document with enough words here")],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_fingerprints"] > 0
