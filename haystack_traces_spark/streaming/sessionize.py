@@ -21,10 +21,15 @@ SpanIndexProcessor.scala:69-128, indexer/README.md:1-20):
   inserting key sheds, not the LRU eldest — per-key state functions cannot
   reach other keys' state), but the pressure-relief contract is identical:
   over-budget partitions emit partials instead of growing without bound.
-  The per-partition counter lives in the (reused) Python worker; a worker
-  restart resets it and the count re-converges as keys are touched —
-  approximate accounting, like the reference's even division ignoring
-  actual per-store skew.
+  The counter lives in the (reused) Python worker process keyed by
+  partition id; a partition's task can land on a different worker in a
+  later micro-batch (or the worker can restart), which orphans previously
+  counted spans — so enforcement is really per (worker, partition)
+  fragment, bounded in the worst case by workers × budget rather than the
+  budget exactly. Approximate accounting is accepted the same way the
+  reference's even division ignores actual per-store skew; the guarantee
+  that matters — state pressure always produces partial emission instead
+  of unbounded growth — holds per fragment.
 
 Spark mapping: ``groupBy(trace_id).applyInPandasWithState`` with
 ProcessingTimeTimeout. State holds the buffered spans; the timeout is
