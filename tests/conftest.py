@@ -24,4 +24,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    # default keeps the suite fast; the full oracle comparison also passes at
+    # sf0.01 and sf0.1 (verified) — opt in with e.g.
+    #   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 pytest tests/test_entry_queries.py
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
