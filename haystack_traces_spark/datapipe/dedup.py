@@ -137,7 +137,9 @@ def minhash_lsh_pairs(
 
     → (doc_a, doc_b, jaccard). Candidates whose true Jaccard < threshold are
     filtered out, so LSH affects only recall/cost, not output precision."""
-    sig = minhash_signatures(docs, n_seeds, n)
+    # signatures feed both sides of the band self-join — materialize once
+    # instead of recomputing the shingle scan + k min-aggregates per side
+    sig = minhash_signatures(docs, n_seeds, n).persist()
     rows_per_band = n_seeds // bands
     # band key = the raw signature slice (engine-neutral — no internal hash
     # function, so the DuckDB oracle reproduces candidates exactly)
@@ -213,7 +215,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> Data
     all-pairs form — different algorithm, same result.)"""
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
-    fp = simhash_fingerprints(docs, bits)
+    # fingerprints feed both sides of the segment self-join — one
+    # materialization replaces two token-scan + bit-majority passes
+    fp = simhash_fingerprints(docs, bits).persist()
 
     segs = []
     for s in range(n_seg):
@@ -412,9 +416,11 @@ def embedding_neardup_pairs_lsh(
         with_norm,
     )
 
+    # bucket rows feed both sides of the collision self-join — persist so the
+    # mapInPandas bucketing (a full GEMM over the table) runs once, not twice
     buckets = hyperplane_buckets(
         emb, n_tables, planes_per_table, dim, id_col, vec_col
-    )
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

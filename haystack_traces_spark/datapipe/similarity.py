@@ -320,7 +320,9 @@ def lsh_topk(
     (n_tables, planes_per_table)."""
     from pyspark.sql import Window
 
-    buckets = hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
+    # buckets feed the query-side filter AND the candidate join — persist so
+    # the GEMM bucketing pass runs once
+    buckets = hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col).persist()
     qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
