@@ -54,7 +54,10 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
     over the full shingle sets — work scales with |candidates|, not |docs|²."""
-    sets_df = docs.select("doc_id", word_shingles(text_col, n).alias("sh"))
+    # the shingle-set table joins in as BOTH pair sides — materialize once
+    sets_df = docs.select(
+        "doc_id", word_shingles(text_col, n).alias("sh")
+    ).persist()
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -31,25 +31,36 @@ def hash60_py(s: str, seed: str = "") -> int:
     return int(hashlib.md5((seed + s).encode()).hexdigest()[:15], 16)
 
 
+def _gram_array(words: Column, n: int) -> Column:
+    """Positional n-gram array, CSE-SAFE short-doc handling.
+
+    Docs shorter than n words must yield an EMPTY array: Spark's
+    sequence(0, -1) counts DOWN ([0, -1]) and would emit junk partial grams
+    the DuckDB mirror (generate_series, empty when stop < start) never
+    sees. The guard must NOT be a when()/if(): Catalyst's subexpression
+    elimination refuses to hoist any tree containing a conditional, and
+    winnowing references the gram-hash array inside a per-window-position
+    lambda — with a conditional in the tree the whole array is re-evaluated
+    per position (measured ~500x blowup). Instead the index sequence is
+    clamped to [0] for short docs (unconditional) and the single resulting
+    partial gram — the only gram that can have fewer than n words — is
+    dropped by an unconditional higher-order filter."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+    )
+    return F.filter(grams, lambda g: F.size(F.split(g, " ")) == n)
+
+
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct space-joined word n-grams, in no particular order.
 
     Pure array expressions (JVM-side, codegen) — no UDF, no explode until
-    the caller needs rows. Docs shorter than n words yield an EMPTY set:
-    Spark's sequence(0, -1) counts DOWN ([0, -1]) rather than producing
-    nothing, which would emit junk partial grams the DuckDB mirror
-    (generate_series, empty when stop < start) never sees — the explicit
-    size guard keeps both engines identical on short docs.
+    the caller needs rows. Empty for docs shorter than n words (see
+    _gram_array for why the guard is conditional-free).
     """
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(_gram_array(words, n))
 
 
 def word_shingles_sql(expr: str = "text", n: int = 3) -> str:
@@ -65,13 +76,7 @@ def word_shingles_sql(expr: str = "text", n: int = 3) -> str:
 
 
 def ordered_word_shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Positional (non-distinct) shingles for winnowing. Same short-doc
-    guard as word_shingles (descending-sequence pitfall)."""
+    """Positional (non-distinct) shingles for winnowing. Empty for docs
+    shorter than n words; conditional-free (see _gram_array)."""
     words = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _gram_array(words, n)

@@ -136,25 +136,46 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Winnowing (local-minimum sampling of the rolling shingle-hash
     sequence): fingerprint set = distinct min-of-window over positional
-    hashes. → (doc_id, n_fingerprints, min_fp, max_fp)."""
-    hashes = F.transform(
-        ordered_word_shingles(text_col, n), lambda s: F.conv(F.substring(F.md5(F.concat(F.lit("fp:"), s)), 1, 15), 16, 10).cast("long")
+    hashes. → (doc_id, n_fingerprints, min_fp, max_fp).
+
+    The hash array and the minima array are materialized as their own
+    projection columns on purpose: the window-minima lambda references the
+    hash array per position, and an inline expression tree there gets
+    re-evaluated per position (|doc| md5 calls × |doc| positions — a
+    measured ~500× blowup at 200-word docs). As separate projections each
+    array is computed once per row, and CollapseProject will not inline an
+    expensive producer that the consumer references more than once.
+
+    The too-short-to-shingle docs (no fingerprint row, matching the SQL
+    mirror where they never enter the positional-hash CTE) are dropped
+    BEFORE the hash projection, on the equivalent cheap predicate
+    "≥ n words": a trailing filter on n_fingerprints would be
+    predicate-pushed through every projection, re-inlining the whole
+    winnowing tree into one Filter over raw text — the same ~500×
+    re-evaluation the projections exist to prevent."""
+    hashed = docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(
+        "doc_id",
+        F.transform(
+            ordered_word_shingles(text_col, n),
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit("fp:"), s)), 1, 15), 16, 10
+            ).cast("long"),
+        ).alias("h"),
     )
-    n_h = F.size(hashes)
+    h = F.col("h")
+    n_h = F.size(h)
     win_idx = F.sequence(F.lit(0), F.greatest(n_h - window, F.lit(0)))
     minima = F.when(
         n_h >= window,
         F.array_distinct(
-            F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+            F.transform(win_idx, lambda i: F.array_min(F.slice(h, i + 1, window)))
         ),
-    ).otherwise(F.when(n_h > 0, F.array(F.array_min(hashes))).otherwise(F.array().cast("array<bigint>")))
-    return docs.select(
+    ).otherwise(F.when(n_h > 0, F.array(F.array_min(h))).otherwise(F.array().cast("array<bigint>")))
+    return hashed.select("doc_id", minima.alias("fps")).select(
         "doc_id",
-        F.size(minima).cast("long").alias("n_fingerprints"),
-        F.array_min(minima).alias("min_fp"),
-        F.array_max(minima).alias("max_fp"),
-    ).filter(
-        # a doc too short to shingle has NO fingerprint row — matching the
-        # SQL mirror, where such docs never enter the positional-hash CTE
-        F.col("n_fingerprints") > 0
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
