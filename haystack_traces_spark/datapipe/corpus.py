@@ -10,7 +10,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from haystack_traces_spark.datapipe.hashing import hash60, word_shingles
+from haystack_traces_spark.datapipe.hashing import (
+    hash60,
+    ordered_word_shingles,
+    word_shingles,
+)
 
 # ---------------------------------------------------------------- splits --
 
@@ -257,6 +261,194 @@ def source_quality(docs: DataFrame) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------- within-doc repetition --
+
+def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac):
+    WITHIN-document n-gram repetition — the Gopher-style repetition filter
+    (docs dominated by one repeated phrase, or with a high fraction of
+    repeated n-grams, are generation/boilerplate artifacts). Complements
+    `dup_ngram_rate`, which measures CROSS-document duplication.
+
+    Shuffle discipline: explode → one (doc_id, gram) count (map-side
+    combinable, key cardinality ≤ total gram occurrences) → one per-doc
+    rollup on the already-reduced rows. Nothing quadratic, no windows."""
+    grams = docs.select(
+        "doc_id", F.explode(ordered_word_shingles(text_col, n)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("c").alias("top_c"),
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_grams"),
+            F.when(n_grams > 0, F.round(F.col("top_c") / n_grams, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_gram_frac"),
+            F.when(
+                n_grams > 0,
+                F.round((n_grams - F.col("n_distinct_grams")) / n_grams, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_frac"),
+        )
+    )
+
+
+# ----------------------------------------------------- stratified sampling --
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int = 10,
+    seed: str = "strat:",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """→ the sampled docs (doc_id, source): deterministic rate-based
+    stratified sampling — keep ~``per_stratum`` docs from each stratum
+    regardless of stratum size (the per-domain quota step of corpus
+    construction).
+
+    Each stratum's keep-threshold is floor(1e6·quota/|stratum|), clamped to
+    1e6; a doc survives when hash60(seed‖id) % 1e6 falls below it. Rate
+    sampling (expected quota, binomial spread) rather than exact-rank:
+    exact top-k-per-stratum needs a per-stratum sort, rate needs only a
+    tiny count aggregate broadcast back — one scan, no window, no skew
+    sensitivity, and membership is stable when the corpus grows (a doc's
+    fate never depends on other docs' hashes)."""
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    key = hash60(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    thresh = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(F.lit(1_000_000 * per_stratum) / F.col("n_s")),
+    )
+    return (
+        docs.select(id_col, stratum_col)
+        .join(F.broadcast(counts), stratum_col)
+        .filter(key < thresh)
+        .select(id_col, stratum_col)
+    )
+
+
+def sql_stratified_sample(per_stratum: int = 10, seed: str = "strat:") -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    key = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed=seed)} % 1000000"
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts USING (source)
+WHERE {key} < LEAST(1000000, CAST(FLOOR({1_000_000 * per_stratum} / n_s) AS BIGINT))
+"""
+
+
+# -------------------------------------------------------- source mixing ----
+
+def mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 100_000,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """→ (source, n_docs, share, weight, expected_docs): temperature-based
+    source mixing — weight ∝ share^α normalized (α<1 upsamples small
+    sources, α=1 is natural, α=0 uniform), the standard domain-reweighting
+    recipe for assembling a training mix.
+
+    One tiny groupBy, then global windows over the AGGREGATED table only
+    (cardinality = #sources, never #docs) — scale-independent."""
+    w = Window.partitionBy()
+    agg = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = agg.select(
+        stratum_col,
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share_raw"),
+    ).select(
+        stratum_col,
+        "n_docs",
+        "share_raw",
+        F.pow("share_raw", F.lit(alpha)).alias("w_raw"),
+    )
+    return shared.select(
+        stratum_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("share_raw", 6).alias("share"),
+        F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6).alias("weight"),
+        F.floor(
+            F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6) * budget
+        )
+        .cast("long")
+        .alias("expected_docs"),
+    ).orderBy(stratum_col)
+
+
+def sql_mix_weights(alpha: float = 0.5, budget: int = 100_000) -> str:
+    return f"""
+WITH agg AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+shared AS (
+  SELECT source, n_docs,
+         n_docs / SUM(n_docs) OVER () AS share_raw,
+         POW(n_docs / SUM(n_docs) OVER (), {alpha}) AS w_raw
+  FROM agg
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(share_raw, 6) AS share,
+       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
+       CAST(FLOOR(ROUND(w_raw / SUM(w_raw) OVER (), 6) * {budget}) AS BIGINT)
+         AS expected_docs
+FROM shared
+ORDER BY source
+"""
+
+
+# -------------------------------------------- canonical doc per cluster ----
+
+def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """→ (cluster, canon_doc_id, n_members, canon_quality): pick ONE
+    survivor per duplicate cluster — highest quality_score, doc_id as the
+    deterministic tie-break — the "which copy do we keep" step that turns
+    dedup output into an actionable drop list.
+
+    ``clusters`` is `dup_clusters` output (doc_id, cluster); ``quality``
+    any (doc_id, quality_score). Quality scores are compared at their
+    ROUNDED 6-dp value (what `text_stats` emits) so the ordering is
+    engine-stable. One window per cluster — partition count = #clusters,
+    each a handful of rows; the heavy lifting already happened in pair
+    generation."""
+    j = clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+    wc = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select(
+            "cluster",
+            "doc_id",
+            "quality_score",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("canon_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_score").alias("canon_quality"),
+        )
     )
 
 

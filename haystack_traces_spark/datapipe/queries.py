@@ -752,6 +752,112 @@ ORDER BY d.source
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.repetition_stats(_docs(spark, sf_dir))
+
+
+def sql_repetition_stats(n: int = 2) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH g AS (
+  SELECT doc_id, {parts} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - {n - 1})) t(i)
+), per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_distinct, 0) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN ROUND(p.top_c / p.n_grams, 6) ELSE 0.0 END AS top_gram_frac,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN ROUND((p.n_grams - p.n_distinct) / p.n_grams, 6)
+            ELSE 0.0 END AS dup_gram_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.stratified_sample(_docs(spark, sf_dir))
+
+
+def sql_stratified_sample() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_stratified_sample()
+
+
+def q_mix_weights(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.mix_weights(_docs(spark, sf_dir))
+
+
+def sql_mix_weights() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_mix_weights()
+
+
+def q_canonical_docs(spark, sf_dir):
+    """Survivor selection composite: near-dup clusters (same pair generation
+    as dedup_clusters) → best-quality member per cluster."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    clusters = D.dup_clusters(pairs)
+    quality = X.text_stats(docs)
+    return C.canonical_docs(clusters, quality)
+
+
+def sql_canonical_docs() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dup AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION SELECT doc_b, doc_a FROM dup
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+feats AS (
+  SELECT doc_id,
+         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
+               + (len(list_distinct(toks)) / len(toks)) * 0.4
+               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+           AS quality_score
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ranked AS (
+  SELECT c.cluster, c.doc_id, f.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster
+                            ORDER BY f.quality_score DESC, c.doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM clusters c JOIN feats f USING (doc_id)
+)
+SELECT cluster, doc_id AS canon_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       quality_score AS canon_quality
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_pii_scan(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
@@ -866,6 +972,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "dup_ngram_rate": q_dup_ngram_rate,
         "source_quality": q_source_quality,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "mix_weights": q_mix_weights,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -898,6 +1008,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": sql_pii_scan(),
         "dup_ngram_rate": sql_dup_ngram_rate(),
         "source_quality": sql_source_quality(),
+        "repetition_stats": sql_repetition_stats(),
+        "stratified_sample": sql_stratified_sample(),
+        "mix_weights": sql_mix_weights(),
+        "canonical_docs": sql_canonical_docs(),
     }
 
 

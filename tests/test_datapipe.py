@@ -251,3 +251,76 @@ def test_winnowing_short_docs_absent(spark):
     out = winnowing_fingerprints(df).collect()
     assert [r["doc_id"] for r in out] == [2]
     assert out[0]["n_fingerprints"] > 0
+
+
+def test_repetition_stats_flags_repeated_doc(spark):
+    """A doc that is one phrase repeated scores near-1 on both repetition
+    fractions; a doc of all-distinct bigrams scores 0."""
+    from haystack_traces_spark.datapipe.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50 + "spam ham"),  # one repeated bigram phrase
+            (2, "a b c d e f g h"),  # every bigram distinct
+            (3, "x"),  # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["dup_gram_frac"] > 0.9 and out[1]["top_gram_frac"] > 0.4
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_frac"] < 0.2
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_stratified_sample_quota_and_stability(docs):
+    """Each stratum lands near its quota (rate sampling: binomial spread),
+    and membership is deterministic across runs."""
+    from haystack_traces_spark.datapipe.corpus import stratified_sample
+
+    quota = 10
+    out = stratified_sample(docs, per_stratum=quota).collect()
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    # every stratum sampled, none wildly over quota (p<<1e-6 at 4x)
+    assert set(per_src) == {r["source"] for r in docs.select("source").distinct().collect()}
+    assert all(c <= 4 * quota for c in per_src.values())
+    total = docs.count()
+    n_src = len(per_src)
+    assert 0.3 * quota * n_src <= len(out) <= 2.5 * quota * n_src
+    again = {r["doc_id"] for r in stratified_sample(docs, per_stratum=quota).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_mix_weights_alpha_flattens(docs):
+    """α=1 reproduces natural shares; α=0 is uniform; α=0.5 sits between —
+    and weights always sum to ~1."""
+    from haystack_traces_spark.datapipe.corpus import mix_weights
+
+    skewed = docs.filter((F.col("source") != "src0") | (F.col("doc_id") % 100 == 0))
+    nat = {r["source"]: r for r in mix_weights(skewed, alpha=1.0).collect()}
+    uni = {r["source"]: r for r in mix_weights(skewed, alpha=0.0).collect()}
+    mid = {r["source"]: r for r in mix_weights(skewed, alpha=0.5).collect()}
+    for m in (nat, uni, mid):
+        assert abs(sum(r["weight"] for r in m.values()) - 1.0) < 1e-4
+    small = "src0"  # downsampled source
+    assert nat[small]["weight"] == pytest.approx(nat[small]["share"], abs=1e-6)
+    assert uni[small]["weight"] == pytest.approx(1.0 / len(uni), abs=1e-6)
+    assert nat[small]["weight"] < mid[small]["weight"] < uni[small]["weight"] + 1e-6
+
+
+def test_canonical_docs_picks_best_quality(spark):
+    """The survivor is the member with the highest quality (doc_id breaks
+    ties), and every cluster elects exactly one."""
+    from haystack_traces_spark.datapipe.corpus import canonical_docs
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc_id long, cluster long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.4), (8, 0.4)],
+        "doc_id long, quality_score double",
+    )
+    out = {r["cluster"]: r for r in canonical_docs(clusters, quality).collect()}
+    assert out[1]["canon_doc_id"] == 2 and out[1]["n_members"] == 3  # tie → lower id
+    assert out[7]["canon_doc_id"] == 7 and out[7]["n_members"] == 2
