@@ -149,3 +149,42 @@ def test_embedding_lsh_bucket_join_no_cartesian(spark):
     plan = _plan(embedding_neardup_pairs_lsh(emb))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_stratified_sample_broadcasts_counts(spark):
+    """The per-stratum count table is tiny and must broadcast — the corpus
+    scan is then one map-side filter, no shuffle of the docs."""
+    from haystack_traces_spark.datapipe.corpus import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(stratified_sample(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_repetition_stats_has_no_window(spark):
+    """Within-doc repetition is two hash aggregates (both map-side
+    combinable) — a window formulation would force a per-doc sort."""
+    from haystack_traces_spark.datapipe.corpus import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_count" in plan or "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_mix_weights_windows_only_aggregated_rows(spark):
+    """mix_weights' global windows run over the per-source AGGREGATE
+    (cardinality = #sources): the plan must aggregate BEFORE any
+    single-partition exchange, never single-partition the raw docs."""
+    import re
+
+    from haystack_traces_spark.datapipe.corpus import mix_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(mix_weights(docs))
+    # a HashAggregate must appear upstream of (printed after) the
+    # SinglePartition exchange in the formatted tree
+    sp = plan.find("Exchange SinglePartition")
+    assert sp != -1, plan[:2000]
+    assert "HashAggregate" in plan[sp:], plan[sp : sp + 2000]
