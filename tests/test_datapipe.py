@@ -324,3 +324,38 @@ def test_canonical_docs_picks_best_quality(spark):
     out = {r["cluster"]: r for r in canonical_docs(clusters, quality).collect()}
     assert out[1]["canon_doc_id"] == 2 and out[1]["n_members"] == 3  # tie → lower id
     assert out[7]["canon_doc_id"] == 7 and out[7]["n_members"] == 2
+
+
+def test_gram_array_matches_python_reference(spark):
+    """The conditional-free gram construction (clamp + higher-order filter,
+    chosen so Catalyst can CSE the array) must agree with the naive Python
+    n-gram definition on randomized docs — incl. empties, single words,
+    exact-boundary lengths, and repeated tokens."""
+    import random
+
+    from haystack_traces_spark.datapipe.hashing import (
+        ordered_word_shingles,
+        word_shingles,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = ["", "one", "one two", "x y z", "p q r s"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        ordered_word_shingles("text", 3).alias("o"),
+        word_shingles("text", 3).alias("d"),
+    ).collect()
+    for r in rows:
+        words = texts[r["doc_id"]].split(" ")
+        expect = [
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        ] if len(words) >= 3 else []
+        assert r["o"] == expect, (texts[r["doc_id"]], r["o"], expect)
+        assert sorted(r["d"]) == sorted(set(expect)), (texts[r["doc_id"]], r["d"])
