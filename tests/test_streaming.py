@@ -493,3 +493,113 @@ def test_state_packing_round_trips_and_compresses():
     assert _unpack_spans(packed) == spans
     assert _unpack_spans(None) == []
     assert len(packed) * 3 < sum(len(s) for s in spans)  # ≥3x smaller
+
+
+def test_corpus_dedup_gate_flags_and_survives_restart(spark, tmp_path):
+    """Streaming corpus ingest: the content-hash gate admits first-seen
+    docs, flags repeats with provenance (first_doc_id), rejects junk on the
+    quality gate — and the seen-set SURVIVES a query restart (checkpointed
+    state), so a duplicate arriving in a later delivery is still caught."""
+    from haystack_traces_spark.streaming.corpus_stream import (
+        CorpusIngestTopology,
+        file_doc_source,
+    )
+
+    src = tmp_path / "docs_src"
+    out = tmp_path / "gated"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_docs(name, docs):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        tmp.rename(src / name)
+
+    def gated_rows():
+        try:
+            return {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+        except Exception:
+            return {}
+
+    topo = CorpusIngestTopology(str(out), min_tokens=3)
+    body = "a genuinely long enough document body"
+
+    # delivery 1: two distinct docs + one too short for the quality gate
+    write_docs(
+        "d1.json",
+        [
+            {"doc_id": 1, "text": body, "lang": "en", "source": "s1"},
+            {"doc_id": 2, "text": "another distinct document body", "lang": "en", "source": "s1"},
+            {"doc_id": 3, "text": "short", "lang": "en", "source": "s1"},
+        ],
+    )
+    q = topo.start(file_doc_source(spark, str(src)), str(ckpt))
+    q.awaitTermination(120)
+    rows = gated_rows()
+    assert set(rows) == {1, 2}, rows  # 3 rejected by quality gate
+    assert not rows[1]["is_duplicate"] and not rows[2]["is_duplicate"]
+
+    # delivery 2 AFTER restart: a byte-identical repeat of doc 1 + a new doc
+    write_docs(
+        "d2.json",
+        [
+            {"doc_id": 10, "text": body, "lang": "en", "source": "s2"},
+            {"doc_id": 11, "text": "a fresh never seen document", "lang": "en", "source": "s2"},
+        ],
+    )
+    q2 = topo.start(file_doc_source(spark, str(src)), str(ckpt))
+    q2.awaitTermination(120)
+    rows = gated_rows()
+    assert set(rows) == {1, 2, 10, 11}
+    assert rows[10]["is_duplicate"] and rows[10]["first_doc_id"] == 1
+    assert rows[10]["source"] == "s2"  # provenance of the REPEAT, not the original
+    assert not rows[11]["is_duplicate"]
+
+
+def test_corpus_dedup_fn_unit():
+    """Direct unit test of the gate function: first-seen vs repeats inside
+    one batch, and accumulation across calls via injected state."""
+    import pandas as pd
+
+    from haystack_traces_spark.streaming.corpus_stream import make_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_dedup_fn()
+    st = FakeState()
+    batch = pd.DataFrame(
+        {"doc_id": [7, 5], "source": ["a", "b"], "n_tokens": [4, 4]}
+    )
+    [out] = list(fn(("h",), iter([batch]), st))
+    # lowest doc_id in the batch is first-seen; the other is a duplicate
+    assert out.loc[out.doc_id == 5, "is_duplicate"].item() is False
+    assert out.loc[out.doc_id == 7, "is_duplicate"].item() is True
+    assert (out.first_doc_id == 5).all()
+    assert st.get == (5, 2)
+
+    batch2 = pd.DataFrame({"doc_id": [9], "source": ["c"], "n_tokens": [4]})
+    [out2] = list(fn(("h",), iter([batch2]), st))
+    assert out2.is_duplicate.item() is True and out2.first_doc_id.item() == 5
+    assert st.get == (5, 3)
