@@ -950,6 +950,32 @@ LIMIT 50
 
 # -------------------------------------------------------------- registry --
 
+def q_service_rate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed per-service span-rate rollup — the batch face of
+    streaming/metrics.py (same function; the streaming run adds the
+    watermark). Oracle = epoch-aligned minute buckets, which is exactly
+    Spark's default window() alignment."""
+    from haystack_traces_spark.streaming.metrics import service_rate_metrics
+
+    return service_rate_metrics(_spans(spark, sf_dir))
+
+
+def sql_service_rate_metrics() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT (start_time // 60000000) * 60000000 AS window_start,
+       service_name,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(duration) AS BIGINT) AS total_duration,
+       ROUND(AVG(duration), 6) AS avg_duration,
+       CAST(MAX(duration) AS BIGINT) AS max_duration
+FROM spans
+GROUP BY 1, 2
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -983,6 +1009,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tag_range": q_search_tag_range,
         "search_traces_processed": q_search_traces_processed,
         "trace_call_graph": q_trace_call_graph,
+        "service_rate_metrics": q_service_rate_metrics,
     }
 
 
@@ -1019,4 +1046,5 @@ def _trace_oracles() -> dict[str, str]:
         "search_tag_range": sql_search_tag_range(),
         "search_traces_processed": sql_search_traces_processed(),
         "trace_call_graph": sql_trace_call_graph(),
+        "service_rate_metrics": sql_service_rate_metrics(),
     }

@@ -146,20 +146,26 @@ def test_streaming_topology_end_to_end(spark, tmp_path):
         except Exception:
             return []
 
-    def wait_for(pred, timeout=40):
+    nudge_i = [0]
+
+    def wait_for(pred, timeout=60):
+        # processing-time timers only fire when a batch RUNS (the reference's
+        # poll-driven sweep analog) — so every poll also writes an unrelated
+        # nudge trace to guarantee traffic, else an idle source stalls the
+        # timers forever and the wait deadlines under load
         deadline = time.time() + timeout
         while time.time() < deadline:
             if pred(store_rows()):
                 return True
             time.sleep(2)
+            nudge_i[0] += 1
+            write_file(
+                f"nudge{nudge_i[0]}.json", valid_single_root(f"nudge_{nudge_i[0]}")
+            )
         return False
 
     try:
-        # processing-time timers fire when a batch runs; like the reference's
-        # poll-driven sweep, traffic drives emission → nudge with unrelated
-        # traces until the first buffers emit
         time.sleep(4)
-        write_file("nudge1.json", valid_single_root("nudge_1"))
         assert wait_for(
             lambda rows: {"stream_a", "stream_b"}
             <= {r["trace_id"] for r in rows}
@@ -169,7 +175,6 @@ def test_streaming_topology_end_to_end(spark, tmp_path):
         # buffer → second store row
         write_file("late.json", [span(trace_id="stream_a", span_id="late", parent="root")])
         time.sleep(4)
-        write_file("nudge2.json", valid_single_root("nudge_2"))
         assert wait_for(
             lambda rows: len([r for r in rows if r["trace_id"] == "stream_a"]) >= 2
         ), "late-data re-emission (T4) did not produce a second row"
@@ -603,3 +608,74 @@ def test_corpus_dedup_fn_unit():
     [out2] = list(fn(("h",), iter([batch2]), st))
     assert out2.is_duplicate.item() is True and out2.first_doc_id.item() == 5
     assert st.get == (5, 3)
+
+
+def test_service_metrics_watermark_finalizes_and_drops_late(spark, tmp_path):
+    """Event-time windowed metrics (streaming/metrics.py): a window row is
+    emitted exactly once when the watermark passes its end, and a span
+    arriving LATER than the watermark is dropped — never mutating the
+    finalized row (the opposite trade from the sessionizer's T4 re-emit,
+    by design). Watermark state survives the checkpointed restart."""
+    from haystack_traces_spark.streaming.ingest import file_span_source
+    from haystack_traces_spark.streaming.metrics import start_metrics_sink
+    from tests.fixtures import T0, span
+
+    MIN = 60_000_000  # one minute in micros
+    src = tmp_path / "src"
+    out = tmp_path / "metrics"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_spans(name, spans):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for s in spans:
+                f.write(json.dumps(s) + "\n")
+        tmp.rename(src / name)
+
+    def metric_rows():
+        try:
+            return spark.read.parquet(str(out)).collect()
+        except Exception:
+            return []
+
+    def run_once():
+        q = start_metrics_sink(
+            file_span_source(spark, str(src)), str(out), str(ckpt),
+            window_duration="1 minute", watermark_delay="1 minute",
+        )
+        q.awaitTermination(120)
+
+    # run 1: two spans in minute 0, one in minute 3 (advances the watermark
+    # to 02:00 → minute-0 window finalizes; minute-3 stays in flight)
+    write_spans(
+        "w1.json",
+        [
+            span(trace_id="m1", span_id="a", start=T0 + 5, duration=100),
+            span(trace_id="m1", span_id="b", start=T0 + 10, duration=300),
+            span(trace_id="m2", span_id="c", start=T0 + 3 * MIN + 5, duration=50),
+        ],
+    )
+    run_once()
+    rows = metric_rows()
+    assert {r["window_start"] for r in rows} == {T0}, rows
+    [w0] = [r for r in rows if r["service_name"] == "svc_a"]
+    assert w0["n_spans"] == 2 and w0["total_duration"] == 400
+    assert w0["max_duration"] == 300 and w0["avg_duration"] == 200.0
+
+    # run 2 (restart): a LATE span for minute 0 (behind the checkpointed
+    # watermark → dropped) + a minute-6 span (finalizes minute 3)
+    write_spans(
+        "w2.json",
+        [
+            span(trace_id="m3", span_id="late", start=T0 + 30, duration=999),
+            span(trace_id="m4", span_id="d", start=T0 + 6 * MIN, duration=70),
+        ],
+    )
+    run_once()
+    rows = metric_rows()
+    assert {r["window_start"] for r in rows} == {T0, T0 + 3 * MIN}, rows
+    w0_rows = [r for r in rows if r["window_start"] == T0]
+    assert len(w0_rows) == 1 and w0_rows[0]["n_spans"] == 2  # late span dropped
+    [w3] = [r for r in rows if r["window_start"] == T0 + 3 * MIN]
+    assert w3["n_spans"] == 1 and w3["total_duration"] == 50
