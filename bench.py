@@ -107,6 +107,9 @@ def main() -> None:
                 "traceid", F.size("spans").alias("n")
             ).agg(F.sum("n")).collect(),
         )
+        from haystack_traces_spark.streaming.metrics import service_rate_metrics
+
+        timed("service_rate_metrics", lambda: service_rate_metrics(spans).count())
 
         # datapipe operators (added as implemented)
         try:
