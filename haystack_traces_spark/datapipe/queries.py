@@ -605,6 +605,47 @@ FROM fp GROUP BY doc_id
 """
 
 
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_overlap(spark, sf_dir):
+    return X.winnow_overlap_pairs(_docs(spark, sf_dir), WINNOW_MIN_SHARED)
+
+
+def sql_winnow_overlap(
+    min_shared: int = WINNOW_MIN_SHARED, n: int = 3, window: int = 4
+) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH pos_sh AS (
+  SELECT doc_id, i AS pos, {hash60_sql(f"'fp:' || {parts}")} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - {n - 1})) t(i)
+), winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+  FROM pos_sh
+), fp AS (
+  SELECT DISTINCT doc_id, m FROM winmin WHERE pos <= n_h - {window - 1}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       ROUND(p.n_shared / LEAST(sa.nf, sb.nf), 6) AS overlap
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.n_shared >= {min_shared}
+"""
+
+
 # ------------------------------------------------------ corpus prep -------
 
 VOCAB_SIZE = 20
@@ -962,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "winnowing": q_winnowing,
+        "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
@@ -998,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": sql_text_stats(),
         "language_id": sql_language_id(),
         "winnowing": sql_winnowing(),
+        "winnow_overlap": sql_winnow_overlap(),
         "multimodal_features": sql_multimodal_features(),
         "frame_sample": sql_frame_sample(),
         "image_resize": sql_image_resize(),

@@ -131,12 +131,10 @@ def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def winnowing_fingerprints(
+def _winnow_fps(
     docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
 ) -> DataFrame:
-    """Winnowing (local-minimum sampling of the rolling shingle-hash
-    sequence): fingerprint set = distinct min-of-window over positional
-    hashes. → (doc_id, n_fingerprints, min_fp, max_fp).
+    """→ (doc_id, fps): each doc's DISTINCT winnowing fingerprint set.
 
     The hash array and the minima array are materialized as their own
     projection columns on purpose: the window-minima lambda references the
@@ -173,9 +171,73 @@ def winnowing_fingerprints(
             F.transform(win_idx, lambda i: F.array_min(F.slice(h, i + 1, window)))
         ),
     ).otherwise(F.when(n_h > 0, F.array(F.array_min(h))).otherwise(F.array().cast("array<bigint>")))
-    return hashed.select("doc_id", minima.alias("fps")).select(
+    return hashed.select("doc_id", minima.alias("fps"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (local-minimum sampling of the rolling shingle-hash
+    sequence): fingerprint set = distinct min-of-window over positional
+    hashes. → (doc_id, n_fingerprints, min_fp, max_fp)."""
+    return _winnow_fps(docs, text_col, n, window).select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """→ (doc_a, doc_b, n_shared, overlap): doc pairs sharing winnowing
+    fingerprints — the MOSS-style LOCAL-overlap detector. Winnowing samples
+    position-local minima, so a long doc QUOTING a passage of another
+    still collides on that passage's fingerprints even when whole-set
+    Jaccard is far below any dedup threshold (containment/excerpt cases
+    the set-similarity family misses by construction). overlap =
+    |shared| / min(|fps_a|, |fps_b|) — containment-normalized, so an
+    excerpt wholly inside a bigger doc scores ~1.
+
+    Same shape as every candidate-family operator: the fingerprint table
+    joins itself on fp equality (join volume ∝ fingerprint co-occurrence,
+    never |docs|²) and is materialized once for both sides."""
+    fp_rows = (
+        _winnow_fps(docs, text_col, n, window)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .persist()
+    )
+    sizes = fp_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fp_rows.alias("a")
+    b = fp_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("nf_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least("nf_a", "nf_b"), 6
+            ).alias("overlap"),
+        )
     )

@@ -359,3 +359,33 @@ def test_gram_array_matches_python_reference(spark):
         ] if len(words) >= 3 else []
         assert r["o"] == expect, (texts[r["doc_id"]], r["o"], expect)
         assert sorted(r["d"]) == sorted(set(expect)), (texts[r["doc_id"]], r["d"])
+
+
+def test_winnow_overlap_catches_containment(spark):
+    """A doc QUOTING a passage of a much longer doc must collide on that
+    passage's winnowing fingerprints (containment-normalized overlap near
+    1) even though whole-set Jaccard is far below dedup thresholds — the
+    excerpt case the set-similarity family misses by construction."""
+    import random
+
+    from haystack_traces_spark.datapipe.text import winnow_overlap_pairs
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    passage = " ".join(rng.choice(vocab) for _ in range(30))
+    long_doc = (
+        " ".join(rng.choice(vocab) for _ in range(150))
+        + " " + passage + " "
+        + " ".join(rng.choice(vocab) for _ in range(150))
+    )
+    unrelated = " ".join(rng.choice(vocab) for _ in range(120))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, passage), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in winnow_overlap_pairs(df, 2).collect()}
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)]["overlap"] >= 0.8, pairs[(1, 2)]
+    # whole-set Jaccard for the same pair is tiny — the point of the op
+    jac = D.ngram_jaccard_pairs(df, 0.3).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+    assert (1, 3) not in pairs or pairs[(1, 3)]["overlap"] < 0.3
