@@ -606,15 +606,24 @@ FROM fp GROUP BY doc_id
 
 
 WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 100
 
 
 def q_winnow_overlap(spark, sf_dir):
-    return X.winnow_overlap_pairs(_docs(spark, sf_dir), WINNOW_MIN_SHARED)
+    return X.winnow_overlap_pairs(
+        _docs(spark, sf_dir), WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF
+    )
 
 
 def sql_winnow_overlap(
-    min_shared: int = WINNOW_MIN_SHARED, n: int = 3, window: int = 4
+    min_shared: int = WINNOW_MIN_SHARED,
+    n: int = 3,
+    window: int = 4,
+    max_df: int = WINNOW_MAX_DF,
 ) -> str:
+    # rare mirrors the Spark-side document-frequency guard: fingerprints in
+    # more than max_df docs are template text and are excluded from pairing
+    # (but still counted in sizes, the overlap normalizer).
     parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
     return f"""
 WITH pos_sh AS (
@@ -631,9 +640,12 @@ WITH pos_sh AS (
   SELECT DISTINCT doc_id, m FROM winmin WHERE pos <= n_h - {window - 1}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id
+), rare AS (
+  SELECT m FROM fp GROUP BY m HAVING COUNT(*) <= {max_df}
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-  FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+  FROM fp a JOIN rare r ON a.m = r.m
+  JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT p.doc_a, p.doc_b,

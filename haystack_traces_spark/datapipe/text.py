@@ -194,6 +194,7 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     n: int = 3,
     window: int = 4,
+    max_df: int = 100,
 ) -> DataFrame:
     """→ (doc_a, doc_b, n_shared, overlap): doc pairs sharing winnowing
     fingerprints — the MOSS-style LOCAL-overlap detector. Winnowing samples
@@ -206,15 +207,32 @@ def winnow_overlap_pairs(
 
     Same shape as every candidate-family operator: the fingerprint table
     joins itself on fp equality (join volume ∝ fingerprint co-occurrence,
-    never |docs|²) and is materialized once for both sides."""
+    never |docs|²) and is materialized once for both sides.
+
+    max_df drops fingerprints appearing in more than that many documents
+    BEFORE the self-join (the df-filter join keys on fp, so it rides the
+    same hash partitioning the self-join needs — one logical shuffle key
+    end to end). Without it, one boilerplate passage shared by a million
+    docs at corpus scale turns its fingerprints into 10^12 join rows; a
+    fingerprint that common identifies template text, not interesting
+    overlap. nf (the normalizer) deliberately counts the doc's FULL
+    fingerprint set, so dropping hot fingerprints can only lower overlap
+    scores, never inflate them."""
     fp_rows = (
         _winnow_fps(docs, text_col, n, window)
         .select("doc_id", F.explode("fps").alias("fp"))
         .persist()
     )
     sizes = fp_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    a = fp_rows.alias("a")
-    b = fp_rows.alias("b")
+    rare = (
+        fp_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    fp_join = fp_rows.join(rare, "fp")
+    a = fp_join.alias("a")
+    b = fp_join.alias("b")
     pairs = (
         a.join(
             b,

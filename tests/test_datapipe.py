@@ -389,3 +389,45 @@ def test_winnow_overlap_catches_containment(spark):
     jac = D.ngram_jaccard_pairs(df, 0.3).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
     assert (1, 3) not in pairs or pairs[(1, 3)]["overlap"] < 0.3
+
+
+def test_winnow_overlap_max_df_drops_template_text(spark):
+    """Fingerprints appearing in more than max_df docs are boilerplate and
+    must not generate pairs (the quadratic-join guard); rare shared
+    passages still pair, and the normalizer still counts the full set."""
+    import random
+
+    from haystack_traces_spark.datapipe.text import winnow_overlap_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(25))
+    rare = " ".join(rng.choice(vocab) for _ in range(25))
+
+    def filler(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    # boilerplate in ALL five docs; the rare passage only in docs 1 and 2
+    rows = [
+        (1, f"{filler(40)} {boiler} {rare} {filler(40)}"),
+        (2, f"{filler(40)} {rare} {boiler} {filler(40)}"),
+        (3, f"{filler(40)} {boiler} {filler(40)}"),
+        (4, f"{boiler} {filler(80)}"),
+        (5, f"{filler(80)} {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in winnow_overlap_pairs(df, min_shared=2, max_df=2).collect()
+    }
+    assert (1, 2) in pairs, pairs  # rare passage (df=2) still pairs
+    # boilerplate-only overlaps are suppressed: docs 3,4,5 share ONLY the
+    # boilerplate (df=5 > max_df), so none of their pairs may survive
+    for bad in [(3, 4), (3, 5), (4, 5), (1, 3), (2, 3)]:
+        assert bad not in pairs, (bad, pairs.get(bad))
+    # unguarded run DOES find the boilerplate pairs (sanity of the fixture)
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(df, min_shared=2, max_df=100).collect()
+    }
+    assert (3, 4) in loose or (4, 5) in loose or (3, 5) in loose
