@@ -552,6 +552,56 @@ FROM feats
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    return X.gopher_rules(_docs(spark, sf_dir))
+
+
+def sql_gopher_quality(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT)))
+           / len(toks) AS mean_len,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0)
+           / len(toks) AS symbol_ratio,
+         len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+           / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+                                 [{stop_list}])) AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_frac, 6) AS alpha_word_frac,
+       stop_hits,
+       (n_words BETWEEN {min_words} AND {max_words}) AS ok_word_count,
+       (mean_len >= {min_mean_len} AND mean_len <= {max_mean_len}) AS ok_mean_word_len,
+       (symbol_ratio < {max_symbol_ratio}) AS ok_symbol_ratio,
+       (alpha_frac >= {min_alpha_frac}) AS ok_alpha_words,
+       (stop_hits >= {min_stop_hits}) AS ok_stopwords,
+       ((n_words BETWEEN {min_words} AND {max_words})
+        AND mean_len >= {min_mean_len} AND mean_len <= {max_mean_len}
+        AND symbol_ratio < {max_symbol_ratio}
+        AND alpha_frac >= {min_alpha_frac}
+        AND stop_hits >= {min_stop_hits}) AS keep
+FROM feats
+"""
+
+
 def q_language_id(spark, sf_dir):
     return X.language_id(_docs(spark, sf_dir))
 
@@ -1013,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
+        "gopher_quality": q_gopher_quality,
         "language_id": q_language_id,
         "winnowing": q_winnowing,
         "winnow_overlap": q_winnow_overlap,
@@ -1050,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),
+        "gopher_quality": sql_gopher_quality(),
         "language_id": sql_language_id(),
         "winnowing": sql_winnowing(),
         "winnow_overlap": sql_winnow_overlap(),

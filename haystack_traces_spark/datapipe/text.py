@@ -66,6 +66,68 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """→ per-doc Gopher-style quality gate (Rae et al. 2021, "Scaling
+    Language Models", table A1 filter heuristics): word-count bounds, mean
+    word length in [3,10], symbol-to-word ratio (# and ... marks), ≥80%
+    words containing an alphabetic char, and ≥2 distinct stopwords present.
+    Emits each rule as its own flag plus the conjunctive ``keep`` so a
+    curator can see WHICH rule kills a doc, not just that one did. The
+    published line-level rules (bullet/ellipsis line starts) don't apply
+    to this corpus's single-line docs and are intentionally out.
+
+    Pure Column expressions end to end — one scan, no shuffle, fully
+    codegen'd; this is a map-only operator at any scale."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / n_words
+    text = F.col(text_col)
+    hash_marks = F.length(text) - F.length(F.translate(text, "#", ""))
+    ellipses = (
+        F.length(text) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    symbol_ratio = (hash_marks + ellipses) / n_words
+    alpha_frac = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, lambda w: F.lower(w))),
+            F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+        )
+    )
+    r_words = n_words.between(min_words, max_words)
+    r_mean_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_symbols = symbol_ratio < max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_words.alias("ok_word_count"),
+        r_mean_len.alias("ok_mean_word_len"),
+        r_symbols.alias("ok_symbol_ratio"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        (r_words & r_mean_len & r_symbols & r_alpha & r_stop).alias("keep"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, lang_pred, confidence): marker-word hit-count heuristic
     with deterministic tie order en>es>de>fr, 'und' (unknown) when no hits."""

@@ -431,3 +431,29 @@ def test_winnow_overlap_max_df_drops_template_text(spark):
         for r in winnow_overlap_pairs(df, min_shared=2, max_df=100).collect()
     }
     assert (3, 4) in loose or (4, 5) in loose or (3, 5) in loose
+
+
+def test_gopher_rules_flag_semantics(spark):
+    """Each planted doc violates exactly one rule; flags must localize it."""
+    from haystack_traces_spark.datapipe.text import gopher_rules
+
+    good = "the cat and dog ran over the hill with a big red ball " * 5  # 55 words
+    rows = [
+        (1, good.strip()),
+        (2, "the a of and in to is cat"),  # too few words
+        (3, ("ab " * 60).strip() + " the a of"),  # mean word len < 3
+        (4, good.strip() + " " + "### ### ### ### ### ### ###"),  # symbols
+        (5, " ".join(["123"] * 60) + " the a of and"),  # digits, no alpha
+        (6, " ".join(f"word{i}xyz" for i in range(60))),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"], out[1]
+    assert not out[2]["ok_word_count"] and not out[2]["keep"]
+    assert not out[3]["ok_mean_word_len"] and not out[3]["keep"]
+    assert not out[4]["ok_symbol_ratio"] and not out[4]["keep"]
+    assert not out[5]["ok_alpha_words"] and not out[5]["keep"]
+    assert not out[6]["ok_stopwords"] and not out[6]["keep"]
+    # map-only operator: the physical plan must contain no shuffle
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
