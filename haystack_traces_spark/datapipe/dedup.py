@@ -453,3 +453,48 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    n_tables: int = 24,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """→ (vec_id, kept, dup_of): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540) — drop every vector that has a
+    LOWER-id neighbor at cosine ≥ threshold; the lowest-id member of each
+    neighborhood survives as the representative. ``dup_of`` names the
+    smallest such neighbor (null for survivors), so the output doubles as
+    a dedup map for joining the corpus down to canonical rows.
+
+    The keep-lowest rule is non-iterative by design (same as the paper's
+    within-cluster argmin): one candidate-pair generation, one groupBy
+    min, one left join — no fixpoint loop. With use_lsh the candidate
+    pairs come from hyperplane-bucket collisions (subquadratic, the
+    100 TB path, deterministic hash-derived planes so an oracle can
+    rebuild them); otherwise from the exact block-grid GEMM sweep."""
+    if use_lsh:
+        pairs = embedding_neardup_pairs_lsh(
+            emb, threshold, n_tables, planes_per_table,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        pairs = embedding_neardup_pairs(emb, threshold, id_col, vec_col)
+    dup_of = (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        emb.select(id_col)
+        .join(dup_of, id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
