@@ -7,9 +7,11 @@ zstd parquet) while remaining correct on local[N]:
   first line of defense against hot traceIds / hot join keys at scale.
 - ``spark.sql.session.timeZone=UTC``: all reference timestamps are epoch
   micros (UTC); keeps parquet/DuckDB/Spark agreement.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata stores
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: older driver testdata stored
   TIMESTAMP(NANOS) which Spark has no native type for; reading them as raw
-  nanos longs is lossless and avoids tz ambiguity entirely.
+  nanos longs is lossless and avoids tz ambiguity entirely. Current testdata
+  ships TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ), for which this setting is
+  a no-op — ``sources/events.py:_epoch_micros`` adapts per column dtype.
 - ``spark.sql.parquet.compression.codec=zstd``: the reference ships zstd as a
   packer option (commons/.../packer/Packer.scala:29-77); parquet-zstd is the
   columnar equivalent.

@@ -16,10 +16,14 @@ query has an exact DuckDB-oracle mirror:
 the two MUST stay in lockstep — every oracle query in ``__spark_entry__``
 prepends the CTE.
 
-Note on ts: the testdata stores TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong`` Spark reads raw nanos longs, and
-``ts DIV 1000`` equals DuckDB ``epoch_us(ts)`` exactly (DuckDB timestamps are
-micro-precision, so the nano remainder is dropped by both engines).
+Note on ts: the projection adapts to how the parquet stores ``ts``.
+Driver testdata has shipped it both as TIMESTAMP(NANOS) (older rounds —
+``spark.sql.legacy.parquet.nanosAsLong`` makes Spark read raw nanos longs,
+and ``ts DIV 1000`` drops the nano remainder exactly like DuckDB's
+micro-precision timestamps) and as TIMESTAMP(MICROS)/TIMESTAMP_NTZ (current
+rounds — ``unix_micros(ts)`` under the UTC session timezone equals DuckDB
+``epoch_us(ts)``). :func:`_event_span_base` branches on the column dtype so
+both layouts produce identical ``start_time`` micros.
 """
 
 from __future__ import annotations
@@ -90,6 +94,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in (names or TABLES)}
 
 
+def _epoch_micros(events: DataFrame) -> F.Column:
+    """Epoch-micros ``start_time`` from ``ts`` regardless of the parquet
+    layout the driver generated (see module docstring): raw nanos longs →
+    integer DIV 1000 (float division loses ULPs at 1.7e18-scale nanos,
+    53-bit mantissa → off-by-1 µs); timestamp/timestamp_ntz → unix_micros
+    under the UTC session timezone (== DuckDB epoch_us)."""
+    ts_type = dict(events.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return F.expr("CAST(ts AS LONG) DIV 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def _event_span_base(events: DataFrame) -> DataFrame:
     """The ONE events→span base projection (trace_id, span_id, parent,
     service, operation, start_time, duration + parent-side/net/_k extras)
@@ -125,12 +141,11 @@ def _event_span_base(events: DataFrame) -> DataFrame:
         op.alias("operation_name"),
         F.lag("event_type").over(w).alias("parent_service"),
         F.lag(op).over(w).alias("parent_operation"),
-        F.col("ts").cast("long").alias("_ts_ns"),
+        _epoch_micros(events).alias("start_time"),
         F.floor(F.col("value") * 1000).cast("long").alias("duration"),
         (F.col("event_id") % 97 + 1).cast("long").alias("net"),
         k.alias("_k"),
-    ).withColumn("start_time", F.expr("_ts_ns DIV 1000"))  # integer div: float
-    # division loses ULPs at 1.7e18-scale nanos (53-bit mantissa) → off-by-1 µs
+    )
 
 
 def spans_from_events(events: DataFrame, with_tags: bool = True) -> DataFrame:
