@@ -42,6 +42,58 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def segment_dedup(
+    docs: DataFrame, seg_tokens: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_segs, n_kept, clean_text): C4-style duplicate-segment
+    removal (Raffel et al. 2020, §2.2 "we removed all but one of any
+    three-sentence span occurring more than once"). The corpus here has no
+    sentence boundaries, so a "span" is a fixed window of ``seg_tokens``
+    whitespace tokens; every repeated segment keeps only its first global
+    occurrence (lowest (doc_id, position)), and each doc is reassembled
+    from its surviving segments in order.
+
+    Scale shape: one posexplode scan, one map-side-combinable min-struct
+    groupBy on the segment HASH (md5 — the raw segment string never rides
+    the shuffle twice), one hash join back, one per-doc regroup. No window
+    functions, no Python."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    inst = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    ).withColumn("seg_hash", F.md5("seg"))
+    firsts = inst.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first")
+    )
+    kept = inst.join(firsts, "seg_hash").filter(
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("seg_idx") == F.col("first.seg_idx"))
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select("doc_id", n_segs.alias("n_segs"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(word_shingles(text_col, n)).alias("s")
@@ -129,17 +181,16 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_candidates(
     docs: DataFrame,
-    threshold: float = 0.8,
     n_seeds: int = DEFAULT_MINHASH_SEEDS,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash → LSH banding → candidate join → exact-Jaccard verification.
-
-    → (doc_a, doc_b, jaccard). Candidates whose true Jaccard < threshold are
-    filtered out, so LSH affects only recall/cost, not output precision."""
+    """→ distinct (doc_a, doc_b) candidate pairs from MinHash-LSH band
+    collisions. Shared candidate generator for every fuzzy-dedup verifier
+    (Jaccard, edit-distance): bands/rows tune recall vs candidate volume;
+    the verify step downstream fixes precision."""
     # signatures feed both sides of the band self-join — materialize once
     # instead of recomputing the shingle scan + k min-aggregates per side
     sig = minhash_signatures(docs, n_seeds, n).persist()
@@ -164,7 +215,7 @@ def minhash_lsh_pairs(
     )
     for j in range(rows_per_band):
         join_cond = join_cond & (F.col(f"a.v{j}") == F.col(f"b.v{j}"))
-    candidates = (
+    return (
         a.join(b, join_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -172,9 +223,57 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_seeds: int = DEFAULT_MINHASH_SEEDS,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash → LSH banding → candidate join → exact-Jaccard verification.
+
+    → (doc_a, doc_b, jaccard). Candidates whose true Jaccard < threshold are
+    filtered out, so LSH affects only recall/cost, not output precision."""
+    candidates = minhash_candidates(docs, n_seeds, bands, n)
     # verify ONLY the LSH candidates (never the all-pairs shingle join) —
     # at scale the candidate set is the entire cost dial
     return _verify_jaccard(candidates, docs, threshold, n)
+
+
+def fuzzy_dedup_pairs(
+    docs: DataFrame,
+    min_sim: float = 0.8,
+    n_seeds: int = DEFAULT_MINHASH_SEEDS,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_a, doc_b, edit_dist, edit_sim): edit-distance-verified fuzzy
+    dedup. Candidates come from MinHash-LSH band collisions (subquadratic);
+    each candidate pair is verified with exact character-level Levenshtein,
+    kept when ``edit_sim = 1 - dist / max(len_a, len_b) >= min_sim``.
+
+    Scale shape: the only quadratic-looking step (Levenshtein, O(len²) per
+    pair) runs on LSH candidates only, JVM-side via the built-in
+    ``levenshtein`` expression — no Python, work ∝ |candidates|."""
+    cand = minhash_candidates(docs, n_seeds, bands, n)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("tb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+        .withColumn("sim_raw", F.lit(1.0) - F.col("edit_dist") / F.col("mx"))
+    )
+    return scored.filter(F.col("sim_raw") >= min_sim).select(
+        "doc_a", "doc_b", "edit_dist", F.round("sim_raw", 6).alias("edit_sim")
+    )
 
 
 def simhash_fingerprints(

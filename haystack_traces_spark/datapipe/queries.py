@@ -87,7 +87,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
-def sql_dedup_minhash_lsh() -> str:
+def _minhash_cand_ctes() -> str:
+    """DuckDB CTEs rebuilding minhash_candidates() exactly: sh (shingles),
+    sig (per-seed min-hash signatures), cand (distinct band-collision
+    pairs). Shared by every fuzzy-dedup oracle."""
     n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
     mins = ",\n         ".join(
         f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
@@ -102,17 +105,82 @@ def sql_dedup_minhash_lsh() -> str:
             f" ON a.doc_id < b.doc_id AND {cond}"
         )
     candidates = " UNION ".join(band_joins)
-    return f"""
-WITH sh AS ({_SHINGLES}),
+    return f"""sh AS ({_SHINGLES}),
 sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
 ),
-cand AS ({candidates}),
+cand AS ({candidates})"""
+
+
+def sql_dedup_minhash_lsh() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()},
 {_JACCARD_PAIRS.lstrip().rstrip()}
 SELECT j.doc_a, j.doc_b, j.jaccard
 FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 WHERE j.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+FUZZY_MIN_SIM = 0.8
+
+
+def q_dedup_fuzzy(spark, sf_dir):
+    return D.fuzzy_dedup_pairs(_docs(spark, sf_dir), FUZZY_MIN_SIM)
+
+
+def sql_dedup_fuzzy() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()},
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(da.text, db.text) AS d,
+         greatest(len(da.text), len(db.text)) AS mx
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(d AS BIGINT) AS edit_dist,
+       ROUND(1.0 - d / mx, 6) AS edit_sim
+FROM scored WHERE 1.0 - d / mx >= {FUZZY_MIN_SIM}
+"""
+
+
+SEG_TOKENS = 10
+
+
+def q_segment_dedup(spark, sf_dir):
+    return D.segment_dedup(_docs(spark, sf_dir), SEG_TOKENS)
+
+
+def sql_segment_dedup() -> str:
+    k = SEG_TOKENS
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(ceil(len(string_split(text, ' ')) / {k}.0) AS BIGINT) AS n_segs
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[(CAST(i AS BIGINT) * {k} + 1):(CAST(i AS BIGINT) * {k} + {k})], ' ') AS seg
+  FROM base, UNNEST(range(n_segs)) u(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+  FROM inst
+),
+kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_segs,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -233,6 +301,41 @@ FROM scored WHERE cos_raw >= {COS_THRESHOLD}
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style keep-lowest-id semantic dedup over LSH candidate
+    pairs — every vector with a lower-id cosine-neighbor ≥ threshold is
+    dropped and points at its smallest such neighbor."""
+    return D.semantic_dedup(
+        _emb(spark, sf_dir), COS_THRESHOLD,
+        n_tables=NEARDUP_LSH_TABLES, planes_per_table=NEARDUP_LSH_PLANES,
+    )
+
+
+def sql_semantic_dedup() -> str:
+    pcos = (
+        "list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+WITH {_lsh_bucket_ctes(NEARDUP_LSH_TABLES, NEARDUP_LSH_PLANES)},
+cpairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+),
+hits AS (
+  SELECT c.id_a, c.id_b
+  FROM cpairs c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+  WHERE {pcos} >= {COS_THRESHOLD}
+),
+dup AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM hits GROUP BY id_b)
+SELECT emb.vec_id, d.dup_of IS NULL AS kept, d.dup_of
+FROM embeddings emb LEFT JOIN dup d USING (vec_id)
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs — iterative label
     propagation (distributed joins per round); oracle is a WITH RECURSIVE
@@ -289,6 +392,26 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+def q_unigram_ppl(spark, sf_dir):
+    return X.unigram_logprob(_docs(spark, sf_dir))
+
+
+def sql_unigram_ppl() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+total AS (SELECT SUM(c) AS total FROM counts)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(c / total)), 6) AS avg_logprob,
+       ROUND(exp(-AVG(ln(c / total))), 6) AS ppl
+FROM toks t JOIN counts USING (token) CROSS JOIN total
+GROUP BY t.doc_id
 """
 
 
@@ -1055,7 +1178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "segment_dedup": q_segment_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "unigram_ppl": q_unigram_ppl,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1093,7 +1220,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
         "dedup_embedding": sql_dedup_embedding(),
         "dedup_embedding_lsh": sql_dedup_embedding_lsh(),
+        "semantic_dedup": sql_semantic_dedup(),
+        "dedup_fuzzy": sql_dedup_fuzzy(),
+        "segment_dedup": sql_segment_dedup(),
         "dedup_clusters": sql_dedup_clusters(),
+        "unigram_ppl": sql_unigram_ppl(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

@@ -193,6 +193,41 @@ def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_tokens, avg_logprob, ppl): unigram-LM pseudo-perplexity
+    quality signal — the self-trained stand-in for a KenLM perplexity filter
+    (CCNet-style): token probabilities come from the corpus's own unigram
+    frequencies, each doc is scored by its mean token log-probability, and
+    ``ppl = exp(-avg_logprob)`` (high = unusual token mix, low = stereotyped).
+
+    Scale shape: ONE vocabulary aggregate (map-side-combined token counts —
+    the token-histogram pass), the corpus total folded in as a broadcast
+    single-row join, then a token→count join back to the exploded corpus and
+    a per-doc average. At 100 TB the token join is the only wide shuffle and
+    both sides are pre-combined; no Python in the loop."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(text_col), lambda w: F.lower(w))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    per_doc = (
+        toks.join(counts, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("c") / F.col("total"))).alias("alp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
+    )
+
+
 def _winnow_fps(
     docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
 ) -> DataFrame:

@@ -457,3 +457,62 @@ def test_gopher_rules_flag_semantics(spark):
     # map-only operator: the physical plan must contain no shuffle
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_fuzzy_dedup_finds_edit_near_pair(spark):
+    """Two docs one token apart pass the edit-sim gate; an unrelated doc
+    never pairs. Verify runs on LSH candidates only (no cartesian)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w20", "x20")),
+        (3, " ".join(f"tok{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.fuzzy_dedup_pairs(df, min_sim=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    assert out[0]["edit_dist"] == 1
+    assert out[0]["edit_sim"] > 0.98
+    plan = (
+        D.fuzzy_dedup_pairs(df, min_sim=0.8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_segment_dedup_keeps_first_global_occurrence(spark):
+    """A 10-token segment repeated across docs survives only at its lowest
+    (doc_id, position); docs reassemble from surviving segments in order."""
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, f"{seg_a} {seg_b}"),
+        (2, f"{seg_c} {seg_a}"),  # seg_a duplicated -> dropped here
+        (3, seg_a),  # whole doc is a dup segment -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.segment_dedup(df, 10).collect()}
+    assert out[1]["n_segs"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == f"{seg_a} {seg_b}"
+    assert out[2]["n_segs"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == seg_c
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+    # first-occurrence selection is a min-struct groupBy, not a window
+    plan = D.segment_dedup(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_unigram_ppl_rare_tokens_score_higher(spark):
+    """Docs made of corpus-rare tokens get higher pseudo-perplexity than
+    docs made of corpus-common tokens."""
+    from haystack_traces_spark.datapipe.text import unigram_logprob
+
+    common = "the cat sat on the mat " * 10
+    rows = [(i, common.strip()) for i in range(1, 9)]
+    rows.append((9, "zephyr quixotic brouhaha ineffable sesquipedalian"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[9]["ppl"] > out[1]["ppl"]
+    assert out[9]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[1]["n_tokens"] == 60
