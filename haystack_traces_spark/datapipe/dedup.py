@@ -146,18 +146,27 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # n_sh uses the SAME partitioning+ordering (full-partition frame) so
+    # both window expressions share one Window node and one sort pass
     ranked = (
         sh.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "n_sh",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
     )
     # self-join on the shingle's 60-bit hash, not the string: ~3× fewer
     # shuffle bytes on the widest exchange. A hash collision can only ADD a
     # candidate pair (never lose one — equal strings always share a hash),
     # and every candidate is exact-verified below, so output is unchanged.
+    # The PREFIX INDEX (not just sh) is what feeds both self-join sides —
+    # persist it or the df-join + rank window tree evaluates per side.
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", hash60("s", seed="pj:").alias("h"))
+    ).select("doc_id", hash60("s", seed="pj:").alias("h")).persist()
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (
