@@ -415,6 +415,51 @@ GROUP BY t.doc_id
 """
 
 
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    return X.bm25_search(_docs(spark, sf_dir), BM25_TERMS, BM25_K)
+
+
+def sql_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS token FROM documents
+),
+doclen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         (t.tf * (1.2 + 1)) /
+         (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN stats s
+  JOIN doclen l ON l.doc_id = t.doc_id
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         ROUND(SUM(term_score), 6) AS score
+  FROM contrib GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, n_hit_terms, score
+  FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+)
+SELECT doc_id, n_hit_terms, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM topk
+"""
+
+
 QUALITY_MIN = 0.3
 
 
@@ -1183,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "dedup_clusters": q_dedup_clusters,
         "unigram_ppl": q_unigram_ppl,
+        "bm25_search": q_bm25_search,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1225,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": sql_segment_dedup(),
         "dedup_clusters": sql_dedup_clusters(),
         "unigram_ppl": sql_unigram_ppl(),
+        "bm25_search": sql_bm25_search(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

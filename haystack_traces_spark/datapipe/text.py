@@ -228,6 +228,78 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_hit_terms, score, rank): Okapi BM25 top-k ranked
+    retrieval for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: the corpus scan filters to QUERY TERMS FIRST (an isin
+    literal filter, pushed to the scan), so every downstream aggregate —
+    per-(doc,term) tf, per-term df — runs on the tiny hit set; N/avgdl is
+    a single-row broadcast; final ranking is top-k (TakeOrderedAndProject,
+    never a global sort). Scores are rounded to 6dp BEFORE ranking so the
+    float-sum ordering is reproducible across engines; ties break by
+    doc_id."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(_tokens(text_col), lambda w: F.lower(w))).alias(
+            "token"
+        ),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl"),
+    )
+    doclen = docs.select("doc_id", F.size(_tokens(text_col)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(stats))
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.round(F.sum("term_score"), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, never a
+    # global sort); the rank window then runs over ≤ k rows
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def _winnow_fps(
     docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
 ) -> DataFrame:

@@ -30,6 +30,7 @@ from haystack_traces_spark.operators.expression import (
 )
 from haystack_traces_spark.operators.field_values import (
     build_service_catalog,
+    field_cardinalities,
     field_values,
 )
 from haystack_traces_spark.operators.index import build_trace_index
@@ -255,6 +256,36 @@ SELECT operationname AS value, CAST(COUNT(*) AS BIGINT) AS n
 FROM groups GROUP BY 1
 ORDER BY n DESC, value ASC
 LIMIT 3
+"""
+    )
+
+
+def q_field_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field distinct-value cardinality (terms-agg sizing metadata);
+    exact path registered for the oracle, approx_count_distinct variant
+    covered by a tolerance unit test."""
+    return field_cardinalities(
+        _index(spark, sf_dir), ("servicename", "operationname", "errorcode")
+    )
+
+
+def sql_field_cardinalities() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, valid AS (
+  SELECT * FROM spans WHERE service_name <> '' AND operation_name <> ''
+)
+SELECT 'errorcode' AS field,
+       CAST(COUNT(DISTINCT CAST(errorcode AS VARCHAR)) AS BIGINT) AS n_values
+FROM valid
+UNION ALL
+SELECT 'operationname', CAST(COUNT(DISTINCT lower(operation_name)) AS BIGINT)
+FROM valid
+UNION ALL
+SELECT 'servicename', CAST(COUNT(DISTINCT lower(service_name)) AS BIGINT)
+FROM valid
+ORDER BY field
 """
     )
 
@@ -994,6 +1025,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_values_tag": q_field_values_tag,
         "field_values_by_count": q_field_values_by_count,
         "service_catalog": q_service_catalog,
+        "field_cardinalities": q_field_cardinalities,
         "trace_index_stats": q_trace_index_stats,
         "call_graph": q_call_graph,
         "get_trace": q_get_trace,
@@ -1031,6 +1063,7 @@ def _trace_oracles() -> dict[str, str]:
         "field_values_tag": sql_field_values_tag(),
         "field_values_by_count": sql_field_values_by_count(),
         "service_catalog": sql_service_catalog(),
+        "field_cardinalities": sql_field_cardinalities(),
         "trace_index_stats": sql_trace_index_stats(),
         "call_graph": sql_call_graph(),
         "get_trace": sql_get_trace(),

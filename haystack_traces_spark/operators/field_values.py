@@ -91,6 +91,50 @@ def field_values(
     return vals.distinct().orderBy("value").limit(limit)
 
 
+def field_cardinalities(
+    trace_index: DataFrame,
+    fields: tuple[str, ...] = ("servicename", "operationname"),
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """→ (field, n_values): distinct-value cardinality per queryable field —
+    the terms-agg size metadata a UI uses to decide whether a field is
+    enumerable (SpansIndexQueryGenerator.scala:162-179 sizes its terms agg
+    from exactly this).
+
+    ``exact=False`` swaps COUNT(DISTINCT) for ``approx_count_distinct``
+    (HyperLogLog++) — the 100 TB path SURVEY §2.10 calls out: the sketch is
+    map-side mergeable (constant bytes per partition instead of shuffling
+    every distinct value), with ``rsd`` dialing the error. The default
+    stays exact so the DuckDB oracle can hash-match."""
+    groups = trace_index.select(F.explode("spans").alias("g")).select("g.*")
+    parts = []
+    for f in fields:
+        f = f.lower()
+        if f in ("servicename", "operationname"):
+            v = groups.select(
+                F.lit(f).alias("field"), F.col(f).cast("string").alias("value")
+            )
+        else:
+            v = groups.select(
+                F.lit(f).alias("field"), F.explode(F.col(f)).alias("v")
+            ).select("field", F.col("v").cast("string").alias("value"))
+        parts.append(v)
+    long_df = parts[0]
+    for p in parts[1:]:
+        long_df = long_df.unionByName(p)
+    agg = (
+        F.count_distinct(F.col("value"))
+        if exact
+        else F.approx_count_distinct("value", rsd)
+    )
+    return (
+        long_df.groupBy("field")
+        .agg(agg.cast("long").alias("n_values"))
+        .orderBy("field")
+    )
+
+
 def catalog_services(service_catalog: DataFrame, limit: int = CATALOG_LIMIT) -> DataFrame:
     return (
         service_catalog.select(F.col("servicename").alias("value"))

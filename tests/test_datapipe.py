@@ -516,3 +516,20 @@ def test_unigram_ppl_rare_tokens_score_higher(spark):
     assert out[9]["ppl"] > out[1]["ppl"]
     assert out[9]["avg_logprob"] < out[1]["avg_logprob"]
     assert out[1]["n_tokens"] == 60
+
+
+def test_bm25_topk_is_take_ordered_and_ranks_rare_terms(spark):
+    """Top-k must be TakeOrderedAndProject (never a global sort over the
+    scored set); a doc matching the rarer term outranks a common-term doc
+    of equal tf."""
+    from haystack_traces_spark.datapipe.text import bm25_search
+
+    rows = [(i, "common filler words here") for i in range(1, 20)]
+    rows += [(20, "rareterm common stuff pad"), (21, "common stuff filler pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["rareterm", "common"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[20]["rank"] == 1  # rareterm idf dominates
+    assert got[20]["n_hit_terms"] == 2

@@ -139,3 +139,19 @@ def test_whitelist_alias_and_trace_context_routing(spark):
     )
     got = {r["traceid"] for r in idx2.filter(pred2).collect()}
     assert got == {"B"}
+
+
+def test_field_cardinalities_approx_within_tolerance(spark):
+    """The approx_count_distinct scale path must track the exact counts
+    (rsd 0.05 → well under 15% at these cardinalities)."""
+    from haystack_traces_spark.entry_queries import _index
+    from haystack_traces_spark.operators.field_values import field_cardinalities
+
+    idx = _index(spark, "/root/testdata/sf0.001")
+    exact = {r["field"]: r["n_values"] for r in field_cardinalities(idx).collect()}
+    approx = {
+        r["field"]: r["n_values"]
+        for r in field_cardinalities(idx, exact=False).collect()
+    }
+    for f, n in exact.items():
+        assert abs(approx[f] - n) <= max(1, 0.15 * n), (f, n, approx[f])
