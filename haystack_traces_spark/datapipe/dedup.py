@@ -21,7 +21,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from haystack_traces_spark.datapipe.hashing import hash60, word_shingles
+from haystack_traces_spark.datapipe.hashing import (
+    hash60,
+    ordered_word_shingles,
+    word_shingles,
+)
+from haystack_traces_spark.session import materialize
 
 DEFAULT_MINHASH_SEEDS = 8
 DEFAULT_BANDS = 4  # 4 bands x 2 rows
@@ -107,9 +112,9 @@ def _verify_jaccard(
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
     over the full shingle sets — work scales with |candidates|, not |docs|²."""
     # the shingle-set table joins in as BOTH pair sides — materialize once
-    sets_df = docs.select(
+    sets_df = materialize(docs.select(
         "doc_id", word_shingles(text_col, n).alias("sh")
-    ).persist()
+    ))
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -143,7 +148,7 @@ def ngram_jaccard_pairs(
     # sh feeds BOTH the document-frequency aggregate and the ranked join —
     # two independent subtrees Spark would otherwise recompute (scan +
     # shingle + explode twice); one materialization serves both
-    sh = sh.persist()
+    sh = materialize(sh)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     # n_sh uses the SAME partitioning+ordering (full-partition frame) so
@@ -166,7 +171,8 @@ def ngram_jaccard_pairs(
     # persist it or the df-join + rank window tree evaluates per side.
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", hash60("s", seed="pj:").alias("h")).persist()
+    ).select("doc_id", hash60("s", seed="pj:").alias("h"))
+    prefix = materialize(prefix)
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (
@@ -175,6 +181,66 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard(candidates, docs, threshold, n)
+
+
+def substring_run_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    min_run: int = 10,
+    max_df: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_a, doc_b, longest_run, n_runs): longest exact shared TOKEN
+    RUN per doc pair — the exact-substring dedup signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes LMs Better", ExactSubstr), with
+    the suffix array replaced by a relational equivalent: positional
+    k-gram seeds join on gram hash, and maximal matches are recovered as
+    consecutive-position islands along each (pa − pb) diagonal (a shared
+    run of L ≥ k tokens appears as exactly L − k + 1 consecutive seeds).
+
+    Scale shape: seed-join volume ∝ shared-gram co-occurrence, with a
+    document-frequency guard dropping template grams (df > max_df) BEFORE
+    the self-join; the islands window partitions by (pair, diagonal) —
+    partition count = matched diagonals, each a handful of rows. Seeds
+    join on hash60 (a collision can only merge runs, at ~2⁻⁶⁰ per gram
+    pair). No Python anywhere."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(ordered_word_shingles(text_col, k)).alias("pos", "g"),
+    ).select("doc_id", "pos", hash60("g", seed="sr:").alias("h"))
+    # feeds the df-guard aggregate AND both self-join sides
+    grams = materialize(grams)
+    rare = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    g = grams.join(rare, "h")
+    a, b = g.alias("a"), g.alias("b")
+    matches = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = matches.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run").alias("longest_run"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("longest_run") >= min_run)
+    )
 
 
 def minhash_signatures(
@@ -202,7 +268,7 @@ def minhash_candidates(
     the verify step downstream fixes precision."""
     # signatures feed both sides of the band self-join — materialize once
     # instead of recomputing the shingle scan + k min-aggregates per side
-    sig = minhash_signatures(docs, n_seeds, n).persist()
+    sig = materialize(minhash_signatures(docs, n_seeds, n))
     rows_per_band = n_seeds // bands
     # band key = the raw signature slice (engine-neutral — no internal hash
     # function, so the DuckDB oracle reproduces candidates exactly)
@@ -328,7 +394,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> Data
     seg_bits = bits // n_seg
     # fingerprints feed both sides of the segment self-join — one
     # materialization replaces two token-scan + bit-majority passes
-    fp = simhash_fingerprints(docs, bits).persist()
+    fp = materialize(simhash_fingerprints(docs, bits))
 
     segs = []
     for s in range(n_seg):
@@ -387,7 +453,7 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
     )
     # every round joins against edges — persist once or each iteration
     # re-runs the whole upstream pair-generation pipeline
-    edges.persist()
+    edges = materialize(edges)
     # seed with min(self, min neighbor) — one aggregation, equivalent to a
     # free first propagation round
     labels = edges.groupBy(F.col("a").alias("doc_id")).agg(
@@ -529,9 +595,9 @@ def embedding_neardup_pairs_lsh(
 
     # bucket rows feed both sides of the collision self-join — persist so the
     # mapInPandas bucketing (a full GEMM over the table) runs once, not twice
-    buckets = hyperplane_buckets(
+    buckets = materialize(hyperplane_buckets(
         emb, n_tables, planes_per_table, dim, id_col, vec_col
-    ).persist()
+    ))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -415,6 +415,50 @@ GROUP BY t.doc_id
 """
 
 
+SUBSTR_K = 8
+SUBSTR_MIN_RUN = 10
+SUBSTR_MAX_DF = 100
+
+
+def q_substring_runs(spark, sf_dir):
+    return D.substring_run_pairs(
+        _docs(spark, sf_dir), SUBSTR_K, SUBSTR_MIN_RUN, SUBSTR_MAX_DF
+    )
+
+
+def sql_substring_runs() -> str:
+    k, min_run, max_df = SUBSTR_K, SUBSTR_MIN_RUN, SUBSTR_MAX_DF
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+WITH pg AS (
+  SELECT doc_id, i AS pos, {hash60_sql(f"'sr:' || {parts}")} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - {k - 1})) t(i)
+),
+rare AS (SELECT h FROM pg GROUP BY h HAVING COUNT(*) <= {max_df}),
+g AS (SELECT pg.* FROM pg JOIN rare USING (h)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, isl,
+         CAST(COUNT(*) + {k - 1} AS BIGINT) AS run
+  FROM isl GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, MAX(run) AS longest_run,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1, 2 HAVING MAX(run) >= {min_run}
+"""
+
+
 BM25_TERMS = ["spark", "join", "window"]
 BM25_K = 20
 
@@ -1229,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "unigram_ppl": q_unigram_ppl,
         "bm25_search": q_bm25_search,
+        "substring_runs": q_substring_runs,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1272,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": sql_dedup_clusters(),
         "unigram_ppl": sql_unigram_ppl(),
         "bm25_search": sql_bm25_search(),
+        "substring_runs": sql_substring_runs(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

@@ -11,6 +11,8 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from haystack_traces_spark.session import materialize
 from pyspark.sql import Column, DataFrame
 
 from haystack_traces_spark.datapipe.hashing import hash60_py
@@ -322,7 +324,9 @@ def lsh_topk(
 
     # buckets feed the query-side filter AND the candidate join — persist so
     # the GEMM bucketing pass runs once
-    buckets = hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col).persist()
+    buckets = materialize(
+        hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
+    )
     qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from haystack_traces_spark.datapipe.hashing import hash60, ordered_word_shingles
+from haystack_traces_spark.session import materialize
 
 EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 # tiny marker lists for the n-gram/stopword language heuristic
@@ -394,7 +395,7 @@ def winnow_overlap_pairs(
     # array per window position (measured 50×: 34 s → 0.7 s at sf0.01).
     # The cache is also the usual one-materialization-for-both-join-sides
     # barrier; at cluster scale swap persist for a checkpoint/table write.
-    fps_tbl = _winnow_fps(docs, text_col, n, window).persist()
+    fps_tbl = materialize(_winnow_fps(docs, text_col, n, window))
     fp_rows = fps_tbl.select("doc_id", F.explode("fps").alias("fp"))
     # fps is already distinct per doc, so |fps| == the exploded row count
     sizes = fps_tbl.select("doc_id", F.size("fps").alias("nf"))

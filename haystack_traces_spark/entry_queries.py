@@ -981,6 +981,30 @@ LIMIT 50
 
 # -------------------------------------------------------------- registry --
 
+def q_service_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trends-style per-service latency percentile rollup (exact path;
+    percentile_approx variant covered by a tolerance unit test)."""
+    from haystack_traces_spark.streaming.metrics import service_latency_percentiles
+
+    return service_latency_percentiles(_spans(spark, sf_dir))
+
+
+def sql_service_latency_percentiles() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT service_name,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(quantile_cont(duration, 0.5), 6) AS p50,
+       ROUND(quantile_cont(duration, 0.9), 6) AS p90,
+       ROUND(quantile_cont(duration, 0.99), 6) AS p99
+FROM spans
+GROUP BY service_name
+ORDER BY service_name
+"""
+    )
+
+
 def q_service_rate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed per-service span-rate rollup — the batch face of
     streaming/metrics.py (same function; the streaming run adds the
@@ -1042,6 +1066,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_traces_processed": q_search_traces_processed,
         "trace_call_graph": q_trace_call_graph,
         "service_rate_metrics": q_service_rate_metrics,
+        "service_latency_percentiles": q_service_latency_percentiles,
     }
 
 
@@ -1080,4 +1105,5 @@ def _trace_oracles() -> dict[str, str]:
         "search_traces_processed": sql_search_traces_processed(),
         "trace_call_graph": sql_trace_call_graph(),
         "service_rate_metrics": sql_service_rate_metrics(),
+        "service_latency_percentiles": sql_service_latency_percentiles(),
     }

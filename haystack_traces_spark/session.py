@@ -70,6 +70,20 @@ def fan_out(df, min_parts: int | None = None):
     return df
 
 
+def materialize(df):
+    """persist + EAGER count: derived tables that feed both sides of a
+    self-join (LSH buckets, minhash signatures, prefix indexes, shingle
+    sets) must exist before the consuming action starts. A lazy persist
+    lets the two join-side stages race and each compute the producer from
+    scratch — for the hyperplane-bucket GEMM that is the whole table
+    bucketed twice (measured 3-5x on the LSH family at sf0.1). On a
+    cluster the same idea is "write the derived table, then join it";
+    locally one narrow count() action fills the cache."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def get_spark(
     app_name: str = "haystack-traces-spark",
     master: str | None = None,

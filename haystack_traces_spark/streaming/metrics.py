@@ -66,6 +66,41 @@ def service_rate_metrics(
     )
 
 
+def service_latency_percentiles(
+    spans: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """→ (service_name, n_spans, p50, p90, p99): span-duration latency
+    profile per service — the trends-side percentile rollup
+    (StreamRunner.scala:56-69 forwards spans to exactly this kind of
+    consumer) run directly on the span frame.
+
+    Exact `percentile` (linear interpolation — arithmetic-identical to
+    DuckDB quantile_cont) keeps the oracle hash-exact; ``approx=True``
+    swaps in `percentile_approx` — a mergeable sketch whose partials
+    combine map-side, the 100 TB path, with ``accuracy`` dialing the
+    error/memory trade. Same plan shape either way: one map-side-combined
+    hash aggregate keyed by service."""
+    if approx:
+        def q(p):
+            return F.expr(
+                f"percentile_approx(duration, {p}, {accuracy})"
+            ).cast("double")
+    else:
+        def q(p):
+            return F.expr(f"percentile(duration, {p})")
+
+    return (
+        spans.groupBy("service_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(q(0.5), 6).alias("p50"),
+            F.round(q(0.9), 6).alias("p90"),
+            F.round(q(0.99), 6).alias("p99"),
+        )
+        .orderBy("service_name")
+    )
+
+
 def start_metrics_sink(
     spans: DataFrame,
     out_dir: str,

@@ -533,3 +533,29 @@ def test_bm25_topk_is_take_ordered_and_ranks_rare_terms(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[20]["rank"] == 1  # rareterm idf dominates
     assert got[20]["n_hit_terms"] == 2
+
+
+def test_substring_runs_islands_semantics(spark):
+    """A planted 20-token shared run must be recovered at exactly 20
+    (islands along the diagonal), splitting on the mutated token."""
+    import random
+
+    rng = random.Random(11)
+    base = [f"t{rng.randrange(10**6)}" for _ in range(50)]
+    # doc 2 copies tokens 10..29 of doc 1 (20-token run) at offset 5
+    d1 = " ".join(base)
+    d2 = " ".join([f"u{i}" for i in range(5)] + base[10:30] + [f"v{i}" for i in range(10)])
+    # doc 3 shares the same run but with the middle token mutated
+    broken = base[10:30].copy()
+    broken[10] = "MUTATED"
+    d3 = " ".join([f"w{i}" for i in range(3)] + broken)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in D.substring_run_pairs(df, k=8, min_run=8).collect()}
+    assert out[(1, 2)]["longest_run"] == 20
+    # mutation splits the run: halves are 10 and 9 tokens -> only the
+    # 10-token side survives a k=8 seed with min_run=8... both halves do
+    # (10 >= 8, 9 >= 8); longest is 10
+    assert out[(1, 3)]["longest_run"] == 10
+    assert out[(2, 3)]["longest_run"] == 10

@@ -155,3 +155,28 @@ def test_field_cardinalities_approx_within_tolerance(spark):
     }
     for f, n in exact.items():
         assert abs(approx[f] - n) <= max(1, 0.15 * n), (f, n, approx[f])
+
+
+def test_latency_percentiles_approx_within_tolerance(spark):
+    """percentile_approx scale path must track exact percentiles closely
+    at default accuracy."""
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.streaming.metrics import service_latency_percentiles
+
+    # sf0.01: per-service counts large enough that tail quantiles aren't
+    # dominated by sample quantization (at sf0.001 p99 falls between the
+    # top two samples and nearest-sample vs interpolation diverge ~25%)
+    spans = _spans(spark, "/root/testdata/sf0.01")
+    exact = {r["service_name"]: r for r in service_latency_percentiles(spans).collect()}
+    approx = {
+        r["service_name"]: r
+        for r in service_latency_percentiles(spans, approx=True).collect()
+    }
+    for svc, e in exact.items():
+        a = approx[svc]
+        assert a["n_spans"] == e["n_spans"]
+        # percentile_approx returns an actual sample (no interpolation), so
+        # tail quantiles at sf0.001's tiny per-service counts quantize —
+        # 10% bounds that discreteness, not the sketch error
+        for p in ("p50", "p90", "p99"):
+            assert abs(a[p] - e[p]) <= max(1.0, 0.10 * e[p]), (svc, p, e[p], a[p])
