@@ -415,6 +415,66 @@ GROUP BY t.doc_id
 """
 
 
+def q_dedup_report(spark, sf_dir):
+    """Corpus-shrink funnel: total → exact-dedup survivors → near-dup
+    (jaccard keep-lowest-id) survivors → Gopher-quality keepers. Each
+    stage reuses a previously-verified operator; this entry checks their
+    COMPOSITION and gives the curator the headline removal numbers."""
+    docs = _docs(spark, sf_dir)
+    exact = (
+        D.exact_dedup(docs)
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    dup_b = (
+        D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    neardup = exact.join(dup_b, "doc_id", "left_anti")
+    keep = X.gopher_rules(docs).filter("keep").select("doc_id")
+    final = neardup.join(keep, "doc_id")
+
+    def stage(i, name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    out = stage(0, "total", docs)
+    for i, (nm, sdf) in enumerate(
+        [("exact", exact), ("neardup", neardup), ("quality", final)], 1
+    ):
+        out = out.unionByName(stage(i, nm, sdf))
+    return out.orderBy("stage_idx")
+
+
+def sql_dedup_report() -> str:
+    gopher = sql_gopher_quality()
+    return f"""
+WITH RECURSIVE hashed AS (SELECT doc_id, md5(text) AS th FROM documents),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY th) AS k FROM hashed
+  ) WHERE doc_id = k
+),
+sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dupb AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+neardup AS (
+  SELECT doc_id FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dupb)
+),
+keepers AS (SELECT doc_id FROM ({gopher}) g WHERE g.keep),
+final AS (SELECT n.doc_id FROM neardup n JOIN keepers USING (doc_id))
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'exact', (SELECT COUNT(*) FROM exact)
+UNION ALL SELECT 2, 'neardup', (SELECT COUNT(*) FROM neardup)
+UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM final)
+ORDER BY stage_idx
+"""
+
+
 SUBSTR_K = 8
 SUBSTR_MIN_RUN = 10
 SUBSTR_MAX_DF = 100
@@ -1274,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": q_unigram_ppl,
         "bm25_search": q_bm25_search,
         "substring_runs": q_substring_runs,
+        "dedup_report": q_dedup_report,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1318,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_ppl": sql_unigram_ppl(),
         "bm25_search": sql_bm25_search(),
         "substring_runs": sql_substring_runs(),
+        "dedup_report": sql_dedup_report(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),
