@@ -128,6 +128,7 @@ def main() -> None:
                     "value": round(total, 3),
                     "unit": "sec",
                     "queries": {k: round(v, 3) for k, v in times.items()},
+                    "n_queries": len(times),
                     "sf": sf,
                 }
             )

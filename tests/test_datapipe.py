@@ -559,3 +559,67 @@ def test_substring_runs_islands_semantics(spark):
     # (10 >= 8, 9 >= 8); longest is 10
     assert out[(1, 3)]["longest_run"] == 10
     assert out[(2, 3)]["longest_run"] == 10
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    """Randomized cross-check of the relational first-occurrence logic
+    against a direct Python implementation (40 docs, duplicate-heavy
+    vocabulary so cross-doc segment collisions actually occur)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> many repeated segs
+    K = 3
+    docs = []
+    for i in range(40):
+        n = rng.randrange(1, 20)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    seen: dict[str, tuple[int, int]] = {}
+    expected = {}
+    for did, text in docs:  # ascending doc_id == global first-occurrence order
+        toks = text.split(" ")
+        segs = [" ".join(toks[p : p + K]) for p in range(0, len(toks), K)]
+        kept = []
+        for idx, s in enumerate(segs):
+            if s not in seen:
+                seen[s] = (did, idx)
+            if seen[s] == (did, idx):
+                kept.append(s)
+        expected[did] = (len(segs), len(kept), " ".join(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in D.segment_dedup(df, K).collect()
+    }
+    assert out == expected
+
+
+def test_fuzzy_dedup_distances_are_true_levenshtein(spark):
+    """Every emitted pair's edit_dist must equal a reference Levenshtein
+    computed in Python, and edit_sim must be the documented normalization."""
+    base = " ".join(f"w{i}" for i in range(30))
+    variants = [
+        (1, base),
+        (2, base.replace("w7", "x7")),
+        (3, base.replace("w7", "w77").replace("w21", "z")),
+        (4, base + " extra trailing tokens here"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    texts = dict(variants)
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = D.fuzzy_dedup_pairs(df, min_sim=0.5).collect()
+    assert rows, "expected at least one fuzzy pair"
+    for r in rows:
+        d = lev(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert r["edit_dist"] == d, (r, d)
+        mx = max(len(texts[r["doc_a"]]), len(texts[r["doc_b"]]))
+        assert abs(r["edit_sim"] - round(1 - d / mx, 6)) < 1e-9
