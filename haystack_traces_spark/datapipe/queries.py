@@ -475,6 +475,67 @@ ORDER BY stage_idx
 """
 
 
+KNN_GRAPH_K = 3
+# 6 planes (64 buckets/table) instead of the query-ANN's 5: the graph ranks
+# EVERY vector, so per-bucket pair volume (not per-query recall) is the
+# binding cost — 4x fewer candidate pairs for a small recall give-up
+KNN_GRAPH_PLANES = 6
+
+
+def q_ann_knn_graph(spark, sf_dir):
+    return S.lsh_knn_graph(
+        _emb(spark, sf_dir), KNN_GRAPH_K, planes_per_table=KNN_GRAPH_PLANES
+    )
+
+
+def sql_ann_knn_graph() -> str:
+    pcos = (
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+    )
+    return f"""
+WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, KNN_GRAPH_PLANES)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b
+    ON b.t = a.t AND b.bucket = a.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.vid, c.neighbor_id, {pcos} AS cos_raw
+  FROM cand c
+  JOIN e va ON va.vec_id = c.vid
+  JOIN e vb ON vb.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT vid, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY vid
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vid AS vec_id, neighbor_id, ROUND(cos_raw, 6) AS cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+BPE_TOP_N = 50
+
+
+def q_bpe_pairs(spark, sf_dir):
+    return X.bpe_pair_stats(_docs(spark, sf_dir), BPE_TOP_N)
+
+
+def sql_bpe_pairs() -> str:
+    return f"""
+SELECT lower(w[i] || ' ' || w[i+1]) AS pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT string_split(text, ' ') AS w FROM documents),
+     UNNEST(generate_series(1, len(w) - 1)) t(i)
+GROUP BY 1
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_N}
+"""
+
+
 SUBSTR_K = 8
 SUBSTR_MIN_RUN = 10
 SUBSTR_MAX_DF = 100
@@ -1335,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "substring_runs": q_substring_runs,
         "dedup_report": q_dedup_report,
+        "ann_knn_graph": q_ann_knn_graph,
+        "bpe_pairs": q_bpe_pairs,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1380,6 +1443,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": sql_bm25_search(),
         "substring_runs": sql_substring_runs(),
         "dedup_report": sql_dedup_report(),
+        "ann_knn_graph": sql_ann_knn_graph(),
+        "bpe_pairs": sql_bpe_pairs(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

@@ -367,3 +367,74 @@ def lsh_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def lsh_knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = DEFAULT_LSH_TABLES,
+    planes_per_table: int = DEFAULT_LSH_PLANES,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ (vec_id, neighbor_id, cos, rank): approximate K-NEAREST-NEIGHBOR
+    GRAPH — top-k cosine neighbors for EVERY vector, not a query list.
+    This is the primitive SemDeDup-style clustering and graph-ANN indexes
+    (HNSW/NSG construction) start from.
+
+    Candidates come from hyperplane-bucket co-occupancy expanded in BOTH
+    directions (neighbor lists are asymmetric); ranking is exact cosine
+    within each vector's candidate set via a per-vector top-k window —
+    partition count = |vectors|, never global. At 100 TB the bucket join
+    replaces the |emb|² cross join and (n_tables, planes_per_table) dials
+    candidate volume; recall < 1 only for vectors whose true neighbors
+    never share a bucket."""
+    from pyspark.sql import Window
+
+    buckets = materialize(
+        hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vid"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    base = with_norm(emb, id_col)
+    left = base.select(
+        F.col(id_col).alias("vid"),
+        F.col("vec_d").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    right = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec_d").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    scored = (
+        cand.join(left, "vid")
+        .join(right, "neighbor_id")
+        .select("vid", "neighbor_id", cosine_expr("va", "vb", "na", "nb").alias("cos_raw"))
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vid").alias(id_col),
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+            "rank",
+        )
+    )

@@ -229,6 +229,26 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_pair_stats(
+    docs: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """→ (pair, n): most frequent adjacent-token pairs (lowercased) — the
+    merge-candidate statistics of one BPE training round (Sennrich et al.
+    2016), computed corpus-wide at the word level.
+
+    Same shape as the token histogram: one explode of ordered 2-grams, one
+    map-side-combined count, TakeOrderedAndProject top-N. Deterministic
+    tie order (n desc, pair asc)."""
+    return (
+        docs.select(F.explode(ordered_word_shingles(text_col, 2)).alias("p"))
+        .select(F.lower("p").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

@@ -623,3 +623,22 @@ def test_fuzzy_dedup_distances_are_true_levenshtein(spark):
         assert r["edit_dist"] == d, (r, d)
         mx = max(len(texts[r["doc_a"]]), len(texts[r["doc_b"]]))
         assert abs(r["edit_sim"] - round(1 - d / mx, 6)) < 1e-9
+
+
+def test_knn_graph_identical_vectors_are_mutual_rank1(spark):
+    """Two identical vectors must be each other's rank-1 neighbor with
+    cos ≈ 1 (they share every LSH bucket by construction)."""
+    import math
+
+    rows = [
+        (0, [1.0] * 8 + [0.0] * 56),
+        (1, [1.0] * 8 + [0.0] * 56),
+        (2, [0.0] * 28 + [5.0] * 8 + [0.0] * 28),
+        (3, [0.1] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["vec_id"], r["rank"]): r for r in S.lsh_knn_graph(df, k=2).collect()}
+    assert out[(0, 1)]["neighbor_id"] == 1 and math.isclose(out[(0, 1)]["cos"], 1.0)
+    assert out[(1, 1)]["neighbor_id"] == 0 and math.isclose(out[(1, 1)]["cos"], 1.0)
+    for key, r in out.items():
+        assert -1.0001 <= r["cos"] <= 1.0001 and 1 <= r["rank"] <= 2
