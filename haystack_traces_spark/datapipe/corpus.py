@@ -497,3 +497,49 @@ SELECT doc_id,
        ({total}) > 0 AS has_pii
 FROM documents
 """
+
+
+def shuffle_order(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: str = "shuf:",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, shard, pos): deterministic training-order shuffle.
+
+    Training loaders need a reproducible random order that is stable
+    across cluster sizes and re-partitioning; ``ORDER BY random()`` is
+    neither. Here the order key is hash60(seed‖id): shard = key % n_shards
+    spreads docs uniformly, pos = rank of the key WITHIN the shard. Epoch
+    reshuffles are a seed change, not a data move.
+
+    Scale shape: no global sort — ranking windows run per shard, so
+    parallelism = n_shards and each partition sorts only its own slice
+    (exactly how sharded training data is laid out anyway). Ties are
+    impossible in practice (60-bit keys) but doc_id breaks them
+    deterministically for the oracle."""
+    from pyspark.sql import Window
+
+    key = hash60(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        docs.select(
+            id_col,
+            key.alias("key"),
+            (key % n_shards).cast("long").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def sql_shuffle_order(n_shards: int = 8, seed: str = "shuf:") -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    k = hash60_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""
+SELECT doc_id, CAST({k} % {n_shards} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {k} % {n_shards}
+                               ORDER BY {k}, doc_id) AS BIGINT) AS pos
+FROM documents
+"""

@@ -475,6 +475,18 @@ ORDER BY stage_idx
 """
 
 
+def q_shuffle_order(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.shuffle_order(_docs(spark, sf_dir))
+
+
+def sql_shuffle_order() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.sql_shuffle_order()
+
+
 KNN_GRAPH_K = 3
 # 6 planes (64 buckets/table) instead of the query-ANN's 5: the graph ranks
 # EVERY vector, so per-bucket pair volume (not per-query recall) is the
@@ -1398,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "ann_knn_graph": q_ann_knn_graph,
         "bpe_pairs": q_bpe_pairs,
+        "shuffle_order": q_shuffle_order,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1445,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_report": sql_dedup_report(),
         "ann_knn_graph": sql_ann_knn_graph(),
         "bpe_pairs": sql_bpe_pairs(),
+        "shuffle_order": sql_shuffle_order(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),
