@@ -188,3 +188,30 @@ def test_mix_weights_windows_only_aggregated_rows(spark):
     sp = plan.find("Exchange SinglePartition")
     assert sp != -1, plan[:2000]
     assert "HashAggregate" in plan[sp:], plan[sp : sp + 2000]
+
+
+def test_substring_runs_no_cartesian_and_df_guard_before_join(spark):
+    """Seed join must be an equi-join on the gram hash (no cartesian), and
+    the islands window partitions by (pair, diag) — never a global sort."""
+    from haystack_traces_spark.datapipe.dedup import substring_run_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = _plan(substring_run_pairs(df, k=8, min_run=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_graph_bucket_equijoin_no_cartesian(spark):
+    """Candidate generation must be the (table, bucket) equi-join."""
+    from haystack_traces_spark.datapipe.similarity import lsh_knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(lsh_knn_graph(df, k=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
