@@ -530,6 +530,78 @@ FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
 
 
+PQ_QUERY_IDS = ANN_QUERY_IDS
+PQ_K = 10
+
+
+def q_pq_codes(spark, sf_dir):
+    return S.pq_codes(_emb(spark, sf_dir))
+
+
+def _pq_cb_ctes() -> str:
+    m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 64 // S.PQ_M
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cbase AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {ksub}),
+cb AS (
+  SELECT s.s, CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         v[(s.s * {dsub} + 1):(s.s * {dsub} + {dsub})] AS cw
+  FROM cbase, UNNEST(generate_series(0, {m - 1})) s(s)
+),
+sub AS (
+  SELECT vec_id, s.s, v[(s.s * {dsub} + 1):(s.s * {dsub} + {dsub})] AS sv
+  FROM e, UNNEST(generate_series(0, {m - 1})) s(s)
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, cb.code,
+         list_sum(list_transform(generate_series(1, {dsub}),
+                                 i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d
+  FROM sub JOIN cb ON cb.s = sub.s
+),
+enc AS (
+  SELECT vec_id, s, MIN(struct_pack(d := d, code := code))['code'] AS code
+  FROM dists GROUP BY vec_id, s
+)"""
+
+
+def sql_pq_codes() -> str:
+    return f"""
+WITH {_pq_cb_ctes()}
+SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS BIGINT) AS code FROM enc
+"""
+
+
+def q_pq_search(spark, sf_dir):
+    return S.pq_search(_emb(spark, sf_dir), PQ_QUERY_IDS, PQ_K)
+
+
+def sql_pq_search() -> str:
+    ids = ", ".join(map(str, PQ_QUERY_IDS))
+    return f"""
+WITH {_pq_cb_ctes()},
+dtable AS (
+  SELECT sub.vec_id AS query_id, sub.s, cb.code,
+         list_sum(list_transform(generate_series(1, {64 // S.PQ_M}),
+                                 i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d
+  FROM sub JOIN cb ON cb.s = sub.s
+  WHERE sub.vec_id IN ({ids})
+),
+scored AS (
+  SELECT t.query_id, n.vec_id AS neighbor_id, ROUND(SUM(t.d), 6) AS approx_dist
+  FROM enc n JOIN dtable t ON t.s = n.s AND t.code = n.code
+  WHERE n.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {PQ_K}
+"""
+
+
 BPE_TOP_N = 50
 
 
@@ -1411,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_graph": q_ann_knn_graph,
         "bpe_pairs": q_bpe_pairs,
         "shuffle_order": q_shuffle_order,
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1459,6 +1533,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_graph": sql_ann_knn_graph(),
         "bpe_pairs": sql_bpe_pairs(),
         "shuffle_order": sql_shuffle_order(),
+        "pq_codes": sql_pq_codes(),
+        "pq_search": sql_pq_search(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

@@ -438,3 +438,149 @@ def lsh_knn_graph(
             "rank",
         )
     )
+
+
+# ------------------------------------------------------- product quant ----
+
+PQ_M = 8       # subspaces
+PQ_KSUB = 16   # codewords per subspace
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (s, code, cw): per-subspace PQ codebooks (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"). The vector space
+    splits into ``m`` contiguous subspaces of dim/m dims; each gets
+    ``ksub`` codewords.
+
+    Codewords are the subvectors of the ``ksub`` LOWEST-ID vectors —
+    deterministic so the DuckDB oracle rebuilds identical codebooks (the
+    documented slot-in is per-subspace k-means on a seeded sample, exactly
+    like the IVF centroid upgrade). The codebook is tiny (m·ksub rows) and
+    always broadcast."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    w = Window.orderBy(id_col)
+    base = (
+        emb.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("code"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    subs = [
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.slice("v", s * dsub + 1, dsub).alias("cw"),
+        )
+        for s in range(m)
+    ]
+    return base.select("code", F.explode(F.array(*subs)).alias("x")).select(
+        "x.s", "code", "x.cw"
+    )
+
+
+def _sub_rows(emb, m, dsub, id_col, vec_col, out_id):
+    subs = [
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("sv"),
+        )
+        for s in range(m)
+    ]
+    return emb.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*subs)).alias("x")
+    ).select(out_id, "x.s", "x.sv")
+
+
+def _sqdist(a: str, b: str):
+    """Sequential in-index-order squared L2 — deterministic float result,
+    mirroring the oracle's left-fold list_sum."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, s, code): PQ encoding — per subspace, the argmin-distance
+    codeword (ties → lowest code via min-struct). 64 doubles compress to
+    m codes; at 100 TB this is the representation that lets a billion-row
+    ANN index fit in memory. One broadcast join (codebook) + one
+    map-side-combinable min-struct groupBy; no Python."""
+    dsub = dim // m
+    cb = pq_codebooks(emb, m, ksub, dim, id_col, vec_col)
+    sub = _sub_rows(emb, m, dsub, id_col, vec_col, "vid")
+    joined = sub.join(F.broadcast(cb), "s").withColumn("d", _sqdist("sv", "cw"))
+    return (
+        joined.groupBy("vid", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mc"))
+        .select(
+            F.col("vid").alias(id_col),
+            "s",
+            F.col("mc.code").cast("long").alias("code"),
+        )
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, approx_dist, rank): asymmetric-distance
+    (ADC) PQ search — each query's EXACT subvectors score against the
+    codebook once (a per-query m×ksub distance table, broadcast), then
+    every encoded vector's distance is m table lookups + a sum. The scan
+    side never touches raw vectors: codes join the tiny distance table and
+    aggregate — the 100 TB memory/IO win PQ exists for.
+
+    approx_dist is rounded to 6dp BEFORE ranking (cross-engine float-sum
+    reproducibility); ties break by neighbor_id."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    cb = pq_codebooks(emb, m, ksub, dim, id_col, vec_col)
+    enc = pq_codes(emb, m, ksub, dim, id_col, vec_col)
+    qsub = _sub_rows(
+        emb.filter(F.col(id_col).isin(query_ids)), m, dsub, id_col, vec_col, "query_id"
+    )
+    dtable = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", F.col("code").cast("long").alias("code"),
+        _sqdist("sv", "cw").alias("d"),
+    )
+    scored = (
+        enc.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(dtable), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

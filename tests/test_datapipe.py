@@ -642,3 +642,30 @@ def test_knn_graph_identical_vectors_are_mutual_rank1(spark):
     assert out[(1, 1)]["neighbor_id"] == 0 and math.isclose(out[(1, 1)]["cos"], 1.0)
     for key, r in out.items():
         assert -1.0001 <= r["cos"] <= 1.0001 and 1 <= r["rank"] <= 2
+
+
+def test_pq_search_recall_above_chance_and_codes_complete(emb):
+    """PQ-ADC with the deterministic lowest-id codebook is a deliberately
+    weak quantizer on random data — but it must still beat chance by a
+    wide margin (random recall@10 ≈ 10/N ≈ 2%), and every vector must get
+    exactly one code per subspace."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    codes = S.pq_codes(emb)
+    n_vec = emb.count()
+    per_vec = codes.groupBy("vec_id").count().select(F.min("count"), F.max("count")).first()
+    assert per_vec[0] == S.PQ_M and per_vec[1] == S.PQ_M
+    qids = [0, 1, 2]
+    pq = {(r["query_id"], r["neighbor_id"]) for r in S.pq_search(emb, qids, 10).collect()}
+    base = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    truth = set()
+    for q in qids:
+        d = sorted(
+            (float(np.sum((v - base[q]) ** 2)), vid)
+            for vid, v in base.items()
+            if vid != q
+        )[:10]
+        truth |= {(q, vid) for _, vid in d}
+    recall = len(pq & truth) / len(truth)
+    assert recall >= 0.1, f"PQ recall collapsed to {recall}"
