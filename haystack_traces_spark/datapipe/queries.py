@@ -602,6 +602,71 @@ FROM ranked WHERE rank <= {PQ_K}
 """
 
 
+IVFPQ_CELLS = 16
+IVFPQ_PROBE = 4
+
+
+def q_ivf_pq_search(spark, sf_dir):
+    return S.ivf_pq_search(
+        _emb(spark, sf_dir), PQ_QUERY_IDS, PQ_K, IVFPQ_CELLS, IVFPQ_PROBE
+    )
+
+
+def sql_ivf_pq_search() -> str:
+    ids = ", ".join(map(str, PQ_QUERY_IDS))
+    full = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+WITH {_pq_cb_ctes()},
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {IVFPQ_CELLS})
+),
+assign AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {full}, cell := cell))['cell'] AS cell
+  FROM e CROSS JOIN cents GROUP BY e.vec_id
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, cents.cell, {full} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {full} ASC, cell ASC) AS rn
+    FROM e CROSS JOIN cents WHERE e.vec_id IN ({ids})
+  ) WHERE rn <= {IVFPQ_PROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM assign a JOIN qprobe q USING (cell)
+  WHERE a.vec_id <> q.query_id
+),
+dtable AS (
+  SELECT sub.vec_id AS query_id, sub.s, cb.code,
+         list_sum(list_transform(generate_series(1, {64 // S.PQ_M}),
+                                 i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d
+  FROM sub JOIN cb ON cb.s = sub.s
+  WHERE sub.vec_id IN ({ids})
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, ROUND(SUM(t.d), 6) AS approx_dist
+  FROM cand c
+  JOIN enc n ON n.vec_id = c.neighbor_id
+  JOIN dtable t ON t.query_id = c.query_id AND t.s = n.s AND t.code = n.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {PQ_K}
+"""
+
+
 BPE_TOP_N = 50
 
 
@@ -1485,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": q_shuffle_order,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
+        "ivf_pq_search": q_ivf_pq_search,
         "token_histogram": q_token_histogram,
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
@@ -1535,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": sql_shuffle_order(),
         "pq_codes": sql_pq_codes(),
         "pq_search": sql_pq_search(),
+        "ivf_pq_search": sql_ivf_pq_search(),
         "token_histogram": sql_token_histogram(),
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),

@@ -584,3 +584,87 @@ def pq_search(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, approx_dist, rank): the FAISS-style
+    IVF-PQ composite — coarse cells bound the scan, PQ-ADC bounds the
+    per-candidate cost. Residual-free variant (codes quantize the raw
+    vectors, not cell residuals — the residual encoder is the documented
+    accuracy slot-in; cell assignment and probing are exact L2 against
+    deterministic lowest-id centroids so the oracle rebuilds everything).
+
+    Scale shape: centroids and the per-query probe set are broadcasts;
+    cell assignment is one broadcast join + min-struct groupBy; the
+    candidate set is the probed cells' rows ONLY (n_probe/n_cells of the
+    table), scored via m code lookups each. Written partitioned by cell,
+    the candidate read is partition-pruned."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    dfull = _sqdist("v", "cv")
+    assign = (
+        vecs.join(F.broadcast(cents))
+        .withColumn("d", dfull)
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("mc"))
+        .select(id_col, F.col("mc.cell").alias("cell"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("cell").asc())
+    qprobe = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "v")
+        .join(F.broadcast(cents))
+        .withColumn("d", dfull)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(qprobe), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    dsub = dim // m
+    cb = pq_codebooks(emb, m, ksub, dim, id_col, vec_col)
+    enc = pq_codes(emb, m, ksub, dim, id_col, vec_col)
+    qsub = _sub_rows(
+        emb.filter(F.col(id_col).isin(query_ids)), m, dsub, id_col, vec_col, "query_id"
+    )
+    dtable = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", F.col("code").cast("long").alias("code"),
+        _sqdist("sv", "cw").alias("d"),
+    )
+    scored = (
+        cand.join(enc.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(dtable), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
