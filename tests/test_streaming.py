@@ -679,3 +679,48 @@ def test_service_metrics_watermark_finalizes_and_drops_late(spark, tmp_path):
     assert len(w0_rows) == 1 and w0_rows[0]["n_spans"] == 2  # late span dropped
     [w3] = [r for r in rows if r["window_start"] == T0 + 3 * MIN]
     assert w3["n_spans"] == 1 and w3["total_duration"] == 50
+
+
+def test_neardup_gate_flags_near_copies_across_batches(spark, tmp_path):
+    """The MinHash band-state gate flags NEAR-copies (one token changed)
+    within a batch and across deliveries, names the original via dup_of,
+    and only admitted docs' bands enter state (a dup adds nothing)."""
+    from haystack_traces_spark.streaming.neardup_stream import NearDupIngest
+
+    state = tmp_path / "band_state"
+    out = tmp_path / "verdicts"
+    base = " ".join(f"w{i}" for i in range(40))
+    gate = NearDupIngest(str(state), str(out))
+
+    # batch 1: original + in-batch near-copy + unrelated
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("w20", "x20")),
+            (3, " ".join(f"zz{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 0)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert not rows[1]["near_dup"] and not rows[3]["near_dup"]
+    assert rows[2]["near_dup"] and rows[2]["dup_of"] == 1
+
+    # batch 2: near-copy of the batch-1 original + fresh doc
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("w30", "y30")),
+            (11, " ".join(f"qq{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b2, 1)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[10]["near_dup"] and rows[10]["dup_of"] == 1
+    assert not rows[11]["near_dup"]
+    # state holds only admitted docs' bands: dup docs 2/10 contributed none
+    firsts = {
+        r["first_doc_id"]
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    assert firsts <= {1, 3, 11}, firsts
