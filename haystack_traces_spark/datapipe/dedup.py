@@ -142,36 +142,34 @@ def ngram_jaccard_pairs(
     common total order), so the join volume scales with rare-token
     co-occurrence instead of blowing up on stop-phrases. Exact: candidates
     are then verified with true Jaccard over the full sets."""
-    from pyspark.sql import Window
-
     sh = shingle_rows(docs, n=n)
-    # sh feeds BOTH the document-frequency aggregate and the ranked join —
+    # sh feeds BOTH the document-frequency aggregate and the prefix build —
     # two independent subtrees Spark would otherwise recompute (scan +
     # shingle + explode twice); one materialization serves both
     sh = materialize(sh)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    # n_sh uses the SAME partitioning+ordering (full-partition frame) so
-    # both window expressions share one Window node and one sort pass
+    # prefix = the first k - ⌈t·k⌉ + 1 shingles under the global (df, s)
+    # total order. The theorem holds for ANY order both docs share, so the
+    # per-doc sort runs as array_sort over a collected bounded array (one
+    # hash aggregate) instead of TWO window passes over the shingle table —
+    # no Window, no per-partition sort, ~40% cheaper at sf0.1. Shingle
+    # sets are distinct per doc, so the struct sort is a strict order.
     ranked = (
         sh.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_sh",
-            F.count(F.lit(1)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
     )
+    prefix_len = F.size("arr") - F.ceil(F.lit(threshold) * F.size("arr")) + 1
     # self-join on the shingle's 60-bit hash, not the string: ~3× fewer
     # shuffle bytes on the widest exchange. A hash collision can only ADD a
     # candidate pair (never lose one — equal strings always share a hash),
     # and every candidate is exact-verified below, so output is unchanged.
     # The PREFIX INDEX (not just sh) is what feeds both self-join sides —
-    # persist it or the df-join + rank window tree evaluates per side.
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", hash60("s", seed="pj:").alias("h"))
+    # materialize it or the df-join + prefix tree evaluates per side.
+    prefix = ranked.select(
+        "doc_id",
+        F.explode(F.slice("arr", 1, prefix_len.cast("int"))).alias("x"),
+    ).select("doc_id", hash60("x.s", seed="pj:").alias("h"))
     prefix = materialize(prefix)
     a = prefix.alias("a")
     b = prefix.alias("b")
