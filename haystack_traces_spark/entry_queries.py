@@ -1005,6 +1005,83 @@ ORDER BY service_name
     )
 
 
+def q_trace_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall rows (depth + offset) for every trace — the UI's trace
+    view feed; oracle recomputes depth with a recursive CTE."""
+    from haystack_traces_spark.operators.timeline import trace_timeline
+
+    return trace_timeline(_spans(spark, sf_dir))
+
+
+def sql_trace_timeline() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, d(trace_id, span_id, depth) AS (
+  SELECT s.trace_id, s.span_id, 0
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, d.depth + 1
+  FROM spans c JOIN d ON d.trace_id = c.trace_id
+                     AND c.parent_span_id = d.span_id
+),
+t0 AS (SELECT trace_id, MIN(start_time) AS t0 FROM spans GROUP BY trace_id)
+SELECT s.trace_id, s.span_id, CAST(d.depth AS BIGINT) AS depth,
+       s.start_time - t0.t0 AS offset_us, s.duration,
+       s.service_name AS servicename
+FROM spans s JOIN d USING (trace_id, span_id) JOIN t0 USING (trace_id)
+"""
+    )
+
+
+ERROR_THRESHOLD = 50
+
+
+def q_operation_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(service, operation) error-rate rollup — the reader-side ops
+    dashboard aggregate. The synthetic corpus has no boolean error tag, so
+    errorcode >= ERROR_THRESHOLD is the documented demo predicate (the
+    reference's `error` span tag is the real-world source)."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    err = (tag_str("tags", "errorcode").try_cast("long") >= ERROR_THRESHOLD).cast(
+        "long"
+    )
+    return (
+        spans.groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(err).alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("n_errors") / F.col("n_spans"), 6)
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_operation_error_rates() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       lower(operation_name) AS operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       ROUND(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+FROM spans
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+    )
+
+
 def q_service_rate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed per-service span-rate rollup — the batch face of
     streaming/metrics.py (same function; the streaming run adds the
@@ -1067,6 +1144,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_call_graph": q_trace_call_graph,
         "service_rate_metrics": q_service_rate_metrics,
         "service_latency_percentiles": q_service_latency_percentiles,
+        "trace_timeline": q_trace_timeline,
+        "operation_error_rates": q_operation_error_rates,
     }
 
 
@@ -1106,4 +1185,6 @@ def _trace_oracles() -> dict[str, str]:
         "trace_call_graph": sql_trace_call_graph(),
         "service_rate_metrics": sql_service_rate_metrics(),
         "service_latency_percentiles": sql_service_latency_percentiles(),
+        "trace_timeline": sql_trace_timeline(),
+        "operation_error_rates": sql_operation_error_rates(),
     }
