@@ -1036,6 +1036,70 @@ FROM spans s JOIN d USING (trace_id, span_id) JOIN t0 USING (trace_id)
     )
 
 
+def q_span_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flamegraph feed: duration minus direct-children time per span."""
+    from haystack_traces_spark.operators.timeline import span_self_time
+
+    return span_self_time(_spans(spark, sf_dir))
+
+
+def sql_span_self_time() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, child AS (
+  SELECT trace_id, parent_span_id AS span_id, SUM(duration) AS child_time
+  FROM spans WHERE parent_span_id <> '' GROUP BY 1, 2
+)
+SELECT s.trace_id, s.span_id, s.service_name AS servicename, s.duration,
+       CAST(COALESCE(c.child_time, 0) AS BIGINT) AS child_time,
+       CAST(s.duration - COALESCE(c.child_time, 0) AS BIGINT) AS self_time
+FROM spans s LEFT JOIN child c USING (trace_id, span_id)
+"""
+    )
+
+
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest root-to-leaf cumulative-duration chain per trace."""
+    from haystack_traces_spark.operators.timeline import critical_path
+
+    return critical_path(_spans(spark, sf_dir))
+
+
+def sql_critical_path() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, paths(trace_id, span_id, path_spans, path_duration) AS (
+  SELECT s.trace_id, s.span_id, 1, s.duration
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, p.path_spans + 1, p.path_duration + c.duration
+  FROM spans c JOIN paths p ON p.trace_id = c.trace_id
+                           AND c.parent_span_id = p.span_id
+),
+leaves AS (
+  SELECT p.* FROM paths p
+  WHERE NOT EXISTS (SELECT 1 FROM spans ch
+                    WHERE ch.trace_id = p.trace_id
+                      AND ch.parent_span_id = p.span_id)
+),
+ranked AS (
+  SELECT trace_id, span_id AS leaf_span_id,
+         CAST(path_spans AS BIGINT) AS path_spans,
+         CAST(path_duration AS BIGINT) AS path_duration,
+         ROW_NUMBER() OVER (PARTITION BY trace_id
+                            ORDER BY path_duration DESC, span_id ASC) AS rn
+  FROM leaves
+)
+SELECT trace_id, leaf_span_id, path_spans, path_duration
+FROM ranked WHERE rn = 1
+"""
+    )
+
+
 ERROR_THRESHOLD = 50
 
 
@@ -1146,6 +1210,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_latency_percentiles": q_service_latency_percentiles,
         "trace_timeline": q_trace_timeline,
         "operation_error_rates": q_operation_error_rates,
+        "span_self_time": q_span_self_time,
+        "critical_path": q_critical_path,
     }
 
 
@@ -1187,4 +1253,6 @@ def _trace_oracles() -> dict[str, str]:
         "service_latency_percentiles": sql_service_latency_percentiles(),
         "trace_timeline": sql_trace_timeline(),
         "operation_error_rates": sql_operation_error_rates(),
+        "span_self_time": sql_span_self_time(),
+        "critical_path": sql_critical_path(),
     }

@@ -71,3 +71,100 @@ def trace_timeline(spans: DataFrame) -> DataFrame:
         .groupBy("trace_id")
         .applyInPandas(one, TIMELINE_SCHEMA)
     )
+
+
+def span_self_time(spans: DataFrame) -> DataFrame:
+    """→ (trace_id, span_id, servicename, duration, child_time, self_time):
+    flamegraph feed — each span's duration minus the summed durations of
+    its direct children (negative when children run concurrently / extend
+    past the parent; kept raw, the flamegraph clamps at render time).
+
+    Pure relational: ONE map-side-combinable child aggregate keyed by
+    (trace_id, parent) joined back to the span row — both sides cluster on
+    the trace exchange, no recursion, no Python."""
+    import pyspark.sql.functions as F
+
+    child = (
+        spans.filter(F.col("parent_span_id") != "")
+        .groupBy(
+            "trace_id", F.col("parent_span_id").alias("span_id")
+        )
+        .agg(F.sum("duration").alias("child_time"))
+    )
+    return (
+        spans.select(
+            "trace_id",
+            "span_id",
+            F.col("service_name").alias("servicename"),
+            "duration",
+        )
+        .join(child, ["trace_id", "span_id"], "left")
+        .select(
+            "trace_id",
+            "span_id",
+            "servicename",
+            "duration",
+            F.coalesce("child_time", F.lit(0)).cast("long").alias("child_time"),
+            (F.col("duration") - F.coalesce("child_time", F.lit(0)))
+            .cast("long")
+            .alias("self_time"),
+        )
+    )
+
+
+def critical_path(spans: DataFrame) -> DataFrame:
+    """→ (trace_id, leaf_span_id, path_spans, path_duration): the
+    root-to-leaf chain with the largest cumulative span duration — the
+    classic "what should I optimize" trace question. Simplified additive
+    model (sum of durations along the path; overlap-aware self-time models
+    refine it — see span_self_time); ties break on leaf span_id.
+
+    Same grouped-map shape as trace_timeline: one walk per trace on the
+    shared trace exchange; the oracle accumulates paths with a recursive
+    CTE and takes the per-trace argmax."""
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
+        dur = dict(zip(pdf["span_id"], pdf["duration"]))
+        total: dict[str, tuple[int, int]] = {}  # span -> (path_dur, hops)
+
+        def path_of(s):
+            stack = []
+            cur = s
+            while cur not in total:
+                p = parent.get(cur, "")
+                if p == "" or p not in parent:
+                    total[cur] = (int(dur[cur]), 1)
+                    break
+                stack.append(cur)
+                cur = p
+            while stack:
+                nxt = stack.pop()
+                pd_, hops = total[parent[nxt]]
+                total[nxt] = (pd_ + int(dur[nxt]), hops + 1)
+            return total[s]
+
+        children = set(p for p in pdf["parent_span_id"] if p in parent)
+        leaves = [s for s in pdf["span_id"] if s not in children]
+        # tie-break: largest path_duration, then SMALLEST leaf span_id
+        _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
+        d, hops = path_of(s0)
+        return pd.DataFrame(
+            {
+                "trace_id": [pdf["trace_id"].iloc[0]],
+                "leaf_span_id": [s0],
+                "path_spans": [hops],
+                "path_duration": [d],
+            }
+        )
+
+    return (
+        spans.select("trace_id", "span_id", "parent_span_id", "duration")
+        .groupBy("trace_id")
+        .applyInPandas(
+            one,
+            "trace_id string, leaf_span_id string, path_spans long, "
+            "path_duration long",
+        )
+    )
