@@ -180,3 +180,44 @@ def test_latency_percentiles_approx_within_tolerance(spark):
         # 10% bounds that discreteness, not the sketch error
         for p in ("p50", "p90", "p99"):
             assert abs(a[p] - e[p]) <= max(1.0, 0.10 * e[p]), (svc, p, e[p], a[p])
+
+
+def test_timeline_and_critical_path_on_branching_tree(spark):
+    """The parquet testdata traces are linear chains; this pins the
+    branching cases: sibling subtrees, dangling parents (depth 0), and
+    the critical-path argmax + lowest-leaf tie-break."""
+    rows = [
+        # (trace, span, parent, svc, start, dur)
+        ("t1", "r", "", "api", 1000, 100),
+        ("t1", "a", "r", "db", 1010, 30),
+        ("t1", "b", "r", "cache", 1020, 50),   # heavier branch
+        ("t1", "b1", "b", "disk", 1030, 40),
+        ("t1", "x", "GONE", "orphan", 1040, 5),  # dangling parent -> depth 0
+        ("t2", "s", "", "api", 2000, 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, start_time long, duration long",
+    )
+    from haystack_traces_spark.operators.timeline import (
+        critical_path,
+        span_self_time,
+        trace_timeline,
+    )
+
+    tl = {(r["trace_id"], r["span_id"]): r for r in trace_timeline(df).collect()}
+    assert tl[("t1", "r")]["depth"] == 0 and tl[("t1", "r")]["offset_us"] == 0
+    assert tl[("t1", "b1")]["depth"] == 2 and tl[("t1", "b1")]["offset_us"] == 30
+    assert tl[("t1", "x")]["depth"] == 0  # dangling parent = root-level
+
+    cp = {r["trace_id"]: r for r in critical_path(df).collect()}
+    # r(100) + b(50) + b1(40) = 190 beats r+a = 130 and x alone = 5
+    assert cp["t1"]["leaf_span_id"] == "b1"
+    assert cp["t1"]["path_duration"] == 190 and cp["t1"]["path_spans"] == 3
+    assert cp["t2"]["leaf_span_id"] == "s" and cp["t2"]["path_duration"] == 10
+
+    st = {(r["trace_id"], r["span_id"]): r for r in span_self_time(df).collect()}
+    assert st[("t1", "r")]["self_time"] == 100 - (30 + 50)
+    assert st[("t1", "b")]["self_time"] == 50 - 40
+    assert st[("t1", "b1")]["child_time"] == 0
