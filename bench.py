@@ -107,9 +107,24 @@ def main() -> None:
                 "traceid", F.size("spans").alias("n")
             ).agg(F.sum("n")).collect(),
         )
-        from haystack_traces_spark.streaming.metrics import service_rate_metrics
+        from haystack_traces_spark.operators.timeline import (  # noqa: E402
+            critical_path,
+            span_self_time,
+            trace_timeline,
+        )
+        from haystack_traces_spark.streaming.metrics import (  # noqa: E402
+            service_latency_percentiles,
+            service_rate_metrics,
+        )
 
         timed("service_rate_metrics", lambda: service_rate_metrics(spans).count())
+        timed(
+            "service_latency_percentiles",
+            lambda: service_latency_percentiles(spans).count(),
+        )
+        timed("trace_timeline", lambda: trace_timeline(spans).count())
+        timed("span_self_time", lambda: span_self_time(spans).count())
+        timed("critical_path", lambda: critical_path(spans).count())
 
         # datapipe operators (added as implemented)
         try:
