@@ -1100,6 +1100,110 @@ FROM ranked WHERE rn = 1
     )
 
 
+def q_trace_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B trace diff — the UI's trace-comparison view: per (service,
+    operation) span counts and total durations of two traces side by side
+    with the duration delta. The compared pair here is the two numerically
+    smallest trace ids (deterministic at any sf); production callers pass
+    explicit ids. Full-outer on the op key so rows unique to either trace
+    surface with zeros."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    ids = (
+        spans.select(F.col("trace_id").cast("long").alias("tid"))
+        .distinct()
+        .orderBy("tid")
+        .limit(2)
+        .withColumn("ab", F.row_number().over(Window.orderBy("tid")))
+    )
+    tagged = spans.join(
+        F.broadcast(ids), spans["trace_id"].cast("long") == ids["tid"]
+    )
+    return (
+        tagged.groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.sum(F.when(F.col("ab") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("ab") == 1, F.col("duration")).otherwise(0))
+            .cast("long")
+            .alias("dur_a"),
+            F.sum(F.when(F.col("ab") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.when(F.col("ab") == 2, F.col("duration")).otherwise(0))
+            .cast("long")
+            .alias("dur_b"),
+        )
+        .withColumn("dur_delta", (F.col("dur_b") - F.col("dur_a")).cast("long"))
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_trace_compare() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, ids AS (
+  SELECT tid, ROW_NUMBER() OVER (ORDER BY tid) AS ab
+  FROM (SELECT DISTINCT CAST(trace_id AS BIGINT) AS tid FROM spans
+        ORDER BY tid LIMIT 2)
+)
+SELECT lower(s.service_name) AS servicename,
+       lower(s.operation_name) AS operationname,
+       CAST(SUM(CASE WHEN i.ab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN i.ab = 1 THEN s.duration ELSE 0 END) AS BIGINT) AS dur_a,
+       CAST(SUM(CASE WHEN i.ab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN i.ab = 2 THEN s.duration ELSE 0 END) AS BIGINT) AS dur_b,
+       CAST(SUM(CASE WHEN i.ab = 2 THEN s.duration ELSE 0 END)
+            - SUM(CASE WHEN i.ab = 1 THEN s.duration ELSE 0 END) AS BIGINT) AS dur_delta
+FROM spans s JOIN ids i ON CAST(s.trace_id AS BIGINT) = i.tid
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+    )
+
+
+SLOW_SVC = "click"
+SLOW_K = 5
+
+
+def q_slowest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k traces by a service's total time in them — "which requests
+    hurt service X most". TakeOrderedAndProject over a per-trace aggregate
+    restricted to the service's spans; ties break on traceid."""
+    spans = _spans(spark, sf_dir)
+    return (
+        spans.filter(F.lower("service_name") == SLOW_SVC)
+        .groupBy(F.col("trace_id").alias("traceid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("duration").cast("long").alias("svc_time"),
+        )
+        .orderBy(F.col("svc_time").desc(), F.col("traceid").asc())
+        .limit(SLOW_K)
+    )
+
+
+def sql_slowest_traces() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT trace_id AS traceid,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(duration) AS BIGINT) AS svc_time
+FROM spans WHERE lower(service_name) = '{SLOW_SVC}'
+GROUP BY trace_id
+ORDER BY svc_time DESC, traceid ASC
+LIMIT {SLOW_K}
+"""
+    )
+
+
 ERROR_THRESHOLD = 50
 
 
@@ -1212,6 +1316,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_error_rates": q_operation_error_rates,
         "span_self_time": q_span_self_time,
         "critical_path": q_critical_path,
+        "trace_compare": q_trace_compare,
+        "slowest_traces": q_slowest_traces,
     }
 
 
@@ -1255,4 +1361,6 @@ def _trace_oracles() -> dict[str, str]:
         "operation_error_rates": sql_operation_error_rates(),
         "span_self_time": sql_span_self_time(),
         "critical_path": sql_critical_path(),
+        "trace_compare": sql_trace_compare(),
+        "slowest_traces": sql_slowest_traces(),
     }
