@@ -125,6 +125,16 @@ def main() -> None:
         timed("trace_timeline", lambda: trace_timeline(spans).count())
         timed("span_self_time", lambda: span_self_time(spans).count())
         timed("critical_path", lambda: critical_path(spans).count())
+        from haystack_traces_spark.operators.field_values import (  # noqa: E402
+            field_cardinalities,
+        )
+
+        timed(
+            "field_cardinalities",
+            lambda: field_cardinalities(
+                trace_index, ("servicename", "operationname", "errorcode")
+            ).count(),
+        )
 
         # datapipe operators (added as implemented)
         try:
