@@ -415,6 +415,46 @@ GROUP BY t.doc_id
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix — which feeds near-duplicate each
+    other (the corpus-governance view licensing/provenance reviews need).
+    Near-dup pairs (exact-verified jaccard) roll up to unordered source
+    pairs with pair counts and mean similarity."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def sql_source_overlap() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dup AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jaccard), 6) AS avg_jaccard
+FROM dup
+JOIN documents da ON da.doc_id = dup.doc_a
+JOIN documents db ON db.doc_id = dup.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_dedup_report(spark, sf_dir):
     """Corpus-shrink funnel: total → exact-dedup survivors → near-dup
     (jaccard keep-lowest-id) survivors → Gopher-quality keepers. Each
@@ -1545,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "substring_runs": q_substring_runs,
         "dedup_report": q_dedup_report,
+        "source_overlap": q_source_overlap,
         "ann_knn_graph": q_ann_knn_graph,
         "bpe_pairs": q_bpe_pairs,
         "shuffle_order": q_shuffle_order,
@@ -1596,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": sql_bm25_search(),
         "substring_runs": sql_substring_runs(),
         "dedup_report": sql_dedup_report(),
+        "source_overlap": sql_source_overlap(),
         "ann_knn_graph": sql_ann_knn_graph(),
         "bpe_pairs": sql_bpe_pairs(),
         "shuffle_order": sql_shuffle_order(),
