@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET, cap_buckets
 from haystack_traces_spark.datapipe.hashing import (
     hash60,
     ordered_word_shingles,
@@ -259,11 +260,13 @@ def minhash_candidates(
     n_seeds: int = DEFAULT_MINHASH_SEEDS,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ distinct (doc_a, doc_b) candidate pairs from MinHash-LSH band
     collisions. Shared candidate generator for every fuzzy-dedup verifier
     (Jaccard, edit-distance): bands/rows tune recall vs candidate volume;
-    the verify step downstream fixes precision."""
+    the verify step downstream fixes precision. ``max_bucket`` guards the
+    band self-join against hot buckets going quadratic (caps.py)."""
     # signatures feed both sides of the band self-join — materialize once
     # instead of recomputing the shingle scan + k min-aggregates per side
     sig = materialize(minhash_signatures(docs, n_seeds, n))
@@ -280,6 +283,12 @@ def minhash_candidates(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.*")
+    buckets = cap_buckets(
+        buckets,
+        ["band", *(f"v{j}" for j in range(rows_per_band))],
+        max_bucket,
+        "minhash_candidates",
+    )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -303,12 +312,13 @@ def minhash_lsh_pairs(
     n_seeds: int = DEFAULT_MINHASH_SEEDS,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash → LSH banding → candidate join → exact-Jaccard verification.
 
     → (doc_a, doc_b, jaccard). Candidates whose true Jaccard < threshold are
     filtered out, so LSH affects only recall/cost, not output precision."""
-    candidates = minhash_candidates(docs, n_seeds, bands, n)
+    candidates = minhash_candidates(docs, n_seeds, bands, n, max_bucket)
     # verify ONLY the LSH candidates (never the all-pairs shingle join) —
     # at scale the candidate set is the entire cost dial
     return _verify_jaccard(candidates, docs, threshold, n)
@@ -321,6 +331,7 @@ def fuzzy_dedup_pairs(
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (doc_a, doc_b, edit_dist, edit_sim): edit-distance-verified fuzzy
     dedup. Candidates come from MinHash-LSH band collisions (subquadratic);
@@ -330,7 +341,7 @@ def fuzzy_dedup_pairs(
     Scale shape: the only quadratic-looking step (Levenshtein, O(len²) per
     pair) runs on LSH candidates only, JVM-side via the built-in
     ``levenshtein`` expression — no Python, work ∝ |candidates|."""
-    cand = minhash_candidates(docs, n_seeds, bands, n)
+    cand = minhash_candidates(docs, n_seeds, bands, n, max_bucket)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("tb"))
     scored = (
@@ -379,7 +390,12 @@ def simhash_fingerprints(
     return fp
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """→ (doc_a, doc_b, hamming): fingerprint pairs within hamming distance.
 
     Candidates come from PIGEONHOLE bucketing: the fingerprint is split
@@ -408,6 +424,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2, bits: int = 16) -> Data
     buckets = fp.select(
         "doc_id", "simhash", F.explode(F.array(*segs)).alias("sv")
     ).select("doc_id", "simhash", "sv.seg", "sv.val")
+    buckets = cap_buckets(buckets, ["seg", "val"], max_bucket, "simhash_pairs")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -574,6 +591,7 @@ def embedding_neardup_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (id_a, id_b, cos): near-duplicate pairs restricted to hyperplane-LSH
     bucket collisions — the subquadratic 100 TB path.
@@ -596,6 +614,9 @@ def embedding_neardup_pairs_lsh(
     buckets = materialize(hyperplane_buckets(
         emb, n_tables, planes_per_table, dim, id_col, vec_col
     ))
+    buckets = cap_buckets(
+        buckets, ["table", "bucket"], max_bucket, "embedding_neardup_pairs_lsh"
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -635,6 +656,7 @@ def semantic_dedup(
     use_lsh: bool = True,
     n_tables: int = 24,
     planes_per_table: int = 6,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (vec_id, kept, dup_of): SemDeDup-style semantic deduplication
     (Abbas et al. 2023, arXiv:2303.09540) — drop every vector that has a
@@ -652,7 +674,7 @@ def semantic_dedup(
     if use_lsh:
         pairs = embedding_neardup_pairs_lsh(
             emb, threshold, n_tables, planes_per_table,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, max_bucket=max_bucket,
         )
     else:
         pairs = embedding_neardup_pairs(emb, threshold, id_col, vec_col)

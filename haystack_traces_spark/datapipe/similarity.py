@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from haystack_traces_spark.session import materialize
 from pyspark.sql import Column, DataFrame
 
+from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET, cap_buckets
 from haystack_traces_spark.datapipe.hashing import hash60_py
 
 
@@ -314,12 +315,14 @@ def lsh_topk(
     planes_per_table: int = DEFAULT_LSH_PLANES,
     dim: int = 64,
     id_col: str = "vec_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """ANN: exact cosine ranking restricted to multi-table LSH candidates.
 
     Approximate by construction (bucket recall < 1); at 100 TB the bucket
     join replaces the all-pairs cross join and candidate volume is tuned by
-    (n_tables, planes_per_table)."""
+    (n_tables, planes_per_table); ``max_bucket`` (caps.py) keeps a
+    degenerate bucket from flooding every query's candidate set."""
     from pyspark.sql import Window
 
     # buckets feed the query-side filter AND the candidate join — persist so
@@ -327,11 +330,14 @@ def lsh_topk(
     buckets = materialize(
         hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
     )
+    # query-side rows are read BEFORE the cap so a query sitting in a hot
+    # bucket still resolves; only the candidate side is capped
     qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
+    capped = cap_buckets(buckets, ["table", "bucket"], max_bucket, "lsh_topk")
     cand = (
-        buckets.join(F.broadcast(qb), ["table", "bucket"])
+        capped.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col))
         .distinct()
@@ -376,6 +382,7 @@ def lsh_knn_graph(
     planes_per_table: int = DEFAULT_LSH_PLANES,
     dim: int = 64,
     id_col: str = "vec_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (vec_id, neighbor_id, cos, rank): approximate K-NEAREST-NEIGHBOR
     GRAPH — top-k cosine neighbors for EVERY vector, not a query list.
@@ -393,6 +400,9 @@ def lsh_knn_graph(
 
     buckets = materialize(
         hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
+    )
+    buckets = cap_buckets(
+        buckets, ["table", "bucket"], max_bucket, "lsh_knn_graph"
     )
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -669,3 +669,66 @@ def test_pq_search_recall_above_chance_and_codes_complete(emb):
         truth |= {(q, vid) for _, vid in d}
     recall = len(pq & truth) / len(truth)
     assert recall >= 0.1, f"PQ recall collapsed to {recall}"
+
+
+# ------------------------------------------------------------------ caps --
+class TestBucketOccupancyCap:
+    """Hot-bucket guard (caps.py): a degenerate bucket must not make the
+    LSH-family candidate self-joins quadratic (VERDICT r3 #1)."""
+
+    @pytest.fixture(scope="class")
+    def hot_docs(self, spark):
+        """60 identical boilerplate docs (one hot bucket in every band /
+        segment) + 20 distinct docs."""
+        rows = [(i, "the same boilerplate text repeated verbatim everywhere") for i in range(60)]
+        rows += [
+            (100 + i, f"unique document number {i} with its own words {i * 7} {i * 13}")
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_cap_bounds_candidates(self, hot_docs):
+        from haystack_traces_spark.datapipe import caps
+
+        uncapped = D.minhash_candidates(hot_docs, max_bucket=None).count()
+        assert uncapped >= 60 * 59 // 2  # the hot bucket alone is quadratic
+        capped = D.minhash_candidates(hot_docs, max_bucket=30).count()
+        assert capped < 60 * 59 // 2
+        st = caps.last_cap_stats["minhash_candidates"]
+        assert st["n_buckets_dropped"] > 0 and st["n_rows_dropped"] >= 60
+
+    def test_simhash_cap_bounds_candidates(self, hot_docs):
+        from haystack_traces_spark.datapipe import caps
+
+        uncapped = D.simhash_pairs(hot_docs, max_bucket=None).count()
+        assert uncapped >= 60 * 59 // 2
+        capped = D.simhash_pairs(hot_docs, max_bucket=30).count()
+        assert capped < uncapped
+        assert caps.last_cap_stats["simhash_pairs"]["n_buckets_dropped"] > 0
+
+    def test_embedding_lsh_cap_bounds_candidates(self, spark):
+        from haystack_traces_spark.datapipe import caps
+
+        rows = [(i, [1.0, 0.5] * 32) for i in range(40)]  # one hot bucket
+        rows += [(100 + i, [float((i * 31 + j * 7) % 11 - 5) for j in range(64)]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        uncapped = D.embedding_neardup_pairs_lsh(emb, 0.99, max_bucket=None).count()
+        assert uncapped >= 40 * 39 // 2
+        capped = D.embedding_neardup_pairs_lsh(emb, 0.99, max_bucket=20).count()
+        assert capped < uncapped
+        assert caps.last_cap_stats["embedding_neardup_pairs_lsh"]["n_buckets_dropped"] > 0
+
+    def test_default_cap_inactive_on_testdata(self, docs):
+        """The default cap must be a no-op at test scale (oracle parity)."""
+        from haystack_traces_spark.datapipe import caps
+
+        with_cap = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_candidates(docs).collect()
+        }
+        without = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_candidates(docs, max_bucket=None).collect()
+        }
+        assert with_cap == without
+        assert caps.last_cap_stats["minhash_candidates"]["n_buckets_dropped"] == 0
