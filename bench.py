@@ -36,7 +36,11 @@ from haystack_traces_spark.operators.field_values import (  # noqa: E402
     field_values,
 )
 from haystack_traces_spark.operators.index import build_trace_index  # noqa: E402
-from haystack_traces_spark.session import fan_out, get_spark  # noqa: E402
+from haystack_traces_spark.session import (  # noqa: E402
+    fan_out,
+    get_spark,
+    release_materialized,
+)
 from haystack_traces_spark.sources.events import spans_from_events  # noqa: E402
 from haystack_traces_spark.sources.spans import build_trace_store  # noqa: E402
 
@@ -69,6 +73,10 @@ def main() -> None:
             t = time.perf_counter()
             n = fn()
             times[name] = time.perf_counter() - t
+            # free the frames materialize() pinned for THIS query — a
+            # 79-query session would otherwise accumulate cached tables
+            # until LRU/disk pressure (housekeeping, outside the timer)
+            release_materialized()
             return n
 
         expr = ExpressionTree(
@@ -135,6 +143,14 @@ def main() -> None:
                 trace_index, ("servicename", "operationname", "errorcode")
             ).count(),
         )
+
+        # every remaining registry trace entry, timed through the driver
+        # contract callable (these rebuild spans/index inline — the
+        # "cold endpoint" shape the driver's correctness harness runs, vs
+        # the prebuilt-table reader path timed above)
+        for name, fn in EQ._trace_queries().items():
+            if name not in times:
+                timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
         # datapipe operators (added as implemented)
         try:

@@ -1215,8 +1215,13 @@ def q_operation_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haystack_traces_spark.transform.tags import tag_str
 
     spans = _spans(spark, sf_dir)
-    err = (tag_str("tags", "errorcode").try_cast("long") >= ERROR_THRESHOLD).cast(
-        "long"
+    # coalesce: a span without the errorcode tag counts as NON-error (the
+    # oracle's CASE WHEN ... ELSE 0), not NULL-poisoning the group's sum
+    err = F.coalesce(
+        (tag_str("tags", "errorcode").try_cast("long") >= ERROR_THRESHOLD).cast(
+            "long"
+        ),
+        F.lit(0),
     )
     return (
         spans.groupBy(
@@ -1279,8 +1284,11 @@ GROUP BY 1, 2
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
-    out = dict(dp.queries())
-    out.update(_trace_queries())
+    # Trace queries first: the reference's own query surface
+    # (reader/.../services/TraceService.scala:50-134) outranks the datapipe
+    # extensions in any bounded driver sample of the registry.
+    out = dict(_trace_queries())
+    out.update(dp.queries())
     return out
 
 
@@ -1324,8 +1332,9 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from haystack_traces_spark.datapipe import queries as dp
 
-    out = dict(dp.oracle_sql())
-    out.update(_trace_oracles())
+    # Same ordering as queries(): trace oracles first.
+    out = dict(_trace_oracles())
+    out.update(dp.oracle_sql())
     return out
 
 

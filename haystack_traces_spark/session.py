@@ -70,6 +70,12 @@ def fan_out(df, min_parts: int | None = None):
     return df
 
 
+# Frames pinned by materialize(), released via release_materialized() —
+# a long-lived session running the whole registry (bench.py, the oracle
+# suite) would otherwise accumulate cached tables until LRU/disk pressure.
+_materialized: list = []
+
+
 def materialize(df):
     """persist + EAGER count: derived tables that feed both sides of a
     self-join (LSH buckets, minhash signatures, prefix indexes, shingle
@@ -78,10 +84,31 @@ def materialize(df):
     scratch — for the hyperplane-bucket GEMM that is the whole table
     bucketed twice (measured 3-5x on the LSH family at sf0.1). On a
     cluster the same idea is "write the derived table, then join it";
-    locally one narrow count() action fills the cache."""
+    locally one narrow count() action fills the cache.
+
+    Every pinned frame is tracked; callers that run MANY queries in one
+    session (bench loops, oracle suites) should call
+    :func:`release_materialized` after each query's consuming action."""
     df = df.persist()
     df.count()
+    _materialized.append(df)
     return df
+
+
+def release_materialized() -> int:
+    """Unpersist every frame :func:`materialize` pinned since the last
+    release. Safe once the consuming action has finished — the cache is a
+    within-query racing guard, not a cross-query cache. Returns the number
+    of frames released."""
+    n = 0
+    while _materialized:
+        df = _materialized.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def get_spark(
