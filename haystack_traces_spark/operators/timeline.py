@@ -28,10 +28,17 @@ def _depths(span_ids, parents) -> dict[str, int]:
     memo: dict[str, int] = {}
     for s in span_ids:
         stack = []
+        on_path: set[str] = set()
         cur = s
         while cur not in memo:
+            # cycle guard: these operators consume RAW spans (the repair
+            # transformers that fix cyclic parent links run downstream of
+            # the tree builder, not here) — a corrupt parent cycle must not
+            # spin the UDF forever. A cycle member becomes its own root
+            # (depth 0), same fallback as a dangling parent.
+            on_path.add(cur)
             p = parent.get(cur, "")
-            if p == "" or p not in parent:
+            if p == "" or p not in parent or p in on_path:
                 memo[cur] = 0
                 break
             stack.append(cur)
@@ -131,10 +138,14 @@ def critical_path(spans: DataFrame) -> DataFrame:
 
         def path_of(s):
             stack = []
+            on_path = set()
             cur = s
             while cur not in total:
+                # cycle guard — mirrors _depths: a cyclic parent link roots
+                # the path at the cycle member instead of looping forever
+                on_path.add(cur)
                 p = parent.get(cur, "")
-                if p == "" or p not in parent:
+                if p == "" or p not in parent or p in on_path:
                     total[cur] = (int(dur[cur]), 1)
                     break
                 stack.append(cur)
@@ -147,6 +158,8 @@ def critical_path(spans: DataFrame) -> DataFrame:
 
         children = set(p for p in pdf["parent_span_id"] if p in parent)
         leaves = [s for s in pdf["span_id"] if s not in children]
+        # an all-cycle trace has no leaves — rank every span instead
+        leaves = leaves or list(pdf["span_id"])
         # tie-break: largest path_duration, then SMALLEST leaf span_id
         _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
         d, hops = path_of(s0)

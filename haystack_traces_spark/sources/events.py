@@ -35,19 +35,28 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# DuckDB mirror — prepended to every oracle SQL statement that queries spans.
-EVENT_SPANS_CTE = """
-WITH spans AS (
-  SELECT
+# Shared DuckDB-SQL fragments of the events→span projection. Both oracle
+# CTEs below are composed from these so the arithmetic exists exactly once
+# on the SQL side, mirroring the single Spark-side _event_span_base().
+_SQL_K = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+_SQL_OP = f"'op_' || CAST({_SQL_K} % 5 AS VARCHAR)"
+_SQL_BASE_COLS = f"""
     CAST(user_id AS VARCHAR) AS trace_id,
     CAST(event_id AS VARCHAR) AS span_id,
-    COALESCE(CAST(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR), '') AS parent_span_id,
+    COALESCE(CAST(LAG(event_id) OVER w AS VARCHAR), '') AS parent_span_id,
     event_type AS service_name,
-    'op_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS VARCHAR) AS operation_name,
+    {_SQL_OP} AS operation_name,
     epoch_us(ts) AS start_time,
-    CAST(FLOOR(value * 1000) AS BIGINT) AS duration,
-    CAST(json_extract_string(props, '$.k') AS BIGINT) AS errorcode
+    CAST(FLOOR(value * 1000) AS BIGINT) AS duration"""
+_SQL_WINDOW = "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+
+# DuckDB mirror — prepended to every oracle SQL statement that queries spans.
+EVENT_SPANS_CTE = f"""
+WITH spans AS (
+  SELECT {_SQL_BASE_COLS},
+    {_SQL_K} AS errorcode
   FROM events
+  {_SQL_WINDOW}
 )
 """
 
@@ -62,21 +71,14 @@ WITH spans AS (
 # networkDelta = clientDur - serverDur = 2*net (SpanMerger.scala:53-64,96-106).
 # Root events stay single spans tagged span.kind=server so the U5 parent/child
 # collapse is kind-blocked at the root (SpanMerger.scala:136-157).
-EVENT_SPANS_CS_CTE = """
+EVENT_SPANS_CS_CTE = f"""
 WITH ev AS (
-  SELECT
-    CAST(user_id AS VARCHAR) AS trace_id,
-    CAST(event_id AS VARCHAR) AS span_id,
-    COALESCE(CAST(LAG(event_id) OVER w AS VARCHAR), '') AS parent_span_id,
-    event_type AS service_name,
-    'op_' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS VARCHAR) AS operation_name,
+  SELECT {_SQL_BASE_COLS},
     LAG(event_type) OVER w AS parent_service,
-    'op_' || CAST((LAG(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER w) % 5 AS VARCHAR) AS parent_operation,
-    epoch_us(ts) AS start_time,
-    CAST(FLOOR(value * 1000) AS BIGINT) AS duration,
+    'op_' || CAST((LAG({_SQL_K}) OVER w) % 5 AS VARCHAR) AS parent_operation,
     event_id % 97 + 1 AS net
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  {_SQL_WINDOW}
 ), cs_spans AS (
   SELECT trace_id, span_id, parent_span_id, service_name, operation_name,
          start_time, duration

@@ -87,9 +87,14 @@ class NearDupIngest:
         self.n = n
 
     def _state(self, spark) -> DataFrame:
+        # only a MISSING path means first run; any other read failure
+        # (corrupt file, permissions) must propagate — silently resetting
+        # state would re-admit previously-seen near-duplicates
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self.state_dir)
-        except Exception:
+        except AnalysisException:
             from pyspark.sql.types import (
                 LongType,
                 StringType,
@@ -136,6 +141,20 @@ class NearDupIngest:
             F.max(F.col("hit").isNotNull()).alias("near_dup"),
             F.min("hit").alias("dup_of"),
             F.sum(F.col("hit").isNotNull().cast("long")).alias("n_bands_hit"),
+        )
+        # a doc with < n tokens has no shingles, hence no band rows and no
+        # verdict aggregate — it must still be ADMITTED, not silently
+        # dropped from the output stream (the exact md5 gate covers every
+        # doc; this gate must too)
+        verdict = (
+            docs.select("doc_id")
+            .join(verdict, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+                "dup_of",
+                F.coalesce("n_bands_hit", F.lit(0)).cast("long").alias("n_bands_hit"),
+            )
         )
         verdict.write.mode("append").parquet(self.out_dir)
         # admit: bands of non-dup docs not already in state. state must be

@@ -221,3 +221,36 @@ def test_timeline_and_critical_path_on_branching_tree(spark):
     assert st[("t1", "r")]["self_time"] == 100 - (30 + 50)
     assert st[("t1", "b")]["self_time"] == 50 - 40
     assert st[("t1", "b1")]["child_time"] == 0
+
+
+def test_timeline_cycle_guard_terminates(spark):
+    """ADVICE r3: cyclic parent links (corrupt/adversarial raw spans) must
+    not spin the per-trace walks forever — a cycle member roots at depth 0,
+    and critical_path still emits a row even when a cycle leaves no leaf."""
+    rows = [
+        # t1: 2-cycle a<->b plus a normal child of a
+        ("t1", "a", "b", "svc", 1000, 10),
+        ("t1", "b", "a", "svc", 1001, 20),
+        ("t1", "c", "a", "svc", 1002, 5),
+        # t2: pure self-loop, no leaves at all
+        ("t2", "s", "s", "svc", 2000, 7),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, start_time long, duration long",
+    )
+    from haystack_traces_spark.operators.timeline import (
+        critical_path,
+        trace_timeline,
+    )
+
+    tl = {(r["trace_id"], r["span_id"]): r for r in trace_timeline(df).collect()}
+    assert len(tl) == 4  # terminated, every span emitted
+    # one cycle member became the root; the other sits one hop below it
+    assert {tl[("t1", "a")]["depth"], tl[("t1", "b")]["depth"]} == {0, 1}
+    assert tl[("t2", "s")]["depth"] == 0
+
+    cp = {r["trace_id"]: r for r in critical_path(df).collect()}
+    assert set(cp) == {"t1", "t2"}
+    assert cp["t2"]["leaf_span_id"] == "s" and cp["t2"]["path_duration"] == 7

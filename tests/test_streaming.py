@@ -724,3 +724,21 @@ def test_neardup_gate_flags_near_copies_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(state)).collect()
     }
     assert firsts <= {1, 3, 11}, firsts
+
+
+def test_neardup_gate_admits_bandless_short_docs(spark, tmp_path):
+    """ADVICE r3: a doc with fewer tokens than the shingle width produces
+    no band rows — it must still be ADMITTED with an explicit verdict row,
+    not silently vanish from the output stream."""
+    from haystack_traces_spark.streaming.neardup_stream import NearDupIngest
+
+    gate = NearDupIngest(str(tmp_path / "state"), str(tmp_path / "out"))
+    batch = spark.createDataFrame(
+        [(1, "hi"), (2, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    gate.process_batch(batch, 0)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(rows) == {1, 2}
+    assert not rows[1]["near_dup"] and rows[1]["n_bands_hit"] == 0
+    assert rows[1]["dup_of"] is None
