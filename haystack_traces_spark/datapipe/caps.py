@@ -59,7 +59,9 @@ def cap_buckets(
         return buckets
     keys = list(key_cols)
     occ = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_occ"))
-    hot = materialize(occ.filter(F.col("_occ") > max_bucket))
+    hot = occ.filter(F.col("_occ") > max_bucket)
+    # ONE eager job on the common (no hot bucket) path; the hot set is only
+    # materialized for the anti-join when it is non-empty (rare path)
     stats = hot.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.coalesce(F.sum("_occ"), F.lit(0)).cast("long").alias("n_rows"),
@@ -78,5 +80,7 @@ def cap_buckets(
             stats["n_rows"],
             max_bucket,
         )
-        return buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+        return buckets.join(
+            F.broadcast(materialize(hot.select(*keys))), keys, "left_anti"
+        )
     return buckets
