@@ -612,7 +612,10 @@ def q_field_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haystack_traces_spark.config import DEFAULT_WHITELIST
 
     names = sorted(DEFAULT_WHITELIST.field_names() + ["servicename", "operationname"])
-    return spark.createDataFrame([(n,) for n in names], "name string")
+    # a VALUES literal plans as a LocalRelation — createDataFrame's
+    # python→JVM row conversion costs ~0.5 s per call for 4 rows
+    values = ", ".join(f"('{n}')" for n in names)
+    return spark.sql(f"SELECT name FROM (VALUES {values}) AS t(name)")
 
 
 def sql_field_names() -> str:
