@@ -399,6 +399,35 @@ def q_unigram_ppl(spark, sf_dir):
     return X.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_ppl(spark, sf_dir):
+    return X.bigram_logprob(_docs(spark, sf_dir))
+
+
+def sql_bigram_ppl() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, i AS pos, lower(string_split(text, ' ')[i]) AS w
+  FROM documents, UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+),
+bi AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+    FROM toks
+  ) WHERE w1 IS NOT NULL
+),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+uc AS (SELECT w AS w1, COUNT(*) AS cu FROM toks GROUP BY 1),
+probs AS (
+  SELECT w1, w2, ln(cb / CAST(cu AS DOUBLE)) AS lp FROM bc JOIN uc USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS avg_logprob,
+       ROUND(EXP(-AVG(lp)), 6) AS ppl
+FROM bi JOIN probs USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 def sql_unigram_ppl() -> str:
     return """
 WITH toks AS (
@@ -1635,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_weights": q_mix_weights,
         "canonical_docs": q_canonical_docs,
+        "bigram_ppl": q_bigram_ppl,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1691,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "mix_weights": sql_mix_weights(),
         "canonical_docs": sql_canonical_docs(),
+        "bigram_ppl": sql_bigram_ppl(),
     }
 
 

@@ -229,6 +229,51 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_bigrams, avg_logprob, ppl): bigram-LM pseudo-perplexity —
+    the next signal up from :func:`unigram_logprob`'s bag-of-words score:
+    each doc is scored by the mean log MLE transition probability
+    ``P(w2|w1) = c(w1 w2) / c(w1)`` over its adjacent lowercased token
+    pairs (``c(w1)`` = corpus-wide token occurrences). Templated/repetitive
+    text has near-deterministic transitions (ppl → 1); token-salad scores
+    high even when its unigram mix looks normal. Docs with fewer than two
+    tokens have no transitions and drop out (same on the oracle side).
+
+    Scale shape: bigram + unigram counts are two map-side-combined
+    aggregates; scoring is one hash join on the bigram key and one
+    broadcast-friendly join on the first-token key, then a per-doc
+    average — the unigram_logprob discipline with one extra join."""
+    from haystack_traces_spark.datapipe.hashing import ordered_word_shingles
+
+    bi = docs.select(
+        "doc_id", F.explode(ordered_word_shingles(text_col, 2)).alias("p")
+    ).select("doc_id", F.lower("p").alias("p"))
+    toks = docs.select(
+        F.explode(F.transform(_tokens(text_col), lambda w: F.lower(w))).alias("w1")
+    )
+    bc = bi.groupBy("p").agg(F.count(F.lit(1)).alias("cb"))
+    uc = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    probs = (
+        bc.withColumn("w1", F.split("p", " ")[0])
+        .join(uc, "w1")
+        .select("p", F.log(F.col("cb") / F.col("cu")).alias("lp"))
+    )
+    per_doc = (
+        bi.join(probs, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg("lp").alias("alp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("alp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
+    )
+
+
 def bpe_pair_stats(
     docs: DataFrame, top_n: int = 50, text_col: str = "text"
 ) -> DataFrame:

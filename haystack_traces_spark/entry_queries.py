@@ -399,10 +399,18 @@ FROM spans WHERE trace_id = '42'
 
 
 def _cs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out, materialize
     from haystack_traces_spark.sources.events import spans_cs_from_events
 
-    return spans_cs_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
+    # the cs projection (scan + trace window + pair explode) feeds BOTH the
+    # search-index build inside _cs_search_ids AND the fetch semi-join of
+    # the same query — materialize so it is evaluated once per query (and
+    # Spark's cache manager shares it across the processed/call-graph pair
+    # until release_materialized()); on a cluster this is "write the
+    # projected span table once", the reference's own indexer architecture
+    return materialize(
+        spans_cs_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
+    )
 
 
 # Search over the cs-span index shared by the two pipeline queries: traces

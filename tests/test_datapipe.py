@@ -770,3 +770,24 @@ def test_ivf_pq_residual_path_recall(emb):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bigram_ppl_separates_templated_from_scrambled(spark):
+    """Bigram perplexity must rank templated text (deterministic
+    transitions) below token-salad whose unigram mix is identical."""
+    from haystack_traces_spark.datapipe.text import bigram_logprob
+
+    words = [f"w{i}" for i in range(20)]
+    templ = " ".join(words * 5)                       # fixed transition cycle
+    import random
+
+    rng = random.Random(3)
+    salad_words = words * 5
+    rng.shuffle(salad_words)
+    salad = " ".join(salad_words)
+    docs = spark.createDataFrame(
+        [(1, templ), (2, salad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert out[1]["ppl"] < out[2]["ppl"]
+    assert out[1]["n_bigrams"] == out[2]["n_bigrams"] == 99
