@@ -103,6 +103,52 @@ def decontaminate(
     )
 
 
+def decontaminate_neardup(
+    docs: DataFrame,
+    probes: DataFrame,
+    n_seeds: int | None = None,
+    bands: int | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """→ (doc_id, n_bands_hit, contaminated): NEAR-dup decontamination —
+    flag training docs whose MinHash-LSH band keys collide with any
+    benchmark/probe doc's bands. The exact-shingle gate
+    (:func:`decontaminate`) misses lightly-edited benchmark copies
+    (punctuation/casing tweaks, one-word paraphrases); band collision is
+    the same signal the near-dup dedup family uses, applied train→probe.
+
+    Scale shape: the probe band set is tiny (benchmarks are small) —
+    distinct + broadcast, so the corpus-side pass is one map-side join on
+    the band key with no corpus shuffle; ``n_bands_hit`` counts DISTINCT
+    colliding bands (max = bands), a crude confidence score."""
+    from haystack_traces_spark.datapipe.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_MINHASH_SEEDS,
+        minhash_band_rows,
+    )
+
+    n_seeds = n_seeds or DEFAULT_MINHASH_SEEDS
+    bands = bands or DEFAULT_BANDS
+    rpb = n_seeds // bands
+    key = ["band", *(f"v{j}" for j in range(rpb))]
+    tb = minhash_band_rows(docs, n_seeds, bands, n)
+    pb = minhash_band_rows(probes, n_seeds, bands, n).select(*key).distinct()
+    hits = (
+        tb.join(F.broadcast(pb), key)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").alias("n_bands_hit"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bands_hit", F.lit(0)).cast("long").alias("n_bands_hit"),
+            (F.coalesce("n_bands_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ------------------------------------------------------ vocabulary cover --
 
 def vocab_coverage(

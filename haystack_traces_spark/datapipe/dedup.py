@@ -255,6 +255,33 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    n_seeds: int = DEFAULT_MINHASH_SEEDS,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """→ (doc_id, band, v0..v{rows_per_band-1}): one row per (doc, band)
+    with the raw signature slice as the band key (engine-neutral — no
+    internal hash function, so the DuckDB oracle reproduces the keys
+    exactly). Shared by the candidate self-join and the near-dup
+    decontamination probe join."""
+    # signatures feed both sides of the band self-join — materialize once
+    # instead of recomputing the shingle scan + k min-aggregates per side
+    sig = materialize(minhash_signatures(docs, n_seeds, n))
+    rows_per_band = n_seeds // bands
+    band_cols = []
+    for bi in range(bands):
+        parts = [
+            F.col(f"mh_{bi * rows_per_band + j}").alias(f"v{j}")
+            for j in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(bi).alias("band"), *parts))
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.*")
+
+
 def minhash_candidates(
     docs: DataFrame,
     n_seeds: int = DEFAULT_MINHASH_SEEDS,
@@ -267,22 +294,8 @@ def minhash_candidates(
     (Jaccard, edit-distance): bands/rows tune recall vs candidate volume;
     the verify step downstream fixes precision. ``max_bucket`` guards the
     band self-join against hot buckets going quadratic (caps.py)."""
-    # signatures feed both sides of the band self-join — materialize once
-    # instead of recomputing the shingle scan + k min-aggregates per side
-    sig = materialize(minhash_signatures(docs, n_seeds, n))
     rows_per_band = n_seeds // bands
-    # band key = the raw signature slice (engine-neutral — no internal hash
-    # function, so the DuckDB oracle reproduces candidates exactly)
-    band_cols = []
-    for bi in range(bands):
-        parts = [
-            F.col(f"mh_{bi * rows_per_band + j}").alias(f"v{j}")
-            for j in range(rows_per_band)
-        ]
-        band_cols.append(F.struct(F.lit(bi).alias("band"), *parts))
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.*")
+    buckets = minhash_band_rows(docs, n_seeds, bands, n)
     buckets = cap_buckets(
         buckets,
         ["band", *(f"v{j}" for j in range(rows_per_band))],

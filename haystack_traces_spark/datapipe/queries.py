@@ -1328,6 +1328,48 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_decontaminate_neardup(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return C.decontaminate_neardup(train, probes)
+
+
+def sql_decontaminate_neardup() -> str:
+    n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
+    mins = ",\n         ".join(
+        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, mh_{bi * rpb} AS v0, mh_{bi * rpb + 1} AS v1 FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+all_bands AS ({band_rows}),
+probe_bands AS (
+  SELECT DISTINCT band, v0, v1 FROM all_bands WHERE doc_id % {PROBE_MOD} = 0
+),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.band) AS n
+  FROM (SELECT * FROM all_bands WHERE doc_id % {PROBE_MOD} <> 0) t
+  JOIN probe_bands p USING (band, v0, v1)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bands_hit,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {PROBE_MOD} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_vocab_coverage(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
@@ -1665,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "canonical_docs": q_canonical_docs,
         "bigram_ppl": q_bigram_ppl,
+        "decontaminate_neardup": q_decontaminate_neardup,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1722,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_weights": sql_mix_weights(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
+        "decontaminate_neardup": sql_decontaminate_neardup(),
     }
 
 

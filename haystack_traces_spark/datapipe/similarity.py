@@ -707,8 +707,10 @@ def ivf_pq_search(
     dsub = dim // m
     if residual:
         # encode residuals: r = v − centroid(cell). One broadcast join to
-        # stamp the centroid; the zip_with subtraction stays JVM-side.
-        rvec = (
+        # stamp the centroid; the zip_with subtraction stays JVM-side. The
+        # residual table feeds BOTH the codebook-training sample and the
+        # encoding pass — materialize so it is computed once.
+        rvec = materialize(
             vecs.join(assign, id_col)
             .join(F.broadcast(cents), "cell")
             .select(

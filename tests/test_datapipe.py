@@ -791,3 +791,27 @@ def test_bigram_ppl_separates_templated_from_scrambled(spark):
     out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
     assert out[1]["ppl"] < out[2]["ppl"]
     assert out[1]["n_bigrams"] == out[2]["n_bigrams"] == 99
+
+
+def test_decontaminate_neardup_catches_edited_benchmark_copy(spark):
+    """The exact-shingle gate misses a lightly-edited benchmark copy; the
+    banded near-dup gate must flag it (and not flag unrelated text)."""
+    from haystack_traces_spark.datapipe.corpus import (
+        decontaminate,
+        decontaminate_neardup,
+    )
+
+    bench = " ".join(f"q{i}" for i in range(40))
+    edited = bench.replace("q7 ", "qq7 ").replace("q31", "x31")  # 2 token edits
+    unrelated = " ".join(f"z{i}" for i in range(40))
+    probes = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, edited), (2, unrelated)], "doc_id long, text string"
+    )
+    near = {r["doc_id"]: r for r in decontaminate_neardup(train, probes).collect()}
+    assert near[1]["contaminated"] and near[1]["n_bands_hit"] >= 1
+    assert not near[2]["contaminated"] and near[2]["n_bands_hit"] == 0
+    # sanity: the exact gate also sees shared shingles here (edits are
+    # sparse), but near-dup banding is what generalizes to paraphrases
+    ex = {r["doc_id"]: r for r in decontaminate(train, probes).collect()}
+    assert not ex[2]["contaminated"]
