@@ -403,6 +403,21 @@ def q_bigram_ppl(spark, sf_dir):
     return X.bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_token_counts(spark, sf_dir):
+    return X.token_counts(_docs(spark, sf_dir))
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{X.PRETOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+       ROUND(len(regexp_extract_all(text, '{X.PRETOKEN_RE}'))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS tokens_per_word
+FROM documents
+"""
+
+
 def sql_bigram_ppl() -> str:
     return """
 WITH toks AS (
@@ -1708,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "bigram_ppl": q_bigram_ppl,
         "decontaminate_neardup": q_decontaminate_neardup,
+        "token_counts": q_token_counts,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1766,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
+        "token_counts": sql_token_counts(),
     }
 
 

@@ -229,6 +229,29 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pretokenizer: letter runs, digit runs, punctuation runs — the
+#: GPT-2-family pre-split shape, restricted to constructs Java regex and
+#: DuckDB's RE2 evaluate identically (ASCII classes, no lookaround).
+PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_ws_tokens, n_re_tokens, tokens_per_word): whitespace
+    token count vs BPE-ish pretokenizer count per doc. The ratio is the
+    pre-split inflation a subword tokenizer would see (punctuation-dense
+    or digit-dense text inflates most) — the standard cheap stand-in for
+    "how many tokens will this cost" when no trained tokenizer is in the
+    container. Pure per-row expressions: map-only, no shuffle, no Python."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    re_toks = F.size(F.regexp_extract_all(text_col, F.lit(PRETOKEN_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        re_toks.cast("long").alias("n_re_tokens"),
+        F.round(re_toks / ws, 6).alias("tokens_per_word"),
+    )
+
+
 def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, n_bigrams, avg_logprob, ppl): bigram-LM pseudo-perplexity —
     the next signal up from :func:`unigram_logprob`'s bag-of-words score:

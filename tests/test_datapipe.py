@@ -815,3 +815,21 @@ def test_decontaminate_neardup_catches_edited_benchmark_copy(spark):
     # sparse), but near-dup banding is what generalizes to paraphrases
     ex = {r["doc_id"]: r for r in decontaminate(train, probes).collect()}
     assert not ex[2]["contaminated"]
+
+
+def test_token_counts_semantics_and_map_only(spark):
+    """Regex pretokenizer counts: punctuation-dense text inflates the
+    token-per-word ratio; the operator must stay map-only (no shuffle)."""
+    from haystack_traces_spark.datapipe.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "plain words only here"), (2, "it's 2024, code=x1+y2!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert out[1]["n_ws_tokens"] == 4 and out[1]["n_re_tokens"] == 4
+    # "it's" -> it, ', s ; "2024," -> 2024, , ; "code=x1+y2!" -> 8 pieces
+    assert out[2]["n_re_tokens"] > out[2]["n_ws_tokens"]
+    assert out[2]["tokens_per_word"] > out[1]["tokens_per_word"]
+    plan = token_counts(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -215,3 +215,14 @@ def test_knn_graph_bucket_equijoin_no_cartesian(spark):
     plan = _plan(lsh_knn_graph(df, k=2))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_neardup_broadcasts_probe_bands(spark):
+    """The benchmark band set must arrive as a broadcast — the corpus-side
+    band rows never shuffle for the collision probe."""
+    from haystack_traces_spark.datapipe.corpus import decontaminate_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = _plan(decontaminate_neardup(docs.filter(F.col("doc_id") % 50 != 0), probes))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]

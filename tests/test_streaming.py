@@ -742,3 +742,27 @@ def test_neardup_gate_admits_bandless_short_docs(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert not rows[1]["near_dup"] and rows[1]["n_bands_hit"] == 0
     assert rows[1]["dup_of"] is None
+
+
+def test_neardup_gate_corrupt_state_propagates(spark, tmp_path):
+    """ADVICE r3: a corrupt band-state file must RAISE, not silently reset
+    state (which would re-admit previously-seen near-duplicates). Only a
+    missing path means first run."""
+    import pytest
+
+    from haystack_traces_spark.streaming.neardup_stream import NearDupIngest
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"this is not parquet")
+    gate = NearDupIngest(str(state), str(tmp_path / "out"))
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        gate.process_batch(batch, 0)
+    # the real read error surfaces (SparkException via py4j), and it is NOT
+    # the AnalysisException first-run path that resets state
+    assert type(ei.value).__name__ != "AnalysisException"
+    # silent reset would have written a verdict — nothing may exist
+    assert not (tmp_path / "out").exists()
