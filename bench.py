@@ -54,6 +54,16 @@ def main() -> None:
     times: dict[str, float] = {}
     t_all = time.perf_counter()
     try:
+        # Untimed per-query (still inside the end-to-end total): one tiny
+        # shuffle job + one tiny parquet write pays the one-time JVM costs —
+        # class loading, shuffle machinery, parquet committer/codec init —
+        # so per-query lines measure operator cost, not JVM boot. ~5 s of
+        # round-3's build_index 12.4 s was this session-wide warmup.
+        spark.range(1000).repartition(4).agg(F.sum("id")).collect()
+        spark.range(100).select(
+            F.col("id"), F.col("id").cast("string").alias("s")
+        ).write.mode("overwrite").parquet(f"{tmp}/warmup")
+
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()
         spans = spans_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))

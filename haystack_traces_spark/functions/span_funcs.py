@@ -53,20 +53,32 @@ def tag_value(tags: Column | str, key: str, declared_type: str) -> Column:
 
     The typed union is resolved with a 5-way CASE on vtype, then try_cast to
     the declared type (covers e.g. STRING "404" → long 404; BINARY → utf8).
+
+    Shape note: the CASE runs INSIDE a transform lambda over the (≤1-element)
+    sliced match, so the filter subtree is evaluated once per row. The naive
+    form — ``t = try_element_at(filter(...), 1)`` then referencing
+    ``t["vtype"]``/``t["vstr"]``/… — copies the whole ArrayFilter subtree
+    into every field reference (~11 copies), which both bloats the generated
+    code (first-evaluation Janino compile was ~11 s for the index build at
+    sf0.1; this shape is ~5 s cold / 0.6 s warm) and re-runs the filter per
+    reference in interpreted fallback.
     """
     tags_c = F.col(tags) if isinstance(tags, str) else tags
     key_l = key.lower()
-    hit = F.filter(tags_c, lambda t: F.lower(t["key"]) == key_l)
-    t = F.try_element_at(hit, F.lit(1))  # ANSI-safe: NULL when tag absent
-    raw = (
-        F.when(t["vtype"] == "STRING", t["vstr"])
-        .when(t["vtype"] == "LONG", t["vlong"].cast("string"))
-        .when(t["vtype"] == "DOUBLE", t["vdouble"].cast("string"))
-        .when(t["vtype"] == "BOOL", t["vbool"].cast("string"))
-        .when(t["vtype"] == "BINARY", t["vbytes"].cast("string"))
+    # first match only (slice → ≤1 element), duplicate tag keys tolerated
+    hit = F.slice(F.filter(tags_c, lambda t: F.lower(t["key"]) == key_l), 1, 1)
+    conv = F.transform(
+        hit,
+        lambda t: (
+            F.when(t["vtype"] == "STRING", t["vstr"])
+            .when(t["vtype"] == "LONG", t["vlong"].cast("string"))
+            .when(t["vtype"] == "DOUBLE", t["vdouble"].cast("string"))
+            .when(t["vtype"] == "BOOL", t["vbool"].cast("string"))
+            .when(t["vtype"] == "BINARY", t["vbytes"].cast("string"))
+        ),
     )
     target = _WHITELIST_CAST[declared_type.lower()]
-    return raw.try_cast(target)
+    return F.try_element_at(conv, F.lit(1)).try_cast(target)
 
 
 def get_event_timestamp(logs: Column | str, event: str) -> Column:
