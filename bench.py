@@ -63,6 +63,11 @@ def main() -> None:
         spark.range(100).select(
             F.col("id"), F.col("id").cast("string").alias("s")
         ).write.mode("overwrite").parquet(f"{tmp}/warmup")
+        # ... and the Python-worker pool + Arrow serializer (first pandas-UDF
+        # query otherwise pays ~2 s of worker boot)
+        spark.range(64).withColumn("g", F.col("id") % 4).groupBy("g").applyInPandas(
+            lambda pdf: pdf, "id long, g long"
+        ).count()
 
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()

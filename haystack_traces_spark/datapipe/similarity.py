@@ -543,9 +543,22 @@ def _sub_rows(emb, m, dsub, id_col, vec_col, out_id):
     ).select(out_id, "x.s", "x.sv")
 
 
-def _sqdist(a: str, b: str):
+def _sqdist(a: str, b: str, dim: int | None = None):
     """Sequential in-index-order squared L2 — deterministic float result,
-    mirroring the oracle's left-fold list_sum."""
+    mirroring the oracle's left-fold list_sum.
+
+    With ``dim`` statically known, the fold unrolls to a left-associative
+    chain of (a[i]-b[i])² terms: bit-identical to the fold (0.0 + x == x
+    for the non-negative squares, and SQL ``+`` associates left) but pure
+    codegen arithmetic instead of two nested interpreted higher-order
+    functions — the HOF form dominated the PQ encode/ADC profiles."""
+    if dim is not None:
+        terms = None
+        for i in range(1, dim + 1):
+            d = F.element_at(F.col(a), i) - F.element_at(F.col(b), i)
+            t = d * d
+            terms = t if terms is None else terms + t
+        return terms
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -575,7 +588,7 @@ def pq_codes(
         emb, m, ksub, dim, id_col, vec_col
     )
     sub = _sub_rows(emb, m, dsub, id_col, vec_col, "vid")
-    joined = sub.join(F.broadcast(cb), "s").withColumn("d", _sqdist("sv", "cw"))
+    joined = sub.join(F.broadcast(cb), "s").withColumn("d", _sqdist("sv", "cw", dsub))
     return (
         joined.groupBy("vid", "s")
         .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mc"))
@@ -616,7 +629,7 @@ def pq_search(
     )
     dtable = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", F.col("code").cast("long").alias("code"),
-        _sqdist("sv", "cw").alias("d"),
+        _sqdist("sv", "cw", dsub).alias("d"),
     )
     scored = (
         enc.withColumnRenamed(id_col, "neighbor_id")
@@ -686,7 +699,7 @@ def ivf_pq_search(
         )
     )
     vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    dfull = _sqdist("v", "cv")
+    dfull = _sqdist("v", "cv", dim)
     assign = (
         vecs.join(F.broadcast(cents))
         .withColumn("d", dfull)
@@ -745,7 +758,7 @@ def ivf_pq_search(
         dtable = qsub.join(F.broadcast(cb), "s").select(
             "query_id", "cell", "s",
             F.col("code").cast("long").alias("code"),
-            _sqdist("sv", "cw").alias("d"),
+            _sqdist("sv", "cw", dsub).alias("d"),
         )
         cand = (
             assign.join(F.broadcast(qprobe), "cell")
@@ -771,7 +784,7 @@ def ivf_pq_search(
         )
         dtable = qsub.join(F.broadcast(cb), "s").select(
             "query_id", "s", F.col("code").cast("long").alias("code"),
-            _sqdist("sv", "cw").alias("d"),
+            _sqdist("sv", "cw", dsub).alias("d"),
         )
         scored = (
             cand.join(enc.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
