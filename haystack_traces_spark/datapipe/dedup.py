@@ -644,14 +644,14 @@ def embedding_neardup_pairs_lsh(
         )
         .distinct()
     )
-    base = with_norm(emb, id_col, vec_col)
+    base = with_norm(emb, id_col, vec_col, dim)
     left = base.select(
         F.col(id_col).alias("id_a"), F.col("vec_d").alias("va"), F.col("norm").alias("na")
     )
     right = base.select(
         F.col(id_col).alias("id_b"), F.col("vec_d").alias("vb"), F.col("norm").alias("nb")
     )
-    cos = cosine_expr("va", "vb", "na", "nb")
+    cos = cosine_expr("va", "vb", "na", "nb", dim)
     return (
         cand.join(left, "id_a")
         .join(right, "id_b")

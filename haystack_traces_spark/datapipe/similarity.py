@@ -19,29 +19,58 @@ from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET, cap_buckets
 from haystack_traces_spark.datapipe.hashing import hash60_py
 
 
-def with_norm(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Cast to double + precompute L2 norm (one pass, reused by every pair)."""
+def _unrolled_sum(term) -> Column:
+    """Left-associative chain of per-index terms — bit-identical to the
+    sequential fold (0.0 + x == x; SQL + associates left) but whole-stage
+    codegen instead of interpreted higher-order functions."""
+    out = None
+    for t in term:
+        out = t if out is None else out + t
+    return out
+
+
+def with_norm(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cast to double + precompute L2 norm (one pass, reused by every pair).
+    ``dim`` statically known → unrolled codegen sum (see _unrolled_sum)."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return emb.select(
-        F.col(id_col),
-        vec_d.alias("vec_d"),
-    ).withColumn(
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        # Unroll over the RAW column, not vec_d — CollapseProject would
+        # inline the transform(...) alias into every reference. Gated like
+        # _sqdist: only small dims benefit (see _UNROLL_MAX_DIM).
+        def term(i):
+            x = F.element_at(F.col(vec_col), i).cast("double")
+            return x * x
+        sq = _unrolled_sum(term(i) for i in range(1, dim + 1))
+        return emb.select(
+            F.col(id_col), vec_d.alias("vec_d"), F.sqrt(sq).alias("norm")
+        )
+    return emb.select(F.col(id_col), vec_d.alias("vec_d")).withColumn(
         "norm",
-        F.sqrt(
-            F.aggregate(
-                "vec_d", F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ),
+        F.sqrt(F.aggregate("vec_d", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
 
 
-def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
-    """Sequential in-index-order dot product — deterministic float result."""
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def cosine_expr(
+    a: str, b: str, norm_a: str, norm_b: str, dim: int | None = None
+) -> Column:
+    """Sequential in-index-order dot product — deterministic float result.
+    ``dim`` statically known → unrolled codegen sum (see _unrolled_sum)."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        dot = _unrolled_sum(
+            F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
+            for i in range(1, dim + 1)
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     return dot / (F.col(norm_a) * F.col(norm_b))
 
 
@@ -343,7 +372,7 @@ def lsh_topk(
         .distinct()
     )
 
-    base = with_norm(emb, id_col)
+    base = with_norm(emb, id_col, dim=dim)
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col("vec_id").alias("query_id") if id_col == "vec_id" else F.col(id_col).alias("query_id"),
         F.col("vec_d").alias("qvec"),
@@ -419,7 +448,7 @@ def lsh_knn_graph(
         )
         .distinct()
     )
-    base = with_norm(emb, id_col)
+    base = with_norm(emb, id_col, dim=dim)
     left = base.select(
         F.col(id_col).alias("vid"),
         F.col("vec_d").alias("va"),
@@ -433,7 +462,7 @@ def lsh_knn_graph(
     scored = (
         cand.join(left, "vid")
         .join(right, "neighbor_id")
-        .select("vid", "neighbor_id", cosine_expr("va", "vb", "na", "nb").alias("cos_raw"))
+        .select("vid", "neighbor_id", cosine_expr("va", "vb", "na", "nb", dim).alias("cos_raw"))
     )
     w = Window.partitionBy("vid").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -543,16 +572,23 @@ def _sub_rows(emb, m, dsub, id_col, vec_col, out_id):
     ).select(out_id, "x.s", "x.sv")
 
 
+_UNROLL_MAX_DIM = 16  # above this, generated code exceeds JIT method limits
+
+
 def _sqdist(a: str, b: str, dim: int | None = None):
     """Sequential in-index-order squared L2 — deterministic float result,
     mirroring the oracle's left-fold list_sum.
 
-    With ``dim`` statically known, the fold unrolls to a left-associative
-    chain of (a[i]-b[i])² terms: bit-identical to the fold (0.0 + x == x
-    for the non-negative squares, and SQL ``+`` associates left) but pure
-    codegen arithmetic instead of two nested interpreted higher-order
-    functions — the HOF form dominated the PQ encode/ADC profiles."""
-    if dim is not None:
+    With ``dim`` statically known AND SMALL (≤ _UNROLL_MAX_DIM), the fold
+    unrolls to a left-associative chain of (a[i]-b[i])² terms: bit-identical
+    to the fold (0.0 + x == x for the non-negative squares, and SQL ``+``
+    associates left) but pure codegen arithmetic instead of two nested
+    interpreted higher-order functions — ~2x on the PQ encode/ADC profiles
+    (dsub = 8). Large dims must NOT unroll: at dim 64 the ~128-element_at
+    generated method blows past the JVM huge-method JIT limit and runs
+    interpreted — measured 4-6x SLOWER than the fold on the
+    candidate-verify joins."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
         terms = None
         for i in range(1, dim + 1):
             d = F.element_at(F.col(a), i) - F.element_at(F.col(b), i)
