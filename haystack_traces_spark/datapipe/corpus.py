@@ -149,6 +149,68 @@ def decontaminate_neardup(
     )
 
 
+def dsir_weights(
+    train: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, log_weight): DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling") under a hashed unigram feature model: every lowercased
+    token hashes into one of ``n_buckets`` feature buckets; the target
+    (benchmark/domain) and raw (training) corpora each induce a
+    Laplace-smoothed bucket distribution, and a doc's log weight is the
+    summed log-likelihood ratio of its tokens' buckets. Resampling by
+    ``exp(log_weight)`` (or ranking by it) tilts the raw corpus toward the
+    target domain.
+
+    Scale shape: both distributions are ``n_buckets``-row aggregates
+    (map-side combinable) — broadcast; the per-doc pass is one explode +
+    broadcast join + sum keyed by doc_id. No shuffle wider than the
+    doc-level aggregate, target corpus never rides an exchange."""
+    B = n_buckets
+
+    def buckets(docs):
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.split(F.col(text_col), " "), lambda w: F.lower(w))
+            ).alias("w"),
+        ).select("doc_id", F.pmod(hash60("w", seed="dsir:"), F.lit(B)).alias("b"))
+
+    tb = buckets(train)
+    gb = buckets(target)
+    # tiny (≤ B rows) distributions; the log-ratio is computed ONCE per
+    # bucket, so the per-token work is a lookup + add. Totals come from the
+    # same aggregates via 1-row cross joins — no separate count() actions,
+    # the whole weight table stays one lazy plan.
+    t_dist = gb.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    r_dist = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    t_tot = t_dist.agg(F.sum("ct").alias("tt"))
+    r_tot = r_dist.agg(F.sum("cr").alias("rt"))
+    ratio = (
+        r_dist.join(t_dist, "b", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce("ct", F.lit(0)) + 1) / (F.col("tt") + B))
+                / ((F.coalesce("cr", F.lit(0)) + 1) / (F.col("rt") + B))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )
+
+
 # ------------------------------------------------------ vocabulary cover --
 
 def vocab_coverage(

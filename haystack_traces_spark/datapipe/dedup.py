@@ -48,6 +48,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalized_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, norm_hash, keep_doc_id, group_size): exact dedup over
+    NORMALIZED text — lowercase, strip every char outside [a-z0-9 ],
+    collapse whitespace runs, trim. Catches the near-copies that differ
+    only in casing/punctuation/spacing (the RefinedWeb/Penedo et al. 2023
+    "exact after normalization" stage between raw-exact and MinHash).
+
+    Same scale shape as :func:`exact_dedup`: the md5 of the normalized
+    text (never the text itself) rides the one map-side-combinable
+    groupBy shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    hashed = docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+    groups = hashed.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return hashed.join(groups, "norm_hash").select(
+        "doc_id", "norm_hash", "keep_doc_id", "group_size"
+    )
+
+
 def segment_dedup(
     docs: DataFrame, seg_tokens: int = 10, text_col: str = "text"
 ) -> DataFrame:

@@ -1672,6 +1672,114 @@ WHERE CAST(doc_id % 3 AS INT) = 0  -- media_type round-robin: 0 -> image
 
 # ------------------------------------------------------------ registry ----
 
+# ------------------------------------------- round-4 curation additions --
+
+def q_quality_classifier(spark, sf_dir):
+    return X.quality_classifier(_docs(spark, sf_dir))
+
+
+def sql_quality_classifier() -> str:
+    from haystack_traces_spark.datapipe.text import QUALITY_WEIGHTS as W
+
+    z = (
+        f"({W['intercept']} + stopword_ratio * {W['stopword_ratio']} "
+        f"+ ttr * {W['ttr']} + digit_ratio * {W['digit_ratio']} "
+        f"+ punct_ratio * {W['punct_ratio']} "
+        f"+ ln(1 + n_tokens) * {W['log1p_tokens']})"
+    )
+    return f"""
+WITH ts AS ({sql_text_stats()})
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-{z})), 6) AS score,
+       1.0 / (1.0 + EXP(-{z})) >= 0.5 AS keep
+FROM ts
+"""
+
+
+def q_normalized_dedup(spark, sf_dir):
+    return D.normalized_dedup(_docs(spark, sf_dir))
+
+
+def sql_normalized_dedup() -> str:
+    return """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+),
+groups AS (
+  SELECT norm_hash, MIN(doc_id) AS keep_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM hashed GROUP BY norm_hash
+)
+SELECT h.doc_id, h.norm_hash, g.keep_doc_id, g.group_size
+FROM hashed h JOIN groups g USING (norm_hash)
+"""
+
+
+DSIR_BUCKETS = 64
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights of the training docs against the probe
+    (doc_id % PROBE_MOD == 0) docs as the target domain — the same
+    train/target split the decontamination entries use."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return C.dsir_weights(train, target, DSIR_BUCKETS)
+
+
+def sql_dsir_weights() -> str:
+    h = hash60_sql("w", seed="dsir:")
+    B = DSIR_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS w FROM documents
+),
+tb AS (SELECT doc_id, {h} % {B} AS b FROM toks WHERE doc_id % {PROBE_MOD} <> 0),
+gb AS (SELECT {h} % {B} AS b FROM toks WHERE doc_id % {PROBE_MOD} = 0),
+t_dist AS (SELECT b, COUNT(*) AS ct FROM gb GROUP BY b),
+r_dist AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+tt AS (SELECT SUM(ct) AS tt FROM t_dist),
+rt AS (SELECT SUM(cr) AS rt FROM r_dist),
+ratio AS (
+  SELECT b,
+         ln(((COALESCE(ct, 0) + 1) / CAST(tt + {B} AS DOUBLE))
+            / ((COALESCE(cr, 0) + 1) / CAST(rt + {B} AS DOUBLE))) AS lr
+  FROM r_dist FULL JOIN t_dist USING (b), tt, rt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lr), 6) AS log_weight
+FROM tb JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
+def q_ppl_buckets(spark, sf_dir):
+    return X.ppl_buckets(_docs(spark, sf_dir))
+
+
+def sql_ppl_buckets() -> str:
+    return f"""
+WITH scored AS ({sql_bigram_ppl()}),
+ranked AS (
+  SELECT doc_id, ppl,
+         ROW_NUMBER() OVER (ORDER BY ppl, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, ppl,
+       CAST(FLOOR(3 * (rn - 1) / n) AS BIGINT) AS bucket,
+       CASE CAST(FLOOR(3 * (rn - 1) / n) AS BIGINT)
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS label
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1724,6 +1832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": q_bigram_ppl,
         "decontaminate_neardup": q_decontaminate_neardup,
         "token_counts": q_token_counts,
+        "quality_classifier": q_quality_classifier,
+        "normalized_dedup": q_normalized_dedup,
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1783,6 +1895,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
         "token_counts": sql_token_counts(),
+        "quality_classifier": sql_quality_classifier(),
+        "normalized_dedup": sql_normalized_dedup(),
+        "dsir_weights": sql_dsir_weights(),
+        "ppl_buckets": sql_ppl_buckets(),
     }
 
 

@@ -67,6 +67,49 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Fixed public-style linear quality model (fasttext-classifier proxy): the
+# weights are literals — deterministic everywhere, no training artifact to
+# ship. Signs follow the usual curation priors: stopword density and lexical
+# diversity up-weight prose; digit/punctuation density down-weight tables,
+# code dumps and boilerplate; log length mildly favors fuller documents.
+QUALITY_WEIGHTS = {
+    "intercept": -3.0,
+    "stopword_ratio": 8.0,
+    "ttr": 2.0,
+    "digit_ratio": -10.0,
+    "punct_ratio": -5.0,
+    "log1p_tokens": 0.5,
+}
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, score, keep): logistic quality score from the
+    :func:`text_stats` features with fixed literal weights
+    (``QUALITY_WEIGHTS``) — the shape of a fasttext/linear quality
+    classifier (CCNet, Brown et al. 2020 WebText filter) without a model
+    artifact: score = σ(w·x), keep = score ≥ 0.5.
+
+    Built ON the text_stats projection, so features are the same rounded
+    values the oracle computes — map-only, one scan, no shuffle, and the
+    logistic arithmetic is plain codegen math."""
+    W = QUALITY_WEIGHTS
+    feats = text_stats(docs, text_col)
+    z = (
+        F.lit(W["intercept"])
+        + F.col("stopword_ratio") * W["stopword_ratio"]
+        + F.col("ttr") * W["ttr"]
+        + F.col("digit_ratio") * W["digit_ratio"]
+        + F.col("punct_ratio") * W["punct_ratio"]
+        + F.log1p(F.col("n_tokens")) * W["log1p_tokens"]
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     text_col: str = "text",
@@ -295,6 +338,66 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round("alp", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("alp")), 6).alias("ppl"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """→ (doc_id, ppl, bucket, label): CCNet-style perplexity bucketing
+    (Wenzek et al. 2020) — every doc lands in one of ``n_buckets``
+    equal-count quantile buckets of the :func:`bigram_logprob` pseudo-
+    perplexity (bucket 0 = head/lowest ppl, last = tail). ``label`` names
+    the classic head/middle/tail tertiles when n_buckets == 3.
+
+    Default path (the oracle face): bucket = ⌊n_buckets·(rank−1)/n⌋ under
+    the total order (ppl, doc_id) — integer-deterministic, no float
+    boundary comparisons, but the rank is a GLOBAL window over the
+    doc-level table. Fine for doc-level scalars into the billions-of-rows
+    range only if you accept a single-partition sort stage, so
+    ``approx=True`` is the 100 TB path: boundaries from percentile_approx
+    on the ppl column (one aggregate, broadcast), assignment by
+    comparison — no global window; buckets are approximately-equal-count,
+    and the label semantics are identical."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(docs, text_col).select("doc_id", "ppl")
+    if approx:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = scored.agg(
+            F.percentile_approx("ppl", qs, 100_000).alias("bs")
+        )
+        bucket = F.lit(0)
+        for i in range(n_buckets - 1):
+            bucket = bucket + (F.col("ppl") > F.element_at("bs", i + 1)).cast("int")
+        out = scored.crossJoin(F.broadcast(bounds)).select(
+            "doc_id", "ppl", bucket.cast("long").alias("bucket")
+        )
+    else:
+        w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+        n = scored.agg(F.count(F.lit(1)).alias("n"))
+        out = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "ppl",
+                F.floor(F.lit(n_buckets) * (F.col("rn") - 1) / F.col("n"))
+                .cast("long")
+                .alias("bucket"),
+            )
+        )
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 0, "head")
+            .when(F.col("bucket") == 1, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.withColumn("label", label)
 
 
 def bpe_pair_stats(

@@ -833,3 +833,81 @@ def test_token_counts_semantics_and_map_only(spark):
     assert out[2]["tokens_per_word"] > out[1]["tokens_per_word"]
     plan = token_counts(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_normalized_dedup_groups_case_punct_variants(spark):
+    """Case/punctuation/whitespace variants collapse into one group with
+    the lowest doc_id as canonical; a genuinely different doc stays out."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.normalized_dedup(docs).collect()}
+    assert out[1]["keep_doc_id"] == 1 and out[1]["group_size"] == 3
+    assert out[2]["keep_doc_id"] == 1 and out[3]["keep_doc_id"] == 1
+    assert out[4]["keep_doc_id"] == 4 and out[4]["group_size"] == 1
+
+
+def test_quality_classifier_orders_prose_above_digit_salad(spark):
+    """Stopword-rich prose must outscore digit/punct-heavy text of the
+    same length, and keep must equal score >= 0.5 row-wise."""
+    from haystack_traces_spark.datapipe import text as X
+
+    prose = "the cat sat on the mat and the dog is in the house of a king"
+    salad = "3141 59#26 5358! 97$93 23%84 62^64 33&83 27*95 02(88 41)97 16@93 99{37 51}05 82, 09."
+    docs = spark.createDataFrame(
+        [(1, prose), (2, salad)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in X.quality_classifier(docs).collect()}
+    assert rows[1]["score"] > rows[2]["score"]
+    assert rows[1]["keep"] and not rows[2]["keep"]
+
+
+def test_dsir_weights_tilt_toward_target_vocab(spark):
+    """Docs sharing the target domain's vocabulary get a HIGHER log weight
+    than docs of off-domain vocabulary (the whole point of DSIR)."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    target = spark.createDataFrame(
+        [(100, "physics quantum entanglement relativity")] * 1 +
+        [(101, "quantum field theory physics")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "quantum physics relativity theory"),
+            (2, "cheap flights hotel deals booking"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in C.dsir_weights(train, target).collect()}
+    assert w[1] > w[2]
+
+
+def test_ppl_buckets_exact_and_approx_agree_and_balance(docs):
+    """The oracle-exact rank path and the scale (approx-percentile) path
+    must bucket identically at test scale, with near-equal bucket sizes
+    and head ppl <= tail ppl."""
+    from haystack_traces_spark.datapipe import text as X
+
+    exact = X.ppl_buckets(docs).orderBy("doc_id").collect()
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in X.ppl_buckets(docs, approx=True).collect()
+    }
+    sizes = {}
+    by_bucket = {}
+    for r in exact:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(by_bucket[0]) <= min(by_bucket[2])
+    mismatches = sum(1 for r in exact if approx[r["doc_id"]] != r["bucket"])
+    # boundary ties may land either side under the approx path; bulk must agree
+    assert mismatches <= len(exact) * 0.02
