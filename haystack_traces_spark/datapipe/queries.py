@@ -1780,6 +1780,61 @@ FROM ranked
 """
 
 
+TFIDF_K = 3
+DOC_CLUSTER_CELLS = 16
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    return X.tfidf_keywords(_docs(spark, sf_dir), TFIDF_K)
+
+
+def sql_tfidf_keywords() -> str:
+    score = "tf * ln(n_docs / CAST(df AS DOUBLE))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, {score} AS tfidf_raw,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY {score} DESC, term ASC) AS rank
+  FROM tf JOIN dft USING (term), nd
+)
+SELECT doc_id, term, ROUND(tfidf_raw, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {TFIDF_K}
+"""
+
+
+def q_doc_clusters(spark, sf_dir):
+    return S.doc_clusters(_emb(spark, sf_dir), DOC_CLUSTER_CELLS)
+
+
+def sql_doc_clusters() -> str:
+    full = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {DOC_CLUSTER_CELLS})
+),
+assign AS (
+  SELECT e.vec_id, MIN(struct_pack(d := {full}, cell := cell)) AS mc
+  FROM e CROSS JOIN cents GROUP BY e.vec_id
+)
+SELECT CAST(mc['cell'] AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(mc['d']), 6) AS mean_dist,
+       MIN(vec_id) AS min_vec_id
+FROM assign GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1836,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "dsir_weights": q_dsir_weights,
         "ppl_buckets": q_ppl_buckets,
+        "tfidf_keywords": q_tfidf_keywords,
+        "doc_clusters": q_doc_clusters,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1899,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": sql_normalized_dedup(),
         "dsir_weights": sql_dsir_weights(),
         "ppl_buckets": sql_ppl_buckets(),
+        "tfidf_keywords": sql_tfidf_keywords(),
+        "doc_clusters": sql_doc_clusters(),
     }
 
 

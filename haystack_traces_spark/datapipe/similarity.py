@@ -485,6 +485,57 @@ PQ_M = 8       # subspaces
 PQ_KSUB = 16   # codewords per subspace
 
 
+def doc_clusters(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (cell, n_vecs, mean_dist, min_vec_id): corpus clustering summary —
+    every vector assigned to its nearest of ``n_cells`` deterministic
+    lowest-id centroids (the IVF coarse quantizer reused as a clustering),
+    with per-cluster occupancy and mean squared-L2 spread. The per-cluster
+    view is what a curator reads (topic balance, outlier cells) before
+    deciding mix weights or semantic-dedup thresholds.
+
+    Scale shape: centroids broadcast; assignment is one broadcast join +
+    min-struct groupBy; the summary is a second tiny aggregate keyed by
+    cell. Swap :func:`kmeans_centroids` in for trained centroids (not
+    oracle-SQL-mirrored; same assignment plan)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    assign = (
+        vecs.join(F.broadcast(cents))
+        .withColumn("d", _sqdist("v", "cv"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("mc"))
+        .select(
+            id_col,
+            F.col("mc.cell").cast("long").alias("cell"),
+            F.col("mc.d").alias("d"),
+        )
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("d"), 6).alias("mean_dist"),
+            F.min(id_col).alias("min_vec_id"),
+        )
+        .orderBy("cell")
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = PQ_M,

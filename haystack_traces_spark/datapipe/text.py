@@ -340,6 +340,51 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, term, tfidf, rank): the top-``k`` tf-idf terms per doc —
+    classic keyword extraction / doc-representation primitive (topic
+    bucketing, near-dup explanation, index enrichment all start here).
+
+    tf = in-doc count of the lowercased token; idf = ln(N / df) with df =
+    docs containing the term. Scale shape: the df table is one map-side-
+    combinable distinct-aggregate keyed by term, joined back onto the
+    per-doc term counts; ranking is a per-DOC window (never global). Ties
+    break (tfidf desc, term asc) for cross-engine determinism; idf of an
+    everywhere-term is 0, so such terms only surface when nothing else
+    exists."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_tokens(text_col), lambda w: F.lower(w))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ppl_buckets(
     docs: DataFrame,
     n_buckets: int = 3,

@@ -1292,6 +1292,38 @@ GROUP BY 1, 2
     )
 
 
+ANOMALY_Z = 3.0
+
+
+def q_span_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans abnormally slow for their (service, operation) population —
+    the trends/anomaly diagnostic. Stats table broadcast, z rounded before
+    the threshold compare (cross-engine float discipline)."""
+    from haystack_traces_spark.operators.anomaly import span_anomalies
+
+    return span_anomalies(_spans(spark, sf_dir), ANOMALY_Z)
+
+
+def sql_span_anomalies() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f""", stats AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         AVG(duration) AS mu, STDDEV_POP(duration) AS sigma
+  FROM spans GROUP BY 1, 2 HAVING STDDEV_POP(duration) > 0
+)
+SELECT s.trace_id, s.span_id, st.servicename, st.operationname,
+       CAST(s.duration AS BIGINT) AS duration,
+       ROUND((s.duration - st.mu) / st.sigma, 6) AS z
+FROM spans s JOIN stats st
+  ON lower(s.service_name) = st.servicename
+ AND lower(s.operation_name) = st.operationname
+WHERE ROUND((s.duration - st.mu) / st.sigma, 6) >= {ANOMALY_Z}
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1337,6 +1369,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path": q_critical_path,
         "trace_compare": q_trace_compare,
         "slowest_traces": q_slowest_traces,
+        "span_anomalies": q_span_anomalies,
     }
 
 
@@ -1383,4 +1416,5 @@ def _trace_oracles() -> dict[str, str]:
         "critical_path": sql_critical_path(),
         "trace_compare": sql_trace_compare(),
         "slowest_traces": sql_slowest_traces(),
+        "span_anomalies": sql_span_anomalies(),
     }

@@ -911,3 +911,52 @@ def test_ppl_buckets_exact_and_approx_agree_and_balance(docs):
     mismatches = sum(1 for r in exact if approx[r["doc_id"]] != r["bucket"])
     # boundary ties may land either side under the approx path; bulk must agree
     assert mismatches <= len(exact) * 0.02
+
+
+def test_tfidf_keywords_rare_term_outranks_common(spark):
+    """A term unique to one doc must outrank corpus-wide terms in that
+    doc's keyword list; everywhere-terms have idf 0."""
+    from haystack_traces_spark.datapipe import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick zyzzyva the the"),
+            (2, "the slow snail the the"),
+            (3, "the plain text the the"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = X.tfidf_keywords(docs, k=2).collect()
+    top1 = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top1[1] in ("quick", "zyzzyva")
+    zy = [r for r in rows if r["term"] == "zyzzyva"][0]
+    the = [r for r in rows if r["doc_id"] == 1 and r["term"] == "the"]
+    assert not the or the[0]["tfidf"] == 0.0
+    assert zy["tfidf"] > 0
+
+
+def test_doc_clusters_partition_all_vectors(emb):
+    """Cluster occupancies must partition the table (sum == |emb|) and
+    every cell id is within range with the lowest-id member recorded."""
+    out = S.doc_clusters(emb, 8).collect()
+    total = sum(r["n_vecs"] for r in out)
+    assert total == emb.count()
+    assert all(0 <= r["cell"] < 8 for r in out)
+    assert all(r["mean_dist"] >= 0 for r in out)
+
+
+def test_span_anomalies_flags_planted_outlier(spark):
+    """A duration far outside its operation's population must be flagged;
+    the tight population itself must not be."""
+    from haystack_traces_spark.operators.anomaly import span_anomalies
+
+    rows = [("t%d" % i, "s%d" % i, "svc", "op", 100 + (i % 3)) for i in range(50)]
+    rows.append(("tX", "sX", "svc", "op", 10_000))
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long",
+    )
+    out = span_anomalies(spans, 3.0).collect()
+    assert [r["span_id"] for r in out] == ["sX"]
+    assert out[0]["z"] > 3.0
