@@ -226,3 +226,48 @@ def test_decontaminate_neardup_broadcasts_probe_bands(spark):
     probes = docs.filter(F.col("doc_id") % 50 == 0)
     plan = _plan(decontaminate_neardup(docs.filter(F.col("doc_id") % 50 != 0), probes))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_quality_classifier_is_map_only(spark):
+    """Logistic scoring is a pure projection over the scan — any Exchange
+    in this plan means someone added a shuffle to a map-only operator."""
+    from haystack_traces_spark.datapipe.text import quality_classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quality_classifier(docs))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_dsir_weights_broadcasts_ratio_table(spark):
+    """The per-token pass joins the <=B-row log-ratio table as a broadcast;
+    the corpus-side token rows must never shuffle for it."""
+    from haystack_traces_spark.datapipe.corpus import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        dsir_weights(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+        )
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_span_anomalies_broadcasts_stats(spark, spans):
+    """Per-operation stats join back onto the span scan as a broadcast —
+    the spans never shuffle a second time for the z-score."""
+    from haystack_traces_spark.operators.anomaly import span_anomalies
+
+    plan = _plan(span_anomalies(spans))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_ppl_buckets_approx_path_has_no_global_window(spark):
+    """approx=True is the scale path: percentile boundaries via one
+    aggregate + comparison — no single-partition rank stage. (The default
+    exact path deliberately keeps the global rank as the oracle face.)"""
+    from haystack_traces_spark.datapipe.text import ppl_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ppl_buckets(docs, approx=True))
+    assert "Window" not in plan, plan[:2000]
