@@ -1835,6 +1835,44 @@ FROM assign GROUP BY 1 ORDER BY 1
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 50
+
+
+def q_pmi_collocations(spark, sf_dir):
+    return X.pmi_collocations(_docs(spark, sf_dir), PMI_MIN_COUNT, PMI_TOP_N)
+
+
+def sql_pmi_collocations() -> str:
+    return f"""
+WITH toks AS (
+  SELECT lower(UNNEST(string_split(text, ' '))) AS w FROM documents
+),
+uc AS (SELECT w, COUNT(*) AS cu FROM toks GROUP BY w),
+nt AS (SELECT COUNT(*) AS n_tok FROM toks),
+tp AS (
+  SELECT doc_id, i AS pos, lower(string_split(text, ' ')[i]) AS w
+  FROM documents,
+       UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+),
+pairs AS (
+  SELECT w1 || ' ' || w2 AS pair, COUNT(*) AS n FROM (
+    SELECT doc_id, LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+    FROM tp
+  ) WHERE w1 IS NOT NULL
+  GROUP BY 1 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+SELECT pair, CAST(n AS BIGINT) AS n,
+       ROUND(ln(n * n_tok / CAST(c1.cu * c2.cu AS DOUBLE)), 6) AS pmi
+FROM pairs
+JOIN uc c1 ON c1.w = string_split(pair, ' ')[1]
+JOIN uc c2 ON c2.w = string_split(pair, ' ')[2]
+CROSS JOIN nt
+ORDER BY pmi DESC, pair ASC
+LIMIT {PMI_TOP_N}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1893,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "tfidf_keywords": q_tfidf_keywords,
         "doc_clusters": q_doc_clusters,
+        "pmi_collocations": q_pmi_collocations,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
@@ -1958,6 +1997,7 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets": sql_ppl_buckets(),
         "tfidf_keywords": sql_tfidf_keywords(),
         "doc_clusters": sql_doc_clusters(),
+        "pmi_collocations": sql_pmi_collocations(),
     }
 
 

@@ -465,6 +465,56 @@ def bpe_pair_stats(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (pair, n, pmi): top-``top_n`` adjacent-token collocations by
+    pointwise mutual information — PMI(w1,w2) = ln(c(w1w2)·N / (c(w1)·c(w2)))
+    over lowercased pairs seen ≥ ``min_count`` times (Church & Hanks 1990).
+    The phrase-mining primitive: high-PMI pairs are multi-word units a
+    tokenizer or n-gram blocklist should treat as one symbol.
+
+    Scale shape: three map-side-combinable aggregates (pair counts, token
+    counts, one-row total); token counts join the FILTERED pair table
+    twice (first/second position) as broadcast-friendly equi-joins; top-N
+    is TakeOrderedAndProject. Ties break (pmi desc, pair asc)."""
+    toks = docs.select(
+        F.explode(
+            F.transform(_tokens(text_col), lambda w: F.lower(w))
+        ).alias("w")
+    )
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = (
+        docs.select(F.explode(ordered_word_shingles(text_col, 2)).alias("p"))
+        .select(F.lower("p").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    split = F.split("pair", " ")
+    return (
+        pairs.withColumn("w1", split[0])
+        .withColumn("w2", split[1])
+        .join(uc.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "pair",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(F.col("n") * F.col("n_tok") / (F.col("c1") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

@@ -960,3 +960,17 @@ def test_span_anomalies_flags_planted_outlier(spark):
     out = span_anomalies(spans, 3.0).collect()
     assert [r["span_id"] for r in out] == ["sX"]
     assert out[0]["z"] > 3.0
+
+
+def test_pmi_collocations_rank_fixed_phrase_over_chance_pair(spark):
+    """A pair that ALWAYS co-occurs (perfect collocation) must out-PMI a
+    pair of independently-frequent tokens."""
+    from haystack_traces_spark.datapipe import text as X
+
+    fixed = [(i, "kuala lumpur is big and busy today") for i in range(10)]
+    loose = [(100 + i, "big today and busy is here now") for i in range(10)]
+    docs = spark.createDataFrame(fixed + loose, "doc_id long, text string")
+    rows = X.pmi_collocations(docs, min_count=5, top_n=50).collect()
+    pmi = {r["pair"]: r["pmi"] for r in rows}
+    assert "kuala lumpur" in pmi
+    assert pmi["kuala lumpur"] == max(pmi.values())
