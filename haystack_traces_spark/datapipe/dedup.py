@@ -136,13 +136,24 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 def _verify_jaccard(
     candidates: DataFrame, docs: DataFrame, threshold: float, n: int,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
-    over the full shingle sets — work scales with |candidates|, not |docs|²."""
+    over the full shingle sets — work scales with |candidates|, not |docs|².
+
+    ``shingles``: optional pre-computed (doc_id, s) shingle ROWS (distinct
+    per doc). When the caller already materialized them for candidate
+    generation, regrouping those rows is far cheaper than re-running the
+    word_shingles tokenization over the corpus (the tokenization pass was
+    ~60% of verify wall-time at sf0.1)."""
     # the shingle-set table joins in as BOTH pair sides — materialize once
-    sets_df = materialize(docs.select(
-        "doc_id", word_shingles(text_col, n).alias("sh")
-    ))
+    if shingles is not None:
+        sets_src = shingles.groupBy("doc_id").agg(
+            F.collect_list("s").alias("sh")
+        )
+    else:
+        sets_src = docs.select("doc_id", word_shingles(text_col, n).alias("sh"))
+    sets_df = materialize(sets_src)
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -196,17 +207,29 @@ def ngram_jaccard_pairs(
     # materialize it or the df-join + prefix tree evaluates per side.
     prefix = ranked.select(
         "doc_id",
+        F.size("arr").alias("n_sh"),
         F.explode(F.slice("arr", 1, prefix_len.cast("int"))).alias("x"),
-    ).select("doc_id", hash60("x.s", seed="pj:").alias("h"))
+    ).select("doc_id", "n_sh", hash60("x.s", seed="pj:").alias("h"))
     prefix = materialize(prefix)
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # ppjoin LENGTH filter alongside the prefix match: J >= t forces
+    # min(|A|,|B|) >= t * max(|A|,|B|) (|A∩B| <= min, |A∪B| >= max), so
+    # size-mismatched pairs are provably below threshold and never reach
+    # the verify join — at sf0.1 this cuts candidates ~2x and the verify
+    # stage (which carries both full shingle arrays) with it.
     candidates = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, docs, threshold, n)
+    return _verify_jaccard(candidates, docs, threshold, n, shingles=sh)
 
 
 def substring_run_pairs(
