@@ -766,3 +766,57 @@ def test_neardup_gate_corrupt_state_propagates(spark, tmp_path):
     assert type(ei.value).__name__ != "AnalysisException"
     # silent reset would have written a verdict — nothing may exist
     assert not (tmp_path / "out").exists()
+
+
+def test_streaming_anomaly_gate_scores_against_prior_batches_only(spark, tmp_path):
+    """Batch 1 trains (no prior state -> nothing flagged, even an extreme
+    value); batch 2's outlier is flagged against batch 1's population;
+    batch 2's normal spans are not; batch 2's own outlier never poisons
+    the baseline it is judged by."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+
+    gate = AnomalyIngest(
+        str(tmp_path / "moments"), str(tmp_path / "anomalies"), 3.0, min_n=30
+    )
+    schema = (
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long"
+    )
+    b1 = spark.createDataFrame(
+        [("t%d" % i, "s%d" % i, "svc", "op", 100 + (i % 5)) for i in range(40)]
+        + [("tBig", "sBig", "svc", "op", 50_000)],  # extreme but UNTRAINED
+        schema,
+    )
+    gate.process_batch(b1, 0)
+    out1 = spark.read.parquet(str(tmp_path / "anomalies"))
+    assert out1.count() == 0  # nothing flagged on a cold state
+
+    b2 = spark.createDataFrame(
+        [("u%d" % i, "r%d" % i, "svc", "op", 101 + (i % 5)) for i in range(10)]
+        + [("uX", "rX", "svc", "op", 60_000)],
+        schema,
+    )
+    gate.process_batch(b2, 1)
+    flagged = spark.read.parquet(str(tmp_path / "anomalies")).collect()
+    # batch-1's 50_000 value inflates the prior sigma to ~7.7k around a
+    # ~1.3k mean, so only a far-out value clears z >= 3 — 60_000 does
+    # (z ~ 7.6), the batch's normal spans do not
+    assert [r["span_id"] for r in flagged] == ["rX"]
+    assert flagged[0]["batch_id"] == 1 and flagged[0]["z"] >= 3.0
+
+
+def test_streaming_anomaly_gate_corrupt_state_propagates(spark, tmp_path):
+    """A corrupt (non-parquet) moment log must raise, not silently retrain."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+
+    state = tmp_path / "moments"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"not parquet")
+    gate = AnomalyIngest(str(state), str(tmp_path / "out"))
+    batch = spark.createDataFrame(
+        [("t", "s", "svc", "op", 100)],
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long",
+    )
+    with pytest.raises(Exception):
+        gate.process_batch(batch, 0)
