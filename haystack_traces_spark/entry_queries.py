@@ -1324,6 +1324,55 @@ WHERE ROUND((s.duration - st.mu) / st.sigma, 6) >= {ANOMALY_Z}
     )
 
 
+EXEMPLAR_K = 3
+
+
+def q_slow_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(service, operation) slowest-span exemplars — the "show me an
+    example slow request" drill-down the UI offers from every trends
+    panel. Per-GROUP window (never global), deterministic ties
+    (duration desc, trace_id asc, span_id asc)."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    w = Window.partitionBy("servicename", "operationname").orderBy(
+        F.col("duration").desc(), F.col("trace_id").asc(), F.col("span_id").asc()
+    )
+    return (
+        spans.select(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+            "trace_id",
+            "span_id",
+            F.col("duration").cast("long").alias("duration"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EXEMPLAR_K)
+        .select(
+            "servicename", "operationname", "trace_id", "span_id",
+            "duration", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def sql_slow_exemplars() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT servicename, operationname, trace_id, span_id, duration, rank FROM (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         trace_id, span_id, CAST(duration AS BIGINT) AS duration,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lower(service_name), lower(operation_name)
+           ORDER BY duration DESC, trace_id ASC, span_id ASC
+         ) AS BIGINT) AS rank
+  FROM spans
+) WHERE rank <= {EXEMPLAR_K}
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1370,6 +1419,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_compare": q_trace_compare,
         "slowest_traces": q_slowest_traces,
         "span_anomalies": q_span_anomalies,
+        "slow_exemplars": q_slow_exemplars,
     }
 
 
@@ -1417,4 +1467,5 @@ def _trace_oracles() -> dict[str, str]:
         "trace_compare": sql_trace_compare(),
         "slowest_traces": sql_slowest_traces(),
         "span_anomalies": sql_span_anomalies(),
+        "slow_exemplars": sql_slow_exemplars(),
     }
