@@ -1373,6 +1373,83 @@ SELECT servicename, operationname, trace_id, span_id, duration, rank FROM (
     )
 
 
+def q_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(service, operation, hour, log2-duration-bucket) span counts —
+    the latency-heatmap view (duration distribution drift over time, the
+    trends panel behind p99 alerts). Integer-deterministic bucketing: the
+    bucket is the BIT LENGTH of the duration (== floor(log2 d) + 1 for
+    d > 0), computed via base-2 string conversion on both engines — no
+    float log at all. One map-side-combinable aggregate; at 100 TB the
+    (dt, hb)-partitioned scan prunes the hour range first."""
+    spans = _spans(spark, sf_dir)
+    hour = (F.col("start_time") - F.col("start_time") % HOUR_US).alias("hour_start")
+    dur_bucket = F.length(
+        F.conv(F.col("duration").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        spans.groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+            hour,
+            dur_bucket.alias("dur_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("servicename", "operationname", "hour_start", "dur_bucket")
+    )
+
+
+def sql_latency_heatmap() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       lower(operation_name) AS operationname,
+       start_time - start_time % {HOUR_US} AS hour_start,
+       CAST(length(bin(duration)) AS BIGINT) AS dur_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM spans
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+"""
+    )
+
+
+def q_trace_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace SHAPE summary — span count, distinct services, max tree
+    depth, total span time: the corpus-level "what do my traces look like"
+    rollup capacity planning and sessionizer state sizing start from.
+    Depth rides the same grouped-map walk as trace_timeline; the rest is
+    one aggregate on the shared trace exchange."""
+    from haystack_traces_spark.operators.timeline import trace_timeline
+
+    spans = _spans(spark, sf_dir)
+    tl = trace_timeline(spans)
+    return (
+        tl.groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct("servicename").cast("long").alias("n_services"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("duration").cast("long").alias("total_span_time"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+def sql_trace_shape_stats() -> str:
+    return f"""
+WITH tl AS ({sql_trace_timeline()})
+SELECT trace_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT servicename) AS BIGINT) AS n_services,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(duration) AS BIGINT) AS total_span_time
+FROM tl
+GROUP BY trace_id
+ORDER BY trace_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1420,6 +1497,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slowest_traces": q_slowest_traces,
         "span_anomalies": q_span_anomalies,
         "slow_exemplars": q_slow_exemplars,
+        "latency_heatmap": q_latency_heatmap,
+        "trace_shape_stats": q_trace_shape_stats,
     }
 
 
@@ -1468,4 +1547,6 @@ def _trace_oracles() -> dict[str, str]:
         "slowest_traces": sql_slowest_traces(),
         "span_anomalies": sql_span_anomalies(),
         "slow_exemplars": sql_slow_exemplars(),
+        "latency_heatmap": sql_latency_heatmap(),
+        "trace_shape_stats": sql_trace_shape_stats(),
     }
