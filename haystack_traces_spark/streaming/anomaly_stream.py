@@ -133,6 +133,23 @@ class AnomalyIngest:
         # contributes to its own baseline
         self._moments(spans).write.mode("append").parquet(self.state_dir)
 
+    def compact(self, spark) -> int:
+        """Rewrite the moment log to ONE row per operation (same SUMs —
+        the log is mergeable, so compaction is just the read-side
+        aggregation made durable). Local-FS swap via a staging directory;
+        on an object store this is the periodic offline rewrite job (or a
+        Delta/Iceberg OPTIMIZE). Returns the compacted row count."""
+        import os
+        import shutil
+
+        compacted = self._prior(spark)
+        staging = self.state_dir.rstrip("/") + ".compact"
+        compacted.write.mode("overwrite").parquet(staging)
+        n = spark.read.parquet(staging).count()
+        shutil.rmtree(self.state_dir, ignore_errors=True)
+        os.rename(staging, self.state_dir)
+        return n
+
     def start(self, source: DataFrame, checkpoint_dir: str, available_now: bool = True):
         writer = source.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir

@@ -820,3 +820,42 @@ def test_streaming_anomaly_gate_corrupt_state_propagates(spark, tmp_path):
     )
     with pytest.raises(Exception):
         gate.process_batch(batch, 0)
+
+
+def test_streaming_anomaly_gate_compaction_preserves_baseline(spark, tmp_path):
+    """Compacting the moment log to one row per operation must not change
+    any subsequent verdict — the log is mergeable, compaction is just the
+    read-side SUM made durable."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+
+    schema = (
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long"
+    )
+
+    def batches(gate):
+        for b in range(3):
+            gate.process_batch(
+                spark.createDataFrame(
+                    [
+                        ("t%d_%d" % (b, i), "s%d_%d" % (b, i), "svc", "op",
+                         100 + ((b * 17 + i) % 7))
+                        for i in range(20)
+                    ],
+                    schema,
+                ),
+                b,
+            )
+
+    gate_a = AnomalyIngest(str(tmp_path / "ma"), str(tmp_path / "oa"), 3.0, min_n=30)
+    gate_b = AnomalyIngest(str(tmp_path / "mb"), str(tmp_path / "ob"), 3.0, min_n=30)
+    batches(gate_a)
+    batches(gate_b)
+    n = gate_b.compact(spark)
+    assert n == 1  # one operation
+    probe = spark.createDataFrame([("tX", "sX", "svc", "op", 9_999)], schema)
+    gate_a.process_batch(probe, 3)
+    gate_b.process_batch(probe, 3)
+    za = {r["span_id"]: r["z"] for r in spark.read.parquet(str(tmp_path / "oa")).collect()}
+    zb = {r["span_id"]: r["z"] for r in spark.read.parquet(str(tmp_path / "ob")).collect()}
+    assert za == zb and "sX" in za
