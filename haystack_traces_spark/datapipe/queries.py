@@ -1875,6 +1875,22 @@ LIMIT {PMI_TOP_N}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Never-driver-checked entries lead: the driver CORRECTNESS file
+        # samples a bounded prefix of the registry (trace queries first,
+        # then this dict), and every dp operator below already holds green
+        # driver rows from earlier rounds — rotating the newest entries to
+        # the front gets each a driver-checked row before reverting to the
+        # classic order.
+        "bigram_ppl": q_bigram_ppl,
+        "decontaminate_neardup": q_decontaminate_neardup,
+        "token_counts": q_token_counts,
+        "quality_classifier": q_quality_classifier,
+        "normalized_dedup": q_normalized_dedup,
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
+        "tfidf_keywords": q_tfidf_keywords,
+        "doc_clusters": q_doc_clusters,
+        "pmi_collocations": q_pmi_collocations,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1922,16 +1938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_weights": q_mix_weights,
         "canonical_docs": q_canonical_docs,
-        "bigram_ppl": q_bigram_ppl,
-        "decontaminate_neardup": q_decontaminate_neardup,
-        "token_counts": q_token_counts,
-        "quality_classifier": q_quality_classifier,
-        "normalized_dedup": q_normalized_dedup,
-        "dsir_weights": q_dsir_weights,
-        "ppl_buckets": q_ppl_buckets,
-        "tfidf_keywords": q_tfidf_keywords,
-        "doc_clusters": q_doc_clusters,
-        "pmi_collocations": q_pmi_collocations,
         # rows-only (no oracle_sql entry): k-means codebooks are not
         # SQL-expressible; keep LAST so it never displaces an
         # oracle-checked entry in a bounded driver sample
