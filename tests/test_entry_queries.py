@@ -33,3 +33,21 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) == {"traceid", "starttime"}
+
+
+def test_registry_every_query_has_oracle_or_is_documented_rows_only():
+    """Drift guard: a queries() entry without an oracle_sql() mirror gets
+    only the weak rows-only driver check — each such entry must be a
+    deliberate, named exception, not an oversight."""
+    from haystack_traces_spark import entry_queries
+
+    rows_only = set(entry_queries.queries()) - set(entry_queries.oracle_sql())
+    assert rows_only == {"ivf_pq_residual"}, rows_only
+
+
+def test_registry_oracles_have_no_orphans():
+    """Every oracle_sql() key must have a matching queries() entry."""
+    from haystack_traces_spark import entry_queries
+
+    orphans = set(entry_queries.oracle_sql()) - set(entry_queries.queries())
+    assert not orphans, orphans

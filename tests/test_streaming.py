@@ -859,3 +859,37 @@ def test_streaming_anomaly_gate_compaction_preserves_baseline(spark, tmp_path):
     za = {r["span_id"]: r["z"] for r in spark.read.parquet(str(tmp_path / "oa")).collect()}
     zb = {r["span_id"]: r["z"] for r in spark.read.parquet(str(tmp_path / "ob")).collect()}
     assert za == zb and "sX" in za
+
+
+def test_streaming_latency_histogram_bounds_and_merge_invariance(spark, tmp_path):
+    """The histogram percentile estimate must bracket the true percentile
+    (true <= est < 2*true, the log2-bucket bound), and feeding the same
+    spans as one batch or split across two must give IDENTICAL estimates
+    (the state is mergeable by construction)."""
+    import math
+
+    from haystack_traces_spark.streaming.latency_stream import (
+        LatencyHistogramIngest,
+    )
+
+    schema = (
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long"
+    )
+    durs = [int(100 * (1.07 ** i)) for i in range(100)]  # 100 .. ~86k us
+    rows = [("t%d" % i, "s%d" % i, "svc", "op", d) for i, d in enumerate(durs)]
+
+    one = LatencyHistogramIngest(str(tmp_path / "h1"))
+    one.process_batch(spark.createDataFrame(rows, schema), 0)
+    two = LatencyHistogramIngest(str(tmp_path / "h2"))
+    two.process_batch(spark.createDataFrame(rows[:37], schema), 0)
+    two.process_batch(spark.createDataFrame(rows[37:], schema), 1)
+
+    est1 = {r["q"]: r["est_us"] for r in one.percentiles(spark).collect()}
+    est2 = {r["q"]: r["est_us"] for r in two.percentiles(spark).collect()}
+    assert est1 == est2  # merge invariance
+
+    sd = sorted(durs)
+    for q, est in est1.items():
+        true = sd[min(len(sd) - 1, math.ceil(q * len(sd)) - 1)]
+        assert true <= est < 2 * true, (q, true, est)
