@@ -211,6 +211,60 @@ def dsir_weights(
     )
 
 
+def decontaminate_semantic(
+    train_emb: DataFrame,
+    probe_emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, max_cos, contaminated): EMBEDDING-space decontamination —
+    flag training vectors whose cosine against ANY benchmark/probe vector
+    reaches ``threshold``. Completes the decontamination triad: exact
+    shingles (:func:`decontaminate`) catch copies, MinHash bands
+    (:func:`decontaminate_neardup`) catch edits, and this catches
+    PARAPHRASES — same meaning, different words — the other two are blind
+    to.
+
+    Scale shape: the probe matrix is a broadcast (benchmarks are small);
+    each Arrow batch of the training side scores against all probes as ONE
+    numpy GEMM and emits only (id, max_cos) — the train side never
+    shuffles and the output is one row per train vector. The contaminated
+    flag compares the ROUNDED cosine (house cross-engine float rule)."""
+    import numpy as np
+
+    spark = train_emb.sparkSession
+    p_pdf = probe_emb.select(id_col, vec_col).toPandas()
+    P = np.asarray(p_pdf[vec_col].tolist(), dtype=np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(Pn)
+
+    def score(batches):
+        import pandas as pd
+
+        Pn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "max_cos": (An @ Pn_.T).max(axis=1),
+                }
+            )
+
+    scored = train_emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, max_cos double"
+    )
+    return scored.select(
+        id_col,
+        F.round("max_cos", 6).alias("max_cos"),
+        (F.round("max_cos", 6) >= threshold).alias("contaminated"),
+    )
+
+
 # ------------------------------------------------------ vocabulary cover --
 
 def vocab_coverage(

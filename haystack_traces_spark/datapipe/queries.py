@@ -1873,6 +1873,37 @@ LIMIT {PMI_TOP_N}
 """
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination of the training vectors against the
+    probe (vec_id % PROBE_MOD == 0) vectors — the paraphrase-level member
+    of the decontamination triad."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+    train = emb.filter(F.col("vec_id") % PROBE_MOD != 0)
+    return C.decontaminate_semantic(train, probes, COS_THRESHOLD)
+
+
+def sql_decontaminate_semantic() -> str:
+    cos = (
+        "list_dot_product(t.v, p.v) / "
+        "(sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(p.v, p.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT t.vec_id, MAX({cos}) AS max_cos
+  FROM (SELECT * FROM e WHERE vec_id % {PROBE_MOD} <> 0) t
+  CROSS JOIN (SELECT * FROM e WHERE vec_id % {PROBE_MOD} = 0) p
+  GROUP BY t.vec_id
+)
+SELECT vec_id, ROUND(max_cos, 6) AS max_cos,
+       ROUND(max_cos, 6) >= {COS_THRESHOLD} AS contaminated
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -1891,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "doc_clusters": q_doc_clusters,
         "pmi_collocations": q_pmi_collocations,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2004,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": sql_tfidf_keywords(),
         "doc_clusters": sql_doc_clusters(),
         "pmi_collocations": sql_pmi_collocations(),
+        "decontaminate_semantic": sql_decontaminate_semantic(),
     }
 
 
