@@ -1904,6 +1904,39 @@ FROM m
 """
 
 
+EVIDENCE_K = 3
+
+
+def q_dup_pair_evidence(spark, sf_dir):
+    return D.dup_pair_evidence(_docs(spark, sf_dir), JACCARD_THRESHOLD, 3, EVIDENCE_K)
+
+
+def sql_dup_pair_evidence() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+flagged AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+shared AS (
+  SELECT f.doc_a, f.doc_b, f.jaccard, a.s, d.df
+  FROM flagged f
+  JOIN sh a ON a.doc_id = f.doc_a
+  JOIN sh b ON b.doc_id = f.doc_b AND b.s = a.s
+  JOIN dfreq d ON d.s = a.s
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                               ORDER BY df, s) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS cnt
+  FROM shared
+)
+SELECT doc_a, doc_b, jaccard,
+       CAST(MAX(cnt) AS BIGINT) AS n_shared,
+       STRING_AGG(s, ' | ' ORDER BY df, s) AS evidence
+FROM ranked WHERE rn <= {EVIDENCE_K}
+GROUP BY doc_a, doc_b, jaccard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -1923,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clusters": q_doc_clusters,
         "pmi_collocations": q_pmi_collocations,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "dup_pair_evidence": q_dup_pair_evidence,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2037,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clusters": sql_doc_clusters(),
         "pmi_collocations": sql_pmi_collocations(),
         "decontaminate_semantic": sql_decontaminate_semantic(),
+        "dup_pair_evidence": sql_dup_pair_evidence(),
     }
 
 
