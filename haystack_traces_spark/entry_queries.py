@@ -1450,6 +1450,50 @@ ORDER BY trace_id
 """
 
 
+def q_error_rate_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(service, hour) error-rate time series — the trends panel the
+    reference ecosystem renders from haystack-trends metricpoints,
+    computed here straight from the span tags. One map-side-combinable
+    aggregate on the (dt, hb)-prunable scan."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    err = F.coalesce(
+        (tag_str("tags", "errorcode").try_cast("long") >= ERROR_THRESHOLD).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    hour = (F.col("start_time") - F.col("start_time") % HOUR_US).alias("hour_start")
+    return (
+        spans.groupBy(F.lower("service_name").alias("servicename"), hour)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(err).alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("n_errors") / F.col("n_spans"), 6)
+        )
+        .orderBy("servicename", "hour_start")
+    )
+
+
+def sql_error_rate_trends() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       start_time - start_time % {HOUR_US} AS hour_start,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       ROUND(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate
+FROM spans
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1499,6 +1543,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slow_exemplars": q_slow_exemplars,
         "latency_heatmap": q_latency_heatmap,
         "trace_shape_stats": q_trace_shape_stats,
+        "error_rate_trends": q_error_rate_trends,
     }
 
 
@@ -1549,4 +1594,5 @@ def _trace_oracles() -> dict[str, str]:
         "slow_exemplars": sql_slow_exemplars(),
         "latency_heatmap": sql_latency_heatmap(),
         "trace_shape_stats": sql_trace_shape_stats(),
+        "error_rate_trends": sql_error_rate_trends(),
     }

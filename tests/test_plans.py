@@ -271,3 +271,26 @@ def test_ppl_buckets_approx_path_has_no_global_window(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(ppl_buckets(docs, approx=True))
     assert "Window" not in plan, plan[:2000]
+
+
+def test_doc_clusters_broadcasts_centroids(spark):
+    """Cluster assignment joins the tiny centroid table as a broadcast —
+    the vector table never shuffles for it."""
+    from haystack_traces_spark.datapipe.similarity import doc_clusters
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(doc_clusters(emb, 8))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_latency_heatmap_is_single_aggregate(spark, spans):
+    """The heatmap is one partial+final aggregate — exactly one hash
+    exchange, no window, no join."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    df = spans.groupBy(
+        EQ.F.lower("service_name"),
+        (EQ.F.col("start_time") - EQ.F.col("start_time") % EQ.HOUR_US),
+    ).count()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
