@@ -1494,6 +1494,58 @@ ORDER BY 1, 2
     )
 
 
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the service call graph — the
+    structural "most depended on" ranking. Oracle = unrolled CTE chain
+    (one CTE per iteration, generated)."""
+    from haystack_traces_spark.operators.callgraph import service_pagerank
+
+    return service_pagerank(_spans(spark, sf_dir), PAGERANK_ITERS, PAGERANK_DAMPING)
+
+
+def sql_service_pagerank() -> str:
+    d = PAGERANK_DAMPING
+    ctes = [
+        """sv AS (SELECT DISTINCT lower(service_name) AS s FROM spans),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sv),
+e AS (
+  SELECT lower(p.service_name) AS u, lower(c.service_name) AS v,
+         CAST(COUNT(*) AS DOUBLE) AS calls
+  FROM spans c JOIN spans p
+    ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+  WHERE c.parent_span_id <> ''
+  GROUP BY 1, 2
+),
+ot AS (SELECT u, SUM(calls) AS oc FROM e GROUP BY u),
+w AS (SELECT e.u, e.v, e.calls / ot.oc AS w FROM e JOIN ot USING (u)),
+p0 AS (SELECT s, 1.0 / n AS pr FROM sv, ns)"""
+    ]
+    for i in range(PAGERANK_ITERS):
+        ctes.append(
+            f"""p{i + 1} AS (
+  SELECT sv.s, (1.0 - {d}) / ns.n + {d} * COALESCE(c.inflow, 0.0) AS pr
+  FROM sv CROSS JOIN ns
+  LEFT JOIN (
+    SELECT w.v AS s, SUM(p{i}.pr * w.w) AS inflow
+    FROM p{i} JOIN w ON p{i}.s = w.u GROUP BY w.v
+  ) c USING (s)
+)"""
+        )
+    return (
+        EVENT_SPANS_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s AS servicename, ROUND(pr, 6) AS pagerank
+FROM p{PAGERANK_ITERS} ORDER BY servicename
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1544,6 +1596,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_heatmap": q_latency_heatmap,
         "trace_shape_stats": q_trace_shape_stats,
         "error_rate_trends": q_error_rate_trends,
+        "service_pagerank": q_service_pagerank,
     }
 
 
@@ -1595,4 +1648,5 @@ def _trace_oracles() -> dict[str, str]:
         "latency_heatmap": sql_latency_heatmap(),
         "trace_shape_stats": sql_trace_shape_stats(),
         "error_rate_trends": sql_error_rate_trends(),
+        "service_pagerank": sql_service_pagerank(),
     }

@@ -84,3 +84,67 @@ def trace_call_graph(processed_trace_spans: DataFrame) -> DataFrame:
         tag_str("tags", SERVER_OP_NAME).alias("to_operation"),
         tag_str("tags", NETWORK_DELTA).try_cast("long").alias("network_delta"),
     )
+
+
+def service_pagerank(
+    spans,
+    n_iters: int = 10,
+    damping: float = 0.85,
+) -> "DataFrame":
+    """→ (servicename, pagerank): fixed-iteration PageRank over the
+    service call graph — "which service is structurally most depended
+    on", the prioritization signal service-dependency dashboards rank by.
+
+    Variant notes (both deliberate, mirrored by the oracle): edge weights
+    are call-count proportional (w(u→v) = calls(u→v) / out_calls(u)), and
+    dangling-node mass (services that never call anyone) is dropped
+    rather than redistributed — the simplest deterministic formulation.
+    Exactly ``n_iters`` synchronous iterations from the uniform vector.
+
+    Scale shape: ranks and edges are SERVICE-level tables (thousands of
+    rows at any corpus size) — each iteration is one broadcast-scale join
+    + combinable sum; the span table is touched once to build edges. The
+    oracle mirrors the loop as an unrolled CTE chain."""
+    from haystack_traces_spark.session import materialize
+
+    services = materialize(
+        spans.select(F.lower("service_name").alias("s")).distinct()
+    )
+    # re-group AFTER lowercasing so mixed-case duplicates merge BEFORE the
+    # weight division — keeps the arithmetic identical to the oracle's
+    # grouped-by-lowered-name edges
+    edges = (
+        span_call_edges(spans)
+        .groupBy(
+            F.lower("from_service").alias("u"),
+            F.lower("to_service").alias("v"),
+        )
+        .agg(F.sum("calls").cast("double").alias("calls"))
+    )
+    out_tot = edges.groupBy("u").agg(F.sum("calls").alias("out_calls"))
+    w = materialize(
+        edges.join(out_tot, "u").select(
+            "u", "v", (F.col("calls") / F.col("out_calls")).alias("w")
+        )
+    )
+    n = services.count()
+    rank = services.select("s", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iters):
+        contrib = (
+            rank.join(w, rank["s"] == w["u"])
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("inflow"))
+        )
+        rank = (
+            services.join(contrib, services["s"] == contrib["v"], "left")
+            .select(
+                "s",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return rank.select(
+        F.col("s").alias("servicename"), F.round("pr", 6).alias("pagerank")
+    ).orderBy("servicename")
