@@ -170,7 +170,8 @@ def _verify_jaccard(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, n: int = 3
+    docs: DataFrame, threshold: float = 0.8, n: int = 3,
+    text_col: str = "text",
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard): exact pairs over the threshold.
 
@@ -181,7 +182,7 @@ def ngram_jaccard_pairs(
     common total order), so the join volume scales with rare-token
     co-occurrence instead of blowing up on stop-phrases. Exact: candidates
     are then verified with true Jaccard over the full sets."""
-    sh = shingle_rows(docs, n=n)
+    sh = shingle_rows(docs, text_col, n)
     # sh feeds BOTH the document-frequency aggregate and the prefix build —
     # two independent subtrees Spark would otherwise recompute (scan +
     # shingle + explode twice); one materialization serves both
@@ -229,7 +230,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, docs, threshold, n, shingles=sh)
+    return _verify_jaccard(candidates, docs, threshold, n, text_col, shingles=sh)
 
 
 def dup_pair_evidence(
@@ -250,7 +251,7 @@ def dup_pair_evidence(
     operator); shared shingles = the pair joined against the shingle rows
     on both sides; rarity from the same df aggregate the ppjoin prefix
     uses. Work scales with |pairs| x shared shingles, never |docs|²."""
-    pairs = ngram_jaccard_pairs(docs, threshold, n)
+    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col)
     sh = materialize(shingle_rows(docs, text_col, n))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     shared = (

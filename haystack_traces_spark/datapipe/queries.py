@@ -1863,7 +1863,7 @@ pairs AS (
   GROUP BY 1 HAVING COUNT(*) >= {PMI_MIN_COUNT}
 )
 SELECT pair, CAST(n AS BIGINT) AS n,
-       ROUND(ln(n * n_tok / CAST(c1.cu * c2.cu AS DOUBLE)), 6) AS pmi
+       ROUND(ln((CAST(n AS DOUBLE) * n_tok) / (CAST(c1.cu AS DOUBLE) * c2.cu)), 6) AS pmi
 FROM pairs
 JOIN uc c1 ON c1.w = string_split(pair, ' ')[1]
 JOIN uc c2 ON c2.w = string_split(pair, ' ')[2]

@@ -572,18 +572,22 @@ def pq_codebooks(
         )
         X = np.asarray(samp[vec_col].tolist(), dtype=np.float64)
         rows = []
+        # fewer sample vectors than ksub → emit that many codewords (the
+        # lowest_id mode degrades the same way); range(ksub) over a short
+        # C would IndexError
+        keff = min(ksub, len(X))
         for s in range(m):
             S = X[:, s * dsub : (s + 1) * dsub]
-            C = S[:ksub].copy()  # deterministic init: first sample rows
+            C = S[:keff].copy()  # deterministic init: first sample rows
             for _ in range(8):
                 d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
                 a = np.argmin(d, axis=1)
-                for c in range(ksub):
+                for c in range(keff):
                     mem = S[a == c]
                     if len(mem):
                         C[c] = mem.mean(axis=0)
             rows += [
-                (s, c, [float(x) for x in C[c]]) for c in range(ksub)
+                (s, c, [float(x) for x in C[c]]) for c in range(keff)
             ]
         return emb.sparkSession.createDataFrame(
             rows, "s int, code int, cw array<double>"

@@ -505,8 +505,15 @@ def pmi_collocations(
         .select(
             "pair",
             F.col("n").cast("long").alias("n"),
+            # cast to double BEFORE multiplying: n * n_tok and c1 * c2
+            # overflow bigint at real corpus scale (2e13 tokens x 1e9-count
+            # pair ≈ 2e22 > 2^63 → ANSI ArithmeticException); double keeps
+            # the 6dp-rounded PMI identical on both engines
             F.round(
-                F.log(F.col("n") * F.col("n_tok") / (F.col("c1") * F.col("c2"))),
+                F.log(
+                    (F.col("n").cast("double") * F.col("n_tok"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
                 6,
             ).alias("pmi"),
         )

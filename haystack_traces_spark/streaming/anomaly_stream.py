@@ -15,9 +15,15 @@ Shape (foreachBatch + append-only moment log, the merge-catalog pattern):
                by construction, the same trick percentile_approx sketches
                and HLL registers use)
       z      = (duration - mu_prior) / sigma_prior   (broadcast join)
-      out   += spans with z >= threshold AND prior n >= min_n
-      state += this batch's per-operation (n, Σd, Σd²) rows (append only —
-               no state rewrite, no read-under-write hazard)
+      out    = spans with z >= threshold AND prior n >= min_n
+      state += this batch's per-operation (n, Σd, Σd²) rows
+
+    Both the state and output writes go to a ``batch_id=<id>`` partition
+    directory with OVERWRITE semantics: foreachBatch is at-least-once, and
+    a replayed batch must land on the same directory it wrote before the
+    crash instead of appending its rows a second time (double-counted
+    moments would permanently skew mu/sigma). Replay-idempotence test
+    pins this.
 
 State grows one row per (operation, batch); compaction is an optional
 offline rewrite of the log into one row per operation (same SUM). A
@@ -58,6 +64,16 @@ class AnomalyIngest:
         # head and suppress real anomalies (same rule as the near-dup gate)
         from pyspark.errors import AnalysisException
 
+        import os
+
+        if not os.path.exists(self.state_dir) and os.path.exists(
+            self.state_dir.rstrip("/") + ".old"
+        ):
+            raise RuntimeError(
+                f"moment log {self.state_dir} missing but its .old sibling "
+                "exists — a compaction swap was interrupted; restore "
+                "manually instead of silently re-training"
+            )
         try:
             log = spark.read.parquet(self.state_dir)
         except AnalysisException:
@@ -84,6 +100,11 @@ class AnomalyIngest:
         return log.groupBy("servicename", "operationname").agg(
             F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
         )
+
+    def _batch_dir(self, root: str, batch_id: int) -> str:
+        # partition-style naming: plain reads of the root see batch_id as a
+        # partition column; a replayed batch OVERWRITES its own directory
+        return f"{root.rstrip('/')}/batch_id={batch_id}"
 
     def _moments(self, spans: DataFrame) -> DataFrame:
         d = F.col("duration").cast("double")
@@ -122,32 +143,44 @@ class AnomalyIngest:
                 "z", F.round((F.col("duration") - F.col("mu")) / F.col("sigma"), 6)
             )
             .filter(F.col("z") >= self.z_threshold)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .select(
                 "trace_id", "span_id", "servicename", "operationname",
-                "duration", "z", "batch_id",
+                "duration", "z",
             )
         )
-        scored.write.mode("append").parquet(self.out_dir)
-        # append this batch's moments AFTER scoring — the batch never
+        scored.write.mode("overwrite").parquet(self._batch_dir(self.out_dir, batch_id))
+        # record this batch's moments AFTER scoring — the batch never
         # contributes to its own baseline
-        self._moments(spans).write.mode("append").parquet(self.state_dir)
+        self._moments(spans).write.mode("overwrite").parquet(
+            self._batch_dir(self.state_dir, batch_id)
+        )
 
     def compact(self, spark) -> int:
         """Rewrite the moment log to ONE row per operation (same SUMs —
         the log is mergeable, so compaction is just the read-side
-        aggregation made durable). Local-FS swap via a staging directory;
-        on an object store this is the periodic offline rewrite job (or a
-        Delta/Iceberg OPTIMIZE). Returns the compacted row count."""
+        aggregation made durable). OFFLINE maintenance only: run while the
+        stream is stopped with its checkpoint committed — a batch replayed
+        after compaction would re-add rows the compacted file already
+        holds. Swap order is rename-old-aside → rename-staging-live →
+        delete-aside; if a crash interrupts the window, _prior detects the
+        orphaned .old sibling and refuses to silently re-train (on an
+        object store this whole method is a Delta/Iceberg OPTIMIZE).
+        Returns the compacted row count."""
         import os
         import shutil
 
         compacted = self._prior(spark)
         staging = self.state_dir.rstrip("/") + ".compact"
-        compacted.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(staging, ignore_errors=True)
+        compacted.write.mode("overwrite").parquet(
+            f"{staging}/batch_id=-1"
+        )
         n = spark.read.parquet(staging).count()
-        shutil.rmtree(self.state_dir, ignore_errors=True)
+        aside = self.state_dir.rstrip("/") + ".old"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(self.state_dir, aside)
         os.rename(staging, self.state_dir)
+        shutil.rmtree(aside)
         return n
 
     def start(self, source: DataFrame, checkpoint_dir: str, available_now: bool = True):

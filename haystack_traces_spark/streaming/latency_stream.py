@@ -11,7 +11,9 @@ error (the bucket upper bound is < 2x the true value — the same trade
 HDR-histogram/t-digest-class systems make, with the dumbest possible
 sketch).
 
-    per micro-batch:   state += (svc, op, bit_length(duration), count)
+    per micro-batch:   state[batch_id] = (svc, op, bit_length(duration), count)
+                       (overwrite of the batch's own partition dir —
+                        replay-idempotent under at-least-once foreachBatch)
     on read (any time): cumulative walk per operation -> smallest bucket
                         whose cumulative count reaches q * total; the
                         estimate is that bucket's inclusive upper bound
@@ -43,6 +45,9 @@ class LatencyHistogramIngest:
         self.state_dir = state_dir
 
     def process_batch(self, spans: DataFrame, batch_id: int) -> None:
+        # batch_id=<id> partition dir with OVERWRITE: foreachBatch is
+        # at-least-once, and a replayed batch must land on its own prior
+        # directory, not append its counts a second time
         (
             spans.groupBy(
                 F.lower("service_name").alias("servicename"),
@@ -50,8 +55,8 @@ class LatencyHistogramIngest:
                 dur_bucket().alias("bucket"),
             )
             .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(self.state_dir)
+            .write.mode("overwrite")
+            .parquet(f"{self.state_dir.rstrip('/')}/batch_id={batch_id}")
         )
 
     def _hist(self, spark) -> DataFrame:

@@ -974,3 +974,19 @@ def test_pmi_collocations_rank_fixed_phrase_over_chance_pair(spark):
     pmi = {r["pair"]: r["pmi"] for r in rows}
     assert "kuala lumpur" in pmi
     assert pmi["kuala lumpur"] == max(pmi.values())
+
+
+def test_pq_codebooks_kmeans_handles_tiny_corpus(spark):
+    """Fewer vectors than ksub must yield that many codewords per
+    subspace (mirror of the lowest_id mode's degradation), not an
+    IndexError."""
+    import numpy as np
+
+    rows = [(i, [float(i)] * 64) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = S.pq_codebooks(emb, m=8, ksub=16, mode="kmeans").collect()
+    per_sub = {}
+    for r in cb:
+        per_sub.setdefault(r["s"], set()).add(r["code"])
+    assert set(per_sub) == set(range(8))
+    assert all(codes == set(range(10)) for codes in per_sub.values())

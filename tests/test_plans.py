@@ -283,14 +283,13 @@ def test_doc_clusters_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
 
 
-def test_latency_heatmap_is_single_aggregate(spark, spans):
-    """The heatmap is one partial+final aggregate — exactly one hash
-    exchange, no window, no join."""
+def test_latency_heatmap_is_single_aggregate(spark):
+    """The REAL heatmap operator is one partial+final aggregate plus its
+    presentation sort — exactly one hash exchange, no join, no window
+    (the orderBy's rangepartitioning exchange is expected and cheap: it
+    re-sorts the aggregated rows, never the spans)."""
     from haystack_traces_spark import entry_queries as EQ
 
-    df = spans.groupBy(
-        EQ.F.lower("service_name"),
-        (EQ.F.col("start_time") - EQ.F.col("start_time") % EQ.HOUR_US),
-    ).count()
-    plan = _plan(df)
+    plan = _plan(EQ.q_latency_heatmap(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]

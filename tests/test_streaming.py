@@ -893,3 +893,48 @@ def test_streaming_latency_histogram_bounds_and_merge_invariance(spark, tmp_path
     for q, est in est1.items():
         true = sd[min(len(sd) - 1, math.ceil(q * len(sd)) - 1)]
         assert true <= est < 2 * true, (q, true, est)
+
+
+def test_streaming_gates_are_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: reprocessing the SAME batch id must
+    not double-count state in either the anomaly moment log or the
+    latency histogram."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+    from haystack_traces_spark.streaming.latency_stream import (
+        LatencyHistogramIngest,
+    )
+
+    schema = (
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long"
+    )
+    batch = spark.createDataFrame(
+        [("t%d" % i, "s%d" % i, "svc", "op", 100 + i) for i in range(40)], schema
+    )
+    gate = AnomalyIngest(str(tmp_path / "m"), str(tmp_path / "o"), 3.0, min_n=30)
+    gate.process_batch(batch, 0)
+    gate.process_batch(batch, 0)  # replay
+    prior = gate._prior(spark).collect()
+    assert len(prior) == 1 and prior[0]["n"] == 40  # not 80
+
+    hist = LatencyHistogramIngest(str(tmp_path / "h"))
+    hist.process_batch(batch, 0)
+    hist.process_batch(batch, 0)  # replay
+    total = sum(r["n"] for r in hist._hist(spark).collect())
+    assert total == 40
+
+
+def test_streaming_anomaly_gate_interrupted_compaction_detected(spark, tmp_path):
+    """state_dir missing while its .old sibling exists = a compaction swap
+    died mid-window; the gate must refuse to silently re-train."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+
+    (tmp_path / "m.old").mkdir()
+    gate = AnomalyIngest(str(tmp_path / "m"), str(tmp_path / "o"))
+    batch = spark.createDataFrame(
+        [("t", "s", "svc", "op", 100)],
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long",
+    )
+    with pytest.raises(RuntimeError, match="compaction swap"):
+        gate.process_batch(batch, 0)
