@@ -163,3 +163,33 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+def chunk_plan(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
+    """→ (doc_id, media_type, chunk_idx, start_frame, end_frame): fixed-
+    width chunking plan for audio/video — the batching prep an ASR or
+    video-encoder stage consumes (each chunk is one decode+infer work
+    item). Pure integer expressions over the feature table; the decode
+    itself stays behind the stubbed codec seam.
+
+    end_frame is INCLUSIVE; the last chunk clips to n_frames - 1. Media
+    with zero frames yields no chunks."""
+    feats = extract_features(media).filter(
+        F.col("media_type").isin("audio", "video") & (F.col("n_frames") > 0)
+    )
+    n_chunks = F.ceil(F.col("n_frames") / F.lit(chunk_frames)).cast("long")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+        F.col("n_frames"),
+    ).select(
+        "doc_id",
+        "media_type",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * chunk_frames).cast("long").alias("start_frame"),
+        F.least(
+            F.col("n_frames") - 1,
+            (F.col("chunk_idx") + 1) * chunk_frames - 1,
+        ).cast("long").alias("end_frame"),
+    )

@@ -1937,6 +1937,39 @@ GROUP BY doc_a, doc_b, jaccard
 """
 
 
+CHUNK_FRAMES = 100
+
+
+def q_chunk_plan(spark, sf_dir):
+    """Audio/video fixed-width chunking plan — the ASR/encoder batching
+    prep; one chunk row per decode+infer work item."""
+    media = M.documents_as_media(_docs(spark, sf_dir))
+    return M.chunk_plan(media, CHUNK_FRAMES)
+
+
+def sql_chunk_plan() -> str:
+    h60 = hash60_sql("text")
+    cf = CHUNK_FRAMES
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         {h60} % 300 AS n_frames
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INT) IN (1, 2)  -- round-robin: 1 audio, 2 video
+),
+chunks AS (
+  SELECT doc_id, media_type, n_frames,
+         UNNEST(generate_series(0, CAST(CEIL(n_frames / {cf}.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM feats WHERE n_frames > 0
+)
+SELECT doc_id, media_type, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {cf} AS BIGINT) AS start_frame,
+       CAST(LEAST(n_frames - 1, (chunk_idx + 1) * {cf} - 1) AS BIGINT) AS end_frame
+FROM chunks
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -1957,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "decontaminate_semantic": q_decontaminate_semantic,
         "dup_pair_evidence": q_dup_pair_evidence,
+        "chunk_plan": q_chunk_plan,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2072,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": sql_pmi_collocations(),
         "decontaminate_semantic": sql_decontaminate_semantic(),
         "dup_pair_evidence": sql_dup_pair_evidence(),
+        "chunk_plan": sql_chunk_plan(),
     }
 
 
