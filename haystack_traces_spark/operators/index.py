@@ -120,3 +120,66 @@ def write_trace_index(idx: DataFrame, path: str) -> None:
     idx.repartition("dt", "hb").write.mode("overwrite").partitionBy(
         "dt", "hb"
     ).parquet(path)
+
+
+def compact_trace_index(
+    idx: DataFrame,
+    whitelist: WhitelistConfig = DEFAULT_WHITELIST,
+) -> DataFrame:
+    """Merge duplicate per-trace index rows into one — incremental view
+    maintenance for the streaming write path, where a trace reopened by a
+    late span (T4) appends a SECOND index row for the same traceid (the
+    analog of the reference's ES doc-per-hour-bucket duplicates,
+    ElasticSearchWriter.scala:47-53; its reader dedups at fetch, ours can
+    additionally compact the table offline).
+
+    Group sets union via flatten + array_distinct (set semantics — the
+    accumulation order inside a set is not part of the contract);
+    trace-level starttime re-mins, rootduration re-maxes; (dt, hb)
+    partition columns recompute from the merged starttime when present.
+    One explode + two hash aggregations on the trace key — the same
+    shuffle shape as the build itself, applied to index rows (orders of
+    magnitude smaller than spans).
+
+    Invariant (pinned by test): for any split A ∪ B of the span table,
+    compact(build(A) ∪ build(B)) == build(A ∪ B) up to set order.
+    """
+    wl_names = [
+        f.name
+        for f in whitelist.enabled_fields()
+        if f.name in idx.select(F.explode("spans").alias("g")).select("g.*").columns
+    ]
+    g = idx.select(
+        "traceid", "starttime", "rootduration", F.explode("spans").alias("g")
+    )
+    set_aggs = [
+        F.array_distinct(F.flatten(F.collect_list(F.col(f"g.{c}")))).alias(c)
+        for c in ("starttime", "duration", *wl_names)
+    ]
+    groups = g.groupBy(
+        "traceid",
+        F.col("g.servicename").alias("servicename"),
+        F.col("g.operationname").alias("operationname"),
+    ).agg(
+        *set_aggs,
+        F.min("starttime").alias("_min_start"),
+        F.max("rootduration").alias("_root_dur"),
+    )
+    group_struct = F.struct(
+        F.col("servicename"),
+        F.col("operationname"),
+        F.col("starttime"),
+        F.col("duration"),
+        *[F.col(n) for n in wl_names],
+    )
+    out = groups.groupBy("traceid").agg(
+        F.min("_min_start").alias("starttime"),
+        F.max("_root_dur").alias("rootduration"),
+        F.collect_list(group_struct).alias("spans"),
+    )
+    if "dt" in idx.columns:
+        ts = F.timestamp_micros(F.col("starttime"))
+        out = out.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
+            "hb", (F.hour(ts) / HOURS_PER_BUCKET).cast("int")
+        )
+    return out

@@ -227,3 +227,46 @@ def test_request_validation_fails_fast():
     with _pytest.raises(ValueError):
         TraceCountsRequest(1, 10, 0).validate()
     SearchRequest(1, 10, 5).validate()  # valid passes
+
+
+def test_compact_trace_index_equals_full_rebuild(spark):
+    """Incremental maintenance invariant: for a split A ∪ B of the spans,
+    compact(build(A) ∪ build(B)) == build(A ∪ B) up to set order — so the
+    streaming path's duplicate index rows (reopened traces) can be folded
+    offline without re-reading the span table."""
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.operators.index import (
+        build_trace_index,
+        compact_trace_index,
+    )
+    import pyspark.sql.functions as F
+
+    spans = _spans(spark, "/root/testdata/sf0.001")
+    a = spans.filter(F.col("span_id").cast("long") % 2 == 0)
+    b = spans.filter(F.col("span_id").cast("long") % 2 == 1)
+    merged = compact_trace_index(
+        build_trace_index(a, with_partition_cols=True).unionByName(
+            build_trace_index(b, with_partition_cols=True)
+        )
+    )
+    full = build_trace_index(spans, with_partition_cols=True)
+
+    def canon(df):
+        rows = {}
+        for r in df.collect():
+            groups = {}
+            for grp in r["spans"]:
+                d = grp.asDict()
+                key = (d.pop("servicename"), d.pop("operationname"))
+                groups[key] = {
+                    k: tuple(sorted(x for x in v if x is not None)) if v else ()
+                    for k, v in d.items()
+                }
+            rows[r["traceid"]] = (
+                r["starttime"], r["rootduration"], r["dt"], r["hb"], groups
+            )
+        return rows
+
+    cm, cf = canon(merged), canon(full)
+    assert cm.keys() == cf.keys()
+    assert cm == cf
