@@ -810,6 +810,9 @@ def ivf_pq_search(
     )
     dsub = dim // m
     if residual:
+        # assign feeds BOTH the residual build and the candidate join —
+        # without a pin the vectors x centroids sweep evaluates twice
+        assign = materialize(assign)
         # encode residuals: r = v − centroid(cell). One broadcast join to
         # stamp the centroid; the zip_with subtraction stays JVM-side. The
         # residual table feeds BOTH the codebook-training sample and the
