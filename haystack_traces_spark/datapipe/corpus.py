@@ -577,6 +577,47 @@ ORDER BY source
 """
 
 
+def epoch_plan(
+    docs: DataFrame,
+    token_budget: int = 1_000_000,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (source, n_tokens, weight, target_tokens, epochs): the data
+    RECIPE — given a training token budget and temperature-mixing weights
+    (weight ∝ token-share^α), how many tokens each source contributes and
+    how many EPOCHS (passes, >1 = repetition) of that source that implies.
+    The "repeat small domains how many times?" planning question every mix
+    design answers before any sampling job runs (epochs ≫ 4-5 flags a
+    source the budget will over-repeat, per the usual repetition-harm
+    guidance).
+
+    Token-share based (unlike :func:`mix_weights`'s doc-share) — budgets
+    are in tokens. One tiny per-source aggregate, windows over the
+    aggregated table only; scale-independent."""
+    w = Window.partitionBy()
+    agg = docs.groupBy(stratum_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    shared = agg.select(
+        stratum_col,
+        "n_tokens",
+        F.pow(
+            F.col("n_tokens") / F.sum("n_tokens").over(w), F.lit(alpha)
+        ).alias("w_raw"),
+    )
+    weight = F.col("w_raw") / F.sum("w_raw").over(w)
+    target = F.floor(F.round(weight, 6) * token_budget).cast("long")
+    return shared.select(
+        stratum_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(weight, 6).alias("weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy(stratum_col)
+
+
 # -------------------------------------------- canonical doc per cluster ----
 
 def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:

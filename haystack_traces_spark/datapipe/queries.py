@@ -1970,6 +1970,38 @@ FROM chunks
 """
 
 
+TOKEN_BUDGET = 1_000_000
+MIX_ALPHA = 0.5
+
+
+def q_epoch_plan(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.epoch_plan(_docs(spark, sf_dir), TOKEN_BUDGET, MIX_ALPHA)
+
+
+def sql_epoch_plan() -> str:
+    return f"""
+WITH agg AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_tokens,
+         POW(n_tokens / SUM(n_tokens) OVER (), {MIX_ALPHA}) AS w_raw
+  FROM agg
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
+       CAST(FLOOR(ROUND(w_raw / SUM(w_raw) OVER (), 6) * {TOKEN_BUDGET}) AS BIGINT) AS target_tokens,
+       ROUND(CAST(FLOOR(ROUND(w_raw / SUM(w_raw) OVER (), 6) * {TOKEN_BUDGET}) AS BIGINT)
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM shared
+ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -1991,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "dup_pair_evidence": q_dup_pair_evidence,
         "chunk_plan": q_chunk_plan,
+        "epoch_plan": q_epoch_plan,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2107,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": sql_decontaminate_semantic(),
         "dup_pair_evidence": sql_dup_pair_evidence(),
         "chunk_plan": sql_chunk_plan(),
+        "epoch_plan": sql_epoch_plan(),
     }
 
 
