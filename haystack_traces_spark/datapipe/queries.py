@@ -2002,6 +2002,40 @@ ORDER BY source
 """
 
 
+OUTLIER_K = 20
+
+
+def q_embedding_outliers(spark, sf_dir):
+    return S.embedding_outliers(_emb(spark, sf_dir), DOC_CLUSTER_CELLS, OUTLIER_K)
+
+
+def sql_embedding_outliers() -> str:
+    full = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {DOC_CLUSTER_CELLS})
+),
+assign AS (
+  SELECT e.vec_id, MIN(struct_pack(d := {full}, cell := cell)) AS mc
+  FROM e CROSS JOIN cents GROUP BY e.vec_id
+),
+scored AS (
+  SELECT vec_id, CAST(mc['cell'] AS BIGINT) AS cell,
+         ROUND(mc['d'], 6) AS dist
+  FROM assign
+)
+SELECT vec_id, cell, dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {OUTLIER_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -2024,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pair_evidence": q_dup_pair_evidence,
         "chunk_plan": q_chunk_plan,
         "epoch_plan": q_epoch_plan,
+        "embedding_outliers": q_embedding_outliers,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2141,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_pair_evidence": sql_dup_pair_evidence(),
         "chunk_plan": sql_chunk_plan(),
         "epoch_plan": sql_epoch_plan(),
+        "embedding_outliers": sql_embedding_outliers(),
     }
 
 

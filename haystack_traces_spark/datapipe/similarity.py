@@ -536,6 +536,54 @@ def doc_clusters(
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    n_cells: int = 16,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, cell, dist, rank): the ``k`` vectors FARTHEST from their
+    own nearest centroid — embedding-space data quality: encoder failures,
+    corrupted inputs, and out-of-domain content all land far from every
+    cluster. The triage list a curator inspects before trusting
+    embedding-based dedup/mixing decisions.
+
+    Same broadcast-centroid assignment as :func:`doc_clusters`; the global
+    top-k is TakeOrderedAndProject over per-vector scalars (never a full
+    sort). Ties break (dist desc, vec_id asc) on the 6dp-rounded distance
+    so membership is engine-stable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    assign = (
+        vecs.join(F.broadcast(cents))
+        .withColumn("d", _sqdist("v", "cv"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("mc"))
+        .select(
+            id_col,
+            F.col("mc.cell").cast("long").alias("cell"),
+            F.round(F.col("mc.d"), 6).alias("dist"),
+        )
+    )
+    wr = Window.orderBy(F.col("dist").desc(), F.col(id_col).asc())
+    return (
+        assign.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "cell", "dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = PQ_M,
