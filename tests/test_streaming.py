@@ -938,3 +938,43 @@ def test_streaming_anomaly_gate_interrupted_compaction_detected(spark, tmp_path)
     )
     with pytest.raises(RuntimeError, match="compaction swap"):
         gate.process_batch(batch, 0)
+
+
+def test_streaming_quality_drift_flags_degraded_source(spark, tmp_path):
+    """A source whose quality distribution collapses must be flagged
+    against its prior deliveries; a healthy same-distribution source must
+    not; batch 1 (cold state) emits no verdicts at all."""
+    from haystack_traces_spark.streaming.quality_stream import QualityDriftIngest
+
+    good = "the cat sat on the mat and the dog is in the house of a king"
+    bad = "#### 404 404 #### !!! 000 ### ... ### !!! 404 404 000 111 222"
+
+    mon = QualityDriftIngest(
+        str(tmp_path / "qs"), str(tmp_path / "qo"), 3.0, min_n=30
+    )
+    b1 = spark.createDataFrame(
+        [(i, good + (" extra" * (i % 3)), "web") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    mon.process_batch(b1, 0)
+    assert spark.read.parquet(str(tmp_path / "qo")).count() == 0
+
+    # healthy batch, same distribution: verdict row, NOT drifted
+    b2 = spark.createDataFrame(
+        [(100 + i, good + (" extra" * (i % 3)), "web") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    mon.process_batch(b2, 1)
+    r2 = [r for r in spark.read.parquet(str(tmp_path / "qo")).collect()
+          if r["batch_id"] == 1]
+    assert len(r2) == 1 and not r2[0]["drifted"]
+
+    # degraded batch: flagged, downward
+    b3 = spark.createDataFrame(
+        [(300 + i, bad, "web") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    mon.process_batch(b3, 2)
+    r3 = [r for r in spark.read.parquet(str(tmp_path / "qo")).collect()
+          if r["batch_id"] == 2]
+    assert len(r3) == 1 and r3[0]["drifted"] and r3[0]["z"] < 0
