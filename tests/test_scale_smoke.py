@@ -1,0 +1,85 @@
+"""Scale-growth smoke: the ingest build and search path on a 10x
+replication of the sf0.1 events (1M events -> 1M spans, 15k traces).
+
+Not a micro-benchmark — a SHAPE check under growth: the build must stay
+within a small multiple of the 1x wall time (parallelism absorbs the
+volume; measured 20x -> <2x wall on local[32]), and the search path must
+stay effectively flat (partition pruning + top-k touch only the matching
+slice, never the grown table)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+from haystack_traces_spark import entry_queries as EQ
+from haystack_traces_spark.operators import search as search_ops
+from haystack_traces_spark.operators.expression import (
+    EQUAL,
+    GREATER_THAN,
+    ExpressionTree,
+    Field,
+)
+from haystack_traces_spark.operators.index import build_trace_index
+from haystack_traces_spark.session import fan_out
+from haystack_traces_spark.sources.events import spans_from_events
+from haystack_traces_spark.sources.spans import build_trace_store
+
+REPLICATION = 10
+
+
+def test_build_and_search_survive_10x_growth(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    big = (
+        ev.crossJoin(spark.range(REPLICATION).withColumnRenamed("id", "rep"))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 1_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .drop("rep")
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        t0 = time.perf_counter()
+        spans = spans_from_events(fan_out(big))
+        spans.persist()
+        build_trace_store(spans).write.mode("overwrite").parquet(f"{tmp}/store")
+        idx = build_trace_index(spans, with_partition_cols=True)
+        idx.repartition("dt", "hb").write.mode("overwrite").partitionBy(
+            "dt", "hb"
+        ).parquet(f"{tmp}/index")
+        t_build = time.perf_counter() - t0
+
+        trace_index = spark.read.parquet(f"{tmp}/index")
+        trace_store = spark.read.parquet(f"{tmp}/store")
+        req = search_ops.SearchRequest(
+            EQ.T0,
+            EQ.T1,
+            50,
+            ExpressionTree(
+                (
+                    Field("servicename", "error", EQUAL),
+                    Field("duration", EQ.DUR_THRESHOLD, GREATER_THAN),
+                )
+            ),
+        )
+        t0 = time.perf_counter()
+        assert search_ops.search_traces(trace_index, trace_store, req).count() == 50
+        t_search = time.perf_counter() - t0
+
+        plan = (
+            search_ops.search_trace_ids(trace_index, req)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+        # generous ceilings (box-load tolerant): the point is ORDER of
+        # magnitude — linear-in-replication build would be ~80 s, a
+        # full-scan search ~10 s
+        assert t_build < 60, t_build
+        assert t_search < 10, t_search
+    finally:
+        spans.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
