@@ -83,3 +83,31 @@ def test_build_and_search_survive_10x_growth(spark):
     finally:
         spans.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_candidate_volume_stays_near_linear_at_10x(spark):
+    """Replicating the corpus 10x (with distinct ids per replica) must
+    grow MinHash-LSH candidate pairs ~quadratically ONLY within replica
+    groups of true near-dups — i.e. bounded by ~replication^2 x the 1x
+    count — never corpus-quadratically (the un-capped all-pairs blowup
+    would be ~25,000,000 pairs here). Guards the bucketed-candidates +
+    occupancy-cap design at growth."""
+    from haystack_traces_spark.datapipe.dedup import minhash_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n1 = minhash_candidates(docs).count()
+
+    k = 10
+    big = (
+        docs.crossJoin(spark.range(k).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    t0 = time.perf_counter()
+    nk = minhash_candidates(big).count()
+    t = time.perf_counter() - t0
+    # replicas are exact copies, so every cross-replica pair of a 1x
+    # candidate collides too: expected ~ k^2 * n1 (plus the replica
+    # identity pairs); corpus-quadratic would be ~(5000*10)^2/2.
+    assert nk <= (k * k) * n1 + (k * k) * big.count() / k, (n1, nk)
+    assert t < 120, t
