@@ -156,7 +156,10 @@ def resize_images(
 def frame_sample_plan(media: DataFrame, every_nth: int = 30) -> DataFrame:
     """Video frame-sampling plan: (doc_id, frame_idx) rows for decode
     targets — pure expressions; the decode itself is the stubbed seam."""
-    feats = extract_features(media).filter(F.col("media_type") == "video")
+    # filter BEFORE the decode: media_type is an input column, and the
+    # mapInPandas boundary blocks predicate pushdown — without this every
+    # image payload pays the (real-deployment-expensive) decode to be dropped
+    feats = extract_features(media.filter(F.col("media_type") == "video"))
     return feats.select(
         "doc_id",
         F.explode(
@@ -174,9 +177,11 @@ def chunk_plan(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
 
     end_frame is INCLUSIVE; the last chunk clips to n_frames - 1. Media
     with zero frames yields no chunks."""
-    feats = extract_features(media).filter(
-        F.col("media_type").isin("audio", "video") & (F.col("n_frames") > 0)
-    )
+    # media_type filters BEFORE the decode (see frame_sample_plan);
+    # n_frames exists only after it
+    feats = extract_features(
+        media.filter(F.col("media_type").isin("audio", "video"))
+    ).filter(F.col("n_frames") > 0)
     n_chunks = F.ceil(F.col("n_frames") / F.lit(chunk_frames)).cast("long")
     return feats.select(
         "doc_id",

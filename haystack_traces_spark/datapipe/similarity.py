@@ -485,6 +485,41 @@ PQ_M = 8       # subspaces
 PQ_KSUB = 16   # codewords per subspace
 
 
+def _assign_cells(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_col, cell, d): nearest-cell assignment against the
+    deterministic lowest-id centroids (the IVF coarse quantizer) — the
+    shared primitive under doc_clusters and embedding_outliers. Centroids
+    broadcast; min-struct groupBy breaks distance ties on the lower cell."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        vecs.join(F.broadcast(cents))
+        .withColumn("d", _sqdist("v", "cv"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("mc"))
+        .select(
+            id_col,
+            F.col("mc.cell").cast("long").alias("cell"),
+            F.col("mc.d").alias("d"),
+        )
+    )
+
+
 def doc_clusters(
     emb: DataFrame,
     n_cells: int = 16,
@@ -499,32 +534,11 @@ def doc_clusters(
     deciding mix weights or semantic-dedup thresholds.
 
     Scale shape: centroids broadcast; assignment is one broadcast join +
-    min-struct groupBy; the summary is a second tiny aggregate keyed by
-    cell. Swap :func:`kmeans_centroids` in for trained centroids (not
-    oracle-SQL-mirrored; same assignment plan)."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(id_col)
-    cents = (
-        emb.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).cast("int").alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-    )
-    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    assign = (
-        vecs.join(F.broadcast(cents))
-        .withColumn("d", _sqdist("v", "cv"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("d", "cell")).alias("mc"))
-        .select(
-            id_col,
-            F.col("mc.cell").cast("long").alias("cell"),
-            F.col("mc.d").alias("d"),
-        )
-    )
+    min-struct groupBy (shared :func:`_assign_cells`); the summary is a
+    second tiny aggregate keyed by cell. Swap :func:`kmeans_centroids` in
+    for trained centroids (not oracle-SQL-mirrored; same assignment
+    plan)."""
+    assign = _assign_cells(emb, n_cells, id_col, vec_col)
     return (
         assign.groupBy("cell")
         .agg(
@@ -549,32 +563,14 @@ def embedding_outliers(
     cluster. The triage list a curator inspects before trusting
     embedding-based dedup/mixing decisions.
 
-    Same broadcast-centroid assignment as :func:`doc_clusters`; the global
-    top-k is TakeOrderedAndProject over per-vector scalars (never a full
-    sort). Ties break (dist desc, vec_id asc) on the 6dp-rounded distance
-    so membership is engine-stable."""
+    Same broadcast-centroid assignment as :func:`doc_clusters` (shared
+    :func:`_assign_cells`); the global top-k is TakeOrderedAndProject over
+    per-vector scalars (never a full sort). Ties break (dist desc, vec_id
+    asc) on the 6dp-rounded distance so membership is engine-stable."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col)
-    cents = (
-        emb.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w) - 1).cast("int").alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-    )
-    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    assign = (
-        vecs.join(F.broadcast(cents))
-        .withColumn("d", _sqdist("v", "cv"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("d", "cell")).alias("mc"))
-        .select(
-            id_col,
-            F.col("mc.cell").cast("long").alias("cell"),
-            F.round(F.col("mc.d"), 6).alias("dist"),
-        )
+    assign = _assign_cells(emb, n_cells, id_col, vec_col).select(
+        id_col, "cell", F.round("d", 6).alias("dist")
     )
     wr = Window.orderBy(F.col("dist").desc(), F.col(id_col).asc())
     return (

@@ -23,11 +23,16 @@ def _tokens(text_col: str = "text"):
     return F.split(F.col(text_col), " ")
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def text_stats(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
     """→ per-doc token counts + quality features + composite score.
 
     BPE-ish token estimate: whitespace tokens + one extra per 4 chars of
-    long words (subword pieces), a cheap deterministic proxy."""
+    long words (subword pieces), a cheap deterministic proxy.
+    ``extra_cols``: input columns to carry through the projection (it is
+    map-only, so passthrough beats a re-join for callers that need e.g.
+    the source column alongside the score)."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -50,6 +55,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *[F.col(c) for c in extra_cols],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         n_distinct.cast("long").alias("n_distinct_tokens"),

@@ -101,11 +101,19 @@ def build_trace_index(
     )
 
     if with_partition_cols:
-        ts = F.timestamp_micros(F.col("starttime"))
-        idx = idx.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
-            "hb", (F.hour(ts) / HOURS_PER_BUCKET).cast("int")
-        )
+        idx = _with_partition_cols(idx)
     return idx
+
+
+def _with_partition_cols(idx: DataFrame) -> DataFrame:
+    """Stamp the (dt, hb) time-bucket partition columns from starttime —
+    the ONE definition of the bucketing scheme, shared by the build and
+    by compact_trace_index (a drift between the two would silently write
+    compacted rows into stale partitions)."""
+    ts = F.timestamp_micros(F.col("starttime"))
+    return idx.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
+        "hb", (F.hour(ts) / HOURS_PER_BUCKET).cast("int")
+    )
 
 
 def write_trace_index(idx: DataFrame, path: str) -> None:
@@ -144,10 +152,9 @@ def compact_trace_index(
     Invariant (pinned by test): for any split A ∪ B of the span table,
     compact(build(A) ∪ build(B)) == build(A ∪ B) up to set order.
     """
+    group_fields = idx.schema["spans"].dataType.elementType.names
     wl_names = [
-        f.name
-        for f in whitelist.enabled_fields()
-        if f.name in idx.select(F.explode("spans").alias("g")).select("g.*").columns
+        f.name for f in whitelist.enabled_fields() if f.name in group_fields
     ]
     g = idx.select(
         "traceid", "starttime", "rootduration", F.explode("spans").alias("g")
@@ -178,8 +185,5 @@ def compact_trace_index(
         F.collect_list(group_struct).alias("spans"),
     )
     if "dt" in idx.columns:
-        ts = F.timestamp_micros(F.col("starttime"))
-        out = out.withColumn("dt", F.date_format(ts, "yyyy-MM-dd")).withColumn(
-            "hb", (F.hour(ts) / HOURS_PER_BUCKET).cast("int")
-        )
+        out = _with_partition_cols(out)
     return out

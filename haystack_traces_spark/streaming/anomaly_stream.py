@@ -58,10 +58,14 @@ class AnomalyIngest:
         self.z_threshold = z_threshold
         self.min_n = min_n
 
-    def _prior(self, spark) -> DataFrame:
+    def _prior(self, spark, current_batch_id: int | None = None) -> DataFrame:
         # only a MISSING path means first run; any other read failure must
         # propagate — a silently reset state would re-train on the stream
-        # head and suppress real anomalies (same rule as the near-dup gate)
+        # head and suppress real anomalies (same rule as the near-dup gate).
+        # current_batch_id is EXCLUDED from the prior: on an at-least-once
+        # replay the log already holds this batch's own moments from the
+        # failed attempt, and a baseline polluted by the batch under test
+        # dilutes every z-score (replay must produce identical verdicts).
         from pyspark.errors import AnalysisException
 
         import os
@@ -76,6 +80,9 @@ class AnomalyIngest:
             )
         try:
             log = spark.read.parquet(self.state_dir)
+            if current_batch_id is not None:
+                log = log.filter(F.col("batch_id") != current_batch_id)
+            log = log.drop("batch_id")
         except AnalysisException:
             from pyspark.sql.types import (
                 DoubleType,
@@ -120,7 +127,7 @@ class AnomalyIngest:
     def process_batch(self, spans: DataFrame, batch_id: int) -> None:
         spark = spans.sparkSession
         prior = (
-            self._prior(spark)
+            self._prior(spark, batch_id)
             .filter(F.col("n") >= self.min_n)
             .withColumn("mu", F.col("s") / F.col("n"))
             .withColumn(

@@ -18,7 +18,7 @@ sources (< min_n prior docs) train silently; batch moments are recorded
 AFTER the verdict so a batch never baselines itself.
 
 No SQL oracle (stateful streaming); covered by the degraded-batch and
-replay tests.
+replay-identical-verdict tests.
 """
 
 from __future__ import annotations
@@ -49,17 +49,25 @@ class QualityDriftIngest:
     def _scores(self, docs: DataFrame) -> DataFrame:
         from haystack_traces_spark.datapipe.text import text_stats
 
-        return (
-            docs.select("doc_id", self.source_col, "text")
-            .join(text_stats(docs).select("doc_id", "quality_score"), "doc_id")
-            .select(self.source_col, "quality_score")
+        # text_stats is a pure per-row projection, so source rides along —
+        # no per-batch self-join on the streaming hot path
+        return text_stats(docs, extra_cols=(self.source_col,)).select(
+            self.source_col, "quality_score"
         )
 
-    def _prior(self, spark) -> DataFrame:
+    def _prior(self, spark, current_batch_id: int | None = None) -> DataFrame:
+        """Compacted prior moments. ``current_batch_id`` is EXCLUDED: on an
+        at-least-once replay the state dir already holds the batch's own
+        moments from the failed attempt, and including them dilutes the
+        z-score — a real drift alert could flip to not-drifted on replay
+        (replay test pins identical verdicts)."""
         from pyspark.errors import AnalysisException
 
         try:
             log = spark.read.parquet(self.state_dir)
+            if current_batch_id is not None:
+                log = log.filter(F.col("batch_id") != current_batch_id)
+            log = log.drop("batch_id")
         except AnalysisException:
             from pyspark.sql.types import (
                 DoubleType,
@@ -93,7 +101,7 @@ class QualityDriftIngest:
             F.sum(F.col("quality_score") * F.col("quality_score")).alias("bss"),
         )
         prior = (
-            self._prior(spark)
+            self._prior(spark, batch_id)
             .filter(F.col("n") >= self.min_n)
             .withColumn("mu", F.col("s") / F.col("n"))
             .withColumn(

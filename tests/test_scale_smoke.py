@@ -40,6 +40,7 @@ def test_build_and_search_survive_10x_growth(spark):
         .drop("rep")
     )
     tmp = tempfile.mkdtemp(prefix="scale_smoke_")
+    spans = None
     try:
         t0 = time.perf_counter()
         spans = spans_from_events(fan_out(big))
@@ -81,7 +82,8 @@ def test_build_and_search_survive_10x_growth(spark):
         assert t_build < 60, t_build
         assert t_search < 10, t_search
     finally:
-        spans.unpersist()
+        if spans is not None:
+            spans.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -978,3 +978,58 @@ def test_streaming_quality_drift_flags_degraded_source(spark, tmp_path):
     r3 = [r for r in spark.read.parquet(str(tmp_path / "qo")).collect()
           if r["batch_id"] == 2]
     assert len(r3) == 1 and r3[0]["drifted"] and r3[0]["z"] < 0
+
+
+def test_streaming_drift_and_anomaly_replay_verdicts_identical(spark, tmp_path):
+    """At-least-once replay: re-running a batch AFTER its first attempt
+    already wrote state must produce the IDENTICAL verdict — the prior
+    excludes the batch's own moments, so a real alert can't dilute into
+    not-drifted / not-anomalous on replay."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+    from haystack_traces_spark.streaming.quality_stream import QualityDriftIngest
+
+    good = "the cat sat on the mat and the dog is in the house of a king"
+    bad = "#### 404 404 #### !!! 000 ### ... ### !!! 404 404 000 111 222"
+    dschema = "doc_id long, text string, source string"
+    mon = QualityDriftIngest(str(tmp_path / "qs"), str(tmp_path / "qo"), 3.0, min_n=30)
+    mon.process_batch(
+        spark.createDataFrame(
+            [(i, good + (" x" * (i % 3)), "web") for i in range(40)], dschema
+        ),
+        0,
+    )
+    degraded = spark.createDataFrame(
+        [(100 + i, bad, "web") for i in range(20)], dschema
+    )
+    mon.process_batch(degraded, 1)
+    v1 = {r["source"]: (r["z"], r["drifted"])
+          for r in spark.read.parquet(str(tmp_path / "qo")).collect()
+          if r["batch_id"] == 1}
+    mon.process_batch(degraded, 1)  # replay after state write
+    v2 = {r["source"]: (r["z"], r["drifted"])
+          for r in spark.read.parquet(str(tmp_path / "qo")).collect()
+          if r["batch_id"] == 1}
+    assert v1 == v2 and v1["web"][1] and v1["web"][0] < 0
+
+    sschema = (
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long"
+    )
+    gate = AnomalyIngest(str(tmp_path / "am"), str(tmp_path / "ao"), 3.0, min_n=30)
+    gate.process_batch(
+        spark.createDataFrame(
+            [("t%d" % i, "s%d" % i, "svc", "op", 100 + (i % 5)) for i in range(40)],
+            sschema,
+        ),
+        0,
+    )
+    outlier = spark.createDataFrame(
+        [("uX", "rX", "svc", "op", 60_000)], sschema
+    )
+    gate.process_batch(outlier, 1)
+    z1 = {r["span_id"]: r["z"]
+          for r in spark.read.parquet(str(tmp_path / "ao")).collect()}
+    gate.process_batch(outlier, 1)  # replay
+    z2 = {r["span_id"]: r["z"]
+          for r in spark.read.parquet(str(tmp_path / "ao")).collect()}
+    assert z1 == z2 and "sX" not in z1 and "rX" in z1
