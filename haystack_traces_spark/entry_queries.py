@@ -1546,6 +1546,88 @@ FROM p{PAGERANK_ITERS} ORDER BY servicename
     )
 
 
+def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause attribution: for every failing trace, the DEEPEST error
+    span is the likely origin (errors propagate up the call tree); the
+    rollup ranks (service, operation) pairs by how many traces they
+    root-caused — the on-call "what actually broke" view, versus
+    operation_error_rates' flat error volume. Depth rides the shared
+    timeline walk; ties break deepest-then-lowest-span_id."""
+    from haystack_traces_spark.operators.timeline import trace_timeline
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    err_spans = spans.select(
+        "trace_id",
+        "span_id",
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        (
+            F.coalesce(
+                tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
+            )
+            >= ERROR_THRESHOLD
+        ).alias("is_err"),
+    ).filter("is_err")
+    depths = trace_timeline(spans).select("trace_id", "span_id", "depth")
+    root = (
+        err_spans.join(depths, ["trace_id", "span_id"])
+        .groupBy("trace_id")
+        .agg(
+            # min over (-depth, span_id): deepest error span first, ties to
+            # the LOWEST span_id — one struct aggregate, no window
+            F.min(
+                F.struct(
+                    (-F.col("depth")).alias("nd"),
+                    F.col("span_id").alias("sid"),
+                    F.col("servicename"),
+                    F.col("operationname"),
+                )
+            ).alias("m")
+        )
+    )
+    return (
+        root.groupBy(
+            F.col("m.servicename").alias("servicename"),
+            F.col("m.operationname").alias("operationname"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_traces"))
+        .orderBy(F.col("n_traces").desc(), "servicename", "operationname")
+    )
+
+
+def sql_error_root_causes() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + f"""
+, d(trace_id, span_id, depth) AS (
+  SELECT s.trace_id, s.span_id, 0
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, d.depth + 1
+  FROM spans c JOIN d ON d.trace_id = c.trace_id
+                     AND c.parent_span_id = d.span_id
+),
+err AS (
+  SELECT s.trace_id,
+         MIN(struct_pack(nd := -d.depth, sid := s.span_id,
+                         servicename := lower(s.service_name),
+                         operationname := lower(s.operation_name))) AS m
+  FROM spans s JOIN d USING (trace_id, span_id)
+  WHERE COALESCE(s.errorcode, 0) >= {ERROR_THRESHOLD}
+  GROUP BY s.trace_id
+)
+SELECT m['servicename'] AS servicename, m['operationname'] AS operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_traces
+FROM err
+GROUP BY 1, 2
+ORDER BY n_traces DESC, servicename, operationname
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1597,6 +1679,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_shape_stats": q_trace_shape_stats,
         "error_rate_trends": q_error_rate_trends,
         "service_pagerank": q_service_pagerank,
+        "error_root_causes": q_error_root_causes,
     }
 
 
@@ -1649,4 +1732,5 @@ def _trace_oracles() -> dict[str, str]:
         "trace_shape_stats": sql_trace_shape_stats(),
         "error_rate_trends": sql_error_rate_trends(),
         "service_pagerank": sql_service_pagerank(),
+        "error_root_causes": sql_error_root_causes(),
     }
