@@ -1628,6 +1628,66 @@ ORDER BY n_traces DESC, servicename, operationname
     )
 
 
+def q_trace_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END trace duration percentiles per ROOT service — the
+    user-facing latency number (span percentiles measure components;
+    the root-service trace envelope measures what the caller felt).
+    Trace duration = max(start+duration) − min(start) over the trace's
+    spans; exact `percentile` (≡ DuckDB quantile_cont interpolation),
+    `percentile_approx` is the drop-in mergeable-sketch scale path, same
+    plan shape."""
+    spans = _spans(spark, sf_dir)
+    per_trace = (
+        spans.groupBy("trace_id")
+        .agg(
+            F.max(F.col("start_time") + F.col("duration")).alias("t_end"),
+            F.min("start_time").alias("t_start"),
+            F.max(
+                F.when(
+                    F.col("parent_span_id") == "",
+                    F.lower("service_name"),
+                )
+            ).alias("root_service"),
+        )
+        .withColumn("trace_dur", F.col("t_end") - F.col("t_start"))
+        .filter(F.col("root_service").isNotNull())
+    )
+    return (
+        per_trace.groupBy(F.col("root_service").alias("servicename"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.round(F.expr("percentile(trace_dur, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(trace_dur, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(trace_dur, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_trace_duration_percentiles() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per_trace AS (
+  SELECT trace_id,
+         MAX(start_time + duration) - MIN(start_time) AS trace_dur,
+         MAX(CASE WHEN parent_span_id = '' THEN lower(service_name) END)
+           AS root_service
+  FROM spans GROUP BY trace_id
+)
+SELECT root_service AS servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       ROUND(quantile_cont(trace_dur, 0.5), 6) AS p50,
+       ROUND(quantile_cont(trace_dur, 0.95), 6) AS p95,
+       ROUND(quantile_cont(trace_dur, 0.99), 6) AS p99
+FROM per_trace
+WHERE root_service IS NOT NULL
+GROUP BY root_service
+ORDER BY servicename
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1680,6 +1740,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate_trends": q_error_rate_trends,
         "service_pagerank": q_service_pagerank,
         "error_root_causes": q_error_root_causes,
+        "trace_duration_percentiles": q_trace_duration_percentiles,
     }
 
 
@@ -1733,4 +1794,5 @@ def _trace_oracles() -> dict[str, str]:
         "error_rate_trends": sql_error_rate_trends(),
         "service_pagerank": sql_service_pagerank(),
         "error_root_causes": sql_error_root_causes(),
+        "trace_duration_percentiles": sql_trace_duration_percentiles(),
     }
