@@ -1688,6 +1688,55 @@ ORDER BY servicename
     )
 
 
+APDEX_T = 50_000  # micros: satisfied <= T, tolerating <= 4T
+
+
+def q_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per service (Apdex standard: (satisfied + tolerating/2)
+    / total with the satisfied threshold T and tolerating bound 4T) — the
+    one-number user-satisfaction rollup ops dashboards headline. One
+    map-side-combinable aggregate."""
+    spans = _spans(spark, sf_dir)
+    d = F.col("duration")
+    sat = (d <= APDEX_T).cast("long")
+    tol = ((d > APDEX_T) & (d <= 4 * APDEX_T)).cast("long")
+    return (
+        spans.groupBy(F.lower("service_name").alias("servicename"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(sat).alias("n_satisfied"),
+            F.sum(tol).alias("n_tolerating"),
+        )
+        .withColumn(
+            "apdex",
+            F.round(
+                (F.col("n_satisfied") + F.col("n_tolerating") / 2)
+                / F.col("n_spans"),
+                6,
+            ),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_apdex() -> str:
+    t = APDEX_T
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN duration <= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+       CAST(SUM(CASE WHEN duration > {t} AND duration <= {4 * t} THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       ROUND((SUM(CASE WHEN duration <= {t} THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN duration > {t} AND duration <= {4 * t} THEN 1 ELSE 0 END) / 2)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS apdex
+FROM spans
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1741,6 +1790,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_pagerank": q_service_pagerank,
         "error_root_causes": q_error_root_causes,
         "trace_duration_percentiles": q_trace_duration_percentiles,
+        "apdex": q_apdex,
     }
 
 
@@ -1795,4 +1845,5 @@ def _trace_oracles() -> dict[str, str]:
         "service_pagerank": sql_service_pagerank(),
         "error_root_causes": sql_error_root_causes(),
         "trace_duration_percentiles": sql_trace_duration_percentiles(),
+        "apdex": sql_apdex(),
     }
