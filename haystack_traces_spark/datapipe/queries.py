@@ -2036,6 +2036,35 @@ QUALIFY rank <= {OUTLIER_K}
 """
 
 
+def q_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup report's shape view:
+    how much of the removable mass sits in a few mega-clusters vs many
+    pairs (drives whether canonical-selection or blanket-drop is the
+    right removal policy). Composition of the verified clustering."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    clusters = D.dup_clusters(pairs)
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.col("size").cast("long").alias("size"), "n_clusters")
+        .orderBy("size")
+    )
+
+
+def sql_cluster_size_hist() -> str:
+    # reuse the dedup_clusters oracle as a subquery
+    return f"""
+WITH c AS ({sql_dedup_clusters().strip().rstrip()})
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT cluster, COUNT(*) AS size FROM c GROUP BY cluster)
+GROUP BY size ORDER BY size
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -2059,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": q_chunk_plan,
         "epoch_plan": q_epoch_plan,
         "embedding_outliers": q_embedding_outliers,
+        "cluster_size_hist": q_cluster_size_hist,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2177,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_plan": sql_chunk_plan(),
         "epoch_plan": sql_epoch_plan(),
         "embedding_outliers": sql_embedding_outliers(),
+        "cluster_size_hist": sql_cluster_size_hist(),
     }
 
 

@@ -1737,6 +1737,64 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+def q_service_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent in-flight spans per service — the saturation view
+    (how many requests a service was actually serving at once, the number
+    capacity planning sizes thread pools against). Classic sweep: ±1
+    events at span start/end, running sum per service ordered by
+    (ts, delta) — ends processed before starts at the same microsecond,
+    so back-to-back spans do not double-count. The window partitions by
+    SERVICE (never global); at 100 TB add a time-bucket to the partition
+    key to bound per-partition sort size."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    starts = spans.select(
+        F.lower("service_name").alias("servicename"),
+        F.col("start_time").alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    ends = spans.select(
+        F.lower("service_name").alias("servicename"),
+        (F.col("start_time") + F.col("duration")).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    ev = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("servicename")
+        .orderBy(F.col("ts").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("load", F.sum("delta").over(w))
+        .groupBy("servicename")
+        .agg(F.max("load").cast("long").alias("peak_concurrency"))
+        .orderBy("servicename")
+    )
+
+
+def sql_service_concurrency() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, ev AS (
+  SELECT lower(service_name) AS servicename, start_time AS ts, 1 AS delta
+  FROM spans
+  UNION ALL
+  SELECT lower(service_name), start_time + duration, -1 FROM spans
+),
+load AS (
+  SELECT servicename,
+         SUM(delta) OVER (PARTITION BY servicename ORDER BY ts, delta
+                          ROWS UNBOUNDED PRECEDING) AS load
+  FROM ev
+)
+SELECT servicename, CAST(MAX(load) AS BIGINT) AS peak_concurrency
+FROM load GROUP BY servicename ORDER BY servicename
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1791,6 +1849,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_root_causes": q_error_root_causes,
         "trace_duration_percentiles": q_trace_duration_percentiles,
         "apdex": q_apdex,
+        "service_concurrency": q_service_concurrency,
     }
 
 
@@ -1846,4 +1905,5 @@ def _trace_oracles() -> dict[str, str]:
         "error_root_causes": sql_error_root_causes(),
         "trace_duration_percentiles": sql_trace_duration_percentiles(),
         "apdex": sql_apdex(),
+        "service_concurrency": sql_service_concurrency(),
     }
