@@ -2041,9 +2041,7 @@ def q_cluster_size_hist(spark, sf_dir):
     how much of the removable mass sits in a few mega-clusters vs many
     pairs (drives whether canonical-selection or blanket-drop is the
     right removal policy). Composition of the verified clustering."""
-    docs = _docs(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    clusters = D.dup_clusters(pairs)
+    clusters = q_dedup_clusters(spark, sf_dir)
     return (
         clusters.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -2057,7 +2055,7 @@ def q_cluster_size_hist(spark, sf_dir):
 def sql_cluster_size_hist() -> str:
     # reuse the dedup_clusters oracle as a subquery
     return f"""
-WITH c AS ({sql_dedup_clusters().strip().rstrip()})
+WITH c AS ({sql_dedup_clusters().strip()})
 SELECT CAST(size AS BIGINT) AS size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM (SELECT cluster, COUNT(*) AS size FROM c GROUP BY cluster)

@@ -1569,7 +1569,16 @@ def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= ERROR_THRESHOLD
         ).alias("is_err"),
     ).filter("is_err")
-    depths = trace_timeline(spans).select("trace_id", "span_id", "depth")
+    # the grouped-map depth walk is the dominant cost — run it over the
+    # FAILING traces only (depth is per-trace-local, so the semi-join
+    # cannot change any depth value); at scale error traces are a small
+    # fraction of the corpus
+    failing = spans.join(
+        F.broadcast(err_spans.select("trace_id").distinct()),
+        "trace_id",
+        "left_semi",
+    )
+    depths = trace_timeline(failing).select("trace_id", "span_id", "depth")
     root = (
         err_spans.join(depths, ["trace_id", "span_id"])
         .groupBy("trace_id")

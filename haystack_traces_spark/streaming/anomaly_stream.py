@@ -43,6 +43,55 @@ from pyspark.sql import DataFrame
 DEFAULT_MIN_N = 30
 
 
+def read_moment_log(
+    spark,
+    state_dir: str,
+    key_cols: tuple,
+    current_batch_id: int | None = None,
+):
+    """Compacted prior from a batch_id-partitioned moment log — the ONE
+    implementation of the replay-purity rule shared by the anomaly and
+    quality-drift gates: ``current_batch_id`` is EXCLUDED (an
+    at-least-once replay already wrote the batch's own moments; a
+    baseline polluted by the batch under test dilutes every z-score).
+
+    Only spark.read sits inside the missing-path guard: a log that READS
+    but lacks the batch_id partition column (e.g. hand-restored bare
+    files) must RAISE, not silently re-train — the filter runs outside
+    the try."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    try:
+        log = spark.read.parquet(state_dir)
+    except AnalysisException:
+        log = spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(c, StringType()) for c in key_cols]
+                + [
+                    StructField("n", LongType()),
+                    StructField("s", DoubleType()),
+                    StructField("ss", DoubleType()),
+                    StructField("batch_id", LongType()),
+                ]
+            ),
+        )
+    if current_batch_id is not None:
+        log = log.filter(F.col("batch_id") != current_batch_id)
+    log = log.drop("batch_id")
+    return log.groupBy(*key_cols).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
+    )
+
+
 class AnomalyIngest:
     """foreachBatch z-score gate over an append-only moment log."""
 
@@ -59,15 +108,6 @@ class AnomalyIngest:
         self.min_n = min_n
 
     def _prior(self, spark, current_batch_id: int | None = None) -> DataFrame:
-        # only a MISSING path means first run; any other read failure must
-        # propagate — a silently reset state would re-train on the stream
-        # head and suppress real anomalies (same rule as the near-dup gate).
-        # current_batch_id is EXCLUDED from the prior: on an at-least-once
-        # replay the log already holds this batch's own moments from the
-        # failed attempt, and a baseline polluted by the batch under test
-        # dilutes every z-score (replay must produce identical verdicts).
-        from pyspark.errors import AnalysisException
-
         import os
 
         if not os.path.exists(self.state_dir) and os.path.exists(
@@ -78,34 +118,11 @@ class AnomalyIngest:
                 "exists — a compaction swap was interrupted; restore "
                 "manually instead of silently re-training"
             )
-        try:
-            log = spark.read.parquet(self.state_dir)
-            if current_batch_id is not None:
-                log = log.filter(F.col("batch_id") != current_batch_id)
-            log = log.drop("batch_id")
-        except AnalysisException:
-            from pyspark.sql.types import (
-                DoubleType,
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-            )
-
-            log = spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("servicename", StringType()),
-                        StructField("operationname", StringType()),
-                        StructField("n", LongType()),
-                        StructField("s", DoubleType()),
-                        StructField("ss", DoubleType()),
-                    ]
-                ),
-            )
-        return log.groupBy("servicename", "operationname").agg(
-            F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
+        return read_moment_log(
+            spark,
+            self.state_dir,
+            ("servicename", "operationname"),
+            current_batch_id,
         )
 
     def _batch_dir(self, root: str, batch_id: int) -> str:

@@ -56,40 +56,14 @@ class QualityDriftIngest:
         )
 
     def _prior(self, spark, current_batch_id: int | None = None) -> DataFrame:
-        """Compacted prior moments. ``current_batch_id`` is EXCLUDED: on an
-        at-least-once replay the state dir already holds the batch's own
-        moments from the failed attempt, and including them dilutes the
-        z-score — a real drift alert could flip to not-drifted on replay
-        (replay test pins identical verdicts)."""
-        from pyspark.errors import AnalysisException
+        """Compacted prior moments via the shared replay-pure moment-log
+        reader (see anomaly_stream.read_moment_log)."""
+        from haystack_traces_spark.streaming.anomaly_stream import (
+            read_moment_log,
+        )
 
-        try:
-            log = spark.read.parquet(self.state_dir)
-            if current_batch_id is not None:
-                log = log.filter(F.col("batch_id") != current_batch_id)
-            log = log.drop("batch_id")
-        except AnalysisException:
-            from pyspark.sql.types import (
-                DoubleType,
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-            )
-
-            log = spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField(self.source_col, StringType()),
-                        StructField("n", LongType()),
-                        StructField("s", DoubleType()),
-                        StructField("ss", DoubleType()),
-                    ]
-                ),
-            )
-        return log.groupBy(self.source_col).agg(
-            F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
+        return read_moment_log(
+            spark, self.state_dir, (self.source_col,), current_batch_id
         )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:

@@ -14,6 +14,7 @@ import tempfile
 import time
 
 import pyspark.sql.functions as F
+import pytest
 
 from haystack_traces_spark import entry_queries as EQ
 from haystack_traces_spark.operators import search as search_ops
@@ -31,6 +32,7 @@ from haystack_traces_spark.sources.spans import build_trace_store
 REPLICATION = 10
 
 
+@pytest.mark.slow
 def test_build_and_search_survive_10x_growth(spark):
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     big = (
@@ -87,6 +89,7 @@ def test_build_and_search_survive_10x_growth(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_dedup_candidate_volume_stays_near_linear_at_10x(spark):
     """Replicating the corpus 10x (with distinct ids per replica) must
     grow MinHash-LSH candidate pairs ~quadratically ONLY within replica

@@ -1032,4 +1032,28 @@ def test_streaming_drift_and_anomaly_replay_verdicts_identical(spark, tmp_path):
     gate.process_batch(outlier, 1)  # replay
     z2 = {r["span_id"]: r["z"]
           for r in spark.read.parquet(str(tmp_path / "ao")).collect()}
-    assert z1 == z2 and "sX" not in z1 and "rX" in z1
+    # exactly the outlier — if the batch baselined itself, the batch-0
+    # spans (s0..s39) would be judged against a polluted prior and appear
+    assert z1 == z2 and set(z1) == {"rX"}
+
+
+def test_moment_log_without_batch_id_column_raises(spark, tmp_path):
+    """A hand-restored moment log written as bare files (no batch_id
+    partition) must RAISE when the replay filter needs the column — not
+    silently reset to first-run (the filter lives outside the
+    missing-path guard)."""
+    from haystack_traces_spark.streaming.anomaly_stream import AnomalyIngest
+
+    state = tmp_path / "m"
+    spark.createDataFrame(
+        [("svc", "op", 40, 4000.0, 400000.0)],
+        "servicename string, operationname string, n long, s double, ss double",
+    ).write.parquet(str(state))
+    gate = AnomalyIngest(str(state), str(tmp_path / "o"), 3.0, min_n=30)
+    batch = spark.createDataFrame(
+        [("t", "s", "svc", "op", 100)],
+        "trace_id string, span_id string, service_name string, "
+        "operation_name string, duration long",
+    )
+    with pytest.raises(Exception, match="batch_id"):
+        gate.process_batch(batch, 1)
