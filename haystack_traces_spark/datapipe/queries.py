@@ -2063,6 +2063,41 @@ GROUP BY size ORDER BY size
 """
 
 
+def q_contamination_by_source(spark, sf_dir):
+    """Contamination rate per SOURCE — which feeds leak benchmark content
+    (a licensing/provenance question as much as an eval-hygiene one).
+    Composition: the verified exact-shingle decontamination verdicts
+    joined back onto the docs' source column, one tiny rollup."""
+    docs = _docs(spark, sf_dir)
+    verdicts = q_decontaminate(spark, sf_dir)
+    return (
+        verdicts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_contamination_by_source() -> str:
+    return f"""
+WITH v AS ({sql_decontaminate().strip()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(SUM(CASE WHEN v.contaminated THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS contamination_rate
+FROM v JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -2087,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "embedding_outliers": q_embedding_outliers,
         "cluster_size_hist": q_cluster_size_hist,
+        "contamination_by_source": q_contamination_by_source,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2206,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_plan": sql_epoch_plan(),
         "embedding_outliers": sql_embedding_outliers(),
         "cluster_size_hist": sql_cluster_size_hist(),
+        "contamination_by_source": sql_contamination_by_source(),
     }
 
 
