@@ -64,6 +64,44 @@ FROM (SELECT doc_id, {b} AS bucket FROM documents)
 """
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    splits: tuple = DEFAULT_SPLITS,
+    seed: str = "split:",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, group_id, bucket, split): DUPLICATE-AWARE train/val/test
+    assignment — every member of a near-dup cluster hashes on the
+    cluster's CANONICAL id, so duplicates can never straddle the
+    train/test boundary (the classic eval-leakage hole a per-doc hash
+    split leaves open: the test answer sits in train as a near-copy).
+    Singletons hash on their own id, identical to :func:`split_assign`.
+
+    ``clusters`` is `dup_clusters` output (doc_id, cluster). One left
+    join + the same pure-expression bucketing — no extra shuffle beyond
+    the cluster map, which near-dup dedup already computed."""
+    group = F.coalesce(F.col("cluster"), F.col(id_col)).alias("group_id")
+    based = docs.select(id_col).join(clusters, id_col, "left").select(
+        id_col, group
+    )
+    bucket = hash60(F.col("group_id").cast("string"), seed=seed) % 10000
+    expr = None
+    lo = 0
+    for name, w in splits:
+        hi = lo + int(w * 10000)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = expr.otherwise(splits[-1][0])
+    return based.select(
+        id_col,
+        F.col("group_id").cast("long").alias("group_id"),
+        bucket.cast("long").alias("bucket"),
+        expr.alias("split"),
+    )
+
+
 # -------------------------------------------------------- decontamination --
 
 def decontaminate(

@@ -2098,6 +2098,41 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Duplicate-aware split: near-dup cluster members hash on the
+    canonical id so no duplicate pair straddles train/test — closes the
+    eval-leakage hole a per-doc hash split leaves open."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return C.leakage_safe_split(docs, clusters)
+
+
+def sql_leakage_safe_split() -> str:
+    from haystack_traces_spark.datapipe.corpus import DEFAULT_SPLITS
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    b = f"{hash60_sql('CAST(group_id AS VARCHAR)', seed='split:')} % 10000"
+    lo, cases = 0, []
+    for name, w in DEFAULT_SPLITS:
+        hi = lo + int(w * 10000)
+        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
+        lo = hi
+    case = " ".join(cases)
+    return f"""
+WITH c AS ({sql_dedup_clusters().strip()}),
+based AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN c USING (doc_id)
+)
+SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CASE {case} ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split
+FROM (SELECT doc_id, group_id, {b} AS bucket FROM based)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Never-driver-checked entries lead: the driver CORRECTNESS file
@@ -2123,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "cluster_size_hist": q_cluster_size_hist,
         "contamination_by_source": q_contamination_by_source,
+        "leakage_safe_split": q_leakage_safe_split,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2243,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": sql_embedding_outliers(),
         "cluster_size_hist": sql_cluster_size_hist(),
         "contamination_by_source": sql_contamination_by_source(),
+        "leakage_safe_split": sql_leakage_safe_split(),
     }
 
 

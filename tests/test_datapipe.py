@@ -990,3 +990,26 @@ def test_pq_codebooks_kmeans_handles_tiny_corpus(spark):
         per_sub.setdefault(r["s"], set()).add(r["code"])
     assert set(per_sub) == set(range(8))
     assert all(codes == set(range(10)) for codes in per_sub.values())
+
+
+def test_leakage_safe_split_keeps_clusters_together(docs, spark):
+    """No near-dup cluster may straddle splits — the whole point; and
+    singletons must match the plain per-doc split exactly."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    pairs = D.ngram_jaccard_pairs(docs, 0.8)
+    clusters = D.dup_clusters(pairs)
+    out = C.leakage_safe_split(docs, clusters)
+    joined = out.join(clusters, "doc_id")
+    n_violations = (
+        joined.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_violations == 0
+    plain = {r["doc_id"]: r["split"] for r in C.split_assign(docs).collect()}
+    cluster_ids = {r["doc_id"] for r in clusters.collect()}
+    for r in out.collect():
+        if r["doc_id"] not in cluster_ids:
+            assert r["split"] == plain[r["doc_id"]]
