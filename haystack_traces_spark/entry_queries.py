@@ -1804,6 +1804,75 @@ FROM load GROUP BY servicename ORDER BY servicename
     )
 
 
+def q_trace_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level trace WELL-FORMEDNESS rollup — the V1-V3 validator
+    logic (transform/validators.py) as an analytics surface: how many
+    traces have exactly one root, how many have dangling parent links,
+    how many are repair candidates. The number an operator watches to
+    decide whether an instrumentation rollout broke span parentage.
+    Two aggregates on the shared trace exchange; the dangling check is a
+    within-trace span-id set membership, no self-join."""
+    spans = _spans(spark, sf_dir)
+    per_trace = (
+        spans.groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("parent_span_id") == "").cast("long")).alias("n_roots"),
+            F.collect_list("span_id").alias("ids"),
+            F.collect_list("parent_span_id").alias("pids"),
+        )
+        .select(
+            "trace_id",
+            "n_spans",
+            "n_roots",
+            F.size(
+                F.array_except(
+                    F.array_distinct(
+                        F.filter("pids", lambda p: p != F.lit(""))
+                    ),
+                    "ids",
+                )
+            )
+            .cast("long")
+            .alias("n_dangling"),
+        )
+        .withColumn(
+            "well_formed",
+            (F.col("n_roots") == 1) & (F.col("n_dangling") == 0),
+        )
+    )
+    return per_trace.agg(
+        F.count(F.lit(1)).cast("long").alias("n_traces"),
+        F.sum(F.col("well_formed").cast("long")).alias("n_well_formed"),
+        F.sum((F.col("n_roots") == 0).cast("long")).alias("n_rootless"),
+        F.sum((F.col("n_roots") > 1).cast("long")).alias("n_multi_root"),
+        F.sum((F.col("n_dangling") > 0).cast("long")).alias("n_with_dangling"),
+    )
+
+
+def sql_trace_completeness() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per AS (
+  SELECT s.trace_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN parent_span_id = '' THEN 1 ELSE 0 END) AS n_roots,
+         SUM(CASE WHEN parent_span_id <> '' AND parent_span_id NOT IN (
+               SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+             THEN 1 ELSE 0 END) > 0 AS has_dangling
+  FROM spans s GROUP BY s.trace_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CAST(SUM(CASE WHEN n_roots = 1 AND NOT has_dangling THEN 1 ELSE 0 END) AS BIGINT) AS n_well_formed,
+       CAST(SUM(CASE WHEN n_roots = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rootless,
+       CAST(SUM(CASE WHEN n_roots > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_root,
+       CAST(SUM(CASE WHEN has_dangling THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dangling
+FROM per
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1859,6 +1928,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_duration_percentiles": q_trace_duration_percentiles,
         "apdex": q_apdex,
         "service_concurrency": q_service_concurrency,
+        "trace_completeness": q_trace_completeness,
     }
 
 
@@ -1915,4 +1985,5 @@ def _trace_oracles() -> dict[str, str]:
         "trace_duration_percentiles": sql_trace_duration_percentiles(),
         "apdex": sql_apdex(),
         "service_concurrency": sql_service_concurrency(),
+        "trace_completeness": sql_trace_completeness(),
     }
