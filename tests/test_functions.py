@@ -254,3 +254,46 @@ def test_timeline_cycle_guard_terminates(spark):
     cp = {r["trace_id"]: r for r in critical_path(df).collect()}
     assert set(cp) == {"t1", "t2"}
     assert cp["t2"]["leaf_span_id"] == "s" and cp["t2"]["path_duration"] == 7
+
+
+def test_trace_completeness_detects_corrupt_forests(spark):
+    """The rollup must separate well-formed, rootless, multi-root and
+    dangling-parent traces (the synthetic corpus is 100% well-formed, so
+    this pins the discriminating power on crafted corruption)."""
+    import pyspark.sql.functions as F
+    from haystack_traces_spark.entry_queries import q_trace_completeness
+
+    rows = [
+        # well-formed: one root + child
+        ("t1", "a", "", "s", "op", 0, 10),
+        ("t1", "b", "a", "s", "op", 1, 5),
+        # rootless: all spans have parents (cycle)
+        ("t2", "c", "d", "s", "op", 0, 10),
+        ("t2", "d", "c", "s", "op", 1, 5),
+        # multi-root
+        ("t3", "e", "", "s", "op", 0, 10),
+        ("t3", "f", "", "s", "op", 1, 5),
+        # dangling parent
+        ("t4", "g", "", "s", "op", 0, 10),
+        ("t4", "h", "zz", "s", "op", 1, 5),
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, operation_name string, start_time long, "
+        "duration long",
+    )
+    # drive the same aggregation the query runs, on the crafted frame
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        out = q_trace_completeness(spark, "ignored").collect()[0]
+    finally:
+        EQ._spans = orig
+    assert out["n_traces"] == 4
+    assert out["n_well_formed"] == 1
+    assert out["n_rootless"] == 1
+    assert out["n_multi_root"] == 1
+    assert out["n_with_dangling"] == 1
