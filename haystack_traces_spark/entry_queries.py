@@ -1873,6 +1873,52 @@ FROM per
     )
 
 
+def q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-kind breakdown per service over the client/server pair
+    projection — exercises the §2.9 ``span_kind`` resolver (explicit
+    span.kind tag, else zipkin log markers, SpanUtils.scala:45-55) as an
+    end-to-end query surface rather than unit-only; the client/server mix
+    is the sanity panel for instrumentation coverage (a service emitting
+    only client spans has no server-side instrumentation)."""
+    from haystack_traces_spark.functions.span_funcs import span_kind
+
+    cs = _cs_spans(spark, sf_dir).withColumn(
+        "logs",
+        F.expr(
+            "CAST(array() AS array<struct<timestamp:bigint,"
+            "fields:array<struct<key:string,vstr:string>>>>)"
+        ),
+    )
+    return (
+        cs.select(
+            F.lower("service_name").alias("servicename"),
+            F.coalesce(span_kind("tags", "logs"), F.lit("unknown")).alias("kind"),
+        )
+        .groupBy("servicename", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+        .orderBy("servicename", "kind")
+    )
+
+
+def sql_span_kinds() -> str:
+    from haystack_traces_spark.sources.events import EVENT_SPANS_CS_CTE
+
+    return (
+        EVENT_SPANS_CS_CTE
+        + """
+SELECT lower(service_name) AS servicename, kind,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM (
+  SELECT service_name, 'server' AS kind FROM ev
+  UNION ALL
+  SELECT parent_service AS service_name, 'client' AS kind
+  FROM ev WHERE parent_span_id <> ''
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -1929,6 +1975,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex": q_apdex,
         "service_concurrency": q_service_concurrency,
         "trace_completeness": q_trace_completeness,
+        "span_kinds": q_span_kinds,
     }
 
 
@@ -1986,4 +2033,5 @@ def _trace_oracles() -> dict[str, str]:
         "apdex": sql_apdex(),
         "service_concurrency": sql_service_concurrency(),
         "trace_completeness": sql_trace_completeness(),
+        "span_kinds": sql_span_kinds(),
     }
