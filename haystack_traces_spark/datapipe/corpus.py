@@ -21,6 +21,31 @@ from haystack_traces_spark.datapipe.hashing import (
 DEFAULT_SPLITS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
 
 
+def _split_case(bucket, splits: tuple):
+    """The ONE bucket→split-name mapping (contiguous int(w*10000) ranges,
+    rounding remainder → last split) shared by every split variant — a
+    boundary change applied here cannot diverge the plain and
+    duplicate-aware splits."""
+    expr = None
+    lo = 0
+    for name, w in splits:
+        hi = lo + int(w * 10000)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return expr.otherwise(splits[-1][0])
+
+
+def _split_case_sql(splits: tuple) -> str:
+    """DuckDB twin of :func:`_split_case` (a CASE over the same ranges)."""
+    lo, cases = 0, []
+    for name, w in splits:
+        hi = lo + int(w * 10000)
+        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
+        lo = hi
+    return f"CASE {' '.join(cases)} ELSE '{splits[-1][0]}' END"
+
+
 def split_assign(
     docs: DataFrame,
     splits: tuple = DEFAULT_SPLITS,
@@ -34,16 +59,10 @@ def split_assign(
     under re-partitioning (the property random() splits lack). Weights map to
     contiguous bucket ranges. No shuffle at any scale."""
     bucket = hash60(F.col(id_col).cast("string"), seed=seed) % 10000
-    expr = None
-    lo = 0
-    for name, w in splits:
-        hi = lo + int(w * 10000)
-        cond = bucket < F.lit(hi)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        lo = hi
-    expr = expr.otherwise(splits[-1][0])  # rounding remainder → last split
     return docs.select(
-        id_col, bucket.cast("long").alias("bucket"), expr.alias("split")
+        id_col,
+        bucket.cast("long").alias("bucket"),
+        _split_case(bucket, splits).alias("split"),
     )
 
 
@@ -51,15 +70,9 @@ def sql_split_assign(splits: tuple = DEFAULT_SPLITS, seed: str = "split:") -> st
     from haystack_traces_spark.datapipe.hashing import hash60_sql
 
     b = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed=seed)} % 10000"
-    lo, cases = 0, []
-    for name, w in splits:
-        hi = lo + int(w * 10000)
-        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
-        lo = hi
-    case = " ".join(cases)
     return f"""
 SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
-       CASE {case} ELSE '{splits[-1][0]}' END AS split
+       {_split_case_sql(splits)} AS split
 FROM (SELECT doc_id, {b} AS bucket FROM documents)
 """
 
@@ -80,25 +93,22 @@ def leakage_safe_split(
 
     ``clusters`` is `dup_clusters` output (doc_id, cluster). One left
     join + the same pure-expression bucketing — no extra shuffle beyond
-    the cluster map, which near-dup dedup already computed."""
-    group = F.coalesce(F.col("cluster"), F.col(id_col)).alias("group_id")
+    the cluster map, which near-dup dedup already computed. group_id is
+    emitted as STRING: the id_col contract is type-generic (string ids
+    hash fine), and a numeric cast would silently NULL non-numeric
+    groups."""
+    group = F.coalesce(
+        F.col("cluster").cast("string"), F.col(id_col).cast("string")
+    ).alias("group_id")
     based = docs.select(id_col).join(clusters, id_col, "left").select(
         id_col, group
     )
-    bucket = hash60(F.col("group_id").cast("string"), seed=seed) % 10000
-    expr = None
-    lo = 0
-    for name, w in splits:
-        hi = lo + int(w * 10000)
-        cond = bucket < F.lit(hi)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        lo = hi
-    expr = expr.otherwise(splits[-1][0])
+    bucket = hash60(F.col("group_id"), seed=seed) % 10000
     return based.select(
         id_col,
-        F.col("group_id").cast("long").alias("group_id"),
+        "group_id",
         bucket.cast("long").alias("bucket"),
-        expr.alias("split"),
+        _split_case(bucket, splits).alias("split"),
     )
 
 

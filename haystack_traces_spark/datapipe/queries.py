@@ -2105,30 +2105,33 @@ def q_leakage_safe_split(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
     docs = _docs(spark, sf_dir)
+    # self-contained by registry contract: each query rebuilds its own
+    # inputs (the driver runs them independently); a long-lived service
+    # would pass a persisted clusters table here instead of re-running
+    # the propagation loop per call
     clusters = q_dedup_clusters(spark, sf_dir)
     return C.leakage_safe_split(docs, clusters)
 
 
 def sql_leakage_safe_split() -> str:
-    from haystack_traces_spark.datapipe.corpus import DEFAULT_SPLITS
+    from haystack_traces_spark.datapipe.corpus import (
+        DEFAULT_SPLITS,
+        _split_case_sql,
+    )
     from haystack_traces_spark.datapipe.hashing import hash60_sql
 
-    b = f"{hash60_sql('CAST(group_id AS VARCHAR)', seed='split:')} % 10000"
-    lo, cases = 0, []
-    for name, w in DEFAULT_SPLITS:
-        hi = lo + int(w * 10000)
-        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
-        lo = hi
-    case = " ".join(cases)
+    b = f"{hash60_sql('group_id', seed='split:')} % 10000"
     return f"""
 WITH c AS ({sql_dedup_clusters().strip()}),
 based AS (
-  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS group_id
+  SELECT d.doc_id,
+         COALESCE(CAST(c.cluster AS VARCHAR), CAST(d.doc_id AS VARCHAR))
+           AS group_id
   FROM documents d LEFT JOIN c USING (doc_id)
 )
-SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+SELECT doc_id, group_id,
        CAST(bucket AS BIGINT) AS bucket,
-       CASE {case} ELSE '{DEFAULT_SPLITS[-1][0]}' END AS split
+       {_split_case_sql(DEFAULT_SPLITS)} AS split
 FROM (SELECT doc_id, group_id, {b} AS bucket FROM based)
 """
 
@@ -2141,6 +2144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver rows from earlier rounds — rotating the newest entries to
         # the front gets each a driver-checked row before reverting to the
         # classic order.
+        "contamination_by_source": q_contamination_by_source,
+        "leakage_safe_split": q_leakage_safe_split,
+        "cluster_size_hist": q_cluster_size_hist,
         "bigram_ppl": q_bigram_ppl,
         "decontaminate_neardup": q_decontaminate_neardup,
         "token_counts": q_token_counts,
@@ -2156,9 +2162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": q_chunk_plan,
         "epoch_plan": q_epoch_plan,
         "embedding_outliers": q_embedding_outliers,
-        "cluster_size_hist": q_cluster_size_hist,
-        "contamination_by_source": q_contamination_by_source,
-        "leakage_safe_split": q_leakage_safe_split,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

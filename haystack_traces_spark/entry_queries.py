@@ -1816,21 +1816,16 @@ def q_trace_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_trace = (
         spans.groupBy("trace_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.sum((F.col("parent_span_id") == "").cast("long")).alias("n_roots"),
             F.collect_list("span_id").alias("ids"),
             F.collect_list("parent_span_id").alias("pids"),
         )
         .select(
             "trace_id",
-            "n_spans",
             "n_roots",
             F.size(
                 F.array_except(
-                    F.array_distinct(
-                        F.filter("pids", lambda p: p != F.lit(""))
-                    ),
-                    "ids",
+                    F.filter("pids", lambda p: p != F.lit("")), "ids"
                 )
             )
             .cast("long")
@@ -1856,7 +1851,6 @@ def sql_trace_completeness() -> str:
         + """
 , per AS (
   SELECT s.trace_id,
-         COUNT(*) AS n_spans,
          SUM(CASE WHEN parent_span_id = '' THEN 1 ELSE 0 END) AS n_roots,
          SUM(CASE WHEN parent_span_id <> '' AND parent_span_id NOT IN (
                SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
@@ -1882,13 +1876,9 @@ def q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     only client spans has no server-side instrumentation)."""
     from haystack_traces_spark.functions.span_funcs import span_kind
 
-    cs = _cs_spans(spark, sf_dir).withColumn(
-        "logs",
-        F.expr(
-            "CAST(array() AS array<struct<timestamp:bigint,"
-            "fields:array<struct<key:string,vstr:string>>>>)"
-        ),
-    )
+    # _cs_spans rows already carry the (empty) logs column the resolver's
+    # zipkin-marker branch inspects
+    cs = _cs_spans(spark, sf_dir)
     return (
         cs.select(
             F.lower("service_name").alias("servicename"),
