@@ -293,3 +293,32 @@ def test_latency_heatmap_is_single_aggregate(spark):
     plan = _plan(EQ.q_latency_heatmap(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_service_concurrency_window_is_per_service_not_global(spark):
+    """The sweep's running sum partitions by service — a single-partition
+    global window would serialize the whole span table through one task."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    plan = _plan(EQ.q_service_concurrency(spark, "/root/testdata/sf0.001"))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_error_root_causes_walk_restricted_by_semi_join(spark):
+    """The grouped-map depth walk must run behind the failing-trace
+    semi-join (broadcast), not over the full corpus."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    plan = _plan(EQ.q_error_root_causes(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_apdex_is_single_aggregate(spark):
+    """Apdex is one partial+final aggregate — exactly one hash exchange,
+    no join, no window."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    plan = _plan(EQ.q_apdex(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
