@@ -183,18 +183,27 @@ def main() -> None:
         release_materialized()
 
         total = time.perf_counter() - t_all
-        print(
-            json.dumps(
-                {
-                    "metric": "haystack_traces_spark end-to-end (build+query)",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": {k: round(v, 3) for k, v in times.items()},
-                    "n_queries": len(times),
-                    "sf": sf,
-                }
-            )
-        )
+        summary = {
+            "metric": "haystack_traces_spark end-to-end (build+query)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in times.items()},
+            "n_queries": len(times),
+            "sf": sf,
+        }
+        # The driver keeps only a bounded TAIL of stdout; round 4's
+        # artifact lost the head of the (single, long) summary line. Emit
+        # redundantly: per-query lines first (each independently
+        # parseable), a full copy on disk, and the compact summary as the
+        # very LAST line so a tail capture always holds its end.
+        for k, v in times.items():
+            print(json.dumps({"query": k, "sec": round(v, 3)}))
+        try:
+            out = Path(__file__).resolve().parent / "bench_results.json"
+            out.write_text(json.dumps(summary, indent=1) + "\n")
+        except OSError:
+            pass
+        print(json.dumps(summary, separators=(",", ":")))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -12,10 +12,19 @@ row count). Invisible at sf0.1; the classic near-dup-pipeline incident at
 :func:`cap_buckets` is the shared guard, mirroring the ``max_df`` gram
 guard in ``substring_run_pairs`` (dedup.py): buckets whose occupancy
 exceeds ``max_bucket`` are dropped from candidate generation BEFORE the
-self-join, and the drop is logged + recorded (no silent caps — SCALE.md).
-Dropping a bucket costs recall only, never precision: every emitted
-candidate is still exact-verified downstream, and a bucket that hot is
-near-useless for discrimination anyway (its members collide on everything).
+self-join. The guard is folded into the lazy plan (VERDICT r4 #2): an
+occupancy aggregate plus a semi-join on the bucket key, which the
+downstream self-join shuffles on anyway, so Catalyst/AQE reuse the
+exchange and NO eager driver-side job runs on the common path. Dropping a
+bucket costs recall only, never precision: every emitted candidate is
+still exact-verified downstream, and a bucket that hot is near-useless for
+discrimination anyway (its members collide on everything).
+
+No silent caps (SCALE.md): the drop set stays observable through
+``last_cap_stats[label]`` — a lazy view that computes (and logs) the
+dropped-bucket/row counts on first access, so tests and operators pay for
+the stats job only when they ask for it. A 100 TB deployment monitors the
+same ``hot`` side as a scheduled query instead of a per-call driver sync.
 
 The default cap is sized to be inactive at the driver's test scales
 (≤5k docs / ≤2k vectors through sf0.1) so the DuckDB oracles — which do
@@ -26,19 +35,69 @@ to ~1–10k alongside bands/planes.
 from __future__ import annotations
 
 import logging
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-
-from haystack_traces_spark.session import materialize
 
 log = logging.getLogger(__name__)
 
 DEFAULT_MAX_BUCKET = 50_000
 
-#: test/ops-visible record of the last cap decision per call-site label
-last_cap_stats: dict[str, dict] = {}
+#: test/ops-visible record of the last cap decision per call-site label;
+#: values are lazy (stats job runs on first key access, then memoized)
+last_cap_stats: dict[str, "_LazyCapStats"] = {}
+
+
+class _LazyCapStats(Mapping):
+    """Deferred cap statistics: holds the hot-bucket side of the guard's
+    plan and aggregates it only when a consumer indexes into the stats.
+    Keeps the VERDICT r4 #2 contract — ``last_cap_stats`` and the logged
+    drop — without an eager job on the operator's own execution path."""
+
+    _KEYS = ("max_bucket", "n_buckets_dropped", "n_rows_dropped")
+
+    def __init__(self, hot: DataFrame, max_bucket: int, label: str):
+        self._hot = hot
+        self._label = label
+        self._stats: dict | None = None
+        self._max_bucket = max_bucket
+
+    def _compute(self) -> dict:
+        if self._stats is None:
+            row = self._hot.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.coalesce(F.sum("_occ"), F.lit(0)).cast("long").alias("n_rows"),
+            ).first()
+            self._stats = {
+                "max_bucket": self._max_bucket,
+                "n_buckets_dropped": row["n_buckets"],
+                "n_rows_dropped": row["n_rows"],
+            }
+            if row["n_buckets"]:
+                log.warning(
+                    "%s: dropped %d hot buckets (%d bucket rows) over occupancy"
+                    " cap %d — lost recall, not precision (candidates are"
+                    " exact-verified)",
+                    self._label,
+                    row["n_buckets"],
+                    row["n_rows"],
+                    self._max_bucket,
+                )
+        return self._stats
+
+    def __getitem__(self, key):
+        return self._compute()[key]
+
+    def __iter__(self):
+        return iter(self._KEYS)
+
+    def __len__(self):
+        return len(self._KEYS)
+
+    def __repr__(self):  # avoid triggering the job from debuggers/logs
+        state = self._stats if self._stats is not None else "<unevaluated>"
+        return f"_LazyCapStats({self._label}, {state})"
 
 
 def cap_buckets(
@@ -49,38 +108,18 @@ def cap_buckets(
 ) -> DataFrame:
     """Drop bucket rows belonging to buckets with occupancy > ``max_bucket``.
 
-    One aggregate pass computes occupancies; the hot set (≤ N/cap buckets,
-    tiny in practice) is materialized, its size logged, and removed with a
-    broadcast anti-join. When no bucket is hot — the overwhelmingly common
-    case — the input plan is returned UNCHANGED, so the guard adds one
-    small aggregate job and zero join overhead.
+    Purely lazy: the occupancy aggregate and the keep-side semi-join are
+    part of the returned plan, so the guard adds no driver-side job. The
+    semi-join key equals the downstream self-join key, so the bucket-table
+    shuffle is shared (exchange reuse) and the incremental cost is the
+    map-side-combined occupancy aggregate. Drop statistics are recorded
+    lazily in :data:`last_cap_stats` (computed + logged on first access).
     """
     if not max_bucket:
         return buckets
     keys = list(key_cols)
     occ = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_occ"))
     hot = occ.filter(F.col("_occ") > max_bucket)
-    # ONE eager job on the common (no hot bucket) path; the hot set is only
-    # materialized for the anti-join when it is non-empty (rare path)
-    stats = hot.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.coalesce(F.sum("_occ"), F.lit(0)).cast("long").alias("n_rows"),
-    ).first()
-    last_cap_stats[label] = {
-        "max_bucket": max_bucket,
-        "n_buckets_dropped": stats["n_buckets"],
-        "n_rows_dropped": stats["n_rows"],
-    }
-    if stats["n_buckets"]:
-        log.warning(
-            "%s: dropped %d hot buckets (%d bucket rows) over occupancy cap %d"
-            " — lost recall, not precision (candidates are exact-verified)",
-            label,
-            stats["n_buckets"],
-            stats["n_rows"],
-            max_bucket,
-        )
-        return buckets.join(
-            F.broadcast(materialize(hot.select(*keys))), keys, "left_anti"
-        )
-    return buckets
+    last_cap_stats[label] = _LazyCapStats(hot, max_bucket, label)
+    keep = occ.filter(F.col("_occ") <= max_bucket).select(*keys)
+    return buckets.join(keep, keys, "left_semi")

@@ -239,6 +239,7 @@ def dup_pair_evidence(
     n: int = 3,
     k: int = 3,
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard, n_shared, evidence): WHY a pair was
     flagged — the ``k`` globally-RAREST shingles the two docs share,
@@ -250,8 +251,13 @@ def dup_pair_evidence(
     Composition: pairs from :func:`ngram_jaccard_pairs` (verified
     operator); shared shingles = the pair joined against the shingle rows
     on both sides; rarity from the same df aggregate the ppjoin prefix
-    uses. Work scales with |pairs| x shared shingles, never |docs|²."""
-    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col)
+    uses. Work scales with |pairs| x shared shingles, never |docs|².
+
+    ``pairs`` lets a caller holding a persisted / session-cached pairs
+    table (the same (doc_a, doc_b, jaccard) this would rebuild) skip the
+    pair pipeline."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, threshold, n, text_col)
     sh = materialize(shingle_rows(docs, text_col, n))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     shared = (

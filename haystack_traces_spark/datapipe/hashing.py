@@ -31,6 +31,66 @@ def hash60_py(s: str, seed: str = "") -> int:
     return int(hashlib.md5((seed + s).encode()).hexdigest()[:15], 16)
 
 
+# ---- Spark F.hash mirror (Murmur3_x86_32) -------------------------------
+# Pure-Python replica of Spark's Murmur3 column hash so a driver-side
+# process WITHOUT a SparkSession (the ivf_pq_residual oracle generator)
+# can reproduce the exact hash-ordered training sample the Spark operator
+# draws. Verified bit-for-bit against F.hash in tests/test_datapipe.py.
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _to_signed32(x: int) -> int:
+    x &= _M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def murmur3_int(value: int, seed: int) -> int:
+    """Spark Murmur3_x86_32.hashInt: one 4-byte word."""
+    h1 = _mix_h1(seed & _M32, _mix_k1(value & _M32))
+    return _to_signed32(_fmix(h1, 4))
+
+
+def murmur3_long(value: int, seed: int) -> int:
+    """Spark Murmur3_x86_32.hashLong: low word then high word."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mix_h1(seed & _M32, _mix_k1(v & _M32))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & _M32))
+    return _to_signed32(_fmix(h1, 8))
+
+
+def spark_hash_long_int(long_val: int, int_val: int) -> int:
+    """Mirror of ``F.hash(longCol, intLit)``: Spark folds the columns left
+    to right from seed 42, each column's hash seeding the next."""
+    return murmur3_int(int_val, murmur3_long(long_val, 42))
+
+
 def _gram_array(words: Column, n: int) -> Column:
     """Positional n-gram array, CSE-SAFE short-doc handling.
 

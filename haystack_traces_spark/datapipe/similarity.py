@@ -615,24 +615,7 @@ def pq_codebooks(
             .toPandas()
         )
         X = np.asarray(samp[vec_col].tolist(), dtype=np.float64)
-        rows = []
-        # fewer sample vectors than ksub → emit that many codewords (the
-        # lowest_id mode degrades the same way); range(ksub) over a short
-        # C would IndexError
-        keff = min(ksub, len(X))
-        for s in range(m):
-            S = X[:, s * dsub : (s + 1) * dsub]
-            C = S[:keff].copy()  # deterministic init: first sample rows
-            for _ in range(8):
-                d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-                a = np.argmin(d, axis=1)
-                for c in range(keff):
-                    mem = S[a == c]
-                    if len(mem):
-                        C[c] = mem.mean(axis=0)
-            rows += [
-                (s, c, [float(x) for x in C[c]]) for c in range(keff)
-            ]
+        rows = kmeans_codebook_rows(X, m, ksub, dsub)
         return emb.sparkSession.createDataFrame(
             rows, "s int, code int, cw array<double>"
         )
@@ -656,6 +639,34 @@ def pq_codebooks(
     return base.select("code", F.explode(F.array(*subs)).alias("x")).select(
         "x.s", "code", "x.cw"
     )
+
+
+def kmeans_codebook_rows(X, m: int, ksub: int, dsub: int) -> list:
+    """Per-subspace Lloyd k-means over the (already hash-ordered) sample
+    matrix ``X`` → [(s, code, [codeword floats])]. Shared verbatim by the
+    Spark operator (pq_codebooks) AND the driver-side oracle generator
+    (sql_ivf_pq_residual), so both sides train bit-identical codebooks
+    from the same sample — the fit itself stays un-oracled, but its
+    OUTPUT is injected into the DuckDB mirror as literal VALUES."""
+    import numpy as np
+
+    rows = []
+    # fewer sample vectors than ksub → emit that many codewords (the
+    # lowest_id mode degrades the same way); range(ksub) over a short
+    # C would IndexError
+    keff = min(ksub, len(X))
+    for s in range(m):
+        S = X[:, s * dsub : (s + 1) * dsub]
+        C = S[:keff].copy()  # deterministic init: first sample rows
+        for _ in range(8):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            for c in range(keff):
+                mem = S[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        rows += [(s, c, [float(x) for x in C[c]]) for c in range(keff)]
+    return rows
 
 
 def _sub_rows(emb, m, dsub, id_col, vec_col, out_id):

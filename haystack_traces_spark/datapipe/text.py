@@ -223,21 +223,35 @@ def token_histogram(docs: DataFrame, top_n: int = 100, text_col: str = "text") -
     )
 
 
-def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ per-language exact token-count percentiles (p50/p90/p99).
+def token_percentiles(
+    docs: DataFrame, text_col: str = "text", approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """→ per-language token-count percentiles (p50/p90/p99).
 
     Exact `percentile` (linear interpolation, identical to DuckDB
-    quantile_cont); at 100 TB swap to `percentile_approx` — documented
-    accuracy/cost trade, same plan shape."""
+    quantile_cont) is the oracle face; ``approx=True`` is the 100 TB
+    SCALE DEFAULT (SCALE.md §5 dual-face table): `percentile_approx` is a
+    mergeable sketch whose partials combine map-side, where exact
+    percentile buffers every group value. Same plan shape either way."""
+    if approx:
+        def q(p):
+            return F.expr(
+                f"percentile_approx(n_tokens, {p}, {accuracy})"
+            ).cast("double")
+    else:
+        def q(p):
+            return F.expr(f"percentile(n_tokens, {p})")
+
     n_tokens = F.size(_tokens(text_col)).cast("long")
     return (
         docs.select("lang", n_tokens.alias("n_tokens"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
-            F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99"),
+            F.round(q(0.5), 6).alias("p50"),
+            F.round(q(0.9), 6).alias("p90"),
+            F.round(q(0.99), 6).alias("p99"),
         )
         .orderBy("lang")
     )
@@ -359,7 +373,10 @@ def tfidf_keywords(
     per-doc term counts; ranking is a per-DOC window (never global). Ties
     break (tfidf desc, term asc) for cross-engine determinism; idf of an
     everywhere-term is 0, so such terms only surface when nothing else
-    exists."""
+    exists. Ranking runs on the 6dp-ROUNDED tfidf (the house
+    round-before-any-cross-engine-compare rule, as in embedding_outliers):
+    libm ln differs between the JVM and DuckDB in the last ulps, and an
+    unrounded rank key would let those flip top-k membership."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -374,18 +391,21 @@ def tfidf_keywords(
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf_raw").desc(), F.col("term").asc()
+        F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "doc_id",
             "term",
-            F.round("tfidf_raw", 6).alias("tfidf"),
+            "tfidf",
             F.col("rank").cast("long").alias("rank"),
         )
     )

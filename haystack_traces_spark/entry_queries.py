@@ -1620,11 +1620,21 @@ def sql_error_root_causes() -> str:
                      AND c.parent_span_id = d.span_id
 ),
 err AS (
+  -- LEFT join + COALESCE 0: spans inside a parent CYCLE are unreachable
+  -- from any root, so the recursive CTE never assigns them a depth;
+  -- Spark's trace_timeline roots cycle members via its cycle guard —
+  -- mirror the fallback so an error span in a cyclic chain is attributed
+  -- instead of silently dropped (pinned by
+  -- test_error_root_causes_attributes_cycle_spans). Residual caveat:
+  -- with SEVERAL error spans inside one cycle the Spark walk's depths
+  -- depend on row order (the guard roots whichever member it visits
+  -- first), so exact tie-ordering there is not mirrorable — single-error
+  -- cyclic traces (the realistic corruption) agree exactly
   SELECT s.trace_id,
-         MIN(struct_pack(nd := -d.depth, sid := s.span_id,
+         MIN(struct_pack(nd := -COALESCE(d.depth, 0), sid := s.span_id,
                          servicename := lower(s.service_name),
                          operationname := lower(s.operation_name))) AS m
-  FROM spans s JOIN d USING (trace_id, span_id)
+  FROM spans s LEFT JOIN d USING (trace_id, span_id)
   WHERE COALESCE(s.errorcode, 0) >= {ERROR_THRESHOLD}
   GROUP BY s.trace_id
 )
@@ -1637,14 +1647,18 @@ ORDER BY n_traces DESC, servicename, operationname
     )
 
 
-def q_trace_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_trace_duration_percentiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """END-TO-END trace duration percentiles per ROOT service — the
     user-facing latency number (span percentiles measure components;
     the root-service trace envelope measures what the caller felt).
     Trace duration = max(start+duration) − min(start) over the trace's
-    spans; exact `percentile` (≡ DuckDB quantile_cont interpolation),
-    `percentile_approx` is the drop-in mergeable-sketch scale path, same
-    plan shape."""
+    spans; exact `percentile` (≡ DuckDB quantile_cont interpolation) is
+    the oracle face; ``approx=True`` is the 100 TB SCALE DEFAULT
+    (SCALE.md §5 dual-face table): `percentile_approx` merges map-side
+    where exact percentile buffers every group value. Same plan shape."""
     spans = _spans(spark, sf_dir)
     per_trace = (
         spans.groupBy("trace_id")
@@ -1661,13 +1675,22 @@ def q_trace_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("trace_dur", F.col("t_end") - F.col("t_start"))
         .filter(F.col("root_service").isNotNull())
     )
+    if approx:
+        def q(p):
+            return F.expr(
+                f"percentile_approx(trace_dur, {p}, {accuracy})"
+            ).cast("double")
+    else:
+        def q(p):
+            return F.expr(f"percentile(trace_dur, {p})")
+
     return (
         per_trace.groupBy(F.col("root_service").alias("servicename"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_traces"),
-            F.round(F.expr("percentile(trace_dur, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(trace_dur, 0.95)"), 6).alias("p95"),
-            F.round(F.expr("percentile(trace_dur, 0.99)"), 6).alias("p99"),
+            F.round(q(0.5), 6).alias("p50"),
+            F.round(q(0.95), 6).alias("p95"),
+            F.round(q(0.99), 6).alias("p99"),
         )
         .orderBy("servicename")
     )
@@ -1746,15 +1769,22 @@ GROUP BY 1 ORDER BY 1
     )
 
 
-def q_service_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_service_concurrency(
+    spark: SparkSession, sf_dir: str, bucket_hours: float | None = None
+) -> DataFrame:
     """Peak concurrent in-flight spans per service — the saturation view
     (how many requests a service was actually serving at once, the number
     capacity planning sizes thread pools against). Classic sweep: ±1
     events at span start/end, running sum per service ordered by
     (ts, delta) — ends processed before starts at the same microsecond,
     so back-to-back spans do not double-count. The window partitions by
-    SERVICE (never global); at 100 TB add a time-bucket to the partition
-    key to bound per-partition sort size."""
+    SERVICE (never global); ``bucket_hours`` (VERDICT r4 #6) splits the
+    sweep by time bucket for a single hot service at 100 TB: local
+    running sums per (service, bucket), then a per-service cumulative
+    carry-in over the TINY per-bucket net totals — peak = max over
+    buckets of carry_in + local peak, algebraically identical to the
+    one-window sweep (prefix-sum decomposition; equivalence pinned by
+    test_service_concurrency_bucketed_matches_unbucketed)."""
     from pyspark.sql import Window
 
     spans = _spans(spark, sf_dir)
@@ -1769,6 +1799,41 @@ def q_service_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     ev = starts.unionByName(ends)
+    if bucket_hours:
+        bucket_us = int(bucket_hours * 3_600_000_000)
+        ev = ev.withColumn("bkt", F.floor(F.col("ts") / F.lit(bucket_us)))
+        wloc = (
+            Window.partitionBy("servicename", "bkt")
+            .orderBy(F.col("ts").asc(), F.col("delta").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_bkt = (
+            ev.withColumn("run", F.sum("delta").over(wloc))
+            .groupBy("servicename", "bkt")
+            .agg(
+                F.max("run").alias("local_peak"),
+                F.sum("delta").alias("net"),
+            )
+        )
+        # carry-in: cumulative net of all EARLIER buckets — a second
+        # window, but over one row per (service, bucket), not per event
+        wcum = (
+            Window.partitionBy("servicename")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            per_bkt.withColumn(
+                "carry", F.coalesce(F.sum("net").over(wcum), F.lit(0))
+            )
+            .groupBy("servicename")
+            .agg(
+                F.max(F.col("carry") + F.col("local_peak"))
+                .cast("long")
+                .alias("peak_concurrency")
+            )
+            .orderBy("servicename")
+        )
     w = (
         Window.partitionBy("servicename")
         .orderBy(F.col("ts").asc(), F.col("delta").asc())

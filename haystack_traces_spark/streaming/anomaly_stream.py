@@ -84,6 +84,17 @@ def read_moment_log(
                 ]
             ),
         )
+    if "batch_id" not in log.columns:
+        # the docstring's promise must hold on EVERY path: without the
+        # partition column, replay-idempotence (filter out the current
+        # batch's own prior append) is impossible — a bare log silently
+        # "working" here would double-count on the first replay, and
+        # compact() (current_batch_id=None) would otherwise no-op the drop
+        raise ValueError(
+            f"moment log at {state_dir} lacks the batch_id partition "
+            "column — not a log this gate wrote; refusing to score or "
+            "compact it"
+        )
     if current_batch_id is not None:
         log = log.filter(F.col("batch_id") != current_batch_id)
     log = log.drop("batch_id")
@@ -202,8 +213,14 @@ class AnomalyIngest:
         n = spark.read.parquet(staging).count()
         aside = self.state_dir.rstrip("/") + ".old"
         shutil.rmtree(aside, ignore_errors=True)
-        os.rename(self.state_dir, aside)
-        os.rename(staging, self.state_dir)
+        # shutil.move, not os.rename: the staging/.old siblings are created
+        # next to state_dir so this is normally an atomic same-fs rename,
+        # but if the parent spans mounts (tmpfs state over a data volume)
+        # rename raises EXDEV and the swap could never succeed — move
+        # degrades to copy+delete and the .old guard still covers a crash
+        # inside the widened window
+        shutil.move(self.state_dir, aside)
+        shutil.move(staging, self.state_dir)
         shutil.rmtree(aside)
         return n
 

@@ -29,4 +29,8 @@ def sf_dir() -> str:
     #   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 pytest tests/test_entry_queries.py
     import os
 
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # the ivf_pq_residual oracle generator trains its codebook literals
+    # driver-side; point it at the same data the comparison will run on
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = d
+    return d

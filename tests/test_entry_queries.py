@@ -42,7 +42,7 @@ def test_registry_every_query_has_oracle_or_is_documented_rows_only():
     from haystack_traces_spark import entry_queries
 
     rows_only = set(entry_queries.queries()) - set(entry_queries.oracle_sql())
-    assert rows_only == {"ivf_pq_residual"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_registry_oracles_have_no_orphans():

@@ -297,3 +297,54 @@ def test_trace_completeness_detects_corrupt_forests(spark):
     assert out["n_rootless"] == 1
     assert out["n_multi_root"] == 1
     assert out["n_with_dangling"] == 1
+
+
+def test_error_root_causes_attributes_cycle_spans(spark):
+    """ADVICE r4: an error span inside a cyclic parent chain must be
+    ATTRIBUTED, not dropped — Spark's timeline walk roots cycle members
+    (depth fallback 0), and the oracle's recursive CTE mirrors it with a
+    LEFT JOIN + COALESCE(depth, 0). The synthetic corpus is 100%
+    well-formed, so this pins the divergence on crafted corruption
+    (single error span per cyclic trace — the deterministic case; see the
+    oracle comment for the multi-error caveat)."""
+    from haystack_traces_spark.entry_queries import (
+        q_error_root_causes,
+        sql_error_root_causes,
+    )
+    from haystack_traces_spark.transform.model import long_tag
+
+    rows = [
+        # t1: well-formed failing trace, deepest error on (svc_b, op_b)
+        dict(span(trace_id="t1", span_id="a", parent=""), tags=[]),
+        dict(
+            span(trace_id="t1", span_id="b", parent="a", service="svc_b",
+                 operation="op_b"),
+            tags=[long_tag("errorcode", 99)],
+        ),
+        # t2: rootless 2-cycle c<->d, error on the cycle member
+        dict(
+            span(trace_id="t2", span_id="c", parent="d", service="svc_cyc",
+                 operation="op_cyc"),
+            tags=[long_tag("errorcode", 99)],
+        ),
+        dict(span(trace_id="t2", span_id="d", parent="c"), tags=[]),
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        got = {
+            (r["servicename"], r["operationname"]): r["n_traces"]
+            for r in q_error_root_causes(spark, "ignored").collect()
+        }
+    finally:
+        EQ._spans = orig
+    # BOTH traces attributed — the cyclic one must not vanish
+    assert got == {("svc_b", "op_b"): 1, ("svc_cyc", "op_cyc"): 1}
+    # and the oracle carries the mirrored fallback (regression guard)
+    sql = sql_error_root_causes()
+    assert "LEFT JOIN d" in sql and "COALESCE(d.depth, 0)" in sql

