@@ -801,3 +801,56 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    n_seeds: int = DEFAULT_MINHASH_SEEDS,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ (doc_a, doc_b, est_jaccard, jaccard, abs_err): sketch CALIBRATION
+    — for every LSH candidate pair, the MinHash-estimated Jaccard
+    (fraction of agreeing signature positions, the Broder 1997 estimator)
+    next to the exact value and the absolute error. This is how a curator
+    tunes seeds/bands before trusting the sketch at corpus scale: a fat
+    error tail says the signature is too short for the doc-length mix.
+
+    Scale shape: candidates from the capped band self-join (the existing
+    subquadratic path); the signature agreement is one join against the
+    tiny per-doc signature table; exact Jaccard runs on candidates only
+    (:func:`_verify_jaccard` at threshold 0)."""
+    cand = minhash_candidates(docs, n_seeds, bands, n, max_bucket)
+    sig = materialize(minhash_signatures(docs, n_seeds, n))
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_seeds)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_seeds)],
+    )
+    agree = None
+    for i in range(n_seeds):
+        t = (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    est = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(n_seeds)), 6).alias("est_jaccard"),
+        )
+    )
+    exact = _verify_jaccard(cand, docs, 0.0, n)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )

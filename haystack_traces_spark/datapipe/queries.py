@@ -2340,6 +2340,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_plan": q_chunk_plan,
         "epoch_plan": q_epoch_plan,
         "embedding_outliers": q_embedding_outliers,
+        # round-5 additions (queue behind the round-6 six):
+        "chunk_windows": q_chunk_windows,
+        "cluster_purity": q_cluster_purity,
+        "knn_label_consistency": q_knn_label_consistency,
+        "probe_overlap": q_probe_overlap,
+        "minhash_est_quality": q_minhash_est_quality,
+        "token_dist_shift": q_token_dist_shift,
+        "neardup_rate_by_source": q_neardup_rate_by_source,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2469,6 +2477,13 @@ def oracle_sql() -> dict[str, str]:
         "contamination_by_source": sql_contamination_by_source(),
         "leakage_safe_split": sql_leakage_safe_split(),
         "ivf_pq_residual": sql_ivf_pq_residual(),
+        "chunk_windows": sql_chunk_windows(),
+        "cluster_purity": sql_cluster_purity(),
+        "knn_label_consistency": sql_knn_label_consistency(),
+        "probe_overlap": sql_probe_overlap(),
+        "minhash_est_quality": sql_minhash_est_quality(),
+        "token_dist_shift": sql_token_dist_shift(),
+        "neardup_rate_by_source": sql_neardup_rate_by_source(),
     }
 
 
@@ -2478,3 +2493,322 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], in
         f"dp_{name}": (lambda fn=fn: fn(spark, sf_dir).count())
         for name, fn in queries().items()
     }
+
+
+# ------------------------------------------------- round-5 additions ------
+
+CHUNK_WINDOW = 64
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_windows(spark, sf_dir):
+    return X.chunk_windows(_docs(spark, sf_dir), CHUNK_WINDOW, CHUNK_OVERLAP)
+
+
+def sql_chunk_windows() -> str:
+    w, stride = CHUNK_WINDOW, CHUNK_WINDOW - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+base AS (
+  SELECT doc_id, n_toks,
+         CASE WHEN n_toks <= 0 THEN 0
+              ELSE 1 + CAST(GREATEST(
+                     CEIL((n_toks - {w}) / CAST({stride} AS DOUBLE)), 0) AS INT)
+         END AS k
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS start_tok,
+       CAST(LEAST({w}, n_toks - i * {stride}) AS BIGINT) AS chunk_tokens
+FROM base, UNNEST(generate_series(0, k - 1)) t(i)
+"""
+
+
+PURITY_CELLS = 16
+
+
+def q_cluster_purity(spark, sf_dir):
+    return S.cluster_purity(_emb(spark, sf_dir), PURITY_CELLS)
+
+
+def sql_cluster_purity() -> str:
+    full = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {PURITY_CELLS})
+),
+assign AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {full}, cell := cell))['cell'] AS cell
+  FROM e CROSS JOIN cents GROUP BY e.vec_id
+),
+grp AS (
+  SELECT a.cell, emb.label, COUNT(*) AS n
+  FROM assign a JOIN embeddings emb USING (vec_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT cell, SUM(n) AS n_vecs FROM grp GROUP BY 1),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                               ORDER BY n DESC, label ASC) AS rn
+  FROM grp
+)
+SELECT CAST(t.cell AS BIGINT) AS cell,
+       CAST(tt.n_vecs AS BIGINT) AS n_vecs,
+       CAST(t.label AS BIGINT) AS majority_label,
+       CAST(t.n AS BIGINT) AS n_majority,
+       ROUND(t.n / CAST(tt.n_vecs AS DOUBLE), 6) AS purity
+FROM top t JOIN tot tt USING (cell)
+WHERE t.rn = 1 ORDER BY t.cell
+"""
+
+
+KNN_LC_K = 10
+
+
+def q_knn_label_consistency(spark, sf_dir):
+    return S.knn_label_consistency(_emb(spark, sf_dir), KNN_LC_K)
+
+
+def sql_knn_label_consistency() -> str:
+    cos = _COS.strip()
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+         ROUND({cos}, 6) AS cos, a.label AS la, b.label AS lb
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, nb ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, CAST(la AS BIGINT) AS label,
+       CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       ROUND(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS consistency
+FROM ranked WHERE rank <= {KNN_LC_K}
+GROUP BY vec_id, la
+"""
+
+
+def q_probe_overlap(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return C.probe_overlap(train, probes)
+
+
+def sql_probe_overlap() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+psh AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % {PROBE_MOD} = 0),
+psz AS (SELECT probe_id, COUNT(*) AS n_probe_sh FROM psh GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, p.probe_id, COUNT(*) AS n_shared
+  FROM sh d JOIN psh p ON p.s = d.s
+  WHERE d.doc_id % {PROBE_MOD} <> 0
+  GROUP BY 1, 2
+),
+ov AS (
+  SELECT s.doc_id, s.probe_id, s.n_shared,
+         ROUND(s.n_shared / CAST(z.n_probe_sh AS DOUBLE), 6) AS overlap
+  FROM scored s JOIN psz z USING (probe_id)
+),
+best AS (
+  SELECT doc_id,
+         MIN(struct_pack(no := -overlap, bp := probe_id,
+                         ns := n_shared, ov := overlap)) AS m
+  FROM ov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       b.m['bp'] AS best_probe,
+       CAST(COALESCE(b.m['ns'], 0) AS BIGINT) AS n_shared,
+       COALESCE(b.m['ov'], 0.0) AS overlap
+FROM (SELECT doc_id FROM documents WHERE doc_id % {PROBE_MOD} <> 0) d
+LEFT JOIN best b USING (doc_id)
+"""
+
+
+def q_minhash_est_quality(spark, sf_dir):
+    return D.minhash_estimate_pairs(_docs(spark, sf_dir))
+
+
+def sql_minhash_est_quality() -> str:
+    n_seeds = D.DEFAULT_MINHASH_SEEDS
+    agree = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(n_seeds)
+    )
+    return f"""
+WITH {_minhash_cand_ctes()},
+sizes AS ({_SIZES}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(({agree}) / CAST({n_seeds} AS DOUBLE), 6) AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+),
+ex AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         ROUND(COALESCE(i.i, 0)
+               / (sa.n_sh + sb.n_sh - COALESCE(i.i, 0)), 6) AS jaccard
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes sa ON sa.doc_id = e.doc_a
+  JOIN sizes sb ON sb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard,
+       ROUND(ABS(est_jaccard - jaccard), 6) AS abs_err
+FROM ex
+"""
+
+
+DIST_SHIFT_TOP_N = 50
+
+
+def q_token_dist_shift(spark, sf_dir):
+    """Per-source token-distribution shift vs the whole corpus: KL(source
+    ‖ corpus) over the corpus's top-N tokens (add-1 smoothing on the
+    source side so unseen tokens stay finite) — the domain-mix drift
+    number a curator watches when a source starts delivering different
+    content than the mix was weighted for (DSIR's importance-weight
+    denominator viewed as a health metric).
+
+    Scale shape: the top-N vocab is one map-side-combinable aggregate +
+    TakeOrdered (tiny, broadcast); per-(source, token) counts ride one
+    combinable shuffle keyed by source×top-N only; output is |sources|
+    rows. No windows, no Python."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.transform(F.split(F.col("text"), " "), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    corpus = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .orderBy(F.col("cn").desc(), F.col("token").asc())
+        .limit(DIST_SHIFT_TOP_N)
+    )
+    ctot = corpus.agg(F.sum("cn").alias("ct"))
+    src = (
+        toks.join(F.broadcast(corpus.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    # dense (source × top-N) grid so unseen tokens contribute their
+    # smoothed mass; add-1 smoothing keeps ln finite
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(corpus))
+        .join(src, ["source", "token"], "left")
+        .withColumn("sn1", F.coalesce("sn", F.lit(0)) + 1)
+    )
+    stot = grid.groupBy("source").agg(F.sum("sn1").alias("st"))
+    return (
+        grid.join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn(
+            "term",
+            (F.col("sn1") / F.col("st"))
+            * F.log((F.col("sn1") / F.col("st")) / (F.col("cn") / F.col("ct"))),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("kl_divergence"))
+        .orderBy("source")
+    )
+
+
+def sql_token_dist_shift() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, lower(UNNEST(string_split(text, ' '))) AS token FROM documents
+),
+corpus AS (
+  SELECT token, COUNT(*) AS cn FROM toks GROUP BY 1
+  ORDER BY cn DESC, token ASC LIMIT {DIST_SHIFT_TOP_N}
+),
+ctot AS (SELECT SUM(cn) AS ct FROM corpus),
+src AS (
+  SELECT t.source, t.token, COUNT(*) AS sn
+  FROM toks t JOIN corpus c USING (token)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, c.token, c.cn, COALESCE(x.sn, 0) + 1 AS sn1
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN corpus c
+  LEFT JOIN src x ON x.source = s.source AND x.token = c.token
+),
+stot AS (SELECT source, SUM(sn1) AS st FROM grid GROUP BY 1)
+SELECT g.source,
+       ROUND(SUM((g.sn1 / CAST(t.st AS DOUBLE))
+                 * ln((g.sn1 / CAST(t.st AS DOUBLE))
+                      / (g.cn / CAST(ct.ct AS DOUBLE)))), 6) AS kl_divergence
+FROM grid g JOIN stot t USING (source), ctot ct
+GROUP BY g.source ORDER BY g.source
+"""
+
+
+def q_neardup_rate_by_source(spark, sf_dir):
+    """Near-duplicate REMOVAL RATE per source — which feeds ship copies
+    (syndication, mirrors, templating). Composition: the session-cached
+    verified Jaccard pairs; a doc is removable when it appears as the
+    doc_b (higher-id) side of any flagged pair. Complements
+    source_quality's exact_dup_rate with the fuzzy layer."""
+    docs = _docs(spark, sf_dir)
+    dup_b = (
+        _jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_b, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_neardup"),
+        )
+        .withColumn(
+            "neardup_rate", F.round(F.col("n_neardup") / F.col("n_docs"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+def sql_neardup_rate_by_source() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dupb AS (
+  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup,
+       ROUND(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_rate
+FROM documents d LEFT JOIN dupb b ON b.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""

@@ -948,3 +948,111 @@ def ivf_pq_search(
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cluster_purity(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """→ (cell, n_vecs, majority_label, n_majority, purity): label purity
+    of the coarse embedding clustering — the quick "do my embeddings agree
+    with my labels" diagnostic a curator runs before trusting
+    embedding-space dedup/mixing decisions (low purity ⇒ either noisy
+    labels or an encoder that doesn't separate the classes).
+
+    Same deterministic lowest-id-centroid assignment as
+    :func:`doc_clusters` (shared :func:`_assign_cells`, broadcast
+    centroids); the rollup is two tiny aggregates keyed by cell — output
+    is |cells| rows at any corpus scale. Majority ties break on the lower
+    label for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    assign = _assign_cells(emb, n_cells, id_col, vec_col).select(id_col, "cell")
+    lab = emb.select(id_col, F.col(label_col).alias("label"))
+    grp = (
+        assign.join(lab, id_col)
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label").asc())
+    tot = grp.groupBy("cell").agg(F.sum("n").alias("n_vecs"))
+    return (
+        grp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").cast("long").alias("n_majority"),
+            F.round(F.col("n") / F.col("n_vecs"), 6).alias("purity"),
+        )
+        .orderBy("cell")
+    )
+
+
+def knn_label_consistency(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """→ (vec_id, label, n_same, consistency): label-noise detection — for
+    each vector, the fraction of its ``k`` exact nearest neighbors
+    (cosine) sharing its label. Low consistency flags probable
+    mislabels / out-of-distribution rows (Northcutt 2021 confident-
+    learning's cheap geometric cousin) — the triage list a curator
+    inspects before training a classifier on the labels.
+
+    EXACT face (this function, the oracle row): all-pairs cosine via the
+    distributed block-grid GEMM (`embedding_neardup_pairs` at threshold
+    −2, nothing driver-side), per-vector top-k window on the 6dp-ROUNDED
+    cosine (house rank-on-rounded rule; ties → lower neighbor id).
+    Exact kNN is inherently quadratic — at 100 TB the scale face is
+    :func:`knn_graph`'s capped-LSH-bucket candidates joined to labels the
+    same way (recall<1, SCALE.md dual-face table)."""
+    from pyspark.sql import Window
+
+    from haystack_traces_spark.datapipe.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        emb, threshold=-2.0, id_col=id_col, vec_col=vec_col
+    )
+    und = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("nb"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias(id_col), F.col("id_a").alias("nb"), "cos"
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("nb").asc()
+    )
+    top = und.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    lab = emb.select(id_col, F.col(label_col).alias("label"))
+    nb_lab = emb.select(
+        F.col(id_col).alias("nb"), F.col(label_col).alias("nb_label")
+    )
+    return (
+        top.join(lab, id_col)
+        .join(nb_lab, "nb")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum((F.col("nb_label") == F.col("label")).cast("long")).alias(
+                "n_same"
+            ),
+            F.count(F.lit(1)).alias("k_eff"),
+        )
+        .select(
+            id_col,
+            F.col("label").cast("long").alias("label"),
+            F.col("n_same").cast("long").alias("n_same"),
+            F.round(F.col("n_same") / F.col("k_eff"), 6).alias("consistency"),
+        )
+    )

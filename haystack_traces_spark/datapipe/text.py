@@ -753,3 +753,52 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, chunk_idx, start_tok, chunk_tokens): fixed-width
+    token-window chunking plan with overlap — the context-window prep step
+    of an LLM training pipeline (each row is one training-example slice;
+    the overlap keeps boundary context). Sibling of the media
+    ``chunk_plan`` (multimodal.py) on the TEXT modality.
+
+    Chunk k starts at ``k * (window - overlap)``; the last chunk is
+    truncated to the doc tail; a doc shorter than one window yields one
+    chunk; an empty doc yields none. Scale shape: pure per-row expressions
+    (one sequence + explode) — map-only, zero shuffle, the plan parallels
+    to however many executors scan the corpus."""
+    stride = window - overlap
+    n = F.size(_tokens(text_col))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.ceil((n - F.lit(window)) / F.lit(float(stride))), F.lit(0)
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        n.alias("n_toks"),
+        n_chunks.cast("int").alias("k"),
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    return (
+        base.filter(F.col("k") > 0)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.alias("start_tok"),
+            F.least(F.lit(window).cast("long"), F.col("n_toks") - start)
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )

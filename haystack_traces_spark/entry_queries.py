@@ -1974,6 +1974,156 @@ GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+def q_critical_path_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level critical-path ATTRIBUTION: which services own the
+    latency that actually gates traces. Per service: how many traces have
+    it on their critical path, its summed on-path span time, and its
+    share of total on-path time — the prioritized optimization list
+    (a service can dominate span volume yet never gate anything;
+    this view ranks by what blocks end-to-end latency).
+
+    Composition: :func:`critical_path_members` (the per-trace argmax
+    root-to-leaf chain, same grouped-map walk + tie-breaks as
+    critical_path) joined back to spans for service/duration, then one
+    tiny rollup + a broadcast total for the share. Oracle mirrors the
+    walk with a recursive CTE that CARRIES the member list."""
+    from haystack_traces_spark.operators.timeline import critical_path_members
+
+    spans = _spans(spark, sf_dir)
+    members = critical_path_members(spans)
+    j = members.join(
+        spans.select(
+            "trace_id",
+            "span_id",
+            F.lower("service_name").alias("servicename"),
+            "duration",
+        ),
+        ["trace_id", "span_id"],
+    )
+    per = j.groupBy("servicename").agg(
+        F.countDistinct("trace_id").cast("long").alias("n_traces"),
+        F.sum("duration").cast("long").alias("path_time"),
+    )
+    tot = per.agg(F.sum("path_time").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "servicename",
+            "n_traces",
+            "path_time",
+            F.round(F.col("path_time") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_critical_path_contrib() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, paths(trace_id, span_id, path_duration, members) AS (
+  SELECT s.trace_id, s.span_id, s.duration, [s.span_id]
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, p.path_duration + c.duration,
+         list_append(p.members, c.span_id)
+  FROM spans c JOIN paths p ON p.trace_id = c.trace_id
+                           AND c.parent_span_id = p.span_id
+),
+leaves AS (
+  SELECT p.* FROM paths p
+  WHERE NOT EXISTS (SELECT 1 FROM spans ch
+                    WHERE ch.trace_id = p.trace_id
+                      AND ch.parent_span_id = p.span_id)
+),
+winner AS (
+  SELECT trace_id, members,
+         ROW_NUMBER() OVER (PARTITION BY trace_id
+                            ORDER BY path_duration DESC, span_id ASC) AS rn
+  FROM leaves
+),
+mem AS (
+  SELECT trace_id, UNNEST(members) AS span_id FROM winner WHERE rn = 1
+),
+j AS (
+  SELECT m.trace_id, lower(s.service_name) AS servicename, s.duration
+  FROM mem m JOIN spans s USING (trace_id, span_id)
+),
+per AS (
+  SELECT servicename, COUNT(DISTINCT trace_id) AS n_traces,
+         SUM(duration) AS path_time
+  FROM j GROUP BY 1
+),
+tot AS (SELECT SUM(path_time) AS t FROM per)
+SELECT servicename, CAST(n_traces AS BIGINT) AS n_traces,
+       CAST(path_time AS BIGINT) AS path_time,
+       ROUND(path_time / CAST(t AS DOUBLE), 6) AS share
+FROM per, tot ORDER BY servicename
+"""
+    )
+
+
+def q_span_fanout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service call FAN-OUT profile: how many direct children a
+    service's spans spawn (avg and max) and what fraction of its spans
+    are leaves — the orchestration-vs-worker fingerprint (a gateway has
+    high fan-out, a leaf datastore none), and the input to sizing the
+    span-buffer sessionizer state per service.
+
+    One map-side-combinable child-count aggregate keyed by
+    (trace_id, parent_span_id) joined back onto the span row (the
+    span_self_time shape, counting instead of summing), then a tiny
+    per-service rollup. No windows, no walk."""
+    spans = _spans(spark, sf_dir)
+    child_n = (
+        spans.filter(F.col("parent_span_id") != "")
+        .groupBy("trace_id", F.col("parent_span_id").alias("span_id"))
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
+    per_span = spans.select(
+        "trace_id", "span_id", F.lower("service_name").alias("servicename")
+    ).join(child_n, ["trace_id", "span_id"], "left")
+    return (
+        per_span.groupBy("servicename")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(F.avg(F.coalesce("n_children", F.lit(0))), 6).alias(
+                "avg_fanout"
+            ),
+            F.max(F.coalesce("n_children", F.lit(0)))
+            .cast("long")
+            .alias("max_fanout"),
+            F.round(
+                F.avg((F.col("n_children").isNull()).cast("double")), 6
+            ).alias("leaf_frac"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_span_fanout_stats() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, child_n AS (
+  SELECT trace_id, parent_span_id AS span_id, COUNT(*) AS n_children
+  FROM spans WHERE parent_span_id <> ''
+  GROUP BY 1, 2
+)
+SELECT lower(s.service_name) AS servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(AVG(COALESCE(c.n_children, 0)), 6) AS avg_fanout,
+       CAST(MAX(COALESCE(c.n_children, 0)) AS BIGINT) AS max_fanout,
+       ROUND(AVG(CASE WHEN c.n_children IS NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS leaf_frac
+FROM spans s LEFT JOIN child_n c USING (trace_id, span_id)
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
@@ -2031,6 +2181,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_concurrency": q_service_concurrency,
         "trace_completeness": q_trace_completeness,
         "span_kinds": q_span_kinds,
+        "critical_path_contrib": q_critical_path_contrib,
+        "span_fanout_stats": q_span_fanout_stats,
     }
 
 
@@ -2089,4 +2241,6 @@ def _trace_oracles() -> dict[str, str]:
         "service_concurrency": sql_service_concurrency(),
         "trace_completeness": sql_trace_completeness(),
         "span_kinds": sql_span_kinds(),
+        "critical_path_contrib": sql_critical_path_contrib(),
+        "span_fanout_stats": sql_span_fanout_stats(),
     }

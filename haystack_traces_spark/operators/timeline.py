@@ -181,3 +181,63 @@ def critical_path(spans: DataFrame) -> DataFrame:
             "path_duration long",
         )
     )
+
+
+def critical_path_members(spans: DataFrame) -> DataFrame:
+    """→ (trace_id, span_id): the MEMBER spans of each trace's critical
+    path (the same argmax root-to-leaf chain :func:`critical_path`
+    summarizes — ties break largest path_duration then smallest leaf
+    span_id). Feeds the corpus-level "which service owns the critical
+    path" rollup; same one-walk-per-trace grouped-map shape on the shared
+    trace exchange, same cycle guard."""
+    import pandas as pd
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
+        dur = dict(zip(pdf["span_id"], pdf["duration"]))
+        total: dict[str, tuple[int, int]] = {}
+
+        def path_of(s):
+            stack = []
+            on_path = set()
+            cur = s
+            while cur not in total:
+                on_path.add(cur)
+                p = parent.get(cur, "")
+                if p == "" or p not in parent or p in on_path:
+                    total[cur] = (int(dur[cur]), 1)
+                    break
+                stack.append(cur)
+                cur = p
+            while stack:
+                nxt = stack.pop()
+                pd_, hops = total[parent[nxt]]
+                total[nxt] = (pd_ + int(dur[nxt]), hops + 1)
+            return total[s]
+
+        children = set(p for p in pdf["parent_span_id"] if p in parent)
+        leaves = [s for s in pdf["span_id"] if s not in children]
+        leaves = leaves or list(pdf["span_id"])
+        _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
+        # walk the winning chain leaf→root (same guard as path_of)
+        chain, seen = [], set()
+        cur = s0
+        while True:
+            chain.append(cur)
+            seen.add(cur)
+            p = parent.get(cur, "")
+            if p == "" or p not in parent or p in seen:
+                break
+            cur = p
+        return pd.DataFrame(
+            {
+                "trace_id": [pdf["trace_id"].iloc[0]] * len(chain),
+                "span_id": chain,
+            }
+        )
+
+    return (
+        spans.select("trace_id", "span_id", "parent_span_id", "duration")
+        .groupBy("trace_id")
+        .applyInPandas(one, "trace_id string, span_id string")
+    )

@@ -1013,3 +1013,157 @@ def test_leakage_safe_split_keeps_clusters_together(docs, spark):
     for r in out.collect():
         if r["doc_id"] not in cluster_ids:
             assert r["split"] == plain[r["doc_id"]]
+
+
+# ------------------------------------------------- round-5 operators ------
+class TestRound5Operators:
+    def test_chunk_windows_boundaries(self, spark):
+        """Exactly-one-window doc → 1 chunk; one token over → 2 chunks
+        with the overlap preserved; short doc → 1 truncated chunk."""
+        from haystack_traces_spark.datapipe import text as X
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(64))),   # exactly window
+            (2, " ".join(f"w{i}" for i in range(65))),   # one over
+            (3, "a b c"),                                 # short
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["chunk_tokens"])
+            for r in X.chunk_windows(docs, window=64, overlap=8).collect()
+        }
+        assert out[(1, 0)] == (0, 64) and (1, 1) not in out
+        # stride 56: chunk 1 starts at 56, covers tokens 56..64 → 9 tokens
+        assert out[(2, 0)] == (0, 64) and out[(2, 1)] == (56, 9)
+        assert out[(3, 0)] == (0, 3)
+
+    def test_cluster_purity_flags_label_disagreement(self, spark):
+        """Two tight clusters, one planted wrong label → that cluster's
+        purity drops below 1, the clean one stays at 1."""
+        rows = []
+        # vec 0/1 become the two lowest-id centroids (n_cells=2)
+        for i, lab in [(0, 0), (1, 1), (2, 0), (3, 0), (10, 1), (11, 1)]:
+            base = [10.0, 0.0] if lab == 0 or i in (2, 3) else [0.0, 10.0]
+            rows.append((i, [base[0] + i * 0.01, base[1]] + [0.0] * 62, lab))
+        # plant: vec 3 sits in cluster 0's ball but carries label 1
+        rows[3] = (3, rows[3][1], 1)
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r["cell"]: r for r in S.cluster_purity(emb, 2).collect()}
+        impure = [r for r in out.values() if r["purity"] < 1.0]
+        # cluster A = {0, 2, 3}: labels {0, 0, planted 1} → purity 2/3
+        assert len(impure) == 1 and impure[0]["n_vecs"] == 3
+        assert impure[0]["majority_label"] == 0
+        assert abs(impure[0]["purity"] - 0.666667) < 1e-6
+
+    def test_knn_label_consistency_flags_mislabel(self, spark):
+        """A vector labeled differently from its tight neighborhood gets
+        consistency 0; conforming members score 1 against their own kind."""
+        rows = []
+        for i in range(5):
+            rows.append((i, [10.0 + i * 0.01] + [0.0] * 63, 0))
+        for i in range(5, 10):
+            rows.append((i, [0.0] * 63 + [10.0 + i * 0.01], 1))
+        rows[4] = (4, rows[4][1], 1)  # mislabel inside cluster A
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {
+            r["vec_id"]: r["consistency"]
+            for r in S.knn_label_consistency(emb, k=4).collect()
+        }
+        assert out[4] == 0.0          # its 4 nearest are all label 0
+        assert out[0] == 0.75         # 3 of its 4 neighbors still label 0
+        assert out[5] == 1.0          # cluster B untouched
+
+    def test_probe_overlap_grades_containment(self, spark):
+        """A doc embedding a probe verbatim scores overlap 1.0 against it;
+        an unrelated doc keeps the NULL-probe zero row."""
+        from haystack_traces_spark.datapipe import corpus as C
+
+        probes = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix words alpha beta gamma delta suffix words here"),
+                (2, "nothing shared with anything at all in this one"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in C.probe_overlap(docs, probes).collect()}
+        assert out[1]["best_probe"] == 100 and out[1]["overlap"] == 1.0
+        assert out[2]["best_probe"] is None and out[2]["overlap"] == 0.0
+
+    def test_minhash_est_quality_exact_on_identical_docs(self, spark):
+        """Identical docs: estimator and exact Jaccard both 1.0, error 0;
+        every emitted estimate stays in [0, 1]."""
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy dog today"),
+                (3, "a completely different document about something else entirely"),
+                (4, "a completely different document about something else entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = D.minhash_estimate_pairs(docs).collect()
+        got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+        assert got[(1, 2)]["est_jaccard"] == 1.0
+        assert got[(1, 2)]["jaccard"] == 1.0
+        assert got[(1, 2)]["abs_err"] == 0.0
+        assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in rows)
+
+    def test_token_dist_shift_orders_drifted_source_last(self, spark):
+        """A source whose token mix matches the corpus scores a smaller
+        KL than one dominated by a token the rest of the corpus rarely
+        uses."""
+        from haystack_traces_spark.datapipe.queries import q_token_dist_shift
+        import haystack_traces_spark.datapipe.queries as Q
+
+        rows = [(i, "alpha beta gamma delta " * 5, "en", "balanced", 0)
+                for i in range(8)]
+        rows += [(100 + i, "omega omega omega omega " * 5, "en", "drifted", 0)
+                 for i in range(2)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        orig = Q._docs
+        Q._docs = lambda _s, _d: docs
+        try:
+            out = {r["source"]: r["kl_divergence"]
+                   for r in q_token_dist_shift(spark, "ignored").collect()}
+        finally:
+            Q._docs = orig
+        assert out["drifted"] > out["balanced"] >= 0.0
+
+    def test_neardup_rate_by_source_isolates_the_copying_source(self, spark):
+        from haystack_traces_spark.datapipe.queries import (
+            q_neardup_rate_by_source,
+        )
+        import haystack_traces_spark.datapipe.queries as Q
+        from haystack_traces_spark.datapipe.stagecache import clear
+
+        dup_text = "this exact paragraph is syndicated verbatim across the mirror network today"
+        rows = [(i, dup_text, "en", "mirrors", 0) for i in range(4)]
+        rows += [
+            (100 + i, f"unique article number {i} with original words {i * 13}",
+             "en", "original", 0)
+            for i in range(4)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        orig = Q._docs
+        Q._docs = lambda _s, _d: docs
+        clear()  # the pairs stage is keyed by sf_dir — drop any cached frame
+        try:
+            out = {r["source"]: r for r in
+                   q_neardup_rate_by_source(spark, "crafted://neardup").collect()}
+        finally:
+            Q._docs = orig
+            clear()
+        assert out["mirrors"]["n_neardup"] == 3  # all but the lowest id
+        assert out["mirrors"]["neardup_rate"] == 0.75
+        assert out["original"]["n_neardup"] == 0

@@ -348,3 +348,63 @@ def test_error_root_causes_attributes_cycle_spans(spark):
     # and the oracle carries the mirrored fallback (regression guard)
     sql = sql_error_root_causes()
     assert "LEFT JOIN d" in sql and "COALESCE(d.depth, 0)" in sql
+
+
+def test_critical_path_contrib_attributes_gating_service(spark):
+    """The rollup must credit the services on the argmax chain ONLY: a
+    heavy off-path sibling contributes nothing even though it dominates
+    span volume."""
+    from haystack_traces_spark.entry_queries import q_critical_path_contrib
+
+    rows = [
+        # chain: root(10) -> mid(5) -> leaf(100)  [path 115, svc a,b,c]
+        dict(span(trace_id="t1", span_id="r", parent="", service="svc_a",
+                  duration=10)),
+        dict(span(trace_id="t1", span_id="m", parent="r", service="svc_b",
+                  duration=5)),
+        dict(span(trace_id="t1", span_id="l", parent="m", service="svc_c",
+                  duration=100)),
+        # off-path heavy sibling leaf: 90 < 100+5 ⇒ loses the argmax
+        dict(span(trace_id="t1", span_id="x", parent="r", service="svc_big",
+                  duration=90)),
+    ]
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        got = {
+            r["servicename"]: (r["n_traces"], r["path_time"], r["share"])
+            for r in q_critical_path_contrib(spark, "ignored").collect()
+        }
+    finally:
+        EQ._spans = orig
+    assert set(got) == {"svc_a", "svc_b", "svc_c"}  # svc_big off-path
+    assert got["svc_c"] == (1, 100, round(100 / 115, 6))
+    assert got["svc_a"][1] + got["svc_b"][1] + got["svc_c"][1] == 115
+
+
+def test_span_fanout_stats_separates_gateway_from_leaves(spark):
+    from haystack_traces_spark.entry_queries import q_span_fanout_stats
+
+    rows = [
+        dict(span(trace_id="t1", span_id="r", parent="", service="gw")),
+        dict(span(trace_id="t1", span_id="c1", parent="r", service="leafsvc")),
+        dict(span(trace_id="t1", span_id="c2", parent="r", service="leafsvc")),
+        dict(span(trace_id="t1", span_id="c3", parent="r", service="leafsvc")),
+    ]
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        got = {r["servicename"]: r for r in
+               q_span_fanout_stats(spark, "ignored").collect()}
+    finally:
+        EQ._spans = orig
+    assert got["gw"]["avg_fanout"] == 3.0 and got["gw"]["max_fanout"] == 3
+    assert got["gw"]["leaf_frac"] == 0.0
+    assert got["leafsvc"]["avg_fanout"] == 0.0
+    assert got["leafsvc"]["leaf_frac"] == 1.0
