@@ -114,6 +114,12 @@ def cap_buckets(
     shuffle is shared (exchange reuse) and the incremental cost is the
     map-side-combined occupancy aggregate. Drop statistics are recorded
     lazily in :data:`last_cap_stats` (computed + logged on first access).
+
+    Contract: ``key_cols`` must be NON-NULL (every caller keys on a
+    computed hash/segment value). A NULL key would silently fall out of
+    the semi-join (NULL never equals NULL) — which is also what the
+    downstream equality self-join would do to it, but the drop would not
+    be counted in the stats.
     """
     if not max_bucket:
         return buckets

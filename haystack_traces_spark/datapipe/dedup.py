@@ -821,7 +821,11 @@ def minhash_estimate_pairs(
     subquadratic path); the signature agreement is one join against the
     tiny per-doc signature table; exact Jaccard runs on candidates only
     (:func:`_verify_jaccard` at threshold 0)."""
-    cand = minhash_candidates(docs, n_seeds, bands, n, max_bucket)
+    # cand feeds the estimate join AND the exact verify — materialize or
+    # the capped band self-join executes twice; the shingle rows go to
+    # _verify_jaccard's fast path so the tokenization isn't re-run either
+    cand = materialize(minhash_candidates(docs, n_seeds, bands, n, max_bucket))
+    sh = shingle_rows(docs, text_col="text", n=n)
     sig = materialize(minhash_signatures(docs, n_seeds, n))
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -844,7 +848,7 @@ def minhash_estimate_pairs(
             F.round(agree / F.lit(float(n_seeds)), 6).alias("est_jaccard"),
         )
     )
-    exact = _verify_jaccard(cand, docs, 0.0, n)
+    exact = _verify_jaccard(cand, docs, 0.0, n, shingles=sh)
     return est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",

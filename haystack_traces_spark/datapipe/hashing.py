@@ -35,7 +35,8 @@ def hash60_py(s: str, seed: str = "") -> int:
 # Pure-Python replica of Spark's Murmur3 column hash so a driver-side
 # process WITHOUT a SparkSession (the ivf_pq_residual oracle generator)
 # can reproduce the exact hash-ordered training sample the Spark operator
-# draws. Verified bit-for-bit against F.hash in tests/test_datapipe.py.
+# draws. Pinned bit-for-bit against a live F.hash (negative and >32-bit
+# ids included) by tests/test_functions.py::test_murmur3_mirror_matches_f_hash.
 
 _M32 = 0xFFFFFFFF
 

@@ -876,6 +876,13 @@ FROM ranked WHERE rank <= {PQ_K}
 
 
 def sql_ivf_pq_residual() -> str:
+    """Oracle for the residual path. Unlike every other oracle this one
+    READS DATA at SQL-build time (the codebook literals must be trained
+    on the same corpus the comparison will scan): the dir comes from
+    SPARK_GRAFT_ORACLE_SF_DIR (tests/conftest.py pins it to the suite's
+    sf_dir), else SPARK_GRAFT_TEST_SF_DIR, else the driver gate's sf0.01.
+    A gate run at a different dir without the env override would train on
+    the wrong corpus — set the env var when comparing elsewhere."""
     d = (
         os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
         or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
@@ -2476,7 +2483,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_size_hist": sql_cluster_size_hist(),
         "contamination_by_source": sql_contamination_by_source(),
         "leakage_safe_split": sql_leakage_safe_split(),
-        "ivf_pq_residual": sql_ivf_pq_residual(),
         "chunk_windows": sql_chunk_windows(),
         "cluster_purity": sql_cluster_purity(),
         "knn_label_consistency": sql_knn_label_consistency(),
@@ -2484,7 +2490,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_quality": sql_minhash_est_quality(),
         "token_dist_shift": sql_token_dist_shift(),
         "neardup_rate_by_source": sql_neardup_rate_by_source(),
-    }
+    } | _ivf_pq_residual_oracle_entry()
+
+
+def _ivf_pq_residual_oracle_entry() -> dict[str, str]:
+    """The one oracle whose construction touches data (codebook-literal
+    training): on a machine without the embeddings parquet, degrade THAT
+    entry to the rows-only driver check instead of making the whole
+    oracle dict unlistable."""
+    try:
+        return {"ivf_pq_residual": sql_ivf_pq_residual()}
+    except OSError:
+        return {}
 
 
 def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
@@ -2509,7 +2526,11 @@ def sql_chunk_windows() -> str:
     w, stride = CHUNK_WINDOW, CHUNK_WINDOW - CHUNK_OVERLAP
     return f"""
 WITH toks AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+  -- NULL text must yield no chunks (Spark: size(split(NULL)) = -1 → k=0);
+  -- without the filter DuckDB's NULL-ignoring GREATEST/LEAST would emit a
+  -- bogus row
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+  FROM documents WHERE text IS NOT NULL
 ),
 base AS (
   SELECT doc_id, n_toks,
@@ -2702,7 +2723,12 @@ def q_token_dist_shift(spark, sf_dir):
             F.transform(F.split(F.col("text"), " "), lambda w: F.lower(w))
         ).alias("token"),
     )
-    corpus = (
+    from haystack_traces_spark.session import materialize
+
+    # the top-N subtree feeds the src join, the grid crossJoin AND the
+    # total — materialize once or the corpus-wide token aggregate (the
+    # expensive stage) executes three times
+    corpus = materialize(
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cn"))
         .orderBy(F.col("cn").desc(), F.col("token").asc())

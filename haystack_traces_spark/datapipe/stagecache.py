@@ -54,9 +54,13 @@ def shared_stage(
 
 
 def clear() -> int:
-    """Drop every cached stage (tests / long-lived sessions switching
-    corpora). Returns the number of entries dropped; the checkpointed
-    blocks are freed by the JVM once unreferenced."""
+    """Drop every cached stage. Required whenever the files UNDER a
+    cached sf_dir change (regenerated corpus, crafted test frames reusing
+    a path): the key is (session, dir, stage) with no file-freshness
+    check, so a rewritten directory would otherwise keep serving the
+    pre-rewrite checkpoint while uncached queries scan the new data.
+    Returns the number of entries dropped; the checkpointed blocks are
+    freed by the JVM once unreferenced."""
     n = len(_cache)
     _cache.clear()
     return n

@@ -769,7 +769,10 @@ def chunk_windows(
 
     Chunk k starts at ``k * (window - overlap)``; the last chunk is
     truncated to the doc tail; a doc shorter than one window yields one
-    chunk; an empty doc yields none. Scale shape: pure per-row expressions
+    chunk (``''`` splits to one empty token, so it gets a 1-token chunk —
+    both engines agree); a NULL text yields none (size(split(NULL)) is -1
+    here; the oracle filters NULL text to match). Scale shape: pure
+    per-row expressions
     (one sequence + explode) — map-only, zero shuffle, the plan parallels
     to however many executors scan the corpus."""
     stride = window - overlap

@@ -1626,10 +1626,12 @@ err AS (
   -- mirror the fallback so an error span in a cyclic chain is attributed
   -- instead of silently dropped (pinned by
   -- test_error_root_causes_attributes_cycle_spans). Residual caveat:
-  -- with SEVERAL error spans inside one cycle the Spark walk's depths
-  -- depend on row order (the guard roots whichever member it visits
-  -- first), so exact tie-ordering there is not mirrorable — single-error
-  -- cyclic traces (the realistic corruption) agree exactly
+  -- the Spark walk gives LATER-visited cycle members depths ≥ 1 in
+  -- row-order-dependent fashion, so whenever a trace mixes a cycle-member
+  -- error with ANY other error span (inside or outside the cycle) the
+  -- exact depth comparison is not mirrorable; only the
+  -- single-error-span-per-cyclic-trace case (the realistic corruption)
+  -- agrees exactly — multi-error cyclic traces are a documented gap
   SELECT s.trace_id,
          MIN(struct_pack(nd := -COALESCE(d.depth, 0), sid := s.span_id,
                          servicename := lower(s.service_name),
@@ -1986,7 +1988,16 @@ def q_critical_path_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     root-to-leaf chain, same grouped-map walk + tie-breaks as
     critical_path) joined back to spans for service/duration, then one
     tiny rollup + a broadcast total for the share. Oracle mirrors the
-    walk with a recursive CTE that CARRIES the member list."""
+    walk with a recursive CTE that CARRIES the member list.
+
+    Known oracle divergence (same class as critical_path itself, and the
+    cycle-guard notes on error_root_causes): a trace whose spans form a
+    ROOTLESS parent cycle has no seed row in the recursive CTE, so the
+    oracle drops it entirely, while the Spark walk's cycle guard still
+    emits a chain (rooted at a guard-chosen member — row-order dependent,
+    hence not mirrorable). Well-formed corpora — including the driver's —
+    agree exactly; the guard behavior is pinned by
+    test_timeline_cycle_guard_terminates."""
     from haystack_traces_spark.operators.timeline import critical_path_members
 
     spans = _spans(spark, sf_dir)

@@ -408,3 +408,24 @@ def test_span_fanout_stats_separates_gateway_from_leaves(spark):
     assert got["gw"]["leaf_frac"] == 0.0
     assert got["leafsvc"]["avg_fanout"] == 0.0
     assert got["leafsvc"]["leaf_frac"] == 1.0
+
+
+def test_murmur3_mirror_matches_f_hash(spark):
+    """The pure-Python murmur3 mirror must stay bit-for-bit identical to
+    Spark's F.hash — the ivf_pq_residual oracle's codebook sample order
+    depends on it, and a drift here would surface only as an inscrutable
+    driver-gate hash mismatch at a larger scale factor."""
+    from haystack_traces_spark.datapipe.hashing import (
+        murmur3_long,
+        spark_hash_long_int,
+    )
+
+    ids = [0, 1, -1, -5, 7919, 2**31 - 1, -(2**31), 2**33 + 17, -(2**40) - 3]
+    rows = (
+        spark.createDataFrame([(i,) for i in ids], "id long")
+        .select("id", F.hash("id").alias("h42"), F.hash("id", F.lit(7)).alias("h7"))
+        .collect()
+    )
+    for r in rows:
+        assert murmur3_long(r["id"], 42) == r["h42"], r
+        assert spark_hash_long_int(r["id"], 7) == r["h7"], r

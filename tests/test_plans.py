@@ -322,9 +322,34 @@ def test_service_concurrency_bucketed_matches_unbucketed(spark):
     got = {
         (r["servicename"], r["peak_concurrency"]) for r in bucketed.collect()
     }
-    assert got == base
-    # sanity: the bucketing actually split the sweep into many buckets
-    assert bucketed is not None and len(base) > 0
+    assert got == base and len(base) > 0
+    # carry-in handoff on a CRAFTED frame where the peak is only reachable
+    # through spans left open across a bucket boundary: two spans open in
+    # bucket 0 and stay open through bucket 1, where a third joins. Peak 3
+    # occurs in bucket 1 with local running sum 1 + carry-in 2 — a broken
+    # handoff would report 2.
+    from tests.fixtures import span as mk
+
+    h_us = 3_600_000_000
+    rows = [
+        dict(mk(trace_id="t", span_id="a", service="svc", start=0,
+                duration=3 * h_us)),
+        dict(mk(trace_id="t", span_id="b", service="svc", start=1000,
+                duration=3 * h_us)),
+        dict(mk(trace_id="t", span_id="c", service="svc", start=h_us + 1000,
+                duration=1000)),
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        for bh in (None, 1.0):
+            out = EQ.q_service_concurrency(spark, "ignored", bucket_hours=bh)
+            assert out.collect()[0]["peak_concurrency"] == 3, f"bucket_hours={bh}"
+    finally:
+        EQ._spans = orig
 
 
 def test_service_concurrency_bucketed_partitions_by_service_and_bucket(spark):
