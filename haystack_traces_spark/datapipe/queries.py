@@ -2327,13 +2327,10 @@ FROM (SELECT doc_id, group_id, {b} AS bucket FROM based)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Never-driver-checked entries lead: the driver CORRECTNESS file
-        # samples a bounded prefix of the registry (trace queries first,
-        # then ~6 slots of this dict). Rotated for round 5: the six
-        # entries below have local-oracle green but no driver row yet
-        # (the round-4 front six earned their rows in CORRECTNESS_r04 and
-        # moved behind the queue). Slots 7-13 hold the remaining
-        # never-checked entries queued for round 6.
+        # NOTE: the driver-sample rotation is now governed by
+        # entry_queries._ROTATION_QUEUE (which reorders the merged
+        # registry); this dict's order is no longer what the CORRECTNESS
+        # gate samples. Kept roughly in rotation order for readability.
         "quality_classifier": q_quality_classifier,
         "normalized_dedup": q_normalized_dedup,
         "dsir_weights": q_dsir_weights,

@@ -2135,14 +2135,184 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+def q_error_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which services FAIL TOGETHER: for every unordered service pair,
+    the number of traces where both carry an error span, with the
+    Jaccard of their failing-trace sets — cascade detection (a high
+    co-failure Jaccard between a pair that error_root_causes attributes
+    to only ONE of them is the signature of fault propagation along a
+    dependency edge).
+
+    Scale shape: the distinct (trace, service) failing set is tiny
+    relative to spans (one combinable aggregate); the pair join is a
+    self-join keyed on trace_id whose per-trace row count is the
+    failing-services-per-trace fan-out (single digits), never span
+    volume. Pairs are canonical (svc_a < svc_b)."""
+    spans = _spans(spark, sf_dir)
+    from haystack_traces_spark.transform.tags import tag_str
+
+    fail = (
+        spans.select(
+            "trace_id",
+            F.lower("service_name").alias("svc"),
+            F.coalesce(
+                tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
+            ).alias("ec"),
+        )
+        .filter(F.col("ec") >= ERROR_THRESHOLD)
+        .select("trace_id", "svc")
+        .distinct()
+    )
+    per_svc = fail.groupBy("svc").agg(F.count(F.lit(1)).alias("n_traces"))
+    a = fail.select("trace_id", F.col("svc").alias("svc_a"))
+    b = fail.select("trace_id", F.col("svc").alias("svc_b"))
+    both = (
+        a.join(b, "trace_id")
+        .filter(F.col("svc_a") < F.col("svc_b"))
+        .groupBy("svc_a", "svc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = per_svc.select(F.col("svc").alias("svc_a"), F.col("n_traces").alias("na"))
+    nb = per_svc.select(F.col("svc").alias("svc_b"), F.col("n_traces").alias("nb"))
+    return (
+        both.join(F.broadcast(na), "svc_a")
+        .join(F.broadcast(nb), "svc_b")
+        .select(
+            "svc_a",
+            "svc_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("cofail_jaccard"),
+        )
+        .orderBy("svc_a", "svc_b")
+    )
+
+
+def sql_error_cooccurrence() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, fail AS (
+  SELECT DISTINCT trace_id, lower(service_name) AS svc
+  FROM spans WHERE COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+),
+per_svc AS (SELECT svc, COUNT(*) AS n FROM fail GROUP BY 1),
+cof AS (
+  SELECT a.svc AS svc_a, b.svc AS svc_b, COUNT(*) AS n_both
+  FROM fail a JOIN fail b ON b.trace_id = a.trace_id AND a.svc < b.svc
+  GROUP BY 1, 2
+)
+SELECT svc_a, svc_b, CAST(n_both AS BIGINT) AS n_both,
+       ROUND(n_both / CAST(na.n + nb.n - n_both AS DOUBLE), 6)
+         AS cofail_jaccard
+FROM cof
+JOIN per_svc na ON na.svc = cof.svc_a
+JOIN per_svc nb ON nb.svc = cof.svc_b
+ORDER BY svc_a, svc_b
+"""
+    )
+
+
+def q_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the time sits in the CALL TREE: span count, mean duration and
+    total time per tree depth — the "is latency at the edge or in the
+    fan-out" fingerprint (depth-0-heavy = gateway-bound; deep-tail-heavy
+    = amplification in the backends). Depth rides the shared per-trace
+    timeline walk; the rollup is one tiny aggregate keyed by depth.
+    (Parent-cycle spans: the walk roots them at guard-chosen depths while
+    the oracle's recursive CTE drops them — same documented divergence
+    class as error_root_causes/critical_path; well-formed corpora agree.)
+    """
+    from haystack_traces_spark.operators.timeline import trace_timeline
+
+    spans = _spans(spark, sf_dir)
+    tl = trace_timeline(spans)
+    return (
+        tl.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(F.avg("duration"), 6).alias("avg_duration"),
+            F.sum("duration").cast("long").alias("total_duration"),
+        )
+        .select(F.col("depth").cast("long").alias("depth"),
+                "n_spans", "avg_duration", "total_duration")
+        .orderBy("depth")
+    )
+
+
+def sql_depth_profile() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, d(trace_id, span_id, depth) AS (
+  SELECT s.trace_id, s.span_id, 0
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, d.depth + 1
+  FROM spans c JOIN d ON d.trace_id = c.trace_id
+                     AND c.parent_span_id = d.span_id
+)
+SELECT CAST(d.depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(AVG(s.duration), 6) AS avg_duration,
+       CAST(SUM(s.duration) AS BIGINT) AS total_duration
+FROM d JOIN spans s USING (trace_id, span_id)
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+#: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
+#: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
+#: queries lead (the reference's own surface outranks extensions); the six
+#: named never-checked dp entries fill the remaining sample slots this
+#: round; everything after is the round-6+ queue in priority order.
+_ROTATION_QUEUE = (
+    # round-5 sample tail (the six VERDICT r4 named dp entries):
+    "quality_classifier",
+    "normalized_dedup",
+    "dsir_weights",
+    "ppl_buckets",
+    "tfidf_keywords",
+    "doc_clusters",
+    # round-6 queue — never driver-checked, priority order:
+    "critical_path_contrib",
+    "span_fanout_stats",
+    "error_cooccurrence",
+    "depth_profile",
+    "pmi_collocations",
+    "decontaminate_semantic",
+    # round-7 queue:
+    "dup_pair_evidence",
+    "chunk_plan",
+    "epoch_plan",
+    "embedding_outliers",
+    "ivf_pq_residual",
+    "chunk_windows",
+    # round-8 queue:
+    "cluster_purity",
+    "knn_label_consistency",
+    "probe_overlap",
+    "minhash_est_quality",
+    "token_dist_shift",
+    "neardup_rate_by_source",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from haystack_traces_spark.datapipe import queries as dp
 
-    # Trace queries first: the reference's own query surface
-    # (reader/.../services/TraceService.scala:50-134) outranks the datapipe
-    # extensions in any bounded driver sample of the registry.
-    out = dict(_trace_queries())
-    out.update(dp.queries())
+    trace = _trace_queries()
+    dp_q = dp.queries()
+    out = {k: v for k, v in trace.items() if k not in _ROTATION_QUEUE}
+    for k in _ROTATION_QUEUE:
+        out[k] = trace.get(k) or dp_q[k]
+    for k, v in dp_q.items():
+        out.setdefault(k, v)
     return out
 
 
@@ -2194,6 +2364,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_kinds": q_span_kinds,
         "critical_path_contrib": q_critical_path_contrib,
         "span_fanout_stats": q_span_fanout_stats,
+        "error_cooccurrence": q_error_cooccurrence,
+        "depth_profile": q_depth_profile,
     }
 
 
@@ -2254,4 +2426,6 @@ def _trace_oracles() -> dict[str, str]:
         "span_kinds": sql_span_kinds(),
         "critical_path_contrib": sql_critical_path_contrib(),
         "span_fanout_stats": sql_span_fanout_stats(),
+        "error_cooccurrence": sql_error_cooccurrence(),
+        "depth_profile": sql_depth_profile(),
     }

@@ -429,3 +429,62 @@ def test_murmur3_mirror_matches_f_hash(spark):
     for r in rows:
         assert murmur3_long(r["id"], 42) == r["h42"], r
         assert spark_hash_long_int(r["id"], 7) == r["h7"], r
+
+
+def test_error_cooccurrence_pairs_and_jaccard(spark):
+    """svc_x and svc_y co-fail in 1 of (2, 2) failing traces → jaccard
+    1/3; a service failing alone never forms a pair."""
+    from haystack_traces_spark.entry_queries import q_error_cooccurrence
+    from haystack_traces_spark.transform.model import long_tag
+
+    err = [long_tag("errorcode", 99)]
+    rows = [
+        # t1: x and y both fail
+        dict(span(trace_id="t1", span_id="a", service="svc_x"), tags=err),
+        dict(span(trace_id="t1", span_id="b", service="svc_y"), tags=err),
+        # t2: only x fails
+        dict(span(trace_id="t2", span_id="c", service="svc_x"), tags=err),
+        # t3: only y fails; z never fails
+        dict(span(trace_id="t3", span_id="d", service="svc_y"), tags=err),
+        dict(span(trace_id="t3", span_id="e", service="svc_z"), tags=[]),
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        out = q_error_cooccurrence(spark, "ignored").collect()
+    finally:
+        EQ._spans = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r["svc_a"], r["svc_b"], r["n_both"]) == ("svc_x", "svc_y", 1)
+    assert abs(r["cofail_jaccard"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_depth_profile_attributes_time_by_level(spark):
+    from haystack_traces_spark.entry_queries import q_depth_profile
+
+    rows = [
+        dict(span(trace_id="t1", span_id="r", parent="", duration=10)),
+        dict(span(trace_id="t1", span_id="c1", parent="r", duration=20)),
+        dict(span(trace_id="t1", span_id="c2", parent="r", duration=30)),
+        dict(span(trace_id="t1", span_id="g", parent="c1", duration=40)),
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        got = {r["depth"]: r for r in q_depth_profile(spark, "ignored").collect()}
+    finally:
+        EQ._spans = orig
+    assert got[0]["total_duration"] == 10
+    assert got[1]["n_spans"] == 2 and got[1]["avg_duration"] == 25.0
+    assert got[2]["total_duration"] == 40

@@ -387,3 +387,31 @@ def test_apdex_is_single_aggregate(spark):
     plan = _plan(EQ.q_apdex(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_round5_operators_have_no_global_bottleneck(spark):
+    """New round-5 operators: no cartesian product; no single-partition
+    exchange except critical_path_contrib's |services|-row share total
+    (bounded by design); probe_overlap keeps the corpus un-shuffled by
+    broadcasting the probe side."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "token_dist_shift": (Q.q_token_dist_shift, 0),
+        "neardup_rate_by_source": (Q.q_neardup_rate_by_source, 0),
+        "knn_label_consistency": (Q.q_knn_label_consistency, 0),
+        "cluster_purity": (Q.q_cluster_purity, 0),
+        "chunk_windows": (Q.q_chunk_windows, 0),
+        "span_fanout_stats": (EQ.q_span_fanout_stats, 0),
+        "critical_path_contrib": (EQ.q_critical_path_contrib, 1),
+    }
+    for name, (fn, max_single) in cases.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange SinglePartition") <= max_single, (
+            name, plan[:1500],
+        )
+    probe_plan = _plan(Q.q_probe_overlap(spark, sf))
+    assert "BroadcastHashJoin" in probe_plan or "BroadcastExchange" in probe_plan
