@@ -172,6 +172,7 @@ def _verify_jaccard(
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard): exact pairs over the threshold.
 
@@ -181,12 +182,18 @@ def ngram_jaccard_pairs(
     J ≥ t must share a prefix shingle (i ≥ t·|A| ⟹ pigeonhole on the
     common total order), so the join volume scales with rare-token
     co-occurrence instead of blowing up on stop-phrases. Exact: candidates
-    are then verified with true Jaccard over the full sets."""
-    sh = shingle_rows(docs, text_col, n)
-    # sh feeds BOTH the document-frequency aggregate and the prefix build —
-    # two independent subtrees Spark would otherwise recompute (scan +
-    # shingle + explode twice); one materialization serves both
-    sh = materialize(sh)
+    are then verified with true Jaccard over the full sets.
+
+    ``shingles``: optional pre-materialized (doc_id, s) shingle rows (the
+    session-cached / persisted-table case) — skips this function's own
+    tokenize + materialize."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        # sh feeds BOTH the document-frequency aggregate and the prefix
+        # build — two independent subtrees Spark would otherwise recompute
+        # (scan + shingle + explode twice); one materialization serves both
+        sh = materialize(shingle_rows(docs, text_col, n))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # prefix = the first k - ⌈t·k⌉ + 1 shingles under the global (df, s)
     # total order. The theorem holds for ANY order both docs share, so the
@@ -240,6 +247,7 @@ def dup_pair_evidence(
     k: int = 3,
     text_col: str = "text",
     pairs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard, n_shared, evidence): WHY a pair was
     flagged — the ``k`` globally-RAREST shingles the two docs share,
@@ -253,12 +261,16 @@ def dup_pair_evidence(
     on both sides; rarity from the same df aggregate the ppjoin prefix
     uses. Work scales with |pairs| x shared shingles, never |docs|².
 
-    ``pairs`` lets a caller holding a persisted / session-cached pairs
-    table (the same (doc_a, doc_b, jaccard) this would rebuild) skip the
-    pair pipeline."""
+    ``pairs`` / ``shingles`` let a caller holding persisted /
+    session-cached stages (the same tables this would rebuild) skip the
+    pair pipeline and the tokenization respectively."""
     if pairs is None:
-        pairs = ngram_jaccard_pairs(docs, threshold, n, text_col)
-    sh = materialize(shingle_rows(docs, text_col, n))
+        pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, shingles)
+    sh = (
+        shingles
+        if shingles is not None
+        else materialize(shingle_rows(docs, text_col, n))
+    )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     shared = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")

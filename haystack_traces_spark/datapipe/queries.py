@@ -75,6 +75,18 @@ FROM hashed h JOIN g USING (text_hash)
 """
 
 
+def _shingle_rows(spark, sf_dir):
+    """Session-cached (doc_id, s) shingle rows — the tokenization pass
+    under the Jaccard-pair pipeline AND dup_pair_evidence's evidence
+    extraction. Production analog: a persisted shingle table."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "shingle_rows",
+        lambda: D.shingle_rows(_docs(spark, sf_dir), "text", 3),
+    )
+
+
 def _jaccard_pairs(spark, sf_dir):
     """Session-cached shingle→ppjoin→Jaccard pair stage — the upstream
     shared by dedup_ngram_jaccard / dedup_clusters / dedup_report /
@@ -84,7 +96,11 @@ def _jaccard_pairs(spark, sf_dir):
         spark,
         sf_dir,
         "jaccard_pairs",
-        lambda: D.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD),
+        lambda: D.ngram_jaccard_pairs(
+            _docs(spark, sf_dir),
+            JACCARD_THRESHOLD,
+            shingles=_shingle_rows(spark, sf_dir),
+        ),
     )
 
 
@@ -2097,6 +2113,7 @@ def q_dup_pair_evidence(spark, sf_dir):
         3,
         EVIDENCE_K,
         pairs=_jaccard_pairs(spark, sf_dir),
+        shingles=_shingle_rows(spark, sf_dir),
     )
 
 

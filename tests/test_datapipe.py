@@ -1167,3 +1167,38 @@ class TestRound5Operators:
         assert out["mirrors"]["n_neardup"] == 3  # all but the lowest id
         assert out["mirrors"]["neardup_rate"] == 0.75
         assert out["original"]["n_neardup"] == 0
+
+    def test_chunk_windows_cover_every_token_exactly(self, spark):
+        """Coverage invariants over 200 random-length docs in ONE Spark
+        call: chunk starts advance by exactly the stride from 0, widths
+        stay in [1, window], the last chunk ends at the doc's token count,
+        and consecutive chunks overlap by exactly `overlap` tokens (except
+        a short final chunk)."""
+        import random
+
+        from haystack_traces_spark.datapipe import text as X
+
+        rng = random.Random(5)
+        rows = [
+            (i, " ".join(f"t{j}" for j in range(rng.randint(1, 400))))
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        window, overlap = 64, 8
+        stride = window - overlap
+        n_toks = {i: len(t.split(" ")) for i, t in rows}
+        per_doc = {}
+        for r in X.chunk_windows(docs, window, overlap).collect():
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(per_doc) == set(n_toks)
+        for i, chunks in per_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            n = n_toks[i]
+            for k, r in enumerate(chunks):
+                assert r["chunk_idx"] == k and r["start_tok"] == k * stride
+                assert 1 <= r["chunk_tokens"] <= window
+            last = chunks[-1]
+            assert last["start_tok"] + last["chunk_tokens"] == n
+            # every non-final chunk is full-width
+            for r in chunks[:-1]:
+                assert r["chunk_tokens"] == window

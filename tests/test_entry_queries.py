@@ -51,3 +51,17 @@ def test_registry_oracles_have_no_orphans():
 
     orphans = set(entry_queries.oracle_sql()) - set(entry_queries.queries())
     assert not orphans, orphans
+
+
+def test_rotation_queue_names_resolve():
+    """Every _ROTATION_QUEUE name must exist in one of the two source
+    dicts (a rename there would KeyError the whole registry), and the
+    merged registry must keep all entries exactly once."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as dp
+
+    names = set(EQ._trace_queries()) | set(dp.queries())
+    missing = [n for n in EQ._ROTATION_QUEUE if n not in names]
+    assert missing == [], missing
+    merged = list(EQ.queries())
+    assert len(merged) == len(set(merged)) == len(names)
