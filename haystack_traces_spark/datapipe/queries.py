@@ -75,31 +75,21 @@ FROM hashed h JOIN g USING (text_hash)
 """
 
 
-def _shingle_rows(spark, sf_dir):
-    """Session-cached (doc_id, s) shingle rows — the tokenization pass
-    under the Jaccard-pair pipeline AND dup_pair_evidence's evidence
-    extraction. Production analog: a persisted shingle table."""
-    return shared_stage(
-        spark,
-        sf_dir,
-        "shingle_rows",
-        lambda: D.shingle_rows(_docs(spark, sf_dir), "text", 3),
-    )
-
-
-def _jaccard_pairs(spark, sf_dir):
+def _jaccard_pairs(spark, sf_dir, shingles=None):
     """Session-cached shingle→ppjoin→Jaccard pair stage — the upstream
     shared by dedup_ngram_jaccard / dedup_clusters / dedup_report /
     dup_pair_evidence (VERDICT r4 #3). Production analog: a persisted
-    pairs table."""
+    pairs table. The CORPUS-SIDE shingle table is deliberately NOT a
+    session-cached stage (it would break stagecache's bounded-pin
+    invariant); a caller that needs the shingles for its own downstream
+    work passes a query-scoped ``materialize`` pin instead — released by
+    the bench/oracle loop's sweep, shared only within the query."""
     return shared_stage(
         spark,
         sf_dir,
         "jaccard_pairs",
         lambda: D.ngram_jaccard_pairs(
-            _docs(spark, sf_dir),
-            JACCARD_THRESHOLD,
-            shingles=_shingle_rows(spark, sf_dir),
+            _docs(spark, sf_dir), JACCARD_THRESHOLD, shingles=shingles
         ),
     )
 
@@ -2107,13 +2097,20 @@ EVIDENCE_K = 3
 
 
 def q_dup_pair_evidence(spark, sf_dir):
+    from haystack_traces_spark.session import materialize
+
+    # query-scoped shingle pin: feeds the pairs build (when this query is
+    # the stage's first toucher) AND the evidence extraction, then gets
+    # swept by release_materialized — never a session-lifetime pin of a
+    # corpus-sized table
+    sh = materialize(D.shingle_rows(_docs(spark, sf_dir), "text", 3))
     return D.dup_pair_evidence(
         _docs(spark, sf_dir),
         JACCARD_THRESHOLD,
         3,
         EVIDENCE_K,
-        pairs=_jaccard_pairs(spark, sf_dir),
-        shingles=_shingle_rows(spark, sf_dir),
+        pairs=_jaccard_pairs(spark, sf_dir, shingles=sh),
+        shingles=sh,
     )
 
 

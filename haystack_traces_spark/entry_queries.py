@@ -1024,10 +1024,12 @@ def q_trace_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace_timeline(_spans(spark, sf_dir))
 
 
-def sql_trace_timeline() -> str:
-    return (
-        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
-        + """
+#: Recursive span-depth CTE (root = empty or dangling parent; depth
+#: grows down the tree). ONE definition — sql_trace_timeline,
+#: sql_error_root_causes and sql_depth_profile all splice this exact
+#: fragment so root/cycle handling can never drift between the oracles.
+#: Requires the surrounding WITH to be RECURSIVE.
+_DEPTH_CTE_SQL = """
 , d(trace_id, span_id, depth) AS (
   SELECT s.trace_id, s.span_id, 0
   FROM spans s
@@ -1037,7 +1039,14 @@ def sql_trace_timeline() -> str:
   SELECT c.trace_id, c.span_id, d.depth + 1
   FROM spans c JOIN d ON d.trace_id = c.trace_id
                      AND c.parent_span_id = d.span_id
-),
+)"""
+
+
+def sql_trace_timeline() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + _DEPTH_CTE_SQL
+        + """,
 t0 AS (SELECT trace_id, MIN(start_time) AS t0 FROM spans GROUP BY trace_id)
 SELECT s.trace_id, s.span_id, CAST(d.depth AS BIGINT) AS depth,
        s.start_time - t0.t0 AS offset_us, s.duration,
@@ -1608,17 +1617,8 @@ def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_error_root_causes() -> str:
     return (
         EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
-        + f"""
-, d(trace_id, span_id, depth) AS (
-  SELECT s.trace_id, s.span_id, 0
-  FROM spans s
-  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
-    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
-  UNION ALL
-  SELECT c.trace_id, c.span_id, d.depth + 1
-  FROM spans c JOIN d ON d.trace_id = c.trace_id
-                     AND c.parent_span_id = d.span_id
-),
+        + _DEPTH_CTE_SQL
+        + f""",
 err AS (
   -- LEFT join + COALESCE 0: spans inside a parent CYCLE are unreachable
   -- from any root, so the recursive CTE never assigns them a depth;
@@ -2245,17 +2245,8 @@ def q_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_depth_profile() -> str:
     return (
         EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + _DEPTH_CTE_SQL
         + """
-, d(trace_id, span_id, depth) AS (
-  SELECT s.trace_id, s.span_id, 0
-  FROM spans s
-  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
-    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
-  UNION ALL
-  SELECT c.trace_id, c.span_id, d.depth + 1
-  FROM spans c JOIN d ON d.trace_id = c.trace_id
-                     AND c.parent_span_id = d.span_id
-)
 SELECT CAST(d.depth AS BIGINT) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        ROUND(AVG(s.duration), 6) AS avg_duration,
@@ -2310,7 +2301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dp_q = dp.queries()
     out = {k: v for k, v in trace.items() if k not in _ROTATION_QUEUE}
     for k in _ROTATION_QUEUE:
-        out[k] = trace.get(k) or dp_q[k]
+        fn = trace.get(k) or dp_q.get(k)
+        if fn is not None:  # stale queue name = lost sample position, not
+            out[k] = fn     # a registry-wide KeyError (drift test catches it)
     for k, v in dp_q.items():
         out.setdefault(k, v)
     return out

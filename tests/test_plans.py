@@ -406,6 +406,8 @@ def test_round5_operators_have_no_global_bottleneck(spark):
         "chunk_windows": (Q.q_chunk_windows, 0),
         "span_fanout_stats": (EQ.q_span_fanout_stats, 0),
         "critical_path_contrib": (EQ.q_critical_path_contrib, 1),
+        "error_cooccurrence": (EQ.q_error_cooccurrence, 0),
+        "depth_profile": (EQ.q_depth_profile, 0),
     }
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
