@@ -2257,6 +2257,88 @@ GROUP BY 1 ORDER BY 1
     )
 
 
+SAMPLING_RATE_PCT = 10
+SAMPLING_SLOW_US = 1_000_000
+
+
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL-BASED sampling decisions — the policy a tracing pipeline
+    applies once a trace is COMPLETE (vs head-based coin flips at the
+    first span): keep every trace with an error span, keep every trace
+    slower than the threshold, hash-sample the boring rest at a fixed
+    rate. The decision table is what the sampler sink writes; `reason`
+    is the audit column (error > slow > hash precedence).
+
+    Scale shape: one combinable per-trace aggregate on the shared trace
+    exchange; the keep decision is pure expressions (deterministic
+    hash60 on trace_id — reproducible across engines and restarts, no
+    RNG state)."""
+    from haystack_traces_spark.datapipe.hashing import hash60
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    per_trace = spans.groupBy("trace_id").agg(
+        F.max(
+            (
+                F.coalesce(
+                    tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
+                )
+                >= ERROR_THRESHOLD
+            ).cast("int")
+        ).alias("has_error"),
+        (
+            F.max(F.col("start_time") + F.col("duration"))
+            - F.min("start_time")
+        ).alias("trace_dur"),
+    )
+    bucket = hash60(F.col("trace_id"), seed="tail:") % 100
+    reason = (
+        F.when(F.col("has_error") == 1, F.lit("error"))
+        .when(F.col("trace_dur") > SAMPLING_SLOW_US, F.lit("slow"))
+        .when(bucket < SAMPLING_RATE_PCT, F.lit("hash"))
+        .otherwise(F.lit("drop"))
+    )
+    return (
+        per_trace.select(
+            "trace_id",
+            (F.col("has_error") == 1).alias("has_error"),
+            F.col("trace_dur").cast("long").alias("trace_dur"),
+            reason.alias("reason"),
+        )
+        .withColumn("sampled", F.col("reason") != "drop")
+        .orderBy("trace_id")
+    )
+
+
+def sql_tail_sampling() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    b = f"{hash60_sql('trace_id', seed='tail:')} % 100"
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per_trace AS (
+  SELECT trace_id,
+         MAX(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+                  THEN 1 ELSE 0 END) AS has_error,
+         MAX(start_time + duration) - MIN(start_time) AS trace_dur
+  FROM spans GROUP BY trace_id
+)
+SELECT trace_id, has_error = 1 AS has_error,
+       CAST(trace_dur AS BIGINT) AS trace_dur,
+       CASE WHEN has_error = 1 THEN 'error'
+            WHEN trace_dur > {SAMPLING_SLOW_US} THEN 'slow'
+            WHEN {b} < {SAMPLING_RATE_PCT} THEN 'hash'
+            ELSE 'drop' END AS reason,
+       CASE WHEN has_error = 1 THEN 'error'
+            WHEN trace_dur > {SAMPLING_SLOW_US} THEN 'slow'
+            WHEN {b} < {SAMPLING_RATE_PCT} THEN 'hash'
+            ELSE 'drop' END <> 'drop' AS sampled
+FROM per_trace ORDER BY trace_id
+"""
+    )
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -2275,9 +2357,10 @@ _ROTATION_QUEUE = (
     "span_fanout_stats",
     "error_cooccurrence",
     "depth_profile",
+    "tail_sampling",
     "pmi_collocations",
-    "decontaminate_semantic",
     # round-7 queue:
+    "decontaminate_semantic",
     "dup_pair_evidence",
     "chunk_plan",
     "epoch_plan",
@@ -2359,6 +2442,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_fanout_stats": q_span_fanout_stats,
         "error_cooccurrence": q_error_cooccurrence,
         "depth_profile": q_depth_profile,
+        "tail_sampling": q_tail_sampling,
     }
 
 
@@ -2421,4 +2505,5 @@ def _trace_oracles() -> dict[str, str]:
         "span_fanout_stats": sql_span_fanout_stats(),
         "error_cooccurrence": sql_error_cooccurrence(),
         "depth_profile": sql_depth_profile(),
+        "tail_sampling": sql_tail_sampling(),
     }

@@ -488,3 +488,39 @@ def test_depth_profile_attributes_time_by_level(spark):
     assert got[0]["total_duration"] == 10
     assert got[1]["n_spans"] == 2 and got[1]["avg_duration"] == 25.0
     assert got[2]["total_duration"] == 40
+
+
+def test_tail_sampling_precedence_and_determinism(spark):
+    """error > slow > hash precedence; drops are deterministic (same
+    hash bucket on re-run); every error/slow trace is always kept."""
+    from haystack_traces_spark.entry_queries import q_tail_sampling
+    from haystack_traces_spark.transform.model import long_tag
+
+    rows = [
+        # error trace (also slow — error reason wins)
+        dict(span(trace_id="e1", span_id="a", duration=9_999_999),
+             tags=[long_tag("errorcode", 99)]),
+        # slow trace, no error
+        dict(span(trace_id="s1", span_id="b", duration=5_000_000), tags=[]),
+        # fast clean traces — hash-sampled
+        *[dict(span(trace_id=f"f{i}", span_id=f"c{i}", duration=10), tags=[])
+          for i in range(20)],
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    import haystack_traces_spark.entry_queries as EQ
+
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        out1 = {r["trace_id"]: r for r in q_tail_sampling(spark, "x").collect()}
+        out2 = {r["trace_id"]: r for r in q_tail_sampling(spark, "x").collect()}
+    finally:
+        EQ._spans = orig
+    assert out1 == out2  # deterministic, no RNG state
+    assert out1["e1"]["reason"] == "error" and out1["e1"]["sampled"]
+    assert out1["s1"]["reason"] == "slow" and out1["s1"]["sampled"]
+    fast = [r for t, r in out1.items() if t.startswith("f")]
+    assert all(r["reason"] in ("hash", "drop") for r in fast)
+    assert any(r["reason"] == "drop" for r in fast)  # rate actually bites
