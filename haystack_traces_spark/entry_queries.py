@@ -2339,6 +2339,282 @@ FROM per_trace ORDER BY trace_id
     )
 
 
+def q_retry_storms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated identical (service, operation) invocations inside one
+    trace — the retry-amplification signature (a client retrying a flaky
+    dependency shows up as the same logical call N times in a single
+    trace). Per (service, operation): how many traces repeat it, the
+    worst burst, and the total extra calls retries added.
+
+    Scale shape: two map-side-combinable hash aggregates — the first
+    keyed (trace_id, svc, op) rides the shared trace exchange, the
+    second reduces to the (svc, op) catalog (tiny). No joins, no
+    windows."""
+    spans = _spans(spark, sf_dir)
+    per_trace = (
+        spans.groupBy("trace_id", "service_name", "operation_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return (
+        per_trace.groupBy("service_name", "operation_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.max("c").cast("long").alias("max_repeats"),
+            F.sum(F.col("c") - 1).cast("long").alias("extra_calls"),
+        )
+        .orderBy("service_name", "operation_name")
+    )
+
+
+def sql_retry_storms() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per_trace AS (
+  SELECT trace_id, service_name, operation_name, COUNT(*) AS c
+  FROM spans GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+)
+SELECT service_name, operation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CAST(MAX(c) AS BIGINT) AS max_repeats,
+       CAST(SUM(c - 1) AS BIGINT) AS extra_calls
+FROM per_trace GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_error_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-chain edges: for every ERROR span whose parent span ALSO
+    errored, the (parent service → child service) propagation edge —
+    distinguishing faults that travel along the call chain from faults
+    that originate locally (parent clean). Complements
+    error_cooccurrence (set overlap, no direction) and error_root_causes
+    (deepest attribution) with the edge-level propagation rate.
+
+    Scale shape: the child side is pre-filtered to error spans (a small
+    fraction of volume) before the join; both sides shuffle on
+    (trace_id, span-key) — the parent lookup is a keyed equi-join, never
+    a cartesian, and the output is bounded by the service-pair
+    catalog."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    ec = F.coalesce(tag_str("tags", "errorcode").try_cast("long"), F.lit(0))
+    base = spans.select(
+        "trace_id", "span_id", "parent_span_id", "service_name", ec.alias("ec")
+    )
+    child = base.filter(
+        (F.col("ec") >= ERROR_THRESHOLD) & (F.col("parent_span_id") != "")
+    ).select(
+        "trace_id", "parent_span_id", F.col("service_name").alias("child_svc")
+    )
+    parent = base.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.col("service_name").alias("parent_svc"),
+        (F.col("ec") >= ERROR_THRESHOLD).cast("long").alias("parent_err"),
+    )
+    return (
+        child.join(parent, ["trace_id", "parent_span_id"])
+        .groupBy("parent_svc", "child_svc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_errors"),
+            F.sum("parent_err").cast("long").alias("n_propagated"),
+        )
+        .withColumn(
+            "propagation_rate",
+            F.round(F.col("n_propagated") / F.col("n_child_errors"), 6),
+        )
+        .orderBy("parent_svc", "child_svc")
+    )
+
+
+def sql_error_propagation() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT p.service_name AS parent_svc, c.service_name AS child_svc,
+       CAST(COUNT(*) AS BIGINT) AS n_child_errors,
+       CAST(SUM(CASE WHEN p.errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_propagated,
+       ROUND(SUM(CASE WHEN p.errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS propagation_rate
+FROM spans c
+JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+WHERE c.errorcode >= {ERROR_THRESHOLD} AND c.parent_span_id <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_service_entry_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service ENTRY-POINT profile: which operations appear as trace
+    roots, with each operation's share of the service's root traffic —
+    the "what do callers actually hit first" view used for gateway
+    capacity planning and SLO scoping.
+
+    Scale shape: one combinable aggregate on the root filter (pushed to
+    the scan), then a window partitioned by SERVICE over the tiny
+    (svc, op) catalog — never over span volume."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    counts = (
+        spans.filter(F.col("parent_span_id") == "")
+        .groupBy("service_name", "operation_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_roots"))
+    )
+    w = Window.partitionBy("service_name")
+    return counts.select(
+        "service_name",
+        "operation_name",
+        "n_roots",
+        F.round(F.col("n_roots") / F.sum("n_roots").over(w), 6).alias("share"),
+    ).orderBy("service_name", "operation_name")
+
+
+def sql_service_entry_points() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT service_name, operation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_roots,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY service_name)
+             AS DOUBLE), 6) AS share
+FROM spans WHERE parent_span_id = ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_operation_latency_trend(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
+    """Per-(service, operation, day) p50 latency with the day-over-day
+    delta — the regression-detection trend line behind "did yesterday's
+    deploy make this endpoint slower". Exact percentile keeps the oracle
+    hash-exact; ``approx=True`` is the 100 TB face (percentile_approx,
+    a mergeable sketch) — see SCALE.md's dual-face table.
+
+    Scale shape: one combinable aggregate keyed (svc, op, day); the LAG
+    window partitions per (svc, op) over day buckets (bounded by the
+    calendar, not data volume)."""
+    from pyspark.sql import Window
+
+    p50 = (
+        F.percentile_approx("duration", F.lit(0.5), F.lit(10000))
+        if approx
+        else F.percentile("duration", F.lit(0.5))
+    )
+    spans = _spans(spark, sf_dir)
+    day = (F.col("start_time") - F.col("start_time") % DAY_US).alias("day_us")
+    daily = spans.groupBy("service_name", "operation_name", day).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.round(p50, 6).alias("p50"),
+    )
+    w = Window.partitionBy("service_name", "operation_name").orderBy("day_us")
+    return daily.select(
+        "service_name",
+        "operation_name",
+        "day_us",
+        "n_spans",
+        "p50",
+        F.round(F.col("p50") - F.lag("p50").over(w), 6).alias("p50_delta"),
+    ).orderBy("service_name", "operation_name", "day_us")
+
+
+def sql_operation_latency_trend() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, daily AS (
+  SELECT service_name, operation_name,
+         start_time - start_time % {DAY_US} AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         ROUND(quantile_cont(duration, 0.5), 6) AS p50
+  FROM spans GROUP BY 1, 2, 3
+)
+SELECT service_name, operation_name, day_us, n_spans, p50,
+       ROUND(p50 - LAG(p50) OVER (PARTITION BY service_name, operation_name
+                                  ORDER BY day_us), 6) AS p50_delta
+FROM daily ORDER BY service_name, operation_name, day_us
+"""
+    )
+
+
+def q_network_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(caller → callee) network-delta profile from the client/server
+    span pairs: networkDelta = client duration − server duration, the
+    U4/SpanMerger quantity (SpanMerger.scala:96-106) rolled up as an
+    analytics surface — "how much latency does the WIRE between these
+    two services add".
+
+    The engine computes it the honest way (pair the two kinds per
+    span_id, subtract); the oracle derives the same number independently
+    from the generative model (2*net per non-root event), so the merge
+    arithmetic is cross-checked, not mirrored.
+
+    Scale shape: one aggregate keyed (trace_id, span_id) — rides the
+    trace exchange — then a tiny (caller, callee) rollup."""
+    from haystack_traces_spark.sources.events import spans_cs_from_events
+    from haystack_traces_spark.session import fan_out
+
+    cs = spans_cs_from_events(
+        fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    )
+    return network_deltas(cs)
+
+
+def network_deltas(cs: DataFrame) -> DataFrame:
+    """The (caller → callee) networkDelta rollup over any client/server
+    span frame (tags carry span.kind) — split out of q_network_deltas so
+    crafted frames can exercise the pairing arithmetic directly."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    kind = tag_str("tags", "span.kind")
+    per_span = (
+        cs.groupBy("trace_id", "span_id")
+        .agg(
+            F.max(F.when(kind == "client", F.col("service_name"))).alias(
+                "client_svc"
+            ),
+            F.max(F.when(kind == "server", F.col("service_name"))).alias(
+                "server_svc"
+            ),
+            F.max(F.when(kind == "client", F.col("duration"))).alias("client_dur"),
+            F.max(F.when(kind == "server", F.col("duration"))).alias("server_dur"),
+        )
+        .filter(F.col("client_svc").isNotNull() & F.col("server_svc").isNotNull())
+    )
+    delta = F.col("client_dur") - F.col("server_dur")
+    return (
+        per_span.groupBy("client_svc", "server_svc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.round(F.avg(delta), 6).alias("avg_delta"),
+            F.max(delta).cast("long").alias("max_delta"),
+        )
+        .orderBy("client_svc", "server_svc")
+    )
+
+
+def sql_network_deltas() -> str:
+    from haystack_traces_spark.sources.events import EVENT_SPANS_CS_CTE
+
+    return (
+        EVENT_SPANS_CS_CTE
+        + """
+SELECT parent_service AS client_svc, service_name AS server_svc,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       ROUND(AVG(2 * net), 6) AS avg_delta,
+       CAST(MAX(2 * net) AS BIGINT) AS max_delta
+FROM ev WHERE parent_span_id <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -2374,6 +2650,12 @@ _ROTATION_QUEUE = (
     "minhash_est_quality",
     "token_dist_shift",
     "neardup_rate_by_source",
+    # round-9 queue:
+    "retry_storms",
+    "error_propagation",
+    "service_entry_points",
+    "operation_latency_trend",
+    "network_deltas",
 )
 
 
@@ -2443,6 +2725,11 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_cooccurrence": q_error_cooccurrence,
         "depth_profile": q_depth_profile,
         "tail_sampling": q_tail_sampling,
+        "retry_storms": q_retry_storms,
+        "error_propagation": q_error_propagation,
+        "service_entry_points": q_service_entry_points,
+        "operation_latency_trend": q_operation_latency_trend,
+        "network_deltas": q_network_deltas,
     }
 
 
@@ -2506,4 +2793,9 @@ def _trace_oracles() -> dict[str, str]:
         "error_cooccurrence": sql_error_cooccurrence(),
         "depth_profile": sql_depth_profile(),
         "tail_sampling": sql_tail_sampling(),
+        "retry_storms": sql_retry_storms(),
+        "error_propagation": sql_error_propagation(),
+        "service_entry_points": sql_service_entry_points(),
+        "operation_latency_trend": sql_operation_latency_trend(),
+        "network_deltas": sql_network_deltas(),
     }

@@ -1,0 +1,234 @@
+"""Crafted-corpus semantics + plan-shape guards for the round-5 trace
+analytics batch (retry_storms, error_propagation, service_entry_points,
+operation_latency_trend, network_deltas).
+
+Each operator already hash-matches its DuckDB oracle over the synthetic
+corpus (test_entry_queries); these tests pin the SEMANTICS on frames the
+synthetic generator cannot produce (retry bursts, orphaned error spans,
+unmatched client/server halves) and the plan shapes the 100 TB design
+depends on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from haystack_traces_spark import entry_queries as EQ
+from haystack_traces_spark.schemas import SPAN
+from tests.fixtures import span as mk
+
+T0 = EQ.T0
+DAY_US = EQ.DAY_US
+
+
+def _ltag(key: str, v: int) -> dict:
+    return {
+        "key": key,
+        "vtype": "LONG",
+        "vstr": None,
+        "vlong": v,
+        "vdouble": None,
+        "vbool": None,
+        "vbytes": None,
+    }
+
+
+def _stag(key: str, v: str) -> dict:
+    return {
+        "key": key,
+        "vtype": "STRING",
+        "vstr": v,
+        "vlong": None,
+        "vdouble": None,
+        "vbool": None,
+        "vbytes": None,
+    }
+
+
+def _with_spans(spark, rows):
+    return spark.createDataFrame([dict(r) for r in rows], SPAN)
+
+
+def _patched(spark, rows, fn):
+    spans = _with_spans(spark, rows)
+    orig = EQ._spans
+    EQ._spans = lambda _spark, _sf: spans
+    try:
+        return fn()
+    finally:
+        EQ._spans = orig
+
+
+def test_retry_storms_counts_repeats_per_trace(spark):
+    rows = [
+        # t1 repeats svc_a/op_a three times (burst 3, 2 extra calls)
+        mk(trace_id="t1", span_id="a1", service="svc_a", operation="op_a"),
+        mk(trace_id="t1", span_id="a2", service="svc_a", operation="op_a"),
+        mk(trace_id="t1", span_id="a3", service="svc_a", operation="op_a"),
+        # single call in t1 — never reported
+        mk(trace_id="t1", span_id="b1", service="svc_b", operation="op_b"),
+        # t2 repeats the same op twice (burst 2, 1 extra call)
+        mk(trace_id="t2", span_id="a4", service="svc_a", operation="op_a"),
+        mk(trace_id="t2", span_id="a5", service="svc_a", operation="op_a"),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_retry_storms(spark, "ignored").collect()
+    )
+    assert [r.asDict() for r in out] == [
+        {
+            "service_name": "svc_a",
+            "operation_name": "op_a",
+            "n_traces": 2,
+            "max_repeats": 3,
+            "extra_calls": 3,
+        }
+    ]
+
+
+def test_error_propagation_separates_propagated_from_originated(spark):
+    err = [_ltag("errorcode", 60)]
+    ok = [_ltag("errorcode", 0)]
+    rows = [
+        # chain: root (error) -> c1 (error): propagated edge root->a
+        mk(trace_id="t", span_id="r", service="svc_root", tags=err),
+        mk(trace_id="t", span_id="c1", parent="r", service="svc_a", tags=err),
+        # clean parent -> error child: originated edge ok->c (rate 0)
+        mk(trace_id="t", span_id="p2", service="svc_ok", tags=ok),
+        mk(trace_id="t", span_id="c2", parent="p2", service="svc_c", tags=err),
+        # error child with a MISSING parent: dropped (no edge to attribute)
+        mk(trace_id="t", span_id="c3", parent="ghost", service="svc_d", tags=err),
+        # root error span itself (parent=''): not a child edge
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_error_propagation(spark, "ignored").collect()
+    )
+    got = {
+        (r["parent_svc"], r["child_svc"]): (
+            r["n_child_errors"],
+            r["n_propagated"],
+            r["propagation_rate"],
+        )
+        for r in out
+    }
+    assert got == {
+        ("svc_root", "svc_a"): (1, 1, 1.0),
+        ("svc_ok", "svc_c"): (1, 0, 0.0),
+    }
+
+
+def test_service_entry_points_shares_sum_per_service(spark):
+    rows = [
+        mk(trace_id="t1", span_id="r1", service="svc_a", operation="op_1"),
+        mk(trace_id="t2", span_id="r2", service="svc_a", operation="op_1"),
+        mk(trace_id="t3", span_id="r3", service="svc_a", operation="op_1"),
+        mk(trace_id="t4", span_id="r4", service="svc_a", operation="op_2"),
+        # non-root svc_a span: excluded from the entry-point profile
+        mk(trace_id="t1", span_id="x", parent="r1", service="svc_a",
+           operation="op_3"),
+        mk(trace_id="t5", span_id="r5", service="svc_b", operation="op_9"),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_service_entry_points(spark, "ignored").collect(),
+    )
+    got = {
+        (r["service_name"], r["operation_name"]): (r["n_roots"], r["share"])
+        for r in out
+    }
+    assert got == {
+        ("svc_a", "op_1"): (3, 0.75),
+        ("svc_a", "op_2"): (1, 0.25),
+        ("svc_b", "op_9"): (1, 1.0),
+    }
+
+
+def test_operation_latency_trend_day_over_day_delta(spark):
+    rows = [
+        mk(trace_id="t1", span_id="a", service="s", operation="o",
+           start=T0, duration=100),
+        mk(trace_id="t1", span_id="b", service="s", operation="o",
+           start=T0 + 1000, duration=200),
+        mk(trace_id="t2", span_id="c", service="s", operation="o",
+           start=T0 + DAY_US, duration=400),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_operation_latency_trend(spark, "ignored").collect(),
+    )
+    assert [(r["day_us"], r["n_spans"], r["p50"], r["p50_delta"]) for r in out] == [
+        (T0, 2, 150.0, None),
+        (T0 + DAY_US, 1, 400.0, 250.0),
+    ]
+
+
+def test_network_deltas_pairs_kinds_and_drops_unmatched(spark):
+    rows = [
+        # paired client/server halves of one span: delta = 120 - 100
+        mk(trace_id="t", span_id="s1", service="caller", duration=120,
+           tags=[_stag("span.kind", "client")]),
+        mk(trace_id="t", span_id="s1", service="callee", duration=100,
+           tags=[_stag("span.kind", "server")]),
+        # root server-only span: no client half, excluded
+        mk(trace_id="t", span_id="r", service="callee", duration=999,
+           tags=[_stag("span.kind", "server")]),
+    ]
+    cs = _with_spans(spark, rows)
+    out = EQ.network_deltas(cs).collect()
+    assert [r.asDict() for r in out] == [
+        {
+            "client_svc": "caller",
+            "server_svc": "callee",
+            "n_calls": 1,
+            "avg_delta": 20.0,
+            "max_delta": 20,
+        }
+    ]
+
+
+def test_operation_latency_trend_approx_face_close_to_exact(spark):
+    """The 100 TB face (percentile_approx) tracks the exact p50 within the
+    sketch accuracy on a group large enough for the sketch to matter.
+    (On tiny groups the two faces legitimately diverge: exact interpolates
+    between the two middle elements, approx returns an observed element —
+    so the guarantee is rank-based, tested here at n=1001 where rank and
+    value coincide.)"""
+    rows = [
+        mk(trace_id=f"t{i}", span_id=f"s{i}", service="s", operation="o",
+           start=T0 + i, duration=1000 + i)
+        for i in range(1001)
+    ]
+    exact, approx = _patched(
+        spark,
+        rows,
+        lambda: (
+            EQ.q_operation_latency_trend(spark, "ignored").collect(),
+            EQ.q_operation_latency_trend(spark, "ignored", approx=True).collect(),
+        ),
+    )
+    assert exact[0]["p50"] == 1500.0
+    assert abs(approx[0]["p50"] - 1500.0) <= 1.0  # accuracy 10000, n 1001
+
+
+def test_round5b_trace_operators_have_no_global_bottleneck(spark):
+    """Plan guards for the batch: no cartesian products, no
+    single-partition exchanges (every window/aggregate is keyed), and the
+    error_propagation parent lookup is an equi-join."""
+    from tests.test_plans import _plan
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        name: _plan(fn(spark, sf))
+        for name, fn in {
+            "retry_storms": EQ.q_retry_storms,
+            "error_propagation": EQ.q_error_propagation,
+            "service_entry_points": EQ.q_service_entry_points,
+            "operation_latency_trend": EQ.q_operation_latency_trend,
+            "network_deltas": EQ.q_network_deltas,
+        }.items()
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+    # the parent lookup is an equi-join, not a nested loop
+    assert "Join" in plans["error_propagation"]
+    assert "BroadcastNestedLoopJoin" not in plans["error_propagation"]
