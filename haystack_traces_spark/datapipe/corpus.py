@@ -863,3 +863,34 @@ def probe_overlap(
             F.coalesce("overlap", F.lit(0.0)).alias("overlap"),
         )
     )
+
+
+def split_leak_audit(pairs: DataFrame, assign: DataFrame) -> DataFrame:
+    """→ (split_a, split_b, n_leaky_pairs): near-duplicate pairs whose two
+    endpoints landed in DIFFERENT splits of an assignment — the audit
+    that catches eval leakage after the fact. Run against
+    :func:`split_assign` it quantifies the hole (near-copies of test
+    docs sitting in train); run against :func:`leakage_safe_split` it
+    must return zero rows (pinned by test), because cluster members hash
+    on their canonical id.
+
+    ``pairs``: (doc_a, doc_b, …) flagged near-dup pairs. ``assign``:
+    (doc_id, split, …). Split pairs are canonical (least/greatest).
+
+    Scale shape: the pair table is output-side (small); it broadcasts
+    onto the assignment twice — the corpus-sized assignment never
+    shuffles."""
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    with_a = a.join(F.broadcast(pairs.select("doc_a", "doc_b")), "doc_a")
+    flagged = b.join(F.broadcast(with_a), "doc_b")
+    return (
+        flagged.filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
+        .orderBy("split_a", "split_b")
+    )

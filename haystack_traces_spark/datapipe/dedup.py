@@ -870,3 +870,35 @@ def minhash_estimate_pairs(
             "abs_err"
         ),
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """→ (doc_id, n_shingles, n_unique, novelty): per-document originality
+    — the fraction of the doc's distinct word ``n``-grams that appear in
+    NO other document (global df = 1). The inverse view of the dedup
+    family: dup_ngram_rate measures how much of the corpus is repeated,
+    this scores each doc by how much of it is fresh — a curation signal
+    (novelty ≈ 0 → boilerplate/syndication even when no single pair
+    crosses the near-dup threshold; docs shorter than ``n`` words carry
+    no shingles and are absent, same as the dedup operators).
+
+    Scale shape: shingle rows ride one combinable df count keyed by
+    shingle, join back on the same shingle key (co-partitioned — the df
+    aggregate's exchange is reused), then one per-doc rollup. Hot
+    shingles skew the df JOIN's key distribution, but the df table's
+    per-key row count is 1 by construction, so the join fan-out is
+    bounded by the shingle rows themselves — no quadratic bucket."""
+    sh = shingle_rows(docs, n=n)
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 6)
+        )
+        .orderBy("doc_id")
+    )

@@ -2339,6 +2339,134 @@ FROM (SELECT doc_id, group_id, {b} AS bucket FROM based)
 """
 
 
+ZIPF_TOP_N = 1000
+COOC_WINDOW = 3
+COOC_TOP_N = 100
+
+
+def q_zipf_fit(spark, sf_dir):
+    return X.zipf_fit(_docs(spark, sf_dir), ZIPF_TOP_N)
+
+
+def sql_zipf_fit() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, lower(UNNEST(string_split(text, ' '))) AS w FROM documents
+),
+counts AS (SELECT source, w, COUNT(*) AS cn FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, cn,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cn DESC, w ASC) AS r
+  FROM counts
+),
+s AS (
+  SELECT source, COUNT(*) AS n,
+         AVG(ln(r)) AS mx, AVG(ln(cn)) AS my,
+         SUM(ln(r) * ln(cn)) AS sxy, SUM(ln(r) * ln(r)) AS sxx
+  FROM ranked WHERE r <= {ZIPF_TOP_N} GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_vocab,
+       ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS zipf_slope,
+       ROUND(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx, 6)
+         AS zipf_intercept
+FROM s ORDER BY source
+"""
+
+
+def q_char_entropy(spark, sf_dir):
+    return X.char_entropy(_docs(spark, sf_dir))
+
+
+def sql_char_entropy() -> str:
+    return """
+WITH ch AS (
+  SELECT doc_id, c AS ch
+  FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS cn FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cn) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(ln(CAST(SUM(cn) AS DOUBLE))
+             - SUM(cn * ln(CAST(cn AS DOUBLE))) / SUM(cn), 6) AS char_entropy
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_window_cooccurrence(spark, sf_dir):
+    return X.window_cooccurrence(_docs(spark, sf_dir), COOC_WINDOW, COOC_TOP_N)
+
+
+def sql_window_cooccurrence() -> str:
+    return f"""
+WITH tp AS (
+  SELECT doc_id, i AS pos, lower(string_split(text, ' ')[i]) AS w
+  FROM documents,
+       UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+)
+SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tp a
+JOIN tp b ON b.doc_id = a.doc_id
+         AND b.pos BETWEEN a.pos + 1 AND a.pos + {COOC_WINDOW}
+GROUP BY 1, 2
+ORDER BY n DESC, w1 ASC, w2 ASC
+LIMIT {COOC_TOP_N}
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    return D.ngram_novelty(_docs(spark, sf_dir))
+
+
+def sql_ngram_novelty() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN dfc USING (s)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_split_leak_audit(spark, sf_dir):
+    """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
+    pairs (session-cached stage) whose endpoints straddle splits. The
+    leakage_safe_split assignment audits to ZERO rows by construction
+    (pinned in tests/test_datapipe.py)."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir)
+    return C.split_leak_audit(
+        _jaccard_pairs(spark, sf_dir), C.split_assign(docs)
+    )
+
+
+def sql_split_leak_audit() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS},
+flagged AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+assign AS ({C.sql_split_assign().strip()})
+SELECT LEAST(x.split, y.split) AS split_a,
+       GREATEST(x.split, y.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+FROM flagged f
+JOIN assign x ON x.doc_id = f.doc_a
+JOIN assign y ON y.doc_id = f.doc_b
+WHERE x.split <> y.split
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # NOTE: the driver-sample rotation is now governed by
@@ -2366,6 +2494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_quality": q_minhash_est_quality,
         "token_dist_shift": q_token_dist_shift,
         "neardup_rate_by_source": q_neardup_rate_by_source,
+        # round-5 second batch (queued in _ROTATION_QUEUE round-9/10):
+        "zipf_fit": q_zipf_fit,
+        "char_entropy": q_char_entropy,
+        "window_cooccurrence": q_window_cooccurrence,
+        "ngram_novelty": q_ngram_novelty,
+        "split_leak_audit": q_split_leak_audit,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2429,6 +2563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_fit": sql_zipf_fit(),
+        "char_entropy": sql_char_entropy(),
+        "window_cooccurrence": sql_window_cooccurrence(),
+        "ngram_novelty": sql_ngram_novelty(),
+        "split_leak_audit": sql_split_leak_audit(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

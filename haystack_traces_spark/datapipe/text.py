@@ -805,3 +805,132 @@ def chunk_windows(
             .alias("chunk_tokens"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame, top_n: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """→ (source, n_vocab, zipf_slope, zipf_intercept): per-source OLS fit
+    of ln(freq) ~ ln(rank) over the source's ``top_n`` most frequent
+    lowercased tokens. Natural text tracks slope ≈ −1 (Zipf's law);
+    machine-generated / templated / boilerplate-heavy feeds bend the
+    curve — a flat head (slope ≫ −1) means token spam, a cliff
+    (slope ≪ −1) means tiny effective vocabulary. A corpus-health
+    fingerprint that needs no labels.
+
+    Scale shape: one combinable (source, token) count shuffle, a rank
+    window per SOURCE over its vocabulary (bounded by vocab, not corpus;
+    pre-filter rare tokens to cap it further at extreme vocab), and a
+    per-source OLS aggregate (sums/avgs — map-side combinable). Rank
+    ties break (count desc, token asc) so the fitted set is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.transform(_tokens(text_col), lambda w: F.lower(w))
+        ).alias("w"),
+    )
+    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cn"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("cn").desc(), F.col("w").asc()
+    )
+    ranked = counts.withColumn("r", F.row_number().over(win)).filter(
+        F.col("r") <= top_n
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("cn").cast("double"))
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("zipf_intercept"),
+    ).orderBy("source")
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_chars, n_distinct_chars, char_entropy): per-document
+    Shannon entropy of the character distribution,
+    H = ln(n) − Σ c·ln(c) / n (nats). The cheap gibberish detector:
+    base64 blobs / hex dumps sit near the uniform ceiling, repeated-char
+    spam near 0, natural language in a tight band — a standard fasttext-
+    era quality feature computed without any model.
+
+    Scale shape: one combinable (doc_id, char) count shuffle (per-doc
+    alphabet is tiny, so partials collapse map-side) and one per-doc
+    rollup. No windows, no Python."""
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cn"))
+    n = F.sum("cn")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.log(n.cast("double"))
+                - F.sum(F.col("cn") * F.log(F.col("cn").cast("double"))) / n,
+                6,
+            ).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def window_cooccurrence(
+    docs: DataFrame,
+    window: int = 3,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (w1, w2, n): top-``top_n`` unordered token co-occurrence pairs
+    within a ±``window`` token window — the skip-gram count table
+    (word2vec/GloVe input, association mining beyond pmi_collocations'
+    adjacent bigrams). Pairs are canonical (w1 ≤ w2).
+
+    Scale shape: the quadratic-looking window join is linearized — the
+    left side explodes each position into its ``window`` forward target
+    positions, turning proximity into an EQUI-join on (doc_id, pos)
+    (co-partitioned, positions unique per doc → no skew); pair counts
+    combine map-side; top-N is TakeOrderedAndProject. Work is
+    window × tokens, never tokens²."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(_tokens(text_col), lambda w: F.lower(w))
+        ).alias("pos", "w"),
+    )
+    left = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos2"),
+        F.col("w").alias("wa"),
+    )
+    right = toks.select(
+        "doc_id", F.col("pos").alias("pos2"), F.col("w").alias("wb")
+    )
+    return (
+        left.join(right, ["doc_id", "pos2"])
+        .select(
+            F.least("wa", "wb").alias("w1"),
+            F.greatest("wa", "wb").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_n)
+    )

@@ -2656,6 +2656,12 @@ _ROTATION_QUEUE = (
     "service_entry_points",
     "operation_latency_trend",
     "network_deltas",
+    # round-10 queue:
+    "zipf_fit",
+    "char_entropy",
+    "window_cooccurrence",
+    "ngram_novelty",
+    "split_leak_audit",
 )
 
 

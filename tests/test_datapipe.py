@@ -1202,3 +1202,108 @@ class TestRound5Operators:
             # every non-final chunk is full-width
             for r in chunks[:-1]:
                 assert r["chunk_tokens"] == window
+
+
+# ------------------------------------------------ round-5b operators ------
+class TestRound5bOperators:
+    def test_zipf_fit_recovers_exact_power_law(self, spark):
+        """Token counts 12/r at ranks 1..4 are an EXACT Zipf curve:
+        ln(cn) = ln(12) - ln(r), so OLS must return slope -1 and
+        intercept ln(12) to the rounding digit."""
+        from haystack_traces_spark.datapipe import text as X
+
+        text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+        df = spark.createDataFrame(
+            [(1, text, "src")], "doc_id long, text string, source string"
+        )
+        out = X.zipf_fit(df).collect()
+        assert [r.asDict() for r in out] == [
+            {
+                "source": "src",
+                "n_vocab": 4,
+                "zipf_slope": -1.0,
+                "zipf_intercept": 2.484907,  # ln(12)
+            }
+        ]
+
+    def test_char_entropy_extremes(self, spark):
+        """Single repeated char → 0 nats; two equiprobable chars → ln 2;
+        empty text carries no chars and is absent."""
+        from haystack_traces_spark.datapipe import text as X
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "ab"), (3, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r.asDict() for r in X.char_entropy(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_chars"] == 4
+        assert out[1]["n_distinct_chars"] == 1
+        assert out[1]["char_entropy"] == 0.0
+        assert out[2]["char_entropy"] == 0.693147  # ln 2
+
+    def test_window_cooccurrence_window_and_canonical_pairs(self, spark):
+        """window=2 over 'a b c d' pairs each token with its next two;
+        'b a' counts toward the canonical (a, b) pair."""
+        from haystack_traces_spark.datapipe import text as X
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "b a")], "doc_id long, text string"
+        )
+        out = {
+            (r["w1"], r["w2"]): r["n"]
+            for r in X.window_cooccurrence(df, window=2, top_n=100).collect()
+        }
+        assert out == {
+            ("a", "b"): 2,  # once from doc 1, once (reversed) from doc 2
+            ("a", "c"): 1,
+            ("b", "c"): 1,
+            ("b", "d"): 1,
+            ("c", "d"): 1,
+        }
+
+    def test_ngram_novelty_shared_vs_unique(self, spark):
+        """Twin docs share every shingle (novelty 0); a distinct doc is
+        fully novel (novelty 1); a doc shorter than n words is absent."""
+        from haystack_traces_spark.datapipe import dedup as D
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "the quick brown fox jumps"),
+                (3, "completely different words entirely here"),
+                (4, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in D.ngram_novelty(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+        assert out[3]["novelty"] == 1.0
+        assert out[3]["n_shingles"] == out[3]["n_unique"] == 3
+
+    def test_split_leak_audit_flags_straddlers_only(self, spark):
+        from haystack_traces_spark.datapipe import corpus as C
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4)], "doc_a long, doc_b long"
+        )
+        assign = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+            "doc_id long, split string",
+        )
+        out = C.split_leak_audit(pairs, assign).collect()
+        assert [r.asDict() for r in out] == [
+            {"split_a": "test", "split_b": "train", "n_leaky_pairs": 1}
+        ]
+
+    def test_leakage_safe_split_audits_to_zero(self, docs, spark):
+        """The audit run against the duplicate-aware assignment must be
+        EMPTY on the real corpus — closing the loop between the two
+        operators."""
+        from haystack_traces_spark.datapipe import corpus as C
+        from haystack_traces_spark.datapipe import dedup as D
+
+        pairs = D.ngram_jaccard_pairs(docs, 0.8)
+        clusters = D.dup_clusters(pairs)
+        safe = C.leakage_safe_split(docs, clusters)
+        assert C.split_leak_audit(pairs, safe).count() == 0

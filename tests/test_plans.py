@@ -417,3 +417,29 @@ def test_round5_operators_have_no_global_bottleneck(spark):
         )
     probe_plan = _plan(Q.q_probe_overlap(spark, sf))
     assert "BroadcastHashJoin" in probe_plan or "BroadcastExchange" in probe_plan
+
+
+def test_round5b_dp_operators_have_no_global_bottleneck(spark):
+    """Round-5 second batch: no cartesian products; zipf_fit's rank
+    window partitions per SOURCE (never single-partition);
+    window_cooccurrence's proximity join is an equi-join (the
+    linearization is the whole design); split_leak_audit broadcasts the
+    pair table so the corpus-sized assignment never shuffles into a
+    sort-merge join."""
+    from haystack_traces_spark.datapipe import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in {
+        "zipf_fit": Q.q_zipf_fit,
+        "char_entropy": Q.q_char_entropy,
+        "ngram_novelty": Q.q_ngram_novelty,
+    }.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+    cooc = _plan(Q.q_window_cooccurrence(spark, sf))
+    assert "CartesianProduct" not in cooc
+    assert "BroadcastNestedLoopJoin" not in cooc
+    audit = _plan(Q.q_split_leak_audit(spark, sf))
+    assert "SortMergeJoin" not in audit, audit[:1500]
+    assert "BroadcastHashJoin" in audit
