@@ -882,13 +882,15 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     crosses the near-dup threshold; docs shorter than ``n`` words carry
     no shingles and are absent, same as the dedup operators).
 
-    Scale shape: shingle rows ride one combinable df count keyed by
-    shingle, join back on the same shingle key (co-partitioned — the df
-    aggregate's exchange is reused), then one per-doc rollup. Hot
-    shingles skew the df JOIN's key distribution, but the df table's
-    per-key row count is 1 by construction, so the join fan-out is
-    bounded by the shingle rows themselves — no quadratic bucket."""
-    sh = shingle_rows(docs, n=n)
+    Scale shape: shingle rows feed BOTH the df count and the join-back
+    left side — materialized once (query-scoped pin, the house pattern
+    for corpus-sized intermediates) so the tokenization pass runs once,
+    then one combinable df count keyed by shingle, the join back on the
+    same key, and a per-doc rollup. Hot shingles skew the df JOIN's key
+    distribution, but the df table's per-key row count is 1 by
+    construction, so the join fan-out is bounded by the shingle rows
+    themselves — no quadratic bucket."""
+    sh = materialize(shingle_rows(docs, n=n))
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df_counts, "s")

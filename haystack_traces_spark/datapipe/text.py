@@ -906,12 +906,18 @@ def window_cooccurrence(
     positions, turning proximity into an EQUI-join on (doc_id, pos)
     (co-partitioned, positions unique per doc → no skew); pair counts
     combine map-side; top-N is TakeOrderedAndProject. Work is
-    window × tokens, never tokens²."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(_tokens(text_col), lambda w: F.lower(w))
-        ).alias("pos", "w"),
+    window × tokens, never tokens². The positioned-token table feeds
+    both join sides — materialized once so the corpus is scanned and
+    tokenized once, not per side."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = materialize(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(_tokens(text_col), lambda w: F.lower(w))
+            ).alias("pos", "w"),
+        )
     )
     left = toks.select(
         "doc_id",

@@ -398,9 +398,20 @@ FROM spans WHERE trace_id = '42'
     )
 
 
-def _cs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out, materialize
+def _cs_spans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE events→cs-span projection path (scan + fan_out + pair
+    explode) — single-consumer callers (network_deltas) use it unpinned;
+    multi-consumer pipeline queries go through :func:`_cs_spans`."""
+    from haystack_traces_spark.session import fan_out
     from haystack_traces_spark.sources.events import spans_cs_from_events
+
+    return spans_cs_from_events(
+        fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    )
+
+
+def _cs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haystack_traces_spark.session import materialize
 
     # the cs projection (scan + trace window + pair explode) feeds BOTH the
     # search-index build inside _cs_search_ids AND the fetch semi-join of
@@ -408,9 +419,7 @@ def _cs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's cache manager shares it across the processed/call-graph pair
     # until release_materialized()); on a cluster this is "write the
     # projected span table once", the reference's own indexer architecture
-    return materialize(
-        spans_cs_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
-    )
+    return materialize(_cs_spans_raw(spark, sf_dir))
 
 
 # Search over the cs-span index shared by the two pipeline queries: traces
@@ -1227,6 +1236,16 @@ LIMIT {SLOW_K}
 ERROR_THRESHOLD = 50
 
 
+def _errorcode() -> F.Column:
+    """Typed errorcode tag as LONG, 0 when the tag is absent — the shared
+    left side of the `errorcode >= ERROR_THRESHOLD` demo predicate every
+    error-analytics operator applies (one definition so the operators
+    cannot drift on tag handling)."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    return F.coalesce(tag_str("tags", "errorcode").try_cast("long"), F.lit(0))
+
+
 def q_operation_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(service, operation) error-rate rollup — the reader-side ops
     dashboard aggregate. The synthetic corpus has no boolean error tag, so
@@ -1563,7 +1582,6 @@ def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation_error_rates' flat error volume. Depth rides the shared
     timeline walk; ties break deepest-then-lowest-span_id."""
     from haystack_traces_spark.operators.timeline import trace_timeline
-    from haystack_traces_spark.transform.tags import tag_str
 
     spans = _spans(spark, sf_dir)
     err_spans = spans.select(
@@ -1571,12 +1589,7 @@ def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_id",
         F.lower("service_name").alias("servicename"),
         F.lower("operation_name").alias("operationname"),
-        (
-            F.coalesce(
-                tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
-            )
-            >= ERROR_THRESHOLD
-        ).alias("is_err"),
+        (_errorcode() >= ERROR_THRESHOLD).alias("is_err"),
     ).filter("is_err")
     # the grouped-map depth walk is the dominant cost — run it over the
     # FAILING traces only (depth is per-trace-local, so the semi-join
@@ -2149,15 +2162,11 @@ def q_error_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing-services-per-trace fan-out (single digits), never span
     volume. Pairs are canonical (svc_a < svc_b)."""
     spans = _spans(spark, sf_dir)
-    from haystack_traces_spark.transform.tags import tag_str
-
     fail = (
         spans.select(
             "trace_id",
             F.lower("service_name").alias("svc"),
-            F.coalesce(
-                tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
-            ).alias("ec"),
+            _errorcode().alias("ec"),
         )
         .filter(F.col("ec") >= ERROR_THRESHOLD)
         .select("trace_id", "svc")
@@ -2274,17 +2283,11 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash60 on trace_id — reproducible across engines and restarts, no
     RNG state)."""
     from haystack_traces_spark.datapipe.hashing import hash60
-    from haystack_traces_spark.transform.tags import tag_str
 
     spans = _spans(spark, sf_dir)
     per_trace = spans.groupBy("trace_id").agg(
         F.max(
-            (
-                F.coalesce(
-                    tag_str("tags", "errorcode").try_cast("long"), F.lit(0)
-                )
-                >= ERROR_THRESHOLD
-            ).cast("int")
+            (_errorcode() >= ERROR_THRESHOLD).cast("int")
         ).alias("has_error"),
         (
             F.max(F.col("start_time") + F.col("duration"))
@@ -2397,12 +2400,10 @@ def q_error_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trace_id, span-key) — the parent lookup is a keyed equi-join, never
     a cartesian, and the output is bounded by the service-pair
     catalog."""
-    from haystack_traces_spark.transform.tags import tag_str
-
     spans = _spans(spark, sf_dir)
-    ec = F.coalesce(tag_str("tags", "errorcode").try_cast("long"), F.lit(0))
     base = spans.select(
-        "trace_id", "span_id", "parent_span_id", "service_name", ec.alias("ec")
+        "trace_id", "span_id", "parent_span_id", "service_name",
+        _errorcode().alias("ec"),
     )
     child = base.filter(
         (F.col("ec") >= ERROR_THRESHOLD) & (F.col("parent_span_id") != "")
@@ -2557,13 +2558,7 @@ def q_network_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one aggregate keyed (trace_id, span_id) — rides the
     trace exchange — then a tiny (caller, callee) rollup."""
-    from haystack_traces_spark.sources.events import spans_cs_from_events
-    from haystack_traces_spark.session import fan_out
-
-    cs = spans_cs_from_events(
-        fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    )
-    return network_deltas(cs)
+    return network_deltas(_cs_spans_raw(spark, sf_dir))
 
 
 def network_deltas(cs: DataFrame) -> DataFrame:

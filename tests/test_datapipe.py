@@ -1307,3 +1307,14 @@ class TestRound5bOperators:
         clusters = D.dup_clusters(pairs)
         safe = C.leakage_safe_split(docs, clusters)
         assert C.split_leak_audit(pairs, safe).count() == 0
+
+    def test_window_cooccurrence_rejects_degenerate_window(self, spark):
+        """window=0 would turn F.sequence into a DESCENDING range and
+        fabricate self-pairs — guarded with an explicit raise."""
+        import pytest
+
+        from haystack_traces_spark.datapipe import text as X
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="window"):
+            X.window_cooccurrence(df, window=0)
