@@ -2610,6 +2610,210 @@ GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+def q_error_latency_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service latency TAX of failure: mean duration of errored spans
+    vs clean spans and their ratio — errors that are also slow (timeouts,
+    retry exhaustion) read > 1, fast-fail errors < 1. The triage hint
+    that separates "failing slow" (capacity/timeout work) from "failing
+    fast" (validation/4xx work). Services with no error spans report a
+    NULL tax (consistent cross-engine: AVG over an empty slice).
+
+    Scale shape: ONE map-side-combinable aggregate (conditional sums) —
+    no joins, no windows."""
+    spans = _spans(spark, sf_dir)
+    is_err = _errorcode() >= ERROR_THRESHOLD
+    return (
+        spans.groupBy("service_name")
+        .agg(
+            F.count(F.when(~is_err, 1)).cast("long").alias("n_ok"),
+            F.count(F.when(is_err, 1)).cast("long").alias("n_err"),
+            F.round(F.avg(F.when(~is_err, F.col("duration"))), 6).alias("avg_ok"),
+            F.round(F.avg(F.when(is_err, F.col("duration"))), 6).alias("avg_err"),
+        )
+        .withColumn(
+            "tax_ratio", F.round(F.col("avg_err") / F.col("avg_ok"), 6)
+        )
+        .orderBy("service_name")
+    )
+
+
+def sql_error_latency_tax() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, t AS (
+  SELECT service_name,
+         CAST(COUNT(CASE WHEN errorcode < {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_ok,
+         CAST(COUNT(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_err,
+         ROUND(AVG(CASE WHEN errorcode < {ERROR_THRESHOLD} THEN duration END), 6) AS avg_ok,
+         ROUND(AVG(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN duration END), 6) AS avg_err
+  FROM spans GROUP BY service_name
+)
+SELECT service_name, n_ok, n_err, avg_ok, avg_err,
+       ROUND(avg_err / avg_ok, 6) AS tax_ratio
+FROM t ORDER BY service_name
+"""
+    )
+
+
+MAD_K = 5.0
+
+
+def q_span_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics counterpart of span_anomalies: spans whose
+    |duration − median| exceeds ``MAD_K`` × the group's median absolute
+    deviation, per (service, operation). Unlike the z-score face, the
+    median/MAD pair is immune to the outliers it is hunting (one 10-min
+    hang inflates a stddev enough to hide second-tier stragglers; it
+    moves a median by one rank). Groups with MAD 0 (constant durations)
+    are excluded — any deviation there is trivially "infinite".
+
+    Scale shape: two combinable (svc, op) aggregates (median, then MAD of
+    deviations against the broadcast median table) + the tiny stats
+    broadcast back onto the span scan; robust z rounded before the
+    threshold compare (cross-engine float discipline)."""
+    spans = _spans(spark, sf_dir).select(
+        "trace_id", "span_id", "service_name", "operation_name", "duration"
+    )
+    med = spans.groupBy("service_name", "operation_name").agg(
+        F.percentile("duration", F.lit(0.5)).alias("med")
+    )
+    dev = spans.join(F.broadcast(med), ["service_name", "operation_name"])
+    mad = dev.groupBy("service_name", "operation_name").agg(
+        F.percentile(F.abs(F.col("duration") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    rz = F.round(F.abs(F.col("duration") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), ["service_name", "operation_name"])
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.col("robust_z") >= MAD_K)
+        .select(
+            "trace_id",
+            "span_id",
+            "service_name",
+            "operation_name",
+            F.col("duration").cast("long").alias("duration"),
+            "robust_z",
+        )
+        .orderBy("trace_id", "span_id")
+    )
+
+
+def sql_span_mad_outliers() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, med AS (
+  SELECT service_name, operation_name, quantile_cont(duration, 0.5) AS med
+  FROM spans GROUP BY 1, 2
+),
+madt AS (
+  SELECT s.service_name, s.operation_name,
+         quantile_cont(abs(s.duration - m.med), 0.5) AS mad
+  FROM spans s JOIN med m USING (service_name, operation_name)
+  GROUP BY 1, 2
+)
+SELECT s.trace_id, s.span_id, s.service_name, s.operation_name,
+       CAST(s.duration AS BIGINT) AS duration,
+       ROUND(abs(s.duration - m.med) / t.mad, 6) AS robust_z
+FROM spans s
+JOIN med m USING (service_name, operation_name)
+JOIN madt t USING (service_name, operation_name)
+WHERE t.mad > 0 AND ROUND(abs(s.duration - m.med) / t.mad, 6) >= {MAD_K}
+ORDER BY s.trace_id, s.span_id
+"""
+    )
+
+
+def q_operation_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-surface tracking: how many NEVER-BEFORE-SEEN
+    (service, operation) pairs first appear on each day — a spike marks a
+    rollout (new endpoints), a trickle marks instrumentation drift. Two
+    combinable aggregates ((svc, op) → min day, then day → count); output
+    is calendar-bounded."""
+    spans = _spans(spark, sf_dir)
+    day = F.col("start_time") - F.col("start_time") % DAY_US
+    first = spans.groupBy("service_name", "operation_name").agg(
+        F.min(day).alias("day_us")
+    )
+    return (
+        first.groupBy("day_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_ops"))
+        .orderBy("day_us")
+    )
+
+
+def sql_operation_first_seen() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, first AS (
+  SELECT service_name, operation_name,
+         MIN(start_time - start_time % {DAY_US}) AS day_us
+  FROM spans GROUP BY 1, 2
+)
+SELECT day_us, CAST(COUNT(*) AS BIGINT) AS n_new_ops
+FROM first GROUP BY day_us ORDER BY day_us
+"""
+    )
+
+
+def q_parent_child_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(parent service → child service) HANDOFF latency: the gap
+    between the parent span's start and each child span's start — queue
+    wait + network + parent-side processing before the downstream call
+    is issued. Complements network_deltas (wire-only, from the cs pairs)
+    with the full scheduling delay along every call edge.
+
+    Scale shape: keyed equi-join of spans to their parents on
+    (trace_id, span-key) — same shape as error_propagation but over full
+    span volume, so both sides shuffle once on the trace-key composite;
+    the rollup is bounded by the service-pair catalog."""
+    spans = _spans(spark, sf_dir)
+    child = spans.filter(F.col("parent_span_id") != "").select(
+        "trace_id",
+        "parent_span_id",
+        F.col("service_name").alias("child_svc"),
+        F.col("start_time").alias("child_start"),
+    )
+    parent = spans.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.col("service_name").alias("parent_svc"),
+        F.col("start_time").alias("parent_start"),
+    )
+    gap = F.col("child_start") - F.col("parent_start")
+    return (
+        child.join(parent, ["trace_id", "parent_span_id"])
+        .groupBy("parent_svc", "child_svc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.round(F.avg(gap), 6).alias("avg_gap"),
+            F.max(gap).cast("long").alias("max_gap"),
+        )
+        .orderBy("parent_svc", "child_svc")
+    )
+
+
+def sql_parent_child_latency() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT p.service_name AS parent_svc, c.service_name AS child_svc,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       ROUND(AVG(c.start_time - p.start_time), 6) AS avg_gap,
+       CAST(MAX(c.start_time - p.start_time) AS BIGINT) AS max_gap
+FROM spans c
+JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+WHERE c.parent_span_id <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -2657,6 +2861,11 @@ _ROTATION_QUEUE = (
     "window_cooccurrence",
     "ngram_novelty",
     "split_leak_audit",
+    # round-11 queue:
+    "error_latency_tax",
+    "span_mad_outliers",
+    "operation_first_seen",
+    "parent_child_latency",
 )
 
 
@@ -2731,6 +2940,10 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_entry_points": q_service_entry_points,
         "operation_latency_trend": q_operation_latency_trend,
         "network_deltas": q_network_deltas,
+        "error_latency_tax": q_error_latency_tax,
+        "span_mad_outliers": q_span_mad_outliers,
+        "operation_first_seen": q_operation_first_seen,
+        "parent_child_latency": q_parent_child_latency,
     }
 
 
@@ -2799,4 +3012,8 @@ def _trace_oracles() -> dict[str, str]:
         "service_entry_points": sql_service_entry_points(),
         "operation_latency_trend": sql_operation_latency_trend(),
         "network_deltas": sql_network_deltas(),
+        "error_latency_tax": sql_error_latency_tax(),
+        "span_mad_outliers": sql_span_mad_outliers(),
+        "operation_first_seen": sql_operation_first_seen(),
+        "parent_child_latency": sql_parent_child_latency(),
     }

@@ -224,6 +224,10 @@ def test_round5b_trace_operators_have_no_global_bottleneck(spark):
             "service_entry_points": EQ.q_service_entry_points,
             "operation_latency_trend": EQ.q_operation_latency_trend,
             "network_deltas": EQ.q_network_deltas,
+            "error_latency_tax": EQ.q_error_latency_tax,
+            "span_mad_outliers": EQ.q_span_mad_outliers,
+            "operation_first_seen": EQ.q_operation_first_seen,
+            "parent_child_latency": EQ.q_parent_child_latency,
         }.items()
     }
     for name, plan in plans.items():
@@ -232,3 +236,85 @@ def test_round5b_trace_operators_have_no_global_bottleneck(spark):
     # the parent lookup is an equi-join, not a nested loop
     assert "Join" in plans["error_propagation"]
     assert "BroadcastNestedLoopJoin" not in plans["error_propagation"]
+    # the MAD stats tables join back onto the span scan as broadcasts
+    assert "BroadcastHashJoin" in plans["span_mad_outliers"]
+
+
+def test_error_latency_tax_ratio_and_null_for_error_free(spark):
+    err = [{"key": "errorcode", "vtype": "LONG", "vstr": None, "vlong": 60,
+            "vdouble": None, "vbool": None, "vbytes": None}]
+    rows = [
+        mk(trace_id="t", span_id="a", service="svc", duration=100),
+        mk(trace_id="t", span_id="b", service="svc", duration=300, tags=err),
+        mk(trace_id="t", span_id="c", service="svc", duration=100, tags=err),
+        mk(trace_id="t", span_id="d", service="clean", duration=50),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_error_latency_tax(spark, "ignored").collect()
+    )
+    got = {r["service_name"]: r.asDict() for r in out}
+    assert got["svc"]["n_ok"] == 1 and got["svc"]["n_err"] == 2
+    assert got["svc"]["avg_ok"] == 100.0 and got["svc"]["avg_err"] == 200.0
+    assert got["svc"]["tax_ratio"] == 2.0
+    assert got["clean"]["n_err"] == 0
+    assert got["clean"]["avg_err"] is None and got["clean"]["tax_ratio"] is None
+
+
+def test_span_mad_outliers_robust_to_the_outlier_and_skips_mad_zero(spark):
+    rows = [
+        mk(trace_id="t", span_id=f"s{i}", service="s", operation="o",
+           duration=d)
+        for i, d in enumerate([8, 10, 10, 12, 1000])
+    ] + [
+        # constant-duration group: MAD 0, excluded even though every
+        # deviation from a different center would be "infinite"
+        mk(trace_id="t", span_id=f"c{i}", service="s", operation="const",
+           duration=7)
+        for i in range(3)
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_span_mad_outliers(spark, "ignored").collect(),
+    )
+    assert [(r["span_id"], r["duration"], r["robust_z"]) for r in out] == [
+        ("s4", 1000, 495.0)
+    ]
+
+
+def test_operation_first_seen_counts_only_debuts(spark):
+    rows = [
+        mk(trace_id="t1", span_id="a", service="s", operation="op_a", start=T0),
+        mk(trace_id="t2", span_id="b", service="s", operation="op_a",
+           start=T0 + DAY_US),  # repeat — not a debut
+        mk(trace_id="t3", span_id="c", service="s", operation="op_b",
+           start=T0 + DAY_US),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_operation_first_seen(spark, "ignored").collect(),
+    )
+    assert [(r["day_us"], r["n_new_ops"]) for r in out] == [
+        (T0, 1),
+        (T0 + DAY_US, 1),
+    ]
+
+
+def test_parent_child_latency_gap_stats(spark):
+    rows = [
+        mk(trace_id="t", span_id="p", service="up", start=100, duration=500),
+        mk(trace_id="t", span_id="c1", parent="p", service="down",
+           start=150, duration=10),
+        mk(trace_id="t", span_id="c2", parent="p", service="down",
+           start=250, duration=10),
+        # orphan child: no parent row, excluded
+        mk(trace_id="t", span_id="c3", parent="ghost", service="down",
+           start=400, duration=10),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_parent_child_latency(spark, "ignored").collect(),
+    )
+    assert [r.asDict() for r in out] == [
+        {"parent_svc": "up", "child_svc": "down", "n_calls": 2,
+         "avg_gap": 100.0, "max_gap": 150}
+    ]
