@@ -612,10 +612,22 @@ KNN_GRAPH_K = 3
 KNN_GRAPH_PLANES = 6
 
 
-def q_ann_knn_graph(spark, sf_dir):
-    return S.lsh_knn_graph(
-        _emb(spark, sf_dir), KNN_GRAPH_K, planes_per_table=KNN_GRAPH_PLANES
+def _knn_graph_stage(spark, sf_dir):
+    """Session-cached kNN graph (output-side: |vectors| × K edges) —
+    shared by ann_knn_graph, knn_label_consistency's scale face, and
+    knn_hubness, mirroring a persisted neighbor table in production."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "knn_graph",
+        lambda: S.lsh_knn_graph(
+            _emb(spark, sf_dir), KNN_GRAPH_K, planes_per_table=KNN_GRAPH_PLANES
+        ),
     )
+
+
+def q_ann_knn_graph(spark, sf_dir):
+    return _knn_graph_stage(spark, sf_dir)
 
 
 def sql_ann_knn_graph() -> str:
@@ -2434,6 +2446,85 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+HUB_DEGREE = 3 * ANN_K
+
+
+def q_knn_hubness(spark, sf_dir):
+    """Hubness over the session-cached kNN graph (stage shared with
+    ann_knn_graph — a persisted neighbor table in production)."""
+    return S.knn_hubness(
+        _emb(spark, sf_dir), _knn_graph_stage(spark, sf_dir), HUB_DEGREE
+    )
+
+
+def sql_knn_hubness() -> str:
+    return f"""
+WITH g AS ({sql_ann_knn_graph().strip()}),
+indeg AS (SELECT neighbor_id AS vec_id, COUNT(*) AS d FROM g GROUP BY 1)
+SELECT e.vec_id,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree,
+       COALESCE(i.d, 0) >= {HUB_DEGREE} AS is_hub
+FROM embeddings e LEFT JOIN indeg i USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    return S.embedding_drift(_emb(spark, sf_dir))
+
+
+def sql_embedding_drift() -> str:
+    return """
+WITH parts AS (
+  SELECT label, i - 1 AS i, embedding[i] AS v
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+lab AS (
+  SELECT label, i, AVG(v) AS lv, COUNT(*) AS n FROM parts GROUP BY 1, 2
+),
+gcent AS (SELECT i, AVG(v) AS gv FROM parts GROUP BY 1)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       ROUND(sqrt(SUM((lv - gv) * (lv - gv))), 6) AS drift
+FROM lab JOIN gcent USING (i)
+GROUP BY label ORDER BY label
+"""
+
+
+BURST_TOP_N = 50
+
+
+def q_token_burstiness(spark, sf_dir):
+    return X.token_burstiness(_docs(spark, sf_dir), BURST_TOP_N)
+
+
+def sql_token_burstiness() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(UNNEST(string_split(text, ' '))) AS token FROM documents
+),
+top AS (
+  SELECT token, COUNT(*) AS cn FROM toks GROUP BY 1
+  ORDER BY cn DESC, token ASC LIMIT {BURST_TOP_N}
+),
+per_doc AS (
+  SELECT t.doc_id, t.token, COUNT(*) AS c
+  FROM toks t JOIN top USING (token) GROUP BY 1, 2
+),
+nd AS (SELECT COUNT(*) AS D FROM documents),
+s AS (
+  SELECT token, COUNT(*) AS n_docs_with, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM per_doc GROUP BY token
+)
+SELECT token,
+       CAST(n_docs_with AS BIGINT) AS n_docs_with,
+       CAST(s1 AS BIGINT) AS total_cnt,
+       ROUND((s2 / CAST(D AS DOUBLE) - (s1 / CAST(D AS DOUBLE)) * (s1 / CAST(D AS DOUBLE)))
+             / (s1 / CAST(D AS DOUBLE)), 6) AS burstiness
+FROM s, nd ORDER BY token
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -2500,6 +2591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cooccurrence": q_window_cooccurrence,
         "ngram_novelty": q_ngram_novelty,
         "split_leak_audit": q_split_leak_audit,
+        "knn_hubness": q_knn_hubness,
+        "embedding_drift": q_embedding_drift,
+        "token_burstiness": q_token_burstiness,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2568,6 +2662,9 @@ def oracle_sql() -> dict[str, str]:
         "window_cooccurrence": sql_window_cooccurrence(),
         "ngram_novelty": sql_ngram_novelty(),
         "split_leak_audit": sql_split_leak_audit(),
+        "knn_hubness": sql_knn_hubness(),
+        "embedding_drift": sql_embedding_drift(),
+        "token_burstiness": sql_token_burstiness(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

@@ -1056,3 +1056,61 @@ def knn_label_consistency(
             F.round(F.col("n_same") / F.col("k_eff"), 6).alias("consistency"),
         )
     )
+
+
+def knn_hubness(
+    emb: DataFrame, graph: DataFrame, hub_degree: int
+) -> DataFrame:
+    """→ (vec_id, in_degree, is_hub): how often each vector appears as
+    someone ELSE'S nearest neighbor in ``graph`` (a kNN edge table with a
+    ``neighbor_id`` column) — the hubness pathology metric (Radovanović
+    2010): in high dimensions a few points become near-universal
+    neighbors, poisoning kNN graphs, dedup clustering and retrieval
+    diversity. Vectors nobody cites (in-degree 0, the anti-hubs) are
+    reported too via the left join.
+
+    Scale shape: the graph is output-side (|vectors| × K edges); one
+    combinable in-degree count + a left join keyed by vec_id."""
+    indeg = graph.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        emb.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("in_degree"),
+            (F.coalesce(F.col("d"), F.lit(0)) >= hub_degree).alias("is_hub"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """→ (label, n_vecs, drift): L2 distance between each label's
+    centroid and the global corpus centroid — the per-cohort embedding
+    drift gauge (swap label for source/time-bucket in production: a
+    cohort whose centroid wanders is delivering different content than
+    the mix was tuned for; the vector-space sibling of
+    token_dist_shift).
+
+    Scale shape: one posexplode over vectors feeding two combinable
+    (key, dim) mean aggregates (label and global), a dim-keyed broadcast
+    join of the two tiny centroid tables, then a per-label sum. No
+    Python, no windows, no |vectors|² anything."""
+    parts = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    lab = parts.groupBy("label", "i").agg(
+        F.avg("v").alias("lv"), F.count(F.lit(1)).alias("n")
+    )
+    gcent = parts.groupBy("i").agg(F.avg("v").alias("gv"))
+    return (
+        lab.join(F.broadcast(gcent), "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.round(
+                F.sqrt(F.sum((F.col("lv") - F.col("gv")) ** 2)), 6
+            ).alias("drift"),
+        )
+        .orderBy("label")
+    )

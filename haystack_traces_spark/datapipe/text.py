@@ -940,3 +940,55 @@ def window_cooccurrence(
         .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_n)
     )
+
+
+def token_burstiness(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """→ (token, n_docs_with, total_cnt, burstiness): variance-to-mean
+    ratio of per-document counts for the corpus's ``top_n`` tokens,
+    zeros included — Church & Gale's burstiness. VMR ≈ 1 is Poisson
+    scatter (function words); VMR ≫ 1 marks topical/bursty tokens that
+    concentrate in few docs — a keyword-ness signal orthogonal to raw
+    frequency, and a spam tell when a "stopword" turns bursty.
+
+    Scale shape: top-N vocab via one combinable count + TakeOrdered
+    (tiny, broadcast); per-(doc, token) counts ride one combinable
+    shuffle restricted to the broadcast vocab; the VMR needs only
+    Σx and Σx² per token (zeros contribute nothing to either sum —
+    they enter through the global doc count D, a one-row broadcast)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_tokens("text"), lambda w: F.lower(w))
+        ).alias("token"),
+    )
+    top = materialize(
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .orderBy(F.col("cn").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+    per_doc = (
+        toks.join(F.broadcast(top.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("D"))
+    mean = F.col("s1") / F.col("D")
+    var = F.col("s2") / F.col("D") - mean * mean
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+            F.sum("c").cast("long").alias("total_cnt"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "n_docs_with",
+            "total_cnt",
+            F.round(var / mean, 6).alias("burstiness"),
+        )
+        .orderBy("token")
+    )

@@ -2866,6 +2866,9 @@ _ROTATION_QUEUE = (
     "span_mad_outliers",
     "operation_first_seen",
     "parent_child_latency",
+    "knn_hubness",
+    "embedding_drift",
+    "token_burstiness",
 )
 
 

@@ -1318,3 +1318,51 @@ class TestRound5bOperators:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="window"):
             X.window_cooccurrence(df, window=0)
+
+    def test_knn_hubness_in_degrees_and_anti_hubs(self, spark):
+        from haystack_traces_spark.datapipe import similarity as S
+
+        emb = spark.createDataFrame(
+            [(i, [0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+        )
+        # everyone cites vec 0; vec 3 cites nobody and is cited by nobody
+        graph = spark.createDataFrame(
+            [(1, 0), (2, 0), (1, 2)], "vec_id long, neighbor_id long"
+        )
+        out = {r["vec_id"]: r.asDict() for r in
+               S.knn_hubness(emb, graph, hub_degree=2).collect()}
+        assert out[0] == {"vec_id": 0, "in_degree": 2, "is_hub": True}
+        assert out[2] == {"vec_id": 2, "in_degree": 1, "is_hub": False}
+        assert out[3] == {"vec_id": 3, "in_degree": 0, "is_hub": False}
+
+    def test_embedding_drift_known_centroids(self, spark):
+        """Label 0 centroid (2,0), label 1 centroid (0,2), global
+        (4/3, 2/3) → drifts sqrt(8)/3 and 4*sqrt(2)/3."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [3.0, 0.0], 0),
+                (3, [0.0, 2.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r["label"]: r.asDict() for r in S.embedding_drift(emb).collect()}
+        assert out[0]["n_vecs"] == 2 and out[1]["n_vecs"] == 1
+        assert out[0]["drift"] == 0.942809  # sqrt(8)/3
+        assert out[1]["drift"] == 1.885618  # 4*sqrt(2)/3
+
+    def test_token_burstiness_zeros_count(self, spark):
+        """'a' concentrated in one of two docs: mean 2, var 4, VMR 2;
+        'b' once in one doc: mean .5, var .25, VMR .5 — the zero-count
+        doc MUST enter both (dropping it would give VMR 0 for 'b')."""
+        from haystack_traces_spark.datapipe import text as X
+
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "b")], "doc_id long, text string"
+        )
+        out = {r["token"]: r.asDict() for r in X.token_burstiness(df).collect()}
+        assert out["a"] == {"token": "a", "n_docs_with": 1, "total_cnt": 4,
+                            "burstiness": 2.0}
+        assert out["b"]["burstiness"] == 0.5

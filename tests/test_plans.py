@@ -443,3 +443,17 @@ def test_round5b_dp_operators_have_no_global_bottleneck(spark):
     audit = _plan(Q.q_split_leak_audit(spark, sf))
     assert "SortMergeJoin" not in audit, audit[:1500]
     assert "BroadcastHashJoin" in audit
+    # batch 4: hubness rides the cached graph (left join keyed vec_id);
+    # drift / burstiness are aggregate+broadcast shapes
+    # (token_burstiness's one allowed single-partition exchange is the
+    # one-ROW global doc-count D — bounded by design)
+    for name, (fn, max_single) in {
+        "knn_hubness": (Q.q_knn_hubness, 0),
+        "embedding_drift": (Q.q_embedding_drift, 0),
+        "token_burstiness": (Q.q_token_burstiness, 1),
+    }.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange SinglePartition") <= max_single, (
+            name, plan[:1500],
+        )
