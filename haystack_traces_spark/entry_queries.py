@@ -2281,8 +2281,9 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one combinable per-trace aggregate on the shared trace
     exchange; the keep decision is pure expressions (deterministic
     hash60 on trace_id — reproducible across engines and restarts, no
-    RNG state)."""
-    from haystack_traces_spark.datapipe.hashing import hash60
+    RNG state). The policy expression is shared with the streaming gate
+    (streaming/sampling_stream.py) so the two faces cannot drift."""
+    from haystack_traces_spark.streaming.sampling_stream import sampling_reason
 
     spans = _spans(spark, sf_dir)
     per_trace = spans.groupBy("trace_id").agg(
@@ -2294,13 +2295,7 @@ def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.min("start_time")
         ).alias("trace_dur"),
     )
-    bucket = hash60(F.col("trace_id"), seed="tail:") % 100
-    reason = (
-        F.when(F.col("has_error") == 1, F.lit("error"))
-        .when(F.col("trace_dur") > SAMPLING_SLOW_US, F.lit("slow"))
-        .when(bucket < SAMPLING_RATE_PCT, F.lit("hash"))
-        .otherwise(F.lit("drop"))
-    )
+    reason = sampling_reason(SAMPLING_SLOW_US, SAMPLING_RATE_PCT)
     return (
         per_trace.select(
             "trace_id",

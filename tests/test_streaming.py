@@ -1156,3 +1156,57 @@ def test_kafka_span_source_option_plumbing_or_env_block(spark):
         assert "kafka" in str(e).lower(), e
     else:  # connector present: the decode contract must hold
         assert set(df.columns) == set(SPAN.fieldNames())
+
+
+def test_streaming_tail_sampling_matches_batch_operator(spark, tmp_path):
+    """Feeding the corpus spans through the gate in two arbitrary batches
+    must reproduce the batch tail_sampling decision table EXACTLY (the
+    partials are associative; the policy expression is shared)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.streaming.sampling_stream import (
+        TailSamplingIngest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spans = EQ._spans(spark, sf).select(
+        "trace_id",
+        "start_time",
+        "duration",
+        (EQ._errorcode() >= EQ.ERROR_THRESHOLD).alias("is_error"),
+        F.col("span_id").cast("long").alias("sid"),
+    )
+    gate = TailSamplingIngest(str(tmp_path / "ts"))
+    gate.process_batch(spans.filter(F.col("sid") % 2 == 0), 0)
+    gate.process_batch(spans.filter(F.col("sid") % 2 == 1), 1)
+
+    got = [r.asDict() for r in gate.decisions(spark).collect()]
+    want = [r.asDict() for r in EQ.q_tail_sampling(spark, sf).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_streaming_tail_sampling_replay_and_late_error_upgrade(spark, tmp_path):
+    """A replayed batch must not change state; a LATE error span must
+    retroactively upgrade its trace's decision to 'error' (the whole
+    point of tail-based over head-based sampling)."""
+    from haystack_traces_spark.streaming.sampling_stream import (
+        TailSamplingIngest,
+    )
+
+    schema = "trace_id string, start_time long, duration long, is_error boolean"
+    gate = TailSamplingIngest(str(tmp_path / "ts"))
+    b0 = spark.createDataFrame([("t1", 0, 100, False)], schema)
+    gate.process_batch(b0, 0)
+    gate.process_batch(b0, 0)  # replay — overwrite, not double-entry
+    first = gate.decisions(spark).collect()
+    assert len(first) == 1 and first[0]["reason"] in ("hash", "drop")
+    assert not first[0]["has_error"]
+
+    # late error span for the same trace in a later batch
+    gate.process_batch(
+        spark.createDataFrame([("t1", 50, 10, True)], schema), 1
+    )
+    upgraded = gate.decisions(spark).collect()
+    assert upgraded[0]["has_error"] and upgraded[0]["reason"] == "error"
+    assert upgraded[0]["sampled"]
