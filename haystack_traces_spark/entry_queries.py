@@ -2809,6 +2809,160 @@ GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+def q_span_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clock-skew / containment audit: a child span should run inside its
+    parent's [start, end] window; children that start before the parent
+    or end after it betray clock skew between hosts, async fire-and-forget
+    mis-instrumented as child calls, or buffered-flush timestamping. Per
+    (parent service → child service) edge: children checked, escapees,
+    escape rate — the data-quality panel that tells you which service
+    pair's timings you cannot trust before you read a waterfall.
+
+    Scale shape: the same keyed parent-lookup equi-join as
+    parent_child_latency; the containment test is pure expressions on the
+    joined row; output bounded by the service-pair catalog."""
+    spans = _spans(spark, sf_dir)
+    child = spans.filter(F.col("parent_span_id") != "").select(
+        "trace_id",
+        "parent_span_id",
+        F.col("service_name").alias("child_svc"),
+        F.col("start_time").alias("c_start"),
+        (F.col("start_time") + F.col("duration")).alias("c_end"),
+    )
+    parent = spans.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.col("service_name").alias("parent_svc"),
+        F.col("start_time").alias("p_start"),
+        (F.col("start_time") + F.col("duration")).alias("p_end"),
+    )
+    escapes = (
+        (F.col("c_start") < F.col("p_start")) | (F.col("c_end") > F.col("p_end"))
+    ).cast("long")
+    return (
+        child.join(parent, ["trace_id", "parent_span_id"])
+        .groupBy("parent_svc", "child_svc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+            F.sum(escapes).cast("long").alias("n_escaping"),
+        )
+        .withColumn(
+            "escape_rate", F.round(F.col("n_escaping") / F.col("n_children"), 6)
+        )
+        .orderBy("parent_svc", "child_svc")
+    )
+
+
+def sql_span_containment() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT p.service_name AS parent_svc, c.service_name AS child_svc,
+       CAST(COUNT(*) AS BIGINT) AS n_children,
+       CAST(SUM(CASE WHEN c.start_time < p.start_time
+                       OR c.start_time + c.duration > p.start_time + p.duration
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_escaping,
+       ROUND(SUM(CASE WHEN c.start_time < p.start_time
+                        OR c.start_time + c.duration > p.start_time + p.duration
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS escape_rate
+FROM spans c
+JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+WHERE c.parent_span_id <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_sampling_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the tail-sampling policy: per decision reason, how many
+    traces, what share of the corpus, and the mean trace duration — the
+    table an SRE reads to confirm the sampler keeps what matters (error
+    and slow means should dwarf the hash bucket's) and to predict storage
+    from the keep fraction. Composition over the shared tail_sampling
+    decision table; one tiny rollup + a one-row broadcast total."""
+    decisions = q_tail_sampling(spark, sf_dir)
+    total = decisions.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        decisions.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.round(F.avg("trace_dur"), 6).alias("avg_dur"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "reason",
+            "n_traces",
+            F.round(F.col("n_traces") / F.col("n_total"), 6).alias("share"),
+            "avg_dur",
+        )
+        .orderBy("reason")
+    )
+
+
+def sql_sampling_bias_report() -> str:
+    return f"""
+WITH d AS ({sql_tail_sampling().strip()}),
+t AS (SELECT COUNT(*) AS n_total FROM d)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_traces,
+       ROUND(COUNT(*) / CAST(MAX(n_total) AS DOUBLE), 6) AS share,
+       ROUND(AVG(trace_dur), 6) AS avg_dur
+FROM d, t GROUP BY reason ORDER BY reason
+"""
+
+
+def q_service_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-service HEALTH SCORECARD: traffic, error rate, apdex
+    and p95 latency in a single pass — the overview panel every other
+    operator drills down from (operation_error_rates, apdex,
+    service_latency_percentiles each expand one column of this table).
+
+    Scale shape: ONE map-side-combinable aggregate per service
+    (conditional sums + exact percentile; swap `percentile` for
+    `percentile_approx` at 100 TB — SCALE.md dual-face table)."""
+    spans = _spans(spark, sf_dir)
+    is_err = _errorcode() >= ERROR_THRESHOLD
+    sat = F.col("duration") <= APDEX_T
+    tol = (F.col("duration") > APDEX_T) & (
+        F.col("duration") <= 4 * APDEX_T
+    )
+    return (
+        spans.groupBy("service_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(
+                F.sum(is_err.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("error_rate"),
+            F.round(
+                (F.sum(sat.cast("long")) + F.sum(tol.cast("long")) / 2)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("apdex"),
+            F.round(F.percentile("duration", F.lit(0.95)), 6).alias("p95"),
+        )
+        .orderBy("service_name")
+    )
+
+
+def sql_service_scorecard() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT service_name,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate,
+       ROUND((SUM(CASE WHEN duration <= {APDEX_T} THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN duration > {APDEX_T}
+                          AND duration <= {4 * APDEX_T}
+                         THEN 1 ELSE 0 END) / 2.0)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS apdex,
+       ROUND(quantile_cont(duration, 0.95), 6) AS p95
+FROM spans GROUP BY service_name ORDER BY service_name
+"""
+    )
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -2864,6 +3018,10 @@ _ROTATION_QUEUE = (
     "knn_hubness",
     "embedding_drift",
     "token_burstiness",
+    # round-12 queue:
+    "span_containment",
+    "sampling_bias_report",
+    "service_scorecard",
 )
 
 
@@ -2942,6 +3100,9 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mad_outliers": q_span_mad_outliers,
         "operation_first_seen": q_operation_first_seen,
         "parent_child_latency": q_parent_child_latency,
+        "span_containment": q_span_containment,
+        "sampling_bias_report": q_sampling_bias_report,
+        "service_scorecard": q_service_scorecard,
     }
 
 
@@ -3014,4 +3175,7 @@ def _trace_oracles() -> dict[str, str]:
         "span_mad_outliers": sql_span_mad_outliers(),
         "operation_first_seen": sql_operation_first_seen(),
         "parent_child_latency": sql_parent_child_latency(),
+        "span_containment": sql_span_containment(),
+        "sampling_bias_report": sql_sampling_bias_report(),
+        "service_scorecard": sql_service_scorecard(),
     }

@@ -228,6 +228,8 @@ def test_round5b_trace_operators_have_no_global_bottleneck(spark):
             "span_mad_outliers": EQ.q_span_mad_outliers,
             "operation_first_seen": EQ.q_operation_first_seen,
             "parent_child_latency": EQ.q_parent_child_latency,
+            "span_containment": EQ.q_span_containment,
+            "service_scorecard": EQ.q_service_scorecard,
         }.items()
     }
     for name, plan in plans.items():
@@ -318,3 +320,51 @@ def test_parent_child_latency_gap_stats(spark):
         {"parent_svc": "up", "child_svc": "down", "n_calls": 2,
          "avg_gap": 100.0, "max_gap": 150}
     ]
+
+
+def test_span_containment_flags_escaping_children(spark):
+    rows = [
+        mk(trace_id="t", span_id="p", service="up", start=100, duration=100),
+        # contained: [120, 180] inside [100, 200]
+        mk(trace_id="t", span_id="c1", parent="p", service="down",
+           start=120, duration=60),
+        # escapes: starts before the parent (clock skew)
+        mk(trace_id="t", span_id="c2", parent="p", service="down",
+           start=90, duration=50),
+        # escapes: ends after the parent (async fire-and-forget)
+        mk(trace_id="t", span_id="c3", parent="p", service="down",
+           start=150, duration=100),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_span_containment(spark, "ignored").collect(),
+    )
+    assert [r.asDict() for r in out] == [
+        {"parent_svc": "up", "child_svc": "down", "n_children": 3,
+         "n_escaping": 2, "escape_rate": 0.666667}
+    ]
+
+
+def test_sampling_bias_report_shares_sum_to_one(spark):
+    """On the real corpus the per-reason shares must partition the trace
+    population, and the kept buckets must carry the slow/error tails
+    (avg_dur(slow) above avg_dur(hash/drop))."""
+    sf = "/root/testdata/sf0.001"
+    rows = {r["reason"]: r.asDict()
+            for r in EQ.q_sampling_bias_report(spark, sf).collect()}
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-6
+    if "slow" in rows and "drop" in rows:
+        assert rows["slow"]["avg_dur"] > rows["drop"]["avg_dur"]
+
+
+def test_service_scorecard_matches_component_operators(spark):
+    """The scorecard's columns must agree with the dedicated operators
+    they summarize (apdex vs q_apdex, error_rate vs operation-level sums)
+    on the real corpus."""
+    sf = "/root/testdata/sf0.001"
+    card = {r["service_name"].lower(): r.asDict()
+            for r in EQ.q_service_scorecard(spark, sf).collect()}
+    apdex = {r["servicename"]: r["apdex"] for r in EQ.q_apdex(spark, sf).collect()}
+    assert set(card) == set(apdex)
+    for svc, a in apdex.items():
+        assert card[svc]["apdex"] == a, svc
