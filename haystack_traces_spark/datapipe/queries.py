@@ -2446,7 +2446,10 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
-HUB_DEGREE = 3 * ANN_K
+# hub threshold relative to the GRAPH's out-degree: mean in-degree equals
+# the out-degree K, so 3x the graph's own K flags the fat tail (review fix:
+# this must track KNN_GRAPH_K, not the unrelated query-ANN constant)
+HUB_DEGREE = 3 * KNN_GRAPH_K
 
 
 def q_knn_hubness(spark, sf_dir):

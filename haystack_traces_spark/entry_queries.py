@@ -2266,8 +2266,12 @@ GROUP BY 1 ORDER BY 1
     )
 
 
-SAMPLING_RATE_PCT = 10
-SAMPLING_SLOW_US = 1_000_000
+# the streaming gate owns the tail-sampling policy AND its thresholds —
+# one source so the batch and streaming faces cannot drift (review fix)
+from haystack_traces_spark.streaming.sampling_stream import (  # noqa: E402
+    DEFAULT_RATE_PCT as SAMPLING_RATE_PCT,
+    DEFAULT_SLOW_US as SAMPLING_SLOW_US,
+)
 
 
 def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2612,13 +2616,15 @@ def q_error_latency_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
     that separates "failing slow" (capacity/timeout work) from "failing
     fast" (validation/4xx work). Services with no error spans report a
     NULL tax (consistent cross-engine: AVG over an empty slice).
+    Lowercased service key — same normalization as the apdex/error-rate
+    family it sits beside.
 
     Scale shape: ONE map-side-combinable aggregate (conditional sums) —
     no joins, no windows."""
     spans = _spans(spark, sf_dir)
     is_err = _errorcode() >= ERROR_THRESHOLD
     return (
-        spans.groupBy("service_name")
+        spans.groupBy(F.lower("service_name").alias("servicename"))
         .agg(
             F.count(F.when(~is_err, 1)).cast("long").alias("n_ok"),
             F.count(F.when(is_err, 1)).cast("long").alias("n_err"),
@@ -2628,25 +2634,28 @@ def q_error_latency_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "tax_ratio", F.round(F.col("avg_err") / F.col("avg_ok"), 6)
         )
-        .orderBy("service_name")
+        .orderBy("servicename")
     )
 
 
 def sql_error_latency_tax() -> str:
+    # COALESCE(errorcode, 0): a span without the tag is a CLEAN span on
+    # both faces (the Spark side's _errorcode() contract) — a bare
+    # `errorcode < T` would silently drop NULLs from n_ok/avg_ok
     return (
         EVENT_SPANS_CTE
         + f"""
 , t AS (
-  SELECT service_name,
-         CAST(COUNT(CASE WHEN errorcode < {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_ok,
-         CAST(COUNT(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_err,
-         ROUND(AVG(CASE WHEN errorcode < {ERROR_THRESHOLD} THEN duration END), 6) AS avg_ok,
-         ROUND(AVG(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN duration END), 6) AS avg_err
-  FROM spans GROUP BY service_name
+  SELECT lower(service_name) AS servicename,
+         CAST(COUNT(CASE WHEN COALESCE(errorcode, 0) < {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_ok,
+         CAST(COUNT(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD} THEN 1 END) AS BIGINT) AS n_err,
+         ROUND(AVG(CASE WHEN COALESCE(errorcode, 0) < {ERROR_THRESHOLD} THEN duration END), 6) AS avg_ok,
+         ROUND(AVG(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD} THEN duration END), 6) AS avg_err
+  FROM spans GROUP BY 1
 )
-SELECT service_name, n_ok, n_err, avg_ok, avg_err,
+SELECT servicename, n_ok, n_err, avg_ok, avg_err,
        ROUND(avg_err / avg_ok, 6) AS tax_ratio
-FROM t ORDER BY service_name
+FROM t ORDER BY servicename
 """
     )
 
@@ -2654,7 +2663,9 @@ FROM t ORDER BY service_name
 MAD_K = 5.0
 
 
-def q_span_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_span_mad_outliers(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Robust-statistics counterpart of span_anomalies: spans whose
     |duration − median| exceeds ``MAD_K`` × the group's median absolute
     deviation, per (service, operation). Unlike the z-score face, the
@@ -2666,18 +2677,24 @@ def q_span_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two combinable (svc, op) aggregates (median, then MAD of
     deviations against the broadcast median table) + the tiny stats
     broadcast back onto the span scan; robust z rounded before the
-    threshold compare (cross-engine float discipline)."""
+    threshold compare (cross-engine float discipline). ``approx=True``
+    is the 100 TB face: both percentiles become mergeable sketches —
+    median/MAD only anchor a 5x threshold, so sketch error is tolerated
+    by design (SCALE.md dual-face table)."""
+    def med_of(col):
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+        return F.percentile(col, F.lit(0.5))
+
     spans = _spans(spark, sf_dir).select(
         "trace_id", "span_id", "service_name", "operation_name", "duration"
     )
     med = spans.groupBy("service_name", "operation_name").agg(
-        F.percentile("duration", F.lit(0.5)).alias("med")
+        med_of("duration").alias("med")
     )
     dev = spans.join(F.broadcast(med), ["service_name", "operation_name"])
     mad = dev.groupBy("service_name", "operation_name").agg(
-        F.percentile(F.abs(F.col("duration") - F.col("med")), F.lit(0.5)).alias(
-            "mad"
-        )
+        med_of(F.abs(F.col("duration") - F.col("med"))).alias("mad")
     )
     rz = F.round(F.abs(F.col("duration") - F.col("med")) / F.col("mad"), 6)
     return (
@@ -2880,46 +2897,55 @@ def q_sampling_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table an SRE reads to confirm the sampler keeps what matters (error
     and slow means should dwarf the hash bucket's) and to predict storage
     from the keep fraction. Composition over the shared tail_sampling
-    decision table; one tiny rollup + a one-row broadcast total."""
+    decision table; ONE pass — the reasons partition the population, so
+    the total is a window SUM over the ≤4-row rollup (the
+    service_entry_points share pattern), never a second scan of the
+    decision lineage."""
+    from pyspark.sql import Window
+
     decisions = q_tail_sampling(spark, sf_dir)
-    total = decisions.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
-        decisions.groupBy("reason")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_traces"),
-            F.round(F.avg("trace_dur"), 6).alias("avg_dur"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "reason",
-            "n_traces",
-            F.round(F.col("n_traces") / F.col("n_total"), 6).alias("share"),
-            "avg_dur",
-        )
-        .orderBy("reason")
+    rolled = decisions.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_traces"),
+        F.round(F.avg("trace_dur"), 6).alias("avg_dur"),
     )
+    total = F.sum("n_traces").over(Window.partitionBy())
+    return rolled.select(
+        "reason",
+        "n_traces",
+        F.round(F.col("n_traces") / total, 6).alias("share"),
+        "avg_dur",
+    ).orderBy("reason")
 
 
 def sql_sampling_bias_report() -> str:
     return f"""
-WITH d AS ({sql_tail_sampling().strip()}),
-t AS (SELECT COUNT(*) AS n_total FROM d)
+WITH d AS ({sql_tail_sampling().strip()})
 SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_traces,
-       ROUND(COUNT(*) / CAST(MAX(n_total) AS DOUBLE), 6) AS share,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share,
        ROUND(AVG(trace_dur), 6) AS avg_dur
-FROM d, t GROUP BY reason ORDER BY reason
+FROM d GROUP BY reason ORDER BY reason
 """
 
 
-def q_service_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_service_scorecard(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """One-row-per-service HEALTH SCORECARD: traffic, error rate, apdex
     and p95 latency in a single pass — the overview panel every other
     operator drills down from (operation_error_rates, apdex,
     service_latency_percentiles each expand one column of this table).
+    Lowercased service key, SAME normalization as q_apdex (the
+    column-consistency test pins them equal).
 
     Scale shape: ONE map-side-combinable aggregate per service
-    (conditional sums + exact percentile; swap `percentile` for
-    `percentile_approx` at 100 TB — SCALE.md dual-face table)."""
+    (conditional sums + exact percentile; ``approx=True`` is the 100 TB
+    face: percentile_approx for the p95 column — SCALE.md dual-face
+    table)."""
+    p95 = (
+        F.percentile_approx("duration", F.lit(0.95), F.lit(10000))
+        if approx
+        else F.percentile("duration", F.lit(0.95))
+    )
     spans = _spans(spark, sf_dir)
     is_err = _errorcode() >= ERROR_THRESHOLD
     sat = F.col("duration") <= APDEX_T
@@ -2927,7 +2953,7 @@ def q_service_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration") <= 4 * APDEX_T
     )
     return (
-        spans.groupBy("service_name")
+        spans.groupBy(F.lower("service_name").alias("servicename"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.round(
@@ -2938,9 +2964,9 @@ def q_service_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("apdex"),
-            F.round(F.percentile("duration", F.lit(0.95)), 6).alias("p95"),
+            F.round(p95, 6).alias("p95"),
         )
-        .orderBy("service_name")
+        .orderBy("servicename")
     )
 
 
@@ -2948,9 +2974,10 @@ def sql_service_scorecard() -> str:
     return (
         EVENT_SPANS_CTE
         + f"""
-SELECT service_name,
+SELECT lower(service_name) AS servicename,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
-       ROUND(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END)
+       ROUND(SUM(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+                      THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate,
        ROUND((SUM(CASE WHEN duration <= {APDEX_T} THEN 1 ELSE 0 END)
               + SUM(CASE WHEN duration > {APDEX_T}
@@ -2958,7 +2985,7 @@ SELECT service_name,
                          THEN 1 ELSE 0 END) / 2.0)
              / CAST(COUNT(*) AS DOUBLE), 6) AS apdex,
        ROUND(quantile_cont(duration, 0.95), 6) AS p95
-FROM spans GROUP BY service_name ORDER BY service_name
+FROM spans GROUP BY 1 ORDER BY 1
 """
     )
 

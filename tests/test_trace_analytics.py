@@ -254,7 +254,7 @@ def test_error_latency_tax_ratio_and_null_for_error_free(spark):
     out = _patched(
         spark, rows, lambda: EQ.q_error_latency_tax(spark, "ignored").collect()
     )
-    got = {r["service_name"]: r.asDict() for r in out}
+    got = {r["servicename"]: r.asDict() for r in out}
     assert got["svc"]["n_ok"] == 1 and got["svc"]["n_err"] == 2
     assert got["svc"]["avg_ok"] == 100.0 and got["svc"]["avg_err"] == 200.0
     assert got["svc"]["tax_ratio"] == 2.0
@@ -274,13 +274,19 @@ def test_span_mad_outliers_robust_to_the_outlier_and_skips_mad_zero(spark):
            duration=7)
         for i in range(3)
     ]
-    out = _patched(
+    out, out_approx = _patched(
         spark, rows,
-        lambda: EQ.q_span_mad_outliers(spark, "ignored").collect(),
+        lambda: (
+            EQ.q_span_mad_outliers(spark, "ignored").collect(),
+            EQ.q_span_mad_outliers(spark, "ignored", approx=True).collect(),
+        ),
     )
     assert [(r["span_id"], r["duration"], r["robust_z"]) for r in out] == [
         ("s4", 1000, 495.0)
     ]
+    # odd-sized groups: both faces pick the same middle element, so the
+    # 100 TB face is exactly equivalent here
+    assert [r.asDict() for r in out_approx] == [r.asDict() for r in out]
 
 
 def test_operation_first_seen_counts_only_debuts(spark):
@@ -352,7 +358,9 @@ def test_sampling_bias_report_shares_sum_to_one(spark):
     sf = "/root/testdata/sf0.001"
     rows = {r["reason"]: r.asDict()
             for r in EQ.q_sampling_bias_report(spark, sf).collect()}
-    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-6
+    # each share is rounded to 6dp, so the sum may be off by up to
+    # n_reasons * 5e-7 on a perfectly correct implementation
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
     if "slow" in rows and "drop" in rows:
         assert rows["slow"]["avg_dur"] > rows["drop"]["avg_dur"]
 
@@ -362,7 +370,7 @@ def test_service_scorecard_matches_component_operators(spark):
     they summarize (apdex vs q_apdex, error_rate vs operation-level sums)
     on the real corpus."""
     sf = "/root/testdata/sf0.001"
-    card = {r["service_name"].lower(): r.asDict()
+    card = {r["servicename"]: r.asDict()
             for r in EQ.q_service_scorecard(spark, sf).collect()}
     apdex = {r["servicename"]: r["apdex"] for r in EQ.q_apdex(spark, sf).collect()}
     assert set(card) == set(apdex)
