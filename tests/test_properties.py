@@ -136,3 +136,95 @@ def test_repair_pipeline_is_total_and_single_rooted(spans):
     out = proc.process("t", spans)
     assert out, "repair pipeline must not drop the trace"
     assert sum(1 for s in out if s["parent_span_id"] == "") == 1
+
+
+# ---- round-5 Spark-level policy properties (few examples, one job each) ----
+
+def _spark():
+    # session-scoped: reuse the engine session the other Spark tests built
+    from haystack_traces_spark.session import get_spark
+
+    return get_spark("haystack-tests", master="local[4]", shuffle_partitions=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # trace id
+            st.booleans(),                              # has_error
+            st.integers(min_value=0, max_value=3_000_000),  # trace duration
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_tail_sampling_policy_matches_python_mirror(cases):
+    """For ANY trace population: error traces are always kept, slow traces
+    are always kept, and the residual hash decision matches the pure-
+    Python hash60 mirror bit-for-bit (no RNG, no engine dependence)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.datapipe.hashing import hash60_py
+    from haystack_traces_spark.streaming.sampling_stream import (
+        DEFAULT_RATE_PCT,
+        DEFAULT_SLOW_US,
+        sampling_reason,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(str(t), int(e), d) for t, e, d in cases],
+        "trace_id string, has_error int, trace_dur long",
+    )
+    out = {
+        r["trace_id"]: r["reason"]
+        for r in df.select(
+            "trace_id", sampling_reason().alias("reason")
+        ).collect()
+    }
+    for t, e, d in cases:
+        tid = str(t)
+        if e:
+            want = "error"
+        elif d > DEFAULT_SLOW_US:
+            want = "slow"
+        elif hash60_py(tid, seed="tail:") % 100 < DEFAULT_RATE_PCT:
+            want = "hash"
+        else:
+            want = "drop"
+        assert out[tid] == want, (tid, e, d)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_leakage_safe_split_audit_zero_for_any_pair_set(raw_pairs):
+    """For ANY near-dup pair structure, the duplicate-aware split must
+    audit to ZERO leaky pairs — the end-to-end closure of dup_clusters →
+    leakage_safe_split → split_leak_audit (transitive clusters included:
+    pairs (a,b),(b,c) force a, b AND c into one split)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.datapipe import corpus as C
+    from haystack_traces_spark.datapipe import dedup as D
+
+    spark = _spark()
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    doc_ids = sorted({i for p in pairs for i in p} | set(range(5)))
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    pair_df = spark.createDataFrame(
+        pairs or [(0, 0)], "doc_a long, doc_b long"
+    ).filter(F.col("doc_a") != F.col("doc_b")).distinct()
+    clusters = D.dup_clusters(pair_df)
+    safe = C.leakage_safe_split(docs, clusters)
+    assert C.split_leak_audit(pair_df, safe).count() == 0
