@@ -2528,6 +2528,119 @@ FROM s, nd ORDER BY token
 """
 
 
+SWEEP_FLOOR = 0.7  # threshold sweep lower bound (registry default is 0.8)
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """→ (band, n_pairs): how many verified near-dup pairs fall in each
+    Jaccard band above ``SWEEP_FLOOR`` — the knob-tuning table for the
+    0.8 default: a fat 0.7–0.8 band means the corpus has a large
+    near-miss population the current threshold leaves in (raise recall
+    by lowering t, or defend the default by showing the band is thin).
+
+    Scale shape: one extra ppjoin pass at the LOWER threshold (prefix
+    filtering keeps candidate volume subquadratic at 0.7 too), then a
+    3-row bucket rollup on the rounded jaccard (band edges compare on
+    the same 6dp values both engines produce)."""
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), SWEEP_FLOOR)
+    band = (
+        F.when(F.col("jaccard") >= 0.9, F.lit("0.9+"))
+        .when(F.col("jaccard") >= 0.8, F.lit("0.8-0.9"))
+        .otherwise(F.lit("0.7-0.8"))
+    )
+    return (
+        pairs.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+def sql_dedup_threshold_sweep() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS}
+SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
+            WHEN jaccard >= 0.8 THEN '0.8-0.9'
+            ELSE '0.7-0.8' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM jac WHERE jaccard >= {SWEEP_FLOOR}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_shard_balance(spark, sf_dir):
+    """→ (pack_group, n_shards, min_fill, max_fill, avg_fill): packing
+    QUALITY audit over pack_shards — a skewed fill (max ≫ budget or a
+    starved min) means the group hash or the budget needs retuning
+    before a training run reads unevenly-sized files. Two rollups over
+    the output-side shard table."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    shards = C.pack_shards(_docs(spark, sf_dir), PACK_BUDGET, PACK_GROUPS)
+    fills = shards.groupBy("pack_group", "shard").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return (
+        fills.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.min("fill").cast("long").alias("min_fill"),
+            F.max("fill").cast("long").alias("max_fill"),
+            F.round(F.avg("fill"), 6).alias("avg_fill"),
+        )
+        .orderBy("pack_group")
+    )
+
+
+def sql_shard_balance() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return f"""
+WITH p AS ({C.sql_pack_shards(PACK_BUDGET, PACK_GROUPS).strip()}),
+fills AS (
+  SELECT pack_group, shard, SUM(n_tokens) AS fill FROM p GROUP BY 1, 2
+)
+SELECT pack_group, CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(MIN(fill) AS BIGINT) AS min_fill,
+       CAST(MAX(fill) AS BIGINT) AS max_fill,
+       ROUND(AVG(fill), 6) AS avg_fill
+FROM fills GROUP BY pack_group ORDER BY pack_group
+"""
+
+
+def q_dup_degree_hist(spark, sf_dir):
+    """→ (degree, n_docs): how many near-dup PARTNERS each flagged doc
+    has, as a histogram — degree 1 is pairwise copying, a fat high-degree
+    tail is templating/mirror farms (the shape tells you whether
+    canonical-doc dedup removes 1 copy each or collapses whole families).
+    Rides the session-cached verified pair stage; both endpoints of a
+    pair count."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+        .orderBy("degree")
+    )
+
+
+def sql_dup_degree_hist() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS},
+flagged AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+ends AS (
+  SELECT doc_a AS doc_id FROM flagged
+  UNION ALL SELECT doc_b AS doc_id FROM flagged
+),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -2597,6 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hubness": q_knn_hubness,
         "embedding_drift": q_embedding_drift,
         "token_burstiness": q_token_burstiness,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "shard_balance": q_shard_balance,
+        "dup_degree_hist": q_dup_degree_hist,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2668,6 +2784,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": sql_knn_hubness(),
         "embedding_drift": sql_embedding_drift(),
         "token_burstiness": sql_token_burstiness(),
+        "dedup_threshold_sweep": sql_dedup_threshold_sweep(),
+        "shard_balance": sql_shard_balance(),
+        "dup_degree_hist": sql_dup_degree_hist(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

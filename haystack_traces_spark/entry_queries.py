@@ -2990,6 +2990,180 @@ FROM spans GROUP BY 1 ORDER BY 1
     )
 
 
+SESSION_GAP_US = 12 * HOUR_US  # batch sessionization gap (~median gap 8 h)
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization of the raw event stream — the gaps-and-islands
+    analog of the T1 streaming sessionizer: a new session opens whenever a
+    user's inter-event gap exceeds ``SESSION_GAP_US``; per session the
+    rollup reports event count, start and wall duration. The offline
+    backfill face of session analytics (streaming keeps state per live
+    key; batch recomputes the same islands from history).
+
+    Scale shape: one LAG + one running-SUM window, both partitioned by
+    USER (the trace key — same exchange every trace operator shuffles
+    on), then a combinable (user, session) rollup. No global window."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = events.select(
+        "user_id", "event_id", _epoch_micros(events).alias("tus")
+    )
+    return sessionize_events(ev)
+
+
+def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gaps-and-islands core over any (user_id, event_id, tus) frame —
+    split out of q_event_sessions so crafted frames can pin the island
+    boundaries directly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.coalesce(
+                F.col("tus") - F.lag("tus").over(w), F.lit(gap_us + 1)
+            )
+            > gap_us,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_sess").over(w))
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("tus").alias("session_start"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("session_dur"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def sql_event_sessions() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN COALESCE(tus - LAG(tus) OVER w, {SESSION_GAP_US + 1})
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT user_id, tus,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(tus) AS session_start,
+       CAST(MAX(tus) - MIN(tus) AS BIGINT) AS session_dur
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user reaches
+    step k when their FIRST occurrence of each step 1..k is strictly
+    later than the previous step's first occurrence (classic min-ts
+    ordered-funnel semantics). Output: users reaching each step + the
+    conversion rate vs step 1 — the product-analytics staple computed
+    without any sessionization.
+
+    Scale shape: ONE conditional-min aggregate per user (combinable,
+    rides the user-key exchange), pure-expression order checks, one
+    global 4-long sum, and a 4-row explode. Nothing bigger than |users|
+    touches a shuffle."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return funnel_counts(
+        events.select("user_id", "event_type", _epoch_micros(events).alias("tus"))
+    )
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """Ordered-funnel core over any (user_id, event_type, tus) frame —
+    split out of q_funnel_steps for crafted-frame tests."""
+    ts = F.col("tus")
+    firsts = [
+        F.min(F.when(F.col("event_type") == s, ts)).alias(f"t{i}")
+        for i, s in enumerate(FUNNEL_STEPS, 1)
+    ]
+    per_user = ev.groupBy("user_id").agg(*firsts)
+    reached_prev = F.col("t1").isNotNull()
+    flags = [reached_prev.cast("long").alias("c1")]
+    for i in range(2, len(FUNNEL_STEPS) + 1):
+        reached_prev = (
+            reached_prev
+            & F.col(f"t{i}").isNotNull()
+            & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        )
+        flags.append(reached_prev.cast("long").alias(f"c{i}"))
+    tot = per_user.select(*flags).agg(
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(1, len(FUNNEL_STEPS) + 1)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"s{i}").cast("long").alias("n_users"),
+                F.when(
+                    F.col("s1") > 0, F.round(F.col(f"s{i}") / F.col("s1"), 6)
+                ).alias("conversion"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS, 1)
+        ]
+    )
+    return (
+        tot.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("step_idx")
+    )
+
+
+def sql_funnel_steps() -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{i}"
+        for i, s in enumerate(FUNNEL_STEPS, 1)
+    )
+    conds = ["t1 IS NOT NULL"]
+    for i in range(2, len(FUNNEL_STEPS) + 1):
+        conds.append(f"{conds[-1]} AND t{i} IS NOT NULL AND t{i} > t{i-1}")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS s{i}"
+        for i, c in enumerate(conds, 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, CAST(s{i} AS BIGINT) AS n_users, "
+        f"CASE WHEN s1 > 0 THEN ROUND(s{i} / CAST(s1 AS DOUBLE), 6) END AS conversion "
+        f"FROM tot"
+        for i, s in enumerate(FUNNEL_STEPS, 1)
+    )
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         {mins}
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT {sums}
+  FROM pu
+)
+SELECT * FROM ({selects}) ORDER BY step_idx
+"""
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -3049,6 +3223,12 @@ _ROTATION_QUEUE = (
     "span_containment",
     "sampling_bias_report",
     "service_scorecard",
+    "event_sessions",
+    "funnel_steps",
+    # round-13 queue:
+    "dedup_threshold_sweep",
+    "shard_balance",
+    "dup_degree_hist",
 )
 
 
@@ -3130,6 +3310,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containment": q_span_containment,
         "sampling_bias_report": q_sampling_bias_report,
         "service_scorecard": q_service_scorecard,
+        "event_sessions": q_event_sessions,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -3205,4 +3387,6 @@ def _trace_oracles() -> dict[str, str]:
         "span_containment": sql_span_containment(),
         "sampling_bias_report": sql_sampling_bias_report(),
         "service_scorecard": sql_service_scorecard(),
+        "event_sessions": sql_event_sessions(),
+        "funnel_steps": sql_funnel_steps(),
     }

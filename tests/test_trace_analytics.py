@@ -376,3 +376,42 @@ def test_service_scorecard_matches_component_operators(spark):
     assert set(card) == set(apdex)
     for svc, a in apdex.items():
         assert card[svc]["apdex"] == a, svc
+
+
+def test_event_sessions_island_boundaries(spark):
+    """Events 1h apart share a session; a gap over the threshold opens a
+    new island; the boundary case (gap == threshold) stays INSIDE."""
+    gap = 1000
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 0),
+            (1, 11, 500),          # same session (gap 500)
+            (1, 12, 500 + gap),    # boundary: gap == threshold, stays
+            (1, 13, 500 + gap + gap + 1),  # new session (gap 1001)
+            (2, 20, 0),            # another user: own island numbering
+        ],
+        "user_id long, event_id long, tus long",
+    )
+    out = [
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_dur"])
+        for r in EQ.sessionize_events(ev, gap_us=gap)
+        .orderBy("user_id", "session_idx")
+        .collect()
+    ]
+    assert out == [(1, 1, 3, 1500), (1, 2, 1, 0), (2, 1, 1, 0)]
+
+
+def test_funnel_steps_requires_strict_order(spark):
+    """u1 converts through all 4 steps in order; u2 saw 'click' BEFORE
+    'view' so it counts for step 1 only; u3 never clicked."""
+    rows = []
+    for i, s in enumerate(EQ.FUNNEL_STEPS):
+        rows.append((1, s, 100 * (i + 1)))          # u1: in order
+    rows += [(2, "click", 10), (2, "view", 20)]      # u2: out of order
+    rows += [(3, "view", 5)]                         # u3: view only
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, tus long")
+    out = {r["step"]: r.asDict() for r in EQ.funnel_counts(ev).collect()}
+    assert out["view"]["n_users"] == 3 and out["view"]["conversion"] == 1.0
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["purchase"]["conversion"] == 0.333333
