@@ -1,0 +1,86 @@
+"""Generic AS-OF join — the time-series staple Spark has no native
+operator for (DuckDB/kdb/pandas `merge_asof` semantics): for every left
+row, attach the latest right row of the same key whose timestamp is <=
+the left timestamp.
+
+Implementation is the UNION + WINDOW linearization, not an inequality
+join: tag each side, union them, sort per KEY by (ts, side, order)
+and carry the right side's values forward with last(ignorenulls) /
+running max over an UNBOUNDED PRECEDING frame. One shuffle on the key —
+the same cost as the sort-merge join Spark would run for an equi-join —
+while a naive `l JOIN r ON key AND r.ts <= l.ts` explodes to the full
+per-key cross product before aggregation. Running frames over a sorted
+window are pipelined by Spark's WindowExec (no per-row re-scan), so the
+whole operator is one exchange + one sort at any scale; a skewed key
+(one user with the whole history) is bounded by that key's own row
+count, the same exposure every per-key window in the repo has.
+
+Ties: a right row AT the left row's timestamp matches (<= semantics) —
+the union sorts right rows before left rows at equal ts. Multiple right
+rows at one ts resolve to the last under ``right_order`` (deterministic,
+mirroring the oracle's MAX aggregation).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """→ every ``left`` row + ``value_cols`` from the latest ``right``
+    row with the same ``on`` key and ``right_ts`` <= ``left_ts`` (NULLs
+    when no prior right row exists).
+
+    ``value_cols`` must exist on ``right`` and not collide with left
+    column names. ``right_order`` breaks ties among right rows sharing
+    one timestamp (defaults to ``right_ts``)."""
+    order = right_order or right_ts
+    # left carries its own payload; right carries only key/ts/values
+    l_tag = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[order].dataType).alias("_ord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(order).alias("_ord"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    # align schemas: left payload columns are NULL on the right side
+    left_only = [c for c in l_tag.columns if c not in r_tag.columns]
+    r_full = r_tag.select(
+        "*",
+        *[F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
+          for c in left_only],
+    )
+    unioned = l_tag.unionByName(r_full)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_asof_{c}").alias(c) for c in value_cols
+    ]
+    return carried.filter(F.col("_side") == 1).select(*out_cols)

@@ -415,3 +415,43 @@ def test_funnel_steps_requires_strict_order(spark):
     assert out["click"]["n_users"] == 1
     assert out["purchase"]["n_users"] == 1
     assert out["purchase"]["conversion"] == 0.333333
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts <= left ts per key; equal-ts right
+    rows MATCH (<= semantics); no prior right row → NULL; keys never
+    bleed into each other; same-ts right duplicates resolve to the last
+    under right_order."""
+    from haystack_traces_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3"), (3, 99, "p4")],
+        "k long, lts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 40, "a"), (1, 100, "b"), (2, 20, "x"), (1, 40, "z")],
+        "k long, rts long, v string",
+    )
+    out = {
+        r["tag"]: (r["rts"], r["v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["rts", "v"], right_order="v",
+        ).collect()
+    }
+    assert out["p1"] == (100, "b")   # equal ts matches
+    assert out["p2"] == (40, "z")    # same-ts dup: last by right_order
+    assert out["p3"] == (None, None)  # right ts 20 > left ts 10: no prior
+    assert out["p4"] == (None, None)  # key 3 has no right rows at all
+
+
+def test_asof_join_plan_is_one_keyed_window(spark):
+    """The linearization must run as window-over-union — no
+    BroadcastNestedLoopJoin / CartesianProduct that a naive range join
+    would produce."""
+    from tests.test_plans import _plan
+
+    plan = _plan(EQ.q_purchase_attribution(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
