@@ -84,3 +84,43 @@ def asof_join(
         F.col(f"_asof_{c}").alias(c) for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Range join — points into half-open [start, end) intervals of the
+    same key — LINEARIZED: each interval explodes into the coarse time
+    ``bucket``s it overlaps, each point maps to its own bucket, and the
+    match becomes an EQUI-join on (key, bucket) plus an exact residual
+    filter. The naive `p JOIN i ON key AND start <= ts < end` is a
+    per-key cross product; this shape joins each point against only the
+    intervals sharing its bucket.
+
+    ``bucket`` tunes explode-factor vs selectivity: intervals produce
+    ceil(len/bucket) rows (keep bucket within ~1-2 orders of magnitude
+    of typical interval length). Degenerate intervals (end <= start) are
+    dropped — half-open and empty."""
+    valid = intervals.filter(F.col(end_col) > F.col(start_col))
+    first_b = F.col(start_col) - F.col(start_col) % bucket
+    last_b = (F.col(end_col) - 1) - (F.col(end_col) - 1) % bucket
+    b_int = valid.withColumn(
+        "_b", F.explode(F.sequence(first_b, last_b, F.lit(bucket)))
+    )
+    b_pts = points.withColumn(
+        "_b", F.col(point_ts) - F.col(point_ts) % bucket
+    )
+    return (
+        b_pts.join(b_int, [*on, "_b"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -455,3 +455,70 @@ def test_asof_join_plan_is_one_keyed_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_interval_join_containment_and_bucketing(spark):
+    """Half-open [start, end): boundary start matches, boundary end does
+    not; intervals longer than one bucket still catch points in their
+    later buckets; degenerate (empty) intervals match nothing; keys are
+    isolated."""
+    from haystack_traces_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame(
+        [("a", 100), ("a", 250), ("a", 300), ("a", 99), ("b", 150)],
+        "k string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 100, 300, "w1"), ("a", 500, 500, "empty"), ("b", 0, 50, "w2")],
+        "k string, s long, e long, w string",
+    )
+    out = sorted(
+        (r["k"], r["ts"], r["w"])
+        for r in interval_join(
+            points, intervals, on=["k"], point_ts="ts",
+            start_col="s", end_col="e", bucket=100,
+        ).collect()
+    )
+    # ts=100 (== start) in; ts=250 (middle bucket) in; ts=300 (== end)
+    # out; ts=99 out; b's point 150 is outside b's [0, 50)
+    assert out == [("a", 100, "w1"), ("a", 250, "w1")]
+
+
+def test_incident_windows_merges_consecutive_days(spark):
+    """Crafted frame: a service with two hot days back-to-back and one
+    isolated hot day later must yield exactly two windows (2-day and
+    1-day), with quiet-day spans excluded from both."""
+    err = [_ltag("errorcode", 60)]
+    ok = [_ltag("errorcode", 0)]
+    rows = []
+    sid = 0
+
+    def burst(day_offset, n_err, n_ok):
+        nonlocal sid
+        for i in range(n_err):
+            sid += 1
+            rows.append(mk(trace_id=f"t{sid}", span_id=f"s{sid}", service="svc",
+                           start=T0 + day_offset * DAY_US + i, tags=err))
+        for i in range(n_ok):
+            sid += 1
+            rows.append(mk(trace_id=f"t{sid}", span_id=f"s{sid}", service="svc",
+                           start=T0 + day_offset * DAY_US + 1000 + i, tags=ok))
+
+    burst(0, 6, 0)   # hot (mean 2.0 -> threshold 2.4)
+    burst(1, 6, 2)   # hot, consecutive -> merges with day 0
+    burst(2, 0, 4)   # quiet
+    burst(3, 0, 4)   # quiet
+    burst(4, 0, 4)   # quiet
+    burst(5, 6, 0)   # hot, isolated
+    burst(6, 0, 4)   # quiet
+
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_incident_windows(spark, "ignored").collect(),
+    )
+    got = [(r["w_start"], r["n_days"], r["n_spans"], r["n_errors"])
+           for r in out]
+    assert got == [
+        (T0, 2, 14, 12),             # days 0-1 merged: 6+6 err, 2 ok
+        (T0 + 5 * DAY_US, 1, 6, 6),  # isolated day 5
+    ]
