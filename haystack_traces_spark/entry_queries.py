@@ -3014,23 +3014,44 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(ev)
 
 
-def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
-    """Gaps-and-islands core over any (user_id, event_id, tus) frame —
-    split out of q_event_sessions so crafted frames can pin the island
-    boundaries directly."""
+def island_index(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: int,
+    order_cols: tuple = (),
+) -> DataFrame:
+    """THE gaps-and-islands core (one definition — sessionization and
+    incident-window merging both ride it): adds ``island_idx`` (1-based
+    per key), where a new island opens whenever the gap to the previous
+    row exceeds ``gap``. ``order_cols`` break ordering ties at equal
+    timestamps (deterministic islands need a total order)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.coalesce(
-                F.col("tus") - F.lag("tus").over(w), F.lit(gap_us + 1)
-            )
-            > gap_us,
-            1,
-        ).otherwise(0),
-    ).withColumn("session_idx", F.sum("new_sess").over(w))
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    return (
+        df.withColumn(
+            "_new_island",
+            F.when(
+                F.coalesce(
+                    F.col(ts_col) - F.lag(ts_col).over(w), F.lit(gap + 1)
+                )
+                > gap,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island_idx", F.sum("_new_island").over(w))
+        .drop("_new_island")
+    )
+
+
+def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Session rollup over any (user_id, event_id, tus) frame — split out
+    of q_event_sessions so crafted frames can pin the island boundaries
+    directly; islands come from the shared :func:`island_index`."""
+    flagged = island_index(
+        ev, ["user_id"], "tus", gap_us, order_cols=("event_id",)
+    ).withColumnRenamed("island_idx", "session_idx")
     return (
         flagged.groupBy("user_id", "session_idx")
         .agg(
@@ -3048,14 +3069,17 @@ WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
 ),
 flagged AS (
-  SELECT user_id, tus,
+  SELECT user_id, event_id, tus,
          CASE WHEN COALESCE(tus - LAG(tus) OVER w, {SESSION_GAP_US + 1})
                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 sess AS (
+  -- same (tus, event_id) total order as the flag window: without the
+  -- event_id tiebreak, same-ts peers could be summed before the row
+  -- that opened their session and land in the previous island
   SELECT user_id, tus,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
@@ -3243,8 +3267,6 @@ def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle cross-check: DuckDB runs the SAME window derivation but a
     plain inequality join for the containment step, so the
     linearization is verified against an independent join strategy."""
-    from pyspark.sql import Window
-
     from haystack_traces_spark.operators.asof import interval_join
 
     spans = _spans(spark, sf_dir).select(
@@ -3264,20 +3286,9 @@ def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_err") > F.col("thresh"))
         .select("servicename", "day")
     )
-    w = Window.partitionBy("servicename").orderBy("day")
     islands = (
-        hot.withColumn(
-            "new_w",
-            F.when(
-                F.coalesce(
-                    F.col("day") - F.lag("day").over(w), F.lit(2 * DAY_US)
-                )
-                > DAY_US,
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("win_idx", F.sum("new_w").over(w))
-        .groupBy("servicename", "win_idx")
+        island_index(hot, ["servicename"], "day", DAY_US)
+        .groupBy("servicename", "island_idx")
         .agg(
             F.min("day").alias("w_start"),
             (F.max("day") + DAY_US).alias("w_end"),

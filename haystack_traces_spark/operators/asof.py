@@ -42,23 +42,33 @@ def asof_join(
 
     ``value_cols`` must exist on ``right`` and not collide with left
     column names. ``right_order`` breaks ties among right rows sharing
-    one timestamp (defaults to ``right_ts``)."""
+    one timestamp (defaults to ``right_ts``). Right rows with a NULL
+    timestamp are dropped (pandas `merge_asof` parity — a row with no
+    time cannot be "before" anything; carrying it would make it match
+    universally because NULLs sort first).
+
+    All ``value_cols`` travel in ONE carried struct, so the attached
+    values always come from a single right row — per-column carries
+    would resurrect older non-NULL values and stitch together a row
+    that never existed."""
     order = right_order or right_ts
     # left carries its own payload; right carries only key/ts/values
+    val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
     l_tag = left.select(
         "*",
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[order].dataType).alias("_ord"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            right.select(val_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.col(order).alias("_ord"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        val_struct.alias("_r"),
     )
     # align schemas: left payload columns are NULL on the right side
     left_only = [c for c in l_tag.columns if c not in r_tag.columns]
@@ -74,14 +84,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_asof_{c}").alias(c) for c in value_cols
+        F.col("_asof")[c].alias(c) for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
 
@@ -106,7 +112,15 @@ def interval_join(
     ``bucket`` tunes explode-factor vs selectivity: intervals produce
     ceil(len/bucket) rows (keep bucket within ~1-2 orders of magnitude
     of typical interval length). Degenerate intervals (end <= start) are
-    dropped — half-open and empty."""
+    dropped — half-open and empty. The two frames may share only the
+    ``on`` columns (enforced — a silent overlap would make every
+    downstream by-name reference ambiguous)."""
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(overlap)}; "
+            "rename or project them before interval_join"
+        )
     valid = intervals.filter(F.col(end_col) > F.col(start_col))
     first_b = F.col(start_col) - F.col(start_col) % bucket
     last_b = (F.col(end_col) - 1) - (F.col(end_col) - 1) % bucket

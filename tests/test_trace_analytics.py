@@ -522,3 +522,44 @@ def test_incident_windows_merges_consecutive_days(spark):
         (T0, 2, 14, 12),             # days 0-1 merged: 6+6 err, 2 ok
         (T0 + 5 * DAY_US, 1, 6, 6),  # isolated day 5
     ]
+
+
+def test_asof_join_single_row_semantics_and_null_ts(spark):
+    """Fixed by review: (a) all value columns come from ONE right row —
+    a NULL field in the latest match must NOT be backfilled from an
+    older row; (b) right rows with NULL timestamps are dropped, not
+    promoted to universal matches."""
+    from haystack_traces_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, "p")], "k long, lts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, None), (1, None, "ghost")],
+        "k long, rts long, v string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rts", "v"],
+    ).collect()[0]
+    assert out["rts"] == 10 and out["v"] is None  # latest row, intact
+
+    # NULL-ts-only right side: no match at all
+    right2 = spark.createDataFrame([(1, None, "ghost")], "k long, rts long, v string")
+    out2 = asof_join(
+        left, right2, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rts", "v"],
+    ).collect()[0]
+    assert out2["rts"] is None and out2["v"] is None
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    import pytest
+
+    from haystack_traces_spark.operators.asof import interval_join
+
+    points = spark.createDataFrame([("a", 1, 9)], "k string, ts long, n long")
+    intervals = spark.createDataFrame(
+        [("a", 0, 10, 3)], "k string, s long, e long, n long"
+    )
+    with pytest.raises(ValueError, match="share non-key columns"):
+        interval_join(points, intervals, on=["k"], point_ts="ts",
+                      start_col="s", end_col="e", bucket=10)
