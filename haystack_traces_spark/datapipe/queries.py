@@ -2641,6 +2641,108 @@ FROM deg GROUP BY 1 ORDER BY 1
 """
 
 
+RESAMPLE_K = 100
+
+
+def q_dsir_resample(spark, sf_dir):
+    """→ the top-``RESAMPLE_K`` training docs under DSIR's Gumbel-top-k
+    importance resampling (Xie et al. 2023 §2.3: sampling without
+    replacement ∝ importance weight == top-k of log_weight + Gumbel
+    noise). The noise is DETERMINISTIC — u = (hash60(doc_id)+1)/(2^60+1),
+    g = −ln(−ln u) — so the resample is reproducible across engines,
+    runs and cluster sizes (no RNG state), completing the dsir_weights →
+    select pipeline the paper describes.
+
+    Scale shape: rides the dsir_weights aggregate; the selection is
+    TakeOrderedAndProject on the rounded key (rank on ROUND — house
+    cross-engine rule), never a global sort."""
+    from haystack_traces_spark.datapipe import corpus as C
+    from haystack_traces_spark.datapipe.hashing import hash60
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    w = C.dsir_weights(train, target, DSIR_BUCKETS)
+    u = (hash60(F.col("doc_id").cast("string"), seed="gumbel:") + 1) / (
+        float(2**60) + 1
+    )
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+        .limit(RESAMPLE_K)
+        .select("doc_id", "n_tokens", "log_weight", "gumbel_key")
+    )
+
+
+def sql_dsir_resample() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed="gumbel:")
+    return f"""
+WITH w AS ({sql_dsir_weights().strip()})
+SELECT doc_id, n_tokens, log_weight,
+       ROUND(log_weight - ln(-ln(({h} + 1) / (CAST(1152921504606846976 AS DOUBLE) + 1))), 6)
+         AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT {RESAMPLE_K}
+"""
+
+
+TRIM_BUDGET = 800  # tokens kept per source (quality-ordered)
+
+
+def q_budget_trim(spark, sf_dir, budget: int = TRIM_BUDGET):
+    """→ quality-first token-budget trim: per SOURCE, keep documents in
+    descending quality order until the source's token budget is spent
+    (a doc is kept while the budget has ANY room left — the classic
+    greedy fill, so one oversized top doc still ships). The "cut this
+    crawl to N tokens without losing the good stuff" mix-building step
+    that pairs with mix_weights/epoch_plan.
+
+    Scale shape: map-only text_stats features, then ONE cumulative
+    window per source (quality desc, doc_id tie-break — rank on the
+    6dp-rounded score, house rule); no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    feats = X.text_stats(_docs(spark, sf_dir), extra_cols=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        feats.withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .orderBy("source", F.col("quality_score").desc(), "doc_id")
+    )
+
+
+def sql_budget_trim() -> str:
+    return f"""
+WITH feats AS ({sql_text_stats().strip()}),
+src AS (
+  SELECT f.doc_id, d.source, f.n_tokens, f.quality_score
+  FROM feats f JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM src
+)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {TRIM_BUDGET}
+ORDER BY source, quality_score DESC, doc_id
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -2713,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "shard_balance": q_shard_balance,
         "dup_degree_hist": q_dup_degree_hist,
+        "dsir_resample": q_dsir_resample,
+        "budget_trim": q_budget_trim,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2787,6 +2891,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_sweep": sql_dedup_threshold_sweep(),
         "shard_balance": sql_shard_balance(),
         "dup_degree_hist": sql_dup_degree_hist(),
+        "dsir_resample": sql_dsir_resample(),
+        "budget_trim": sql_budget_trim(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

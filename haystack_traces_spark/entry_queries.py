@@ -3445,6 +3445,9 @@ _ROTATION_QUEUE = (
     "dup_degree_hist",
     "purchase_attribution",
     "incident_windows",
+    # round-14 queue:
+    "dsir_resample",
+    "budget_trim",
 )
 
 

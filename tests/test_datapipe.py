@@ -1366,3 +1366,50 @@ class TestRound5bOperators:
         assert out["a"] == {"token": "a", "n_docs_with": 1, "total_cnt": 4,
                             "burstiness": 2.0}
         assert out["b"]["burstiness"] == 0.5
+
+    def test_budget_trim_greedy_fill_semantics(self, spark):
+        """Per-source greedy fill: quality-ordered docs keep while ANY
+        budget room remains (an oversized top doc still ships; the doc
+        after the budget line does not)."""
+        from haystack_traces_spark.datapipe import queries as Q
+
+        # quality_score ordering is driven by the crafted texts: more
+        # stopwords -> higher score. budget 6 tokens.
+        import haystack_traces_spark.datapipe.queries as qq
+        from haystack_traces_spark.datapipe import text as X
+
+        df = spark.createDataFrame(
+            [
+                (1, "the a of and in to", "s"),    # 6 stopword tokens: top
+                (2, "the a of xxx yyy zzz", "s"),  # mid
+                (3, "xxx yyy zzz qqq www eee", "s"),  # low
+            ],
+            "doc_id long, text string, source string",
+        )
+        feats = X.text_stats(df, extra_cols=("source",)).collect()
+        order = [r["doc_id"] for r in sorted(
+            feats, key=lambda r: (-r["quality_score"], r["doc_id"]))]
+        assert order == [1, 2, 3]
+
+        orig = qq._docs
+        qq._docs = lambda _s, _d: df
+        try:
+            out = Q.q_budget_trim(spark, "ignored", budget=6).collect()
+            over = Q.q_budget_trim(spark, "ignored", budget=5).collect()
+        finally:
+            qq._docs = orig
+        # budget 6: doc 1 fills 6/6 (kept, exactly exhausts); doc 2
+        # starts at cum_excl=6, no room -> dropped
+        assert [r["doc_id"] for r in out] == [1]
+        # budget 5 < the top doc's 6 tokens: the oversized top doc
+        # STILL ships (greedy fill keeps while any room remains)
+        assert [r["doc_id"] for r in over] == [1]
+
+    def test_dsir_resample_is_deterministic_and_bounded(self, spark, sf_dir):
+        from haystack_traces_spark.datapipe import queries as Q
+
+        a = [tuple(r) for r in Q.q_dsir_resample(spark, sf_dir).collect()]
+        b = [tuple(r) for r in Q.q_dsir_resample(spark, sf_dir).collect()]
+        assert a == b and 0 < len(a) <= Q.RESAMPLE_K
+        keys = [r[3] for r in a]
+        assert keys == sorted(keys, reverse=True)
