@@ -117,3 +117,41 @@ def test_dedup_candidate_volume_stays_near_linear_at_10x(spark):
     # identity pairs); corpus-quadratic would be ~(5000*10)^2/2.
     assert nk <= (k * k) * n1 + (k * k) * big.count() / k, (n1, nk)
     assert t < 240, t  # order-of-magnitude guard, load-tolerant
+
+
+@pytest.mark.slow
+def test_asof_join_growth_is_near_linear(spark):
+    """The as-of linearization must scale like its ONE keyed window:
+    replicating the key space 10x (10x rows, same per-key history) must
+    grow wall time by far less than 10x on local[32], and the output
+    must stay exactly per-key (replicas get identical attributions)."""
+    from haystack_traces_spark.operators.asof import asof_join
+
+    base_n = 20_000
+    left1 = spark.range(base_n).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 7 % 10_000).alias("lts")
+    )
+    right1 = spark.range(base_n).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 11 % 10_000).alias("rts")
+    )
+
+    def run(rep):
+        reps = spark.range(rep).withColumnRenamed("id", "rep")
+        l = left1.crossJoin(reps).withColumn(
+            "k", F.col("k") + F.col("rep") * 1_000
+        ).drop("rep")
+        r = right1.crossJoin(reps).withColumn(
+            "k", F.col("k") + F.col("rep") * 1_000
+        ).drop("rep")
+        t0 = time.time()
+        n = asof_join(
+            l, r, on=["k"], left_ts="lts", right_ts="rts", value_cols=["rts"]
+        ).count()
+        return n, time.time() - t0
+
+    n1, t1 = run(1)
+    n10, t10 = run(10)
+    assert n1 == base_n and n10 == 10 * base_n
+    # generous ceiling for a loaded box: 10x rows must stay well under
+    # 6x wall (measured ~1.5-2x on idle local[32])
+    assert t10 < max(6 * t1, 10.0), (t1, t10)
