@@ -2743,6 +2743,65 @@ ORDER BY source, quality_score DESC, doc_id
 """
 
 
+EMB_CLUSTER_COS = COS_THRESHOLD  # mutual-kNN edge acceptance
+
+
+def q_embedding_clusters(spark, sf_dir):
+    """→ (vec_id, cluster): semantic clusters = connected components over
+    the MUTUAL-kNN graph (an edge only when a cites b AND b cites a, at
+    cosine ≥ threshold — mutuality prunes hub-induced bridges, the
+    failure mode knn_hubness measures). Reuses the label-propagation
+    component machinery and the session-cached kNN graph; the production
+    shape of SemDeDup-style cluster assignment without a k-means fit.
+
+    Oracle: the same recursive reachability pattern as dedup_clusters,
+    over the independently-derived SQL kNN graph."""
+    g = _knn_graph_stage(spark, sf_dir).filter(
+        F.col("cos") >= EMB_CLUSTER_COS
+    )
+    rev = g.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        g.select("vec_id", "neighbor_id")
+        .join(rev, ["vec_id", "neighbor_id"])
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b")
+        )
+    )
+    return (
+        D.dup_clusters(mutual)
+        .select(F.col("doc_id").alias("vec_id"), "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def sql_embedding_clusters() -> str:
+    return f"""
+WITH RECURSIVE g AS ({sql_ann_knn_graph().strip()}),
+acc AS (SELECT vec_id, neighbor_id FROM g WHERE cos >= {EMB_CLUSTER_COS}),
+mutual AS (
+  SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b
+  FROM acc a JOIN acc b
+    ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+  WHERE a.vec_id < a.neighbor_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mutual
+  UNION SELECT doc_b, doc_a FROM mutual
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -2817,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_degree_hist": q_dup_degree_hist,
         "dsir_resample": q_dsir_resample,
         "budget_trim": q_budget_trim,
+        "embedding_clusters": q_embedding_clusters,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2893,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_degree_hist": sql_dup_degree_hist(),
         "dsir_resample": sql_dsir_resample(),
         "budget_trim": sql_budget_trim(),
+        "embedding_clusters": sql_embedding_clusters(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

@@ -3378,6 +3378,46 @@ ORDER BY 1, 2
     )
 
 
+def q_service_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile per service (UTC): span counts and
+    each hour's share of the service's traffic — the seasonality
+    baseline that autoscaling and anomaly thresholds are normalized
+    against (a 2 a.m. spike is an incident; a 2 p.m. one is Tuesday).
+
+    Scale shape: one combinable (service, hour-of-day) aggregate; the
+    share window runs over ≤24 rows per service."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    # integer DIV, not cast(double): Spark's double->long cast truncates
+    # while DuckDB's rounds — the documented text_stats trap
+    hod = F.expr(f"start_time DIV {HOUR_US}") % 24
+    counts = spans.groupBy(
+        F.lower("service_name").alias("servicename"), hod.alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    w = Window.partitionBy("servicename")
+    return counts.select(
+        "servicename",
+        "hour_of_day",
+        "n_spans",
+        F.round(F.col("n_spans") / F.sum("n_spans").over(w), 6).alias("share"),
+    ).orderBy("servicename", "hour_of_day")
+
+
+def sql_service_seasonality() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       (start_time // {HOUR_US}) % 24 AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lower(service_name))
+             AS DOUBLE), 6) AS share
+FROM spans GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
 #: queries lead (the reference's own surface outranks extensions); the six
@@ -3448,6 +3488,8 @@ _ROTATION_QUEUE = (
     # round-14 queue:
     "dsir_resample",
     "budget_trim",
+    "embedding_clusters",
+    "service_seasonality",
 )
 
 
@@ -3533,6 +3575,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "purchase_attribution": q_purchase_attribution,
         "incident_windows": q_incident_windows,
+        "service_seasonality": q_service_seasonality,
     }
 
 
@@ -3612,4 +3655,5 @@ def _trace_oracles() -> dict[str, str]:
         "funnel_steps": sql_funnel_steps(),
         "purchase_attribution": sql_purchase_attribution(),
         "incident_windows": sql_incident_windows(),
+        "service_seasonality": sql_service_seasonality(),
     }

@@ -1413,3 +1413,26 @@ class TestRound5bOperators:
         assert a == b and 0 < len(a) <= Q.RESAMPLE_K
         keys = [r[3] for r in a]
         assert keys == sorted(keys, reverse=True)
+
+    def test_embedding_clusters_require_mutual_edges(self, spark):
+        """One-directional citations must NOT merge clusters; a mutual
+        pair must; sub-threshold cosine is ignored even when mutual."""
+        import haystack_traces_spark.datapipe.queries as qq
+        from haystack_traces_spark.datapipe import queries as Q
+
+        g = spark.createDataFrame(
+            [
+                (1, 2, 0.9), (2, 1, 0.9),   # mutual, accepted
+                (3, 1, 0.9),                # one-directional: no edge
+                (4, 5, 0.9), (5, 4, 0.1),   # mutual but one side weak
+            ],
+            "vec_id long, neighbor_id long, cos double",
+        )
+        orig = qq._knn_graph_stage
+        qq._knn_graph_stage = lambda _s, _d: g
+        try:
+            out = {r["vec_id"]: r["cluster"]
+                   for r in Q.q_embedding_clusters(spark, "ignored").collect()}
+        finally:
+            qq._knn_graph_stage = orig
+        assert out == {1: 1, 2: 1}  # only the true mutual pair clusters
