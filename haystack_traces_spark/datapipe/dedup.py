@@ -571,17 +571,19 @@ def simhash_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     """→ (doc_id, cluster): connected components over duplicate pairs,
     cluster = min doc_id in the component (the canonical survivor).
 
     Iterative min-label propagation: each round joins labels across edges
-    and keeps the min; rounds needed = graph diameter ≤ O(log n) for
-    near-dup clusters (they are dense). Every round is a pair of
-    distributed joins — no driver-side graph. The loop ends when a round
-    changes nothing (count of changed labels == 0, one cheap action per
-    round). GraphFrames/Pregel would express the same thing; this stays
-    dependency-free."""
+    and keeps the min; rounds needed = graph diameter (shallow for dense
+    near-dup components; LONG CHAINS — e.g. mutual-kNN template families
+    — can exceed the default, so exhausting ``max_rounds`` without
+    convergence RAISES instead of silently returning split components;
+    callers with chain-shaped graphs pass a larger budget). Every round
+    is a pair of distributed joins — no driver-side graph; the loop ends
+    early when a round changes nothing. GraphFrames/Pregel would express
+    the same thing; this stays dependency-free."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -596,7 +598,8 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
         F.least(F.col("a"), F.min("b")).alias("cluster")
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(64):  # diameter guard; near-dup components are shallow
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
@@ -619,7 +622,15 @@ def dup_clusters(pairs: DataFrame) -> DataFrame:
         updated = updated.localCheckpoint(eager=True)
         labels = updated.drop("changed")
         if updated.filter("changed").isEmpty():
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_rounds} rounds — the "
+            "component graph has a longer diameter than the budget; pass a "
+            "larger max_rounds (silently returning split components would "
+            "corrupt every downstream canonical/split decision)"
+        )
     return labels.select("doc_id", "cluster")
 
 

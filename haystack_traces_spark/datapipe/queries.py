@@ -1923,13 +1923,18 @@ DSIR_BUCKETS = 64
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights of the training docs against the probe
     (doc_id % PROBE_MOD == 0) docs as the target domain — the same
-    train/target split the decontamination entries use."""
+    train/target split the decontamination entries use. Session-cached:
+    dsir_resample rides the same weight table (output-side, one row per
+    train doc)."""
     from haystack_traces_spark.datapipe import corpus as C
 
-    docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
-    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
-    return C.dsir_weights(train, target, DSIR_BUCKETS)
+    def build():
+        docs = _docs(spark, sf_dir)
+        target = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+        train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+        return C.dsir_weights(train, target, DSIR_BUCKETS)
+
+    return shared_stage(spark, sf_dir, "dsir_weights", build)
 
 
 def sql_dsir_weights() -> str:
@@ -2653,18 +2658,21 @@ def q_dsir_resample(spark, sf_dir):
     runs and cluster sizes (no RNG state), completing the dsir_weights →
     select pipeline the paper describes.
 
-    Scale shape: rides the dsir_weights aggregate; the selection is
-    TakeOrderedAndProject on the rounded key (rank on ROUND — house
-    cross-engine rule), never a global sort."""
-    from haystack_traces_spark.datapipe import corpus as C
+    Scale shape: rides the SESSION-CACHED dsir_weights stage (the
+    heaviest datapipe aggregate is computed once per session, not once
+    per caller); the selection is TakeOrderedAndProject on the rounded
+    key (rank on ROUND — house cross-engine rule), never a global
+    sort."""
     from haystack_traces_spark.datapipe.hashing import hash60
 
-    docs = _docs(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
-    train = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
-    w = C.dsir_weights(train, target, DSIR_BUCKETS)
-    u = (hash60(F.col("doc_id").cast("string"), seed="gumbel:") + 1) / (
-        float(2**60) + 1
+    w = q_dsir_weights(spark, sf_dir)
+    # clamp below 1.0: double rounding can collapse (h+1)/(2^60+1) to
+    # exactly 1.0 for h near 2^60, where -ln(u)=0 aborts DuckDB's ln and
+    # NULLs Spark's — the clamp keeps both engines finite and identical
+    u = F.least(
+        (hash60(F.col("doc_id").cast("string"), seed="gumbel:") + 1)
+        / (float(2**60) + 1),
+        F.lit(1.0 - 1e-12),
     )
     key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
     return (
@@ -2682,7 +2690,9 @@ def sql_dsir_resample() -> str:
     return f"""
 WITH w AS ({sql_dsir_weights().strip()})
 SELECT doc_id, n_tokens, log_weight,
-       ROUND(log_weight - ln(-ln(({h} + 1) / (CAST(1152921504606846976 AS DOUBLE) + 1))), 6)
+       ROUND(log_weight - ln(-ln(LEAST(
+           ({h} + 1) / (CAST(1152921504606846976 AS DOUBLE) + 1),
+           1.0 - 1e-12))), 6)
          AS gumbel_key
 FROM w
 ORDER BY gumbel_key DESC, doc_id ASC

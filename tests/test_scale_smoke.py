@@ -135,7 +135,7 @@ def test_asof_join_growth_is_near_linear(spark):
         (F.col("id") % 500).alias("k"), (F.col("id") * 11 % 10_000).alias("rts")
     )
 
-    def run(rep):
+    def run(rep, collect=False):
         reps = spark.range(rep).withColumnRenamed("id", "rep")
         l = left1.crossJoin(reps).withColumn(
             "k", F.col("k") + F.col("rep") * 1_000
@@ -143,15 +143,34 @@ def test_asof_join_growth_is_near_linear(spark):
         r = right1.crossJoin(reps).withColumn(
             "k", F.col("k") + F.col("rep") * 1_000
         ).drop("rep")
-        t0 = time.time()
-        n = asof_join(
+        joined = asof_join(
             l, r, on=["k"], left_ts="lts", right_ts="rts", value_cols=["rts"]
-        ).count()
-        return n, time.time() - t0
+        )
+        t0 = time.time()
+        n = joined.count()
+        dt = time.time() - t0
+        return (n, dt, joined) if collect else (n, dt)
 
     n1, t1 = run(1)
-    n10, t10 = run(10)
+    n10, t10, joined10 = run(10, collect=True)
     assert n1 == base_n and n10 == 10 * base_n
+    # per-key isolation: every replica's attributions are the base
+    # replica's, shifted — a window that dropped the key from its
+    # partition would leak history across replicas
+    from collections import Counter
+
+    all_reps = Counter(
+        (row["k"] % 1_000, row["lts"], row["rts"])
+        for row in joined10.filter(F.col("k") % 1_000 < 5).collect()
+    )
+    base_rep = Counter(
+        (row["k"], row["lts"], row["rts"])
+        for row in joined10.filter(F.col("k") < 5).collect()
+    )
+    # every replica reproduces the base replica's attribution multiset
+    assert all_reps == Counter(
+        {key: 10 * n for key, n in base_rep.items()}
+    )
     # generous ceiling for a loaded box: 10x rows must stay well under
     # 6x wall (measured ~1.5-2x on idle local[32])
     assert t10 < max(6 * t1, 10.0), (t1, t10)
