@@ -1210,3 +1210,28 @@ def test_streaming_tail_sampling_replay_and_late_error_upgrade(spark, tmp_path):
     upgraded = gate.decisions(spark).collect()
     assert upgraded[0]["has_error"] and upgraded[0]["reason"] == "error"
     assert upgraded[0]["sampled"]
+
+
+def test_streaming_tail_sampling_end_to_end_available_now(spark, tmp_path):
+    """Full writeStream round-trip: parquet file source → foreachBatch
+    state → decisions — the gate's start() wiring, not just
+    process_batch called by hand."""
+    from haystack_traces_spark.streaming.sampling_stream import (
+        TailSamplingIngest,
+    )
+
+    schema = "trace_id string, start_time long, duration long, is_error boolean"
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [("e1", 0, 100, True), ("ok1", 0, 100, False)], schema
+    ).write.parquet(str(src))
+
+    gate = TailSamplingIngest(str(tmp_path / "state"))
+    q = gate.start(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(90)
+    got = {r["trace_id"]: r["reason"] for r in gate.decisions(spark).collect()}
+    assert got["e1"] == "error"
+    assert got["ok1"] in ("hash", "drop")
