@@ -3418,11 +3418,42 @@ FROM spans GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+#: The reference's OWN API surface (search/fields/counts/fetch/processed)
+#: — these lead the registry every round so the driver's CORRECTNESS gate
+#: always re-verifies the core product before any extension.
+_CORE_TRACE = (
+    "search_traces",
+    "search_span_level",
+    "trace_counts",
+    "trace_counts_filtered",
+    "field_values",
+    "field_values_tag",
+    "field_values_by_count",
+    "service_catalog",
+    "field_cardinalities",
+    "trace_index_stats",
+    "call_graph",
+    "get_trace",
+    "get_raw_traces",
+    "get_raw_traces_fanout",
+    "get_raw_span",
+    "field_names",
+    "search_not_equal",
+    "search_flat_fields",
+    "search_nested_time",
+    "search_mixed",
+    "search_span_not_equal",
+    "search_tag_range",
+    "search_traces_processed",
+)
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
-#: a bounded ~50-entry PREFIX of queries(). The 44 r4-driver-checked trace
-#: queries lead (the reference's own surface outranks extensions); the six
-#: named never-checked dp entries fill the remaining sample slots this
-#: round; everything after is the round-6+ queue in priority order.
+#: a bounded ~50-entry PREFIX of queries(). The 23 core reference-surface
+#: queries lead; the rotation queue fills the remaining ~27 sample slots
+#: with NEVER-driver-checked entries in priority order (re-checking
+#: already-green extension rows gains nothing — VERDICT r4); previously
+#: driver-checked analytics queries sit behind the queue and stay covered
+#: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
     # round-5 sample tail (the six VERDICT r4 named dp entries):
     "quality_classifier",
@@ -3498,11 +3529,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     trace = _trace_queries()
     dp_q = dp.queries()
-    out = {k: v for k, v in trace.items() if k not in _ROTATION_QUEUE}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for k in _CORE_TRACE:
+        fn = trace.get(k)
+        if fn is not None:  # stale name = lost sample position, not
+            out[k] = fn     # a registry-wide KeyError (drift test catches it)
     for k in _ROTATION_QUEUE:
         fn = trace.get(k) or dp_q.get(k)
-        if fn is not None:  # stale queue name = lost sample position, not
-            out[k] = fn     # a registry-wide KeyError (drift test catches it)
+        if fn is not None:
+            out.setdefault(k, fn)
+    for k, v in trace.items():
+        out.setdefault(k, v)
     for k, v in dp_q.items():
         out.setdefault(k, v)
     return out
