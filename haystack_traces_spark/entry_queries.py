@@ -3418,6 +3418,118 @@ FROM spans GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+KANON_K = 5
+
+
+def q_user_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the behavioral quasi-identifier: each
+    user's SET of event types is a signature; a signature shared by
+    fewer than ``KANON_K`` users is a re-identification handle (the
+    release-gate check a privacy review runs before event data feeds a
+    training pipeline — the behavioral sibling of pii_scan's content
+    regexes).
+
+    Scale shape: distinct (user, type) pairs ride one combinable
+    shuffle; signature assembly is a per-user collect_set over ≤
+    |event-type catalog| elements; the rollup is signature-keyed."""
+    from haystack_traces_spark.session import fan_out
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    sigs = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("signature")
+        )
+    )
+    return (
+        sigs.groupBy("signature")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn("at_risk", F.col("n_users") < KANON_K)
+        .orderBy("signature")
+    )
+
+
+def sql_user_kanonymity() -> str:
+    return f"""
+WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+sigs AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY event_type) AS signature
+  FROM pairs GROUP BY user_id
+)
+SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_users,
+       COUNT(*) < {KANON_K} AS at_risk
+FROM sigs GROUP BY signature ORDER BY signature
+"""
+
+
+PERIOD_US = 30 * DAY_US  # retention period (30-day buckets from T0)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users cohort by
+    their FIRST-seen 30-day period; each later period reports how many
+    of the cohort were active and the retention fraction — the classic
+    product-analytics triangle, on integer period arithmetic (no
+    calendar-month cross-engine hazards).
+
+    Scale shape: distinct (user, period) pairs ride one combinable
+    shuffle; the per-user first period is a min aggregate; cohort sizes
+    broadcast back; output is bounded by periods²."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    period = F.expr(f"(tus - {T0}) DIV {PERIOD_US}")
+    active = (
+        events.select("user_id", _epoch_micros(events).alias("tus"))
+        .select("user_id", period.alias("period"))
+        .distinct()
+    )
+    first = active.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("periods_since"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            F.col("periods_since").cast("long").alias("periods_since"),
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_users"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort", "periods_since")
+    )
+
+
+def sql_retention_cohorts() -> str:
+    return f"""
+WITH active AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) - {T0}) // {PERIOD_US} AS period
+  FROM events
+),
+first AS (SELECT user_id, MIN(period) AS cohort FROM active GROUP BY 1),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM first GROUP BY 1)
+SELECT CAST(f.cohort AS BIGINT) AS cohort,
+       CAST(a.period - f.cohort AS BIGINT) AS periods_since,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       ROUND(COUNT(*) / CAST(MAX(s.cohort_users) AS DOUBLE), 6) AS retention
+FROM active a
+JOIN first f USING (user_id)
+JOIN sizes s ON s.cohort = f.cohort
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -3521,6 +3633,8 @@ _ROTATION_QUEUE = (
     "budget_trim",
     "embedding_clusters",
     "service_seasonality",
+    "user_kanonymity",
+    "retention_cohorts",
 )
 
 
@@ -3613,6 +3727,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "incident_windows": q_incident_windows,
         "service_seasonality": q_service_seasonality,
+        "user_kanonymity": q_user_kanonymity,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -3693,4 +3809,6 @@ def _trace_oracles() -> dict[str, str]:
         "purchase_attribution": sql_purchase_attribution(),
         "incident_windows": sql_incident_windows(),
         "service_seasonality": sql_service_seasonality(),
+        "user_kanonymity": sql_user_kanonymity(),
+        "retention_cohorts": sql_retention_cohorts(),
     }

@@ -563,3 +563,44 @@ def test_interval_join_rejects_column_collisions(spark):
     with pytest.raises(ValueError, match="share non-key columns"):
         interval_join(points, intervals, on=["k"], point_ts="ts",
                       start_col="s", end_col="e", bucket=10)
+
+
+def test_user_kanonymity_and_retention_on_crafted_events(spark, tmp_path):
+    """k-anonymity: a unique behavioral signature is flagged; a shared
+    one is not. Retention: a user active in cohort period and one later
+    period produces a retention fraction over the cohort size."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "sf")
+    rows = []
+    # users 1-5 share signature {a}; user 6 is unique {a,b} -> at risk
+    for uid in range(1, 6):
+        rows.append((uid * 10, uid, "a", 0))
+    rows += [(100, 6, "a", 0), (101, 6, "b", 0)]
+    # retention: users 1 and 2 return in period 1; others do not
+    rows += [(200, 1, "a", 1), (201, 2, "a", 1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, period int"
+    )
+    ev = df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(
+            F.lit(EQ.T0) + F.col("period") * EQ.PERIOD_US + F.col("event_id")
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    ev.write.parquet(f"{d}/events.parquet")
+
+    kanon = {r["signature"]: r.asDict()
+             for r in EQ.q_user_kanonymity(spark, d).collect()}
+    assert kanon["a"]["n_users"] == 5 and not kanon["a"]["at_risk"]
+    assert kanon["a,b"]["n_users"] == 1 and kanon["a,b"]["at_risk"]
+
+    ret = {(r["cohort"], r["periods_since"]): r.asDict()
+           for r in EQ.q_retention_cohorts(spark, d).collect()}
+    assert ret[(0, 0)]["n_active"] == 6 and ret[(0, 0)]["retention"] == 1.0
+    assert ret[(0, 1)]["n_active"] == 2
+    assert ret[(0, 1)]["retention"] == round(2 / 6, 6)
