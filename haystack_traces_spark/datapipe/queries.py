@@ -2812,6 +2812,166 @@ FROM reach GROUP BY node ORDER BY vec_id
 """
 
 
+SIMHASH_BITS = 16
+
+
+def q_simhash_bit_balance(spark, sf_dir):
+    """→ (bit, n_docs, n_set, share, skew): per-bit occupancy of the
+    simhash fingerprint population. A healthy hash family sets every bit
+    on ~50% of docs; a skewed bit carries less than one bit of
+    information, silently widening the effective hamming radius and
+    inflating false-negative rates — the sketch-health gauge that says
+    whether the simhash FAMILY (not one pair) is trustworthy, beside
+    minhash_est_quality's per-pair view.
+
+    Scale shape: rides the fingerprint table (output-side, one row per
+    doc) exploded x bits; one combinable per-bit aggregate."""
+    fp = D.simhash_fingerprints(_docs(spark, sf_dir))
+    bits = fp.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    )
+    set_flag = F.expr("shiftright(simhash, bit) & 1")
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(set_flag).cast("long").alias("n_set"),
+        )
+        .withColumn("share", F.round(F.col("n_set") / F.col("n_docs"), 6))
+        .withColumn("skew", F.round(F.abs(F.col("share") - 0.5), 6))
+        .select(F.col("bit").cast("long").alias("bit"), "n_docs", "n_set",
+                "share", "skew")
+        .orderBy("bit")
+    )
+
+
+def sql_simhash_bit_balance() -> str:
+    return f"""
+WITH fp AS ({sql_dedup_simhash(SIMHASH_BITS).strip()})
+SELECT CAST(bit AS BIGINT) AS bit,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((simhash >> bit) & 1) AS BIGINT) AS n_set,
+       ROUND(SUM((simhash >> bit) & 1) / CAST(COUNT(*) AS DOUBLE), 6) AS share,
+       ROUND(abs(SUM((simhash >> bit) & 1) / CAST(COUNT(*) AS DOUBLE) - 0.5), 6)
+         AS skew
+FROM fp, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) t(bit)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_winnow_density(spark, sf_dir):
+    """→ one-row winnowing-parameter audit: measured fingerprint density
+    (fingerprints per hashable position) vs the scheme's expected
+    2/(w+1) (Schleimer 2003 Thm: winnowing samples ~2/(w+1) of
+    positions). A measured density far off expectation means the hash is
+    degenerate on this corpus (e.g. repetitive text collapsing window
+    minima) and overlap estimates are biased — the knob check before
+    trusting winnow_overlap.
+
+    Scale shape: fingerprint rollup (one row per doc) joined to a
+    map-only position count, then one global aggregate."""
+    docs = _docs(spark, sf_dir)
+    fps = X.winnowing_fingerprints(docs)
+    positions = docs.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) - 2).cast("long").alias("n_pos"),
+    ).filter(F.col("n_pos") > 0)
+    per_doc = fps.join(positions, "doc_id").select(
+        (F.col("n_fingerprints") / F.col("n_pos")).alias("density")
+    )
+    expected = round(2.0 / (4 + 1), 6)  # window=4 default
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("density"), 6).alias("avg_density"),
+        F.round(F.min("density"), 6).alias("min_density"),
+        F.round(F.max("density"), 6).alias("max_density"),
+        F.lit(expected).alias("expected_density"),
+    )
+
+
+def sql_winnow_density() -> str:
+    expected = round(2.0 / (4 + 1), 6)
+    return f"""
+WITH fp AS ({sql_winnowing().strip()}),
+pos AS (
+  SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_pos FROM documents
+),
+per AS (
+  SELECT f.n_fingerprints / CAST(p.n_pos AS DOUBLE) AS density
+  FROM fp f JOIN pos p USING (doc_id) WHERE p.n_pos > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(density), 6) AS avg_density,
+       ROUND(MIN(density), 6) AS min_density,
+       ROUND(MAX(density), 6) AS max_density,
+       {expected} AS expected_density
+FROM per
+"""
+
+
+def q_lsh_cap_pressure(spark, sf_dir):
+    """→ (band, n_buckets, max_occupancy, cap, pressure): how close each
+    MinHash band's hottest bucket sits to the `cap_buckets` guard — the
+    scale-ops dial that says whether the 100 TB hot-bucket cap is about
+    to start trading recall (pressure → 1) or is pure insurance
+    (pressure ≈ 0). Complements the cap's logged-drop stats with a
+    BEFORE-the-fact view.
+
+    Scale shape: one combinable (band, key) occupancy count over the
+    band rows + a per-band rollup (|bands| rows out)."""
+    from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET
+
+    rows = D.minhash_band_rows(_docs(spark, sf_dir))
+    occ = rows.groupBy("band", "v0", "v1").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("occ").cast("long").alias("max_occupancy"),
+        )
+        .withColumn("cap", F.lit(DEFAULT_MAX_BUCKET).cast("long"))
+        .withColumn(
+            "pressure",
+            F.round(F.col("max_occupancy") / F.col("cap"), 6),
+        )
+        .select(F.col("band").cast("long").alias("band"), "n_buckets",
+                "max_occupancy", "cap", "pressure")
+        .orderBy("band")
+    )
+
+
+def sql_lsh_cap_pressure() -> str:
+    from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET
+
+    n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
+    mins = ",\n         ".join(
+        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, mh_{bi * rpb} AS v0, mh_{bi * rpb + 1} AS v1 FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+band_rows AS ({band_rows}),
+occ AS (
+  SELECT band, v0, v1, COUNT(*) AS occ FROM band_rows GROUP BY 1, 2, 3
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(occ) AS BIGINT) AS max_occupancy,
+       CAST({DEFAULT_MAX_BUCKET} AS BIGINT) AS cap,
+       ROUND(MAX(occ) / CAST({DEFAULT_MAX_BUCKET} AS DOUBLE), 6) AS pressure
+FROM occ GROUP BY band ORDER BY band
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -2887,6 +3047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "budget_trim": q_budget_trim,
         "embedding_clusters": q_embedding_clusters,
+        "simhash_bit_balance": q_simhash_bit_balance,
+        "winnow_density": q_winnow_density,
+        "lsh_cap_pressure": q_lsh_cap_pressure,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -2964,6 +3127,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": sql_dsir_resample(),
         "budget_trim": sql_budget_trim(),
         "embedding_clusters": sql_embedding_clusters(),
+        "simhash_bit_balance": sql_simhash_bit_balance(),
+        "winnow_density": sql_winnow_density(),
+        "lsh_cap_pressure": sql_lsh_cap_pressure(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),

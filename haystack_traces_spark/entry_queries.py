@@ -3635,6 +3635,10 @@ _ROTATION_QUEUE = (
     "service_seasonality",
     "user_kanonymity",
     "retention_cohorts",
+    # round-15 queue:
+    "simhash_bit_balance",
+    "winnow_density",
+    "lsh_cap_pressure",
 )
 
 

@@ -1436,3 +1436,45 @@ class TestRound5bOperators:
         finally:
             qq._knn_graph_stage = orig
         assert out == {1: 1, 2: 1}  # only the true mutual pair clusters
+
+    def test_simhash_bit_balance_detects_planted_skew(self, spark):
+        """A corpus whose docs all share one dominant token drives the
+        corresponding fingerprint bits to 0/1 extremes; the audit must
+        report high skew there and n_docs on every bit row."""
+        import haystack_traces_spark.datapipe.queries as qq
+        from haystack_traces_spark.datapipe import queries as Q
+
+        df = spark.createDataFrame(
+            [(i, "zzz common token") for i in range(20)],
+            "doc_id long, text string",
+        )
+        orig = qq._docs
+        qq._docs = lambda _s, _d: df
+        try:
+            out = Q.q_simhash_bit_balance(spark, "ignored").collect()
+        finally:
+            qq._docs = orig
+        assert len(out) == Q.SIMHASH_BITS
+        # identical docs -> identical fingerprints -> every bit fully
+        # skewed (share 0 or 1, skew 0.5)
+        assert all(r["n_docs"] == 20 and r["skew"] == 0.5 for r in out)
+
+    def test_winnow_density_within_guarantee(self, spark, sf_dir):
+        """Winnowing guarantees at least one fingerprint per window and
+        at most one per position: density in (0, 1]; on natural-ish text
+        the average sits near the 2/(w+1) expectation."""
+        from haystack_traces_spark.datapipe import queries as Q
+
+        r = Q.q_winnow_density(spark, sf_dir).collect()[0]
+        assert 0 < r["min_density"] <= r["avg_density"] <= r["max_density"] <= 1
+        assert abs(r["avg_density"] - r["expected_density"]) < 0.25
+
+    def test_lsh_cap_pressure_counts_docs_not_pairs(self, spark, sf_dir):
+        from haystack_traces_spark.datapipe import dedup as D
+        from haystack_traces_spark.datapipe import queries as Q
+
+        out = Q.q_lsh_cap_pressure(spark, sf_dir).collect()
+        assert [r["band"] for r in out] == list(range(D.DEFAULT_BANDS))
+        for r in out:
+            assert 1 <= r["max_occupancy"] <= r["cap"]
+            assert 0 < r["pressure"] <= 1
