@@ -109,14 +109,26 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+def _minhash_sig_ctes() -> str:
+    """DuckDB CTEs for the per-doc MinHash signature table (sh + sig) —
+    the ONE definition of the mh_i construction, shared by the fuzzy-dedup
+    candidate oracles and the cap-pressure audit."""
+    n_seeds = D.DEFAULT_MINHASH_SEEDS
+    mins = ",\n         ".join(
+        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
+    )
+    return f"""sh AS ({_SHINGLES}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
 def _minhash_cand_ctes() -> str:
     """DuckDB CTEs rebuilding minhash_candidates() exactly: sh (shingles),
     sig (per-seed min-hash signatures), cand (distinct band-collision
     pairs). Shared by every fuzzy-dedup oracle."""
-    n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
-    mins = ",\n         ".join(
-        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
-    )
+    bands, rpb = D.DEFAULT_BANDS, 2
     band_joins = []
     for bi in range(bands):
         cond = " AND ".join(
@@ -127,11 +139,7 @@ def _minhash_cand_ctes() -> str:
             f" ON a.doc_id < b.doc_id AND {cond}"
         )
     candidates = " UNION ".join(band_joins)
-    return f"""sh AS ({_SHINGLES}),
-sig AS (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
-),
+    return f"""{_minhash_sig_ctes()},
 cand AS ({candidates})"""
 
 
@@ -1426,7 +1434,12 @@ WITH pos_sh AS (
          COUNT(*) OVER (PARTITION BY doc_id) AS n_h
   FROM pos_sh
 ), fp AS (
-  SELECT DISTINCT doc_id, m FROM winmin WHERE pos <= n_h - {window - 1}
+  -- GREATEST(..., 1): a doc with FEWER positions than the window still
+  -- yields its global-min fingerprint (position 1's window covers the
+  -- whole doc), mirroring the Spark face's short-doc branch — a bare
+  -- n_h - (window-1) bound silently drops 3-5-token docs
+  SELECT DISTINCT doc_id, m FROM winmin
+  WHERE pos <= GREATEST(n_h - {window - 1}, 1)
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
        MIN(m) AS min_fp, MAX(m) AS max_fp
@@ -1466,7 +1479,10 @@ WITH pos_sh AS (
          COUNT(*) OVER (PARTITION BY doc_id) AS n_h
   FROM pos_sh
 ), fp AS (
-  SELECT DISTINCT doc_id, m FROM winmin WHERE pos <= n_h - {window - 1}
+  -- GREATEST(..., 1): short-doc global-min fingerprint, mirroring the
+  -- Spark face (same fix as sql_winnowing)
+  SELECT DISTINCT doc_id, m FROM winmin
+  WHERE pos <= GREATEST(n_h - {window - 1}, 1)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id
 ), rare AS (
@@ -2826,7 +2842,10 @@ def q_simhash_bit_balance(spark, sf_dir):
 
     Scale shape: rides the fingerprint table (output-side, one row per
     doc) exploded x bits; one combinable per-bit aggregate."""
-    fp = D.simhash_fingerprints(_docs(spark, sf_dir))
+    # bits passed EXPLICITLY: the explode range and the oracle both
+    # derive from SIMHASH_BITS, so relying on the builder's default
+    # would desynchronize all three on a width bump
+    fp = D.simhash_fingerprints(_docs(spark, sf_dir), SIMHASH_BITS)
     bits = fp.select(
         "simhash", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
     )
@@ -2859,6 +2878,11 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+WINNOW_N = 3       # shingle width (matches winnowing_fingerprints default)
+WINNOW_W = 4       # window width (matches sql_winnowing default)
+WINNOW_EXPECTED = round(2.0 / (WINNOW_W + 1), 6)  # Schleimer 2003 density
+
+
 def q_winnow_density(spark, sf_dir):
     """→ one-row winnowing-parameter audit: measured fingerprint density
     (fingerprints per hashable position) vs the scheme's expected
@@ -2866,35 +2890,36 @@ def q_winnow_density(spark, sf_dir):
     positions). A measured density far off expectation means the hash is
     degenerate on this corpus (e.g. repetitive text collapsing window
     minima) and overlap estimates are biased — the knob check before
-    trusting winnow_overlap.
+    trusting winnow_overlap. All parameters come from the shared
+    WINNOW_* constants so a retune cannot desynchronize the audit from
+    the operators it audits.
 
     Scale shape: fingerprint rollup (one row per doc) joined to a
     map-only position count, then one global aggregate."""
     docs = _docs(spark, sf_dir)
-    fps = X.winnowing_fingerprints(docs)
+    fps = X.winnowing_fingerprints(docs, n=WINNOW_N, window=WINNOW_W)
     positions = docs.select(
         "doc_id",
-        (F.size(F.split("text", " ")) - 2).cast("long").alias("n_pos"),
+        (F.size(F.split("text", " ")) - (WINNOW_N - 1)).cast("long").alias("n_pos"),
     ).filter(F.col("n_pos") > 0)
     per_doc = fps.join(positions, "doc_id").select(
         (F.col("n_fingerprints") / F.col("n_pos")).alias("density")
     )
-    expected = round(2.0 / (4 + 1), 6)  # window=4 default
     return per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("density"), 6).alias("avg_density"),
         F.round(F.min("density"), 6).alias("min_density"),
         F.round(F.max("density"), 6).alias("max_density"),
-        F.lit(expected).alias("expected_density"),
+        F.lit(WINNOW_EXPECTED).alias("expected_density"),
     )
 
 
 def sql_winnow_density() -> str:
-    expected = round(2.0 / (4 + 1), 6)
     return f"""
-WITH fp AS ({sql_winnowing().strip()}),
+WITH fp AS ({sql_winnowing(WINNOW_N, WINNOW_W).strip()}),
 pos AS (
-  SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_pos FROM documents
+  SELECT doc_id, len(string_split(text, ' ')) - {WINNOW_N - 1} AS n_pos
+  FROM documents
 ),
 per AS (
   SELECT f.n_fingerprints / CAST(p.n_pos AS DOUBLE) AS density
@@ -2904,7 +2929,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(density), 6) AS avg_density,
        ROUND(MIN(density), 6) AS min_density,
        ROUND(MAX(density), 6) AS max_density,
-       {expected} AS expected_density
+       {WINNOW_EXPECTED} AS expected_density
 FROM per
 """
 
@@ -2945,20 +2970,13 @@ def q_lsh_cap_pressure(spark, sf_dir):
 def sql_lsh_cap_pressure() -> str:
     from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET
 
-    n_seeds, bands, rpb = D.DEFAULT_MINHASH_SEEDS, D.DEFAULT_BANDS, 2
-    mins = ",\n         ".join(
-        f"MIN({hash60_sql('s', seed=f'mh{i}:')}) AS mh_{i}" for i in range(n_seeds)
-    )
+    bands, rpb = D.DEFAULT_BANDS, 2
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, mh_{bi * rpb} AS v0, mh_{bi * rpb + 1} AS v1 FROM sig"
         for bi in range(bands)
     )
     return f"""
-WITH sh AS ({_SHINGLES}),
-sig AS (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
-),
+WITH {_minhash_sig_ctes()},
 band_rows AS ({band_rows}),
 occ AS (
   SELECT band, v0, v1, COUNT(*) AS occ FROM band_rows GROUP BY 1, 2, 3

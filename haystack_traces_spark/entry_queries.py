@@ -3435,13 +3435,16 @@ def q_user_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haystack_traces_spark.session import fan_out
 
     events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # unit-separator join (0x1f): a comma inside an event-type name would
+    # collide distinct signatures — e.g. one user with the single type
+    # 'a,b' hiding inside the {'a','b'} cohort, defeating the k gate
     sigs = (
         events.select("user_id", "event_type")
         .distinct()
         .groupBy("user_id")
         .agg(
             F.array_join(
-                F.sort_array(F.collect_set("event_type")), ","
+                F.sort_array(F.collect_set("event_type")), "\x1f"
             ).alias("signature")
         )
     )
@@ -3458,7 +3461,7 @@ def sql_user_kanonymity() -> str:
 WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
 sigs AS (
   SELECT user_id,
-         string_agg(event_type, ',' ORDER BY event_type) AS signature
+         string_agg(event_type, chr(31) ORDER BY event_type) AS signature
   FROM pairs GROUP BY user_id
 )
 SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_users,

@@ -1478,3 +1478,39 @@ class TestRound5bOperators:
         for r in out:
             assert 1 <= r["max_occupancy"] <= r["cap"]
             assert 0 < r["pressure"] <= 1
+
+    def test_winnowing_short_doc_parity_with_oracle(self, spark, tmp_path):
+        """Docs with fewer positions than the window (3-5 tokens) must
+        appear on BOTH faces with their global-min fingerprint — the
+        review-found oracle bound that silently dropped them."""
+        import duckdb
+
+        from haystack_traces_spark.datapipe import queries as Q
+        from tests.oracle_harness import compare
+
+        d = str(tmp_path)
+        df = spark.createDataFrame(
+            [
+                (1, "just three words"),          # 1 position (< window)
+                (2, "a b c d e"),                 # 3 positions (< window)
+                (3, " ".join(f"w{i}" for i in range(30))),  # long doc
+            ],
+            "doc_id long, text string",
+        )
+        df.write.parquet(f"{d}/documents.parquet")
+
+        import haystack_traces_spark.datapipe.queries as qq
+        orig = qq._docs
+        qq._docs = lambda _s, _sf: spark.read.parquet(f"{d}/documents.parquet")
+        try:
+            spark_df = Q.q_winnowing(spark, "ignored")
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')"
+            )
+            oracle = con.execute(Q.sql_winnowing()).df()
+            compare(spark_df, oracle, "winnowing_short_docs")
+            assert {r["doc_id"] for r in spark_df.collect()} == {1, 2, 3}
+        finally:
+            qq._docs = orig

@@ -63,5 +63,15 @@ def test_rotation_queue_names_resolve():
     names = set(EQ._trace_queries()) | set(dp.queries())
     missing = [n for n in EQ._ROTATION_QUEUE if n not in names]
     assert missing == [], missing
+    # _CORE_TRACE too: a typo would silently drop a core query out of the
+    # driver's CORRECTNESS sample prefix, which is the whole point of it
+    core_missing = [n for n in EQ._CORE_TRACE if n not in EQ._trace_queries()]
+    assert core_missing == [], core_missing
     merged = list(EQ.queries())
     assert len(merged) == len(set(merged)) == len(names)
+    # the sample prefix is exactly core-then-rotation
+    assert merged[: len(EQ._CORE_TRACE)] == list(EQ._CORE_TRACE)
+    n_core = len(EQ._CORE_TRACE)
+    assert merged[n_core : n_core + 5] == [
+        n for n in EQ._ROTATION_QUEUE if n not in EQ._CORE_TRACE
+    ][:5]
