@@ -2990,6 +2990,72 @@ FROM occ GROUP BY band ORDER BY band
 """
 
 
+def q_lsh_recall_report(spark, sf_dir):
+    """→ one-row MinHash-LSH RECALL audit: of the true Jaccard ≥ t pairs
+    (exact, from the verified pair stage), how many does the banded
+    candidate generation surface — measured recall beside the textbook
+    s-curve value 1−(1−t^r)^b at the threshold. Measured ≪ theory means
+    the signature is too short for the doc-length mix (the failure
+    minhash_est_quality diagnoses per pair); measured ≈ theory defends
+    the bands/rows knobs with data.
+
+    Scale shape: both inputs are output-side pair tables (the cached
+    exact pairs, the capped candidate pairs); one broadcast-friendly
+    join + a one-row rollup."""
+    from haystack_traces_spark.session import materialize
+
+    true_pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cand feeds its own count AND the caught join — pin or the capped
+    # band self-join runs twice
+    cand = materialize(
+        D.minhash_candidates(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    )
+    caught = true_pairs.join(cand, ["doc_a", "doc_b"])
+    r, b = 2, D.DEFAULT_BANDS
+    theory = round(1.0 - (1.0 - JACCARD_THRESHOLD**r) ** b, 6)
+    tp = true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    cd = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    ct = caught.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return (
+        tp.crossJoin(cd)
+        .crossJoin(ct)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(F.col("n_caught") / F.col("n_true_pairs"), 6),
+            ).alias("recall"),
+            F.lit(theory).alias("theory_at_threshold"),
+        )
+    )
+
+
+def sql_lsh_recall_report() -> str:
+    r, b = 2, D.DEFAULT_BANDS
+    theory = round(1.0 - (1.0 - JACCARD_THRESHOLD**r) ** b, 6)
+    return f"""
+WITH {_minhash_cand_ctes()},
+{_JACCARD_PAIRS.lstrip().rstrip()},
+true_pairs AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+caught AS (
+  SELECT t.doc_a FROM true_pairs t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM true_pairs) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+       CASE WHEN (SELECT COUNT(*) FROM true_pairs) > 0
+            THEN ROUND((SELECT COUNT(*) FROM caught)
+                       / CAST((SELECT COUNT(*) FROM true_pairs) AS DOUBLE), 6)
+       END AS recall,
+       {theory} AS theory_at_threshold
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -3065,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "budget_trim": q_budget_trim,
         "embedding_clusters": q_embedding_clusters,
+        "lsh_recall_report": q_lsh_recall_report,
         "simhash_bit_balance": q_simhash_bit_balance,
         "winnow_density": q_winnow_density,
         "lsh_cap_pressure": q_lsh_cap_pressure,
@@ -3145,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": sql_dsir_resample(),
         "budget_trim": sql_budget_trim(),
         "embedding_clusters": sql_embedding_clusters(),
+        "lsh_recall_report": sql_lsh_recall_report(),
         "simhash_bit_balance": sql_simhash_bit_balance(),
         "winnow_density": sql_winnow_density(),
         "lsh_cap_pressure": sql_lsh_cap_pressure(),

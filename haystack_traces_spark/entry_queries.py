@@ -3639,6 +3639,7 @@ _ROTATION_QUEUE = (
     "user_kanonymity",
     "retention_cohorts",
     # round-15 queue:
+    "lsh_recall_report",
     "simhash_bit_balance",
     "winnow_density",
     "lsh_cap_pressure",

@@ -1514,3 +1514,9 @@ class TestRound5bOperators:
             assert {r["doc_id"] for r in spark_df.collect()} == {1, 2, 3}
         finally:
             qq._docs = orig
+
+    def test_lsh_recall_report_bounds(self, spark, sf_dir):
+        r = __import__("haystack_traces_spark.datapipe.queries",
+                       fromlist=["q"]).q_lsh_recall_report(spark, sf_dir).collect()[0]
+        assert r["n_caught"] <= min(r["n_true_pairs"], r["n_candidates"])
+        assert 0 <= r["recall"] <= 1 and 0 < r["theory_at_threshold"] < 1
