@@ -597,7 +597,7 @@ def test_user_kanonymity_and_retention_on_crafted_events(spark, tmp_path):
     kanon = {r["signature"]: r.asDict()
              for r in EQ.q_user_kanonymity(spark, d).collect()}
     assert kanon["a"]["n_users"] == 5 and not kanon["a"]["at_risk"]
-    assert kanon["a,b"]["n_users"] == 1 and kanon["a,b"]["at_risk"]
+    assert kanon["a\x1fb"]["n_users"] == 1 and kanon["a\x1fb"]["at_risk"]
 
     ret = {(r["cohort"], r["periods_since"]): r.asDict()
            for r in EQ.q_retention_cohorts(spark, d).collect()}
