@@ -457,3 +457,61 @@ def test_round5b_dp_operators_have_no_global_bottleneck(spark):
         assert plan.count("Exchange SinglePartition") <= max_single, (
             name, plan[:1500],
         )
+
+
+def test_bucketed_store_index_join_is_exchange_free(spark, tmp_path):
+    """The promised at-scale layout: store and index bucketed on
+    trace_id with equal bucket counts -> the fetch join runs with ZERO
+    shuffle exchanges (and no per-side sort), exactly like the
+    reference's partition-key reads. A raw parquet read of the same
+    files (layout metadata lost) must re-shuffle — proving the catalog
+    bucketing, not data size, is what elides the exchange."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.operators.index import build_trace_index
+    from haystack_traces_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from haystack_traces_spark.sources.spans import build_trace_store
+
+    spans = EQ._spans(spark, "/root/testdata/sf0.001")
+    write_bucketed(
+        build_trace_store(spans), "b_store", str(tmp_path / "store")
+    )
+    write_bucketed(
+        build_trace_index(spans).withColumnRenamed("traceid", "trace_id"),
+        "b_index",
+        str(tmp_path / "index"),
+    )
+    store = read_bucketed(spark, "b_store")
+    index = read_bucketed(spark, "b_index").withColumnRenamed(
+        "trace_id", "idx_trace_id"
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = store.join(
+            index, store["trace_id"] == index["idx_trace_id"]
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+        # control: raw parquet reads of the SAME files lose the bucket
+        # layout and must re-shuffle
+        raw_store = spark.read.parquet(str(tmp_path / "store"))
+        raw_index = spark.read.parquet(str(tmp_path / "index")).withColumnRenamed(
+            "trace_id", "idx_trace_id"
+        )
+        raw_plan = _plan(
+            raw_store.join(
+                raw_index, raw_store["trace_id"] == raw_index["idx_trace_id"]
+            )
+        )
+        assert "Exchange hashpartitioning" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_store")
+        spark.sql("DROP TABLE IF EXISTS b_index")
