@@ -228,3 +228,103 @@ def test_leakage_safe_split_audit_zero_for_any_pair_set(raw_pairs):
     clusters = D.dup_clusters(pair_df)
     safe = C.leakage_safe_split(docs, clusters)
     assert C.split_leak_audit(pair_df, safe).count() == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0, max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # distinct (key, ts) on the right
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows):
+    """The union+window linearization must agree with pandas.merge_asof
+    (an INDEPENDENT as-of implementation) on arbitrary keyed frames."""
+    import pandas as pd
+
+    from haystack_traces_spark.operators.asof import asof_join
+
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k long, lts long, rowid long",
+    )
+    right = spark.createDataFrame(
+        right_rows or [(99, 0, 0)], "k long, rts long, v long"
+    )
+    if not right_rows:
+        right = right.filter("k < 0")
+    got = {
+        r["rowid"]: (r["rts"], r["v"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["rts", "v"],
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "lts", "rowid"],
+    ).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "v"]).sort_values(
+        "rts", kind="stable"
+    )
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.rowid): (
+                None if pd.isna(r.rts) else int(r.rts),
+                None if pd.isna(r.v) else int(r.v),
+            )
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(r.rowid): (None, None) for r in lp.itertuples()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+             min_size=1, max_size=30),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(1, 200)),
+        min_size=1, max_size=10,
+    ),
+)
+def test_interval_join_matches_brute_force(points, intervals):
+    """The bucketized equi-join must return exactly the pairs a brute
+    force containment sweep finds, for any bucket-straddling layout."""
+    from haystack_traces_spark.operators.asof import interval_join
+
+    spark = _spark()
+    p = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)],
+        "k long, ts long, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(k, s, s + ln, j) for j, (k, s, ln) in enumerate(intervals)],
+        "k long, s long, e long, iid long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            p, iv, on=["k"], point_ts="ts", start_col="s", end_col="e",
+            bucket=64,
+        ).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, (pk, pt) in enumerate(points)
+        for ii, (ik, s, ln) in enumerate(intervals)
+        if pk == ik and s <= pt < s + ln
+    }
+    assert got == want
