@@ -106,3 +106,34 @@ def test_buffer_proto_spark(spark):
         tid, spans = W.decode_span_buffer(bytes(m.value))
         assert tid == m.key and len(spans) >= 1
         assert all(s["trace_id"] == tid for s in spans)
+
+
+def test_otlp_export_round_trip(spark):
+    """The OTLP/JSON export parses back as valid JSON with the OTLP
+    structure: resourceSpans -> resource service.name + scopeSpans ->
+    spans with nano timestamps and single-field AnyValue attributes."""
+    import json
+
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.sources.otlp import spans_to_otlp
+
+    spans = EQ._spans(spark, "/root/testdata/sf0.001")
+    row = spans_to_otlp(spans).filter("trace_id = '7'").collect()[0]
+    doc = json.loads(row["otlp_json"])
+    assert doc["resourceSpans"], "at least one resourceSpans entry"
+    n_spans = 0
+    for rs in doc["resourceSpans"]:
+        svc = rs["resource"]["attributes"][0]
+        assert svc["key"] == "service.name" and svc["value"]["stringValue"]
+        for scope in rs["scopeSpans"]:
+            for s in scope["spans"]:
+                n_spans += 1
+                assert s["traceId"] == "7" and s["spanId"]
+                assert int(s["endTimeUnixNano"]) >= int(s["startTimeUnixNano"])
+                assert int(s["startTimeUnixNano"]) % 1000 == 0  # micros->nanos
+                for attr in s["attributes"]:
+                    # OTLP AnyValue: exactly ONE value field set
+                    assert len(attr["value"]) == 1, attr
+    # every span of trace 42 exported exactly once
+    n_true = spans.filter("trace_id = '7'").count()
+    assert n_spans == n_true and n_true > 0
