@@ -3056,6 +3056,49 @@ SELECT CAST((SELECT COUNT(*) FROM true_pairs) AS BIGINT) AS n_true_pairs,
 """
 
 
+def q_lang_metadata_agreement(spark, sf_dir):
+    """→ (lang, lang_pred, n_docs, share_of_lang): confusion table of the
+    corpus's DECLARED language metadata against the content-derived
+    language_id prediction — the audit that catches mislabeled feeds
+    (crawl metadata lies constantly; a source whose `lang=en` docs
+    predict 'und'/'es' needs its labels re-derived before lang-filtered
+    training mixes trust them). 'und' rows quantify where the marker
+    heuristic has no evidence (e.g. zh, which has no marker list — an
+    honest blind spot, not agreement).
+
+    Scale shape: the map-only language_id projection joined back to the
+    doc metadata on doc_id, then one combinable (lang, lang_pred)
+    rollup + a per-lang share window over the tiny confusion table."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pred = X.language_id(docs).select("doc_id", "lang_pred")
+    pairs = docs.select("doc_id", "lang").join(pred, "doc_id")
+    counts = pairs.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "share_of_lang"
+        ),
+    ).orderBy("lang", "lang_pred")
+
+
+def sql_lang_metadata_agreement() -> str:
+    return f"""
+WITH pred AS ({sql_language_id().strip()})
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang)
+             AS DOUBLE), 6) AS share_of_lang
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_split_leak_audit(spark, sf_dir):
     """Leakage audit of the NAIVE per-doc hash split: flagged near-dup
     pairs (session-cached stage) whose endpoints straddle splits. The
@@ -3132,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_trim": q_budget_trim,
         "embedding_clusters": q_embedding_clusters,
         "lsh_recall_report": q_lsh_recall_report,
+        "lang_metadata_agreement": q_lang_metadata_agreement,
         "simhash_bit_balance": q_simhash_bit_balance,
         "winnow_density": q_winnow_density,
         "lsh_cap_pressure": q_lsh_cap_pressure,
@@ -3213,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_trim": sql_budget_trim(),
         "embedding_clusters": sql_embedding_clusters(),
         "lsh_recall_report": sql_lsh_recall_report(),
+        "lang_metadata_agreement": sql_lang_metadata_agreement(),
         "simhash_bit_balance": sql_simhash_bit_balance(),
         "winnow_density": sql_winnow_density(),
         "lsh_cap_pressure": sql_lsh_cap_pressure(),

@@ -3640,6 +3640,7 @@ _ROTATION_QUEUE = (
     "retention_cohorts",
     # round-15 queue:
     "lsh_recall_report",
+    "lang_metadata_agreement",
     "simhash_bit_balance",
     "winnow_density",
     "lsh_cap_pressure",
