@@ -3533,6 +3533,339 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: Demo SLO for the burn-rate query: 90% of spans below the error
+#: threshold. The synthetic corpus errors ~50% of spans (errorcode is
+#: uniform 0..99 vs threshold 50), so burns land well above 1 — the
+#: MATH is what the oracle pins, the target is a dial in production.
+SLO_TARGET = 0.9
+#: Long alerting window in hours (Google SRE multiwindow: page only when
+#: both the 1 h and the 6 h burn exceed 1 — fast windows catch onset,
+#: slow windows suppress blips).
+SLO_LONG_HOURS = 6
+
+_HOUR_US = 3_600_000_000
+
+
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn rate per (service, hour) with the SRE
+    multiwindow page signal: burn_short is this hour's error rate over
+    the budget (1 - SLO), burn_long the same over the trailing
+    6-hour window, and ``page`` fires only when BOTH exceed 1
+    (Beyer et al., The Site Reliability Workbook ch. 5 — multiwindow,
+    multi-burn-rate alerts).
+
+    Scale shape: one map-side-combinable aggregate keyed
+    (service, hour); the trailing window is a RANGE frame over the
+    integer hour index per service — frame width 6 rows max, partition
+    bounded by the calendar (hours), never by span volume."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    hourly = (
+        spans.groupBy(
+            F.lower("service_name").alias("servicename"),
+            (F.col("start_time") - (F.col("start_time") % _HOUR_US)).alias(
+                "hour_us"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((_errorcode() >= ERROR_THRESHOLD).cast("long")).alias(
+                "n_errors"
+            ),
+        )
+    )
+    budget = 1.0 - SLO_TARGET
+    w = (
+        Window.partitionBy("servicename")
+        .orderBy("hour_us")
+        .rangeBetween(-(SLO_LONG_HOURS - 1) * _HOUR_US, 0)
+    )
+    burn_short = F.col("n_errors") / F.col("n_spans") / budget
+    burn_long = F.sum("n_errors").over(w) / F.sum("n_spans").over(w) / budget
+    return (
+        hourly.select(
+            "servicename",
+            "hour_us",
+            "n_spans",
+            "n_errors",
+            F.round(burn_short, 6).alias("burn_short"),
+            F.round(burn_long, 6).alias("burn_long"),
+        )
+        .withColumn(
+            "page",
+            ((F.col("burn_short") > 1) & (F.col("burn_long") > 1)).cast("long"),
+        )
+        .orderBy("servicename", "hour_us")
+    )
+
+
+def sql_slo_burn_rate() -> str:
+    budget = 1.0 - SLO_TARGET
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hourly AS (
+  SELECT lower(service_name) AS servicename,
+         start_time - start_time % {_HOUR_US} AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM spans GROUP BY 1, 2
+), burn AS (
+  SELECT servicename, hour_us, n_spans, n_errors,
+         ROUND(n_errors / CAST(n_spans AS DOUBLE) / {budget}, 6) AS burn_short,
+         ROUND(SUM(n_errors) OVER w / CAST(SUM(n_spans) OVER w AS DOUBLE) / {budget}, 6) AS burn_long
+  FROM hourly
+  WINDOW w AS (PARTITION BY servicename ORDER BY hour_us
+               RANGE BETWEEN {(SLO_LONG_HOURS - 1) * _HOUR_US} PRECEDING AND CURRENT ROW)
+)
+SELECT *, CAST(CASE WHEN burn_short > 1 AND burn_long > 1 THEN 1 ELSE 0 END AS BIGINT) AS page
+FROM burn ORDER BY servicename, hour_us
+"""
+    )
+
+
+def q_hedged_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate sibling calls: groups of ≥2 spans under the SAME parent
+    with the same (service, operation) — the signature of hedged /
+    speculative retries (Dean & Barroso 2013, "The Tail at Scale") or
+    accidental double-submits. Reports the busy time vs the wall span of
+    the group; ``wasted_micros`` is duplicated work beyond the wall
+    window, ``concurrent`` whether all copies overlap a common instant
+    (true hedging) vs sequential retries.
+
+    Scale shape: one combinable aggregate keyed (trace, parent, service,
+    operation) — rides the trace-key exchange every trace operator
+    shares; HAVING n>=2 prunes before any downstream join. No windows,
+    no self-join."""
+    spans = _spans(spark, sf_dir)
+    end = F.col("start_time") + F.col("duration")
+    g = (
+        spans.filter(F.col("parent_span_id") != "")
+        .groupBy(
+            "trace_id",
+            "parent_span_id",
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operation"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.sum("duration").cast("long").alias("busy_micros"),
+            (F.max(end) - F.min("start_time")).cast("long").alias("span_micros"),
+            (F.max("start_time") < F.min(end)).cast("long").alias("concurrent"),
+        )
+        .filter(F.col("n_calls") >= 2)
+    )
+    return g.select(
+        "trace_id",
+        "parent_span_id",
+        "servicename",
+        "operation",
+        "n_calls",
+        "busy_micros",
+        "span_micros",
+        F.greatest(
+            F.lit(0).cast("long"), F.col("busy_micros") - F.col("span_micros")
+        ).alias("wasted_micros"),
+        "concurrent",
+    ).orderBy("trace_id", "parent_span_id", "servicename", "operation")
+
+
+def sql_hedged_requests() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+SELECT trace_id, parent_span_id,
+       lower(service_name) AS servicename,
+       lower(operation_name) AS operation,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(duration) AS BIGINT) AS busy_micros,
+       CAST(MAX(start_time + duration) - MIN(start_time) AS BIGINT) AS span_micros,
+       CAST(GREATEST(0, SUM(duration) - (MAX(start_time + duration) - MIN(start_time))) AS BIGINT) AS wasted_micros,
+       CAST(CASE WHEN MAX(start_time) < MIN(start_time + duration) THEN 1 ELSE 0 END AS BIGINT) AS concurrent
+FROM spans
+WHERE parent_span_id <> ''
+GROUP BY 1, 2, 3, 4
+HAVING COUNT(*) >= 2
+ORDER BY 1, 2, 3, 4
+"""
+    )
+
+
+def q_operation_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which operations TRAVEL TOGETHER: for every unordered pair of
+    (service:operation) keys, the number of traces containing both and
+    the lift P(a,b) / (P(a)·P(b)) — the workload-decomposition view
+    behind "these endpoints always fire in the same request" (basket
+    analysis over traces instead of carts). error_cooccurrence is the
+    failing-only sibling; this is all-traffic.
+
+    Scale shape: ONE scan + ONE trace-key exchange builds the sorted
+    per-trace key set (bounded by the operation catalog, not span
+    count); pairs are generated by a JVM array comprehension over that
+    set (no self-join of the span table), and the three downstream
+    aggregates (pair counts, per-key counts, trace total) all hang off
+    the same grouped exchange, which AQE reuses. Per-key totals
+    broadcast onto the pair counts."""
+    spans = _spans(spark, sf_dir)
+    per_trace = (
+        spans.groupBy("trace_id")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.concat_ws(
+                        ":", F.lower("service_name"), F.lower("operation_name")
+                    )
+                )
+            ).alias("ks")
+        )
+    )
+    ks = F.col("ks")
+    pair_arr = F.flatten(
+        F.transform(
+            ks,
+            lambda x, i: F.transform(
+                F.slice(ks, i + F.lit(2), F.size(ks)),
+                lambda y: F.struct(x.alias("op_a"), y.alias("op_b")),
+            ),
+        )
+    )
+    totals = per_trace.agg(
+        F.count(F.lit(1)).cast("long").alias("n_traces_total")
+    )
+    per_key = (
+        per_trace.select(F.explode("ks").alias("op_key"))
+        .groupBy("op_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_traces"))
+    )
+    both = (
+        per_trace.select(F.explode(pair_arr).alias("p"))
+        .select("p.op_a", "p.op_b")
+        .groupBy("op_a", "op_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = per_key.select(F.col("op_key").alias("op_a"), F.col("n_traces").alias("na"))
+    nb = per_key.select(F.col("op_key").alias("op_b"), F.col("n_traces").alias("nb"))
+    return (
+        both.join(F.broadcast(na), "op_a")
+        .join(F.broadcast(nb), "op_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "op_a",
+            "op_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * F.col("n_traces_total")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("op_a", "op_b")
+    )
+
+
+def sql_operation_affinity() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, keys AS (
+  SELECT DISTINCT trace_id,
+         lower(service_name) || ':' || lower(operation_name) AS op_key
+  FROM spans
+),
+totals AS (SELECT CAST(COUNT(DISTINCT trace_id) AS BIGINT) AS n_traces_total FROM keys),
+per_key AS (SELECT op_key, CAST(COUNT(*) AS BIGINT) AS n_traces FROM keys GROUP BY 1)
+SELECT a.op_key AS op_a, b.op_key AS op_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       ROUND(COUNT(*) * CAST(MAX(t.n_traces_total) AS DOUBLE)
+             / (MAX(ka.n_traces) * MAX(kb.n_traces)), 6) AS lift
+FROM keys a
+JOIN keys b ON a.trace_id = b.trace_id AND a.op_key < b.op_key
+JOIN per_key ka ON ka.op_key = a.op_key
+JOIN per_key kb ON kb.op_key = b.op_key
+CROSS JOIN totals t
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+    )
+
+
+def q_trace_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural trace clustering: every trace is fingerprinted by the
+    md5 of its SORTED distinct (service:operation) set, then shapes are
+    ranked by population with their latency profile — "what kinds of
+    requests flow through this system, and which shape is slow". The
+    per-shape root-duration mean splits latency variance into
+    between-shape (workload mix) vs within-shape (true jitter).
+
+    Scale shape: one collect_set per trace on the shared trace-key
+    exchange (set bounded by the operation catalog, not span count),
+    then a combinable aggregate on the fingerprint — two shuffles, the
+    first reused from every other trace-level operator."""
+    spans = _spans(spark, sf_dir)
+    per_trace = (
+        spans.groupBy("trace_id")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.concat_ws(
+                        ":", F.lower("service_name"), F.lower("operation_name")
+                    )
+                )
+            ).alias("ops"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("parent_span_id") == "", F.col("duration"))
+                ),
+                F.lit(0),
+            ).alias("rootduration"),
+        )
+        .select(
+            F.md5(F.concat_ws("|", "ops")).alias("fingerprint"),
+            F.concat_ws("|", "ops").alias("shape"),
+            "n_spans",
+            "rootduration",
+        )
+    )
+    return (
+        per_trace.groupBy("fingerprint")
+        .agg(
+            F.min("shape").alias("shape"),
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.round(F.avg("n_spans"), 6).alias("avg_spans"),
+            F.round(F.avg("rootduration"), 6).alias("avg_root_duration"),
+            F.max("rootduration").cast("long").alias("max_root_duration"),
+        )
+        .orderBy(F.desc("n_traces"), "fingerprint")
+    )
+
+
+def sql_trace_fingerprints() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per_trace AS (
+  SELECT trace_id,
+         array_to_string(list_sort(list(DISTINCT lower(service_name) || ':' || lower(operation_name))), '|') AS shape,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         COALESCE(MAX(CASE WHEN parent_span_id = '' THEN duration END), 0) AS rootduration
+  FROM spans GROUP BY trace_id
+)
+SELECT md5(shape) AS fingerprint,
+       MIN(shape) AS shape,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       ROUND(AVG(n_spans), 6) AS avg_spans,
+       ROUND(AVG(rootduration), 6) AS avg_root_duration,
+       CAST(MAX(rootduration) AS BIGINT) AS max_root_duration
+FROM per_trace
+GROUP BY 1
+ORDER BY n_traces DESC, fingerprint
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -3644,6 +3977,11 @@ _ROTATION_QUEUE = (
     "simhash_bit_balance",
     "winnow_density",
     "lsh_cap_pressure",
+    # round-16 queue (round-5 session-3 additions):
+    "slo_burn_rate",
+    "hedged_requests",
+    "operation_affinity",
+    "trace_fingerprints",
 )
 
 
@@ -3738,6 +4076,10 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_seasonality": q_service_seasonality,
         "user_kanonymity": q_user_kanonymity,
         "retention_cohorts": q_retention_cohorts,
+        "slo_burn_rate": q_slo_burn_rate,
+        "hedged_requests": q_hedged_requests,
+        "operation_affinity": q_operation_affinity,
+        "trace_fingerprints": q_trace_fingerprints,
     }
 
 
@@ -3820,4 +4162,8 @@ def _trace_oracles() -> dict[str, str]:
         "service_seasonality": sql_service_seasonality(),
         "user_kanonymity": sql_user_kanonymity(),
         "retention_cohorts": sql_retention_cohorts(),
+        "slo_burn_rate": sql_slo_burn_rate(),
+        "hedged_requests": sql_hedged_requests(),
+        "operation_affinity": sql_operation_affinity(),
+        "trace_fingerprints": sql_trace_fingerprints(),
     }

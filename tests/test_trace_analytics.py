@@ -604,3 +604,158 @@ def test_user_kanonymity_and_retention_on_crafted_events(spark, tmp_path):
     assert ret[(0, 0)]["n_active"] == 6 and ret[(0, 0)]["retention"] == 1.0
     assert ret[(0, 1)]["n_active"] == 2
     assert ret[(0, 1)]["retention"] == round(2 / 6, 6)
+
+
+# ---------------------------------------------------------------- round-5c --
+
+
+def test_slo_burn_rate_multiwindow_page(spark):
+    """Hour 0: clean (burn 0). Hour 1: 100% errors — burn_short = 10,
+    burn_long over the trailing window = (10 errors / 20 spans) / 0.1 = 5,
+    both > 1 → page. Hour 0 never pages despite the long window."""
+    H = 3_600_000_000
+    err = [_ltag("errorcode", 99)]
+    rows = []
+    for i in range(10):
+        rows.append(mk(trace_id=f"c{i}", span_id=f"c{i}", start=T0 + i))
+        rows.append(
+            mk(trace_id=f"e{i}", span_id=f"e{i}", start=T0 + H + i, tags=err)
+        )
+    out = _patched(
+        spark, rows, lambda: EQ.q_slo_burn_rate(spark, "ignored").collect()
+    )
+    by_hour = {r["hour_us"]: r.asDict() for r in out}
+    h0, h1 = by_hour[T0 - T0 % H], by_hour[(T0 + H) - (T0 + H) % H]
+    assert h0["n_errors"] == 0 and h0["burn_short"] == 0.0 and h0["page"] == 0
+    assert h1["n_errors"] == 10
+    assert h1["burn_short"] == 10.0
+    assert h1["burn_long"] == 5.0
+    assert h1["page"] == 1
+
+
+def test_slo_burn_rate_long_window_suppresses_blip(spark):
+    """A single-span error hour after 5 clean high-traffic hours: the
+    short burn fires (10 > 1) but the trailing 6 h burn stays under 1 —
+    no page (the SRE blip-suppression property)."""
+    H = 3_600_000_000
+    rows = []
+    for h in range(5):
+        for i in range(30):
+            rows.append(
+                mk(trace_id=f"t{h}_{i}", span_id=f"s{h}_{i}", start=T0 + h * H + i)
+            )
+    rows.append(
+        mk(
+            trace_id="blip",
+            span_id="blip",
+            start=T0 + 5 * H,
+            tags=[_ltag("errorcode", 99)],
+        )
+    )
+    out = _patched(
+        spark, rows, lambda: EQ.q_slo_burn_rate(spark, "ignored").collect()
+    )
+    blip = [r for r in out if r["hour_us"] == T0 + 5 * H - (T0 + 5 * H) % H][0]
+    assert blip["burn_short"] == 10.0  # 1/1 errors over budget 0.1
+    assert blip["burn_long"] < 1  # 1 error / 151 spans / 0.1
+    assert blip["page"] == 0
+
+
+def test_hedged_requests_overlap_vs_sequential(spark):
+    rows = [
+        mk(trace_id="t1", span_id="root", parent=""),
+        # two concurrent copies of svc_a:op_a under root — a hedge
+        mk(trace_id="t1", span_id="h1", parent="root", start=T0, duration=100),
+        mk(trace_id="t1", span_id="h2", parent="root", start=T0 + 50, duration=100),
+        # sequential retry pair of svc_b:op_b — reported, not concurrent
+        mk(trace_id="t1", span_id="r1", parent="root", service="svc_b",
+           operation="op_b", start=T0, duration=10),
+        mk(trace_id="t1", span_id="r2", parent="root", service="svc_b",
+           operation="op_b", start=T0 + 500, duration=10),
+        # singleton — never reported
+        mk(trace_id="t1", span_id="x1", parent="root", service="svc_c"),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_hedged_requests(spark, "ignored").collect()
+    )
+    by_svc = {r["servicename"]: r.asDict() for r in out}
+    assert set(by_svc) == {"svc_a", "svc_b"}
+    a = by_svc["svc_a"]
+    # wall window [T0, T0+150), busy 200 → 50 µs duplicated work
+    assert a["n_calls"] == 2 and a["span_micros"] == 150
+    assert a["wasted_micros"] == 50 and a["concurrent"] == 1
+    b = by_svc["svc_b"]
+    assert b["concurrent"] == 0 and b["wasted_micros"] == 0
+
+
+def test_operation_affinity_lift(spark):
+    rows = [
+        # A and B co-occur in both traces; C only in t1
+        mk(trace_id="t1", span_id="1", service="a", operation="op"),
+        mk(trace_id="t1", span_id="2", service="b", operation="op"),
+        mk(trace_id="t1", span_id="3", service="c", operation="op"),
+        mk(trace_id="t2", span_id="4", service="a", operation="op"),
+        mk(trace_id="t2", span_id="5", service="b", operation="op"),
+        # duplicate span of a:op in t2 must not inflate counts
+        mk(trace_id="t2", span_id="6", service="a", operation="op"),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_operation_affinity(spark, "ignored").collect()
+    )
+    by_pair = {(r["op_a"], r["op_b"]): r.asDict() for r in out}
+    ab = by_pair[("a:op", "b:op")]
+    assert ab["n_both"] == 2 and ab["lift"] == 1.0  # 2*2/(2*2)
+    ac = by_pair[("a:op", "c:op")]
+    assert ac["n_both"] == 1 and ac["lift"] == 1.0  # 1*2/(2*1)
+
+
+def test_trace_fingerprints_order_invariant_grouping(spark):
+    rows = [
+        # same shape, different span order / different span counts
+        mk(trace_id="t1", span_id="1", service="a", operation="x", duration=100),
+        mk(trace_id="t1", span_id="2", parent="1", service="b", operation="y"),
+        mk(trace_id="t2", span_id="3", service="b", operation="y"),
+        mk(trace_id="t2", span_id="4", parent="3", service="a", operation="x",
+           duration=300),
+        mk(trace_id="t2", span_id="5", parent="3", service="a", operation="x"),
+        # distinct shape
+        mk(trace_id="t3", span_id="6", service="a", operation="x", duration=700),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_trace_fingerprints(spark, "ignored").collect()
+    )
+    by_shape = {r["shape"]: r.asDict() for r in out}
+    assert set(by_shape) == {"a:x|b:y", "a:x"}
+    g = by_shape["a:x|b:y"]
+    # t1 root duration 100 (span 1 is root); t2 root duration 0 (root is
+    # span 3 = b:y with default duration 1000) — wait, span 3 IS the root
+    # with duration 1000 → avg over (100, 1000)
+    assert g["n_traces"] == 2
+    assert g["avg_spans"] == 2.5
+    assert g["avg_root_duration"] == 550.0
+    assert by_shape["a:x"]["max_root_duration"] == 700
+
+
+def test_round5c_trace_operators_plan_shapes(spark):
+    from tests.test_plans import _plan
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        name: _plan(fn(spark, sf))
+        for name, fn in {
+            "slo_burn_rate": EQ.q_slo_burn_rate,
+            "hedged_requests": EQ.q_hedged_requests,
+            "operation_affinity": EQ.q_operation_affinity,
+            "trace_fingerprints": EQ.q_trace_fingerprints,
+        }.items()
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        if name == "operation_affinity":
+            # its ONE single-partition exchange is the scalar trace-total
+            # aggregate (one partial-count row per partition in flight),
+            # bounded by partition count, then broadcast — allowed
+            continue
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+    # the per-key totals join broadcast-side onto the pair counts
+    assert "BroadcastHashJoin" in plans["operation_affinity"]
