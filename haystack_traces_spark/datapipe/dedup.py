@@ -169,6 +169,74 @@ def _verify_jaccard(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    df_cap: int = 1000,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """→ (doc_a, doc_b, n_a, n_b, n_shared, cont_a_in_b, cont_b_in_a):
+    ASYMMETRIC set containment C(A→B) = |A∩B| / |A| for pairs where
+    either direction reaches ``threshold`` — the sub-document duplication
+    Jaccard is blind to (a paragraph quoted inside a much longer doc has
+    C ≈ 1 but J ≈ |A|/|B| ≈ 0, so it never crosses a Jaccard gate;
+    cf. Broder 1997's resemblance-vs-containment split).
+
+    Candidate generation: pairs sharing at least one RARE shingle
+    (document frequency ≤ ``df_cap``). Jaccard's ppjoin prefix/LENGTH
+    filters are unsound for containment (no length relation holds), so
+    rare-shingle blocking is the scale bound instead: join volume scales
+    with rare-shingle co-occurrence (Σ df² over df ≤ cap), and a pair
+    sharing ONLY ubiquitous shingles is — by declared contract, enforced
+    identically in the oracle — not a candidate. Candidates are then
+    exact-verified over the FULL shingle sets, so precision is exact and
+    the cap trades only recall on stop-phrase-only overlap.
+
+    Scale shape: one shingle materialization feeds the df aggregate, the
+    rare-shingle self-join, and the verify regroup; no windows, no
+    Python."""
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = materialize(shingle_rows(docs, text_col, n))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= df_cap).select("s"), "s")
+    a = rare.select(F.col("doc_id").alias("doc_a"), hash60("s", seed="ct:").alias("h"))
+    b = rare.select(F.col("doc_id").alias("doc_b"), hash60("s", seed="ct:").alias("h"))
+    candidates = (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_df = materialize(
+        sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    )
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+            n_shared.cast("long").alias("n_shared"),
+        )
+        .withColumn("cont_a_in_b", F.round(F.col("n_shared") / F.col("n_a"), 6))
+        .withColumn("cont_b_in_a", F.round(F.col("n_shared") / F.col("n_b"), 6))
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     text_col: str = "text",

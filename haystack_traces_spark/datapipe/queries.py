@@ -3179,6 +3179,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bit_balance": q_simhash_bit_balance,
         "winnow_density": q_winnow_density,
         "lsh_cap_pressure": q_lsh_cap_pressure,
+        # round-5 third batch (queued in _ROTATION_QUEUE round-16/17):
+        "containment_dedup": q_containment_dedup,
+        "cluster_sample_weights": q_cluster_sample_weights,
+        "dup_cross_source_matrix": q_dup_cross_source_matrix,
+        "quality_dup_matrix": q_quality_dup_matrix,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3261,6 +3266,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_bit_balance": sql_simhash_bit_balance(),
         "winnow_density": sql_winnow_density(),
         "lsh_cap_pressure": sql_lsh_cap_pressure(),
+        "containment_dedup": sql_containment_dedup(),
+        "cluster_sample_weights": sql_cluster_sample_weights(),
+        "dup_cross_source_matrix": sql_dup_cross_source_matrix(),
+        "quality_dup_matrix": sql_quality_dup_matrix(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -3680,4 +3689,237 @@ SELECT d.source,
              / CAST(COUNT(*) AS DOUBLE), 6) AS neardup_rate
 FROM documents d LEFT JOIN dupb b ON b.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ------------------------------------------------------- round-5c batch --
+
+#: Containment gate: either direction's |A∩B|/|A| at or above this flags
+#: the pair (0.9 ≈ "A is essentially inside B").
+CONTAIN_THRESHOLD = 0.9
+#: Rare-shingle blocking cap for containment candidates (document
+#: frequency bound — see dedup.containment_pairs' recall contract).
+CONTAIN_DF_CAP = 1000
+
+
+def q_containment_dedup(spark, sf_dir):
+    return D.containment_pairs(
+        _docs(spark, sf_dir), CONTAIN_THRESHOLD, df_cap=CONTAIN_DF_CAP
+    )
+
+
+def sql_containment_dedup() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE df <= {CONTAIN_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sizes AS ({_SIZES}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       ROUND(i.n_shared / CAST(sa.n_sh AS DOUBLE), 6) AS cont_a_in_b,
+       ROUND(i.n_shared / CAST(sb.n_sh AS DOUBLE), 6) AS cont_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.n_shared / CAST(sa.n_sh AS DOUBLE), 6) >= {CONTAIN_THRESHOLD}
+   OR ROUND(i.n_shared / CAST(sb.n_sh AS DOUBLE), 6) >= {CONTAIN_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+def q_cluster_sample_weights(spark, sf_dir):
+    """Duplicate-aware sampling weights: every doc gets 1 / |its near-dup
+    cluster| — train on everything but let each distinct CONTENT unit
+    contribute unit mass (the soft alternative to canonical-doc deletion;
+    the expectation of uniform sampling over deduped data). Composition:
+    the session-cached cluster map (singletons = their own cluster).
+
+    Scale shape: one left join onto the cluster table + one combinable
+    size aggregate + one keyed join back — all on the cluster/doc keys,
+    no windows."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    lab = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).cast("long").alias("cluster"),
+    )
+    sizes = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        lab.join(sizes, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_cluster_sample_weights() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+dup AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION SELECT doc_b, doc_a FROM dup
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN cl c USING (doc_id)
+),
+csizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+SELECT l.doc_id, l.cluster, s.cluster_size,
+       ROUND(1.0 / s.cluster_size, 6) AS weight
+FROM lab l JOIN csizes s USING (cluster)
+ORDER BY l.doc_id
+"""
+
+
+def q_dup_cross_source_matrix(spark, sf_dir):
+    """Provenance view of near-duplication: verified pairs bucketed by
+    the (source, source) combination of their endpoints — the
+    source×source matrix that separates WITHIN-feed templating from
+    CROSS-feed syndication/mirroring (the two need different curation
+    responses: fix the extractor vs pick a canonical feed).
+
+    Scale shape: the pair table (session-cached, tiny relative to docs)
+    joins doc→source twice on the doc key; the matrix aggregate and its
+    share window run on the source-pair combinations — bounded by the
+    source catalog squared, not data volume."""
+    from pyspark.sql import Window
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    m = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy("source_a", "source_b")
+
+
+def sql_dup_cross_source_matrix() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+flagged AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+m AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM flagged f
+  JOIN documents da ON da.doc_id = f.doc_a
+  JOIN documents db ON db.doc_id = f.doc_b
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+       ROUND(n_pairs / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS share
+FROM m ORDER BY 1, 2
+"""
+
+
+def q_quality_dup_matrix(spark, sf_dir):
+    """Does duplication correlate with LOW quality? Contingency of the
+    Gopher keep/reject gate × near-dup degree bucket (0 / 1 / 2+
+    partners) with corpus shares — the curation-policy check behind
+    "dedup first or filter first" (if dups concentrate in rejected docs,
+    filtering already removes most of them; if they're quality-uniform,
+    dedup is load-bearing). Composition: gopher_rules (map-only) × the
+    session-cached pair stage.
+
+    Scale shape: degree is one combinable aggregate over pair endpoints;
+    the contingency is a ≤6-row aggregate after a left join on the doc
+    key."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    keep = X.gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("long").alias("keep")
+    )
+    pairs = _jaccard_pairs(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    lab = (
+        keep.join(deg, "doc_id", "left")
+        .select(
+            "keep",
+            F.when(F.coalesce("degree", F.lit(0)) == 0, "0")
+            .when(F.col("degree") == 1, "1")
+            .otherwise("2+")
+            .alias("dup_bucket"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    out = (
+        lab.groupBy("keep", "dup_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return out.select(
+        "keep",
+        "dup_bucket",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("share"),
+    ).orderBy("keep", "dup_bucket")
+
+
+def sql_quality_dup_matrix() -> str:
+    return f"""
+WITH g AS ({sql_gopher_quality()}),
+sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+flagged AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+ends AS (
+  SELECT doc_a AS doc_id FROM flagged
+  UNION ALL SELECT doc_b AS doc_id FROM flagged
+),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY 1),
+lab AS (
+  SELECT CAST(g.keep AS BIGINT) AS keep,
+         CASE WHEN COALESCE(d.degree, 0) = 0 THEN '0'
+              WHEN d.degree = 1 THEN '1'
+              ELSE '2+' END AS dup_bucket
+  FROM g LEFT JOIN deg d USING (doc_id)
+)
+SELECT keep, dup_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM lab
+GROUP BY 1, 2
+ORDER BY 1, 2
 """

@@ -3982,6 +3982,11 @@ _ROTATION_QUEUE = (
     "hedged_requests",
     "operation_affinity",
     "trace_fingerprints",
+    # round-17 queue:
+    "containment_dedup",
+    "cluster_sample_weights",
+    "dup_cross_source_matrix",
+    "quality_dup_matrix",
 )
 
 

@@ -1520,3 +1520,80 @@ class TestRound5bOperators:
                        fromlist=["q"]).q_lsh_recall_report(spark, sf_dir).collect()[0]
         assert r["n_caught"] <= min(r["n_true_pairs"], r["n_candidates"])
         assert 0 <= r["recall"] <= 1 and 0 < r["theory_at_threshold"] < 1
+
+
+class TestRound5cOperators:
+    def test_containment_catches_what_jaccard_misses(self, spark):
+        """A 5-word doc fully quoted inside a 40-word doc: containment
+        A-in-B = 1.0 while Jaccard stays far below the 0.8 dedup gate —
+        the sub-document duplication case the operator exists for."""
+        from haystack_traces_spark.datapipe import dedup as D
+
+        quoted = "alpha bravo charlie delta echo"
+        host = quoted + " " + " ".join(f"w{i}" for i in range(35))
+        df = spark.createDataFrame(
+            [(1, quoted), (2, host), (3, "zz yy xx ww vv")],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_a"], r["doc_b"]): r.asDict()
+               for r in D.containment_pairs(df, threshold=0.9).collect()}
+        assert set(out) == {(1, 2)}
+        p = out[(1, 2)]
+        assert p["n_a"] == 3 and p["n_shared"] == 3
+        assert p["cont_a_in_b"] == 1.0
+        assert p["cont_b_in_a"] < 0.1
+        # the same pair under Jaccard: 3 shared / 38 union ≈ 0.079 — blind
+        jac = D.ngram_jaccard_pairs(df, threshold=0.8).collect()
+        assert not jac
+
+    def test_containment_df_cap_blocks_hot_shingles(self, spark):
+        """With every shared shingle hotter than the cap, candidate
+        generation finds nothing — the declared recall contract."""
+        from haystack_traces_spark.datapipe import dedup as D
+
+        text = "alpha bravo charlie delta"
+        df = spark.createDataFrame(
+            [(i, text) for i in range(5)], "doc_id long, text string"
+        )
+        assert D.containment_pairs(df, threshold=0.9, df_cap=5).count() == 10
+        assert D.containment_pairs(df, threshold=0.9, df_cap=4).count() == 0
+
+    def test_weights_matrix_and_contingency_on_crafted_corpus(
+        self, spark, tmp_path
+    ):
+        """One exact near-dup pair across two sources + a singleton:
+        cluster weights halve for the pair, the cross-source matrix holds
+        exactly the (srcA, srcB) cell, and the quality×dup contingency
+        partitions the corpus."""
+        from haystack_traces_spark.datapipe import queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+
+        d = str(tmp_path / "corpus")
+        text = "alpha bravo charlie delta echo foxtrot"
+        rows = [
+            (1, text, "srcA"),
+            (2, text, "srcB"),
+            (3, "unrelated words only here today friends", "srcA"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+
+        w = {r["doc_id"]: r.asDict()
+             for r in dp.q_cluster_sample_weights(spark, d).collect()}
+        assert w[1]["cluster"] == 1 and w[2]["cluster"] == 1
+        assert w[1]["weight"] == 0.5 and w[2]["weight"] == 0.5
+        assert w[3]["cluster_size"] == 1 and w[3]["weight"] == 1.0
+
+        m = [r.asDict()
+             for r in dp.q_dup_cross_source_matrix(spark, d).collect()]
+        assert m == [{"source_a": "srcA", "source_b": "srcB",
+                      "n_pairs": 1, "share": 1.0}]
+
+        q = dp.q_quality_dup_matrix(spark, d).collect()
+        assert sum(r["n_docs"] for r in q) == 3
+        assert abs(sum(r["share"] for r in q) - 1.0) < 1e-6
+        by = {(r["keep"], r["dup_bucket"]): r["n_docs"] for r in q}
+        # short docs all fail the Gopher word-count rule → keep=0
+        assert by[(0, "1")] == 2 and by[(0, "0")] == 1
+        stagecache.clear()

@@ -727,9 +727,8 @@ def test_trace_fingerprints_order_invariant_grouping(spark):
     by_shape = {r["shape"]: r.asDict() for r in out}
     assert set(by_shape) == {"a:x|b:y", "a:x"}
     g = by_shape["a:x|b:y"]
-    # t1 root duration 100 (span 1 is root); t2 root duration 0 (root is
-    # span 3 = b:y with default duration 1000) — wait, span 3 IS the root
-    # with duration 1000 → avg over (100, 1000)
+    # roots: t1 → span 1 (duration 100), t2 → span 3 (default duration
+    # 1000) → avg_root_duration = mean(100, 1000)
     assert g["n_traces"] == 2
     assert g["avg_spans"] == 2.5
     assert g["avg_root_duration"] == 550.0
