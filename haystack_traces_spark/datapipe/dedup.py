@@ -237,6 +237,81 @@ def containment_pairs(
     )
 
 
+def bloom_probe(
+    docs: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    probe_mod: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (source, n_probes, n_bloom_hits, n_exact_hits, n_false_pos,
+    fp_rate): INCREMENTAL exact-dedup screening against a frozen corpus
+    snapshot via a Bloom filter (Bloom 1970), audited against ground
+    truth. Build side = docs with doc_id % probe_mod ≠ 0 (the "already
+    ingested" snapshot), probe side = the rest (the "new batch").
+
+    Each doc's key (md5 of text) maps to ``k`` positions
+    (hash60(seed_i ‖ key) mod ``m``); a probe is a BLOOM HIT iff all its
+    distinct positions exist in the build side's position set. The probe
+    additionally exact-joins on the key so the report carries the
+    REALIZED false-positive rate per source — the knob-tuning evidence
+    for sizing m/k before trusting the filter at scale.
+
+    Scale shape: this is why the operator exists at 100 TB — the
+    position set is ≤ m rows (a BROADCAST, however big the snapshot
+    corpus), so screening a new batch never shuffles the snapshot. The
+    exact-hit audit join on the full key IS snapshot-sized and exists
+    only to measure the FP rate; production callers drop it (or sample)
+    once m/k are validated. Everything is hash-groupBy/broadcast-join —
+    no windows, no Python."""
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col(text_col)).alias("key")
+    )
+    build = keyed.filter(F.col("doc_id") % probe_mod != 0)
+    probe = keyed.filter(F.col("doc_id") % probe_mod == 0)
+    pos_arr = F.array_distinct(
+        F.array(*[hash60(F.col("key"), seed=f"bl{i}:") % m for i in range(k)])
+    )
+    build_pos = (
+        build.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    probed = probe.withColumn("pos_arr", pos_arr)
+    matched = (
+        probed.select("doc_id", F.explode("pos_arr").alias("pos"))
+        .join(F.broadcast(build_pos), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    exact = build.select("key").distinct().withColumn("is_exact", F.lit(1))
+    flags = (
+        probed.join(matched, "doc_id", "left")
+        .join(exact, "key", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.coalesce("n_matched", F.lit(0)) == F.size("pos_arr"))
+            .cast("long")
+            .alias("bloom_hit"),
+            F.coalesce("is_exact", F.lit(0)).cast("long").alias("exact_hit"),
+        )
+    )
+    n_fp = F.sum("bloom_hit") - F.sum("exact_hit")
+    denom = F.nullif(
+        (F.count(F.lit(1)) - F.sum("exact_hit")).cast("double"), F.lit(0.0)
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("exact_hit").cast("long").alias("n_exact_hits"),
+            n_fp.cast("long").alias("n_false_pos"),
+            F.round(n_fp / denom, 6).alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     text_col: str = "text",

@@ -3184,6 +3184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample_weights": q_cluster_sample_weights,
         "dup_cross_source_matrix": q_dup_cross_source_matrix,
         "quality_dup_matrix": q_quality_dup_matrix,
+        # round-5 fourth batch (queued in _ROTATION_QUEUE round-18):
+        "bloom_dedup": q_bloom_dedup,
+        "embedding_dim_ablation": q_embedding_dim_ablation,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3270,6 +3273,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample_weights": sql_cluster_sample_weights(),
         "dup_cross_source_matrix": sql_dup_cross_source_matrix(),
         "quality_dup_matrix": sql_quality_dup_matrix(),
+        "bloom_dedup": sql_bloom_dedup(),
+        "embedding_dim_ablation": sql_embedding_dim_ablation(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -3922,4 +3927,159 @@ SELECT keep, dup_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM lab
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------- round-5d batch --
+
+#: Bloom-filter geometry for the incremental-dedup screen. m is sized so
+#: the TEST corpus realizes a measurable (but small) FP rate — the whole
+#: point of the audit columns; production sizes m to the snapshot corpus
+#: (the position table stays a broadcast at any m that fits one executor).
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def q_bloom_dedup(spark, sf_dir):
+    return D.bloom_probe(
+        _docs(spark, sf_dir), BLOOM_M, BLOOM_K, probe_mod=PROBE_MOD
+    )
+
+
+def sql_bloom_dedup() -> str:
+    pos_builds = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {hash60_sql('key', seed=f'bl{i}:')} % {BLOOM_M} AS pos FROM build"
+        for i in range(BLOOM_K)
+    )
+    pos_probes = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {hash60_sql('key', seed=f'bl{i}:')} % {BLOOM_M} AS pos FROM probe"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH keyed AS (SELECT doc_id, source, md5(text) AS key FROM documents),
+build AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} <> 0),
+probe AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} = 0),
+bpos AS (SELECT DISTINCT pos FROM ({pos_builds})),
+ppos AS (SELECT DISTINCT doc_id, pos FROM ({pos_probes})),
+pn AS (SELECT doc_id, COUNT(*) AS n_pos FROM ppos GROUP BY 1),
+pm AS (
+  SELECT p.doc_id, COUNT(b.pos) AS n_matched
+  FROM ppos p LEFT JOIN bpos b USING (pos) GROUP BY 1
+),
+ek AS (SELECT DISTINCT key FROM build),
+flags AS (
+  SELECT p.source,
+         CASE WHEN pm.n_matched = pn.n_pos THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN ek.key IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+  FROM probe p
+  JOIN pn ON pn.doc_id = p.doc_id
+  JOIN pm ON pm.doc_id = p.doc_id
+  LEFT JOIN ek ON ek.key = p.key
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos,
+       ROUND((SUM(bloom_hit) - SUM(exact_hit)) /
+             CAST(NULLIF(COUNT(*) - SUM(exact_hit), 0) AS DOUBLE), 6) AS fp_rate
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+#: Truncated-dimension variants measured against the full-dim top-k
+#: (Matryoshka-style prefix truncation — Kusupati 2022: are the leading
+#: dims enough to keep recall?).
+ABLATION_DIMS = (32, 16)
+
+
+def q_embedding_dim_ablation(spark, sf_dir):
+    """→ (dims_used, query_id, n_hits, recall): recall@k of brute-force
+    cosine search over PREFIX-TRUNCATED embeddings vs the full-dim
+    top-k, per probe query and truncation width. The storage/compute
+    knob audit: if recall holds at d/2, the ANN index (and every
+    downstream GEMM) can run at half width.
+
+    Both faces rank on the raw cosine with neighbor-id tie-break —
+    the same contract as `ann_brute_force`, whose result IS the
+    full-dim reference set here.
+
+    Scale shape: one brute-force pass per width (each the broadcast-
+    queries GEMM of `brute_force_topk` — the corpus never shuffles);
+    the recall join touches only |queries|·k rows per width."""
+    emb = _emb(spark, sf_dir)
+    full = S.brute_force_topk(emb, ANN_QUERY_IDS, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for d in ABLATION_DIMS:
+        trunc = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        t = S.brute_force_topk(trunc, ANN_QUERY_IDS, ANN_K).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            full.join(t, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("raw_hits"))
+        )
+        outs.append(
+            full.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("dims_used"),
+                "query_id",
+                F.coalesce("raw_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("raw_hits", F.lit(0)) / F.lit(float(ANN_K)), 6
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("dims_used", "query_id")
+
+
+def sql_embedding_dim_ablation() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+
+    def cos(d: int | None) -> str:
+        sl = f"[1:{d}]" if d else ""
+        return (
+            f"list_dot_product(q.v{sl}, b.v{sl}) / "
+            f"(sqrt(list_dot_product(q.v{sl}, q.v{sl})) * "
+            f"sqrt(list_dot_product(b.v{sl}, b.v{sl})))"
+        )
+
+    def topk(name: str, d: int | None) -> str:
+        return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos(d)} DESC, b.vec_id ASC) AS rank
+    FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id IN ({ids})
+  ) WHERE rank <= {ANN_K}
+)"""
+
+    per_d = []
+    for d in ABLATION_DIMS:
+        per_d.append(
+            f"""SELECT {d} AS dims_used, f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(t.neighbor_id) / {float(ANN_K)}, 6) AS recall
+FROM full_r f
+LEFT JOIN t{d} t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY 1, 2"""
+        )
+    trunc_ctes = ",\n".join(topk(f"t{d}", d) for d in ABLATION_DIMS)
+    union = "\nUNION ALL\n".join(per_d)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{topk("full_r", None)},
+{trunc_ctes}
+SELECT CAST(dims_used AS BIGINT) AS dims_used, query_id, n_hits, recall
+FROM ({union})
+ORDER BY dims_used, query_id
 """

@@ -3866,6 +3866,275 @@ ORDER BY n_traces DESC, fingerprint
     )
 
 
+def q_bottleneck_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which operation is each trace's BOTTLENECK — the span with the
+    largest SELF time (duration minus direct-children time, the
+    flamegraph quantity) — rolled up by (service, operation): how many
+    traces each op bottlenecks, its mean self time there, and its mean
+    share of the trace's total self time. The capacity-planning cut of
+    the flamegraph: `span_self_time` says where time goes per span,
+    this says which op to fix FIRST per trace.
+
+    Tie-break: equal self times resolve to the lexicographically
+    smallest span_id (mirrored in the oracle's ROW_NUMBER). Share is
+    NULL when a trace's total self time is 0 (degenerate zero-duration
+    roots) — AVG skips NULLs identically on both engines.
+
+    Scale shape: the child aggregate and the per-trace argmax window
+    both key on trace_id — one trace exchange end to end; the final
+    rollup is a tiny (service, operation) combinable aggregate."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    child = (
+        spans.filter(F.col("parent_span_id") != "")
+        .groupBy("trace_id", F.col("parent_span_id").alias("span_id"))
+        .agg(F.sum("duration").alias("child_time"))
+    )
+    self_t = (
+        spans.join(child, ["trace_id", "span_id"], "left")
+        .select(
+            "trace_id",
+            "span_id",
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+            (F.col("duration") - F.coalesce("child_time", F.lit(0)))
+            .cast("long")
+            .alias("self_time"),
+        )
+    )
+    tot = self_t.groupBy("trace_id").agg(
+        F.sum("self_time").alias("total_self")
+    )
+    w = Window.partitionBy("trace_id").orderBy(
+        F.col("self_time").desc(), F.col("span_id").asc()
+    )
+    top = (
+        self_t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(tot, "trace_id")
+    )
+    share = F.when(
+        F.col("total_self") > 0, F.col("self_time") / F.col("total_self")
+    )
+    return (
+        top.groupBy("servicename", "operationname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.round(F.avg("self_time"), 6).alias("avg_self_time"),
+            F.round(F.avg(share), 6).alias("avg_share"),
+        )
+        .orderBy(F.col("n_traces").desc(), "servicename", "operationname")
+    )
+
+
+def sql_bottleneck_ops() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, child AS (
+  SELECT trace_id, parent_span_id AS span_id, SUM(duration) AS child_time
+  FROM spans WHERE parent_span_id <> '' GROUP BY 1, 2
+), self_t AS (
+  SELECT s.trace_id, s.span_id,
+         lower(s.service_name) AS servicename,
+         lower(s.operation_name) AS operationname,
+         CAST(s.duration - COALESCE(c.child_time, 0) AS BIGINT) AS self_time
+  FROM spans s LEFT JOIN child c USING (trace_id, span_id)
+), tot AS (
+  SELECT trace_id, SUM(self_time) AS total_self FROM self_t GROUP BY 1
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY trace_id
+                               ORDER BY self_time DESC, span_id ASC) AS rn
+  FROM self_t
+), top AS (
+  SELECT r.servicename, r.operationname, r.self_time, t.total_self
+  FROM ranked r JOIN tot t USING (trace_id) WHERE r.rn = 1
+)
+SELECT servicename, operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       ROUND(AVG(self_time), 6) AS avg_self_time,
+       ROUND(AVG(CASE WHEN total_self > 0
+                      THEN self_time / CAST(total_self AS DOUBLE) END), 6)
+         AS avg_share
+FROM top GROUP BY 1, 2
+ORDER BY n_traces DESC, servicename, operationname
+"""
+    )
+
+
+def q_clock_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTP-style clock-skew and one-way-delay estimation per
+    (caller → callee) service pair from the client/server span pairs:
+    for each RPC, offset = ((server_start − client_start) +
+    (server_end − client_end)) / 2 (the symmetric-path assumption of
+    NTP's offset estimator — Mills RFC 5905 §8 applied to span
+    timestamps) and delay = ((server_start − client_start) −
+    (server_end − client_end)) / 2 (the one-way wire latency).
+
+    The engine pairs the two kinds per span_id and applies the
+    estimator; the oracle derives the SAME numbers independently from
+    the generative model (a skew-free corpus: offset ≡ 0, delay = the
+    per-event net term) — so the pairing arithmetic is cross-checked
+    against ground truth, not mirrored. A skewed-clock crafted test
+    covers the nonzero-offset path the synthetic corpus cannot.
+
+    Scale shape: identical to `network_deltas` — one aggregate keyed
+    (trace_id, span_id) riding the trace exchange, then a tiny
+    (caller, callee) rollup."""
+    return clock_skew(_cs_spans_raw(spark, sf_dir))
+
+
+def clock_skew(cs: DataFrame) -> DataFrame:
+    """The (caller → callee) skew/delay rollup over any client/server
+    span frame (tags carry span.kind) — split out so crafted skewed
+    frames can exercise the estimator directly."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    kind = tag_str("tags", "span.kind")
+    per_span = (
+        cs.groupBy("trace_id", "span_id")
+        .agg(
+            F.max(F.when(kind == "client", F.col("service_name"))).alias(
+                "client_svc"
+            ),
+            F.max(F.when(kind == "server", F.col("service_name"))).alias(
+                "server_svc"
+            ),
+            F.max(F.when(kind == "client", F.col("start_time"))).alias("c0"),
+            F.max(
+                F.when(kind == "client", F.col("start_time") + F.col("duration"))
+            ).alias("c1"),
+            F.max(F.when(kind == "server", F.col("start_time"))).alias("s0"),
+            F.max(
+                F.when(kind == "server", F.col("start_time") + F.col("duration"))
+            ).alias("s1"),
+        )
+        .filter(F.col("client_svc").isNotNull() & F.col("server_svc").isNotNull())
+    )
+    offset = ((F.col("s0") - F.col("c0")) + (F.col("s1") - F.col("c1"))) / 2
+    delay = ((F.col("s0") - F.col("c0")) - (F.col("s1") - F.col("c1"))) / 2
+    return (
+        per_span.groupBy("client_svc", "server_svc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rpcs"),
+            F.round(F.avg(offset), 6).alias("avg_skew"),
+            F.round(F.max(F.abs(offset)), 6).alias("max_abs_skew"),
+            F.round(F.avg(delay), 6).alias("avg_delay"),
+            F.round(F.max(delay), 6).alias("max_delay"),
+        )
+        .orderBy("client_svc", "server_svc")
+    )
+
+
+def sql_clock_skew() -> str:
+    from haystack_traces_spark.sources.events import EVENT_SPANS_CS_CTE
+
+    # Ground-truth derivation (not a mirror): the generator builds the
+    # client span as (start − net, dur + 2·net) around the server span,
+    # so offset = ((s0−c0)+(s1−c1))/2 = (net + (−net))/2 ≡ 0 and
+    # delay = ((s0−c0)−(s1−c1))/2 = net exactly.
+    return (
+        EVENT_SPANS_CS_CTE
+        + """
+SELECT parent_service AS client_svc, service_name AS server_svc,
+       CAST(COUNT(*) AS BIGINT) AS n_rpcs,
+       ROUND(AVG(0.0), 6) AS avg_skew,
+       ROUND(MAX(0.0), 6) AS max_abs_skew,
+       ROUND(AVG(net), 6) AS avg_delay,
+       ROUND(CAST(MAX(net) AS DOUBLE), 6) AS max_delay
+FROM ev WHERE parent_span_id <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_callgraph_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology drift: the service call graph of the corpus's FIRST time
+    half vs its SECOND (split at the midpoint of the span start-time
+    range), per edge — call counts in each half, the second/first ratio,
+    and a status (new / vanished / stable). The deploy-review view:
+    which dependencies appeared, which died, which shifted load.
+
+    Edge occurrences are assigned by the CHILD span's start time (the
+    callee observes the call), so a trace straddling the midpoint
+    contributes edges to both halves — intentional: drift is about call
+    volume in wall-clock windows, not trace membership.
+
+    Scale shape: the midpoint is a 1-row aggregate broadcast into the
+    edge stream; edges come from the same parent-child join as
+    `call_graph` (keyed on the trace exchange); the drift rollup is a
+    tiny (from, to) combinable aggregate."""
+    spans = _spans(spark, sf_dir)
+    mid = spans.agg(
+        ((F.min("start_time") + F.max("start_time")) / 2).alias("mid")
+    )
+    child = spans.filter(F.col("parent_span_id") != "").select(
+        "trace_id",
+        "parent_span_id",
+        F.lower("service_name").alias("to_service"),
+        "start_time",
+    )
+    parent = spans.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.lower("service_name").alias("from_service"),
+    )
+    edges = (
+        child.join(parent, ["trace_id", "parent_span_id"])
+        .crossJoin(F.broadcast(mid))
+        .withColumn("second_half", (F.col("start_time") >= F.col("mid")).cast("long"))
+    )
+    agg = edges.groupBy("from_service", "to_service").agg(
+        F.sum(1 - F.col("second_half")).cast("long").alias("n_first"),
+        F.sum("second_half").cast("long").alias("n_second"),
+    )
+    return (
+        agg.withColumn(
+            "status",
+            F.when(F.col("n_first") == 0, "new")
+            .when(F.col("n_second") == 0, "vanished")
+            .otherwise("stable"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("n_second") / F.nullif(F.col("n_first"), F.lit(0)), 6
+            ),
+        )
+        .orderBy("from_service", "to_service")
+    )
+
+
+def sql_callgraph_drift() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, mid AS (SELECT (MIN(start_time) + MAX(start_time)) / 2 AS mid FROM spans),
+edges AS (
+  SELECT lower(p.service_name) AS from_service,
+         lower(c.service_name) AS to_service,
+         CASE WHEN c.start_time >= m.mid THEN 1 ELSE 0 END AS second_half
+  FROM spans c
+  JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  CROSS JOIN mid m
+  WHERE c.parent_span_id <> ''
+), agg AS (
+  SELECT from_service, to_service,
+         CAST(SUM(1 - second_half) AS BIGINT) AS n_first,
+         CAST(SUM(second_half) AS BIGINT) AS n_second
+  FROM edges GROUP BY 1, 2
+)
+SELECT from_service, to_service, n_first, n_second,
+       CASE WHEN n_first = 0 THEN 'new'
+            WHEN n_second = 0 THEN 'vanished'
+            ELSE 'stable' END AS status,
+       ROUND(n_second / CAST(NULLIF(n_first, 0) AS DOUBLE), 6) AS ratio
+FROM agg ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -3987,6 +4256,12 @@ _ROTATION_QUEUE = (
     "cluster_sample_weights",
     "dup_cross_source_matrix",
     "quality_dup_matrix",
+    # round-18 queue:
+    "bottleneck_ops",
+    "clock_skew",
+    "callgraph_drift",
+    "bloom_dedup",
+    "embedding_dim_ablation",
 )
 
 
@@ -4085,6 +4360,9 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hedged_requests": q_hedged_requests,
         "operation_affinity": q_operation_affinity,
         "trace_fingerprints": q_trace_fingerprints,
+        "bottleneck_ops": q_bottleneck_ops,
+        "clock_skew": q_clock_skew,
+        "callgraph_drift": q_callgraph_drift,
     }
 
 
@@ -4171,4 +4449,7 @@ def _trace_oracles() -> dict[str, str]:
         "hedged_requests": sql_hedged_requests(),
         "operation_affinity": sql_operation_affinity(),
         "trace_fingerprints": sql_trace_fingerprints(),
+        "bottleneck_ops": sql_bottleneck_ops(),
+        "clock_skew": sql_clock_skew(),
+        "callgraph_drift": sql_callgraph_drift(),
     }

@@ -1597,3 +1597,53 @@ class TestRound5cOperators:
         # short docs all fail the Gopher word-count rule → keep=0
         assert by[(0, "1")] == 2 and by[(0, "0")] == 1
         stagecache.clear()
+
+
+class TestRound5dOperators:
+    def test_bloom_probe_guaranteed_fp_at_m1_and_none_at_m4096(self, spark):
+        """m=1 collapses every key to position 0 → every probe bloom-hits,
+        so the non-exact probe is a GUARANTEED false positive; at the
+        registry geometry (m=4096, k=3) the same corpus realizes zero FPs
+        (md5 is deterministic — this is a fixed outcome, not a flake)."""
+        from haystack_traces_spark.datapipe import dedup as D
+
+        rows = [
+            (0, "aaa", "s"),   # probe: exact dup of build doc 1
+            (1, "aaa", "s"),   # build
+            (2, "ccc", "s"),   # probe: novel content
+            (3, "bbb", "s"),   # build
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        tight = D.bloom_probe(docs, m=1, k=3, probe_mod=2).collect()
+        assert [r.asDict() for r in tight] == [
+            {"source": "s", "n_probes": 2, "n_bloom_hits": 2,
+             "n_exact_hits": 1, "n_false_pos": 1, "fp_rate": 1.0}
+        ]
+        wide = D.bloom_probe(docs, m=4096, k=3, probe_mod=2).collect()[0]
+        assert wide["n_bloom_hits"] == 1 and wide["n_false_pos"] == 0
+        assert wide["fp_rate"] == 0.0
+
+    def test_dim_ablation_full_recall_when_signal_in_prefix(self, spark, tmp_path):
+        """Vectors whose energy lives entirely in the first 8 dims: every
+        truncation width ≥ 8 preserves the exact cosine ordering, so
+        recall@k is 1.0 across the board."""
+        import random
+
+        from haystack_traces_spark.datapipe import queries as dp
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)] + [0.0] * 56, 0)
+            for i in range(20)
+        ]
+        d = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+
+        out = dp.q_embedding_dim_ablation(spark, d).collect()
+        assert len(out) == len(dp.ABLATION_DIMS) * len(dp.ANN_QUERY_IDS)
+        for r in out:
+            assert r["n_hits"] == dp.ANN_K and r["recall"] == 1.0

@@ -758,3 +758,82 @@ def test_round5c_trace_operators_plan_shapes(spark):
         assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
     # the per-key totals join broadcast-side onto the pair counts
     assert "BroadcastHashJoin" in plans["operation_affinity"]
+
+
+def test_bottleneck_ops_argmax_self_time_with_tiebreak(spark):
+    rows = [
+        # t1: root self = 1000-700 = 300, child self = 700 → child wins
+        mk(trace_id="t1", span_id="r1", service="root", operation="r",
+           duration=1000),
+        mk(trace_id="t1", span_id="c1", parent="r1", service="leaf",
+           operation="l", duration=700),
+        # t2: single span → trivially the bottleneck, share 1.0
+        mk(trace_id="t2", span_id="s1", service="leaf", operation="l",
+           duration=50),
+        # t3: two roots with EQUAL self time → smaller span_id (e1) wins
+        mk(trace_id="t3", span_id="e1", service="a", operation="p",
+           duration=500),
+        mk(trace_id="t3", span_id="e2", service="b", operation="q",
+           duration=500),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_bottleneck_ops(spark, "ignored").collect()
+    )
+    by_op = {(r["servicename"], r["operationname"]): r.asDict() for r in out}
+    assert set(by_op) == {("leaf", "l"), ("a", "p")}
+    leaf = by_op[("leaf", "l")]
+    assert leaf["n_traces"] == 2
+    assert leaf["avg_self_time"] == 375.0  # (700 + 50) / 2
+    assert leaf["avg_share"] == 0.85  # (700/1000 + 50/50) / 2
+    tie = by_op[("a", "p")]
+    assert tie["n_traces"] == 1 and tie["avg_share"] == 0.5
+
+
+def test_clock_skew_estimator_on_skewed_pair(spark):
+    rows = [
+        # client observes [1000, 1120]; server's clock reads [1050, 1150]
+        # → NTP offset ((50)+(30))/2 = 40, one-way delay ((50)-(30))/2 = 10
+        mk(trace_id="t", span_id="s1", service="caller", start=1000,
+           duration=120, tags=[_stag("span.kind", "client")]),
+        mk(trace_id="t", span_id="s1", service="callee", start=1050,
+           duration=100, tags=[_stag("span.kind", "server")]),
+        # server-only root: no client half, excluded from the estimator
+        mk(trace_id="t", span_id="r", service="callee", start=0,
+           duration=999, tags=[_stag("span.kind", "server")]),
+    ]
+    out = EQ.clock_skew(_with_spans(spark, rows)).collect()
+    assert [r.asDict() for r in out] == [
+        {
+            "client_svc": "caller",
+            "server_svc": "callee",
+            "n_rpcs": 1,
+            "avg_skew": 40.0,
+            "max_abs_skew": 40.0,
+            "avg_delay": 10.0,
+            "max_delay": 10.0,
+        }
+    ]
+
+
+def test_callgraph_drift_classifies_new_vanished_stable(spark):
+    rows = [
+        # span starts range [0, 1990] → midpoint 995
+        mk(trace_id="t1", span_id="r1", service="a", start=0),
+        mk(trace_id="t1", span_id="c1", parent="r1", service="b", start=10),
+        mk(trace_id="t2", span_id="r2", service="a", start=1000),
+        mk(trace_id="t2", span_id="c2", parent="r2", service="c", start=1990),
+        mk(trace_id="t2", span_id="c4", parent="r2", service="b", start=1500),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_callgraph_drift(spark, "ignored").collect()
+    )
+    by_edge = {(r["from_service"], r["to_service"]): r.asDict() for r in out}
+    assert set(by_edge) == {("a", "b"), ("a", "c")}
+    ab = by_edge[("a", "b")]
+    assert (ab["n_first"], ab["n_second"], ab["status"], ab["ratio"]) == (
+        1, 1, "stable", 1.0,
+    )
+    ac = by_edge[("a", "c")]
+    assert (ac["n_first"], ac["n_second"], ac["status"], ac["ratio"]) == (
+        0, 1, "new", None,
+    )
