@@ -133,13 +133,18 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     )
 
 
-def _verify_jaccard(
-    candidates: DataFrame, docs: DataFrame, threshold: float, n: int,
+def _pair_shingle_sets(
+    candidates: DataFrame,
+    docs: DataFrame,
+    n: int,
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
-    over the full shingle sets — work scales with |candidates|, not |docs|².
+    """Join the per-doc DISTINCT shingle-set arrays onto candidate
+    (doc_a, doc_b) pairs → + (sh_a, sh_b). The ONE exact-verify input
+    builder shared by the Jaccard and containment verifiers — the
+    distinct-per-doc invariant (counts are SET sizes, never multiset)
+    lives here and only here.
 
     ``shingles``: optional pre-computed (doc_id, s) shingle ROWS (distinct
     per doc). When the caller already materialized them for candidate
@@ -156,11 +161,20 @@ def _verify_jaccard(
     sets_df = materialize(sets_src)
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return candidates.join(a, "doc_a").join(b, "doc_b")
+
+
+def _verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float, n: int,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via array_intersect
+    over the full shingle sets — work scales with |candidates|, not |docs|²."""
+    paired = _pair_shingle_sets(candidates, docs, n, text_col, shingles)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
+        paired.withColumn(
             "jaccard",
             F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
         )
@@ -211,16 +225,10 @@ def containment_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets_df = materialize(
-        sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
-    )
-    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    paired = _pair_shingle_sets(candidates, docs, n, text_col, shingles=sh)
     n_shared = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        paired.select(
             "doc_a",
             "doc_b",
             F.size("sh_a").cast("long").alias("n_a"),

@@ -46,6 +46,32 @@ jac AS (
 """
 
 
+def _components_cte(src: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """``edges`` + ``reach`` CTE fragment: min-label connected components
+    over the undirected pair CTE ``src`` (columns ``a``, ``b``). The ONE
+    SQL mirror of dedup.duplicate_clusters' label propagation — every
+    oracle that needs components composes this fragment (requires the
+    surrounding WITH to be RECURSIVE; read components from
+    ``reach`` via ``SELECT node, MIN(lbl) … GROUP BY node``)."""
+    return f"""edges AS (
+  SELECT {a} AS a, {b} AS b FROM {src}
+  UNION SELECT {b}, {a} FROM {src}
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)"""
+
+
+#: jac-thresholded near-dup components: dup pair filter + the shared
+#: edges/reach fragment (assumes `jac` from _JACCARD_PAIRS is in scope).
+_DUP_COMPONENTS = f"""dup AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+{_components_cte("dup")}"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haystack_traces_spark.session import fan_out
 
@@ -383,18 +409,7 @@ def q_dedup_clusters(spark, sf_dir):
 def sql_dedup_clusters() -> str:
     return f"""
 WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
-dup AS (
-  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM dup
-  UNION SELECT doc_b, doc_a FROM dup
-),
-reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-)
+{_DUP_COMPONENTS}
 SELECT node AS doc_id, MIN(lbl) AS cluster
 FROM reach GROUP BY node
 """
@@ -1767,18 +1782,7 @@ def sql_canonical_docs() -> str:
     stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     return f"""
 WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
-dup AS (
-  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM dup
-  UNION SELECT doc_b, doc_a FROM dup
-),
-reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-),
+{_DUP_COMPONENTS},
 clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
 feats AS (
   SELECT doc_id,
@@ -2814,15 +2818,7 @@ mutual AS (
     ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
   WHERE a.vec_id < a.neighbor_id
 ),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM mutual
-  UNION SELECT doc_b, doc_a FROM mutual
-),
-reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-)
+{_components_cte("mutual")}
 SELECT node AS vec_id, MIN(lbl) AS cluster
 FROM reach GROUP BY node ORDER BY vec_id
 """
@@ -3779,18 +3775,7 @@ def q_cluster_sample_weights(spark, sf_dir):
 def sql_cluster_sample_weights() -> str:
     return f"""
 WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
-dup AS (
-  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM dup
-  UNION SELECT doc_b, doc_a FROM dup
-),
-reach(node, lbl) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-),
+{_DUP_COMPONENTS},
 cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
 lab AS (
   SELECT d.doc_id, CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster
@@ -4000,23 +3985,24 @@ def q_embedding_dim_ablation(spark, sf_dir):
     knob audit: if recall holds at d/2, the ANN index (and every
     downstream GEMM) can run at half width.
 
-    Both faces rank on the raw cosine with neighbor-id tie-break —
-    the same contract as `ann_brute_force`, whose result IS the
-    full-dim reference set here.
+    Both faces rank on the 6dp-ROUNDED cosine with neighbor-id
+    tie-break (the house rank-membership rule — the result here is SET
+    membership, so a last-ulp GEMM-vs-sequential-dot difference must
+    not flip the boundary neighbor).
 
     Scale shape: one brute-force pass per width (each the broadcast-
     queries GEMM of `brute_force_topk` — the corpus never shuffles);
     the recall join touches only |queries|·k rows per width."""
     emb = _emb(spark, sf_dir)
-    full = S.brute_force_topk(emb, ANN_QUERY_IDS, ANN_K).select(
-        "query_id", "neighbor_id"
-    )
+    full = S.brute_force_topk(
+        emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
+    ).select("query_id", "neighbor_id")
     outs = []
     for d in ABLATION_DIMS:
         trunc = emb.withColumn("embedding", F.slice("embedding", 1, d))
-        t = S.brute_force_topk(trunc, ANN_QUERY_IDS, ANN_K).select(
-            "query_id", "neighbor_id"
-        )
+        t = S.brute_force_topk(
+            trunc, ANN_QUERY_IDS, ANN_K, rank_rounded=True
+        ).select("query_id", "neighbor_id")
         hits = (
             full.join(t, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
@@ -4057,7 +4043,7 @@ def sql_embedding_dim_ablation() -> str:
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                              ORDER BY {cos(d)} DESC, b.vec_id ASC) AS rank
+                              ORDER BY ROUND({cos(d)}, 6) DESC, b.vec_id ASC) AS rank
     FROM e q JOIN e b ON b.vec_id <> q.vec_id
     WHERE q.vec_id IN ({ids})
   ) WHERE rank <= {ANN_K}

@@ -80,13 +80,21 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos, rank): exact top-k per query vector.
 
     Query vectors are a broadcast (tiny side); each Arrow batch is scored
     against all queries as ONE matrix multiply (the vectorized analog of a
     broadcast nested-loop join), then a window ranks cos desc with id
-    tiebreak — deterministic across engines."""
+    tiebreak — deterministic across engines.
+
+    ``rank_rounded``: rank on the 6dp-ROUNDED cosine instead of the raw
+    double (the house rule for cross-engine rank-membership stability) —
+    used by callers whose RESULT is set membership (dim ablation recall)
+    rather than the scored list, where a last-ulp float-path difference
+    between numpy GEMM and the oracle's sequential dot could flip the
+    boundary neighbor."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -122,8 +130,9 @@ def brute_force_topk(
     scored = emb.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_raw double"
     )
+    rank_key = F.round("cos_raw", 6) if rank_rounded else F.col("cos_raw")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+        rank_key.desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -837,3 +837,28 @@ def test_callgraph_drift_classifies_new_vanished_stable(spark):
     assert (ac["n_first"], ac["n_second"], ac["status"], ac["ratio"]) == (
         0, 1, "new", None,
     )
+
+
+def test_round5d_trace_operators_plan_shapes(spark):
+    from tests.test_plans import _plan
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        name: _plan(fn(spark, sf))
+        for name, fn in {
+            "bottleneck_ops": EQ.q_bottleneck_ops,
+            "clock_skew": EQ.q_clock_skew,
+            "callgraph_drift": EQ.q_callgraph_drift,
+        }.items()
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        if name == "callgraph_drift":
+            # its ONE single-partition exchange is the 1-row min/max
+            # midpoint aggregate (one partial row per partition in
+            # flight), then broadcast back onto the edge stream — allowed
+            assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+            continue
+        # bottleneck_ops / clock_skew ride the trace exchange end to end:
+        # no global window, no single-partition exchange anywhere
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
