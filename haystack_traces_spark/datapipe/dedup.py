@@ -187,9 +187,9 @@ def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
     n: int = 3,
-    df_cap: int = 1000,
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """→ (doc_a, doc_b, n_a, n_b, n_shared, cont_a_in_b, cont_b_in_a):
     ASYMMETRIC set containment C(A→B) = |A∩B| / |A| for pairs where
@@ -198,31 +198,56 @@ def containment_pairs(
     C ≈ 1 but J ≈ |A|/|B| ≈ 0, so it never crosses a Jaccard gate;
     cf. Broder 1997's resemblance-vs-containment split).
 
-    Candidate generation: pairs sharing at least one RARE shingle
-    (document frequency ≤ ``df_cap``). Jaccard's ppjoin prefix/LENGTH
-    filters are unsound for containment (no length relation holds), so
-    rare-shingle blocking is the scale bound instead: join volume scales
-    with rare-shingle co-occurrence (Σ df² over df ≤ cap), and a pair
-    sharing ONLY ubiquitous shingles is — by declared contract, enforced
-    identically in the oracle — not a candidate. Candidates are then
-    exact-verified over the FULL shingle sets, so precision is exact and
-    the cap trades only recall on stop-phrase-only overlap.
+    Candidate generation: ONE-SIDED prefix filtering. ppjoin's LENGTH
+    filter is unsound for containment (no size relation holds), but the
+    prefix theorem itself is direction-local: C(A→B) ≥ t means
+    |A∩B| ≥ t·|A|, so B must share one of A's first |A| − ⌈t·|A|⌉ + 1
+    shingles under the global (df, s) order — regardless of |B|. So the
+    PREFIX index of each doc joins against the FULL shingle table (not
+    prefix × prefix as in Jaccard); either qualifying direction is
+    caught with the flagged doc on the prefix side. EXACT: no recall
+    contract — every qualifying pair shares a prefix shingle by
+    pigeonhole, and candidates are verified over the full sets. The
+    oracle is therefore the brute-force ground truth, not a mirror of
+    the filter.
 
-    Scale shape: one shingle materialization feeds the df aggregate, the
-    rare-shingle self-join, and the verify regroup; no windows, no
-    Python."""
+    Scale shape: prefix side is ≈(1−t) of shingle volume and df-ordered
+    rarest-first, so join volume ≈ Σ over prefix occurrences of df(s) —
+    rare-token co-occurrence, not corpus². The full side runs behind
+    ``cap_buckets`` (a df-hot shingle — boilerplate — is dropped from
+    candidate generation: logged, recall-only, inactive at test scale)."""
     if shingles is not None:
         sh = shingles
     else:
         sh = materialize(shingle_rows(docs, text_col, n))
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= df_cap).select("s"), "s")
-    a = rare.select(F.col("doc_id").alias("doc_a"), hash60("s", seed="ct:").alias("h"))
-    b = rare.select(F.col("doc_id").alias("doc_b"), hash60("s", seed="ct:").alias("h"))
+    ranked = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+    )
+    prefix_len = F.size("arr") - F.ceil(F.lit(threshold) * F.size("arr")) + 1
+    prefix = materialize(
+        ranked.select(
+            F.col("doc_id").alias("doc_p"),
+            F.explode(F.slice("arr", 1, prefix_len.cast("int"))).alias("x"),
+        ).select("doc_p", hash60("x.s", seed="ct:").alias("h"))
+    )
+    full = cap_buckets(
+        sh.select(
+            F.col("doc_id").alias("doc_f"), hash60("s", seed="ct:").alias("h")
+        ),
+        ["h"],
+        max_bucket,
+        "containment_pairs",
+    )
     candidates = (
-        a.join(b, ["h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.join(full, "h")
+        .filter(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
         .distinct()
     )
     paired = _pair_shingle_sets(candidates, docs, n, text_col, shingles=sh)

@@ -3183,6 +3183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 fourth batch (queued in _ROTATION_QUEUE round-18):
         "bloom_dedup": q_bloom_dedup,
         "embedding_dim_ablation": q_embedding_dim_ablation,
+        # round-5 fifth batch (queued in _ROTATION_QUEUE round-19):
+        "heaps_law": q_heaps_law,
+        "dup_inflation": q_dup_inflation,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3271,6 +3275,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_dup_matrix": sql_quality_dup_matrix(),
         "bloom_dedup": sql_bloom_dedup(),
         "embedding_dim_ablation": sql_embedding_dim_ablation(),
+        "heaps_law": sql_heaps_law(),
+        "dup_inflation": sql_dup_inflation(),
+        "tokenizer_fertility": sql_tokenizer_fertility(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -3698,32 +3705,22 @@ GROUP BY d.source ORDER BY d.source
 #: Containment gate: either direction's |A∩B|/|A| at or above this flags
 #: the pair (0.9 ≈ "A is essentially inside B").
 CONTAIN_THRESHOLD = 0.9
-#: Rare-shingle blocking cap for containment candidates (document
-#: frequency bound — see dedup.containment_pairs' recall contract).
-CONTAIN_DF_CAP = 1000
 
 
 def q_containment_dedup(spark, sf_dir):
-    return D.containment_pairs(
-        _docs(spark, sf_dir), CONTAIN_THRESHOLD, df_cap=CONTAIN_DF_CAP
-    )
+    return D.containment_pairs(_docs(spark, sf_dir), CONTAIN_THRESHOLD)
 
 
 def sql_containment_dedup() -> str:
+    # Ground truth, NOT a mirror: the engine's one-sided prefix filter is
+    # exact-complete (pigeonhole), so the oracle verifies it against the
+    # brute-force "every pair sharing ≥1 shingle" candidate set.
     return f"""
 WITH sh AS ({_SHINGLES}),
-dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE df <= {CONTAIN_DF_CAP}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-),
 sizes AS ({_SIZES}),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -4068,4 +4065,219 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 SELECT CAST(dims_used AS BIGINT) AS dims_used, query_id, n_hits, recall
 FROM ({union})
 ORDER BY dims_used, query_id
+"""
+
+
+#: Heaps'-law vocabulary-growth checkpoints: the doc_id range is cut into
+#: this many equal-width buckets (ingestion-order prefixes at scale —
+#: deliberately NOT a global ntile window).
+HEAPS_BUCKETS = 10
+
+
+def q_heaps_law(spark, sf_dir):
+    """→ (bucket, n_docs, cum_tokens, cum_vocab, ttr): vocabulary growth
+    curve — cumulative distinct whitespace-token types vs cumulative
+    token volume at doc_id-range checkpoints (Heaps 1978: V ≈ k·nᵝ; a
+    curve that keeps climbing steeply says the tokenizer/vocab budget
+    is undersized for the corpus, a flat one says more data adds no new
+    types). ttr is the cumulative type-token ratio at each checkpoint.
+
+    A type's checkpoint is its FIRST occurrence (min doc_id) — each
+    type counts exactly once, so the cumulative sum over buckets equals
+    the true prefix vocabulary size.
+
+    Scale shape: bucketing is pure expression against a broadcast 1-row
+    max; type first-seen is one map-side-combinable min aggregate on
+    the token key; the cumulative window runs over ≤HEAPS_BUCKETS rows."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    bucket = F.floor(
+        F.col("doc_id") * HEAPS_BUCKETS / (F.col("mx") + 1)
+    ).cast("long")
+    db = docs.crossJoin(F.broadcast(mx)).withColumn("bucket", bucket)
+    doc_agg = db.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    )
+    first_seen = (
+        db.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.floor(F.col("fd") * HEAPS_BUCKETS / (F.col("mx") + 1))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket")  # ≤HEAPS_BUCKETS rows — bounded global
+    return (
+        doc_agg.join(vocab, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .withColumn(
+            "ttr", F.round(F.col("cum_vocab") / F.col("cum_tokens"), 6)
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_heaps_law() -> str:
+    return f"""
+WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+db AS (
+  SELECT d.doc_id, d.text,
+         CAST(FLOOR(d.doc_id * {HEAPS_BUCKETS} / (m.mx + 1)) AS BIGINT) AS bucket
+  FROM documents d CROSS JOIN mx m
+),
+doc_agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS toks
+  FROM db GROUP BY 1
+),
+fs AS (
+  SELECT tok, MIN(doc_id) AS fd
+  FROM (SELECT doc_id, t.tok
+        FROM db, UNNEST(string_split(text, ' ')) t(tok))
+  GROUP BY tok
+),
+vocab AS (
+  SELECT CAST(FLOOR(f.fd * {HEAPS_BUCKETS} / (m.mx + 1)) AS BIGINT) AS bucket,
+         COUNT(*) AS new_types
+  FROM fs f CROSS JOIN mx m GROUP BY 1
+),
+cum AS (
+  SELECT a.bucket, a.n_docs,
+         CAST(SUM(a.toks) OVER wc AS BIGINT) AS cum_tokens,
+         CAST(SUM(COALESCE(v.new_types, 0)) OVER wc AS BIGINT) AS cum_vocab
+  FROM doc_agg a LEFT JOIN vocab v USING (bucket)
+  WINDOW wc AS (ORDER BY a.bucket)
+)
+SELECT bucket, n_docs, cum_tokens, cum_vocab,
+       ROUND(cum_vocab / CAST(cum_tokens AS DOUBLE), 6) AS ttr
+FROM cum ORDER BY bucket
+"""
+
+
+def q_dup_inflation(spark, sf_dir):
+    """→ (source, n_docs, n_canonical, total_tokens, unique_tokens,
+    inflation): training-token INFLATION from near-duplication per
+    source — total whitespace tokens vs tokens of the source's
+    CANONICAL docs only (cluster label = min doc_id; singletons are
+    their own canonical). inflation = total/unique is "how many times
+    over you'd train on this source's content" — the budget-level
+    consequence the pair/cluster operators only imply. NULL when a
+    source has no canonical docs (all its content canonicalizes into
+    other sources).
+
+    Scale shape: one left join onto the (session-cached) cluster map +
+    one combinable per-source aggregate — no windows."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    clusters = q_dedup_clusters(spark, sf_dir)
+    lab = docs.join(clusters, "doc_id", "left").withColumn(
+        "canon",
+        (F.coalesce("cluster", F.col("doc_id")) == F.col("doc_id")).cast(
+            "long"
+        ),
+    )
+    unique_toks = F.sum(F.when(F.col("canon") == 1, F.col("n_toks")))
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("canon").cast("long").alias("n_canonical"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.coalesce(unique_toks, F.lit(0))
+            .cast("long")
+            .alias("unique_tokens"),
+            F.round(
+                F.sum("n_toks") / F.nullif(unique_toks, F.lit(0)), 6
+            ).alias("inflation"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_dup_inflation() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+{_DUP_COMPONENTS},
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+lab AS (
+  SELECT d.source, len(string_split(d.text, ' ')) AS n_toks,
+         CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+              THEN 1 ELSE 0 END AS canon
+  FROM documents d LEFT JOIN cl c USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(canon) AS BIGINT) AS n_canonical,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(CASE WHEN canon = 1 THEN n_toks END), 0) AS BIGINT)
+         AS unique_tokens,
+       ROUND(SUM(n_toks) /
+             CAST(NULLIF(SUM(CASE WHEN canon = 1 THEN n_toks END), 0)
+                  AS DOUBLE), 6) AS inflation
+FROM lab GROUP BY source ORDER BY source
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """→ (lang, n_docs, tokens_per_word, chars_per_token): corpus-level
+    tokenizer fertility per language — subword-proxy tokens per
+    whitespace word and characters per token, CORPUS-WEIGHTED
+    (sum/sum, not a mean of per-doc ratios, so long docs count by their
+    token mass). The cross-lingual cost table: a lang whose fertility
+    runs high pays proportionally more context budget per word — the
+    standard argument for vocab rebalancing (Rust et al. 2021).
+
+    Scale shape: map-only per-doc counting (`token_counts`) + one
+    combinable per-lang aggregate."""
+    docs = _docs(spark, sf_dir)
+    tc = X.token_counts(docs)
+    j = docs.select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    ).join(tc, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("n_re_tokens") / F.sum("n_ws_tokens"), 6
+            ).alias("tokens_per_word"),
+            F.round(F.sum("n_chars") / F.sum("n_re_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_tokenizer_fertility() -> str:
+    return f"""
+WITH tc AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '{X.PRETOKEN_RE}')) AS n_re
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(n_re) / CAST(SUM(n_ws) AS DOUBLE), 6) AS tokens_per_word,
+       ROUND(SUM(n_chars) / CAST(SUM(n_re) AS DOUBLE), 6) AS chars_per_token
+FROM tc GROUP BY lang ORDER BY lang
 """

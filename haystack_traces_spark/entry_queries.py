@@ -4135,6 +4135,146 @@ FROM agg ORDER BY 1, 2
     )
 
 
+def q_span_idle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduling/queueing idle time inside each parent span: parent
+    duration minus the length of the INTERVAL UNION of its children
+    (clipped to the parent window), rolled up per parent service. This
+    is the overlap-aware sibling of `span_self_time`: self time goes
+    negative when children run concurrently, while idle time is the
+    true "parent was waiting on nothing" quantity (≥ 0 by
+    construction) — high idle = lock waits, queue time, or untraced
+    work between calls.
+
+    Interval union via running-max gaps-and-islands: a new island opens
+    when a child starts after the max end seen so far. (`island_index`
+    — the lag-based core — is NOT reusable here: an early interval can
+    extend past its immediate successor, so the gap test must compare
+    against the running max, not the previous row.)
+
+    Scale shape: the parent-child join, the per-parent running-max
+    window, and the island rollup all key on (trace_id, parent) — the
+    one trace exchange; the service rollup is tiny."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    parent = spans.select(
+        "trace_id",
+        F.col("span_id").alias("parent_span_id"),
+        F.lower("service_name").alias("servicename"),
+        F.col("start_time").alias("p_start"),
+        (F.col("start_time") + F.col("duration")).alias("p_end"),
+        F.col("duration").alias("p_dur"),
+    )
+    child = spans.filter(F.col("parent_span_id") != "").select(
+        "trace_id",
+        "parent_span_id",
+        "span_id",
+        F.col("start_time").alias("c_start"),
+        (F.col("start_time") + F.col("duration")).alias("c_end"),
+    )
+    clipped = child.join(parent, ["trace_id", "parent_span_id"]).select(
+        "trace_id",
+        "parent_span_id",
+        "span_id",
+        "servicename",
+        "p_dur",
+        F.greatest("c_start", "p_start").alias("s"),
+        F.least("c_end", "p_end").alias("e"),
+    )
+    roster = clipped.groupBy(
+        "trace_id", "parent_span_id", "servicename", "p_dur"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_children"))
+    iv = clipped.filter(F.col("e") > F.col("s"))
+    w = Window.partitionBy("trace_id", "parent_span_id").orderBy(
+        "s", "span_id"
+    )
+    run_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(run_max, F.col("s") - 1)).cast("int"),
+    ).withColumn("island_idx", F.sum("new_island").over(w))
+    union_len = (
+        islands.groupBy("trace_id", "parent_span_id", "island_idx")
+        .agg((F.max("e") - F.min("s")).alias("ilen"))
+        .groupBy("trace_id", "parent_span_id")
+        .agg(F.sum("ilen").alias("union_len"))
+    )
+    per_parent = roster.join(
+        union_len, ["trace_id", "parent_span_id"], "left"
+    ).select(
+        "servicename",
+        "p_dur",
+        "n_children",
+        (F.col("p_dur") - F.coalesce("union_len", F.lit(0))).alias("idle"),
+    )
+    frac = F.when(F.col("p_dur") > 0, F.col("idle") / F.col("p_dur"))
+    return (
+        per_parent.groupBy("servicename")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+            F.round(F.avg("n_children"), 6).alias("avg_children"),
+            F.round(F.avg("idle"), 6).alias("avg_idle"),
+            F.round(F.avg(frac), 6).alias("avg_idle_frac"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_span_idle_gaps() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, clipped AS (
+  SELECT c.trace_id, c.parent_span_id, c.span_id,
+         lower(p.service_name) AS servicename, p.duration AS p_dur,
+         GREATEST(c.start_time, p.start_time) AS s,
+         LEAST(c.start_time + c.duration, p.start_time + p.duration) AS e
+  FROM spans c
+  JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  WHERE c.parent_span_id <> ''
+), roster AS (
+  SELECT trace_id, parent_span_id, servicename, p_dur,
+         CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM clipped GROUP BY 1, 2, 3, 4
+), flags AS (
+  SELECT trace_id, parent_span_id, span_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY trace_id, parent_span_id
+                    ORDER BY s, span_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  s - 1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM clipped WHERE e > s
+), islands AS (
+  SELECT trace_id, parent_span_id, s, e,
+         SUM(new_island) OVER (PARTITION BY trace_id, parent_span_id
+                               ORDER BY s, span_id) AS island_idx
+  FROM flags
+), union_len AS (
+  SELECT trace_id, parent_span_id, SUM(ilen) AS union_len FROM (
+    SELECT trace_id, parent_span_id, island_idx,
+           MAX(e) - MIN(s) AS ilen
+    FROM islands GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), per_parent AS (
+  SELECT r.servicename, r.p_dur, r.n_children,
+         r.p_dur - COALESCE(u.union_len, 0) AS idle
+  FROM roster r
+  LEFT JOIN union_len u
+    ON u.trace_id = r.trace_id AND u.parent_span_id = r.parent_span_id
+)
+SELECT servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_parents,
+       ROUND(AVG(n_children), 6) AS avg_children,
+       ROUND(AVG(idle), 6) AS avg_idle,
+       ROUND(AVG(CASE WHEN p_dur > 0
+                      THEN idle / CAST(p_dur AS DOUBLE) END), 6)
+         AS avg_idle_frac
+FROM per_parent GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4262,6 +4402,11 @@ _ROTATION_QUEUE = (
     "callgraph_drift",
     "bloom_dedup",
     "embedding_dim_ablation",
+    # round-19 queue:
+    "span_idle_gaps",
+    "heaps_law",
+    "dup_inflation",
+    "tokenizer_fertility",
 )
 
 
@@ -4363,6 +4508,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottleneck_ops": q_bottleneck_ops,
         "clock_skew": q_clock_skew,
         "callgraph_drift": q_callgraph_drift,
+        "span_idle_gaps": q_span_idle_gaps,
     }
 
 
@@ -4452,4 +4598,5 @@ def _trace_oracles() -> dict[str, str]:
         "bottleneck_ops": sql_bottleneck_ops(),
         "clock_skew": sql_clock_skew(),
         "callgraph_drift": sql_callgraph_drift(),
+        "span_idle_gaps": sql_span_idle_gaps(),
     }

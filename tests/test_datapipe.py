@@ -1546,17 +1546,54 @@ class TestRound5cOperators:
         jac = D.ngram_jaccard_pairs(df, threshold=0.8).collect()
         assert not jac
 
-    def test_containment_df_cap_blocks_hot_shingles(self, spark):
-        """With every shared shingle hotter than the cap, candidate
-        generation finds nothing — the declared recall contract."""
+    def test_containment_bucket_cap_drops_hot_shingles(self, spark):
+        """Five identical docs: every shingle has occupancy 5. With the
+        cap at 5 the guard is inactive and all 10 pairs surface; at 4
+        every full-side row is hot and candidate generation finds
+        nothing — the recall-only cap_buckets contract."""
         from haystack_traces_spark.datapipe import dedup as D
 
         text = "alpha bravo charlie delta"
         df = spark.createDataFrame(
             [(i, text) for i in range(5)], "doc_id long, text string"
         )
-        assert D.containment_pairs(df, threshold=0.9, df_cap=5).count() == 10
-        assert D.containment_pairs(df, threshold=0.9, df_cap=4).count() == 0
+        assert D.containment_pairs(df, threshold=0.9, max_bucket=5).count() == 10
+        assert D.containment_pairs(df, threshold=0.9, max_bucket=4).count() == 0
+
+    def test_containment_prefix_filter_is_exact_complete(self, spark):
+        """Prefix-filtered candidates lose NO qualifying pair: compare
+        against brute-force containment over all pairs on a corpus with
+        overlapping-but-distinct docs (prefix sides differ per doc)."""
+        import itertools
+
+        from haystack_traces_spark.datapipe import dedup as D
+
+        words = "a b c d e f g h i j k l m n o p q r s t".split()
+        rng_docs = []
+        for i in range(12):
+            # sliding windows with varying lengths → asymmetric overlaps
+            rng_docs.append((i, " ".join(words[i % 6 : i % 6 + 5 + i % 4])))
+        df = spark.createDataFrame(rng_docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.containment_pairs(df, threshold=0.6).collect()
+        }
+        # brute force over full shingle sets
+        def shingles(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rng_docs, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if not sa or not sb or not inter:
+                continue
+            ca = round(inter / len(sa), 6)
+            cb = round(inter / len(sb), 6)
+            if ca >= 0.6 or cb >= 0.6:
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want and want  # non-vacuous
 
     def test_weights_matrix_and_contingency_on_crafted_corpus(
         self, spark, tmp_path
@@ -1647,3 +1684,61 @@ class TestRound5dOperators:
         assert len(out) == len(dp.ABLATION_DIMS) * len(dp.ANN_QUERY_IDS)
         for r in out:
             assert r["n_hits"] == dp.ANN_K and r["recall"] == 1.0
+
+    def test_heaps_law_cumulative_vocab_on_crafted_corpus(self, spark, tmp_path):
+        """doc_id 0..9 → one bucket each (mx=9); each doc = 'w{i} common':
+        cum_tokens = 2(k+1); 'common' debuts in bucket 0, every w{i} in
+        its own → cum_vocab = k+2."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [(i, f"w{i} common", "s") for i in range(10)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = dp.q_heaps_law(spark, d).collect()
+        assert len(out) == 10
+        for k, r in enumerate(out):
+            assert (r["bucket"], r["n_docs"]) == (k, 1)
+            assert r["cum_tokens"] == 2 * (k + 1)
+            assert r["cum_vocab"] == k + 2
+            assert r["ttr"] == round((k + 2) / (2 * (k + 1)), 6)
+
+    def test_dup_inflation_counts_canonical_tokens(self, spark, tmp_path):
+        from haystack_traces_spark.datapipe import queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+
+        d = str(tmp_path / "corpus")
+        text = "x y z a b c"
+        rows = [
+            (1, text, "srcA"),            # canonical (min id of cluster)
+            (2, text, "srcB"),            # dup of 1 → not canonical
+            (3, "different words here now ok", "srcB"),  # singleton
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r.asDict() for r in dp.q_dup_inflation(spark, d).collect()}
+        a, b = out["srcA"], out["srcB"]
+        assert (a["n_canonical"], a["total_tokens"], a["unique_tokens"],
+                a["inflation"]) == (1, 6, 6, 1.0)
+        assert (b["n_canonical"], b["total_tokens"], b["unique_tokens"],
+                b["inflation"]) == (1, 11, 5, 2.2)
+        stagecache.clear()
+
+    def test_tokenizer_fertility_weighted_ratios(self, spark, tmp_path):
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [
+            (1, "ab cd", "en", "s"),   # ws 2, re 2, chars 5
+            (2, "a1b", "de", "s"),     # ws 1, re 3 ('a','1','b'), chars 3
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["lang"]: r.asDict() for r in dp.q_tokenizer_fertility(spark, d).collect()}
+        assert out["en"]["tokens_per_word"] == 1.0
+        assert out["en"]["chars_per_token"] == 2.5
+        assert out["de"]["tokens_per_word"] == 3.0
+        assert out["de"]["chars_per_token"] == 1.0

@@ -862,3 +862,32 @@ def test_round5d_trace_operators_plan_shapes(spark):
         # bottleneck_ops / clock_skew ride the trace exchange end to end:
         # no global window, no single-partition exchange anywhere
         assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+
+
+def test_span_idle_gaps_interval_union_and_clipping(spark):
+    rows = [
+        # parent [0, 1000]; children [0,300]+[200,500] merge to one
+        # island of 500, [600,700] adds 100, [900,1200] clips to
+        # [900,1000] adding 100 → union 700, idle 300 (frac 0.3)
+        mk(trace_id="t", span_id="p", service="P", start=0, duration=1000),
+        mk(trace_id="t", span_id="c1", parent="p", service="x", start=0,
+           duration=300),
+        mk(trace_id="t", span_id="c2", parent="p", service="x", start=200,
+           duration=300),
+        mk(trace_id="t", span_id="c3", parent="p", service="x", start=600,
+           duration=100),
+        mk(trace_id="t", span_id="c4", parent="p", service="x", start=900,
+           duration=300),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_span_idle_gaps(spark, "ignored").collect()
+    )
+    assert [r.asDict() for r in out] == [
+        {
+            "servicename": "p",
+            "n_parents": 1,
+            "avg_children": 4.0,
+            "avg_idle": 300.0,
+            "avg_idle_frac": 0.3,
+        }
+    ]
