@@ -270,6 +270,18 @@ def containment_pairs(
     )
 
 
+def bloom_position_array(key_col, m: int, k: int) -> F.Column:
+    """The ONE Bloom position derivation (distinct positions of the k
+    seeded hash60 probes mod m) — shared by the batch audit
+    (:func:`bloom_probe`) and the streaming ingest gate
+    (streaming/bloom_stream.py) so both faces screen against the SAME
+    filter geometry; a doc admitted by one face hits in the other."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.array_distinct(
+        F.array(*[hash60(c, seed=f"bl{i}:") % m for i in range(k)])
+    )
+
+
 def bloom_probe(
     docs: DataFrame,
     m: int = 4096,
@@ -302,9 +314,7 @@ def bloom_probe(
     )
     build = keyed.filter(F.col("doc_id") % probe_mod != 0)
     probe = keyed.filter(F.col("doc_id") % probe_mod == 0)
-    pos_arr = F.array_distinct(
-        F.array(*[hash60(F.col("key"), seed=f"bl{i}:") % m for i in range(k)])
-    )
+    pos_arr = bloom_position_array("key", m, k)
     build_pos = (
         build.select(F.explode(pos_arr).alias("pos")).distinct()
     )

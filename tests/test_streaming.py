@@ -1235,3 +1235,105 @@ def test_streaming_tail_sampling_end_to_end_available_now(spark, tmp_path):
     got = {r["trace_id"]: r["reason"] for r in gate.decisions(spark).collect()}
     assert got["e1"] == "error"
     assert got["ok1"] in ("hash", "drop")
+
+
+def test_bloom_gate_flags_exact_dups_across_batches(spark, tmp_path):
+    """The Bloom position gate flags exact dups within a batch (lower id
+    wins) and across deliveries; only miss docs' positions enter state."""
+    from haystack_traces_spark.streaming.bloom_stream import BloomIngest
+
+    state = tmp_path / "pos_state"
+    out = tmp_path / "verdicts"
+    gate = BloomIngest(str(state), str(out))
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha bravo charlie"), (2, "alpha bravo charlie"),
+         (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 0)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert not rows[1]["bloom_hit"] and not rows[3]["bloom_hit"]
+    assert rows[2]["bloom_hit"] and rows[2]["n_matched"] == rows[2]["n_pos"]
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha bravo charlie"), (11, "fresh new content here")],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b2, 1)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows[10]["bloom_hit"]
+    assert not rows[11]["bloom_hit"]
+    # state = union of miss docs' position sets, nothing from dups —
+    # and never more than m rows
+    n_state = spark.read.parquet(str(state)).count()
+    assert n_state <= 3 * 3  # ≤ |miss docs| * k
+    # replay of batch 2 (at-least-once redelivery) must not grow state
+    gate.process_batch(b2, 1)
+    assert spark.read.parquet(str(state)).count() == n_state
+
+
+def test_bloom_gate_state_bounded_by_m_and_saturates(spark, tmp_path):
+    """The defining property: state never exceeds m rows however much
+    distinct content flows through; a saturated filter (every position
+    held) flags EVERYTHING — the designed degradation, loud not silent."""
+    from haystack_traces_spark.streaming.bloom_stream import BloomIngest
+
+    gate = BloomIngest(str(tmp_path / "state"), str(tmp_path / "out"), m=8)
+    b1 = spark.createDataFrame(
+        [(i, f"doc number {i} unique content") for i in range(50)],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 0)
+    assert spark.read.parquet(str(tmp_path / "state")).count() <= 8
+    # filter is saturated (50 docs x 3 probes over 8 cells): new distinct
+    # content now collides on every position
+    b2 = spark.createDataFrame(
+        [(100, "never seen before text")], "doc_id long, text string"
+    )
+    gate.process_batch(b2, 1)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows[100]["bloom_hit"]  # false positive by design at this load
+
+
+def test_bloom_gate_corrupt_state_propagates(spark, tmp_path):
+    """A corrupt position-state file must RAISE, not silently reset (a
+    reset filter would re-admit all previously-seen content)."""
+    import pytest
+
+    from haystack_traces_spark.streaming.bloom_stream import BloomIngest
+
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"this is not parquet")
+    gate = BloomIngest(str(state), str(tmp_path / "out"))
+    batch = spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        gate.process_batch(batch, 0)
+    assert type(ei.value).__name__ != "AnalysisException"
+    assert not (tmp_path / "out").exists()
+
+
+def test_bloom_gate_e2e_writestream(spark, tmp_path):
+    """Full writeStream round-trip: parquet file source → foreachBatch
+    position state → verdicts, via the gate's start() wiring."""
+    from haystack_traces_spark.streaming.bloom_stream import BloomIngest
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "alpha bravo"), (3, "charlie delta")],
+        schema,
+    ).write.parquet(str(src))
+
+    gate = BloomIngest(str(tmp_path / "state"), str(tmp_path / "out"))
+    q = gate.start(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(90)
+    rows = {r["doc_id"]: r["bloom_hit"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows == {1: False, 2: True, 3: False}
