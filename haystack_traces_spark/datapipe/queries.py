@@ -266,13 +266,25 @@ SIMHASH_MAX_HAMMING = 2
 SIMHASH_PAIR_BITS = 32  # 16-bit prints collapse on template-generated docs
 
 
+def _simhash_pairs(spark, sf_dir):
+    """Session-cached simhash pair stage (output-side, tiny) — shared by
+    dedup_simhash_pairs and sketch_agreement, same contract as
+    :func:`_jaccard_pairs`."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        lambda: D.simhash_pairs(
+            _docs(spark, sf_dir), SIMHASH_MAX_HAMMING, bits=SIMHASH_PAIR_BITS
+        ),
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Near-dup pairs within hamming distance — pigeonhole-bucketed
     candidates + exact verify; the oracle is the naive all-pairs scan
     (different algorithm, same result — the strongest kind of check)."""
-    return D.simhash_pairs(
-        _docs(spark, sf_dir), SIMHASH_MAX_HAMMING, bits=SIMHASH_PAIR_BITS
-    )
+    return _simhash_pairs(spark, sf_dir)
 
 
 def sql_dedup_simhash_pairs(bits: int = SIMHASH_PAIR_BITS) -> str:
@@ -3187,6 +3199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "dup_inflation": q_dup_inflation,
         "tokenizer_fertility": q_tokenizer_fertility,
+        # round-5 sixth batch (queued in _ROTATION_QUEUE round-20):
+        "sketch_agreement": q_sketch_agreement,
+        "cluster_transitivity": q_cluster_transitivity,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3278,6 +3293,8 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": sql_heaps_law(),
         "dup_inflation": sql_dup_inflation(),
         "tokenizer_fertility": sql_tokenizer_fertility(),
+        "sketch_agreement": sql_sketch_agreement(),
+        "cluster_transitivity": sql_cluster_transitivity(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -4280,4 +4297,134 @@ SELECT lang,
        ROUND(SUM(n_re) / CAST(SUM(n_ws) AS DOUBLE), 6) AS tokens_per_word,
        ROUND(SUM(n_chars) / CAST(SUM(n_re) AS DOUBLE), 6) AS chars_per_token
 FROM tc GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sketch_agreement(spark, sf_dir):
+    """→ one row (n_jaccard, n_simhash, n_both, jaccard_only,
+    simhash_only, overlap_coef): AGREEMENT between the two near-dup
+    sketch families — the flagged pair set of n-gram Jaccard (ppjoin,
+    threshold gate) vs simhash (pigeonhole, hamming gate). The
+    sketch-governance check beside the per-family health gauges
+    (simhash_bit_balance, lsh_recall_report): two healthy families
+    flag largely the SAME pairs; a collapsing overlap coefficient says
+    one family's knobs (bands, bits, thresholds) have drifted off the
+    duplication actually present.
+
+    Scale shape: both pair tables are session-cached output-side
+    stages; the full-outer join and the 1-row rollup touch only
+    flagged pairs."""
+    j = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_j", F.lit(1)
+    )
+    s = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_s", F.lit(1)
+    )
+    m = j.join(s, ["doc_a", "doc_b"], "full_outer")
+    n_j = F.sum(F.coalesce("in_j", F.lit(0)))
+    n_s = F.sum(F.coalesce("in_s", F.lit(0)))
+    n_both = F.sum(
+        (F.col("in_j").isNotNull() & F.col("in_s").isNotNull()).cast("long")
+    )
+    return m.agg(
+        n_j.cast("long").alias("n_jaccard"),
+        n_s.cast("long").alias("n_simhash"),
+        n_both.cast("long").alias("n_both"),
+        (n_j - n_both).cast("long").alias("jaccard_only"),
+        (n_s - n_both).cast("long").alias("simhash_only"),
+        F.round(
+            n_both / F.nullif(F.least(n_j, n_s).cast("double"), F.lit(0.0)), 6
+        ).alias("overlap_coef"),
+    )
+
+
+def sql_sketch_agreement() -> str:
+    return f"""
+WITH ja AS ({sql_dedup_ngram_jaccard()}),
+sim AS ({sql_dedup_simhash_pairs()}),
+m AS (
+  SELECT COALESCE(j.doc_a, s.doc_a) AS doc_a,
+         COALESCE(j.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_j,
+         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+  FROM ja j FULL OUTER JOIN sim s
+    ON s.doc_a = j.doc_a AND s.doc_b = j.doc_b
+)
+SELECT CAST(SUM(in_j) AS BIGINT) AS n_jaccard,
+       CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+       CAST(SUM(in_j * in_s) AS BIGINT) AS n_both,
+       CAST(SUM(in_j) - SUM(in_j * in_s) AS BIGINT) AS jaccard_only,
+       CAST(SUM(in_s) - SUM(in_j * in_s) AS BIGINT) AS simhash_only,
+       ROUND(SUM(in_j * in_s) /
+             CAST(NULLIF(LEAST(SUM(in_j), SUM(in_s)), 0) AS DOUBLE), 6)
+         AS overlap_coef
+FROM m
+"""
+
+
+def q_cluster_transitivity(spark, sf_dir):
+    """→ (cluster, size, direct_pairs, possible_pairs, closure): how much
+    of each near-dup cluster is DIRECTLY flagged vs inferred by
+    transitive chaining — closure = flagged pairs / C(size, 2). A
+    cluster at closure 1.0 is a clique (every member verified against
+    every other); a long low-closure chain is the classic
+    over-merge artifact (A~B~C~…~Z with A and Z unrelated), the
+    evidence for tightening the threshold or splitting on a second
+    signal before deleting by cluster.
+
+    Scale shape: the cached cluster map + the cached pair stage; one
+    join of pairs onto the doc_a endpoint's cluster (pair endpoints
+    share a cluster by construction of the components) and two tiny
+    per-cluster aggregates."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    pairs = _jaccard_pairs(spark, sf_dir)
+    direct = (
+        pairs.join(
+            clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("direct_pairs"))
+    )
+    possible = (F.col("size") * (F.col("size") - 1) / 2).cast("long")
+    return (
+        sizes.filter(F.col("size") >= 2)
+        .join(direct, "cluster", "left")
+        .select(
+            "cluster",
+            "size",
+            F.coalesce("direct_pairs", F.lit(0))
+            .cast("long")
+            .alias("direct_pairs"),
+            possible.alias("possible_pairs"),
+            F.round(
+                F.coalesce("direct_pairs", F.lit(0)) / possible.cast("double"),
+                6,
+            ).alias("closure"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def sql_cluster_transitivity() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+{_DUP_COMPONENTS},
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+csize AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM cl GROUP BY 1),
+flagged AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+direct AS (
+  SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS direct_pairs
+  FROM flagged f JOIN cl c ON c.doc_id = f.doc_a GROUP BY 1
+)
+SELECT s.cluster, s.size,
+       CAST(COALESCE(d.direct_pairs, 0) AS BIGINT) AS direct_pairs,
+       CAST(s.size * (s.size - 1) / 2 AS BIGINT) AS possible_pairs,
+       ROUND(COALESCE(d.direct_pairs, 0) /
+             CAST(s.size * (s.size - 1) / 2 AS DOUBLE), 6) AS closure
+FROM csize s LEFT JOIN direct d USING (cluster)
+WHERE s.size >= 2
+ORDER BY s.cluster
 """

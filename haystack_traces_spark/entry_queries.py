@@ -4275,6 +4275,84 @@ FROM per_parent GROUP BY 1 ORDER BY 1
     )
 
 
+def q_operation_cardinality_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operation-name cardinality audit per service: distinct operations,
+    operations per 1k spans, and how many operations DEBUTED in the
+    second time half (first-half split at the span start-time midpoint).
+    The classic tracing cost bug — ids/timestamps leaking into operation
+    names — shows up as ops_per_1k_spans drifting toward 1000 and a
+    steady stream of new_ops at stable traffic; healthy services hold a
+    small fixed operation set.
+
+    Scale shape: one (service, operation) combinable aggregate with
+    conditional half-presence flags against the broadcast 1-row
+    midpoint, then a tiny per-service rollup."""
+    spans = _spans(spark, sf_dir)
+    mid = spans.agg(
+        ((F.min("start_time") + F.max("start_time")) / 2).alias("mid")
+    )
+    per_op = (
+        spans.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max((F.col("start_time") < F.col("mid")).cast("long")).alias(
+                "in_first"
+            ),
+            F.max((F.col("start_time") >= F.col("mid")).cast("long")).alias(
+                "in_second"
+            ),
+        )
+    )
+    return (
+        per_op.groupBy("servicename")
+        .agg(
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+            F.sum(
+                ((F.col("in_second") == 1) & (F.col("in_first") == 0)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("new_ops"),
+        )
+        .withColumn(
+            "ops_per_1k_spans",
+            F.round(F.col("n_ops") * 1000.0 / F.col("n_spans"), 6),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_operation_cardinality_guard() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, mid AS (SELECT (MIN(start_time) + MAX(start_time)) / 2 AS mid FROM spans),
+per_op AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         COUNT(*) AS n_spans,
+         MAX(CASE WHEN start_time < m.mid THEN 1 ELSE 0 END) AS in_first,
+         MAX(CASE WHEN start_time >= m.mid THEN 1 ELSE 0 END) AS in_second
+  FROM spans CROSS JOIN mid m
+  GROUP BY 1, 2
+)
+SELECT servicename,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_ops,
+       CAST(SUM(CASE WHEN in_second = 1 AND in_first = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_ops,
+       ROUND(COUNT(*) * 1000.0 / SUM(n_spans), 6) AS ops_per_1k_spans
+FROM per_op GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4407,6 +4485,10 @@ _ROTATION_QUEUE = (
     "heaps_law",
     "dup_inflation",
     "tokenizer_fertility",
+    # round-20 queue:
+    "operation_cardinality_guard",
+    "sketch_agreement",
+    "cluster_transitivity",
 )
 
 
@@ -4509,6 +4591,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clock_skew": q_clock_skew,
         "callgraph_drift": q_callgraph_drift,
         "span_idle_gaps": q_span_idle_gaps,
+        "operation_cardinality_guard": q_operation_cardinality_guard,
     }
 
 
@@ -4599,4 +4682,5 @@ def _trace_oracles() -> dict[str, str]:
         "clock_skew": sql_clock_skew(),
         "callgraph_drift": sql_callgraph_drift(),
         "span_idle_gaps": sql_span_idle_gaps(),
+        "operation_cardinality_guard": sql_operation_cardinality_guard(),
     }

@@ -1742,3 +1742,47 @@ class TestRound5dOperators:
         assert out["en"]["chars_per_token"] == 2.5
         assert out["de"]["tokens_per_word"] == 3.0
         assert out["de"]["chars_per_token"] == 1.0
+
+    def test_sketch_agreement_identical_pair(self, spark, tmp_path):
+        """Two identical docs are flagged by BOTH families (J=1, hamming
+        0) → perfect overlap; the unrelated third doc pairs with
+        neither."""
+        from haystack_traces_spark.datapipe import queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+
+        d = str(tmp_path / "corpus")
+        text = " ".join(f"w{i}" for i in range(30))
+        rows = [(1, text, "s"), (2, text, "s"),
+                (3, " ".join(f"zz{i}" for i in range(30)), "s")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        r = dp.q_sketch_agreement(spark, d).collect()[0].asDict()
+        # Jaccard flags exactly the identical pair; simhash must agree on
+        # it (n_both = 1 → overlap 1.0 whatever else simhash's 16-bit
+        # test-scale saturation happens to flag)
+        assert r["n_jaccard"] == 1 and r["n_both"] == 1
+        assert r["overlap_coef"] == 1.0
+        assert r["jaccard_only"] == 0
+        assert r["simhash_only"] == r["n_simhash"] - 1
+        stagecache.clear()
+
+    def test_cluster_transitivity_chain_closure(self, spark, tmp_path):
+        """A~B~C chain where A!~C directly: one 3-cluster with 2 of 3
+        possible pairs flagged → closure 2/3."""
+        from haystack_traces_spark.datapipe import queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+
+        base = [f"w{i}" for i in range(50)]
+        a = list(base); a[5] = "xx"
+        c = list(base); c[45] = "yy"
+        d = str(tmp_path / "corpus")
+        rows = [(1, " ".join(a), "s"), (2, " ".join(base), "s"),
+                (3, " ".join(c), "s")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = [r.asDict() for r in dp.q_cluster_transitivity(spark, d).collect()]
+        assert out == [{"cluster": 1, "size": 3, "direct_pairs": 2,
+                        "possible_pairs": 3, "closure": 0.666667}]
+        stagecache.clear()

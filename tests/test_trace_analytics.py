@@ -891,3 +891,23 @@ def test_span_idle_gaps_interval_union_and_clipping(spark):
             "avg_idle_frac": 0.3,
         }
     ]
+
+
+def test_operation_cardinality_guard_debuts_and_rate(spark):
+    rows = [
+        # starts span [0, 1990] → midpoint 995
+        mk(trace_id="t1", span_id="1", service="a", operation="o1", start=0),
+        mk(trace_id="t2", span_id="2", service="a", operation="o1", start=1990),
+        mk(trace_id="t3", span_id="3", service="a", operation="o2", start=1500),
+        mk(trace_id="t4", span_id="4", service="b", operation="o3", start=10),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_operation_cardinality_guard(spark, "ignored").collect(),
+    )
+    by_svc = {r["servicename"]: r.asDict() for r in out}
+    a = by_svc["a"]
+    assert (a["n_spans"], a["n_ops"], a["new_ops"]) == (3, 2, 1)
+    assert a["ops_per_1k_spans"] == 666.666667
+    b = by_svc["b"]
+    assert (b["n_spans"], b["n_ops"], b["new_ops"]) == (1, 1, 0)
