@@ -262,9 +262,15 @@ def containment_pairs(
         )
         .withColumn("cont_a_in_b", F.round(F.col("n_shared") / F.col("n_a"), 6))
         .withColumn("cont_b_in_a", F.round(F.col("n_shared") / F.col("n_b"), 6))
+        # gate on the UNROUNDED ratio: the prefix filter's pigeonhole
+        # guarantee covers true containment ≥ t; gating on the rounded
+        # value would ALSO admit true cont ∈ [t − 5e-7, t) — pairs the
+        # candidate generation never promised to produce (an engine/
+        # oracle boundary gap on very large docs). Output columns stay
+        # rounded; both faces gate raw.
         .filter(
-            (F.col("cont_a_in_b") >= threshold)
-            | (F.col("cont_b_in_a") >= threshold)
+            (F.col("n_shared") / F.col("n_a") >= threshold)
+            | (F.col("n_shared") / F.col("n_b") >= threshold)
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -309,8 +315,14 @@ def bloom_probe(
     only to measure the FP rate; production callers drop it (or sample)
     once m/k are validated. Everything is hash-groupBy/broadcast-join —
     no windows, no Python."""
+    # COALESCE: NULL text keys as empty — the SAME rule as the streaming
+    # gate's doc_positions, or the two faces would derive different
+    # position sets for the same doc (breaking the shared-geometry
+    # contract of bloom_position_array)
     keyed = docs.select(
-        "doc_id", "source", F.md5(F.col(text_col)).alias("key")
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("key"),
     )
     build = keyed.filter(F.col("doc_id") % probe_mod != 0)
     probe = keyed.filter(F.col("doc_id") % probe_mod == 0)

@@ -3749,8 +3749,8 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE ROUND(i.n_shared / CAST(sa.n_sh AS DOUBLE), 6) >= {CONTAIN_THRESHOLD}
-   OR ROUND(i.n_shared / CAST(sb.n_sh AS DOUBLE), 6) >= {CONTAIN_THRESHOLD}
+WHERE i.n_shared / CAST(sa.n_sh AS DOUBLE) >= {CONTAIN_THRESHOLD}
+   OR i.n_shared / CAST(sb.n_sh AS DOUBLE) >= {CONTAIN_THRESHOLD}
 ORDER BY 1, 2
 """
 
@@ -3955,7 +3955,7 @@ def sql_bloom_dedup() -> str:
         for i in range(BLOOM_K)
     )
     return f"""
-WITH keyed AS (SELECT doc_id, source, md5(text) AS key FROM documents),
+WITH keyed AS (SELECT doc_id, source, md5(COALESCE(text, '')) AS key FROM documents),
 build AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} <> 0),
 probe AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} = 0),
 bpos AS (SELECT DISTINCT pos FROM ({pos_builds})),

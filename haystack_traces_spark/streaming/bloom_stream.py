@@ -19,12 +19,17 @@ pattern shared with the near-dup band gate):
       batch firsts = min(doc_id) per position within batch    (map-side agg)
       verdict    = per doc: hit iff EVERY position is prior-held or
                    held by a lower-id doc in this batch
-      state     += positions of ADMITTED (miss) docs, anti-joined
-      out       += (doc_id, bloom_hit, n_pos, n_matched)
+      state[batch_id]  = positions of ADMITTED (miss) docs, anti-joined
+                         against PRIOR batches (overwrite per batch dir)
+      out[batch_id]    = (doc_id, bloom_hit, n_pos, n_matched)
 
 Within-batch semantics mirror sequential ingestion in doc_id order
 (batch-first = min doc_id per position) — deterministic and
-replay-stable, same rule as the near-dup gate's band holder.
+replay-stable, same rule as the near-dup gate's band holder. Replay
+idempotence is structural: screening reads batch_id < current only, and
+both writes are per-batch-dir OVERWRITES, so an at-least-once
+redelivery reproduces the first run's files bit-for-bit instead of
+appending contradictory verdicts.
 
 State is bounded by ``m`` — the defining property: at 100 TB the state
 table is STILL ≤ m rows and the screening join broadcasts it; nothing
@@ -40,12 +45,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from haystack_traces_spark.datapipe.dedup import bloom_position_array
+from haystack_traces_spark.datapipe.queries import BLOOM_K, BLOOM_M
 
-#: Default geometry — matches the batch audit's registry constants
-#: (datapipe.queries.BLOOM_M / BLOOM_K) via the shared position builder;
-#: deployments size m to the corpus and validate with bloom_probe.
-DEFAULT_BLOOM_M = 4096
-DEFAULT_BLOOM_K = 3
+#: Default geometry — IMPORTED from the batch audit's registry constants
+#: so a re-sized filter (after an FP-rate study with bloom_probe) cannot
+#: silently diverge between the offline measurement and the online gate.
+DEFAULT_BLOOM_M = BLOOM_M
+DEFAULT_BLOOM_K = BLOOM_K
 
 
 def doc_positions(
@@ -86,25 +92,38 @@ class BloomIngest:
         self.k = k
         self.text_col = text_col
 
-    def _state(self, spark) -> DataFrame:
+    def _state(self, spark, current_batch_id: int) -> DataFrame:
         # only a MISSING path means first run; any other read failure
         # (corrupt file, permissions) must propagate — silently resetting
-        # state would re-admit previously-seen content
+        # state would re-admit previously-seen content. PRIOR deliveries
+        # only: the batch_id partition filter makes an at-least-once
+        # replay re-score against exactly the state the first run saw.
         from pyspark.errors import AnalysisException
 
         try:
-            return spark.read.parquet(self.state_dir)
+            log = spark.read.parquet(self.state_dir)
         except AnalysisException:
             from pyspark.sql.types import LongType, StructField, StructType
 
             return spark.createDataFrame(
                 [], StructType([StructField("pos", LongType())])
             )
+        assert "batch_id" in log.columns, (
+            f"{self.state_dir} is not a batch_id-partitioned position log"
+        )
+        return log.filter(F.col("batch_id") < current_batch_id).select("pos")
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession
-        pos = doc_positions(docs, self.m, self.k, self.text_col).persist()
-        state = self._state(spark).withColumn("in_state", F.lit(1))
+        # distinct(): an at-least-once source can duplicate a (doc, text)
+        # row WITHIN a batch — duplicated position rows would double
+        # n_matched past n_pos and misreport a held doc as a miss
+        pos = (
+            doc_positions(docs, self.m, self.k, self.text_col)
+            .distinct()
+            .persist()
+        )
+        state = self._state(spark, batch_id).withColumn("in_state", F.lit(1))
         batch_first = pos.groupBy("pos").agg(
             F.min("doc_id").alias("batch_first")
         )
@@ -133,11 +152,16 @@ class BloomIngest:
                 "n_matched",
             )
         )
-        verdict.write.mode("append").parquet(self.out_dir)
-        # admit: positions of miss docs not already held. Append never
-        # rewrites prior files, so no read-under-write hazard; re-running
-        # a batch re-derives the same positions and the anti-join keeps
-        # the state a set (replay-idempotent).
+        # batch_id-keyed overwrite dirs (the quality/anomaly-gate pattern):
+        # an at-least-once replay rewrites the SAME verdict and state
+        # files — screening above reads prior batches only, so the replay
+        # reproduces the first run bit-for-bit instead of contradicting it
+        verdict.write.mode("overwrite").parquet(
+            f"{self.out_dir.rstrip('/')}/batch_id={batch_id}"
+        )
+        # admit: positions of miss docs not already held by a PRIOR batch
+        # (the anti-join keeps the log a set across batches, so total log
+        # size stays ≤ m rows)
         admitted = (
             pos.join(
                 verdict.filter(~F.col("bloom_hit")).select("doc_id"),
@@ -147,7 +171,9 @@ class BloomIngest:
             .distinct()
             .join(state.select("pos"), "pos", "left_anti")
         )
-        admitted.write.mode("append").parquet(self.state_dir)
+        admitted.write.mode("overwrite").parquet(
+            f"{self.state_dir.rstrip('/')}/batch_id={batch_id}"
+        )
         pos.unpersist()
 
     def start(

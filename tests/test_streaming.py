@@ -1268,9 +1268,16 @@ def test_bloom_gate_flags_exact_dups_across_batches(spark, tmp_path):
     # and never more than m rows
     n_state = spark.read.parquet(str(state)).count()
     assert n_state <= 3 * 3  # ≤ |miss docs| * k
-    # replay of batch 2 (at-least-once redelivery) must not grow state
+    # replay of batch 2 (at-least-once redelivery): overwrite-per-batch
+    # dirs + prior-batches-only screening → same state, same verdicts
+    # (doc 11 stays a MISS on replay — its own positions must not
+    # count against it), no duplicate verdict rows
     gate.process_batch(b2, 1)
     assert spark.read.parquet(str(state)).count() == n_state
+    verdicts = spark.read.parquet(str(out)).collect()
+    assert len(verdicts) == 5
+    rows = {r["doc_id"]: r for r in verdicts}
+    assert not rows[11]["bloom_hit"] and rows[10]["bloom_hit"]
 
 
 def test_bloom_gate_state_bounded_by_m_and_saturates(spark, tmp_path):
