@@ -3202,6 +3202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 sixth batch (queued in _ROTATION_QUEUE round-20):
         "sketch_agreement": q_sketch_agreement,
         "cluster_transitivity": q_cluster_transitivity,
+        # round-5 seventh batch (queued in _ROTATION_QUEUE round-21):
+        "template_prefixes": q_template_prefixes,
+        "embedding_isotropy": q_embedding_isotropy,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3295,6 +3298,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": sql_tokenizer_fertility(),
         "sketch_agreement": sql_sketch_agreement(),
         "cluster_transitivity": sql_cluster_transitivity(),
+        "template_prefixes": sql_template_prefixes(),
+        "embedding_isotropy": sql_embedding_isotropy(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -4427,4 +4432,122 @@ SELECT s.cluster, s.size,
 FROM csize s LEFT JOIN direct d USING (cluster)
 WHERE s.size >= 2
 ORDER BY s.cluster
+"""
+
+
+#: First-k-token prefix defining a template family.
+TEMPLATE_PREFIX_TOKENS = 5
+
+
+def q_template_prefixes(spark, sf_dir):
+    """→ (prefix, n_docs, n_sources, min_doc_id): TEMPLATE families —
+    groups of ≥2 docs opening with the same first-k tokens (boilerplate
+    headers, scraper artifacts, form letters). Prefix templating slips
+    past whole-doc dedup (bodies differ) yet still teaches a model to
+    parrot the opener; families spanning multiple sources usually mean
+    a shared upstream generator rather than one bad feed.
+
+    Scale shape: one map-side-combinable aggregate on the md5-bounded
+    prefix key (the prefix string itself rides the shuffle only as the
+    group key); output rows = template families, not docs."""
+    docs = _docs(spark, sf_dir)
+    prefix = F.concat_ws(
+        " ", F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_TOKENS)
+    )
+    return (
+        docs.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )
+
+
+def sql_template_prefixes() -> str:
+    k = TEMPLATE_PREFIX_TOKENS
+    return f"""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:{k}], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       MIN(doc_id) AS min_doc_id
+FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix
+"""
+
+
+def q_embedding_isotropy(spark, sf_dir):
+    """→ one row (n_vectors, dim, avg_pair_cos, sum_norm): ISOTROPY of
+    the embedding space via the closed form — for unit vectors uᵢ,
+    Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − n, so the mean pairwise cosine is
+    (‖Σu‖² − n) / (n(n−1)) WITHOUT materializing any pair (Ethayarajh
+    2019's anisotropy measure). A mean cosine well above 0 means the
+    space is cone-shaped — cosine thresholds (near-dup gates, ANN
+    acceptance) are then miscalibrated and need centering.
+
+    Scale shape: the whole statistic is ONE pass — normalize per row
+    (map-only), per-dimension sums (one combinable aggregate over
+    position-exploded components), then a 1-row fold. O(n·d) work,
+    O(d) state; the n² pair space never exists."""
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = emb.select(
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u")
+    )
+    comp = unit.select(
+        F.posexplode("u").alias("d", "val")
+    )
+    dims = comp.groupBy("d").agg(F.sum("val").alias("s"))
+    n_row = unit.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        dims.agg(
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.count(F.lit(1)).cast("long").alias("dim"),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            "dim",
+            F.round(
+                (F.col("ss") - F.col("n")) / (F.col("n") * (F.col("n") - 1)), 6
+            ).alias("avg_pair_cos"),
+            F.round(F.sqrt("ss"), 6).alias("sum_norm"),
+        )
+    )
+
+
+def sql_embedding_isotropy() -> str:
+    return """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (
+  SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+),
+comp AS (
+  SELECT t.d, u[t.d] AS val
+  FROM u, UNNEST(generate_series(1, len(u))) t(d)
+),
+dims AS (SELECT d, SUM(val) AS s FROM comp GROUP BY d),
+agg AS (
+  SELECT SUM(s * s) AS ss, CAST(COUNT(*) AS BIGINT) AS dim FROM dims
+),
+n_row AS (SELECT COUNT(*) AS n FROM u)
+SELECT CAST(n.n AS BIGINT) AS n_vectors, a.dim,
+       ROUND((a.ss - n.n) / (n.n * (n.n - 1.0)), 6) AS avg_pair_cos,
+       ROUND(SQRT(a.ss), 6) AS sum_norm
+FROM agg a CROSS JOIN n_row n
 """

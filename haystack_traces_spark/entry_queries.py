@@ -4353,6 +4353,187 @@ FROM per_op GROUP BY 1 ORDER BY 1
     )
 
 
+def q_dependency_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Architecture-smell detector: cyclic service dependencies in the
+    call graph, enumerated exactly for the lengths that matter in
+    practice — self-loops (a→a), mutual pairs (a⇄b) and directed
+    triangles (a→b→c→a, canonicalized on the lexicographically smallest
+    member so each directed cycle reports once). Cycles break deploy
+    ordering, retry storms amplify around them, and most service maps
+    assume a DAG — this is the audit that says whether yours is one.
+
+    Scale shape: the edge list is a |services|²-bounded aggregate
+    (service-level, independent of span volume); self/mutual/triangle
+    enumeration joins that tiny table against itself — never the span
+    table."""
+    edges = (
+        span_call_edges(_spans(spark, sf_dir))
+        .select(
+            F.lower("from_service").alias("a"),
+            F.lower("to_service").alias("b"),
+            F.col("calls").cast("long").alias("n"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("n"))
+    )
+    self_loops = edges.filter(F.col("a") == F.col("b")).select(
+        F.lit("self").alias("cycle_type"),
+        F.col("a").alias("members"),
+        F.col("n").cast("long").alias("n_calls"),
+    )
+    e2 = edges.select(
+        F.col("a").alias("b2"), F.col("b").alias("a2"), F.col("n").alias("n2")
+    )
+    mutual = (
+        edges.join(
+            e2, (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.lit("mutual").alias("cycle_type"),
+            F.concat_ws(">", "a", "b").alias("members"),
+            (F.col("n") + F.col("n2")).cast("long").alias("n_calls"),
+        )
+    )
+    x = edges.select(
+        F.col("a").alias("xa"), F.col("b").alias("xb"), F.col("n").alias("xn")
+    )
+    y = edges.select(
+        F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("n").alias("yn")
+    )
+    z = edges.select(
+        F.col("a").alias("za"), F.col("b").alias("zb"), F.col("n").alias("zn")
+    )
+    triangles = (
+        x.join(y, F.col("xb") == F.col("ya"))
+        .join(z, (F.col("yb") == F.col("za")) & (F.col("zb") == F.col("xa")))
+        .filter(
+            (F.col("xa") < F.col("ya"))
+            & (F.col("xa") < F.col("yb"))
+            & (F.col("ya") != F.col("yb"))
+        )
+        .select(
+            F.lit("triangle").alias("cycle_type"),
+            F.concat_ws(">", "xa", "ya", "yb").alias("members"),
+            (F.col("xn") + F.col("yn") + F.col("zn"))
+            .cast("long")
+            .alias("n_calls"),
+        )
+    )
+    return (
+        self_loops.unionByName(mutual)
+        .unionByName(triangles)
+        .orderBy("cycle_type", "members")
+    )
+
+
+def sql_dependency_cycles() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, edges AS (
+  SELECT lower(p.service_name) AS a, lower(c.service_name) AS b,
+         COUNT(*) AS n
+  FROM spans c
+  JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  WHERE c.parent_span_id <> ''
+  GROUP BY 1, 2
+),
+cycles AS (
+  SELECT 'self' AS cycle_type, a AS members, CAST(n AS BIGINT) AS n_calls
+  FROM edges WHERE a = b
+  UNION ALL
+  SELECT 'mutual', e.a || '>' || e.b, CAST(e.n + r.n AS BIGINT)
+  FROM edges e JOIN edges r ON r.a = e.b AND r.b = e.a
+  WHERE e.a < e.b
+  UNION ALL
+  SELECT 'triangle', x.a || '>' || y.a || '>' || y.b,
+         CAST(x.n + y.n + z.n AS BIGINT)
+  FROM edges x
+  JOIN edges y ON y.a = x.b
+  JOIN edges z ON z.a = y.b AND z.b = x.a
+  WHERE x.a < y.a AND x.a < y.b AND y.a <> y.b
+)
+SELECT * FROM cycles ORDER BY cycle_type, members
+"""
+    )
+
+
+def q_service_latency_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which services' latencies MOVE TOGETHER: Pearson correlation of
+    per-trace total service time for every service pair co-occurring in
+    enough traces. High coupling across a call edge is expected; high
+    coupling WITHOUT an edge is the shared-resource smell (same database,
+    same node pool, same lock). Correlation is computed from raw sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) with a NULLIF-guarded denominator —
+    zero-variance pairs report NULL identically on both engines (Spark's
+    corr would yield NaN, DuckDB's NULL — the sum form avoids the
+    divergence).
+
+    Scale shape: per-(trace, service) totals ride the trace exchange;
+    the pair join fans out only within each trace's service set (single
+    digits); the rollup keys on the |services|²-bounded pair."""
+    # DOUBLE from the start: the moment sums (Σxy, Σx²) would overflow
+    # BIGINT at scale — and DuckDB silently promotes to HUGEINT while
+    # Spark wraps, so integer sums would also diverge cross-engine
+    per = (
+        _spans(spark, sf_dir)
+        .groupBy("trace_id", F.lower("service_name").alias("svc"))
+        .agg(F.sum("duration").cast("double").alias("dur"))
+    )
+    a = per.select("trace_id", F.col("svc").alias("svc_a"), F.col("dur").alias("x"))
+    b = per.select("trace_id", F.col("svc").alias("svc_b"), F.col("dur").alias("y"))
+    pairs = a.join(b, "trace_id").filter(F.col("svc_a") < F.col("svc_b"))
+    g = pairs.groupBy("svc_a", "svc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_traces"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_traces")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0))
+    return (
+        g.filter(n >= 2)
+        .select(
+            "svc_a", "svc_b", "n_traces", F.round(corr, 6).alias("latency_corr")
+        )
+        .orderBy("svc_a", "svc_b")
+    )
+
+
+def sql_service_latency_coupling() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per AS (
+  SELECT trace_id, lower(service_name) AS svc,
+         CAST(SUM(duration) AS DOUBLE) AS dur
+  FROM spans GROUP BY 1, 2
+),
+g AS (
+  SELECT a.svc AS svc_a, b.svc AS svc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_traces,
+         SUM(a.dur) AS sx, SUM(b.dur) AS sy,
+         SUM(a.dur * b.dur) AS sxy,
+         SUM(a.dur * a.dur) AS sxx, SUM(b.dur * b.dur) AS syy
+  FROM per a JOIN per b ON b.trace_id = a.trace_id AND a.svc < b.svc
+  GROUP BY 1, 2
+)
+SELECT svc_a, svc_b, n_traces,
+       ROUND((n_traces * sxy - sx * sy) /
+             NULLIF(SQRT((n_traces * sxx - sx * sx)
+                         * (n_traces * syy - sy * sy)), 0), 6)
+         AS latency_corr
+FROM g WHERE n_traces >= 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4489,6 +4670,11 @@ _ROTATION_QUEUE = (
     "operation_cardinality_guard",
     "sketch_agreement",
     "cluster_transitivity",
+    # round-21 queue:
+    "dependency_cycles",
+    "service_latency_coupling",
+    "template_prefixes",
+    "embedding_isotropy",
 )
 
 
@@ -4592,6 +4778,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "callgraph_drift": q_callgraph_drift,
         "span_idle_gaps": q_span_idle_gaps,
         "operation_cardinality_guard": q_operation_cardinality_guard,
+        "dependency_cycles": q_dependency_cycles,
+        "service_latency_coupling": q_service_latency_coupling,
     }
 
 
@@ -4683,4 +4871,6 @@ def _trace_oracles() -> dict[str, str]:
         "callgraph_drift": sql_callgraph_drift(),
         "span_idle_gaps": sql_span_idle_gaps(),
         "operation_cardinality_guard": sql_operation_cardinality_guard(),
+        "dependency_cycles": sql_dependency_cycles(),
+        "service_latency_coupling": sql_service_latency_coupling(),
     }

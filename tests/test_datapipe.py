@@ -1786,3 +1786,36 @@ class TestRound5dOperators:
         assert out == [{"cluster": 1, "size": 3, "direct_pairs": 2,
                         "possible_pairs": 3, "closure": 0.666667}]
         stagecache.clear()
+
+    def test_template_prefixes_family_detection(self, spark, tmp_path):
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        opener = "dear valued customer we regret"
+        rows = [
+            (1, opener + " delay in shipping", "srcA"),
+            (2, opener + " your account closure", "srcB"),
+            (3, opener + " everything generally", "srcA"),
+            (4, "completely unrelated text body here", "srcA"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = [r.asDict() for r in dp.q_template_prefixes(spark, d).collect()]
+        assert out == [{"prefix": opener, "n_docs": 3, "n_sources": 2,
+                        "min_doc_id": 1}]
+
+    def test_embedding_isotropy_closed_form(self, spark, tmp_path):
+        """Three identical unit vectors: every pair cosine is 1 →
+        avg_pair_cos = 1.0 and ‖Σu‖ = 3 exactly."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        v = [1.0] + [0.0] * 63
+        spark.createDataFrame(
+            [(i, v, 0) for i in range(3)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(f"{d}/embeddings.parquet")
+        r = dp.q_embedding_isotropy(spark, d).collect()[0].asDict()
+        assert r == {"n_vectors": 3, "dim": 64, "avg_pair_cos": 1.0,
+                     "sum_norm": 3.0}

@@ -911,3 +911,49 @@ def test_operation_cardinality_guard_debuts_and_rate(spark):
     assert a["ops_per_1k_spans"] == 666.666667
     b = by_svc["b"]
     assert (b["n_spans"], b["n_ops"], b["new_ops"]) == (1, 1, 0)
+
+
+def test_dependency_cycles_enumeration(spark):
+    rows = [
+        # self-loop a→a
+        mk(trace_id="t1", span_id="p1", service="a"),
+        mk(trace_id="t1", span_id="c1", parent="p1", service="a"),
+        # mutual b⇄c (one edge each way, two traces)
+        mk(trace_id="t2", span_id="p2", service="b"),
+        mk(trace_id="t2", span_id="c2", parent="p2", service="c"),
+        mk(trace_id="t3", span_id="p3", service="c"),
+        mk(trace_id="t3", span_id="c3", parent="p3", service="b"),
+        # triangle d→e→f→d
+        mk(trace_id="t4", span_id="p4", service="d"),
+        mk(trace_id="t4", span_id="c4", parent="p4", service="e"),
+        mk(trace_id="t4", span_id="c5", parent="c4", service="f"),
+        mk(trace_id="t4", span_id="c6", parent="c5", service="d"),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_dependency_cycles(spark, "ignored").collect()
+    )
+    got = {(r["cycle_type"], r["members"]): r["n_calls"] for r in out}
+    assert got == {
+        ("self", "a"): 1,
+        ("mutual", "b>c"): 2,
+        ("triangle", "d>e>f"): 3,
+    }
+
+
+def test_service_latency_coupling_perfect_corr(spark):
+    rows = []
+    for i, (x, y, z) in enumerate([(100, 200, 300), (200, 400, 200),
+                                   (300, 600, 100)]):
+        rows += [
+            mk(trace_id=f"t{i}", span_id=f"x{i}", service="x", duration=x),
+            mk(trace_id=f"t{i}", span_id=f"y{i}", service="y", duration=y),
+            mk(trace_id=f"t{i}", span_id=f"z{i}", service="z", duration=z),
+        ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_service_latency_coupling(spark, "ignored").collect(),
+    )
+    by_pair = {(r["svc_a"], r["svc_b"]): r.asDict() for r in out}
+    assert by_pair[("x", "y")]["latency_corr"] == 1.0
+    assert by_pair[("x", "z")]["latency_corr"] == -1.0
+    assert by_pair[("x", "y")]["n_traces"] == 3
