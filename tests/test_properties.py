@@ -328,3 +328,111 @@ def test_interval_join_matches_brute_force(points, intervals):
         if pk == ik and s <= pt < s + ln
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 600)),
+        min_size=1, max_size=15,
+    )
+)
+def test_span_idle_gaps_matches_python_interval_union(children):
+    """The running-max gaps-and-islands union must agree with a direct
+    Python interval-union sweep for arbitrary (overlapping, nested,
+    clipped, zero-length) child layouts under a fixed [0, 1000] parent."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    spark = _spark()
+    rows = [
+        {
+            "trace_id": "t", "span_id": "p", "parent_span_id": "",
+            "service_name": "P", "operation_name": "op",
+            "start_time": 0, "duration": 1000, "tags": [], "logs": [],
+        }
+    ] + [
+        {
+            "trace_id": "t", "span_id": f"c{i}", "parent_span_id": "p",
+            "service_name": "x", "operation_name": "op",
+            "start_time": s, "duration": d, "tags": [], "logs": [],
+        }
+        for i, (s, d) in enumerate(children)
+    ]
+    from haystack_traces_spark.schemas import SPAN
+
+    spans = spark.createDataFrame(rows, SPAN)
+    orig = EQ._spans
+    EQ._spans = lambda _s, _d: spans
+    try:
+        out = {r["servicename"]: r.asDict()
+               for r in EQ.q_span_idle_gaps(spark, "ignored").collect()}
+    finally:
+        EQ._spans = orig
+
+    # Python ground truth: clip to [0, 1000], sweep-merge, union length
+    ivs = sorted(
+        (max(s, 0), min(s + d, 1000)) for s, d in children
+    )
+    union = 0
+    cur_s, cur_e = None, None
+    for s, e in ivs:
+        if e <= s:
+            continue
+        if cur_s is None or s > cur_e:
+            if cur_s is not None:
+                union += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_s is not None:
+        union += cur_e - cur_s
+    expect_idle = 1000 - union
+    assert out["p"]["avg_idle"] == float(expect_idle)
+    assert out["p"]["avg_idle_frac"] == round(expect_idle / 1000, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(0.001, 1, allow_nan=False),
+                st.floats(-1, -0.001, allow_nan=False),
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_embedding_isotropy_matches_bruteforce_pair_mean(vecs):
+    """The ‖Σu‖² closed form must equal the brute-force mean pairwise
+    cosine (within rounding) for arbitrary small vector sets."""
+    import math
+
+    from haystack_traces_spark.datapipe import queries as dp
+
+    spark = _spark()
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        r = dp.q_embedding_isotropy(spark, d).collect()[0]
+
+    # brute force on the SAME float32-rounded values spark read back
+    f32 = [[float(__import__("numpy").float32(x)) for x in v] for v in vecs]
+    units = []
+    for v in f32:
+        n = math.sqrt(sum(x * x for x in v))
+        units.append([x / n for x in v])
+    n = len(units)
+    s = sum(
+        sum(a * b for a, b in zip(units[i], units[j]))
+        for i in range(n) for j in range(n) if i != j
+    )
+    want = s / (n * (n - 1))
+    assert abs(r["avg_pair_cos"] - want) < 2e-6
+    assert r["n_vectors"] == n and r["dim"] == 4

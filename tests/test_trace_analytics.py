@@ -957,3 +957,25 @@ def test_service_latency_coupling_perfect_corr(spark):
     assert by_pair[("x", "y")]["latency_corr"] == 1.0
     assert by_pair[("x", "z")]["latency_corr"] == -1.0
     assert by_pair[("x", "y")]["n_traces"] == 3
+
+
+def test_round5ef_trace_operators_plan_shapes(spark):
+    from tests.test_plans import _plan
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        name: _plan(fn(spark, sf))
+        for name, fn in {
+            "span_idle_gaps": EQ.q_span_idle_gaps,
+            "operation_cardinality_guard": EQ.q_operation_cardinality_guard,
+            "dependency_cycles": EQ.q_dependency_cycles,
+            "service_latency_coupling": EQ.q_service_latency_coupling,
+        }.items()
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        if name == "operation_cardinality_guard":
+            # its ONE single-partition exchange is the 1-row midpoint
+            # aggregate, broadcast back — same allowance as callgraph_drift
+            continue
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
