@@ -3205,6 +3205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 seventh batch (queued in _ROTATION_QUEUE round-21):
         "template_prefixes": q_template_prefixes,
         "embedding_isotropy": q_embedding_isotropy,
+        # round-5 eighth batch (queued in _ROTATION_QUEUE round-22):
+        "ivf_probe_sweep": q_ivf_probe_sweep,
+        "ppl_length_confound": q_ppl_length_confound,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3300,6 +3303,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_transitivity": sql_cluster_transitivity(),
         "template_prefixes": sql_template_prefixes(),
         "embedding_isotropy": sql_embedding_isotropy(),
+        "ivf_probe_sweep": sql_ivf_probe_sweep(),
+        "ppl_length_confound": sql_ppl_length_confound(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -4550,4 +4555,192 @@ SELECT CAST(n.n AS BIGINT) AS n_vectors, a.dim,
        ROUND((a.ss - n.n) / (n.n * (n.n - 1.0)), 6) AS avg_pair_cos,
        ROUND(SQRT(a.ss), 6) AS sum_norm
 FROM agg a CROSS JOIN n_row n
+"""
+
+
+#: Probe counts swept by the IVF recall knob table.
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def q_ivf_probe_sweep(spark, sf_dir):
+    """→ (n_probe, query_id, n_hits, recall): recall@k of IVF search per
+    probed-cell count, against the brute-force full top-k — the
+    scan-fraction dial (n_probe / n_cells of the corpus touched) with
+    its measured recall price, per probe query. The sibling of
+    `dedup_threshold_sweep` for the ANN side: pick n_probe FROM this
+    table, not folklore.
+
+    Scale shape: one `ivf_topk` per swept probe count (each a broadcast
+    centroid assignment + probed-cells-only rerank); the recall joins
+    touch |queries|·k rows per probe setting."""
+    emb = _emb(spark, sf_dir)
+    full = S.brute_force_topk(
+        emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
+    ).select("query_id", "neighbor_id")
+    outs = []
+    for p in IVF_SWEEP_PROBES:
+        t = S.ivf_topk(emb, ANN_QUERY_IDS, ANN_K, IVF_CELLS, p).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            full.join(t, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("raw_hits"))
+        )
+        outs.append(
+            full.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "query_id",
+                F.coalesce("raw_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("raw_hits", F.lit(0)) / F.lit(float(ANN_K)), 6
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("n_probe", "query_id")
+
+
+def sql_ivf_probe_sweep() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    cos = (
+        "list_dot_product(a.v, c.cv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    pcos = (
+        "list_dot_product(qe.v, ne.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v)))"
+    )
+    bf_cos = (
+        "list_dot_product(q.v, b.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    per_probe = []
+    for p in IVF_SWEEP_PROBES:
+        per_probe.append(f"""cand{p} AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qp q JOIN assign a ON a.cell = q.cell
+  WHERE q.rn <= {p} AND a.vec_id <> q.query_id
+),
+top{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY {pcos} DESC, c.neighbor_id ASC) AS rank
+    FROM cand{p} c
+    JOIN e qe ON qe.vec_id = c.query_id
+    JOIN e ne ON ne.vec_id = c.neighbor_id
+  ) WHERE rank <= {ANN_K}
+)""")
+        # recall rows built in the final union below
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {p} AS n_probe, f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(t.neighbor_id) / {float(ANN_K)}, 6) AS recall
+FROM bf f
+LEFT JOIN top{p} t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY 1, 2"""
+        for p in IVF_SWEEP_PROBES
+    )
+    probe_ctes = ",\n".join(per_probe)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CELLS}),
+cd AS (SELECT a.vec_id, c.cid, {cos} AS cos FROM e a CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cd) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, cid AS cell, rn FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cd WHERE vec_id IN ({ids})) WHERE rn <= {max(IVF_SWEEP_PROBES)}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND({bf_cos}, 6) DESC, b.vec_id ASC) AS rank
+    FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id IN ({ids})
+  ) WHERE rank <= {ANN_K}
+),
+{probe_ctes}
+SELECT CAST(n_probe AS BIGINT) AS n_probe, query_id, n_hits, recall
+FROM ({unions})
+ORDER BY n_probe, query_id
+"""
+
+
+def q_ppl_length_confound(spark, sf_dir):
+    """→ (len_bucket, n_docs, avg_tokens, avg_ppl, corr_tokens_ppl): is
+    the perplexity quality gate just PROXYING document length? Unigram
+    ppl per bit-length token bucket, plus the corpus-wide Pearson
+    correlation of (n_tokens, ppl) repeated on every row (computed once
+    from raw double sums, broadcast back — no window). A strong
+    negative correlation means a ppl threshold silently becomes a
+    length filter — calibrate per bucket before gating.
+
+    Scale shape: `unigram_logprob` is the existing map-only + broadcast
+    scorer; the bucket rollup is combinable on the bit-length key and
+    the corr is a 1-row aggregate joined back by broadcast."""
+    scored = X.unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("x"),
+        F.col("ppl").alias("y"),
+    )
+    bucket = F.length(
+        F.conv(F.col("x").cast("long").cast("string"), 10, 2)
+    ).cast("long")
+    n = F.count(F.lit(1))
+    cov = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    varx = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    vary = n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
+    corr_row = scored.agg(
+        F.round(
+            cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0)), 6
+        ).alias("corr_tokens_ppl")
+    )
+    return (
+        scored.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("x"), 6).alias("avg_tokens"),
+            F.round(F.avg("y"), 6).alias("avg_ppl"),
+        )
+        .crossJoin(F.broadcast(corr_row))
+        .orderBy("len_bucket")
+    )
+
+
+def sql_ppl_length_confound() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS x, ppl AS y FROM (
+    {sql_unigram_ppl()}
+  )
+),
+c AS (
+  SELECT ROUND(
+    (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+    NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0), 6)
+    AS corr_tokens_ppl
+  FROM scored
+)
+SELECT CAST(length(bin(CAST(x AS BIGINT))) AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(x), 6) AS avg_tokens,
+       ROUND(AVG(y), 6) AS avg_ppl,
+       MIN(c.corr_tokens_ppl) AS corr_tokens_ppl
+FROM scored CROSS JOIN c
+GROUP BY 1 ORDER BY 1
 """

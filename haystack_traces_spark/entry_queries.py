@@ -4534,6 +4534,158 @@ FROM g WHERE n_traces >= 2 ORDER BY 1, 2
     )
 
 
+#: Calls counted as an operation's COLD-START window (ordered by start
+#: time; ties broken on trace_id, span_id).
+COLD_START_K = 5
+
+
+def q_cold_start_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start latency TAX per (service, operation): mean duration of
+    the operation's first COLD_START_K calls (chronological) vs the
+    steady-state rest, and their ratio. JIT warm-up, cache fills,
+    connection-pool growth and lazy init all land in the first calls —
+    a tax well above 1 across many operations is the autoscaling
+    argument for pre-warming. Operations with ≤ K calls have no steady
+    state and report NULL rest/tax (AVG over an empty slice, identical
+    cross-engine).
+
+    Scale shape: one per-(service, operation) window for the rank (the
+    partition is the op's own call history — the same per-group shape
+    as slow_exemplars), then a combinable rollup."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    w = Window.partitionBy(
+        F.lower("service_name"), F.lower("operation_name")
+    ).orderBy("start_time", "trace_id", "span_id")
+    ranked = spans.select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        "duration",
+        F.row_number().over(w).alias("rn"),
+    )
+    is_cold = F.col("rn") <= COLD_START_K
+    return (
+        ranked.groupBy("servicename", "operationname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.round(F.avg(F.when(is_cold, F.col("duration"))), 6).alias(
+                "avg_cold"
+            ),
+            F.round(F.avg(F.when(~is_cold, F.col("duration"))), 6).alias(
+                "avg_warm"
+            ),
+        )
+        .withColumn(
+            "cold_tax", F.round(F.col("avg_cold") / F.col("avg_warm"), 6)
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_cold_start_tax() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, ranked AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         duration,
+         ROW_NUMBER() OVER (PARTITION BY lower(service_name),
+                                         lower(operation_name)
+                            ORDER BY start_time, trace_id, span_id) AS rn
+  FROM spans
+)
+SELECT servicename, operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       ROUND(AVG(CASE WHEN rn <= {COLD_START_K} THEN duration END), 6)
+         AS avg_cold,
+       ROUND(AVG(CASE WHEN rn > {COLD_START_K} THEN duration END), 6)
+         AS avg_warm,
+       ROUND(AVG(CASE WHEN rn <= {COLD_START_K} THEN duration END)
+             / AVG(CASE WHEN rn > {COLD_START_K} THEN duration END), 6)
+         AS cold_tax
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+def q_trace_parallelism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How parallel are the traces actually running: per trace,
+    factor = total span time / critical-path duration (1.0 = fully
+    sequential; k = k-way effective concurrency — Amdahl's achievable
+    ceiling for latency work on this workload), rolled up as a
+    ⌊factor⌋-bucket histogram. A corpus stuck at 1.x says latency
+    optimization must shorten the CHAIN (the critical path), not add
+    parallelism that isn't there.
+
+    Scale shape: the critical path rides the shared per-trace walk;
+    totals are one combinable per-trace aggregate on the same exchange;
+    the histogram is a ≤ buckets-row rollup. Zero-duration paths report
+    no factor and are excluded (NULLIF guard, both engines)."""
+    from haystack_traces_spark.operators.timeline import critical_path
+
+    spans = _spans(spark, sf_dir)
+    cp = critical_path(spans).select("trace_id", "path_duration")
+    tot = spans.groupBy("trace_id").agg(
+        F.sum("duration").alias("total_time")
+    )
+    factor = F.col("total_time") / F.nullif(
+        F.col("path_duration").cast("double"), F.lit(0.0)
+    )
+    per_trace = (
+        tot.join(cp, "trace_id")
+        .select(factor.alias("factor"))
+        .filter(F.col("factor").isNotNull())
+    )
+    return (
+        per_trace.groupBy(
+            F.floor("factor").cast("long").alias("parallelism_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.round(F.avg("factor"), 6).alias("avg_factor"),
+        )
+        .orderBy("parallelism_bucket")
+    )
+
+
+def sql_trace_parallelism() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, paths(trace_id, span_id, path_duration) AS (
+  SELECT s.trace_id, s.span_id, s.duration
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, p.path_duration + c.duration
+  FROM spans c JOIN paths p ON p.trace_id = c.trace_id
+                           AND c.parent_span_id = p.span_id
+),
+cp AS (
+  SELECT trace_id, MAX(path_duration) AS path_duration
+  FROM paths p
+  WHERE NOT EXISTS (SELECT 1 FROM spans ch
+                    WHERE ch.trace_id = p.trace_id
+                      AND ch.parent_span_id = p.span_id)
+  GROUP BY trace_id
+),
+tot AS (SELECT trace_id, SUM(duration) AS total_time FROM spans GROUP BY 1),
+f AS (
+  SELECT t.total_time / CAST(NULLIF(c.path_duration, 0) AS DOUBLE) AS factor
+  FROM tot t JOIN cp c USING (trace_id)
+  WHERE c.path_duration <> 0
+)
+SELECT CAST(FLOOR(factor) AS BIGINT) AS parallelism_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       ROUND(AVG(factor), 6) AS avg_factor
+FROM f GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4675,6 +4827,11 @@ _ROTATION_QUEUE = (
     "service_latency_coupling",
     "template_prefixes",
     "embedding_isotropy",
+    # round-22 queue:
+    "cold_start_tax",
+    "trace_parallelism",
+    "ivf_probe_sweep",
+    "ppl_length_confound",
 )
 
 
@@ -4780,6 +4937,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "operation_cardinality_guard": q_operation_cardinality_guard,
         "dependency_cycles": q_dependency_cycles,
         "service_latency_coupling": q_service_latency_coupling,
+        "cold_start_tax": q_cold_start_tax,
+        "trace_parallelism": q_trace_parallelism,
     }
 
 
@@ -4873,4 +5032,6 @@ def _trace_oracles() -> dict[str, str]:
         "operation_cardinality_guard": sql_operation_cardinality_guard(),
         "dependency_cycles": sql_dependency_cycles(),
         "service_latency_coupling": sql_service_latency_coupling(),
+        "cold_start_tax": sql_cold_start_tax(),
+        "trace_parallelism": sql_trace_parallelism(),
     }

@@ -1819,3 +1819,31 @@ class TestRound5dOperators:
         r = dp.q_embedding_isotropy(spark, d).collect()[0].asDict()
         assert r == {"n_vectors": 3, "dim": 64, "avg_pair_cos": 1.0,
                      "sum_norm": 3.0}
+
+    def test_ivf_probe_sweep_recall_monotone(self, spark):
+        """Probing more cells can only ADD candidates: per query, recall
+        is non-decreasing in n_probe, and probing every swept cell count
+        keeps n_hits within [0, k]."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        rows = dp.q_ivf_probe_sweep(spark, "/root/testdata/sf0.001").collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], {})[r["n_probe"]] = r["recall"]
+            assert 0 <= r["n_hits"] <= dp.ANN_K
+        probes = sorted(dp.IVF_SWEEP_PROBES)
+        for q, rec in by_q.items():
+            seq = [rec[p] for p in probes]
+            assert seq == sorted(seq), (q, seq)
+
+    def test_ppl_length_confound_partitions_corpus(self, spark):
+        from haystack_traces_spark.datapipe import queries as dp
+
+        sf = "/root/testdata/sf0.001"
+        rows = dp.q_ppl_length_confound(spark, sf).collect()
+        n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_corpus
+        corrs = {r["corr_tokens_ppl"] for r in rows}
+        assert len(corrs) == 1  # one corpus-wide value broadcast to all rows
+        c = corrs.pop()
+        assert c is None or -1.0 <= c <= 1.0

@@ -979,3 +979,48 @@ def test_round5ef_trace_operators_plan_shapes(spark):
             # aggregate, broadcast back — same allowance as callgraph_drift
             continue
         assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+
+
+def test_cold_start_tax_first_k_vs_rest(spark):
+    rows = [
+        mk(trace_id=f"t{i}", span_id=f"s{i}", service="svc", operation="op",
+           start=T0 + i, duration=1000 if i < 5 else 100)
+        for i in range(7)
+    ] + [
+        mk(trace_id=f"u{i}", span_id=f"u{i}", service="svc", operation="tiny",
+           start=T0 + i, duration=500)
+        for i in range(3)
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_cold_start_tax(spark, "ignored").collect()
+    )
+    by_op = {r["operationname"]: r.asDict() for r in out}
+    op = by_op["op"]
+    assert (op["avg_cold"], op["avg_warm"], op["cold_tax"]) == (
+        1000.0, 100.0, 10.0,
+    )
+    tiny = by_op["tiny"]
+    assert tiny["n_calls"] == 3
+    assert tiny["avg_warm"] is None and tiny["cold_tax"] is None
+
+
+def test_trace_parallelism_buckets(spark):
+    rows = [
+        # A: root 100 + two children 100 → path 200, total 300 → 1.5
+        mk(trace_id="A", span_id="r", service="s", duration=100),
+        mk(trace_id="A", span_id="c1", parent="r", service="s", duration=100),
+        mk(trace_id="A", span_id="c2", parent="r", service="s", duration=100),
+        # B: single span → factor exactly 1.0
+        mk(trace_id="B", span_id="b", service="s", duration=50),
+        # C: root 100 + three children 100 → path 200, total 400 → 2.0
+        mk(trace_id="C", span_id="r2", service="s", duration=100),
+        mk(trace_id="C", span_id="d1", parent="r2", service="s", duration=100),
+        mk(trace_id="C", span_id="d2", parent="r2", service="s", duration=100),
+        mk(trace_id="C", span_id="d3", parent="r2", service="s", duration=100),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_trace_parallelism(spark, "ignored").collect()
+    )
+    by_bucket = {r["parallelism_bucket"]: r.asDict() for r in out}
+    assert by_bucket[1]["n_traces"] == 2 and by_bucket[1]["avg_factor"] == 1.25
+    assert by_bucket[2]["n_traces"] == 1 and by_bucket[2]["avg_factor"] == 2.0
