@@ -4017,10 +4017,15 @@ def q_embedding_dim_ablation(spark, sf_dir):
     Scale shape: one brute-force pass per width (each the broadcast-
     queries GEMM of `brute_force_topk` — the corpus never shuffles);
     the recall join touches only |queries|·k rows per width."""
+    from haystack_traces_spark.session import materialize
+
     emb = _emb(spark, sf_dir)
-    full = S.brute_force_topk(
-        emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
-    ).select("query_id", "neighbor_id")
+    # materialize: referenced by the hits join + query spine per width
+    full = materialize(
+        S.brute_force_topk(
+            emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
+        ).select("query_id", "neighbor_id")
+    )
     outs = []
     for d in ABLATION_DIMS:
         trunc = emb.withColumn("embedding", F.slice("embedding", 1, d))
@@ -4503,21 +4508,22 @@ def q_embedding_isotropy(spark, sf_dir):
     position-exploded components), then a 1-row fold. O(n·d) work,
     O(d) state; the n² pair space never exists."""
     emb = _emb(spark, sf_dir)
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    # normalize via explode + per-row norm aggregate, NOT a transform
+    # lambda referencing an aggregate-fold norm: Catalyst copies the
+    # whole fold subtree into EVERY element reference (the measured
+    # round-4 HOF-duplication pitfall — O(n·d²) expression work instead
+    # of O(n·d))
+    comp0 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "raw")
+    ).select("vec_id", "d", F.col("raw").cast("double").alias("raw"))
+    norms = comp0.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
     )
-    unit = emb.select(
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u")
-    )
-    comp = unit.select(
-        F.posexplode("u").alias("d", "val")
+    comp = comp0.join(norms, "vec_id").select(
+        "d", (F.col("raw") / F.col("nrm")).alias("val")
     )
     dims = comp.groupBy("d").agg(F.sum("val").alias("s"))
-    n_row = unit.agg(F.count(F.lit(1)).alias("n"))
+    n_row = emb.agg(F.count(F.lit(1)).alias("n"))
     return (
         dims.agg(
             F.sum(F.col("s") * F.col("s")).alias("ss"),
@@ -4573,15 +4579,22 @@ def q_ivf_probe_sweep(spark, sf_dir):
     Scale shape: one `ivf_topk` per swept probe count (each a broadcast
     centroid assignment + probed-cells-only rerank); the recall joins
     touch |queries|·k rows per probe setting."""
+    from haystack_traces_spark.session import materialize
+
     emb = _emb(spark, sf_dir)
-    full = S.brute_force_topk(
-        emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
-    ).select("query_id", "neighbor_id")
+    # materialize: `full` feeds the hits join AND the query-id spine in
+    # every probe branch — unpinned, one action would replay the
+    # brute-force GEMM ~2×|probes| times
+    full = materialize(
+        S.brute_force_topk(
+            emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
+        ).select("query_id", "neighbor_id")
+    )
     outs = []
     for p in IVF_SWEEP_PROBES:
-        t = S.ivf_topk(emb, ANN_QUERY_IDS, ANN_K, IVF_CELLS, p).select(
-            "query_id", "neighbor_id"
-        )
+        t = S.ivf_topk(
+            emb, ANN_QUERY_IDS, ANN_K, IVF_CELLS, p, rank_rounded=True
+        ).select("query_id", "neighbor_id")
         hits = (
             full.join(t, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
@@ -4631,7 +4644,7 @@ top{p} AS (
   SELECT query_id, neighbor_id FROM (
     SELECT c.query_id, c.neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY c.query_id
-                              ORDER BY {pcos} DESC, c.neighbor_id ASC) AS rank
+                              ORDER BY ROUND({pcos}, 6) DESC, c.neighbor_id ASC) AS rank
     FROM cand{p} c
     JOIN e qe ON qe.vec_id = c.query_id
     JOIN e ne ON ne.vec_id = c.neighbor_id
@@ -4690,24 +4703,24 @@ def q_ppl_length_confound(spark, sf_dir):
     length filter — calibrate per bucket before gating.
 
     Scale shape: `unigram_logprob` is the existing map-only + broadcast
-    scorer; the bucket rollup is combinable on the bit-length key and
-    the corr is a 1-row aggregate joined back by broadcast."""
-    scored = X.unigram_logprob(_docs(spark, sf_dir)).select(
-        "doc_id",
-        F.col("n_tokens").cast("double").alias("x"),
-        F.col("ppl").alias("y"),
+    scorer, MATERIALIZED once (it feeds both the corr aggregate and the
+    bucket rollup); the corr comes from the shared raw-sums builder
+    (`functions/stats.py`) as a 1-row broadcast."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+    from haystack_traces_spark.session import materialize
+
+    scored = materialize(
+        X.unigram_logprob(_docs(spark, sf_dir)).select(
+            "doc_id",
+            F.col("n_tokens").cast("double").alias("x"),
+            F.col("ppl").alias("y"),
+        )
     )
     bucket = F.length(
         F.conv(F.col("x").cast("long").cast("string"), 10, 2)
     ).cast("long")
-    n = F.count(F.lit(1))
-    cov = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
-    varx = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
-    vary = n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
     corr_row = scored.agg(
-        F.round(
-            cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0)), 6
-        ).alias("corr_tokens_ppl")
+        pearson_corr(F.col("x"), F.col("y")).alias("corr_tokens_ppl")
     )
     return (
         scored.groupBy(bucket.alias("len_bucket"))
@@ -4722,6 +4735,8 @@ def q_ppl_length_confound(spark, sf_dir):
 
 
 def sql_ppl_length_confound() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
     return f"""
 WITH scored AS (
   SELECT doc_id, CAST(n_tokens AS DOUBLE) AS x, ppl AS y FROM (
@@ -4729,12 +4744,7 @@ WITH scored AS (
   )
 ),
 c AS (
-  SELECT ROUND(
-    (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
-    NULLIF(SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 0), 6)
-    AS corr_tokens_ppl
-  FROM scored
+  SELECT {pearson_corr_sql("x", "y")} AS corr_tokens_ppl FROM scored
 )
 SELECT CAST(length(bin(CAST(x AS BIGINT))) AS BIGINT) AS len_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -259,9 +259,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: str = "lowest_id",
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize, probe the ``n_probe`` nearest cells per
-    query, exact-rerank inside the probed cells only.
+    query, exact-rerank inside the probed cells only. ``rank_rounded``:
+    rank on the 6dp-rounded cosine (see brute_force_topk) for callers
+    whose result is set MEMBERSHIP rather than the scored list.
 
     ``centroids="lowest_id"`` (default) uses the ``n_cells`` lowest-id
     vectors — deterministic and oracle-reproducible. ``"kmeans"`` fits
@@ -330,8 +333,9 @@ def ivf_topk(
     scored = emb.select(id_col, vec_col).mapInPandas(
         score_cells, schema="query_id long, neighbor_id long, cos_raw double"
     )
+    rank_key = F.round("cos_raw", 6) if rank_rounded else F.col("cos_raw")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+        rank_key.desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -4464,15 +4464,16 @@ def q_service_latency_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-trace total service time for every service pair co-occurring in
     enough traces. High coupling across a call edge is expected; high
     coupling WITHOUT an edge is the shared-resource smell (same database,
-    same node pool, same lock). Correlation is computed from raw sums
-    (n, Σx, Σy, Σxy, Σx², Σy²) with a NULLIF-guarded denominator —
-    zero-variance pairs report NULL identically on both engines (Spark's
-    corr would yield NaN, DuckDB's NULL — the sum form avoids the
-    divergence).
+    same node pool, same lock). Correlation comes from the ONE shared
+    raw-double-sums builder (`functions/stats.py pearson_corr`) —
+    NULLIF'd zero variance and clamped cancellation, identical on both
+    engines.
 
     Scale shape: per-(trace, service) totals ride the trace exchange;
     the pair join fans out only within each trace's service set (single
     digits); the rollup keys on the |services|²-bounded pair."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+
     # DOUBLE from the start: the moment sums (Σxy, Σx²) would overflow
     # BIGINT at scale — and DuckDB silently promotes to HUGEINT while
     # Spark wraps, so integer sums would also diverge cross-engine
@@ -4484,52 +4485,33 @@ def q_service_latency_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = per.select("trace_id", F.col("svc").alias("svc_a"), F.col("dur").alias("x"))
     b = per.select("trace_id", F.col("svc").alias("svc_b"), F.col("dur").alias("y"))
     pairs = a.join(b, "trace_id").filter(F.col("svc_a") < F.col("svc_b"))
-    g = pairs.groupBy("svc_a", "svc_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_traces"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    n = F.col("n_traces")
-    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = cov / F.nullif(F.sqrt(varx * vary), F.lit(0.0))
     return (
-        g.filter(n >= 2)
-        .select(
-            "svc_a", "svc_b", "n_traces", F.round(corr, 6).alias("latency_corr")
+        pairs.groupBy("svc_a", "svc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            pearson_corr(F.col("x"), F.col("y")).alias("latency_corr"),
         )
+        .filter(F.col("n_traces") >= 2)
         .orderBy("svc_a", "svc_b")
     )
 
 
 def sql_service_latency_coupling() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
     return (
         EVENT_SPANS_CTE
-        + """
+        + f"""
 , per AS (
   SELECT trace_id, lower(service_name) AS svc,
          CAST(SUM(duration) AS DOUBLE) AS dur
   FROM spans GROUP BY 1, 2
-),
-g AS (
-  SELECT a.svc AS svc_a, b.svc AS svc_b,
-         CAST(COUNT(*) AS BIGINT) AS n_traces,
-         SUM(a.dur) AS sx, SUM(b.dur) AS sy,
-         SUM(a.dur * b.dur) AS sxy,
-         SUM(a.dur * a.dur) AS sxx, SUM(b.dur * b.dur) AS syy
-  FROM per a JOIN per b ON b.trace_id = a.trace_id AND a.svc < b.svc
-  GROUP BY 1, 2
 )
-SELECT svc_a, svc_b, n_traces,
-       ROUND((n_traces * sxy - sx * sy) /
-             NULLIF(SQRT((n_traces * sxx - sx * sx)
-                         * (n_traces * syy - sy * sy)), 0), 6)
-         AS latency_corr
-FROM g WHERE n_traces >= 2 ORDER BY 1, 2
+SELECT a.svc AS svc_a, b.svc AS svc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       {pearson_corr_sql("a.dur", "b.dur")} AS latency_corr
+FROM per a JOIN per b ON b.trace_id = a.trace_id AND a.svc < b.svc
+GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
 """
     )
 
@@ -4565,19 +4547,18 @@ def q_cold_start_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
     )
     is_cold = F.col("rn") <= COLD_START_K
+    avg_cold = F.avg(F.when(is_cold, F.col("duration")))
+    avg_warm = F.avg(F.when(~is_cold, F.col("duration")))
     return (
         ranked.groupBy("servicename", "operationname")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_calls"),
-            F.round(F.avg(F.when(is_cold, F.col("duration"))), 6).alias(
-                "avg_cold"
-            ),
-            F.round(F.avg(F.when(~is_cold, F.col("duration"))), 6).alias(
-                "avg_warm"
-            ),
-        )
-        .withColumn(
-            "cold_tax", F.round(F.col("avg_cold") / F.col("avg_warm"), 6)
+            F.round(avg_cold, 6).alias("avg_cold"),
+            F.round(avg_warm, 6).alias("avg_warm"),
+            # ratio of the UNROUNDED avgs — the oracle divides unrounded
+            # AVG()s, and round(round(c)/round(w)) can differ in the 6th
+            # decimal from round(c/w)
+            F.round(avg_cold / avg_warm, 6).alias("cold_tax"),
         )
         .orderBy("servicename", "operationname")
     )
