@@ -3208,6 +3208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 eighth batch (queued in _ROTATION_QUEUE round-22):
         "ivf_probe_sweep": q_ivf_probe_sweep,
         "ppl_length_confound": q_ppl_length_confound,
+        # round-5 ninth batch (queued in _ROTATION_QUEUE round-23):
+        "shard_source_entropy": q_shard_source_entropy,
+        "gate_agreement": q_gate_agreement,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3305,6 +3308,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_isotropy": sql_embedding_isotropy(),
         "ivf_probe_sweep": sql_ivf_probe_sweep(),
         "ppl_length_confound": sql_ppl_length_confound(),
+        "shard_source_entropy": sql_shard_source_entropy(),
+        "gate_agreement": sql_gate_agreement(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -4753,4 +4758,123 @@ SELECT CAST(length(bin(CAST(x AS BIGINT))) AS BIGINT) AS len_bucket,
        MIN(c.corr_tokens_ppl) AS corr_tokens_ppl
 FROM scored CROSS JOIN c
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_shard_source_entropy(spark, sf_dir):
+    """→ (pack_group, shard, n_docs, n_sources, entropy, max_share):
+    source-mix ENTROPY per packed training shard — a shard dominated by
+    one source (entropy → 0, max_share → 1) concentrates that source's
+    gradient noise into adjacent steps; well-shuffled shards sit near
+    ln(n_sources). The order-diversity audit `shard_balance` (fill
+    sizes) doesn't see. Natural log on both engines.
+
+    Scale shape: rides the pack_shards assignment; the per-(shard,
+    source) count and the entropy fold are two combinable aggregates on
+    the shard key (the share window partitions by shard, never global)."""
+    from pyspark.sql import Window
+
+    packed = q_pack_shards(spark, sf_dir).select("doc_id", "pack_group", "shard")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    per_src = (
+        packed.join(src, "doc_id")
+        .groupBy("pack_group", "shard", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    share = F.col("c") / F.sum("c").over(
+        Window.partitionBy("pack_group", "shard")
+    )
+    return (
+        per_src.withColumn("share", share)
+        .groupBy("pack_group", "shard")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(-F.sum(F.col("share") * F.log("share")), 6).alias(
+                "entropy"
+            ),
+            F.round(F.max("share"), 6).alias("max_share"),
+        )
+        .orderBy("pack_group", "shard")
+    )
+
+
+def sql_shard_source_entropy() -> str:
+    return f"""
+WITH packed AS ({sql_pack_shards()}),
+per_src AS (
+  SELECT p.pack_group, p.shard, d.source,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM packed p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+shares AS (
+  SELECT pack_group, shard, c,
+         c / SUM(c) OVER (PARTITION BY pack_group, shard) AS share
+  FROM per_src
+)
+SELECT pack_group, shard,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(-SUM(share * LN(share)), 6) AS entropy,
+       ROUND(MAX(share), 6) AS max_share
+FROM shares GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_gate_agreement(spark, sf_dir):
+    """→ (gopher_keep, classifier_keep, pii_clean, n_docs, share): the
+    quality-GATE contingency cube — every combination of the three
+    independent keep decisions (Gopher rules, the trained classifier,
+    PII-free) with corpus shares. The policy questions live in single
+    cells: docs failing ALL gates are safe deletes; a big
+    classifier-only-keep cell says the classifier disagrees with the
+    rules it was meant to replace; PII concentrated in kept cells means
+    the quality gates are NOT a privacy substitute.
+
+    Scale shape: three map-only scorers joined on the doc key, one ≤8-row
+    combinable contingency aggregate, one total broadcast for shares."""
+    from pyspark.sql import Window
+
+    g = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("gopher_keep")
+    )
+    c = q_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("classifier_keep")
+    )
+    p = q_pii_scan(spark, sf_dir).select(
+        "doc_id", (~F.col("has_pii")).cast("long").alias("pii_clean")
+    )
+    cube = (
+        g.join(c, "doc_id")
+        .join(p, "doc_id")
+        .groupBy("gopher_keep", "classifier_keep", "pii_clean")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return cube.select(
+        "gopher_keep",
+        "classifier_keep",
+        "pii_clean",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("share"),
+    ).orderBy("gopher_keep", "classifier_keep", "pii_clean")
+
+
+def sql_gate_agreement() -> str:
+    return f"""
+WITH g AS ({sql_gopher_quality()}),
+c AS ({sql_quality_classifier()}),
+p AS ({sql_pii_scan()}),
+cube0 AS (
+  SELECT CAST(g.keep AS BIGINT) AS gopher_keep,
+         CAST(c.keep AS BIGINT) AS classifier_keep,
+         CAST(CASE WHEN p.has_pii THEN 0 ELSE 1 END AS BIGINT) AS pii_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM g JOIN c USING (doc_id) JOIN p USING (doc_id)
+  GROUP BY 1, 2, 3
+)
+SELECT gopher_keep, classifier_keep, pii_clean, n_docs,
+       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
+FROM cube0 ORDER BY 1, 2, 3
 """

@@ -4667,6 +4667,141 @@ FROM f GROUP BY 1 ORDER BY 1
     )
 
 
+def q_error_recovery_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR at span granularity: for every ERROR span, the wall-clock gap
+    to the NEXT successful call of the same (service, operation), rolled
+    up per service — how quickly each service's operations return to
+    health after a failure. Errors with no later success in the corpus
+    are counted but excluded from the recovery average (NULL gap,
+    AVG-skipped identically on both engines).
+
+    Scale shape: one per-(service, operation) window ordered by start
+    time; "next success" is a frame-bounded MIN over the following rows
+    (no self-join); the service rollup is combinable."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    is_err = _errorcode() >= ERROR_THRESHOLD
+    w = Window.partitionBy("servicename", "operationname").orderBy(
+        "start_time", "trace_id", "span_id"
+    )
+    flagged = spans.select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        "start_time",
+        is_err.alias("is_err"),
+        F.when(~is_err, F.col("start_time")).alias("ok_start"),
+        "trace_id",
+        "span_id",
+    ).withColumn(
+        "next_ok",
+        F.min("ok_start").over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    errs = flagged.filter(F.col("is_err")).withColumn(
+        "recovery_us", F.col("next_ok") - F.col("start_time")
+    )
+    return (
+        errs.groupBy("servicename")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.count("recovery_us").cast("long").alias("n_recovered"),
+            F.round(F.avg("recovery_us"), 6).alias("avg_recovery_us"),
+            F.max("recovery_us").cast("long").alias("max_recovery_us"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_error_recovery_time() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, flagged AS (
+  SELECT lower(service_name) AS servicename, start_time,
+         COALESCE(errorcode, 0) >= {ERROR_THRESHOLD} AS is_err,
+         MIN(CASE WHEN COALESCE(errorcode, 0) < {ERROR_THRESHOLD}
+                  THEN start_time END)
+           OVER (PARTITION BY lower(service_name), lower(operation_name)
+                 ORDER BY start_time, trace_id, span_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_ok
+  FROM spans
+)
+SELECT servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(COUNT(next_ok - start_time) AS BIGINT) AS n_recovered,
+       ROUND(AVG(next_ok - start_time), 6) AS avg_recovery_us,
+       CAST(MAX(next_ok - start_time) AS BIGINT) AS max_recovery_us
+FROM flagged WHERE is_err
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def q_load_latency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load-latency relationship per service: Pearson correlation of
+    hourly call volume vs hourly mean duration across the corpus's
+    hours. Near 0 = the service is over-provisioned for this traffic
+    range; strongly positive = latency already climbs with load (the
+    saturation-knee warning BEFORE p99 alarms fire). Correlation from
+    the shared clamped raw-sums builder (`functions/stats.py`).
+
+    Scale shape: the hourly rollup is one combinable aggregate keyed
+    (service, hour); the per-service corr runs over hour-count-bounded
+    groups."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+
+    spans = _spans(spark, sf_dir)
+    hourly = (
+        spans.groupBy(
+            F.lower("service_name").alias("servicename"),
+            (F.col("start_time") - (F.col("start_time") % _HOUR_US)).alias(
+                "hour_us"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("volume"),
+            F.avg("duration").alias("avg_dur"),
+        )
+    )
+    return (
+        hourly.groupBy("servicename")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("volume").cast("long").alias("total_spans"),
+            pearson_corr(F.col("volume"), F.col("avg_dur")).alias(
+                "corr_load_latency"
+            ),
+        )
+        .filter(F.col("n_hours") >= 2)
+        .orderBy("servicename")
+    )
+
+
+def sql_load_latency_curve() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hourly AS (
+  SELECT lower(service_name) AS servicename,
+         start_time - start_time % {_HOUR_US} AS hour_us,
+         CAST(COUNT(*) AS DOUBLE) AS volume,
+         AVG(duration) AS avg_dur
+  FROM spans GROUP BY 1, 2
+)
+SELECT servicename,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(volume) AS BIGINT) AS total_spans,
+       {pearson_corr_sql("volume", "avg_dur")} AS corr_load_latency
+FROM hourly GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4813,6 +4948,11 @@ _ROTATION_QUEUE = (
     "trace_parallelism",
     "ivf_probe_sweep",
     "ppl_length_confound",
+    # round-23 queue:
+    "error_recovery_time",
+    "load_latency_curve",
+    "shard_source_entropy",
+    "gate_agreement",
 )
 
 
@@ -4920,6 +5060,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_latency_coupling": q_service_latency_coupling,
         "cold_start_tax": q_cold_start_tax,
         "trace_parallelism": q_trace_parallelism,
+        "error_recovery_time": q_error_recovery_time,
+        "load_latency_curve": q_load_latency_curve,
     }
 
 
@@ -5015,4 +5157,6 @@ def _trace_oracles() -> dict[str, str]:
         "service_latency_coupling": sql_service_latency_coupling(),
         "cold_start_tax": sql_cold_start_tax(),
         "trace_parallelism": sql_trace_parallelism(),
+        "error_recovery_time": sql_error_recovery_time(),
+        "load_latency_curve": sql_load_latency_curve(),
     }

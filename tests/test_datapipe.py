@@ -1847,3 +1847,25 @@ class TestRound5dOperators:
         assert len(corrs) == 1  # one corpus-wide value broadcast to all rows
         c = corrs.pop()
         assert c is None or -1.0 <= c <= 1.0
+
+    def test_shard_source_entropy_bounds(self, spark):
+        import math
+
+        from haystack_traces_spark.datapipe import queries as dp
+
+        rows = dp.q_shard_source_entropy(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["entropy"] <= math.log(r["n_sources"]) + 1e-9
+            assert 0 < r["max_share"] <= 1
+            assert r["n_docs"] >= r["n_sources"]
+
+    def test_gate_agreement_partitions_corpus(self, spark):
+        from haystack_traces_spark.datapipe import queries as dp
+
+        sf = "/root/testdata/sf0.001"
+        rows = dp.q_gate_agreement(spark, sf).collect()
+        n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_corpus
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+        assert 1 <= len(rows) <= 8

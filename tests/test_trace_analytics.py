@@ -1024,3 +1024,44 @@ def test_trace_parallelism_buckets(spark):
     by_bucket = {r["parallelism_bucket"]: r.asDict() for r in out}
     assert by_bucket[1]["n_traces"] == 2 and by_bucket[1]["avg_factor"] == 1.25
     assert by_bucket[2]["n_traces"] == 1 and by_bucket[2]["avg_factor"] == 2.0
+
+
+def test_error_recovery_time_next_success_gap(spark):
+    err = [_ltag("errorcode", 500)]
+    rows = [
+        mk(trace_id="t1", span_id="e1", service="a", operation="o",
+           start=100, tags=err),
+        mk(trace_id="t2", span_id="k1", service="a", operation="o",
+           start=300),
+        # trailing error with no later success → counted, not recovered
+        mk(trace_id="t3", span_id="e2", service="a", operation="o",
+           start=500, tags=err),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_error_recovery_time(spark, "ignored").collect(),
+    )
+    assert [r.asDict() for r in out] == [
+        {"servicename": "a", "n_errors": 2, "n_recovered": 1,
+         "avg_recovery_us": 200.0, "max_recovery_us": 200}
+    ]
+
+
+def test_load_latency_curve_positive_corr(spark):
+    H = EQ._HOUR_US
+    rows = []
+    # hour 0: 1 span @100; hour 1: 2 spans @200; hour 2: 3 spans @300
+    sid = 0
+    for h, (n, dur) in enumerate([(1, 100), (2, 200), (3, 300)]):
+        for _ in range(n):
+            rows.append(mk(trace_id=f"t{sid}", span_id=f"s{sid}",
+                           service="svc", start=h * H + sid, duration=dur))
+            sid += 1
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_load_latency_curve(spark, "ignored").collect(),
+    )
+    assert [r.asDict() for r in out] == [
+        {"servicename": "svc", "n_hours": 3, "total_spans": 6,
+         "corr_load_latency": 1.0}
+    ]
