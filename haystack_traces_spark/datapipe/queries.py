@@ -3211,6 +3211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 ninth batch (queued in _ROTATION_QUEUE round-23):
         "shard_source_entropy": q_shard_source_entropy,
         "gate_agreement": q_gate_agreement,
+        # round-5 tenth batch (queued in _ROTATION_QUEUE round-24):
+        "label_cohesion": q_label_cohesion,
+        "hapax_share": q_hapax_share,
+        "doc_length_outliers": q_doc_length_outliers,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3310,6 +3314,9 @@ def oracle_sql() -> dict[str, str]:
         "ppl_length_confound": sql_ppl_length_confound(),
         "shard_source_entropy": sql_shard_source_entropy(),
         "gate_agreement": sql_gate_agreement(),
+        "label_cohesion": sql_label_cohesion(),
+        "hapax_share": sql_hapax_share(),
+        "doc_length_outliers": sql_doc_length_outliers(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -4877,4 +4884,235 @@ cube0 AS (
 SELECT gopher_keep, classifier_keep, pii_clean, n_docs,
        ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
 FROM cube0 ORDER BY 1, 2, 3
+"""
+
+
+def q_label_cohesion(spark, sf_dir):
+    """→ (label, n_vectors, intra_cos, inter_cos, margin): per-label
+    embedding cohesion in CLOSED FORM — for unit vectors, mean
+    intra-label cosine = (‖S_l‖² − n_l) / (n_l(n_l−1)) and mean cosine
+    to the REST of the corpus = S_l·(S − S_l) / (n_l(n − n_l)), both
+    from per-(label, dimension) sums (the `embedding_isotropy` identity
+    applied per class). margin = intra − inter: the linear-probe
+    separability signal — a label whose margin ≈ 0 is not a cluster,
+    it's a name.
+
+    Scale shape: one explode + per-(label, dim) combinable sum, a
+    ≤|labels|·d fold, and a broadcast of the global sum vector. O(n·d)
+    total; no pair space, no window over vectors."""
+    emb = _emb(spark, sf_dir)
+    comp0 = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "raw")
+    ).select(
+        "vec_id", "label", "d", F.col("raw").cast("double").alias("raw")
+    )
+    norms = comp0.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+    )
+    unit = comp0.join(norms, "vec_id").select(
+        "label", "d", (F.col("raw") / F.col("nrm")).alias("val")
+    )
+    ldims = unit.groupBy("label", "d").agg(F.sum("val").alias("s"))
+    gdims = ldims.groupBy("d").agg(F.sum("s").alias("g"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    per_label = (
+        ldims.join(gdims, "d")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("s") * (F.col("g") - F.col("s"))).alias("cross"),
+        )
+        .join(counts, "label")
+        .crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    intra = (F.col("ss") - F.col("n_l")) / F.nullif(
+        (F.col("n_l") * (F.col("n_l") - 1)).cast("double"), F.lit(0.0)
+    )
+    inter = F.col("cross") / F.nullif(
+        (F.col("n_l") * (F.col("n") - F.col("n_l"))).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        per_label.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_l").cast("long").alias("n_vectors"),
+            F.round(intra, 6).alias("intra_cos"),
+            F.round(inter, 6).alias("inter_cos"),
+            F.round(intra - inter, 6).alias("margin"),
+        )
+        .orderBy("label")
+    )
+
+
+def sql_label_cohesion() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+u AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+),
+comp AS (
+  SELECT label, t.d, u[t.d] AS val
+  FROM u, UNNEST(generate_series(1, len(u))) t(d)
+),
+ldims AS (SELECT label, d, SUM(val) AS s FROM comp GROUP BY 1, 2),
+gdims AS (SELECT d, SUM(s) AS g FROM ldims GROUP BY 1),
+counts AS (SELECT label, COUNT(*) AS n_l FROM e GROUP BY 1),
+n_row AS (SELECT COUNT(*) AS n FROM e),
+agg AS (
+  SELECT l.label,
+         SUM(l.s * l.s) AS ss,
+         SUM(l.s * (g.g - l.s)) AS crs
+  FROM ldims l JOIN gdims g USING (d) GROUP BY 1
+)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(c.n_l AS BIGINT) AS n_vectors,
+       ROUND((a.ss - c.n_l) /
+             NULLIF(CAST(c.n_l * (c.n_l - 1) AS DOUBLE), 0), 6) AS intra_cos,
+       ROUND(a.crs /
+             NULLIF(CAST(c.n_l * (n.n - c.n_l) AS DOUBLE), 0), 6) AS inter_cos,
+       ROUND((a.ss - c.n_l) /
+             NULLIF(CAST(c.n_l * (c.n_l - 1) AS DOUBLE), 0)
+             - a.crs / NULLIF(CAST(c.n_l * (n.n - c.n_l) AS DOUBLE), 0), 6)
+         AS margin
+FROM agg a JOIN counts c USING (label) CROSS JOIN n_row n
+ORDER BY label
+"""
+
+
+def q_hapax_share(spark, sf_dir):
+    """→ (source, n_tokens, n_hapax_occurrences, hapax_share): fraction
+    of each source's token OCCURRENCES that are corpus-wide hapax
+    legomena (document frequency 1... strictly: total occurrence count
+    1). A source far above the corpus baseline is emitting junk —
+    encoding errors, random ids, OCR noise — that inflates the vocab
+    the tokenizer must spend (the doc-level complement of `zipf_fit`'s
+    corpus curve).
+
+    Scale shape: one token-count aggregate (combinable) + a semi-join
+    of the hapax token set back onto the per-(source, token) counts —
+    all keyed on the token."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    hapax = tf.filter(F.col("tf") == 1).select("tok")
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hap_src = (
+        toks.join(hapax, "tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    return (
+        per_src.join(hap_src, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("n_hapax", F.lit(0))
+            .cast("long")
+            .alias("n_hapax_occurrences"),
+            F.round(
+                F.coalesce("n_hapax", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_hapax_share() -> str:
+    return """
+WITH toks AS (
+  SELECT source, t.tok
+  FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+hapax AS (SELECT tok FROM tf WHERE tf = 1),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1),
+hap_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hapax
+  FROM toks JOIN hapax USING (tok) GROUP BY 1
+)
+SELECT p.source, p.n_tokens,
+       CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax_occurrences,
+       ROUND(COALESCE(h.n_hapax, 0) / CAST(p.n_tokens AS DOUBLE), 6)
+         AS hapax_share
+FROM per_src p LEFT JOIN hap_src h USING (source)
+ORDER BY p.source
+"""
+
+
+#: Robust-z threshold for document-length outliers (the corpus-side
+#: sibling of entry_queries.MAD_K).
+DOC_LEN_MAD_K = 5.0
+
+
+def q_doc_length_outliers(spark, sf_dir):
+    """→ (doc_id, source, n_tokens, robust_z): documents whose token
+    count deviates more than DOC_LEN_MAD_K MADs from their SOURCE's
+    median length — truncated scrapes, concatenation artifacts, and
+    runaway pages that survive absolute min/max gates because each
+    source has its own normal. Robust stats on purpose: the outliers
+    being hunted can't drag the median the way they drag a mean.
+    Sources with MAD 0 are excluded (deviation there is trivially
+    infinite — same contract as `span_mad_outliers`).
+
+    Scale shape: two combinable per-source aggregates (median, MAD
+    against the broadcast medians) + the tiny stats broadcast back onto
+    the doc scan; robust z ROUNDED before the threshold compare."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+    )
+    med = docs.groupBy("source").agg(
+        F.percentile("n_tokens", F.lit(0.5)).alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source")
+    mad = dev.groupBy("source").agg(
+        F.percentile(F.abs(F.col("n_tokens") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    rz = F.round(F.abs(F.col("n_tokens") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.col("robust_z") >= DOC_LEN_MAD_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "robust_z",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_doc_length_outliers() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+  FROM documents
+),
+med AS (SELECT source, MEDIAN(n_tokens) AS med FROM d GROUP BY 1),
+mad AS (
+  SELECT d.source, MEDIAN(ABS(d.n_tokens - m.med)) AS mad
+  FROM d JOIN med m USING (source) GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(ABS(d.n_tokens - m.med) / a.mad, 6) AS robust_z
+FROM d JOIN med m USING (source) JOIN mad a ON a.source = d.source
+WHERE a.mad > 0
+  AND ROUND(ABS(d.n_tokens - m.med) / a.mad, 6) >= {DOC_LEN_MAD_K}
+ORDER BY d.doc_id
 """

@@ -4802,6 +4802,148 @@ FROM hourly GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1
     )
 
 
+#: Global span budget for the sampling planner, as a fraction of corpus
+#: span volume.
+SAMPLING_BUDGET_FRAC = 0.2
+
+
+def q_sampling_rate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-sampling BUDGET PLANNER: allocate a global span budget
+    (SAMPLING_BUDGET_FRAC of corpus volume) across services by
+    WATER-FILLING — small services are kept whole (uniform-rate
+    sampling would starve them below statistical usefulness), large
+    services split the remaining budget equally (the waterline). The
+    max-min fair allocation, computed deterministically in one pass:
+    services sorted by volume ascending; the waterline after fully
+    keeping the k smallest is (B − cum_k) / (m − k); service k+1 is
+    also kept whole iff its volume fits under that line.
+
+    Output per service: volume, keep_rate (min(1, waterline/volume),
+    6dp), kept_spans (floor). The complement of `sampling_bias_report`:
+    that measures what a rate plan DID, this computes what it SHOULD
+    be.
+
+    Scale shape: the per-service volume aggregate is combinable; the
+    water-filling window runs over |services| rows (catalog-bounded —
+    the documented tiny-global-window class), and the chosen waterline
+    is a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    vol = spans.groupBy(F.lower("service_name").alias("servicename")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_spans")
+    )
+    tot = vol.agg(
+        F.sum("n_spans").alias("total"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    budget = F.floor(F.col("total") * SAMPLING_BUDGET_FRAC).cast("double")
+    w = Window.orderBy("n_spans", "servicename")  # |services| rows
+    ranked = (
+        vol.crossJoin(F.broadcast(tot.withColumn("budget", budget)))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn("cum", F.sum("n_spans").over(w))
+    )
+    # service k is kept WHOLE iff keeping it and splitting the rest of
+    # the budget over the larger services stays feasible:
+    # cum_k + n_k·(m − k) ≤ ... equivalently n_k ≤ (B − cum_{k−1})/(m−k+1)
+    feasible = (
+        F.col("n_spans") * (F.col("m") - F.col("k") + 1)
+        <= F.col("budget") - (F.col("cum") - F.col("n_spans"))
+    )
+    flagged = ranked.withColumn("whole", feasible.cast("long"))
+    # waterline from the LAST wholly-kept service (k*, cum*): the
+    # remaining budget split over the m − k* larger services
+    kstar = flagged.filter(F.col("whole") == 1).agg(
+        F.max("k").alias("kstar"),
+        F.max_by("cum", "k").alias("cumstar"),
+    )
+    line = (
+        flagged.crossJoin(F.broadcast(kstar))
+        .withColumn(
+            "waterline",
+            F.when(
+                F.col("kstar").isNotNull() & (F.col("m") > F.col("kstar")),
+                (F.col("budget") - F.col("cumstar"))
+                / (F.col("m") - F.col("kstar")),
+            ).otherwise(
+                F.when(
+                    F.col("kstar").isNull(),
+                    F.col("budget") / F.col("m"),
+                )
+            ),
+        )
+    )
+    rate = F.when(F.col("whole") == 1, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.col("waterline") / F.col("n_spans"))
+    )
+    return (
+        line.select(
+            "servicename",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.round(rate, 6).alias("keep_rate"),
+            F.floor(F.col("n_spans") * F.round(rate, 6))
+            .cast("long")
+            .alias("kept_spans"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_sampling_rate_plan() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, vol AS (
+  SELECT lower(service_name) AS servicename,
+         CAST(COUNT(*) AS DOUBLE) AS n_spans
+  FROM spans GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_spans) AS total, COUNT(*) AS m,
+         CAST(FLOOR(SUM(n_spans) * {SAMPLING_BUDGET_FRAC}) AS DOUBLE)
+           AS budget
+  FROM vol
+),
+ranked AS (
+  SELECT v.*, t.m, t.budget,
+         ROW_NUMBER() OVER (ORDER BY v.n_spans, v.servicename) AS k,
+         SUM(v.n_spans) OVER (ORDER BY v.n_spans, v.servicename) AS cum
+  FROM vol v CROSS JOIN tot t
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN n_spans * (m - k + 1) <= budget - (cum - n_spans)
+              THEN 1 ELSE 0 END AS whole
+  FROM ranked
+),
+kstar AS (
+  SELECT MAX(k) AS kstar, MAX_BY(cum, k) AS cumstar
+  FROM flagged WHERE whole = 1
+),
+line AS (
+  SELECT f.*,
+         CASE WHEN s.kstar IS NOT NULL AND f.m > s.kstar
+                THEN (f.budget - s.cumstar) / (f.m - s.kstar)
+              WHEN s.kstar IS NULL THEN f.budget / f.m
+         END AS waterline
+  FROM flagged f CROSS JOIN kstar s
+),
+rates AS (
+  SELECT servicename, n_spans,
+         ROUND(CASE WHEN whole = 1 THEN 1.0
+                    ELSE LEAST(1.0, waterline / n_spans) END, 6) AS keep_rate
+  FROM line
+)
+SELECT servicename,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       keep_rate,
+       CAST(FLOOR(n_spans * keep_rate) AS BIGINT) AS kept_spans
+FROM rates ORDER BY servicename
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -4953,6 +5095,11 @@ _ROTATION_QUEUE = (
     "load_latency_curve",
     "shard_source_entropy",
     "gate_agreement",
+    # round-24 queue:
+    "sampling_rate_plan",
+    "label_cohesion",
+    "hapax_share",
+    "doc_length_outliers",
 )
 
 
@@ -5062,6 +5209,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_parallelism": q_trace_parallelism,
         "error_recovery_time": q_error_recovery_time,
         "load_latency_curve": q_load_latency_curve,
+        "sampling_rate_plan": q_sampling_rate_plan,
     }
 
 
@@ -5159,4 +5307,5 @@ def _trace_oracles() -> dict[str, str]:
         "trace_parallelism": sql_trace_parallelism(),
         "error_recovery_time": sql_error_recovery_time(),
         "load_latency_curve": sql_load_latency_curve(),
+        "sampling_rate_plan": sql_sampling_rate_plan(),
     }

@@ -1869,3 +1869,53 @@ class TestRound5dOperators:
         assert sum(r["n_docs"] for r in rows) == n_corpus
         assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
         assert 1 <= len(rows) <= 8
+
+    def test_label_cohesion_orthogonal_classes(self, spark, tmp_path):
+        """Two point-mass classes on orthogonal axes: intra 1.0, inter
+        0.0, margin 1.0 for both labels."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        e1 = [1.0] + [0.0] * 63
+        e2 = [0.0, 1.0] + [0.0] * 62
+        rows = [(0, e1, 0), (1, e1, 0), (2, e2, 1), (3, e2, 1)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        out = [r.asDict() for r in dp.q_label_cohesion(spark, d).collect()]
+        assert out == [
+            {"label": 0, "n_vectors": 2, "intra_cos": 1.0,
+             "inter_cos": 0.0, "margin": 1.0},
+            {"label": 1, "n_vectors": 2, "intra_cos": 1.0,
+             "inter_cos": 0.0, "margin": 1.0},
+        ]
+
+    def test_hapax_share_per_source(self, spark, tmp_path):
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [(1, "x x y", "srcA"), (2, "z w", "srcB")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r.asDict() for r in dp.q_hapax_share(spark, d).collect()}
+        assert out["srcA"]["n_tokens"] == 3
+        assert out["srcA"]["n_hapax_occurrences"] == 1
+        assert out["srcA"]["hapax_share"] == 0.333333
+        assert out["srcB"]["hapax_share"] == 1.0
+
+    def test_doc_length_outliers_robust_z(self, spark, tmp_path):
+        """Lengths [10,10,11,11,12,12,13,13,200]: median 12, MAD 1 →
+        only the 200-token doc crosses the 5-MAD gate."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        lengths = [10, 10, 11, 11, 12, 12, 13, 13, 200]
+        rows = [(i, " ".join(f"w{j}" for j in range(n)), "s")
+                for i, n in enumerate(lengths)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = [r.asDict() for r in dp.q_doc_length_outliers(spark, d).collect()]
+        assert out == [{"doc_id": 8, "source": "s", "n_tokens": 200,
+                        "robust_z": 188.0}]

@@ -1065,3 +1065,26 @@ def test_load_latency_curve_positive_corr(spark):
         {"servicename": "svc", "n_hours": 3, "total_spans": 6,
          "corr_load_latency": 1.0}
     ]
+
+
+def test_sampling_rate_plan_water_filling(spark):
+    rows = []
+    sid = 0
+    for svc, n in (("a", 2), ("b", 30), ("c", 68)):
+        for _ in range(n):
+            rows.append(mk(trace_id=f"t{sid}", span_id=f"s{sid}",
+                           service=svc, start=T0 + sid))
+            sid += 1
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_sampling_rate_plan(spark, "ignored").collect(),
+    )
+    # budget = 0.2 * 100 = 20: a (2 spans) kept whole; waterline
+    # (20-2)/2 = 9 splits between b and c
+    by_svc = {r["servicename"]: r.asDict() for r in out}
+    assert by_svc["a"] == {"servicename": "a", "n_spans": 2,
+                           "keep_rate": 1.0, "kept_spans": 2}
+    assert by_svc["b"]["keep_rate"] == 0.3 and by_svc["b"]["kept_spans"] == 9
+    assert by_svc["c"]["keep_rate"] == round(9 / 68, 6)
+    assert by_svc["c"]["kept_spans"] == 9
+    assert sum(r["kept_spans"] for r in out) == 20  # hits the budget
