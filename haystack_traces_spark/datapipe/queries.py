@@ -4506,6 +4506,33 @@ ORDER BY n_docs DESC, prefix
 """
 
 
+def _unit_components(emb, extra_cols: tuple = ()) -> DataFrame:
+    """→ (*extra_cols, d, val): per-dimension components of the UNIT
+    vectors — the ONE normalize-by-explode builder shared by the
+    closed-form pairwise-cosine operators (isotropy, label cohesion).
+
+    Explode + per-row norm aggregate, NOT a transform lambda referencing
+    an aggregate fold: Catalyst copies the whole fold subtree into EVERY
+    element reference (the measured round-4 HOF-duplication pitfall —
+    O(n·d²) expression work instead of O(n·d)). Zero-norm vectors are
+    NULLIF-guarded on both faces (ANSI Spark would otherwise ABORT on
+    divide-by-zero while DuckDB NULL-propagates): their components go
+    NULL and drop out of every SUM identically cross-engine."""
+    comp0 = emb.select(
+        "vec_id", *extra_cols, F.posexplode("embedding").alias("d", "raw")
+    ).select(
+        "vec_id", *extra_cols, "d", F.col("raw").cast("double").alias("raw")
+    )
+    norms = comp0.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+    )
+    return comp0.join(norms, "vec_id").select(
+        *extra_cols,
+        "d",
+        (F.col("raw") / F.nullif(F.col("nrm"), F.lit(0.0))).alias("val"),
+    )
+
+
 def q_embedding_isotropy(spark, sf_dir):
     """→ one row (n_vectors, dim, avg_pair_cos, sum_norm): ISOTROPY of
     the embedding space via the closed form — for unit vectors uᵢ,
@@ -4520,21 +4547,7 @@ def q_embedding_isotropy(spark, sf_dir):
     position-exploded components), then a 1-row fold. O(n·d) work,
     O(d) state; the n² pair space never exists."""
     emb = _emb(spark, sf_dir)
-    # normalize via explode + per-row norm aggregate, NOT a transform
-    # lambda referencing an aggregate-fold norm: Catalyst copies the
-    # whole fold subtree into EVERY element reference (the measured
-    # round-4 HOF-duplication pitfall — O(n·d²) expression work instead
-    # of O(n·d))
-    comp0 = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "raw")
-    ).select("vec_id", "d", F.col("raw").cast("double").alias("raw"))
-    norms = comp0.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
-    )
-    comp = comp0.join(norms, "vec_id").select(
-        "d", (F.col("raw") / F.col("nrm")).alias("val")
-    )
-    dims = comp.groupBy("d").agg(F.sum("val").alias("s"))
+    dims = _unit_components(emb).groupBy("d").agg(F.sum("val").alias("s"))
     n_row = emb.agg(F.count(F.lit(1)).alias("n"))
     return (
         dims.agg(
@@ -4557,7 +4570,7 @@ def sql_embedding_isotropy() -> str:
     return """
 WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 u AS (
-  SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  SELECT list_transform(v, x -> x / NULLIF(sqrt(list_dot_product(v, v)), 0)) AS u
   FROM e
 ),
 comp AS (
@@ -4779,10 +4792,17 @@ def q_shard_source_entropy(spark, sf_dir):
     Scale shape: rides the pack_shards assignment; the per-(shard,
     source) count and the entropy fold are two combinable aggregates on
     the shard key (the share window partitions by shard, never global)."""
-    from pyspark.sql import Window
-
     packed = q_pack_shards(spark, sf_dir).select("doc_id", "pack_group", "shard")
     src = _docs(spark, sf_dir).select("doc_id", "source")
+    return shard_source_entropy_from(packed, src)
+
+
+def shard_source_entropy_from(packed, src) -> DataFrame:
+    """The entropy rollup over any (doc_id, pack_group, shard) ×
+    (doc_id, source) pair of frames — split out so crafted shard
+    layouts can pin the entropy/share math exactly."""
+    from pyspark.sql import Window
+
     per_src = (
         packed.join(src, "doc_id")
         .groupBy("pack_group", "shard", "source")
@@ -4841,17 +4861,29 @@ def q_gate_agreement(spark, sf_dir):
 
     Scale shape: three map-only scorers joined on the doc key, one ≤8-row
     combinable contingency aggregate, one total broadcast for shares."""
-    from pyspark.sql import Window
-
     g = q_gopher_quality(spark, sf_dir).select(
         "doc_id", F.col("keep").cast("long").alias("gopher_keep")
     )
     c = q_quality_classifier(spark, sf_dir).select(
         "doc_id", F.col("keep").cast("long").alias("classifier_keep")
     )
+    # CASE-mirrored, not (~has_pii): a NULL has_pii (NULL-text doc) must
+    # land in pii_clean=1 on BOTH engines (the oracle's CASE ELSE arm),
+    # not produce a NULL cube key on one side only
     p = q_pii_scan(spark, sf_dir).select(
-        "doc_id", (~F.col("has_pii")).cast("long").alias("pii_clean")
+        "doc_id",
+        F.when(F.col("has_pii"), F.lit(0)).otherwise(1).cast("long").alias(
+            "pii_clean"
+        ),
     )
+    return gate_cube_from(g, c, p)
+
+
+def gate_cube_from(g, c, p) -> DataFrame:
+    """The contingency rollup over any three (doc_id, flag) frames —
+    split out so crafted gate outcomes can pin the cube cells exactly."""
+    from pyspark.sql import Window
+
     cube = (
         g.join(c, "doc_id")
         .join(p, "doc_id")
@@ -4901,17 +4933,7 @@ def q_label_cohesion(spark, sf_dir):
     ≤|labels|·d fold, and a broadcast of the global sum vector. O(n·d)
     total; no pair space, no window over vectors."""
     emb = _emb(spark, sf_dir)
-    comp0 = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("d", "raw")
-    ).select(
-        "vec_id", "label", "d", F.col("raw").cast("double").alias("raw")
-    )
-    norms = comp0.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
-    )
-    unit = comp0.join(norms, "vec_id").select(
-        "label", "d", (F.col("raw") / F.col("nrm")).alias("val")
-    )
+    unit = _unit_components(emb, ("label",))
     ldims = unit.groupBy("label", "d").agg(F.sum("val").alias("s"))
     gdims = ldims.groupBy("d").agg(F.sum("s").alias("g"))
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
@@ -4951,7 +4973,7 @@ WITH e AS (
 ),
 u AS (
   SELECT vec_id, label,
-         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         list_transform(v, x -> x / NULLIF(sqrt(list_dot_product(v, v)), 0)) AS u
   FROM e
 ),
 comp AS (
@@ -4995,7 +5017,12 @@ def q_hapax_share(spark, sf_dir):
     Scale shape: one token-count aggregate (combinable) + a semi-join
     of the hapax token set back onto the per-(source, token) counts —
     all keyed on the token."""
-    toks = (
+    from haystack_traces_spark.session import materialize
+
+    # one pin for the exploded token table — it feeds the tf aggregate,
+    # the per-source totals AND the hapax join (three consumers; unpinned,
+    # the explode would run three times per action)
+    toks = materialize(
         _docs(spark, sf_dir)
         .select("source", F.explode(F.split("text", " ")).alias("tok"))
     )

@@ -1919,3 +1919,54 @@ class TestRound5dOperators:
         out = [r.asDict() for r in dp.q_doc_length_outliers(spark, d).collect()]
         assert out == [{"doc_id": 8, "source": "s", "n_tokens": 200,
                         "robust_z": 188.0}]
+
+    def test_shard_entropy_core_exact_values(self, spark):
+        """Crafted shard layouts against the known entropy: a 2-2 mix →
+        ln 2, a pure shard → 0."""
+        import math
+
+        from haystack_traces_spark.datapipe.queries import (
+            shard_source_entropy_from,
+        )
+
+        packed = spark.createDataFrame(
+            [(i, 0, 0) for i in range(4)] + [(i, 0, 1) for i in range(4, 7)],
+            "doc_id long, pack_group int, shard int",
+        )
+        src = spark.createDataFrame(
+            [(0, "A"), (1, "A"), (2, "B"), (3, "B"),
+             (4, "A"), (5, "A"), (6, "A")],
+            "doc_id long, source string",
+        )
+        out = {r["shard"]: r.asDict()
+               for r in shard_source_entropy_from(packed, src).collect()}
+        mixed = out[0]
+        assert (mixed["n_docs"], mixed["n_sources"]) == (4, 2)
+        assert mixed["entropy"] == round(math.log(2), 6)
+        assert mixed["max_share"] == 0.5
+        pure = out[1]
+        assert (pure["n_sources"], pure["entropy"], pure["max_share"]) == (
+            1, 0.0, 1.0,
+        )
+
+    def test_gate_cube_core_exact_cells(self, spark):
+        from haystack_traces_spark.datapipe.queries import gate_cube_from
+
+        def flags(name, vals):
+            return spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)],
+                f"doc_id long, {name} long",
+            )
+
+        g = flags("gopher_keep", [1, 1, 0, 0])
+        c = flags("classifier_keep", [1, 0, 1, 0])
+        p = flags("pii_clean", [1, 1, 1, 0])
+        out = {(r["gopher_keep"], r["classifier_keep"], r["pii_clean"]):
+               (r["n_docs"], r["share"])
+               for r in gate_cube_from(g, c, p).collect()}
+        assert out == {
+            (1, 1, 1): (1, 0.25),
+            (1, 0, 1): (1, 0.25),
+            (0, 1, 1): (1, 0.25),
+            (0, 0, 0): (1, 0.25),
+        }
