@@ -3215,6 +3215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cohesion": q_label_cohesion,
         "hapax_share": q_hapax_share,
         "doc_length_outliers": q_doc_length_outliers,
+        # round-5 eleventh batch (queued in _ROTATION_QUEUE round-25):
+        "effective_dim": q_effective_dim,
+        "ngram_entropy_rate": q_ngram_entropy_rate,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3317,6 +3320,8 @@ def oracle_sql() -> dict[str, str]:
         "label_cohesion": sql_label_cohesion(),
         "hapax_share": sql_hapax_share(),
         "doc_length_outliers": sql_doc_length_outliers(),
+        "effective_dim": sql_effective_dim(),
+        "ngram_entropy_rate": sql_ngram_entropy_rate(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -5142,4 +5147,178 @@ FROM d JOIN med m USING (source) JOIN mad a ON a.source = d.source
 WHERE a.mad > 0
   AND ROUND(ABS(d.n_tokens - m.med) / a.mad, 6) >= {DOC_LEN_MAD_K}
 ORDER BY d.doc_id
+"""
+
+
+def q_effective_dim(spark, sf_dir):
+    """→ one row (dim, effective_dim, top_var_share, total_var): how many
+    dimensions the embedding space ACTUALLY uses — the participation
+    ratio (Σλ)²/Σλ² over per-dimension variances (the diagonal
+    approximation of the PCA spectrum; exact when dims are decorrelated,
+    an upper bound otherwise — documented, not hidden). effective_dim
+    far below dim means the index/storage width is buying nothing (the
+    capacity-side complement of `embedding_dim_ablation`'s recall
+    measurement); top_var_share is the single loudest dimension's
+    fraction of total variance (a rogue feature dominating distances).
+
+    Scale shape: per-dimension mean/variance from one explode + one
+    combinable (d)-keyed aggregate; the participation fold runs over
+    d rows. O(n·d), no covariance matrix, no pair space."""
+    emb = _emb(spark, sf_dir)
+    comp = emb.select(F.posexplode("embedding").alias("d", "raw")).select(
+        "d", F.col("raw").cast("double").alias("x")
+    )
+    per_dim = comp.groupBy("d").agg(
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - (F.sum("x") / F.count(F.lit(1)))
+            * (F.sum("x") / F.count(F.lit(1)))
+        ).alias("var")
+    )
+    return per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.round(
+            (F.sum("var") * F.sum("var"))
+            / F.nullif(F.sum(F.col("var") * F.col("var")), F.lit(0.0)),
+            6,
+        ).alias("effective_dim"),
+        F.round(
+            F.max("var") / F.nullif(F.sum("var"), F.lit(0.0)), 6
+        ).alias("top_var_share"),
+        F.round(F.sum("var"), 6).alias("total_var"),
+    )
+
+
+def sql_effective_dim() -> str:
+    return """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT t.d, v[t.d] AS x
+  FROM e, UNNEST(generate_series(1, len(v))) t(d)
+),
+per_dim AS (
+  SELECT d,
+         SUM(x * x) / COUNT(*) - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*))
+           AS var
+  FROM comp GROUP BY d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+       ROUND((SUM(var) * SUM(var)) / NULLIF(SUM(var * var), 0), 6)
+         AS effective_dim,
+       ROUND(MAX(var) / NULLIF(SUM(var), 0), 6) AS top_var_share,
+       ROUND(SUM(var), 6) AS total_var
+FROM per_dim
+"""
+
+
+def q_ngram_entropy_rate(spark, sf_dir):
+    """→ (source, n_tokens, unigram_entropy, bigram_cond_entropy,
+    redundancy): per-source Shannon entropy of the token stream —
+    H(W) over unigram frequencies and the conditional H(W₂|W₁) over
+    adjacent pairs, with redundancy = 1 − H₂/H₁ (Shannon 1951's
+    printed-English construction on the corpus's own statistics).
+    Highly templated/repetitive sources show high redundancy (the next
+    token is predictable); token salad shows H₂ ≈ H₁. Natural log.
+
+    Scale shape: two combinable aggregates keyed (source, token) and
+    (source, bigram) + per-source folds — the `bigram_ppl` counting
+    discipline aggregated to a per-source scalar instead of per-doc
+    scores."""
+    docs = _docs(spark, sf_dir).select("source", F.split("text", " ").alias("w"))
+    toks = docs.select(
+        "source", F.posexplode("w").alias("i", "tok")
+    )
+    uni = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    uni_tot = uni.groupBy("source").agg(F.sum("c").alias("n"))
+    h1 = (
+        uni.join(uni_tot, "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))))
+            .alias("h1"),
+            F.max("n").alias("n_tokens"),
+        )
+    )
+    # adjacent pairs within each doc (positional join-free: slice+zip)
+    pairs = docs.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(
+                    "w", 2, F.greatest(F.size("w") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big = pairs.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("cab")
+    )
+    ca = big.groupBy("source", "a").agg(F.sum("cab").alias("ca"))
+    big_tot = big.groupBy("source").agg(F.sum("cab").alias("np"))
+    h2 = (
+        big.join(ca, ["source", "a"])
+        .join(big_tot, "source")
+        .groupBy("source")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("cab") / F.col("np"))
+                    * F.log(F.col("cab") / F.col("ca"))
+                )
+            ).alias("h2")
+        )
+    )
+    return (
+        h1.join(h2, "source", "left")
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("h1", 6).alias("unigram_entropy"),
+            F.round("h2", 6).alias("bigram_cond_entropy"),
+            F.round(1 - F.col("h2") / F.nullif(F.col("h1"), F.lit(0.0)), 6).alias(
+                "redundancy"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_ngram_entropy_rate() -> str:
+    return """
+WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+toks AS (
+  SELECT source, w[t.i] AS tok
+  FROM d, UNNEST(generate_series(1, len(w))) t(i)
+),
+uni AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM toks GROUP BY 1, 2),
+uni_tot AS (SELECT source, SUM(c) AS n FROM uni GROUP BY 1),
+h1 AS (
+  SELECT u.source, -SUM((u.c / t.n) * LN(u.c / t.n)) AS h1, MAX(t.n) AS n_tokens
+  FROM uni u JOIN uni_tot t USING (source) GROUP BY 1
+),
+pairs AS (
+  SELECT source, w[t.i] AS a, w[t.i + 1] AS b
+  FROM d, UNNEST(generate_series(1, len(w) - 1)) t(i)
+),
+big AS (SELECT source, a, b, CAST(COUNT(*) AS DOUBLE) AS cab
+        FROM pairs GROUP BY 1, 2, 3),
+ca AS (SELECT source, a, SUM(cab) AS ca FROM big GROUP BY 1, 2),
+big_tot AS (SELECT source, SUM(cab) AS np FROM big GROUP BY 1),
+h2 AS (
+  SELECT b.source, -SUM((b.cab / t.np) * LN(b.cab / c.ca)) AS h2
+  FROM big b JOIN ca c USING (source, a) JOIN big_tot t USING (source)
+  GROUP BY 1
+)
+SELECT h1.source,
+       CAST(h1.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(h1.h1, 6) AS unigram_entropy,
+       ROUND(h2.h2, 6) AS bigram_cond_entropy,
+       ROUND(1 - h2.h2 / NULLIF(h1.h1, 0), 6) AS redundancy
+FROM h1 LEFT JOIN h2 USING (source)
+ORDER BY h1.source
 """

@@ -4944,6 +4944,109 @@ FROM rates ORDER BY servicename
     )
 
 
+#: Maximum call-path length enumerated by hot_call_paths (service-hop
+#: prefixes rooted at the trace root).
+HOT_PATH_MAX_LEN = 3
+
+
+def q_hot_call_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked CALL PATHS: every root-anchored service-hop
+    prefix up to HOT_PATH_MAX_LEN hops ("gw", "gw>auth", "gw>auth>db"),
+    with occurrence counts and the mean duration of the span at the
+    path's end. `trace_fingerprints` groups traces by their unordered
+    operation SET; this is the ordered drill-down — the paths where the
+    traffic actually flows, the starting point for cache placement and
+    timeout budgeting along a chain.
+
+    Scale shape: fixed-depth iterative self-joins on the trace exchange
+    (depth is a CONSTANT, not data-driven — no recursion in the engine);
+    each level's rollup is a combinable aggregate on the path string."""
+    spans = _spans(spark, sf_dir)
+    base = spans.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        F.lower("service_name").alias("svc"),
+        "duration",
+    )
+    roots = base.filter(F.col("parent_span_id") == "").select(
+        "trace_id",
+        F.col("span_id").alias("tail_span"),
+        F.col("svc").alias("path"),
+        "duration",
+    )
+    levels = [roots]
+    for _ in range(HOT_PATH_MAX_LEN - 1):
+        prev = levels[-1]
+        nxt = (
+            base.join(
+                prev.select(
+                    "trace_id",
+                    F.col("tail_span").alias("parent_span_id"),
+                    F.col("path").alias("prefix"),
+                ),
+                ["trace_id", "parent_span_id"],
+            )
+            .select(
+                "trace_id",
+                F.col("span_id").alias("tail_span"),
+                F.concat_ws(">", "prefix", "svc").alias("path"),
+                "duration",
+            )
+        )
+        levels.append(nxt)
+    allp = levels[0]
+    for lv in levels[1:]:
+        allp = allp.unionByName(lv)
+    return (
+        allp.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.avg("duration"), 6).alias("avg_tail_duration"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+    )
+
+
+def sql_hot_call_paths() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, base AS (
+  SELECT trace_id, span_id, parent_span_id,
+         lower(service_name) AS svc, duration
+  FROM spans
+),
+l1 AS (
+  SELECT trace_id, span_id AS tail_span, svc AS path, duration
+  FROM base WHERE parent_span_id = ''
+),
+l2 AS (
+  SELECT b.trace_id, b.span_id AS tail_span,
+         p.path || '>' || b.svc AS path, b.duration
+  FROM base b JOIN l1 p ON p.trace_id = b.trace_id
+                       AND b.parent_span_id = p.tail_span
+),
+l3 AS (
+  SELECT b.trace_id, b.span_id AS tail_span,
+         p.path || '>' || b.svc AS path, b.duration
+  FROM base b JOIN l2 p ON p.trace_id = b.trace_id
+                       AND b.parent_span_id = p.tail_span
+),
+allp AS (
+  SELECT path, duration FROM l1
+  UNION ALL SELECT path, duration FROM l2
+  UNION ALL SELECT path, duration FROM l3
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(AVG(duration), 6) AS avg_tail_duration
+FROM allp GROUP BY path
+ORDER BY n_occurrences DESC, path
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5100,6 +5203,10 @@ _ROTATION_QUEUE = (
     "label_cohesion",
     "hapax_share",
     "doc_length_outliers",
+    # round-25 queue:
+    "hot_call_paths",
+    "effective_dim",
+    "ngram_entropy_rate",
 )
 
 
@@ -5210,6 +5317,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_recovery_time": q_error_recovery_time,
         "load_latency_curve": q_load_latency_curve,
         "sampling_rate_plan": q_sampling_rate_plan,
+        "hot_call_paths": q_hot_call_paths,
     }
 
 
@@ -5308,4 +5416,5 @@ def _trace_oracles() -> dict[str, str]:
         "error_recovery_time": sql_error_recovery_time(),
         "load_latency_curve": sql_load_latency_curve(),
         "sampling_rate_plan": sql_sampling_rate_plan(),
+        "hot_call_paths": sql_hot_call_paths(),
     }

@@ -1970,3 +1970,41 @@ class TestRound5dOperators:
             (0, 1, 1): (1, 0.25),
             (0, 0, 0): (1, 0.25),
         }
+
+    def test_effective_dim_two_active_dims(self, spark, tmp_path):
+        """Variance confined to two equal dims → participation ratio 2."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        vecs = [[sx, sy] + [0.0] * 62 for sx in (1.0, -1.0)
+                for sy in (1.0, -1.0)]
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(f"{d}/embeddings.parquet")
+        r = dp.q_effective_dim(spark, d).collect()[0].asDict()
+        assert r == {"dim": 64, "effective_dim": 2.0,
+                     "top_var_share": 0.5, "total_var": 2.0}
+
+    def test_ngram_entropy_rate_alternation_and_constant(self, spark, tmp_path):
+        """'a b a b a' alternates deterministically: H2 = 0, redundancy 1;
+        a constant stream has H1 = 0 and undefined redundancy (NULL)."""
+        import math
+
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [(1, "a b a b a", "alt"), (2, "x x x x", "const")]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r.asDict()
+               for r in dp.q_ngram_entropy_rate(spark, d).collect()}
+        alt = out["alt"]
+        h1 = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+        assert alt["unigram_entropy"] == round(h1, 6)
+        assert alt["bigram_cond_entropy"] == 0.0
+        assert alt["redundancy"] == 1.0
+        const = out["const"]
+        assert const["unigram_entropy"] == 0.0
+        assert const["redundancy"] is None

@@ -1088,3 +1088,26 @@ def test_sampling_rate_plan_water_filling(spark):
     assert by_svc["c"]["keep_rate"] == round(9 / 68, 6)
     assert by_svc["c"]["kept_spans"] == 9
     assert sum(r["kept_spans"] for r in out) == 20  # hits the budget
+
+
+def test_hot_call_paths_prefix_enumeration(spark):
+    rows = [
+        mk(trace_id="t1", span_id="r1", service="gw", duration=100),
+        mk(trace_id="t1", span_id="a1", parent="r1", service="auth",
+           duration=50),
+        mk(trace_id="t1", span_id="d1", parent="a1", service="db",
+           duration=20),
+        mk(trace_id="t2", span_id="r2", service="gw", duration=300),
+        mk(trace_id="t2", span_id="a2", parent="r2", service="auth",
+           duration=150),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_hot_call_paths(spark, "ignored").collect()
+    )
+    got = {r["path"]: (r["n_occurrences"], r["avg_tail_duration"])
+           for r in out}
+    assert got == {
+        "gw": (2, 200.0),
+        "gw>auth": (2, 100.0),
+        "gw>auth>db": (1, 20.0),
+    }
