@@ -436,3 +436,63 @@ def test_embedding_isotropy_matches_bruteforce_pair_mean(vecs):
     want = s / (n * (n - 1))
     assert abs(r["avg_pair_cos"] - want) < 2e-6
     assert r["n_vectors"] == n and r["dim"] == 4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=8),
+)
+def test_sampling_rate_plan_matches_python_water_filling(volumes):
+    """The SQL/window water-filling must agree with a direct Python
+    greedy water-fill for arbitrary service volumes: same whole-kept
+    set, same waterline rates, and Σ kept ≤ budget always."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.schemas import SPAN
+
+    spark = _spark()
+    rows = []
+    sid = 0
+    for i, n in enumerate(volumes):
+        for _ in range(n):
+            rows.append(
+                {
+                    "trace_id": f"t{sid}", "span_id": f"s{sid}",
+                    "parent_span_id": "", "service_name": f"svc{i:02d}",
+                    "operation_name": "op", "start_time": T0 + sid,
+                    "duration": 10, "tags": [], "logs": [],
+                }
+            )
+            sid += 1
+    spans = spark.createDataFrame(rows, SPAN)
+    orig = EQ._spans
+    EQ._spans = lambda _s, _d: spans
+    try:
+        out = {r["servicename"]: r.asDict()
+               for r in EQ.q_sampling_rate_plan(spark, "ignored").collect()}
+    finally:
+        EQ._spans = orig
+
+    # Python ground truth: greedy max-min water-filling
+    total = sum(volumes)
+    budget = float(int(total * EQ.SAMPLING_BUDGET_FRAC))
+    svcs = sorted(
+        ((n, f"svc{i:02d}") for i, n in enumerate(volumes))
+    )
+    m = len(svcs)
+    remaining, whole = budget, set()
+    waterline = None
+    for k, (n, name) in enumerate(svcs):
+        if n * (m - k) <= remaining:
+            whole.add(name)
+            remaining -= n
+        else:
+            waterline = remaining / (m - k)
+            break
+    for name, r in out.items():
+        n = dict((s, v) for v, s in svcs)[name]
+        if name in whole:
+            assert r["keep_rate"] == 1.0 and r["kept_spans"] == n
+        else:
+            assert waterline is not None
+            assert r["keep_rate"] == round(min(1.0, waterline / n), 6)
+    assert sum(r["kept_spans"] for r in out.values()) <= budget

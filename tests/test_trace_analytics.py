@@ -1111,3 +1111,24 @@ def test_hot_call_paths_prefix_enumeration(spark):
         "gw>auth": (2, 100.0),
         "gw>auth>db": (1, 20.0),
     }
+
+
+def test_round5gh_trace_operators_plan_shapes(spark):
+    from tests.test_plans import _plan
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        name: _plan(fn(spark, sf))
+        for name, fn in {
+            "cold_start_tax": EQ.q_cold_start_tax,
+            "trace_parallelism": EQ.q_trace_parallelism,
+            "error_recovery_time": EQ.q_error_recovery_time,
+            "load_latency_curve": EQ.q_load_latency_curve,
+            "hot_call_paths": EQ.q_hot_call_paths,
+        }.items()
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        # all five ride per-group windows / the trace exchange; none may
+        # collapse to a single partition
+        assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
