@@ -3218,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 eleventh batch (queued in _ROTATION_QUEUE round-25):
         "effective_dim": q_effective_dim,
         "ngram_entropy_rate": q_ngram_entropy_rate,
+        "intro_bias": q_intro_bias,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3322,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_outliers": sql_doc_length_outliers(),
         "effective_dim": sql_effective_dim(),
         "ngram_entropy_rate": sql_ngram_entropy_rate(),
+        "intro_bias": sql_intro_bias(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -5321,4 +5323,85 @@ SELECT h1.source,
        ROUND(1 - h2.h2 / NULLIF(h1.h1, 0), 6) AS redundancy
 FROM h1 LEFT JOIN h2 USING (source)
 ORDER BY h1.source
+"""
+
+
+#: Tokens counted as a document's INTRO for the intro-bias audit.
+INTRO_K = 10
+
+
+def q_intro_bias(spark, sf_dir):
+    """→ (source, n_intro_tokens, kl_intro): KL divergence of each
+    source's INTRO token distribution (first INTRO_K tokens per doc)
+    from its OVERALL token distribution — templated openers ("dear
+    valued customer…", nav boilerplate) concentrate intro mass on
+    tokens rare in the body, pushing KL up even when whole-doc stats
+    look clean. The positional complement of `template_prefixes`
+    (which finds exact prefix families; this measures DISTRIBUTIONAL
+    opener skew that survives prefix paraphrasing).
+
+    Support note: intro tokens are a subset of all tokens, so
+    p_full > 0 wherever p_intro > 0 — the KL sum is always finite.
+
+    Scale shape: two (source, token) combinable counts (intro slice +
+    full stream) joined on the token key, then a per-source fold."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.split("text", " ").alias("w")
+    )
+    full = (
+        docs.select("source", F.explode("w").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    )
+    intro = (
+        docs.select(
+            "source", F.explode(F.slice("w", 1, INTRO_K)).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("ci"))
+    )
+    ftot = full.groupBy("source").agg(F.sum("cf").alias("nf"))
+    itot = intro.groupBy("source").agg(F.sum("ci").alias("ni"))
+    j = (
+        intro.join(full, ["source", "tok"])
+        .join(itot, "source")
+        .join(ftot, "source")
+    )
+    term = (F.col("ci") / F.col("ni")) * F.log(
+        (F.col("ci") / F.col("ni")) / (F.col("cf") / F.col("nf"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("ni").cast("long").alias("n_intro_tokens"),
+            F.round(F.sum(term), 6).alias("kl_intro"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_intro_bias() -> str:
+    return f"""
+WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+full_t AS (
+  SELECT source, w[t.i] AS tok, CAST(COUNT(*) AS DOUBLE) AS cf
+  FROM d, UNNEST(generate_series(1, len(w))) t(i)
+  GROUP BY 1, 2
+),
+intro_t AS (
+  SELECT source, w[t.i] AS tok, CAST(COUNT(*) AS DOUBLE) AS ci
+  FROM d, UNNEST(generate_series(1, LEAST(len(w), {INTRO_K}))) t(i)
+  GROUP BY 1, 2
+),
+ftot AS (SELECT source, SUM(cf) AS nf FROM full_t GROUP BY 1),
+itot AS (SELECT source, SUM(ci) AS ni FROM intro_t GROUP BY 1)
+SELECT i.source,
+       CAST(MAX(it.ni) AS BIGINT) AS n_intro_tokens,
+       ROUND(SUM((i.ci / it.ni) * LN((i.ci / it.ni) / (f.cf / ft.nf))), 6)
+         AS kl_intro
+FROM intro_t i
+JOIN full_t f USING (source, tok)
+JOIN itot it USING (source)
+JOIN ftot ft USING (source)
+GROUP BY 1 ORDER BY 1
 """

@@ -5047,6 +5047,106 @@ ORDER BY n_occurrences DESC, path
     )
 
 
+def q_tag_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-sizing audit for the field whitelist: per tag KEY, how many
+    spans carry it, how many DISTINCT values it takes, and the share +
+    identity of its most common value. The operational input to the
+    reference's whitelist config (S9): a key at near-span cardinality
+    (ids leaking into tags) would explode the field index; a key whose
+    top value holds ~100% of the mass indexes nothing worth querying.
+
+    The engine reads the real typed-tag array (stringified via the
+    typed-value coalesce); the oracle re-derives the same two keys from
+    the generative model — independent paths, same table. NULL-valued
+    tag occurrences count toward n_spans but not toward the value
+    distribution (both faces).
+
+    Scale shape: explode + one (key, value) combinable count; the
+    top-value argmax windows over the AGGREGATED value counts per key
+    (cardinality-bounded), never over spans."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    tag = spans.select(F.explode("tags").alias("t")).select(
+        F.col("t.key").alias("tag_key"),
+        F.coalesce(
+            F.col("t.vstr"),
+            F.col("t.vlong").cast("string"),
+            F.col("t.vdouble").cast("string"),
+            F.col("t.vbool").cast("string"),
+        ).alias("value"),
+    )
+    kv = tag.groupBy("tag_key", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("tag_key").orderBy(
+        F.col("c").desc(), F.col("value").asc_nulls_last()
+    )
+    nonnull = kv.filter(F.col("value").isNotNull())
+    top = (
+        nonnull.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tag_key", F.col("value").alias("top_value"), F.col("c").alias("top_c"))
+    )
+    per_key = kv.groupBy("tag_key").agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        F.count(F.when(F.col("value").isNotNull(), 1))
+        .cast("long")
+        .alias("n_values"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("c"))).alias("n_valued"),
+    )
+    return (
+        per_key.join(top, "tag_key", "left")
+        .select(
+            "tag_key",
+            "n_spans",
+            "n_values",
+            "top_value",
+            F.round(
+                F.col("top_c") / F.col("n_valued").cast("double"), 6
+            ).alias("top_share"),
+        )
+        .orderBy("tag_key")
+    )
+
+
+def sql_tag_value_stats() -> str:
+    # Independent derivation from the generative model: every span carries
+    # exactly (errorcode → CAST(k AS VARCHAR) | NULL) and (role → 'haystack')
+    return (
+        EVENT_SPANS_CTE
+        + """
+, tag AS (
+  SELECT 'errorcode' AS tag_key, CAST(errorcode AS VARCHAR) AS value FROM spans
+  UNION ALL
+  SELECT 'role', 'haystack' FROM spans
+),
+kv AS (SELECT tag_key, value, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tag GROUP BY 1, 2),
+top AS (
+  SELECT tag_key, value AS top_value, c AS top_c FROM (
+    SELECT tag_key, value, c,
+           ROW_NUMBER() OVER (PARTITION BY tag_key
+                              ORDER BY c DESC, value ASC) AS rn
+    FROM kv WHERE value IS NOT NULL
+  ) WHERE rn = 1
+),
+per_key AS (
+  SELECT tag_key,
+         CAST(SUM(c) AS BIGINT) AS n_spans,
+         CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_values,
+         SUM(CASE WHEN value IS NOT NULL THEN c END) AS n_valued
+  FROM kv GROUP BY 1
+)
+SELECT p.tag_key, p.n_spans, p.n_values, t.top_value,
+       ROUND(t.top_c / CAST(p.n_valued AS DOUBLE), 6) AS top_share
+FROM per_key p LEFT JOIN top t USING (tag_key)
+ORDER BY p.tag_key
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5207,6 +5307,8 @@ _ROTATION_QUEUE = (
     "hot_call_paths",
     "effective_dim",
     "ngram_entropy_rate",
+    "tag_value_stats",
+    "intro_bias",
 )
 
 
@@ -5318,6 +5420,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_latency_curve": q_load_latency_curve,
         "sampling_rate_plan": q_sampling_rate_plan,
         "hot_call_paths": q_hot_call_paths,
+        "tag_value_stats": q_tag_value_stats,
     }
 
 
@@ -5417,4 +5520,5 @@ def _trace_oracles() -> dict[str, str]:
         "load_latency_curve": sql_load_latency_curve(),
         "sampling_rate_plan": sql_sampling_rate_plan(),
         "hot_call_paths": sql_hot_call_paths(),
+        "tag_value_stats": sql_tag_value_stats(),
     }

@@ -2008,3 +2008,25 @@ class TestRound5dOperators:
         const = out["const"]
         assert const["unigram_entropy"] == 0.0
         assert const["redundancy"] is None
+
+    def test_intro_bias_detects_templated_opener(self, spark, tmp_path):
+        """A source whose docs all open with the same token (absent from
+        bodies) has strictly positive intro KL; a source whose intro is
+        distributionally identical to its body has KL 0."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        body = " ".join(f"w{i % 7}" for i in range(30))
+        rows = [
+            (1, "OPENER " + body, "templated"),
+            (2, "OPENER " + body, "templated"),
+            # uniform: every token identical → intro dist == full dist
+            (3, " ".join(["x"] * 40), "uniform"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r.asDict() for r in dp.q_intro_bias(spark, d).collect()}
+        assert out["templated"]["kl_intro"] > 0.05
+        assert out["uniform"]["kl_intro"] == 0.0
+        assert out["uniform"]["n_intro_tokens"] == 10

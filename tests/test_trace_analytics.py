@@ -1132,3 +1132,29 @@ def test_round5gh_trace_operators_plan_shapes(spark):
         # all five ride per-group windows / the trace exchange; none may
         # collapse to a single partition
         assert "Exchange SinglePartition" not in plan, (name, plan[:1500])
+
+
+def test_tag_value_stats_cardinality_and_nulls(spark):
+    rows = [
+        mk(trace_id="t1", span_id="1", tags=[_ltag("errorcode", 7),
+                                              _stag("role", "haystack")]),
+        mk(trace_id="t2", span_id="2", tags=[_ltag("errorcode", 7),
+                                              _stag("role", "haystack")]),
+        mk(trace_id="t3", span_id="3", tags=[_ltag("errorcode", 9)]),
+        # NULL-valued occurrence: counts toward n_spans, not the values
+        mk(trace_id="t4", span_id="4", tags=[{
+            "key": "errorcode", "vtype": "LONG", "vstr": None,
+            "vlong": None, "vdouble": None, "vbool": None, "vbytes": None,
+        }]),
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_tag_value_stats(spark, "ignored").collect()
+    )
+    by_key = {r["tag_key"]: r.asDict() for r in out}
+    err = by_key["errorcode"]
+    assert (err["n_spans"], err["n_values"]) == (4, 2)
+    assert err["top_value"] == "7" and err["top_share"] == round(2 / 3, 6)
+    role = by_key["role"]
+    assert (role["n_spans"], role["n_values"], role["top_share"]) == (
+        2, 1, 1.0,
+    )
