@@ -5225,13 +5225,20 @@ def q_ngram_entropy_rate(spark, sf_dir):
     Scale shape: two combinable aggregates keyed (source, token) and
     (source, bigram) + per-source folds — the `bigram_ppl` counting
     discipline aggregated to a per-source scalar instead of per-doc
-    scores."""
-    docs = _docs(spark, sf_dir).select("source", F.split("text", " ").alias("w"))
+    scores. The tokenized docs and both count tables are PINNED (each
+    feeds 2-3 downstream branches of one action)."""
+    from haystack_traces_spark.session import materialize
+
+    docs = materialize(
+        _docs(spark, sf_dir).select("source", F.split("text", " ").alias("w"))
+    )
     toks = docs.select(
         "source", F.posexplode("w").alias("i", "tok")
     )
-    uni = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    uni = materialize(
+        toks.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
     )
     uni_tot = uni.groupBy("source").agg(F.sum("c").alias("n"))
     h1 = (
@@ -5256,8 +5263,10 @@ def q_ngram_entropy_rate(spark, sf_dir):
             )
         ).alias("p"),
     ).select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    big = pairs.groupBy("source", "a", "b").agg(
-        F.count(F.lit(1)).cast("double").alias("cab")
+    big = materialize(
+        pairs.groupBy("source", "a", "b").agg(
+            F.count(F.lit(1)).cast("double").alias("cab")
+        )
     )
     ca = big.groupBy("source", "a").agg(F.sum("cab").alias("ca"))
     big_tot = big.groupBy("source").agg(F.sum("cab").alias("np"))
@@ -5344,16 +5353,22 @@ def q_intro_bias(spark, sf_dir):
     p_full > 0 wherever p_intro > 0 — the KL sum is always finite.
 
     Scale shape: two (source, token) combinable counts (intro slice +
-    full stream) joined on the token key, then a per-source fold."""
-    docs = _docs(spark, sf_dir).select(
-        "source", F.split("text", " ").alias("w")
+    full stream) joined on the token key, then a per-source fold; the
+    tokenized docs and both count tables are PINNED (each has two
+    consumers in one action)."""
+    from haystack_traces_spark.session import materialize
+
+    docs = materialize(
+        _docs(spark, sf_dir).select(
+            "source", F.split("text", " ").alias("w")
+        )
     )
-    full = (
+    full = materialize(
         docs.select("source", F.explode("w").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("cf"))
     )
-    intro = (
+    intro = materialize(
         docs.select(
             "source", F.explode(F.slice("w", 1, INTRO_K)).alias("tok")
         )

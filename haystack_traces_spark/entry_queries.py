@@ -4990,7 +4990,13 @@ def q_hot_call_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "trace_id",
                 F.col("span_id").alias("tail_span"),
-                F.concat_ws(">", "prefix", "svc").alias("path"),
+                # F.concat, NOT concat_ws: concat_ws silently DROPS a
+                # NULL svc (double-counting the parent's prefix) while
+                # the oracle's || propagates NULL — both faces must
+                # NULL-propagate identically
+                F.concat(F.col("prefix"), F.lit(">"), F.col("svc")).alias(
+                    "path"
+                ),
                 "duration",
             )
         )
@@ -5055,45 +5061,57 @@ def q_tag_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids leaking into tags) would explode the field index; a key whose
     top value holds ~100% of the mass indexes nothing worth querying.
 
-    The engine reads the real typed-tag array (stringified via the
-    typed-value coalesce); the oracle re-derives the same two keys from
-    the generative model — independent paths, same table. NULL-valued
-    tag occurrences count toward n_spans but not toward the value
-    distribution (both faces).
+    The engine reads the real typed-tag array, stringified by the
+    canonical 5-way vtype dispatch (`span_funcs.tag_struct_value_str` —
+    BINARY tags included: a high-cardinality binary id tag is exactly
+    the explosion this audit exists to catch); the oracle re-derives
+    the same two keys from the generative model — independent paths,
+    same table. Counting is per DISTINCT (span, key, value): n_spans
+    counts SPANS carrying the key (duplicate keys in one span don't
+    inflate coverage), NULL-valued occurrences count toward n_spans but
+    not the value distribution (both faces).
 
-    Scale shape: explode + one (key, value) combinable count; the
-    top-value argmax windows over the AGGREGATED value counts per key
-    (cardinality-bounded), never over spans."""
+    Scale shape: explode + distinct + (key, value) combinable counts;
+    the top-value argmax windows over the AGGREGATED value counts per
+    key (cardinality-bounded), never over spans."""
     from pyspark.sql import Window
 
-    spans = _spans(spark, sf_dir)
-    tag = spans.select(F.explode("tags").alias("t")).select(
-        F.col("t.key").alias("tag_key"),
-        F.coalesce(
-            F.col("t.vstr"),
-            F.col("t.vlong").cast("string"),
-            F.col("t.vdouble").cast("string"),
-            F.col("t.vbool").cast("string"),
-        ).alias("value"),
+    from haystack_traces_spark.functions.span_funcs import (
+        tag_struct_value_str,
     )
-    kv = tag.groupBy("tag_key", "value").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+
+    spans = _spans(spark, sf_dir)
+    rows = (
+        spans.select(
+            "trace_id", "span_id", F.explode("tags").alias("t")
+        )
+        .select(
+            "trace_id",
+            "span_id",
+            F.col("t.key").alias("tag_key"),
+            tag_struct_value_str(F.col("t")).alias("value"),
+        )
+        .distinct()
+    )
+    kv = (
+        rows.filter(F.col("value").isNotNull())
+        .groupBy("tag_key", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     w = Window.partitionBy("tag_key").orderBy(
-        F.col("c").desc(), F.col("value").asc_nulls_last()
+        F.col("c").desc(), F.col("value").asc()
     )
-    nonnull = kv.filter(F.col("value").isNotNull())
     top = (
-        nonnull.withColumn("rn", F.row_number().over(w))
+        kv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("tag_key", F.col("value").alias("top_value"), F.col("c").alias("top_c"))
+        .select(
+            "tag_key", F.col("value").alias("top_value"), F.col("c").alias("top_c")
+        )
     )
-    per_key = kv.groupBy("tag_key").agg(
-        F.sum("c").cast("long").alias("n_spans"),
-        F.count(F.when(F.col("value").isNotNull(), 1))
-        .cast("long")
-        .alias("n_values"),
-        F.sum(F.when(F.col("value").isNotNull(), F.col("c"))).alias("n_valued"),
+    per_key = rows.groupBy("tag_key").agg(
+        F.countDistinct("trace_id", "span_id").cast("long").alias("n_spans"),
+        F.countDistinct("value").cast("long").alias("n_values"),
+        F.count("value").cast("long").alias("n_valued"),
     )
     return (
         per_key.join(top, "tag_key", "left")
@@ -5117,27 +5135,28 @@ def sql_tag_value_stats() -> str:
         EVENT_SPANS_CTE
         + """
 , tag AS (
-  SELECT 'errorcode' AS tag_key, CAST(errorcode AS VARCHAR) AS value FROM spans
-  UNION ALL
-  SELECT 'role', 'haystack' FROM spans
+  SELECT DISTINCT trace_id, span_id,
+         'errorcode' AS tag_key, CAST(errorcode AS VARCHAR) AS value
+  FROM spans
+  UNION
+  SELECT DISTINCT trace_id, span_id, 'role', 'haystack' FROM spans
 ),
 kv AS (SELECT tag_key, value, CAST(COUNT(*) AS BIGINT) AS c
-       FROM tag GROUP BY 1, 2),
+       FROM tag WHERE value IS NOT NULL GROUP BY 1, 2),
 top AS (
   SELECT tag_key, value AS top_value, c AS top_c FROM (
     SELECT tag_key, value, c,
            ROW_NUMBER() OVER (PARTITION BY tag_key
                               ORDER BY c DESC, value ASC) AS rn
-    FROM kv WHERE value IS NOT NULL
+    FROM kv
   ) WHERE rn = 1
 ),
 per_key AS (
   SELECT tag_key,
-         CAST(SUM(c) AS BIGINT) AS n_spans,
-         CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
-           AS n_values,
-         SUM(CASE WHEN value IS NOT NULL THEN c END) AS n_valued
-  FROM kv GROUP BY 1
+         CAST(COUNT(DISTINCT (trace_id, span_id)) AS BIGINT) AS n_spans,
+         CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values,
+         CAST(COUNT(value) AS BIGINT) AS n_valued
+  FROM tag GROUP BY 1
 )
 SELECT p.tag_key, p.n_spans, p.n_values, t.top_value,
        ROUND(t.top_c / CAST(p.n_valued AS DOUBLE), 6) AS top_share

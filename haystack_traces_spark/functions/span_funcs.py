@@ -46,6 +46,20 @@ _WHITELIST_CAST = {
 }
 
 
+def tag_struct_value_str(t: Column) -> Column:
+    """Stringified value of ONE tag struct — the canonical 5-way vtype
+    dispatch (STRING/LONG/DOUBLE/BOOL/BINARY), shared with
+    :func:`tag_value`'s lambda body so a new vtype is added in one
+    place. Unknown vtypes yield NULL."""
+    return (
+        F.when(t["vtype"] == "STRING", t["vstr"])
+        .when(t["vtype"] == "LONG", t["vlong"].cast("string"))
+        .when(t["vtype"] == "DOUBLE", t["vdouble"].cast("string"))
+        .when(t["vtype"] == "BOOL", t["vbool"].cast("string"))
+        .when(t["vtype"] == "BINARY", t["vbytes"].cast("string"))
+    )
+
+
 def tag_value(tags: Column | str, key: str, declared_type: str) -> Column:
     """Extract tag `key` from a tags array, coerced to the declared whitelist
     type; uncoercible values become NULL (→ dropped by collect_set), matching
@@ -67,16 +81,7 @@ def tag_value(tags: Column | str, key: str, declared_type: str) -> Column:
     key_l = key.lower()
     # first match only (slice → ≤1 element), duplicate tag keys tolerated
     hit = F.slice(F.filter(tags_c, lambda t: F.lower(t["key"]) == key_l), 1, 1)
-    conv = F.transform(
-        hit,
-        lambda t: (
-            F.when(t["vtype"] == "STRING", t["vstr"])
-            .when(t["vtype"] == "LONG", t["vlong"].cast("string"))
-            .when(t["vtype"] == "DOUBLE", t["vdouble"].cast("string"))
-            .when(t["vtype"] == "BOOL", t["vbool"].cast("string"))
-            .when(t["vtype"] == "BINARY", t["vbytes"].cast("string"))
-        ),
-    )
+    conv = F.transform(hit, tag_struct_value_str)
     target = _WHITELIST_CAST[declared_type.lower()]
     return F.try_element_at(conv, F.lit(1)).try_cast(target)
 
