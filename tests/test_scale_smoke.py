@@ -174,3 +174,52 @@ def test_asof_join_growth_is_near_linear(spark):
     # generous ceiling for a loaded box: 10x rows must stay well under
     # 6x wall (measured ~1.5-2x on idle local[32])
     assert t10 < max(6 * t1, 10.0), (t1, t10)
+
+
+@pytest.mark.slow
+def test_exact_dedup_family_scales_linearly_with_distinct_content(spark):
+    """10x corpus growth with DISTINCT content (per-replica token
+    injection makes replicas shingle-disjoint): the EXACT-complete pair
+    operators (ppjoin n-gram Jaccard, prefix-filtered containment) must
+    find exactly 10x the single-replica pairs — candidate generation
+    scales with rare-shingle CO-OCCURRENCE, never corpus² — and the
+    wall time must stay within a small multiple of 1x."""
+    from haystack_traces_spark.datapipe import dedup as D
+    from haystack_traces_spark.session import release_materialized
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            # inject a replica marker between every word: shingles become
+            # replica-disjoint while each replica stays isomorphic to the
+            # others (same token structure, renamed marker)
+            F.regexp_replace(
+                "text", " ", F.concat(F.lit(" x"), F.col("rep"), F.lit(" "))
+            ).alias("text"),
+        )
+    )
+    base = big.filter(F.col("doc_id") < 1_000_000)
+
+    t0 = time.perf_counter()
+    base_jac = D.ngram_jaccard_pairs(base, 0.8).count()
+    base_cont = D.containment_pairs(base, 0.9).count()
+    release_materialized()
+    t_base = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    full_jac = D.ngram_jaccard_pairs(big, 0.8).count()
+    full_cont = D.containment_pairs(big, 0.9).count()
+    release_materialized()
+    t_full = time.perf_counter() - t0
+
+    # exact-complete operators on isomorphic disjoint replicas: the pair
+    # set is exactly 10 copies of the single-replica pair set
+    assert full_jac == 10 * base_jac
+    assert full_cont == 10 * base_cont
+    # shape: 10x data within a small multiple of 1x wall (generous
+    # ceiling for box-load variance; the failure mode being guarded is
+    # quadratic candidate blowup, which would be 50-100x)
+    assert t_full <= max(8 * t_base, 60), (t_base, t_full)
