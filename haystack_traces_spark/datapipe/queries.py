@@ -5087,7 +5087,7 @@ ORDER BY p.source
 DOC_LEN_MAD_K = 5.0
 
 
-def q_doc_length_outliers(spark, sf_dir):
+def q_doc_length_outliers(spark, sf_dir, approx: bool = False):
     """→ (doc_id, source, n_tokens, robust_z): documents whose token
     count deviates more than DOC_LEN_MAD_K MADs from their SOURCE's
     median length — truncated scrapes, concatenation artifacts, and
@@ -5099,20 +5099,24 @@ def q_doc_length_outliers(spark, sf_dir):
 
     Scale shape: two combinable per-source aggregates (median, MAD
     against the broadcast medians) + the tiny stats broadcast back onto
-    the doc scan; robust z ROUNDED before the threshold compare."""
+    the doc scan; robust z ROUNDED before the threshold compare.
+    ``approx=True`` is the 100 TB face: both percentiles become
+    mergeable sketches (they only anchor a 5× threshold — the
+    span_mad_outliers contract, dual-face table in SCALE.md)."""
+    def med_of(col):
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+        return F.percentile(col, F.lit(0.5))
+
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
     )
-    med = docs.groupBy("source").agg(
-        F.percentile("n_tokens", F.lit(0.5)).alias("med")
-    )
+    med = docs.groupBy("source").agg(med_of("n_tokens").alias("med"))
     dev = docs.join(F.broadcast(med), "source")
     mad = dev.groupBy("source").agg(
-        F.percentile(F.abs(F.col("n_tokens") - F.col("med")), F.lit(0.5)).alias(
-            "mad"
-        )
+        med_of(F.abs(F.col("n_tokens") - F.col("med"))).alias("mad")
     )
     rz = F.round(F.abs(F.col("n_tokens") - F.col("med")) / F.col("mad"), 6)
     return (

@@ -5072,10 +5072,10 @@ def q_tag_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the value distribution (both faces).
 
     Scale shape: explode + distinct + (key, value) combinable counts;
-    the top-value argmax windows over the AGGREGATED value counts per
-    key (cardinality-bounded), never over spans."""
-    from pyspark.sql import Window
-
+    the top-value argmax is WINDOW-FREE (max-count aggregate + equality
+    join + min-value tie-break — all combinable), so even a degenerate
+    near-span-cardinality key (the very pathology being audited) never
+    forces a single partition to hold its value distribution."""
     from haystack_traces_spark.functions.span_funcs import (
         tag_struct_value_str,
     )
@@ -5098,15 +5098,12 @@ def q_tag_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag_key", "value")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    w = Window.partitionBy("tag_key").orderBy(
-        F.col("c").desc(), F.col("value").asc()
-    )
+    maxc = kv.groupBy("tag_key").agg(F.max("c").alias("top_c"))
     top = (
-        kv.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "tag_key", F.col("value").alias("top_value"), F.col("c").alias("top_c")
-        )
+        kv.join(maxc, "tag_key")
+        .filter(F.col("c") == F.col("top_c"))
+        .groupBy("tag_key", "top_c")
+        .agg(F.min("value").alias("top_value"))
     )
     per_key = rows.groupBy("tag_key").agg(
         F.countDistinct("trace_id", "span_id").cast("long").alias("n_spans"),

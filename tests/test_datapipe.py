@@ -1919,6 +1919,11 @@ class TestRound5dOperators:
         out = [r.asDict() for r in dp.q_doc_length_outliers(spark, d).collect()]
         assert out == [{"doc_id": 8, "source": "s", "n_tokens": 200,
                         "robust_z": 188.0}]
+        # the 100 TB sketch face agrees on a corpus this size (sketch is
+        # exact below its compression threshold)
+        approx = [r.asDict()
+                  for r in dp.q_doc_length_outliers(spark, d, approx=True).collect()]
+        assert approx == out
 
     def test_shard_entropy_core_exact_values(self, spark):
         """Crafted shard layouts against the known entropy: a 2-2 mix →
