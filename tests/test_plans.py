@@ -515,3 +515,33 @@ def test_bucketed_store_index_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_store")
         spark.sql("DROP TABLE IF EXISTS b_index")
+
+
+def test_round5_dp_operators_plan_shapes(spark):
+    """Plan-shape guards for the round-5 datapipe additions: the bloom
+    screen's position join must BROADCAST (the ≤m-row table is the whole
+    scale argument), and no candidate generator may degenerate to a
+    cartesian product."""
+    from haystack_traces_spark.datapipe import queries as dp
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        bloom = _plan(dp.q_bloom_dedup(spark, sf))
+        assert "BroadcastHashJoin" in bloom or "BroadcastExchange" in bloom, (
+            bloom[:2000]
+        )
+        assert "CartesianProduct" not in bloom
+
+        for name, fn in {
+            "containment_dedup": dp.q_containment_dedup,
+            "sketch_agreement": dp.q_sketch_agreement,
+            "hapax_share": dp.q_hapax_share,
+            "intro_bias": dp.q_intro_bias,
+            "ngram_entropy_rate": dp.q_ngram_entropy_rate,
+            "label_cohesion": dp.q_label_cohesion,
+        }.items():
+            plan = _plan(fn(spark, sf))
+            assert "CartesianProduct" not in plan, name
+    finally:
+        release_materialized()
