@@ -496,3 +496,95 @@ def test_sampling_rate_plan_matches_python_water_filling(volumes):
             assert waterline is not None
             assert r["keep_rate"] == round(min(1.0, waterline / n), 6)
     assert sum(r["kept_spans"] for r in out.values()) <= budget
+
+
+@settings(max_examples=6, deadline=None)
+@given(traces(min_spans=2, max_spans=10))
+def test_hot_call_paths_matches_python_walk(spans):
+    """Path enumeration must agree with a direct Python walk (root-
+    anchored prefixes up to the configured depth) on arbitrary forests
+    with dangling parents."""
+    from collections import Counter
+
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.schemas import SPAN
+
+    spark = _spark()
+    df = spark.createDataFrame(spans, SPAN)
+    orig = EQ._spans
+    EQ._spans = lambda _s, _d: df
+    try:
+        got = {
+            r["path"]: r["n_occurrences"]
+            for r in EQ.q_hot_call_paths(spark, "ignored").collect()
+        }
+    finally:
+        EQ._spans = orig
+
+    by_parent = {}
+    for s in spans:
+        by_parent.setdefault(s["parent_span_id"], []).append(s)
+    want = Counter()
+
+    def walk(span, prefix, depth):
+        path = f"{prefix}>{span['service_name']}" if prefix else span["service_name"]
+        want[path] += 1
+        if depth < EQ.HOT_PATH_MAX_LEN:
+            for c in by_parent.get(span["span_id"], []):
+                walk(c, path, depth + 1)
+
+    for root in by_parent.get("", []):
+        walk(root, "", 1)
+    assert got == dict(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),   # client start
+            st.integers(1, 5_000),    # client duration
+            st.integers(-2_000, 2_000),  # server start offset
+            st.integers(1, 5_000),    # server duration
+        ),
+        min_size=1, max_size=10,
+    ),
+    st.integers(-1_000_000, 1_000_000),  # injected clock shift
+)
+def test_clock_skew_estimator_shift_linearity(rpcs, shift):
+    """Shifting every server clock by a constant must move avg_skew by
+    exactly that constant and leave the one-way delay untouched — the
+    defining linearity of the NTP offset estimator."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.schemas import SPAN
+
+    spark = _spark()
+
+    def frame(server_shift):
+        rows = []
+        for i, (cs, cd, so, sd) in enumerate(rpcs):
+            for svc, kind, start, dur in (
+                ("caller", "client", cs, cd),
+                ("callee", "server", cs + so + server_shift, sd),
+            ):
+                rows.append(
+                    {
+                        "trace_id": "t", "span_id": f"s{i}",
+                        "parent_span_id": "", "service_name": svc,
+                        "operation_name": "op", "start_time": start,
+                        "duration": dur,
+                        "tags": [{
+                            "key": "span.kind", "vtype": "STRING",
+                            "vstr": kind, "vlong": None, "vdouble": None,
+                            "vbool": None, "vbytes": None,
+                        }],
+                        "logs": [],
+                    }
+                )
+        return spark.createDataFrame(rows, SPAN)
+
+    base = EQ.clock_skew(frame(0)).collect()[0]
+    shifted = EQ.clock_skew(frame(shift)).collect()[0]
+    assert round(shifted["avg_skew"] - base["avg_skew"], 4) == shift
+    assert shifted["avg_delay"] == base["avg_delay"]
+    assert shifted["max_delay"] == base["max_delay"]
