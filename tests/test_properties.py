@@ -588,3 +588,45 @@ def test_clock_skew_estimator_shift_linearity(rpcs, shift):
     assert round(shifted["avg_skew"] - base["avg_skew"], 4) == shift
     assert shifted["avg_delay"] == base["avg_delay"]
     assert shifted["max_delay"] == base["max_delay"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2, max_size=10,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_containment_prefix_filter_exact_on_random_corpora(word_lists, t):
+    """The one-sided prefix filter must be EXACT-complete for any corpus
+    and threshold: compare against brute-force containment over full
+    3-gram shingle sets (tiny token alphabet → heavy overlap, the
+    hardest case for candidate pruning)."""
+    import itertools
+
+    from haystack_traces_spark.datapipe import dedup as D
+    from haystack_traces_spark.session import release_materialized
+
+    spark = _spark()
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.containment_pairs(df, threshold=t).collect()
+    }
+    release_materialized()
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        if not inter:
+            continue
+        if inter / len(sa) >= t or inter / len(sb) >= t:
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
