@@ -5163,6 +5163,62 @@ ORDER BY p.tag_key
     )
 
 
+def q_timestamp_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumentation clock audit: per service, the fraction of span
+    start times aligned to millisecond/second boundaries (in the µs
+    domain) and the inferred clock granularity. A service reporting
+    ms-truncated timestamps silently breaks duration math, span
+    ordering tie-breaks, and the clock-skew estimator for everything it
+    talks to — and the corruption is invisible to value-range checks
+    (the timestamps look perfectly plausible).
+
+    Threshold: ≥99% alignment infers the coarser clock (a uniform µs
+    clock aligns to ms only ~0.1% of the time, so the gap between
+    healthy and truncated is ~three orders of magnitude).
+
+    Scale shape: ONE map-side-combinable aggregate — modulo flags
+    summed per service, nothing else."""
+    spans = _spans(spark, sf_dir)
+    ms = (F.col("start_time") % 1_000 == 0).cast("long")
+    s = (F.col("start_time") % 1_000_000 == 0).cast("long")
+    agg = spans.groupBy(F.lower("service_name").alias("servicename")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.round(F.avg(ms), 6).alias("frac_ms_aligned"),
+        F.round(F.avg(s), 6).alias("frac_s_aligned"),
+    )
+    return (
+        agg.withColumn(
+            "inferred_granularity",
+            F.when(F.col("frac_s_aligned") >= 0.99, "second")
+            .when(F.col("frac_ms_aligned") >= 0.99, "millisecond")
+            .otherwise("microsecond"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_timestamp_granularity() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, agg AS (
+  SELECT lower(service_name) AS servicename,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         ROUND(AVG(CASE WHEN start_time % 1000 = 0 THEN 1.0 ELSE 0.0 END), 6)
+           AS frac_ms_aligned,
+         ROUND(AVG(CASE WHEN start_time % 1000000 = 0 THEN 1.0 ELSE 0.0 END), 6)
+           AS frac_s_aligned
+  FROM spans GROUP BY 1
+)
+SELECT *,
+       CASE WHEN frac_s_aligned >= 0.99 THEN 'second'
+            WHEN frac_ms_aligned >= 0.99 THEN 'millisecond'
+            ELSE 'microsecond' END AS inferred_granularity
+FROM agg ORDER BY servicename
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5325,6 +5381,7 @@ _ROTATION_QUEUE = (
     "ngram_entropy_rate",
     "tag_value_stats",
     "intro_bias",
+    "timestamp_granularity",
 )
 
 
@@ -5437,6 +5494,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_rate_plan": q_sampling_rate_plan,
         "hot_call_paths": q_hot_call_paths,
         "tag_value_stats": q_tag_value_stats,
+        "timestamp_granularity": q_timestamp_granularity,
     }
 
 
@@ -5537,4 +5595,5 @@ def _trace_oracles() -> dict[str, str]:
         "sampling_rate_plan": sql_sampling_rate_plan(),
         "hot_call_paths": sql_hot_call_paths(),
         "tag_value_stats": sql_tag_value_stats(),
+        "timestamp_granularity": sql_timestamp_granularity(),
     }

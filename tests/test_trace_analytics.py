@@ -1158,3 +1158,25 @@ def test_tag_value_stats_cardinality_and_nulls(spark):
     assert (role["n_spans"], role["n_values"], role["top_share"]) == (
         2, 1, 1.0,
     )
+
+
+def test_timestamp_granularity_detects_truncated_clock(spark):
+    rows = (
+        # healthy µs clock: unaligned starts
+        [mk(trace_id=f"a{i}", span_id=f"a{i}", service="healthy",
+            start=T0 + 1_000 * i + 7) for i in range(5)]
+        # ms-truncated instrumentation: every start % 1000 == 0
+        + [mk(trace_id=f"b{i}", span_id=f"b{i}", service="coarse",
+              start=T0 + 1_000 * i) for i in range(5)]
+    )
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_timestamp_granularity(spark, "ignored").collect(),
+    )
+    by_svc = {r["servicename"]: r.asDict() for r in out}
+    assert by_svc["healthy"]["inferred_granularity"] == "microsecond"
+    assert by_svc["healthy"]["frac_ms_aligned"] == 0.0
+    coarse = by_svc["coarse"]
+    assert coarse["frac_ms_aligned"] == 1.0
+    # T0 is second-aligned, the others only ms-aligned
+    assert coarse["inferred_granularity"] == "millisecond"
