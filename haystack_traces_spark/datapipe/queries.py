@@ -3219,6 +3219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_dim": q_effective_dim,
         "ngram_entropy_rate": q_ngram_entropy_rate,
         "intro_bias": q_intro_bias,
+        # round-5 final batch (queued in _ROTATION_QUEUE round-26):
+        "source_pair_jsd": q_source_pair_jsd,
+        "length_dup_propensity": q_length_dup_propensity,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3324,6 +3327,8 @@ def oracle_sql() -> dict[str, str]:
         "effective_dim": sql_effective_dim(),
         "ngram_entropy_rate": sql_ngram_entropy_rate(),
         "intro_bias": sql_intro_bias(),
+        "source_pair_jsd": sql_source_pair_jsd(),
+        "length_dup_propensity": sql_length_dup_propensity(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -5423,4 +5428,166 @@ JOIN full_t f USING (source, tok)
 JOIN itot it USING (source)
 JOIN ftot ft USING (source)
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_pair_jsd(spark, sf_dir):
+    """→ (source_a, source_b, shared_vocab_mass_a, shared_vocab_mass_b,
+    jsd): Jensen-Shannon divergence between every pair of source token
+    DISTRIBUTIONS — the feed-level mirror detector that works when
+    doc-level overlap fails (a feed that paraphrases every article
+    shares almost no n-grams with its twin but nearly the same token
+    distribution). Uses the decomposition
+    JSD = ½·ln2·(mass only in P + mass only in Q)
+        + ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))],
+    so only the SHARED-token inner join is materialized (exclusive-token
+    mass falls out of the per-pair shared totals). Natural log;
+    JSD ∈ [0, ln 2].
+
+    Scale shape: per-source distributions are one combinable aggregate;
+    the pair join volume is Σ over shared tokens of (pairs sharing it) —
+    bounded by |sources|²·|vocab| and keyed on the token."""
+    import math
+
+    from haystack_traces_spark.session import materialize
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = toks.groupBy("source").agg(F.sum("c").alias("n"))
+    dist = materialize(
+        toks.join(tot, "source").select(
+            "source", "tok", (F.col("c") / F.col("n")).alias("p")
+        )
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    shared = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    ln2 = math.log(2.0)
+    term = F.col("pa") * F.log(
+        2 * F.col("pa") / (F.col("pa") + F.col("pb"))
+    ) + F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    return (
+        shared.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("pa").alias("ma"),
+            F.sum("pb").alias("mb"),
+            F.sum(term).alias("shared_term"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round("ma", 6).alias("shared_vocab_mass_a"),
+            F.round("mb", 6).alias("shared_vocab_mass_b"),
+            F.round(
+                0.5 * ln2 * ((1 - F.col("ma")) + (1 - F.col("mb")))
+                + 0.5 * F.col("shared_term"),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def sql_source_pair_jsd() -> str:
+    import math
+
+    ln2 = math.log(2.0)
+    return f"""
+WITH toks AS (
+  SELECT source, t.tok, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(c) AS n FROM toks GROUP BY 1),
+dist AS (
+  SELECT t.source, t.tok, t.c / o.n AS p
+  FROM toks t JOIN tot o USING (source)
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.p AS pa, b.p AS pb
+  FROM dist a JOIN dist b ON b.tok = a.tok AND a.source < b.source
+)
+SELECT source_a, source_b,
+       ROUND(SUM(pa), 6) AS shared_vocab_mass_a,
+       ROUND(SUM(pb), 6) AS shared_vocab_mass_b,
+       ROUND(0.5 * {ln2} * ((1 - SUM(pa)) + (1 - SUM(pb)))
+             + 0.5 * SUM(pa * LN(2 * pa / (pa + pb))
+                         + pb * LN(2 * pb / (pa + pb))), 6) AS jsd
+FROM shared GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+#: Length-bucket × dup-propensity table buckets (bit length of token count).
+def q_length_dup_propensity(spark, sf_dir):
+    """→ (len_bucket, n_docs, n_dup_docs, dup_rate): near-duplication
+    propensity by document LENGTH bucket (bit-length of token count) —
+    does the dedup threshold interact with length? Short docs reach a
+    Jaccard threshold with fewer differing tokens (so templated stubs
+    over-flag), long docs under-flag; a strongly length-skewed dup rate
+    says the threshold (or the shingle width) needs per-length
+    calibration before cluster-deletion. Rides the session-cached
+    flagged-pair stage.
+
+    Scale shape: pair endpoints explode to a doc set (bounded by
+    2·|pairs|), one left join onto the doc scan, one combinable
+    bit-length-bucket rollup."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    pairs = _jaccard_pairs(spark, sf_dir)
+    flagged = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    bucket = F.length(
+        F.conv(F.col("n_tokens").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        docs.join(flagged, "doc_id", "left")
+        .groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias(
+                "n_dup_docs"
+            ),
+            F.round(
+                F.sum(F.coalesce("is_dup", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+def sql_length_dup_propensity() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    UNION ALL
+    SELECT doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+  )
+),
+lab AS (
+  SELECT CAST(length(bin(len(string_split(d.text, ' ')))) AS BIGINT)
+           AS len_bucket,
+         CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM documents d LEFT JOIN flagged f USING (doc_id)
+)
+SELECT len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM lab GROUP BY 1 ORDER BY 1
 """

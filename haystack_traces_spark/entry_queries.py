@@ -5219,6 +5219,81 @@ FROM agg ORDER BY servicename
     )
 
 
+#: Bucket width for the in-flight trace load profile.
+TRACE_LOAD_BUCKET_US = 60_000_000  # one minute
+
+
+def q_concurrent_trace_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer capacity input: how many traces are IN FLIGHT per
+    minute bucket — each trace occupies [min span start, max span end],
+    exploded onto the minute grid. This is the number the T2 state
+    budget must cover (traces the sessionizer holds open at once) and
+    what the partition-divided global span budget is sized against;
+    n_starting is the arrival rate the window-from-first-seen timer
+    sees.
+
+    Scale shape: per-trace envelope is one combinable aggregate; the
+    grid explode emits (trace duration / bucket) rows per trace —
+    bounded by the trace-duration envelope (seconds), not span volume;
+    the per-bucket rollup is combinable."""
+    spans = _spans(spark, sf_dir)
+    B = TRACE_LOAD_BUCKET_US
+    env = spans.groupBy("trace_id").agg(
+        F.min("start_time").alias("t0"),
+        F.max(F.col("start_time") + F.col("duration")).alias("t1"),
+    )
+    b0 = F.floor(F.col("t0") / B)
+    b1 = F.floor(F.col("t1") / B)
+    grid = env.select(
+        "trace_id",
+        b0.alias("b0"),
+        b1.alias("b1"),
+        F.explode(F.sequence(b0, b1)).alias("bucket"),
+    )
+    return (
+        grid.groupBy((F.col("bucket") * B).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum((F.col("bucket") == F.col("b0")).cast("long"))
+            .cast("long")
+            .alias("n_starting"),
+            F.sum((F.col("bucket") == F.col("b1")).cast("long"))
+            .cast("long")
+            .alias("n_ending"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def sql_concurrent_trace_load() -> str:
+    B = TRACE_LOAD_BUCKET_US
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, env AS (
+  SELECT trace_id, MIN(start_time) AS t0,
+         MAX(start_time + duration) AS t1
+  FROM spans GROUP BY 1
+),
+grid AS (
+  SELECT trace_id,
+         CAST(FLOOR(t0 / {B}) AS BIGINT) AS b0,
+         CAST(FLOOR(t1 / {B}) AS BIGINT) AS b1,
+         t.bucket
+  FROM env, UNNEST(generate_series(CAST(FLOOR(t0 / {B}) AS BIGINT),
+                                   CAST(FLOOR(t1 / {B}) AS BIGINT))) t(bucket)
+)
+SELECT CAST(bucket * {B} AS BIGINT) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN bucket = b0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_starting,
+       CAST(SUM(CASE WHEN bucket = b1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ending
+FROM grid GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5382,6 +5457,10 @@ _ROTATION_QUEUE = (
     "tag_value_stats",
     "intro_bias",
     "timestamp_granularity",
+    # round-26 queue:
+    "concurrent_trace_load",
+    "source_pair_jsd",
+    "length_dup_propensity",
 )
 
 
@@ -5495,6 +5574,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_call_paths": q_hot_call_paths,
         "tag_value_stats": q_tag_value_stats,
         "timestamp_granularity": q_timestamp_granularity,
+        "concurrent_trace_load": q_concurrent_trace_load,
     }
 
 
@@ -5596,4 +5676,5 @@ def _trace_oracles() -> dict[str, str]:
         "hot_call_paths": sql_hot_call_paths(),
         "tag_value_stats": sql_tag_value_stats(),
         "timestamp_granularity": sql_timestamp_granularity(),
+        "concurrent_trace_load": sql_concurrent_trace_load(),
     }

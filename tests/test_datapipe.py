@@ -2035,3 +2035,52 @@ class TestRound5dOperators:
         assert out["templated"]["kl_intro"] > 0.05
         assert out["uniform"]["kl_intro"] == 0.0
         assert out["uniform"]["n_intro_tokens"] == 10
+
+    def test_source_pair_jsd_extremes(self, spark, tmp_path):
+        """Identical distributions → JSD 0; disjoint vocabularies →
+        JSD = ln 2 (no shared tokens → the pair appears ONLY when at
+        least one token is shared, so craft a one-token bridge)."""
+        import math
+
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [
+            (1, "a b c", "p"),
+            (2, "a b c", "q"),            # identical dist to p
+            (3, "x y z bridge", "r"),     # nearly disjoint from p
+            (4, "a b c bridge", "p2"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {(r["source_a"], r["source_b"]): r.asDict()
+               for r in dp.q_source_pair_jsd(spark, d).collect()}
+        assert out[("p", "q")]["jsd"] == 0.0
+        assert out[("p", "q")]["shared_vocab_mass_a"] == 1.0
+        # p vs r share nothing → no row (shared-join contract, documented)
+        assert ("p", "r") not in out
+        # p2 vs r share only 'bridge' (mass 1/4 each side):
+        # jsd = ln2/2 * (3/4 + 3/4) + shared term 0 = 0.75 ln 2
+        pr = out[("p2", "r")]
+        assert pr["jsd"] == round(0.75 * math.log(2), 6)
+
+    def test_length_dup_propensity_partitions_and_flags(self, spark, tmp_path):
+        from haystack_traces_spark.datapipe import queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+
+        d = str(tmp_path / "corpus")
+        text = " ".join(f"w{i}" for i in range(16))  # bucket: bin(16) → 5
+        rows = [
+            (1, text, "s"), (2, text, "s"),          # dup pair, len 16
+            (3, "a b c d e f g h", "s"),             # len 8 → bucket 4
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["len_bucket"]: r.asDict()
+               for r in dp.q_length_dup_propensity(spark, d).collect()}
+        assert out[5] == {"len_bucket": 5, "n_docs": 2, "n_dup_docs": 2,
+                          "dup_rate": 1.0}
+        assert out[4]["n_dup_docs"] == 0 and out[4]["dup_rate"] == 0.0
+        stagecache.clear()

@@ -1180,3 +1180,23 @@ def test_timestamp_granularity_detects_truncated_clock(spark):
     assert coarse["frac_ms_aligned"] == 1.0
     # T0 is second-aligned, the others only ms-aligned
     assert coarse["inferred_granularity"] == "millisecond"
+
+
+def test_concurrent_trace_load_minute_grid(spark):
+    B = EQ.TRACE_LOAD_BUCKET_US
+    rows = [
+        # trace A spans buckets 0-2 (start bucket 0, end bucket 2)
+        mk(trace_id="A", span_id="a1", start=10, duration=100),
+        mk(trace_id="A", span_id="a2", start=2 * B + 5, duration=50),
+        # trace B lives entirely in bucket 1
+        mk(trace_id="B", span_id="b1", start=B + 100, duration=200),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_concurrent_trace_load(spark, "ignored").collect(),
+    )
+    by_bucket = {r["bucket_start"] // B: r.asDict() for r in out}
+    assert by_bucket[0]["n_active"] == 1 and by_bucket[0]["n_starting"] == 1
+    assert by_bucket[1]["n_active"] == 2
+    assert by_bucket[1]["n_starting"] == 1 and by_bucket[1]["n_ending"] == 1
+    assert by_bucket[2]["n_active"] == 1 and by_bucket[2]["n_ending"] == 1
