@@ -5451,7 +5451,9 @@ def q_source_pair_jsd(spark, sf_dir):
 
     from haystack_traces_spark.session import materialize
 
-    toks = (
+    # pinned: the (source, tok) count table feeds BOTH the totals rollup
+    # and the distribution join of one action
+    toks = materialize(
         _docs(spark, sf_dir)
         .select("source", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("source", "tok")
@@ -5526,7 +5528,6 @@ FROM shared GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-#: Length-bucket × dup-propensity table buckets (bit length of token count).
 def q_length_dup_propensity(spark, sf_dir):
     """→ (len_bucket, n_docs, n_dup_docs, dup_rate): near-duplication
     propensity by document LENGTH bucket (bit-length of token count) —

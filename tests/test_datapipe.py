@@ -2064,6 +2064,9 @@ class TestRound5dOperators:
         # jsd = ln2/2 * (3/4 + 3/4) + shared term 0 = 0.75 ln 2
         pr = out[("p2", "r")]
         assert pr["jsd"] == round(0.75 * math.log(2), 6)
+        from haystack_traces_spark.session import release_materialized
+
+        release_materialized()
 
     def test_length_dup_propensity_partitions_and_flags(self, spark, tmp_path):
         from haystack_traces_spark.datapipe import queries as dp

@@ -532,6 +532,7 @@ def test_round5_dp_operators_plan_shapes(spark):
             bloom[:2000]
         )
         assert "CartesianProduct" not in bloom
+        assert "BroadcastNestedLoopJoin" not in bloom
 
         for name, fn in {
             "containment_dedup": dp.q_containment_dedup,
@@ -543,5 +544,11 @@ def test_round5_dp_operators_plan_shapes(spark):
         }.items():
             plan = _plan(fn(spark, sf))
             assert "CartesianProduct" not in plan, name
+            if name != "label_cohesion":
+                # a dropped join condition at test scale compiles to
+                # BroadcastNestedLoopJoin, not CartesianProduct — guard
+                # both (label_cohesion's 1-row global-count broadcast is
+                # a legitimate BNLJ, excluded)
+                assert "BroadcastNestedLoopJoin" not in plan, name
     finally:
         release_materialized()
