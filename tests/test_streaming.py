@@ -1344,3 +1344,56 @@ def test_bloom_gate_e2e_writestream(spark, tmp_path):
     rows = {r["doc_id"]: r["bloom_hit"]
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert rows == {1: False, 2: True, 3: False}
+
+
+def test_bloom_gate_restart_from_checkpoint(spark, tmp_path):
+    """T3 for the Bloom gate: stop after batch 1, restart with the SAME
+    checkpoint on new source files — only the new batch is processed,
+    prior verdicts survive untouched, and content admitted before the
+    restart still screens as a hit after it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from haystack_traces_spark.streaming.bloom_stream import BloomIngest
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        # single FILES at the source root (the file stream does not
+        # recurse into Spark-written .parquet directories)
+        pq.write_table(
+            pa.table(
+                {"doc_id": [r[0] for r in rows],
+                 "text": [r[1] for r in rows]},
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string())]
+                ),
+            ),
+            str(src / name),
+        )
+
+    write_file("f1.parquet", [(1, "alpha bravo"), (2, "charlie delta")])
+
+    gate = BloomIngest(str(tmp_path / "state"), str(tmp_path / "out"))
+    q = gate.start(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(90)
+    first = {r["doc_id"]: r["bloom_hit"]
+             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert first == {1: False, 2: False}
+
+    # new delivery after "restart": a dup of pre-restart content + fresh
+    write_file("f2.parquet", [(10, "alpha bravo"), (11, "echo foxtrot")])
+    q2 = gate.start(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(90)
+    rows = {r["doc_id"]: r["bloom_hit"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # pre-restart verdicts intact, pre-restart content HITS, fresh misses
+    assert rows == {1: False, 2: False, 10: True, 11: False}
