@@ -3222,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 final batch (queued in _ROTATION_QUEUE round-26):
         "source_pair_jsd": q_source_pair_jsd,
         "length_dup_propensity": q_length_dup_propensity,
+        "ingestion_mixing": q_ingestion_mixing,
         # driver-checked in r4, rotated behind the queue:
         "contamination_by_source": q_contamination_by_source,
         "leakage_safe_split": q_leakage_safe_split,
@@ -3329,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "intro_bias": sql_intro_bias(),
         "source_pair_jsd": sql_source_pair_jsd(),
         "length_dup_propensity": sql_length_dup_propensity(),
+        "ingestion_mixing": sql_ingestion_mixing(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
         "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
@@ -5591,4 +5593,118 @@ SELECT len_bucket,
        CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
        ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
 FROM lab GROUP BY 1 ORDER BY 1
+"""
+
+
+#: Block width (docs per ingestion block) for the input-order mixing audit.
+MIXING_BLOCK_DOCS = 100
+
+
+def q_ingestion_mixing(spark, sf_dir):
+    """→ (n_blocks, avg_block_jsd, max_block_jsd, worst_block): is the
+    INPUT corpus well-shuffled in ingestion (doc_id) order? Each block
+    of MIXING_BLOCK_DOCS consecutive doc_ids gets the JSD of its source
+    distribution against the corpus mix; block-ordered ingestion (all
+    of feed A, then all of feed B — the crawl-dump default) pushes
+    block JSDs toward ln 2 while a good shuffle keeps them near the
+    small-sample floor. The INPUT-side complement of
+    `shard_source_entropy` (which audits the packed OUTPUT): if this
+    reads badly, `shuffle_order` is load-bearing, not belt-and-braces.
+
+    Uses the same shared-mass JSD decomposition as `source_pair_jsd`
+    (exclusive mass falls out of totals; only the shared inner join
+    materializes — here every block source IS in the corpus mix, so
+    only the corpus-exclusive side contributes ½·p·ln2 mass, which is
+    zero too: supports are nested, block ⊆ corpus).
+
+    Scale shape: block key = doc_id div block — pure expression; block
+    and corpus distributions are combinable aggregates; the rollup is
+    one row."""
+    import math
+
+    from haystack_traces_spark.session import materialize
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") / MIXING_BLOCK_DOCS).cast("long").alias("block"),
+        "source",
+    )
+    bc = docs.groupBy("block", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    btot = bc.groupBy("block").agg(F.sum("c").alias("nb"))
+    corpus = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("cc")
+    )
+    ctot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ln2 = math.log(2.0)
+    j = (
+        bc.join(btot, "block")
+        .join(corpus, "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "block",
+            (F.col("c") / F.col("nb")).alias("p"),
+            (F.col("cc") / F.col("n")).alias("q"),
+        )
+    )
+    term = F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))) + (
+        F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    # corpus mass NOT present in the block contributes ½·q_excl·ln2
+    per_block = j.groupBy("block").agg(
+        F.sum("q").alias("mq"),
+        F.sum(term).alias("shared_term"),
+    )
+    jsd = 0.5 * ln2 * (1 - F.col("mq")) + 0.5 * F.col("shared_term")
+    # pinned: scored feeds both the rollup and the worst-block limit
+    scored = materialize(
+        per_block.select(F.round(jsd, 6).alias("block_jsd"), "block")
+    )
+    worst = (
+        scored.orderBy(F.col("block_jsd").desc(), F.col("block").asc())
+        .limit(1)
+        .select(F.col("block").cast("long").alias("worst_block"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.round(F.avg("block_jsd"), 6).alias("avg_block_jsd"),
+        F.round(F.max("block_jsd"), 6).alias("max_block_jsd"),
+    ).crossJoin(F.broadcast(worst))
+
+
+def sql_ingestion_mixing() -> str:
+    import math
+
+    ln2 = math.log(2.0)
+    B = MIXING_BLOCK_DOCS
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id // {B} AS BIGINT) AS block, source FROM documents
+),
+bc AS (SELECT block, source, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM d GROUP BY 1, 2),
+btot AS (SELECT block, SUM(c) AS nb FROM bc GROUP BY 1),
+corpus AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS cc FROM d GROUP BY 1),
+ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+j AS (
+  SELECT b.block, b.c / t.nb AS p, co.cc / ct.n AS q
+  FROM bc b
+  JOIN btot t USING (block)
+  JOIN corpus co USING (source)
+  CROSS JOIN ctot ct
+),
+per_block AS (
+  SELECT block,
+         ROUND(0.5 * {ln2} * (1 - SUM(q))
+               + 0.5 * SUM(p * LN(2 * p / (p + q))
+                           + q * LN(2 * q / (p + q))), 6) AS block_jsd
+  FROM j GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       ROUND(AVG(block_jsd), 6) AS avg_block_jsd,
+       ROUND(MAX(block_jsd), 6) AS max_block_jsd,
+       CAST((SELECT block FROM per_block
+             ORDER BY block_jsd DESC, block ASC LIMIT 1) AS BIGINT)
+         AS worst_block
+FROM per_block
 """

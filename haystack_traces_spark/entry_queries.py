@@ -5461,6 +5461,7 @@ _ROTATION_QUEUE = (
     "concurrent_trace_load",
     "source_pair_jsd",
     "length_dup_propensity",
+    "ingestion_mixing",
 )
 
 

@@ -2087,3 +2087,21 @@ class TestRound5dOperators:
                           "dup_rate": 1.0}
         assert out[4]["n_dup_docs"] == 0 and out[4]["dup_rate"] == 0.0
         stagecache.clear()
+
+    def test_ingestion_mixing_block_ordered_corpus(self, spark, tmp_path):
+        """Block-ordered ingestion (100 docs of srcA then 100 of srcB):
+        every block is pure, so block JSD = JSD((1,0) vs (.5,.5)) =
+        0.215762 — far above a shuffled corpus's small-sample floor."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [(i, f"text {i}", "srcA" if i < 100 else "srcB")
+                for i in range(200)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        r = dp.q_ingestion_mixing(spark, d).collect()[0].asDict()
+        assert r["n_blocks"] == 2
+        assert r["avg_block_jsd"] == 0.215762
+        assert r["max_block_jsd"] == 0.215762
+        assert r["worst_block"] == 0  # tie → smallest block
