@@ -5625,17 +5625,25 @@ def q_ingestion_mixing(spark, sf_dir):
     from haystack_traces_spark.session import materialize
 
     docs = _docs(spark, sf_dir).select(
-        (F.col("doc_id") / MIXING_BLOCK_DOCS).cast("long").alias("block"),
+        # FLOOR in the double domain on BOTH faces (the heaps_law idiom;
+        # Spark's `div` truncates toward zero while DuckDB `//` floors —
+        # FLOOR(x / B) is the one spelling both engines agree on)
+        F.floor(F.col("doc_id") / MIXING_BLOCK_DOCS)
+        .cast("long")
+        .alias("block"),
         "source",
     )
-    bc = docs.groupBy("block", "source").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # ONE corpus scan: the (block, source) counts are pinned and the
+    # per-block totals, corpus distribution AND corpus total all derive
+    # from them (4 consumers otherwise re-scan the source)
+    bc = materialize(
+        docs.groupBy("block", "source").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
     )
     btot = bc.groupBy("block").agg(F.sum("c").alias("nb"))
-    corpus = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("double").alias("cc")
-    )
-    ctot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    corpus = bc.groupBy("source").agg(F.sum("c").alias("cc"))
+    ctot = bc.agg(F.sum("c").alias("n"))
     ln2 = math.log(2.0)
     j = (
         bc.join(btot, "block")
@@ -5665,11 +5673,22 @@ def q_ingestion_mixing(spark, sf_dir):
         .limit(1)
         .select(F.col("block").cast("long").alias("worst_block"))
     )
-    return scored.agg(
+    # LEFT join on a constant key, not crossJoin: on an empty corpus the
+    # limit-1 frame is EMPTY and a crossJoin would annihilate the
+    # always-1-row aggregate, while the oracle's scalar subquery yields
+    # a 1-row NULL — the faces must agree on the degenerate case too
+    agg = scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
         F.round(F.avg("block_jsd"), 6).alias("avg_block_jsd"),
         F.round(F.max("block_jsd"), 6).alias("max_block_jsd"),
-    ).crossJoin(F.broadcast(worst))
+    )
+    return (
+        agg.withColumn("_k", F.lit(1))
+        .join(
+            F.broadcast(worst.withColumn("_k", F.lit(1))), "_k", "left"
+        )
+        .drop("_k")
+    )
 
 
 def sql_ingestion_mixing() -> str:
@@ -5679,7 +5698,7 @@ def sql_ingestion_mixing() -> str:
     B = MIXING_BLOCK_DOCS
     return f"""
 WITH d AS (
-  SELECT CAST(doc_id // {B} AS BIGINT) AS block, source FROM documents
+  SELECT CAST(FLOOR(doc_id / {B}) AS BIGINT) AS block, source FROM documents
 ),
 bc AS (SELECT block, source, CAST(COUNT(*) AS DOUBLE) AS c
        FROM d GROUP BY 1, 2),

@@ -2054,19 +2054,21 @@ class TestRound5dOperators:
         spark.createDataFrame(
             rows, "doc_id long, text string, source string"
         ).write.parquet(f"{d}/documents.parquet")
-        out = {(r["source_a"], r["source_b"]): r.asDict()
-               for r in dp.q_source_pair_jsd(spark, d).collect()}
-        assert out[("p", "q")]["jsd"] == 0.0
-        assert out[("p", "q")]["shared_vocab_mass_a"] == 1.0
-        # p vs r share nothing → no row (shared-join contract, documented)
-        assert ("p", "r") not in out
-        # p2 vs r share only 'bridge' (mass 1/4 each side):
-        # jsd = ln2/2 * (3/4 + 3/4) + shared term 0 = 0.75 ln 2
-        pr = out[("p2", "r")]
-        assert pr["jsd"] == round(0.75 * math.log(2), 6)
         from haystack_traces_spark.session import release_materialized
 
-        release_materialized()
+        try:
+            out = {(r["source_a"], r["source_b"]): r.asDict()
+                   for r in dp.q_source_pair_jsd(spark, d).collect()}
+            assert out[("p", "q")]["jsd"] == 0.0
+            assert out[("p", "q")]["shared_vocab_mass_a"] == 1.0
+            # p vs r share nothing → no row (shared-join contract, documented)
+            assert ("p", "r") not in out
+            # p2 vs r share only 'bridge' (mass 1/4 each side):
+            # jsd = ln2/2 * (3/4 + 3/4) + shared term 0 = 0.75 ln 2
+            pr = out[("p2", "r")]
+            assert pr["jsd"] == round(0.75 * math.log(2), 6)
+        finally:
+            release_materialized()
 
     def test_length_dup_propensity_partitions_and_flags(self, spark, tmp_path):
         from haystack_traces_spark.datapipe import queries as dp
@@ -2100,8 +2102,13 @@ class TestRound5dOperators:
         spark.createDataFrame(
             rows, "doc_id long, text string, source string"
         ).write.parquet(f"{d}/documents.parquet")
-        r = dp.q_ingestion_mixing(spark, d).collect()[0].asDict()
-        assert r["n_blocks"] == 2
-        assert r["avg_block_jsd"] == 0.215762
-        assert r["max_block_jsd"] == 0.215762
-        assert r["worst_block"] == 0  # tie → smallest block
+        from haystack_traces_spark.session import release_materialized
+
+        try:
+            r = dp.q_ingestion_mixing(spark, d).collect()[0].asDict()
+            assert r["n_blocks"] == 2
+            assert r["avg_block_jsd"] == 0.215762
+            assert r["max_block_jsd"] == 0.215762
+            assert r["worst_block"] == 0  # tie → smallest block
+        finally:
+            release_materialized()
