@@ -20,11 +20,15 @@ bucket costs recall only, never precision: every emitted candidate is
 still exact-verified downstream, and a bucket that hot is near-useless for
 discrimination anyway (its members collide on everything).
 
-No silent caps (SCALE.md): the drop set stays observable through
-``last_cap_stats[label]`` — a lazy view that computes (and logs) the
-dropped-bucket/row counts on first access, so tests and operators pay for
-the stats job only when they ask for it. A 100 TB deployment monitors the
-same ``hot`` side as a scheduled query instead of a per-call driver sync.
+Caps are OBSERVABLE ON DEMAND (SCALE.md, re-worded per ADVICE r5 — not
+log-always): the drop set stays observable through
+``last_cap_stats[label]`` — a lazy view that computes (and logs a
+WARNING) the dropped-bucket/row counts on first access, so tests and
+operators pay for the stats job only when they ask for it. If no
+consumer ever indexes the stats, drops happen without a log line — so a
+100 TB deployment MUST monitor ``last_cap_stats`` (or schedule the
+equivalent hot-side query); that monitoring duty is the price of having
+no eager per-call driver sync on the operator path.
 
 The default cap is sized to be inactive at the driver's test scales
 (≤5k docs / ≤2k vectors through sf0.1) so the DuckDB oracles — which do

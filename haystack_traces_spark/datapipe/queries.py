@@ -3425,6 +3425,22 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], in
     }
 
 
+def shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], int]]:
+    """Thunks that force each session-cached composite stage, in
+    dependency order (dedup_clusters rides jaccard_pairs). bench.py runs
+    these BEFORE the per-query loop so stage builds appear as their own
+    ``stage:<name>`` ledger lines and first-toucher queries report only
+    their marginal cost (VERDICT r5 ask #4)."""
+    return {
+        "jaccard_pairs": lambda: _jaccard_pairs(spark, sf_dir).count(),
+        "dedup_clusters": lambda: q_dedup_clusters(spark, sf_dir).count(),
+        "simhash_pairs": lambda: _simhash_pairs(spark, sf_dir).count(),
+        "knn_graph": lambda: _knn_graph_stage(spark, sf_dir).count(),
+        "decontaminate": lambda: q_decontaminate(spark, sf_dir).count(),
+        "dsir_weights": lambda: q_dsir_weights(spark, sf_dir).count(),
+    }
+
+
 # ------------------------------------------------- round-5 additions ------
 
 CHUNK_WINDOW = 64
@@ -4146,10 +4162,19 @@ def q_heaps_law(spark, sf_dir):
 
     Scale shape: bucketing is pure expression against a broadcast 1-row
     max; type first-seen is one map-side-combinable min aggregate on
-    the token key; the cumulative window runs over ≤HEAPS_BUCKETS rows."""
+    the token key; the cumulative window runs over ≤HEAPS_BUCKETS rows.
+
+    NULL-text docs are out of contract on BOTH faces (Spark's
+    size(split(NULL)) is -1 and would deflate cum_tokens while DuckDB's
+    NULL is aggregate-skipped — ADVICE r5): filtered like
+    chunk_windows."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     mx = docs.agg(F.max("doc_id").alias("mx"))
     bucket = F.floor(
         F.col("doc_id") * HEAPS_BUCKETS / (F.col("mx") + 1)
@@ -4194,11 +4219,12 @@ def q_heaps_law(spark, sf_dir):
 
 def sql_heaps_law() -> str:
     return f"""
-WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents WHERE text IS NOT NULL),
 db AS (
   SELECT d.doc_id, d.text,
          CAST(FLOOR(d.doc_id * {HEAPS_BUCKETS} / (m.mx + 1)) AS BIGINT) AS bucket
   FROM documents d CROSS JOIN mx m
+  WHERE d.text IS NOT NULL
 ),
 doc_agg AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4241,9 +4267,15 @@ def q_dup_inflation(spark, sf_dir):
     other sources).
 
     Scale shape: one left join onto the (session-cached) cluster map +
-    one combinable per-source aggregate — no windows."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    one combinable per-source aggregate — no windows. NULL-text docs are
+    out of contract on both faces (size(split(NULL)) = -1 would deflate
+    token sums Spark-side only — ADVICE r5)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+        )
     )
     clusters = q_dedup_clusters(spark, sf_dir)
     lab = docs.join(clusters, "doc_id", "left").withColumn(
@@ -4280,6 +4312,7 @@ lab AS (
          CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
               THEN 1 ELSE 0 END AS canon
   FROM documents d LEFT JOIN cl c USING (doc_id)
+  WHERE d.text IS NOT NULL
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4485,8 +4518,11 @@ def q_template_prefixes(spark, sf_dir):
 
     Scale shape: one map-side-combinable aggregate on the md5-bounded
     prefix key (the prefix string itself rides the shuffle only as the
-    group key); output rows = template families, not docs."""
-    docs = _docs(spark, sf_dir)
+    group key); output rows = template families, not docs. NULL-text
+    docs are out of contract on both faces (Spark's concat_ws folds a
+    NULL split to '' while DuckDB's array_to_string keeps NULL — the
+    two engines would group them differently — ADVICE r5)."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     prefix = F.concat_ws(
         " ", F.slice(F.split("text", " "), 1, TEMPLATE_PREFIX_TOKENS)
     )
@@ -4510,6 +4546,7 @@ WITH p AS (
   SELECT doc_id, source,
          array_to_string(string_split(text, ' ')[1:{k}], ' ') AS prefix
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT prefix,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -5115,10 +5152,17 @@ def q_doc_length_outliers(spark, sf_dir, approx: bool = False):
             return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
         return F.percentile(col, F.lit(0.5))
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+    # NULL-text docs are out of contract on both faces: Spark's
+    # size(split(NULL)) = -1 would enter the medians while DuckDB's NULL
+    # is MEDIAN-skipped (ADVICE r5)
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+        )
     )
     med = docs.groupBy("source").agg(med_of("n_tokens").alias("med"))
     dev = docs.join(F.broadcast(med), "source")
@@ -5147,6 +5191,7 @@ WITH d AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
   FROM documents
+  WHERE text IS NOT NULL
 ),
 med AS (SELECT source, MEDIAN(n_tokens) AS med FROM d GROUP BY 1),
 mad AS (

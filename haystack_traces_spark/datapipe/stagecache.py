@@ -30,11 +30,19 @@ them for the session is bounded by design.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _cache: dict[tuple[str, str, str], DataFrame] = {}
+
+#: Wall seconds spent BUILDING each stage this session, keyed by stage
+#: name (VERDICT r5 ask #4): lets bench.py report stage builds as their
+#: own ledger lines instead of silently folding them into whichever
+#: query touched the stage first — round-over-round comparisons stop
+#: showing phantom first-toucher regressions.
+build_seconds: dict[str, float] = {}
 
 
 def shared_stage(
@@ -48,7 +56,11 @@ def shared_stage(
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     df = _cache.get(key)
     if df is None:
+        t0 = time.perf_counter()
         df = build().localCheckpoint(eager=True)
+        build_seconds[name] = build_seconds.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
         _cache[key] = df
     return df
 
@@ -60,7 +72,13 @@ def clear() -> int:
     check, so a rewritten directory would otherwise keep serving the
     pre-rewrite checkpoint while uncached queries scan the new data.
     Returns the number of entries dropped; the checkpointed blocks are
-    freed by the JVM once unreferenced."""
+    freed by the JVM once unreferenced. Also invalidates the
+    sf_dir-keyed driver-side oracle caches that share the same staleness
+    hazard (the ivf_pq_residual codebook literals — ADVICE r5)."""
     n = len(_cache)
     _cache.clear()
+    build_seconds.clear()
+    from haystack_traces_spark.datapipe import queries as _dpq
+
+    _dpq._sql_ivf_pq_residual_for.cache_clear()
     return n

@@ -775,6 +775,13 @@ def chunk_windows(
     per-row expressions
     (one sequence + explode) — map-only, zero shuffle, the plan parallels
     to however many executors scan the corpus."""
+    if overlap >= window:
+        # stride <= 0 would divide by zero (NULL under non-ANSI Spark —
+        # silently collapsing every long doc to one chunk) or, negative,
+        # emit negative start_tok rows (ADVICE r5)
+        raise ValueError(
+            f"overlap ({overlap}) must be < window ({window})"
+        )
     stride = window - overlap
     n = F.size(_tokens(text_col))
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(

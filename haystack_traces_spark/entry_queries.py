@@ -5331,48 +5331,17 @@ _CORE_TRACE = (
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-5 sample tail (the six VERDICT r4 named dp entries):
-    "quality_classifier",
-    "normalized_dedup",
-    "dsir_weights",
-    "ppl_buckets",
-    "tfidf_keywords",
-    "doc_clusters",
-    # round-6 queue — never driver-checked, priority order:
-    "critical_path_contrib",
-    "span_fanout_stats",
-    "error_cooccurrence",
-    "depth_profile",
-    "tail_sampling",
-    "pmi_collocations",
-    # round-7 queue:
-    "decontaminate_semantic",
-    "dup_pair_evidence",
-    "chunk_plan",
-    "epoch_plan",
-    "embedding_outliers",
-    "ivf_pq_residual",
-    "chunk_windows",
-    # round-8 queue:
-    "cluster_purity",
-    "knn_label_consistency",
-    "probe_overlap",
-    "minhash_est_quality",
-    "token_dist_shift",
-    "neardup_rate_by_source",
-    # round-9 queue:
-    "retry_storms",
-    "error_propagation",
+    # round-6 queue — never driver-checked, priority order. The 27 names
+    # that earned green CORRECTNESS_r05 rows were removed from the front
+    # per the rotation protocol; they stay covered by the local suite.
     "service_entry_points",
     "operation_latency_trend",
     "network_deltas",
-    # round-10 queue:
     "zipf_fit",
     "char_entropy",
     "window_cooccurrence",
     "ngram_novelty",
     "split_leak_audit",
-    # round-11 queue:
     "error_latency_tax",
     "span_mad_outliers",
     "operation_first_seen",
@@ -5380,87 +5349,75 @@ _ROTATION_QUEUE = (
     "knn_hubness",
     "embedding_drift",
     "token_burstiness",
-    # round-12 queue:
     "span_containment",
     "sampling_bias_report",
     "service_scorecard",
     "event_sessions",
     "funnel_steps",
-    # round-13 queue:
     "dedup_threshold_sweep",
     "shard_balance",
     "dup_degree_hist",
     "purchase_attribution",
     "incident_windows",
-    # round-14 queue:
     "dsir_resample",
     "budget_trim",
+    # round-7 queue (next 27 after round-6 rotation):
     "embedding_clusters",
     "service_seasonality",
     "user_kanonymity",
     "retention_cohorts",
-    # round-15 queue:
     "lsh_recall_report",
     "lang_metadata_agreement",
     "simhash_bit_balance",
     "winnow_density",
     "lsh_cap_pressure",
-    # round-16 queue (round-5 session-3 additions):
     "slo_burn_rate",
     "hedged_requests",
     "operation_affinity",
     "trace_fingerprints",
-    # round-17 queue:
     "containment_dedup",
     "cluster_sample_weights",
     "dup_cross_source_matrix",
     "quality_dup_matrix",
-    # round-18 queue:
     "bottleneck_ops",
     "clock_skew",
     "callgraph_drift",
     "bloom_dedup",
     "embedding_dim_ablation",
-    # round-19 queue:
     "span_idle_gaps",
     "heaps_law",
     "dup_inflation",
     "tokenizer_fertility",
-    # round-20 queue:
     "operation_cardinality_guard",
+    # round-8 queue:
     "sketch_agreement",
     "cluster_transitivity",
-    # round-21 queue:
     "dependency_cycles",
     "service_latency_coupling",
     "template_prefixes",
     "embedding_isotropy",
-    # round-22 queue:
     "cold_start_tax",
     "trace_parallelism",
     "ivf_probe_sweep",
     "ppl_length_confound",
-    # round-23 queue:
     "error_recovery_time",
     "load_latency_curve",
     "shard_source_entropy",
     "gate_agreement",
-    # round-24 queue:
     "sampling_rate_plan",
     "label_cohesion",
     "hapax_share",
     "doc_length_outliers",
-    # round-25 queue:
     "hot_call_paths",
     "effective_dim",
     "ngram_entropy_rate",
     "tag_value_stats",
     "intro_bias",
     "timestamp_granularity",
-    # round-26 queue:
     "concurrent_trace_load",
     "source_pair_jsd",
     "length_dup_propensity",
+    # round-9 queue:
     "ingestion_mixing",
 )
 

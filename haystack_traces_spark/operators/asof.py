@@ -51,6 +51,16 @@ def asof_join(
     values always come from a single right row — per-column carries
     would resurrect older non-NULL values and stitch together a row
     that never existed."""
+    reserved = {"_ts", "_side", "_ord", "_r", "_asof"}
+    taken = (set(left.columns) | set(right.columns)) & reserved
+    if taken:
+        # left.select('*', alias...) would create duplicate names →
+        # ambiguous-reference failures or silently wrong carried values
+        # (mirrors interval_join's overlap guard — ADVICE r5)
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename {sorted(taken)} before joining"
+        )
     order = right_order or right_ts
     # left carries its own payload; right carries only key/ts/values
     val_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])

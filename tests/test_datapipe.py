@@ -2112,3 +2112,104 @@ class TestRound5dOperators:
             assert r["worst_block"] == 0  # tie → smallest block
         finally:
             release_materialized()
+
+
+# --------------------------------------------- round-6 ADVICE fixes -------
+class TestRound6Advice:
+    def test_chunk_windows_rejects_overlap_ge_window(self, spark):
+        """overlap >= window → stride <= 0: divide-by-zero (silent
+        one-chunk collapse under non-ANSI Spark) or negative start_tok
+        rows — must be a loud ValueError instead (ADVICE r5)."""
+        import pytest
+
+        from haystack_traces_spark.datapipe import text as X
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="overlap"):
+            X.chunk_windows(docs, window=8, overlap=8)
+        with pytest.raises(ValueError, match="overlap"):
+            X.chunk_windows(docs, window=8, overlap=9)
+
+    def test_asof_join_rejects_reserved_columns(self, spark):
+        """A left/right frame already holding an internal working column
+        (_ts/_side/_ord/_r/_asof) would silently produce duplicate names
+        → ambiguous references or wrong carried values (ADVICE r5)."""
+        import pytest
+
+        from haystack_traces_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, 0)], "k long, ts long, _ts long"
+        )
+        right = spark.createDataFrame([(1, 5, 7)], "k long, rts long, v long")
+        with pytest.raises(ValueError, match="_ts"):
+            asof_join(left, right, ["k"], "ts", "rts", ["v"])
+        clean_left = spark.createDataFrame([(1, 10)], "k long, ts long")
+        bad_right = spark.createDataFrame(
+            [(1, 5, 7)], "k long, rts long, _asof long"
+        )
+        with pytest.raises(ValueError, match="_asof"):
+            asof_join(clean_left, bad_right, ["k"], "ts", "rts", ["_asof"])
+
+    def test_null_text_parity_with_oracle(self, spark, tmp_path):
+        """The four operators ADVICE r5 flagged (heaps_law, dup_inflation,
+        doc_length_outliers, template_prefixes) must agree with their
+        DuckDB oracles on a corpus CONTAINING a NULL-text doc — the exact
+        input where Spark's size(split(NULL)) = -1 used to enter sums and
+        group keys while DuckDB aggregate-skipped its NULL."""
+        import duckdb
+
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+        from haystack_traces_spark.session import release_materialized
+        from tests.oracle_harness import compare
+
+        d = str(tmp_path)
+        template = "alpha bravo charlie delta echo"
+        rows = [
+            # a template family of 2 (prefix k=5 tokens shared)
+            (1, template + " tail one goes here now", "srcA"),
+            (2, template + " tail two diverges body text", "srcA"),
+            # length spread in srcB: MAD 1, one 40-token outlier (z >= 5)
+            (3, "a b c d", "srcB"),
+            (4, "a b c d e", "srcB"),
+            (5, "a b c d e f", "srcB"),
+            (6, " ".join(f"w{i}" for i in range(40)), "srcB"),
+            (7, "a b c d e", "srcB"),
+            # THE doc under test
+            (8, None, "srcB"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+
+        orig = dp._docs
+        dp._docs = lambda _s, _sf: spark.read.parquet(f"{d}/documents.parquet")
+        try:
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')"
+            )
+            for name, q_fn, sql in [
+                ("heaps_law", dp.q_heaps_law, dp.sql_heaps_law()),
+                ("dup_inflation", dp.q_dup_inflation, dp.sql_dup_inflation()),
+                ("doc_length_outliers", dp.q_doc_length_outliers,
+                 dp.sql_doc_length_outliers()),
+                ("template_prefixes", dp.q_template_prefixes,
+                 dp.sql_template_prefixes()),
+            ]:
+                spark_df = q_fn(spark, d)
+                compare(spark_df, con.execute(sql).df(), f"null_text:{name}")
+            # non-vacuous: the crafted corpus realizes rows on every face
+            # (two families: the 'alpha…echo' template + docs 4/5/7's
+            # shared 'a b c d e' opener)
+            assert dp.q_template_prefixes(spark, d).count() == 2
+            assert dp.q_doc_length_outliers(spark, d).count() == 1
+            assert dp.q_heaps_law(spark, d).count() > 0
+        finally:
+            dp._docs = orig
+            stagecache.clear()
+            release_materialized()
