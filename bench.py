@@ -68,6 +68,28 @@ def main() -> None:
         spark.range(64).withColumn("g", F.col("id") % 4).groupBy("g").applyInPandas(
             lambda pdf: pdf, "id long, g long"
         ).count()
+        # ... and the ingest plan's OWN generated code (VERDICT r5 ask #3:
+        # the r4 6.8 s / r5 10.7 s build_index artifact swings were
+        # first-evaluation Janino codegen + box load — profiled warm build
+        # is ~2.4 s at sf0.1, SCALE.md §3). Run the identical pipeline on
+        # a small same-schema sample written to a side dir (NOT .limit():
+        # a CollectLimit changes WholeStageCodegen fusion boundaries →
+        # different generated classes → no warmup). A production indexer
+        # is a long-lived service; codegen amortizes to zero there.
+        # The warmup is timed as its own stage: line (same ledger contract
+        # as the shared datapipe stages) — codegen cost stays visible, it
+        # just stops masquerading as per-round build_index regressions.
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/events.parquet").sample(0.01, seed=7) \
+            .write.mode("overwrite").parquet(f"{tmp}/events_warm")
+        _wspans = spans_from_events(fan_out(spark.read.parquet(f"{tmp}/events_warm")))
+        _wspans.persist()
+        build_trace_store(_wspans).write.mode("overwrite").parquet(f"{tmp}/ts_warm")
+        _widx = build_trace_index(_wspans, with_partition_cols=True)
+        _widx.repartition("dt", "hb").write.mode("overwrite") \
+            .partitionBy("dt", "hb").parquet(f"{tmp}/ti_warm")
+        _wspans.unpersist()
+        times["stage:ingest_codegen"] = time.perf_counter() - t0
 
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()
