@@ -417,6 +417,41 @@ def lsh_topk(
     )
 
 
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_tables: int = DEFAULT_LSH_TABLES,
+    planes_per_table: int = DEFAULT_LSH_PLANES,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ distinct directed (vid, neighbor_id) candidate pairs from
+    hyperplane-bucket co-occupancy — the candidate stage of
+    :func:`lsh_knn_graph`, exposed on its own so the 10×-growth scale
+    smoke can measure candidate VOLUME directly (VERDICT r5 ask #6)."""
+    buckets = materialize(
+        hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
+    )
+    buckets = cap_buckets(
+        buckets, ["table", "bucket"], max_bucket, "lsh_knn_graph"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vid"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+
+
 def lsh_knn_graph(
     emb: DataFrame,
     k: int = 3,
@@ -440,26 +475,8 @@ def lsh_knn_graph(
     never share a bucket."""
     from pyspark.sql import Window
 
-    buckets = materialize(
-        hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
-    )
-    buckets = cap_buckets(
-        buckets, ["table", "bucket"], max_bucket, "lsh_knn_graph"
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vid"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-        )
-        .distinct()
+    cand = lsh_candidate_pairs(
+        emb, n_tables, planes_per_table, dim, id_col, max_bucket
     )
     base = with_norm(emb, id_col, dim=dim)
     left = base.select(

@@ -223,3 +223,78 @@ def test_exact_dedup_family_scales_linearly_with_distinct_content(spark):
     # ceiling for box-load variance; the failure mode being guarded is
     # quadratic candidate blowup, which would be 50-100x)
     assert t_full <= max(8 * t_base, 60), (t_base, t_full)
+
+
+@pytest.mark.slow
+def test_neardup_family_candidate_growth_at_10x(spark):
+    """VERDICT r5 ask #6 — candidate-VOLUME growth for the near-dup
+    family (the sf0.1 measured rows live in SCALE.md §6):
+
+    * containment: replica-DISJOINT 10x growth → candidates exactly 10x
+      (prefix-filter join volume is Σ df over prefix occurrences — df is
+      per-shingle, so disjoint content adds, never multiplies).
+    * kNN-graph LSH: IDENTICAL replicas (worst case — every replica
+      collides with every other) → replica-quadratic ~k² x base, never
+      more; and a cap dialed below the hottest 10x bucket ENGAGES,
+      bounds the volume, and reports its drops via last_cap_stats."""
+    from haystack_traces_spark.datapipe import caps
+    from haystack_traces_spark.datapipe import dedup as D
+    from haystack_traces_spark.datapipe import similarity as S
+    from haystack_traces_spark.session import release_materialized
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+
+    # ---- containment: replica-disjoint content, exact 10x linearity ----
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.regexp_replace(
+            "text", " ", F.concat(F.lit(" x"), F.col("rep"), F.lit(" "))
+        ).alias("text"),
+    )
+    base_docs = big_docs.filter(F.col("doc_id") < 1_000_000)
+    try:
+        c1 = D.containment_candidates(
+            D.materialize(D.shingle_rows(base_docs, "text", 3)), 0.9
+        ).count()
+        release_materialized()
+        c10 = D.containment_candidates(
+            D.materialize(D.shingle_rows(big_docs, "text", 3)), 0.9
+        ).count()
+        assert c10 == 10 * c1, (c1, c10)
+    finally:
+        release_materialized()
+
+    # ---- kNN LSH: identical replicas, replica-quadratic bound ----
+    big_emb = (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    try:
+        k1 = S.lsh_candidate_pairs(emb).count()
+        release_materialized()
+        k10 = S.lsh_candidate_pairs(big_emb).count()
+        release_materialized()
+        n_vec10 = big_emb.count()
+        # every 1x candidate replicates 10x10 ways + replica-identity
+        # pairs; corpus-quadratic would be ~n_vec10² = 4x10⁶ x per-table
+        assert k10 <= 100 * k1 + 10 * 9 * (n_vec10 // 10), (k1, k10)
+
+        # ---- cap engages at growth and reports its drops ----
+        occ_max = (
+            S.hyperplane_buckets(big_emb)
+            .groupBy("table", "bucket")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        cap = max(1, int(occ_max * 0.6))
+        k_capped = S.lsh_candidate_pairs(big_emb, max_bucket=cap).count()
+        stats = dict(caps.last_cap_stats["lsh_knn_graph"])
+        assert stats["n_buckets_dropped"] > 0, stats
+        assert stats["n_rows_dropped"] >= cap + 1, stats
+        assert k_capped < k10, (k_capped, k10)
+    finally:
+        release_materialized()
