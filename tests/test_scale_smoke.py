@@ -298,3 +298,57 @@ def test_neardup_family_candidate_growth_at_10x(spark):
         assert k_capped < k10, (k_capped, k10)
     finally:
         release_materialized()
+
+
+@pytest.mark.slow
+def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
+    """VERDICT r5 ask #8 (suite-sized pin of the SCALE.md §6 soak): >=20
+    consecutive micro-batches through the FULL IngestTopology — state
+    rows bounded, and batch wall time FLAT (last-5 average within 3x the
+    middle-5 average; growth-with-batch-count would compound past that)."""
+    import time as _t
+
+    from haystack_traces_spark.sources.events import spans_from_events
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.streaming.ingest import SPAN, IngestTopology
+
+    spans = spans_from_events(
+        fan_out(spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
+    )
+    src_dir = str(tmp_path / "src")
+    spans.select(*[f.name for f in SPAN.fields]).repartition(22).write.json(src_dir)
+    src = (
+        spark.readStream.schema(SPAN)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    topo = IngestTopology(str(tmp_path / "tables"), window_ms=10_000)
+    q = topo.start(src, str(tmp_path / "ckpt"), trigger_sec=1)
+    prog: dict[int, tuple[int, int, int]] = {}
+    deadline = _t.time() + 300
+    try:
+        while _t.time() < deadline:
+            for p in q.recentProgress:
+                if p.get("numInputRows"):
+                    prog[p["batchId"]] = (
+                        p["numInputRows"],
+                        p["durationMs"]["triggerExecution"],
+                        sum(
+                            s.get("numRowsTotal", 0)
+                            for s in p.get("stateOperators") or []
+                        ),
+                    )
+            if len(prog) >= 20:
+                break
+            _t.sleep(2)
+    finally:
+        q.stop()
+    assert len(prog) >= 20, f"only {len(prog)} data batches ran"
+    ms = [v[1] for _, v in sorted(prog.items())]
+    mid5 = sum(ms[8:13]) / 5
+    last5 = sum(ms[-5:]) / 5
+    assert last5 <= 3 * mid5, (mid5, last5, ms)
+    # state bounded by open traces, far below total span volume
+    n_spans = sum(v[0] for v in prog.values())
+    assert max(v[2] for v in prog.values()) < n_spans / 2, (
+        max(v[2] for v in prog.values()), n_spans)
