@@ -3281,6 +3281,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-side by the shared numpy routine and injected as literal
         # VALUES; encode/ADC/ranking are hash-compared like any other entry
         "ivf_pq_residual": q_ivf_pq_residual,
+        # round-6 additions (queued in _ROTATION_QUEUE round-9):
+        "lsh_band_plan": q_lsh_band_plan,
+        "cluster_silhouette": q_cluster_silhouette,
+        "pq_distortion": q_pq_distortion,
+        "split_balance_audit": q_split_balance_audit,
+        "token_coverage_curve": q_token_coverage_curve,
+        "rare_token_docs": q_rare_token_docs,
     }
 
 
@@ -3403,6 +3410,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_est_quality": sql_minhash_est_quality(),
         "token_dist_shift": sql_token_dist_shift(),
         "neardup_rate_by_source": sql_neardup_rate_by_source(),
+        # round-6 additions:
+        "lsh_band_plan": sql_lsh_band_plan(),
+        "cluster_silhouette": sql_cluster_silhouette(),
+        "pq_distortion": sql_pq_distortion(),
+        "split_balance_audit": sql_split_balance_audit(),
+        "token_coverage_curve": sql_token_coverage_curve(),
+        "rare_token_docs": sql_rare_token_docs(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -5771,4 +5785,350 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
              ORDER BY block_jsd DESC, block ASC LIMIT 1) AS BIGINT)
          AS worst_block
 FROM per_block
+"""
+
+
+# ------------------------------------------------- round-6 additions ------
+
+def _band_grid() -> list:
+    """(bands, rows, theory_at_threshold) for every exact factorization of
+    the signature budget — theory computed ONCE in Python and injected as
+    a literal into BOTH faces (no cross-engine pow drift on the constant)."""
+    n = D.DEFAULT_MINHASH_SEEDS
+    return [
+        (n // r, r, round(1.0 - (1.0 - JACCARD_THRESHOLD**r) ** (n // r), 6))
+        for r in (1, 2, 4, 8)
+        if n % r == 0
+    ]
+
+
+def q_lsh_band_plan(spark, sf_dir):
+    """→ (bands, rows_per_band, n_true_pairs, expected_recall,
+    theory_at_threshold): the (b, r) TUNING TABLE for the MinHash
+    signature budget — expected recall of each exact factorization of
+    DEFAULT_MINHASH_SEEDS evaluated against the OBSERVED true-pair
+    Jaccard distribution (E[1 − (1 − jʳ)ᵇ] over the verified pairs),
+    beside the textbook s-curve value at the threshold. Where
+    `lsh_recall_report` audits the CURRENT geometry after the fact, this
+    prices every geometry the budget allows BEFORE re-running dedup —
+    the knob-turning table for a 100 TB pass where re-sketching is the
+    expensive step.
+
+    Scale shape: the grid is ≤4 literal rows broadcast over the
+    (session-cached, output-side) pair table; one combinable (b, r)
+    rollup."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("jaccard")
+    grid = spark.createDataFrame(
+        _band_grid(), "bands int, rows_per_band int, theory double"
+    )
+    crossed = pairs.crossJoin(F.broadcast(grid))
+    esc = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    return (
+        crossed.groupBy("bands", "rows_per_band", "theory")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+            F.round(F.avg(esc), 6).alias("expected_recall"),
+        )
+        .select(
+            F.col("bands").cast("long").alias("bands"),
+            F.col("rows_per_band").cast("long").alias("rows_per_band"),
+            "n_true_pairs",
+            "expected_recall",
+            F.col("theory").alias("theory_at_threshold"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+def sql_lsh_band_plan() -> str:
+    grid = ", ".join(f"({b}, {r}, {t})" for b, r, t in _band_grid())
+    return f"""
+WITH sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+grid(bands, rows_per_band, theory) AS (VALUES {grid})
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       ROUND(AVG(1 - POWER(1 - POWER(jaccard, rows_per_band), bands)), 6)
+         AS expected_recall,
+       theory AS theory_at_threshold
+FROM (SELECT jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD})
+CROSS JOIN grid
+GROUP BY bands, rows_per_band, theory
+ORDER BY rows_per_band
+"""
+
+
+def q_cluster_silhouette(spark, sf_dir):
+    return S.cluster_silhouette(_emb(spark, sf_dir), DOC_CLUSTER_CELLS)
+
+
+def sql_cluster_silhouette() -> str:
+    dist = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i]))))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {DOC_CLUSTER_CELLS})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {dist} AS d FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, cell, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+pv AS (
+  SELECT r1.cell,
+         ROUND(CASE WHEN GREATEST(r1.d, r2.d) > 0
+                    THEN (r2.d - r1.d) / GREATEST(r1.d, r2.d)
+                    ELSE 0 END, 6) AS s
+  FROM ranked r1
+  JOIN ranked r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+  WHERE r1.rn = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(s), 6) AS mean_silhouette,
+       MIN(s) AS min_silhouette
+FROM pv GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pq_distortion(spark, sf_dir):
+    return S.pq_distortion(_emb(spark, sf_dir))
+
+
+def sql_pq_distortion() -> str:
+    return f"""
+WITH {_pq_cb_ctes()},
+per_vec AS (SELECT vec_id, s, MIN(d) AS md FROM dists GROUP BY 1, 2)
+SELECT CAST(s AS INT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(md), 6) AS avg_sq_err,
+       ROUND(MAX(md), 6) AS max_sq_err
+FROM per_vec GROUP BY s ORDER BY s
+"""
+
+
+def q_split_balance_audit(spark, sf_dir):
+    """→ (split, source, n_docs, split_share, corpus_share, abs_dev):
+    does each train/val/test split reproduce the corpus's SOURCE mix —
+    the per-split composition audit that catches a skewed holdout before
+    an eval gets blamed on the model (a val split light on one source
+    scores that source's regressions as noise). abs_dev compares each
+    source's share WITHIN the split against its corpus-wide share;
+    derived from UNROUNDED shares, rounded once at the end.
+
+    Scale shape: the split assignment is the pure per-row hash
+    expression `split_assign` uses (no join needed — both tables derive
+    from the same scan), then two tiny combinable aggregates + a
+    broadcast join of (split, source) counts against split totals and
+    corpus shares."""
+    from haystack_traces_spark.datapipe import corpus as C
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    assigned = docs.join(C.split_assign(docs.select("doc_id")), "doc_id")
+    cell = assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    split_tot = cell.groupBy("split").agg(F.sum("n_docs").alias("n_split"))
+    corpus = cell.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    total = cell.agg(F.sum("n_docs").alias("n_all"))
+    ss = F.col("n_docs") / F.col("n_split")
+    cs = F.col("n_src") / F.col("n_all")
+    return (
+        cell.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(corpus), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            F.round(ss, 6).alias("split_share"),
+            F.round(cs, 6).alias("corpus_share"),
+            F.round(F.abs(ss - cs), 6).alias("abs_dev"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def sql_split_balance_audit() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return f"""
+WITH sa AS ({C.sql_split_assign()}),
+j AS (SELECT sa.split, d.source FROM sa JOIN documents d USING (doc_id)),
+cell AS (SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM j GROUP BY 1, 2),
+st AS (SELECT split, SUM(n_docs) AS n_split FROM cell GROUP BY 1),
+co AS (SELECT source, SUM(n_docs) AS n_src FROM cell GROUP BY 1),
+tt AS (SELECT SUM(n_docs) AS n_all FROM cell)
+SELECT c.split, c.source, c.n_docs,
+       ROUND(c.n_docs / CAST(s.n_split AS DOUBLE), 6) AS split_share,
+       ROUND(o.n_src / CAST(t.n_all AS DOUBLE), 6) AS corpus_share,
+       ROUND(ABS(c.n_docs / CAST(s.n_split AS DOUBLE)
+                 - o.n_src / CAST(t.n_all AS DOUBLE)), 6) AS abs_dev
+FROM cell c JOIN st s USING (split) JOIN co o USING (source)
+CROSS JOIN tt t
+ORDER BY c.split, c.source
+"""
+
+
+TOKEN_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_token_coverage_curve(spark, sf_dir):
+    """→ (k, cum_occurrences, coverage): how HEAD-HEAVY the token
+    distribution is — the corpus-mass share covered by the top-k most
+    frequent (lowercased) tokens at k ∈ {10, 100, 1000}. The practical
+    face of `zipf_fit`'s exponent: coverage@1000 near 1.0 says a small
+    vocab suffices (and that the corpus is templated); low coverage says
+    the tokenizer budget is carrying real diversity. A checkpoint with
+    fewer distinct tokens than k is omitted on both faces.
+
+    Scale shape: one combinable token-count aggregate; the top-1000 pick
+    is TakeOrdered (never a global sort of the vocab); the cumulative
+    window runs over ≤1000 rows; corpus total is a broadcast 1-row agg.
+    NULL-text docs are out of contract (chunk_windows pattern)."""
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    )
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    top = tf.orderBy(F.col("tf").desc(), F.col("w").asc()).limit(
+        max(TOKEN_COVERAGE_KS)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("w").asc())
+    total = toks.agg(F.sum(F.lit(1)).cast("double").alias("n_tok"))
+    return (
+        top.select(
+            F.row_number().over(w).alias("k"),
+            F.sum("tf").over(w).alias("cum"),
+        )
+        .filter(F.col("k").isin(*TOKEN_COVERAGE_KS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("cum_occurrences"),
+            F.round(F.col("cum") / F.col("n_tok"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def sql_token_coverage_curve() -> str:
+    ks = ", ".join(map(str, TOKEN_COVERAGE_KS))
+    return f"""
+WITH toks AS (
+  SELECT lower(UNNEST(string_split(text, ' '))) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1),
+ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, w ASC) AS k,
+         SUM(tf) OVER (ORDER BY tf DESC, w ASC) AS cum
+  FROM tf
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM toks)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(cum AS BIGINT) AS cum_occurrences,
+       ROUND(cum / n_tok, 6) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE k IN ({ks})
+ORDER BY k
+"""
+
+
+RARE_TOKEN_TOP = 50
+
+
+def q_rare_token_docs(spark, sf_dir):
+    """→ (doc_id, n_tokens, n_hapax, hapax_ratio, rank): the
+    RARE_TOKEN_TOP docs whose token stream is most dominated by
+    corpus-wide hapax legomena — the per-DOC triage list behind
+    `hapax_share`'s per-source rate (encoding mojibake, random ids, OCR
+    noise concentrate in specific docs; these are the ones to open).
+    Ranking uses the 6dp-rounded ratio with doc_id tie-break (house
+    rule: rank on rounded keys only).
+
+    Scale shape: one token-frequency aggregate + a hapax semi-join back
+    onto per-doc counts (all keyed on the token), then a global top-k
+    over per-doc scalars — TakeOrdered, never a full sort. NULL-text
+    docs are out of contract."""
+    from haystack_traces_spark.session import materialize
+    from pyspark.sql import Window
+
+    toks = materialize(
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    hapax = tf.filter(F.col("tf") == 1).select("tok")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    hap_doc = (
+        toks.join(hapax, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    scored = (
+        per_doc.join(hap_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+        )
+        .withColumn(
+            "hapax_ratio",
+            F.round(F.col("n_hapax") / F.col("n_tokens"), 6),
+        )
+    )
+    top = scored.orderBy(
+        F.col("hapax_ratio").desc(), F.col("doc_id").asc()
+    ).limit(RARE_TOKEN_TOP)
+    w = Window.orderBy(F.col("hapax_ratio").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "n_tokens", "n_hapax", "hapax_ratio",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def sql_rare_token_docs() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY 1),
+hap AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+  FROM toks t JOIN tf ON tf.tok = t.tok AND tf.tf = 1
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.n_tokens, COALESCE(h.n_hapax, 0) AS n_hapax,
+         ROUND(COALESCE(h.n_hapax, 0) / CAST(p.n_tokens AS DOUBLE), 6)
+           AS hapax_ratio
+  FROM per_doc p LEFT JOIN hap h USING (doc_id)
+)
+SELECT doc_id, n_tokens, CAST(n_hapax AS BIGINT) AS n_hapax, hapax_ratio,
+       CAST(ROW_NUMBER() OVER (ORDER BY hapax_ratio DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY hapax_ratio DESC, doc_id ASC
+LIMIT {RARE_TOKEN_TOP}
 """

@@ -776,6 +776,108 @@ def pq_codes(
     )
 
 
+def pq_distortion(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (s, n_vecs, avg_sq_err, max_sq_err): per-subspace PQ quantization
+    DISTORTION — mean/max squared L2 between each subvector and its
+    nearest codeword (Jégou 2011's quantization error, the quantity PQ
+    training minimizes). The fidelity audit behind `pq_search`'s speed:
+    a subspace whose distortion dwarfs the others is where ADC rankings
+    go wrong first — rebalance dsub or retrain that codebook before
+    trusting PQ-ranked retrieval.
+
+    Scale shape: same broadcast-codebook join + min-struct groupBy as the
+    encoder itself, then a tiny (s)-keyed combinable rollup — codes-only
+    economics, no pair space."""
+    dsub = dim // m
+    cb = pq_codebooks(emb, m, ksub, dim, id_col, vec_col)
+    sub = _sub_rows(emb, m, dsub, id_col, vec_col, "vid")
+    joined = sub.join(F.broadcast(cb), "s").withColumn(
+        "d", _sqdist("sv", "cw", dsub)
+    )
+    per_vec = joined.groupBy("vid", "s").agg(F.min("d").alias("md"))
+    return (
+        per_vec.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("md"), 6).alias("avg_sq_err"),
+            F.round(F.max("md"), 6).alias("max_sq_err"),
+        )
+        .orderBy("s")
+    )
+
+
+def cluster_silhouette(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (cell, n_vecs, mean_silhouette, min_silhouette): simplified
+    (centroid-based) silhouette per cluster over the deterministic
+    lowest-id-centroid assignment `doc_clusters` uses — for each vector,
+    a = distance to its OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a) / max(a, b). The standard "are these clusters
+    real" audit (mean s near 0 ⇒ the cell boundary is arbitrary; negative
+    ⇒ misassigned mass) a curator reads next to `cluster_purity` before
+    trusting cluster-level curation decisions.
+
+    Simplified-silhouette on purpose: the full formulation needs the n²
+    point-to-point distances; the centroid form is O(n·k) — the only
+    silhouette that exists at 100 TB (Hruschka 2004). Scale shape: one
+    broadcast-centroid join, per-vector two-smallest pick via a bounded
+    sort over k distances, tiny per-cell rollup. s uses EUCLIDEAN
+    distances (sqrt of the squared form the assignment minimizes)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    dists = (
+        vecs.join(F.broadcast(cents))
+        .select(id_col, "cell", F.sqrt(_sqdist("v", "cv")).alias("d"))
+    )
+    # two smallest (d, cell) per vector: array_sort over ≤ n_cells structs
+    two = dists.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("cell")))),
+            1,
+            2,
+        ).alias("t2")
+    )
+    a = F.col("t2")[0]["d"]
+    b = F.col("t2")[1]["d"]
+    sil = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+        F.lit(0.0)
+    )
+    per_vec = two.select(
+        F.col("t2")[0]["cell"].cast("long").alias("cell"),
+        F.round(sil, 6).alias("s"),
+    )
+    return (
+        per_vec.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.min("s").alias("min_silhouette"),
+        )
+        .orderBy("cell")
+    )
+
+
 def pq_search(
     emb: DataFrame,
     query_ids: list[int],

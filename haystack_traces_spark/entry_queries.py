@@ -5419,6 +5419,13 @@ _ROTATION_QUEUE = (
     "length_dup_propensity",
     # round-9 queue:
     "ingestion_mixing",
+    # round-6 additions (behind everything already queued):
+    "lsh_band_plan",
+    "cluster_silhouette",
+    "pq_distortion",
+    "split_balance_audit",
+    "token_coverage_curve",
+    "rare_token_docs",
 )
 
 

@@ -2286,3 +2286,121 @@ class TestRealPnmCodec:
         assert r["resized_md5"] == hashlib.md5(want_payload).hexdigest()
         # round-trip: the re-encoded output decodes to the resized raster
         assert M.decode_pnm(bytes(r["resized_payload"])) == (2, 1, 3, want_raster)
+
+
+# ------------------------------------------------ round-6 operators -------
+class TestRound6Operators:
+    def test_lsh_band_plan_identical_pair_saturates_recall(self, spark, tmp_path):
+        """One exact-duplicate pair (jaccard 1.0): every (b, r) geometry
+        expects recall 1.0; theory literals match the shared Python grid."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.datapipe import stagecache
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        text = "alpha bravo charlie delta echo foxtrot golf"
+        spark.createDataFrame(
+            [(1, text, "s"), (2, text, "s"),
+             (3, "totally different words in this one here", "s")],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            rows = {r["rows_per_band"]: r.asDict()
+                    for r in dp.q_lsh_band_plan(spark, d).collect()}
+            grid = {r: (b, t) for b, r, t in dp._band_grid()}
+            assert set(rows) == set(grid)
+            for r, row in rows.items():
+                assert row["n_true_pairs"] == 1
+                assert row["expected_recall"] == 1.0
+                assert (row["bands"], row["theory_at_threshold"]) == grid[r]
+        finally:
+            stagecache.clear()
+            release_materialized()
+
+    def test_cluster_silhouette_separated_and_boundary_points(self, spark):
+        """Two centroids (the two lowest-id vectors): points ON a centroid
+        score 1; a point 40% of the way to the other centroid scores
+        (6-4)/6; per-cell means follow exactly."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        def vec(x):
+            return [float(x)] + [0.0] * 63
+
+        rows = [(0, vec(0)), (1, vec(10)), (2, vec(0)), (3, vec(4))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["cell"]: r.asDict()
+               for r in S.cluster_silhouette(emb, n_cells=2).collect()}
+        assert out[0]["n_vecs"] == 3 and out[1]["n_vecs"] == 1
+        assert out[1]["mean_silhouette"] == 1.0
+        # cell 0: s = [1 (v0), 1 (v2), (6-4)/6 (v3)] -> mean 0.777778
+        assert out[0]["mean_silhouette"] == round((1 + 1 + round(2 / 6, 6)) / 3, 6)
+        assert out[0]["min_silhouette"] == round(2 / 6, 6)
+
+    def test_pq_distortion_zero_when_vectors_are_codewords(self, spark):
+        """A corpus equal to the codebook (16 lowest-id vectors) encodes
+        losslessly: distortion 0 in every subspace."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        rows = [(i, [float(i * 64 + d) for d in range(64)]) for i in range(16)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = S.pq_distortion(emb).collect()
+        assert len(out) == S.PQ_M
+        for r in out:
+            assert r["n_vecs"] == 16
+            assert r["avg_sq_err"] == 0.0 and r["max_sq_err"] == 0.0
+
+    def test_split_balance_audit_single_source_has_zero_dev(self, spark, tmp_path):
+        import haystack_traces_spark.datapipe.queries as dp
+
+        d = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, f"text {i}", "only") for i in range(300)],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = dp.q_split_balance_audit(spark, d).collect()
+        assert sum(r["n_docs"] for r in rows) == 300
+        for r in rows:
+            assert r["source"] == "only"
+            assert r["split_share"] == 1.0
+            assert r["corpus_share"] == 1.0
+            assert r["abs_dev"] == 0.0
+
+    def test_token_coverage_curve_known_head_mass(self, spark, tmp_path):
+        """12 distinct tokens with counts 12..1 (total 78): only the k=10
+        checkpoint exists (vocab < 100) and covers 75/78."""
+        import haystack_traces_spark.datapipe.queries as dp
+
+        d = str(tmp_path / "corpus")
+        text = " ".join(f"t{i:02d}" for i in range(1, 13) for _ in range(13 - i))
+        spark.createDataFrame(
+            [(1, text, "s")], "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = dp.q_token_coverage_curve(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0]["k"] == 10
+        assert rows[0]["cum_occurrences"] == 75
+        assert rows[0]["coverage"] == round(75 / 78, 6)
+
+    def test_rare_token_docs_ratio_ranking(self, spark, tmp_path):
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [
+                (1, "unique1 unique2 unique3", "s"),   # all hapax -> 1.0
+                (2, "x x x x", "s"),                    # no hapax -> 0.0
+                (3, "x unique4", "s"),                  # half -> 0.5
+            ],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            rows = [r.asDict() for r in dp.q_rare_token_docs(spark, d).collect()]
+            assert [(r["doc_id"], r["hapax_ratio"], r["rank"]) for r in rows] == [
+                (1, 1.0, 1), (3, 0.5, 2), (2, 0.0, 3),
+            ]
+            by = {r["doc_id"]: r for r in rows}
+            assert by[1]["n_hapax"] == 3 and by[2]["n_hapax"] == 0
+            assert by[3]["n_tokens"] == 2 and by[3]["n_hapax"] == 1
+        finally:
+            release_materialized()

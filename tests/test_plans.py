@@ -552,3 +552,32 @@ def test_round5_dp_operators_plan_shapes(spark):
                 assert "BroadcastNestedLoopJoin" not in plan, name
     finally:
         release_materialized()
+
+
+def test_round6_operators_have_no_global_bottleneck(spark):
+    """Round-6 batch: no cartesian products; the only single-partition
+    exchanges are the BOUNDED head windows (token_coverage_curve's
+    cumsum over <=1000 top rows, rare_token_docs' rank over <=50 rows);
+    lsh_band_plan's grid cross join must be a BROADCAST nested loop
+    (4 literal rows), never a shuffled cartesian."""
+    from haystack_traces_spark.datapipe import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "cluster_silhouette": (Q.q_cluster_silhouette, 0),
+        "pq_distortion": (Q.q_pq_distortion, 0),
+        # one bounded single-partition: the 1-row corpus total over the
+        # tiny (split, source) cell table
+        "split_balance_audit": (Q.q_split_balance_audit, 1),
+        "token_coverage_curve": (Q.q_token_coverage_curve, 2),
+        "rare_token_docs": (Q.q_rare_token_docs, 2),
+        "lsh_band_plan": (Q.q_lsh_band_plan, 0),
+    }
+    for name, (fn, max_single) in cases.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange SinglePartition") <= max_single, (
+            name, plan[:1500],
+        )
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "BroadcastExchange" in plan, (name, plan[:1500])
