@@ -5294,6 +5294,160 @@ FROM grid GROUP BY 1 ORDER BY 1
     )
 
 
+
+def q_latency_variance_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """→ (svc, n_traces_present, var_share, corr): which service's time
+    DRIVES the variance of end-to-end trace duration — per service,
+    cov(per-trace service time, trace duration) / var(trace duration),
+    with absent-from-trace services counted as ZERO time (the covariance
+    is over ALL traces, so shares are comparable across services). The
+    tail-taming priority list: a service can have modest mean latency
+    yet dominate variance (retries, cold caches) — variance share finds
+    it where mean-based rollups don't. corr is the same relationship
+    normalized per-service (pearson via the shared stats builder).
+
+    Trace duration is the house envelope (max(start+duration) −
+    min(start), as in trace_duration_percentiles). Σ var_share over
+    services ≈ the duration mass explained by service time (gaps and
+    overlap keep it from summing to exactly 1 — documented, not hidden).
+
+    Scale shape: per-(trace, service) totals and the trace envelope ride
+    ONE trace exchange; the zero-fill grid is traces × |services| with
+    the tiny service list broadcast; the final rollup keys on svc. The
+    1-row var(D) total is a broadcast join (bounded)."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+
+    spans = _spans(spark, sf_dir)
+    per = spans.groupBy(
+        "trace_id", F.lower("service_name").alias("svc")
+    ).agg(F.sum("duration").cast("double").alias("x"))
+    env = spans.groupBy("trace_id").agg(
+        (F.max(F.col("start_time") + F.col("duration")) - F.min("start_time"))
+        .cast("double")
+        .alias("dur")
+    )
+    svcs = per.select("svc").distinct()
+    grid = env.crossJoin(F.broadcast(svcs))
+    filled = grid.join(per, ["trace_id", "svc"], "left").select(
+        "svc", "dur", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    cov = n * F.sum(F.col("x") * F.col("dur")) - F.sum("x") * F.sum("dur")
+    var_d = F.greatest(
+        n * F.sum(F.col("dur") * F.col("dur")) - F.sum("dur") * F.sum("dur"),
+        F.lit(0.0),
+    )
+    return (
+        filled.groupBy("svc")
+        .agg(
+            F.sum((F.col("x") > 0).cast("long")).cast("long")
+            .alias("n_traces_present"),
+            F.round(cov / F.nullif(var_d, F.lit(0.0)), 6).alias("var_share"),
+            pearson_corr(F.col("x"), F.col("dur")).alias("corr"),
+        )
+        .orderBy("svc")
+    )
+
+
+def sql_latency_variance_decomposition() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per AS (
+  SELECT trace_id, lower(service_name) AS svc,
+         CAST(SUM(duration) AS DOUBLE) AS x
+  FROM spans GROUP BY 1, 2
+),
+env AS (
+  SELECT trace_id,
+         CAST(MAX(start_time + duration) - MIN(start_time) AS DOUBLE) AS dur
+  FROM spans GROUP BY 1
+),
+svcs AS (SELECT DISTINCT svc FROM per),
+filled AS (
+  SELECT s.svc, e.dur, COALESCE(p.x, 0) AS x
+  FROM env e CROSS JOIN svcs s
+  LEFT JOIN per p ON p.trace_id = e.trace_id AND p.svc = s.svc
+)
+SELECT svc,
+       CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_traces_present,
+       ROUND((COUNT(*) * SUM(x * dur) - SUM(x) * SUM(dur))
+             / NULLIF(GREATEST(COUNT(*) * SUM(dur * dur)
+                               - SUM(dur) * SUM(dur), 0), 0), 6)
+         AS var_share,
+       {pearson_corr_sql("x", "dur")} AS corr
+FROM filled GROUP BY svc ORDER BY svc
+"""
+    )
+
+
+MODALITY_MIN_N = 5
+
+
+def q_span_duration_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, n, skewness, excess_kurtosis,
+    bimodality): distribution-SHAPE audit of span durations per
+    operation — population skewness g1, excess kurtosis g2, and the
+    bimodality coefficient (g1² + 1) / (g2 + 3) (SAS/Pfister 2013; the
+    uniform scores 5/9 ≈ 0.555, higher suggests TWO latency regimes).
+    An operation whose latency is bimodal — cache hit vs miss, fast
+    path vs lock contention — hides both regimes inside one mean and
+    one p99; this is the screen that says "split this histogram before
+    tuning it". Moment math via the shared stats builder (clamped m2,
+    NULLIF denominators — constant durations yield NULL shape, both
+    engines). Groups need n ≥ MODALITY_MIN_N.
+
+    Scale shape: one combinable power-sum aggregate per (service,
+    operation) — the same single exchange every per-op rollup pays;
+    no windows, no joins."""
+    from haystack_traces_spark.functions.stats import skew_kurt
+
+    d = F.col("duration").cast("double")
+    g1, g2 = skew_kurt(d)
+    bim = (g1 * g1 + F.lit(1.0)) / F.nullif(g2 + F.lit(3.0), F.lit(0.0))
+    return (
+        _spans(spark, sf_dir)
+        .groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(g1, 6).alias("skewness"),
+            F.round(g2, 6).alias("excess_kurtosis"),
+            F.round(bim, 6).alias("bimodality"),
+        )
+        .filter(F.col("n") >= MODALITY_MIN_N)
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_span_duration_modality() -> str:
+    from haystack_traces_spark.functions.stats import skew_kurt_sql
+
+    g1, g2 = skew_kurt_sql("CAST(duration AS DOUBLE)")
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT lower(service_name) AS servicename,
+       lower(operation_name) AS operationname,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND({g1}, 6) AS skewness,
+       ROUND({g2}, 6) AS excess_kurtosis,
+       ROUND(({g1} * {g1} + 1) / NULLIF({g2} + 3, 0), 6) AS bimodality
+FROM spans
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MODALITY_MIN_N}
+ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5426,6 +5580,8 @@ _ROTATION_QUEUE = (
     "split_balance_audit",
     "token_coverage_curve",
     "rare_token_docs",
+    "latency_variance_decomposition",
+    "span_duration_modality",
 )
 
 
@@ -5540,6 +5696,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_value_stats": q_tag_value_stats,
         "timestamp_granularity": q_timestamp_granularity,
         "concurrent_trace_load": q_concurrent_trace_load,
+        "latency_variance_decomposition": q_latency_variance_decomposition,
+        "span_duration_modality": q_span_duration_modality,
     }
 
 
@@ -5642,4 +5800,6 @@ def _trace_oracles() -> dict[str, str]:
         "tag_value_stats": sql_tag_value_stats(),
         "timestamp_granularity": sql_timestamp_granularity(),
         "concurrent_trace_load": sql_concurrent_trace_load(),
+        "latency_variance_decomposition": sql_latency_variance_decomposition(),
+        "span_duration_modality": sql_span_duration_modality(),
     }

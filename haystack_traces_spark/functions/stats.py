@@ -43,3 +43,43 @@ def pearson_corr_sql(x: str, y: str) -> str:
         f"NULLIF(SQRT(GREATEST(COUNT(*) * SUM({x} * {x}) - SUM({x}) * SUM({x}), 0) "
         f"* GREATEST(COUNT(*) * SUM({y} * {y}) - SUM({y}) * SUM({y}), 0)), 0), 6)"
     )
+
+
+def skew_kurt(x: Column) -> tuple[Column, Column]:
+    """(skewness g1, EXCESS kurtosis g2) population-moment aggregate
+    expressions over a double column — the shared builder for the
+    distribution-shape operators (`span_duration_modality`). UNROUNDED
+    (callers round once at the end, house rule). Central moments come
+    from raw power sums (the only shuffle-free form); m2 is clamped at 0
+    (same cancellation argument as pearson_corr) and NULLIFs every
+    denominator, so a constant column yields NULL on both engines."""
+    n = F.count(F.lit(1)).cast("double")
+    mean = F.sum(x) / n
+    ex2 = F.sum(x * x) / n
+    ex3 = F.sum(x * x * x) / n
+    ex4 = F.sum(x * x * x * x) / n
+    m2 = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    m3 = ex3 - 3 * mean * ex2 + 2 * mean * mean * mean
+    m4 = ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2 - 3 * mean * mean * mean * mean
+    g1 = m3 / F.nullif(F.pow(m2, F.lit(1.5)), F.lit(0.0))
+    g2 = m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3.0)
+    return g1, g2
+
+
+def skew_kurt_sql(x: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`skew_kurt` for double expression ``x`` —
+    two fragments to drop into a grouped SELECT."""
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    mean = f"(SUM({x}) / {n})"
+    ex2 = f"(SUM(({x}) * ({x})) / {n})"
+    ex3 = f"(SUM(({x}) * ({x}) * ({x})) / {n})"
+    ex4 = f"(SUM(({x}) * ({x}) * ({x}) * ({x})) / {n})"
+    m2 = f"GREATEST({ex2} - {mean} * {mean}, 0)"
+    m3 = f"({ex3} - 3 * {mean} * {ex2} + 2 * {mean} * {mean} * {mean})"
+    m4 = (
+        f"({ex4} - 4 * {mean} * {ex3} + 6 * {mean} * {mean} * {ex2}"
+        f" - 3 * {mean} * {mean} * {mean} * {mean})"
+    )
+    g1 = f"({m3} / NULLIF(POWER({m2}, 1.5), 0))"
+    g2 = f"({m4} / NULLIF({m2} * {m2}, 0) - 3)"
+    return g1, g2

@@ -573,6 +573,11 @@ def test_round6_operators_have_no_global_bottleneck(spark):
         "rare_token_docs": (Q.q_rare_token_docs, 2),
         "lsh_band_plan": (Q.q_lsh_band_plan, 0),
     }
+    from haystack_traces_spark import entry_queries as EQ
+
+    cases["latency_variance_decomposition"] = (
+        EQ.q_latency_variance_decomposition, 0)
+    cases["span_duration_modality"] = (EQ.q_span_duration_modality, 0)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name

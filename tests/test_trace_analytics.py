@@ -1200,3 +1200,54 @@ def test_concurrent_trace_load_minute_grid(spark):
     assert by_bucket[1]["n_active"] == 2
     assert by_bucket[1]["n_starting"] == 1 and by_bucket[1]["n_ending"] == 1
     assert by_bucket[2]["n_active"] == 1 and by_bucket[2]["n_ending"] == 1
+
+
+# ------------------------------------------------- round-6 trace ops ------
+def test_latency_variance_decomposition_linear_driver(spark):
+    """svc_a's time varies and fully determines the trace envelope;
+    svc_b contributes a constant 5 — so svc_a holds var_share 1 / corr 1
+    and svc_b holds var_share 0 with NULL corr (zero variance)."""
+    rows = []
+    for i, da in enumerate((10, 20, 30, 40)):
+        t = f"t{i}"
+        rows.append(mk(trace_id=t, span_id=f"a{i}", service="svc_a",
+                       start=T0, duration=da))
+        rows.append(mk(trace_id=t, span_id=f"b{i}", service="svc_b",
+                       start=T0 + da, duration=5))
+    out = _patched(
+        spark, rows,
+        lambda: {r["svc"]: r.asDict()
+                 for r in EQ.q_latency_variance_decomposition(
+                     spark, "ignored").collect()},
+    )
+    a, b = out["svc_a"], out["svc_b"]
+    assert (a["n_traces_present"], a["var_share"], a["corr"]) == (4, 1.0, 1.0)
+    assert (b["n_traces_present"], b["var_share"]) == (4, 0.0)
+    assert b["corr"] is None
+
+
+def test_span_duration_modality_two_point_and_constant(spark):
+    """A 50/50 two-point duration mix is maximally bimodal (g1=0,
+    g2=-2, BC=1); constant durations have undefined shape (NULLs) on
+    both faces."""
+    rows = (
+        [mk(trace_id=f"x{i}", span_id=f"x{i}", service="svc_a",
+            operation="op_bi", duration=0) for i in range(3)]
+        + [mk(trace_id=f"y{i}", span_id=f"y{i}", service="svc_a",
+              operation="op_bi", duration=10) for i in range(3)]
+        + [mk(trace_id=f"z{i}", span_id=f"z{i}", service="svc_a",
+              operation="op_const", duration=7) for i in range(5)]
+    )
+    out = _patched(
+        spark, rows,
+        lambda: {r["operationname"]: r.asDict()
+                 for r in EQ.q_span_duration_modality(
+                     spark, "ignored").collect()},
+    )
+    bi, const = out["op_bi"], out["op_const"]
+    assert bi["n"] == 6
+    assert (bi["skewness"], bi["excess_kurtosis"], bi["bimodality"]) == (
+        0.0, -2.0, 1.0)
+    assert const["n"] == 5
+    assert (const["skewness"], const["excess_kurtosis"],
+            const["bimodality"]) == (None, None, None)
