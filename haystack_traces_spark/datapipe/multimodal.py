@@ -95,7 +95,12 @@ def decode_pnm(payload: bytes) -> tuple[int, int, int, bytes]:
     (grayscale) — → (width, height, channels, raster bytes). Uncompressed
     formats need no codec library: header is ASCII tokens, raster is raw
     bytes. maxval must be < 256 (1 byte/sample; 2-byte rasters are out of
-    scope for the fixture path)."""
+    scope for the fixture path). Spec-strict on the raster separator:
+    exactly ONE whitespace byte after maxval — a CRLF-written file
+    (maxval + '\\r\\n') is malformed per netpbm and will mis-read here as
+    it does in every strict decoder; binary rasters may legitimately
+    start with 0x23 ('#'), so no comment handling exists past that
+    single byte."""
     magic, pos = _pnm_token(payload, 0)
     if magic not in (b"P6", b"P5"):
         raise ValueError(f"not a binary PPM/PGM payload (magic {magic!r})")
@@ -108,7 +113,15 @@ def decode_pnm(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad PNM dimensions {width}x{height}")
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported PNM maxval {maxval}")
-    pos += 1  # exactly ONE whitespace byte after maxval (spec), then raster
+    # exactly ONE whitespace byte after maxval (netpbm spec), then raster.
+    # Enforce it: a comment or CR here would silently byte-shift the
+    # raster slice (review-found) — loud error beats shifted pixels.
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError(
+            "malformed PNM: maxval must be followed by exactly one "
+            f"whitespace byte, got {payload[pos:pos + 1]!r}"
+        )
+    pos += 1
     need = width * height * channels
     raster = payload[pos : pos + need]
     if len(raster) != need:

@@ -5885,18 +5885,23 @@ ranked AS (
   FROM dist
 ),
 pv AS (
+  -- LEFT join: a single-centroid corpus has no rn=2 row; silhouette is
+  -- then 0 by convention on BOTH faces (review-found face divergence).
+  -- BIGINT micro units so the mean is an order-independent exact sum
+  -- (a float AVG flipped the 6dp round between engines once).
   SELECT r1.cell,
-         ROUND(CASE WHEN GREATEST(r1.d, r2.d) > 0
+         CAST(ROUND(1000000 * CASE WHEN r2.d IS NULL THEN 0
+                    WHEN GREATEST(r1.d, r2.d) > 0
                     THEN (r2.d - r1.d) / GREATEST(r1.d, r2.d)
-                    ELSE 0 END, 6) AS s
+                    ELSE 0 END) AS BIGINT) AS s_micro
   FROM ranked r1
-  JOIN ranked r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
+  LEFT JOIN ranked r2 ON r2.vec_id = r1.vec_id AND r2.rn = 2
   WHERE r1.rn = 1
 )
 SELECT CAST(cell AS BIGINT) AS cell,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(AVG(s), 6) AS mean_silhouette,
-       MIN(s) AS min_silhouette
+       ROUND(SUM(s_micro) / (COUNT(*) * 1000000.0), 6) AS mean_silhouette,
+       ROUND(MIN(s_micro) / 1000000.0, 6) AS min_silhouette
 FROM pv GROUP BY 1 ORDER BY 1
 """
 
@@ -5999,7 +6004,11 @@ def q_token_coverage_curve(spark, sf_dir):
     NULL-text docs are out of contract (chunk_windows pattern)."""
     from pyspark.sql import Window
 
-    toks = (
+    from haystack_traces_spark.session import materialize
+
+    # one pin: the exploded token table feeds BOTH the tf aggregate and
+    # the corpus total — unpinned, the scan+explode would run twice
+    toks = materialize(
         _docs(spark, sf_dir)
         .filter(F.col("text").isNotNull())
         .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))

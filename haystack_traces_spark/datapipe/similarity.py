@@ -858,21 +858,35 @@ def cluster_silhouette(
             2,
         ).alias("t2")
     )
-    a = F.col("t2")[0]["d"]
-    b = F.col("t2")[1]["d"]
-    sil = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
-        F.lit(0.0)
+    # F.get (NULL out-of-bounds), NOT [1]: a single-centroid corpus has a
+    # 1-element t2 and bracket indexing ABORTS under ANSI Spark
+    a = F.get(F.col("t2"), 0)["d"]
+    b = F.get(F.col("t2"), 1)["d"]
+    # b NULL = only one centroid exists (n_cells > |corpus| degenerate):
+    # silhouette is undefined with no "other" cluster — 0 by convention,
+    # checked FIRST so it can't leak through greatest()'s NULL-skipping
+    sil = (
+        F.when(b.isNull(), F.lit(0.0))
+        .when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b))
+        .otherwise(F.lit(0.0))
     )
+    # integer-micro units for the mean: per-row doubles are identical
+    # cross-engine, but a float SUM's order is not — an AVG landing on a
+    # .5e-7 boundary flipped the 6dp round between engines (observed at
+    # sf0.001). Summing exact BIGINT micros removes the order dependence.
     per_vec = two.select(
-        F.col("t2")[0]["cell"].cast("long").alias("cell"),
-        F.round(sil, 6).alias("s"),
+        F.get(F.col("t2"), 0)["cell"].cast("long").alias("cell"),
+        F.round(sil * 1_000_000).cast("long").alias("s_micro"),
     )
     return (
         per_vec.groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(F.avg("s"), 6).alias("mean_silhouette"),
-            F.min("s").alias("min_silhouette"),
+            F.round(
+                F.sum("s_micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("mean_silhouette"),
+            F.round(F.min("s_micro") / F.lit(1_000_000.0), 6)
+            .alias("min_silhouette"),
         )
         .orderBy("cell")
     )

@@ -30,19 +30,11 @@ them for the session is bounded by design.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _cache: dict[tuple[str, str, str], DataFrame] = {}
-
-#: Wall seconds spent BUILDING each stage this session, keyed by stage
-#: name (VERDICT r5 ask #4): lets bench.py report stage builds as their
-#: own ledger lines instead of silently folding them into whichever
-#: query touched the stage first — round-over-round comparisons stop
-#: showing phantom first-toucher regressions.
-build_seconds: dict[str, float] = {}
 
 
 def shared_stage(
@@ -52,15 +44,15 @@ def shared_stage(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the session-cached materialization of stage ``name`` for
-    ``sf_dir``, building it with ``build()`` on first use."""
+    ``sf_dir``, building it with ``build()`` on first use. Stage-build
+    cost appears in the bench ledger because bench.py forces every stage
+    via :func:`haystack_traces_spark.datapipe.queries.shared_stages`
+    BEFORE the per-query loop, timing each as its own ``stage:<name>``
+    line (VERDICT r5 ask #4)."""
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     df = _cache.get(key)
     if df is None:
-        t0 = time.perf_counter()
         df = build().localCheckpoint(eager=True)
-        build_seconds[name] = build_seconds.get(name, 0.0) + (
-            time.perf_counter() - t0
-        )
         _cache[key] = df
     return df
 
@@ -77,7 +69,6 @@ def clear() -> int:
     hazard (the ivf_pq_residual codebook literals — ADVICE r5)."""
     n = len(_cache)
     _cache.clear()
-    build_seconds.clear()
     from haystack_traces_spark.datapipe import queries as _dpq
 
     _dpq._sql_ivf_pq_residual_for.cache_clear()

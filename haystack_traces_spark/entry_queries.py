@@ -5400,22 +5400,32 @@ def q_span_duration_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one p99; this is the screen that says "split this histogram before
     tuning it". Moment math via the shared stats builder (clamped m2,
     NULLIF denominators — constant durations yield NULL shape, both
-    engines). Groups need n ≥ MODALITY_MIN_N.
+    engines), ANCHORED on the per-group min first: central moments are
+    shift-invariant, and centering makes the power sums exact small
+    integers instead of cancellation noise (the stats.py contract —
+    unanchored, a steady ~1e6 µs operation reports garbage kurtosis).
+    Groups need n ≥ MODALITY_MIN_N.
 
-    Scale shape: one combinable power-sum aggregate per (service,
-    operation) — the same single exchange every per-op rollup pays;
-    no windows, no joins."""
+    Scale shape: two aggregates on the SAME (service, operation) key
+    (min anchor, then centered power sums) + a broadcast join of the
+    tiny per-op anchor table — no windows."""
     from haystack_traces_spark.functions.stats import skew_kurt
 
-    d = F.col("duration").cast("double")
-    g1, g2 = skew_kurt(d)
+    spans = _spans(spark, sf_dir).select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        F.col("duration").cast("double").alias("dur"),
+    )
+    anchors = spans.groupBy("servicename", "operationname").agg(
+        F.min("dur").alias("_anchor")
+    )
+    centered = spans.join(
+        F.broadcast(anchors), ["servicename", "operationname"]
+    ).withColumn("xc", F.col("dur") - F.col("_anchor"))
+    g1, g2 = skew_kurt(F.col("xc"))
     bim = (g1 * g1 + F.lit(1.0)) / F.nullif(g2 + F.lit(3.0), F.lit(0.0))
     return (
-        _spans(spark, sf_dir)
-        .groupBy(
-            F.lower("service_name").alias("servicename"),
-            F.lower("operation_name").alias("operationname"),
-        )
+        centered.groupBy("servicename", "operationname")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(g1, 6).alias("skewness"),
@@ -5430,17 +5440,28 @@ def q_span_duration_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_span_duration_modality() -> str:
     from haystack_traces_spark.functions.stats import skew_kurt_sql
 
-    g1, g2 = skew_kurt_sql("CAST(duration AS DOUBLE)")
+    g1, g2 = skew_kurt_sql("xc")
     return (
         EVENT_SPANS_CTE
         + f"""
-SELECT lower(service_name) AS servicename,
-       lower(operation_name) AS operationname,
+, d AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         CAST(duration AS DOUBLE) AS dur
+  FROM spans
+),
+anch AS (SELECT servicename, operationname, MIN(dur) AS a
+         FROM d GROUP BY 1, 2),
+centered AS (
+  SELECT d.servicename, d.operationname, d.dur - anch.a AS xc
+  FROM d JOIN anch USING (servicename, operationname)
+)
+SELECT servicename, operationname,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND({g1}, 6) AS skewness,
        ROUND({g2}, 6) AS excess_kurtosis,
        ROUND(({g1} * {g1} + 1) / NULLIF({g2} + 3, 0), 6) AS bimodality
-FROM spans
+FROM centered
 GROUP BY 1, 2
 HAVING COUNT(*) >= {MODALITY_MIN_N}
 ORDER BY 1, 2

@@ -52,7 +52,16 @@ def skew_kurt(x: Column) -> tuple[Column, Column]:
     (callers round once at the end, house rule). Central moments come
     from raw power sums (the only shuffle-free form); m2 is clamped at 0
     (same cancellation argument as pearson_corr) and NULLIFs every
-    denominator, so a constant column yields NULL on both engines."""
+    denominator, so a constant column yields NULL on both engines.
+
+    CALLERS MUST ANCHOR ``x`` FIRST (subtract a per-group constant such
+    as the group min — central moments are shift-invariant): raw power
+    sums of large-magnitude low-CV inputs (epoch-scale values, steady
+    ~1e6 µs latencies) cancel catastrophically — x⁴ exceeds 2^53
+    exactness and m3/m4 come out as pure rounding noise that also
+    diverges cross-engine. Review-found with durations ≈1e6 ± 2:
+    unanchored g2 ≈ 1.5e9 vs the true −1.04. Anchoring makes the
+    centered values small integers and the sums exact."""
     n = F.count(F.lit(1)).cast("double")
     mean = F.sum(x) / n
     ex2 = F.sum(x * x) / n

@@ -2404,3 +2404,53 @@ class TestRound6Operators:
             assert by[3]["n_tokens"] == 2 and by[3]["n_hapax"] == 1
         finally:
             release_materialized()
+
+
+class TestRound6ReviewFixes:
+    def test_cluster_silhouette_single_vector_face_parity(self, spark, tmp_path):
+        """One embedding (fewer vectors than centroids): BOTH faces must
+        emit one row with silhouette 0 — the Spark face used to leak a
+        NULL/zero mix and the SQL face dropped the row entirely."""
+        import duckdb
+
+        import haystack_traces_spark.datapipe.queries as dp
+        from tests.oracle_harness import compare
+
+        d = str(tmp_path)
+        emb = spark.createDataFrame(
+            [(7, [float(i) for i in range(64)])],
+            "vec_id long, embedding array<double>",
+        )
+        emb.write.parquet(f"{d}/embeddings.parquet")
+        orig = dp._emb
+        dp._emb = lambda _s, _sf: spark.read.parquet(f"{d}/embeddings.parquet")
+        try:
+            spark_df = dp.q_cluster_silhouette(spark, d)
+            rows = spark_df.collect()
+            assert len(rows) == 1
+            assert rows[0]["mean_silhouette"] == 0.0
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+            )
+            compare(spark_df, con.execute(dp.sql_cluster_silhouette()).df(),
+                    "silhouette_single_vector")
+        finally:
+            dp._emb = orig
+
+    def test_decode_pnm_malformed_maxval_region_fails_loud(self):
+        """Malformed bytes around maxval must raise, never byte-shift the
+        raster: a comment glued to the token fails the int() parse (the
+        greedy tokenizer folds it into the token), and a payload
+        truncated right after maxval trips the single-whitespace guard."""
+        import pytest
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        glued_comment = b"P6\n2 1\n255# c\n" + bytes(6)
+        with pytest.raises(ValueError):
+            M.decode_pnm(glued_comment)
+        truncated_at_maxval = b"P6\n2 1\n255"
+        with pytest.raises(ValueError, match="whitespace"):
+            M.decode_pnm(truncated_at_maxval)

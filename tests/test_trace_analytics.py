@@ -1251,3 +1251,31 @@ def test_span_duration_modality_two_point_and_constant(spark):
     assert const["n"] == 5
     assert (const["skewness"], const["excess_kurtosis"],
             const["bimodality"]) == (None, None, None)
+
+
+def test_span_duration_modality_near_constant_large_magnitude(spark):
+    """Review-found instability: steady ~1e6 µs durations must produce
+    the TRUE shape stats (computed exactly from the centered values),
+    not raw-power-sum cancellation noise (unanchored g2 was ~1.5e9)."""
+    durs = [1_000_000, 1_000_001, 1_000_002, 1_000_003, 1_000_001]
+    rows = [mk(trace_id=f"t{i}", span_id=f"s{i}", service="svc_a",
+               operation="op_steady", duration=d) for i, d in enumerate(durs)]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_span_duration_modality(spark, "ignored").collect(),
+    )
+    assert len(out) == 1
+    r = out[0].asDict()
+    c = [d - min(durs) for d in durs]
+    n = len(c)
+    mean = sum(c) / n
+    m2 = sum(x * x for x in c) / n - mean * mean
+    m3 = (sum(x**3 for x in c) / n - 3 * mean * sum(x * x for x in c) / n
+          + 2 * mean**3)
+    m4 = (sum(x**4 for x in c) / n - 4 * mean * sum(x**3 for x in c) / n
+          + 6 * mean * mean * sum(x * x for x in c) / n - 3 * mean**4)
+    g1, g2 = m3 / m2**1.5, m4 / m2**2 - 3
+    assert r["skewness"] == round(g1, 6)
+    assert r["excess_kurtosis"] == round(g2, 6)
+    assert r["bimodality"] == round((g1 * g1 + 1) / (g2 + 3), 6)
+    assert abs(r["excess_kurtosis"]) < 10  # the bug produced ~1.5e9
