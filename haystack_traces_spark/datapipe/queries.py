@@ -3288,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_balance_audit": q_split_balance_audit,
         "token_coverage_curve": q_token_coverage_curve,
         "rare_token_docs": q_rare_token_docs,
+        "split_ppl_gap": q_split_ppl_gap,
     }
 
 
@@ -3417,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
         "split_balance_audit": sql_split_balance_audit(),
         "token_coverage_curve": sql_token_coverage_curve(),
         "rare_token_docs": sql_rare_token_docs(),
+        "split_ppl_gap": sql_split_ppl_gap(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6140,4 +6142,112 @@ SELECT doc_id, n_tokens, CAST(n_hapax AS BIGINT) AS n_hapax, hapax_ratio,
 FROM scored
 ORDER BY hapax_ratio DESC, doc_id ASC
 LIMIT {RARE_TOKEN_TOP}
+"""
+
+
+def q_split_ppl_gap(spark, sf_dir):
+    """→ (split, n_docs, avg_logprob, pseudo_ppl): GENERALIZATION-GAP
+    audit of the train/val/test split — every doc scored under a
+    Laplace-smoothed unigram LM fit on the TRAIN split only, rolled up
+    per split. val/test pseudo-perplexity far above train's says the
+    split is distributionally skewed (or train is contaminated with the
+    eval — gap suspiciously NEAR ZERO is the leakage smell,
+    `split_leak_audit`'s statistical cousin). Smoothing: p(w) =
+    (c_train(w) + 1) / (T + V) with V the FULL-corpus vocab, so unseen
+    tokens score finitely on both faces.
+
+    Cross-engine discipline: per-doc mean logprob is rounded to 6dp and
+    summed as exact BIGINT micros (the silhouette lesson — float-AVG
+    order flips 6dp rounds); the split mean divides that exact sum, and
+    pseudo_ppl = exp(−rounded mean) so both engines exponentiate the
+    same double. NULL-text docs are out of contract.
+
+    Scale shape: one vocabulary aggregate + a token→train-count join
+    (both sides pre-combined, the unigram_ppl plan) + two tiny rollups;
+    split assignment is the pure per-row hash expression."""
+    from haystack_traces_spark.datapipe import corpus as C
+    from haystack_traces_spark.session import materialize
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    assigned = docs.select("doc_id", "text").join(
+        C.split_assign(docs.select("doc_id")), "doc_id"
+    )
+    toks = materialize(
+        assigned.select(
+            "doc_id",
+            "split",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+    )
+    train_counts = (
+        toks.filter(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    consts = (
+        toks.filter(F.col("split") == "train")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .crossJoin(
+            F.broadcast(
+                toks.agg(
+                    F.countDistinct("w").cast("double").alias("v")
+                )
+            )
+        )
+    )
+    lp = F.log((F.coalesce("c", F.lit(0)) + F.lit(1.0)) / (F.col("t") + F.col("v")))
+    per_doc = (
+        toks.join(train_counts, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "split")
+        .agg(F.avg(lp).alias("alp"))
+        .select(
+            "split",
+            F.round(F.round(F.col("alp"), 6) * 1_000_000)
+            .cast("long")
+            .alias("alp_micro"),
+        )
+    )
+    mean_alp = F.round(
+        F.sum("alp_micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            mean_alp.alias("avg_logprob"),
+        )
+        .withColumn("pseudo_ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+        .orderBy("split")
+    )
+
+
+def sql_split_ppl_gap() -> str:
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return f"""
+WITH sa AS ({C.sql_split_assign()}),
+toks AS (
+  SELECT d.doc_id, sa.split, lower(UNNEST(string_split(d.text, ' '))) AS w
+  FROM documents d JOIN sa USING (doc_id)
+  WHERE d.text IS NOT NULL
+),
+tc AS (SELECT w, COUNT(*) AS c FROM toks WHERE split = 'train' GROUP BY 1),
+consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks WHERE split = 'train') AS t,
+         (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) FROM toks) AS v
+),
+per_doc AS (
+  SELECT toks.split,
+         CAST(ROUND(1000000 * ROUND(
+           AVG(LN((COALESCE(tc.c, 0) + 1.0) / (consts.t + consts.v))), 6))
+           AS BIGINT) AS alp_micro
+  FROM toks LEFT JOIN tc USING (w) CROSS JOIN consts
+  GROUP BY toks.doc_id, toks.split
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(alp_micro) / (COUNT(*) * 1000000.0), 6) AS avg_logprob,
+       ROUND(EXP(-ROUND(SUM(alp_micro) / (COUNT(*) * 1000000.0), 6)), 6)
+         AS pseudo_ppl
+FROM per_doc GROUP BY split ORDER BY split
 """

@@ -5469,6 +5469,129 @@ ORDER BY 1, 2
     )
 
 
+
+def q_service_overlap_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (svc_a, svc_b, n_traces, n_overlapping_pairs, total_overlap_us):
+    how much WALL-CLOCK time each service pair spends running
+    CONCURRENTLY inside the same trace — summed pairwise interval
+    intersection between the two services' spans. The measured
+    complement of `trace_parallelism`'s factor: parallelism says "this
+    workload runs k-way"; overlap says WHICH services share those
+    concurrent windows (capacity planning pairs, contention suspects,
+    candidates for co-scheduling). Pure integer interval arithmetic —
+    exact on both engines, no float discipline needed.
+
+    Scale shape: the pair join is per-trace (same bounded fan-out as
+    `service_latency_coupling` — a trace's span count, never corpus²)
+    and rides ONE trace_id exchange; the rollup keys on the
+    |services|²-bounded pair."""
+    spans = _spans(spark, sf_dir).select(
+        "trace_id",
+        F.lower("service_name").alias("svc"),
+        F.col("start_time").alias("s"),
+        (F.col("start_time") + F.col("duration")).alias("e"),
+    )
+    a = spans.select("trace_id", F.col("svc").alias("svc_a"),
+                     F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = spans.select("trace_id", F.col("svc").alias("svc_b"),
+                     F.col("s").alias("sb"), F.col("e").alias("eb"))
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least("ea", "eb") - F.greatest("sa", "sb"),
+    )
+    pairs = (
+        a.join(b, "trace_id")
+        .filter(F.col("svc_a") < F.col("svc_b"))
+        .withColumn("ov", ov)
+    )
+    return (
+        pairs.groupBy("svc_a", "svc_b")
+        .agg(
+            F.countDistinct("trace_id").cast("long").alias("n_traces"),
+            F.sum((F.col("ov") > 0).cast("long")).cast("long")
+            .alias("n_overlapping_pairs"),
+            F.sum("ov").cast("long").alias("total_overlap_us"),
+        )
+        .filter(F.col("n_overlapping_pairs") > 0)
+        .orderBy("svc_a", "svc_b")
+    )
+
+
+def sql_service_overlap_time() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, sp AS (
+  SELECT trace_id, lower(service_name) AS svc,
+         start_time AS s, start_time + duration AS e
+  FROM spans
+),
+pairs AS (
+  SELECT a.trace_id, a.svc AS svc_a, b.svc AS svc_b,
+         GREATEST(0, LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS ov
+  FROM sp a JOIN sp b ON b.trace_id = a.trace_id AND a.svc < b.svc
+)
+SELECT svc_a, svc_b,
+       CAST(COUNT(DISTINCT trace_id) AS BIGINT) AS n_traces,
+       CAST(SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlapping_pairs,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+FROM pairs GROUP BY 1, 2
+HAVING SUM(CASE WHEN ov > 0 THEN 1 ELSE 0 END) > 0
+ORDER BY 1, 2
+"""
+    )
+
+
+def q_sampling_debias_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (reason, n_traces, weight, weighted_traces): inverse-probability
+    weights that make metrics computed from the TAIL-SAMPLED traces
+    unbiased for the full population — error/slow traces are kept with
+    probability 1 (weight 1), hash-kept traces represent 100/RATE_PCT
+    of their stratum, drops carry weight 0. `sampling_bias_report`
+    MEASURES the bias; this emits the correction: Σ weighted_traces over
+    the sampled reasons estimates the true corpus trace count (pinned
+    exactly in the crafted test — Horvitz-Thompson over deterministic
+    strata has zero estimation error on the hash stratum count itself
+    only in expectation; the estimator identity Σ n·w is what ships).
+    Weights come from the SAME policy constants the streaming gate and
+    batch face share — a re-tuned sampler re-weights automatically.
+
+    Scale shape: one ≤4-row rollup over the shared per-trace decision
+    table; weights are literal CASE arms."""
+    decisions = q_tail_sampling(spark, sf_dir)
+    w = (
+        F.when(F.col("reason").isin("error", "slow"), F.lit(1.0))
+        .when(F.col("reason") == "hash", F.lit(100.0 / SAMPLING_RATE_PCT))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        decisions.groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_traces"))
+        .withColumn("weight", w)
+        .withColumn(
+            "weighted_traces",
+            F.round(F.col("n_traces") * F.col("weight"), 6),
+        )
+        .orderBy("reason")
+    )
+
+
+def sql_sampling_debias_weights() -> str:
+    w_hash = 100.0 / SAMPLING_RATE_PCT
+    return f"""
+WITH decisions AS ({sql_tail_sampling().strip()})
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CASE WHEN reason IN ('error', 'slow') THEN 1.0
+            WHEN reason = 'hash' THEN {w_hash}
+            ELSE 0.0 END AS weight,
+       ROUND(COUNT(*) * CASE WHEN reason IN ('error', 'slow') THEN 1.0
+                             WHEN reason = 'hash' THEN {w_hash}
+                             ELSE 0.0 END, 6) AS weighted_traces
+FROM decisions GROUP BY reason ORDER BY reason
+"""
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5603,6 +5726,9 @@ _ROTATION_QUEUE = (
     "rare_token_docs",
     "latency_variance_decomposition",
     "span_duration_modality",
+    "service_overlap_time",
+    "sampling_debias_weights",
+    "split_ppl_gap",
 )
 
 
@@ -5719,6 +5845,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_trace_load": q_concurrent_trace_load,
         "latency_variance_decomposition": q_latency_variance_decomposition,
         "span_duration_modality": q_span_duration_modality,
+        "service_overlap_time": q_service_overlap_time,
+        "sampling_debias_weights": q_sampling_debias_weights,
     }
 
 
@@ -5823,4 +5951,6 @@ def _trace_oracles() -> dict[str, str]:
         "concurrent_trace_load": sql_concurrent_trace_load(),
         "latency_variance_decomposition": sql_latency_variance_decomposition(),
         "span_duration_modality": sql_span_duration_modality(),
+        "service_overlap_time": sql_service_overlap_time(),
+        "sampling_debias_weights": sql_sampling_debias_weights(),
     }

@@ -2454,3 +2454,61 @@ class TestRound6ReviewFixes:
         truncated_at_maxval = b"P6\n2 1\n255"
         with pytest.raises(ValueError, match="whitespace"):
             M.decode_pnm(truncated_at_maxval)
+
+
+class TestSplitPplGap:
+    def test_uniform_corpus_scores_every_split_identically(self, spark, tmp_path):
+        """Every doc is the single token repeated: the train LM assigns
+        p=1 (Laplace with V=1 collapses to (T+1)/(T+1)), so every split
+        shows avg_logprob 0 and pseudo_ppl 1 — any split asymmetry here
+        would be an implementation artifact."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(i, "a a a", "s") for i in range(40)],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            rows = dp.q_split_ppl_gap(spark, d).collect()
+            assert sum(r["n_docs"] for r in rows) == 40
+            for r in rows:
+                assert r["avg_logprob"] == 0.0
+                assert r["pseudo_ppl"] == 1.0
+        finally:
+            release_materialized()
+
+    def test_oov_val_tokens_raise_val_ppl(self, spark, tmp_path):
+        """Docs whose tokens never appear in train must score WORSE
+        (higher pseudo-ppl) than train docs — the smoothed-OOV path."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.datapipe.corpus import DEFAULT_SPLITS
+        from haystack_traces_spark.datapipe.hashing import hash60_py
+        from haystack_traces_spark.session import release_materialized
+
+        # find doc ids landing in train vs val under the real assignment
+        def split_of(i):
+            b = hash60_py(str(i), seed="split:") % 10000
+            acc = 0
+            for name, w in DEFAULT_SPLITS:
+                acc += w
+                if b < acc * 10000:
+                    return name
+            return DEFAULT_SPLITS[-1][0]
+
+        train_ids = [i for i in range(200) if split_of(i) == "train"][:20]
+        val_ids = [i for i in range(200) if split_of(i) == "val"][:5]
+        assert train_ids and val_ids
+        d = str(tmp_path / "corpus")
+        rows = [(i, "common words here", "s") for i in train_ids]
+        rows += [(i, f"oovtok{i} oovtok{i}x", "s") for i in val_ids]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            out = {r["split"]: r.asDict()
+                   for r in dp.q_split_ppl_gap(spark, d).collect()}
+            assert out["val"]["pseudo_ppl"] > out["train"]["pseudo_ppl"]
+        finally:
+            release_materialized()

@@ -578,6 +578,12 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     cases["latency_variance_decomposition"] = (
         EQ.q_latency_variance_decomposition, 0)
     cases["span_duration_modality"] = (EQ.q_span_duration_modality, 0)
+    cases["service_overlap_time"] = (EQ.q_service_overlap_time, 0)
+    # one bounded single-partition: the <=4-row reason rollup's sort
+    cases["sampling_debias_weights"] = (EQ.q_sampling_debias_weights, 1)
+    # two bounded single-partitions: the 1-row train-total and vocab-size
+    # constant aggregates (both map-side combined before the exchange)
+    cases["split_ppl_gap"] = (Q.q_split_ppl_gap, 2)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name

@@ -1279,3 +1279,59 @@ def test_span_duration_modality_near_constant_large_magnitude(spark):
     assert r["excess_kurtosis"] == round(g2, 6)
     assert r["bimodality"] == round((g1 * g1 + 1) / (g2 + 3), 6)
     assert abs(r["excess_kurtosis"]) < 10  # the bug produced ~1.5e9
+
+
+def test_service_overlap_time_interval_intersection(spark):
+    """svc_a [0,10) and svc_b [5,15) overlap exactly 5 µs; svc_c starts
+    after both end — pairs with zero overlap are dropped."""
+    rows = [
+        mk(trace_id="t1", span_id="a", service="svc_a", start=T0, duration=10),
+        mk(trace_id="t1", span_id="b", service="svc_b", start=T0 + 5,
+           duration=10),
+        mk(trace_id="t1", span_id="c", service="svc_c", start=T0 + 100,
+           duration=10),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: [r.asDict() for r in
+                 EQ.q_service_overlap_time(spark, "ignored").collect()],
+    )
+    # (a,c) and (b,c) never overlap -> filtered; only (a,b) remains
+    assert len(out) == 1
+    r = out[0]
+    assert (r["svc_a"], r["svc_b"]) == ("svc_a", "svc_b")
+    assert (r["n_traces"], r["n_overlapping_pairs"],
+            r["total_overlap_us"]) == (1, 1, 5)
+
+
+def test_sampling_debias_weights_policy_arms(spark):
+    """Weight arms follow the shared policy constants: kept strata get
+    1, the hash stratum gets 100/rate, drops get 0; weighted_traces is
+    the Horvitz-Thompson estimate n·w."""
+    from haystack_traces_spark.datapipe.hashing import hash60_py
+    from haystack_traces_spark.streaming.sampling_stream import (
+        DEFAULT_RATE_PCT,
+        DEFAULT_SLOW_US,
+    )
+
+    rows = [mk(trace_id="err", span_id="e", duration=10,
+               tags=[_ltag("errorcode", 500)])]
+    rows.append(mk(trace_id="slow", span_id="s", duration=DEFAULT_SLOW_US + 1))
+    for i in range(30):
+        rows.append(mk(trace_id=f"t{i}", span_id=f"n{i}", duration=100))
+    out = _patched(
+        spark, rows,
+        lambda: {r["reason"]: r.asDict() for r in
+                 EQ.q_sampling_debias_weights(spark, "ignored").collect()},
+    )
+    assert out["error"]["weight"] == 1.0 and out["error"]["n_traces"] == 1
+    assert out["slow"]["weight"] == 1.0 and out["slow"]["n_traces"] == 1
+    n_hash = sum(1 for i in range(30)
+                 if hash60_py(f"t{i}", seed="tail:") % 100 < DEFAULT_RATE_PCT)
+    if n_hash:
+        h = out["hash"]
+        assert h["weight"] == 100.0 / DEFAULT_RATE_PCT
+        assert h["n_traces"] == n_hash
+        assert h["weighted_traces"] == round(n_hash * h["weight"], 6)
+    assert out["drop"]["weight"] == 0.0
+    assert out["drop"]["n_traces"] == 30 - n_hash
