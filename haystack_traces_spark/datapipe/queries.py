@@ -3289,6 +3289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_coverage_curve": q_token_coverage_curve,
         "rare_token_docs": q_rare_token_docs,
         "split_ppl_gap": q_split_ppl_gap,
+        "canonical_quality_audit": q_canonical_quality_audit,
+        "shingle_df_profile": q_shingle_df_profile,
     }
 
 
@@ -3419,6 +3421,8 @@ def oracle_sql() -> dict[str, str]:
         "token_coverage_curve": sql_token_coverage_curve(),
         "rare_token_docs": sql_rare_token_docs(),
         "split_ppl_gap": sql_split_ppl_gap(),
+        "canonical_quality_audit": sql_canonical_quality_audit(),
+        "shingle_df_profile": sql_shingle_df_profile(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6250,4 +6254,123 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(EXP(-ROUND(SUM(alp_micro) / (COUNT(*) * 1000000.0), 6)), 6)
          AS pseudo_ppl
 FROM per_doc GROUP BY split ORDER BY split
+"""
+
+
+def q_canonical_quality_audit(spark, sf_dir):
+    """→ (cluster, n_members, canon_score, best_score, canonical_is_best,
+    quality_delta): does keep-lowest-id canonicalization keep the BEST
+    copy? Per near-dup cluster: the canonical doc's quality score beside
+    the cluster's best score and the mean of the discarded members
+    (quality_delta = canonical − mean(others)). Clusters where
+    canonical_is_best is false are where the dedup policy throws away
+    the better copy — the evidence for switching the canonical rule to
+    argmax-quality before a 100 TB pass bakes the choice in.
+
+    Scores are the registry's own quality_classifier values; means use
+    exact BIGINT micro sums (the silhouette lesson). Rounded-key
+    compares only: canonical_is_best uses the 6dp-rounded scores both
+    faces share.
+
+    Scale shape: rides the session-cached cluster map; scores are a
+    map-only projection; one join keyed on doc_id + a per-cluster
+    combinable rollup."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    scores = X.quality_classifier(_docs(spark, sf_dir)).select(
+        "doc_id", F.round(F.col("score") * 1_000_000).cast("long").alias("sm")
+    )
+    m = clusters.join(scores, "doc_id").withColumn(
+        "is_canon", (F.col("doc_id") == F.col("cluster")).cast("int")
+    )
+    canon = F.max(F.when(F.col("is_canon") == 1, F.col("sm")))
+    others_sum = F.sum(F.when(F.col("is_canon") == 0, F.col("sm")))
+    others_n = F.sum(F.lit(1) - F.col("is_canon"))
+    return (
+        m.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (canon / 1e6).alias("canon_raw"),
+            (F.max("sm") / 1e6).alias("best_raw"),
+            (canon >= F.max("sm")).alias("canonical_is_best"),
+            # components always have >=2 members, but NULLIF anyway:
+            # ANSI Spark would ABORT on a 0 denominator where DuckDB NULLs
+            ((canon - others_sum / F.nullif(others_n, F.lit(0))) / 1e6)
+            .alias("delta_raw"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            F.round("canon_raw", 6).alias("canon_score"),
+            F.round("best_raw", 6).alias("best_score"),
+            "canonical_is_best",
+            F.round("delta_raw", 6).alias("quality_delta"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def sql_canonical_quality_audit() -> str:
+    return f"""
+WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+{_DUP_COMPONENTS},
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+q AS ({sql_quality_classifier().strip()}),
+m AS (
+  SELECT cl.cluster, cl.doc_id,
+         CAST(ROUND(q.score * 1000000) AS BIGINT) AS sm,
+         CASE WHEN cl.doc_id = cl.cluster THEN 1 ELSE 0 END AS is_canon
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(MAX(CASE WHEN is_canon = 1 THEN sm END) / 1000000.0, 6)
+         AS canon_score,
+       ROUND(MAX(sm) / 1000000.0, 6) AS best_score,
+       MAX(CASE WHEN is_canon = 1 THEN sm END) >= MAX(sm)
+         AS canonical_is_best,
+       ROUND((MAX(CASE WHEN is_canon = 1 THEN sm END)
+              - SUM(CASE WHEN is_canon = 0 THEN sm END) * 1.0
+                / SUM(1 - is_canon)) / 1000000.0, 6) AS quality_delta
+FROM m GROUP BY cluster ORDER BY cluster
+"""
+
+
+def q_shingle_df_profile(spark, sf_dir):
+    """→ (df_bucket, n_shingles, total_occurrences, pair_mass): the
+    shingle document-frequency histogram in log2 buckets — the COST
+    MODEL table for every shingle-joined candidate generator here:
+    ppjoin/containment join volume is Σ df over prefix occurrences and
+    a bucket self-join's output is Σ df·(df−1)/2 (pair_mass), so this
+    one table predicts candidate volume BEFORE running a 100 TB dedup
+    pass and shows exactly which df tail a `cap_buckets`/`max_df` dial
+    would cut. Pure integer arithmetic — exact cross-engine.
+
+    Scale shape: one (s)-keyed combinable count + a ≤64-row bucket
+    rollup; log2 bucketing is per-row expression."""
+    sh = D.shingle_rows(_docs(spark, sf_dir), "text", 3)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.groupBy(
+            F.floor(F.log2("df")).cast("long").alias("df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("total_occurrences"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            .cast("long")
+            .alias("pair_mass"),
+        )
+        .orderBy("df_bucket")
+    )
+
+
+def sql_shingle_df_profile() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES}),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT CAST(FLOOR(LOG2(df)) AS BIGINT) AS df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS total_occurrences,
+       CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_mass
+FROM dfreq GROUP BY 1 ORDER BY 1
 """

@@ -5729,6 +5729,8 @@ _ROTATION_QUEUE = (
     "service_overlap_time",
     "sampling_debias_weights",
     "split_ppl_gap",
+    "canonical_quality_audit",
+    "shingle_df_profile",
 )
 
 

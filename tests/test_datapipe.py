@@ -2512,3 +2512,61 @@ class TestSplitPplGap:
             assert out["val"]["pseudo_ppl"] > out["train"]["pseudo_ppl"]
         finally:
             release_materialized()
+
+
+class TestRound6dOperators:
+    def test_canonical_quality_audit_flags_worse_canonical(self, spark, tmp_path):
+        """A near-dup pair where the LOWER id (canonical) is the shorter/
+        different-quality copy: audit row must carry the canonical's own
+        score, the cluster max, and the exact delta — flagging when the
+        policy kept the worse copy."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.datapipe import text as X
+        from haystack_traces_spark.datapipe import stagecache
+        from haystack_traces_spark.session import release_materialized
+
+        base = " ".join(f"w{i}" for i in range(22))          # 20 shingles
+        longer = base + " extra1 extra2"                      # superset
+        d = str(tmp_path / "corpus")
+        docs = spark.createDataFrame(
+            [(1, base, "s"), (2, longer, "s"),
+             (3, "completely different unrelated words entirely", "s")],
+            "doc_id long, text string, source string",
+        )
+        docs.write.parquet(f"{d}/documents.parquet")
+        try:
+            scores = {r["doc_id"]: r["score"]
+                      for r in X.quality_classifier(docs).collect()}
+            rows = dp.q_canonical_quality_audit(spark, d).collect()
+            assert len(rows) == 1  # doc 3 is a singleton, not a cluster
+            r = rows[0].asDict()
+            assert (r["cluster"], r["n_members"]) == (1, 2)
+            assert r["canon_score"] == scores[1]
+            assert r["best_score"] == max(scores[1], scores[2])
+            assert r["canonical_is_best"] == (scores[1] >= scores[2])
+            assert r["quality_delta"] == round(scores[1] - scores[2], 6)
+        finally:
+            stagecache.clear()
+            release_materialized()
+
+    def test_shingle_df_profile_exact_buckets(self, spark, tmp_path):
+        """df=1 shingles land in bucket 0 with pair_mass 0; a shingle
+        shared by 4 docs lands in bucket 2 with pair_mass 6."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        shared = "alpha bravo charlie"  # one 3-shingle, df = 4
+        d = str(tmp_path / "corpus")
+        rows = [(i, shared, "s") for i in range(4)]
+        rows.append((9, "unique tokens here now", "s"))  # two df=1 shingles
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            out = {r["df_bucket"]: r.asDict()
+                   for r in dp.q_shingle_df_profile(spark, d).collect()}
+            assert out[0]["n_shingles"] == 2 and out[0]["pair_mass"] == 0
+            assert out[2] == {"df_bucket": 2, "n_shingles": 1,
+                              "total_occurrences": 4, "pair_mass": 6}
+        finally:
+            release_materialized()

@@ -584,6 +584,8 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     # two bounded single-partitions: the 1-row train-total and vocab-size
     # constant aggregates (both map-side combined before the exchange)
     cases["split_ppl_gap"] = (Q.q_split_ppl_gap, 2)
+    cases["canonical_quality_audit"] = (Q.q_canonical_quality_audit, 0)
+    cases["shingle_df_profile"] = (Q.q_shingle_df_profile, 0)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
