@@ -3291,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_ppl_gap": q_split_ppl_gap,
         "canonical_quality_audit": q_canonical_quality_audit,
         "shingle_df_profile": q_shingle_df_profile,
+        "pca_power_iteration": q_pca_power_iteration,
     }
 
 
@@ -3423,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "split_ppl_gap": sql_split_ppl_gap(),
         "canonical_quality_audit": sql_canonical_quality_audit(),
         "shingle_df_profile": sql_shingle_df_profile(),
+        "pca_power_iteration": sql_pca_power_iteration(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6373,4 +6375,66 @@ SELECT CAST(FLOOR(LOG2(df)) AS BIGINT) AS df_bucket,
        CAST(SUM(df) AS BIGINT) AS total_occurrences,
        CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_mass
 FROM dfreq GROUP BY 1 ORDER BY 1
+"""
+
+
+PCA_ITERS = 8
+
+
+def q_pca_power_iteration(spark, sf_dir):
+    return S.top_component(_emb(spark, sf_dir), iters=PCA_ITERS)
+
+
+def sql_pca_power_iteration() -> str:
+    """Fully-in-SQL mirror: the same one-pass covariance (E[xxT] − μμT)
+    and the same 8 power-iteration rounds, unrolled as chained CTEs —
+    the iteration is CONTRACTIVE toward the top eigenvector, so the two
+    engines' ulp-level sum-order differences shrink per round instead of
+    compounding, and the 6dp-rounded outputs agree."""
+    rounds = []
+    prev = "u0"
+    for k in range(1, PCA_ITERS + 1):
+        # every y_k is referenced twice (norm + update) — MATERIALIZED,
+        # or DuckDB's CTE inlining makes the chain cost 2^k
+        rounds.append(
+            f"y{k} AS MATERIALIZED (SELECT c.d1 AS j, SUM(c.c * u.v) AS v "
+            f"FROM cmat c JOIN {prev} u ON u.j = c.d2 GROUP BY 1),\n"
+            f"n{k} AS (SELECT SQRT(SUM(v * v)) AS nv FROM y{k}),\n"
+            f"u{k} AS MATERIALIZED (SELECT j, v / nv AS v FROM y{k}, n{k})"
+        )
+        prev = f"u{k}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS MATERIALIZED (
+  -- single unnest + equi self-join, MATERIALIZED: DuckDB inlines CTEs,
+  -- so without materialization every one of the 8 iteration rounds
+  -- re-evaluated the whole covariance pipeline (~2 min vs ~2 s at
+  -- sf0.001)
+  SELECT vec_id, d.i - 1 AS d, v[d.i] AS x
+  FROM e, UNNEST(generate_series(1, 64)) d(i)
+),
+pairs AS MATERIALIZED (
+  SELECT a.d AS d1, b.d AS d2, SUM(a.x * b.x) AS sp, COUNT(*) AS n
+  FROM comp a JOIN comp b USING (vec_id)
+  GROUP BY 1, 2
+),
+mu AS (SELECT d, AVG(x) AS mu FROM comp GROUP BY 1),
+cmat AS MATERIALIZED (
+  SELECT p.d1, p.d2, p.sp / p.n - m1.mu * m2.mu AS c
+  FROM pairs p JOIN mu m1 ON m1.d = p.d1 JOIN mu m2 ON m2.d = p.d2
+),
+u0 AS (SELECT d.i - 1 AS j, 0.125 AS v
+       FROM UNNEST(generate_series(1, 64)) d(i)),
+{chain},
+lam AS (
+  SELECT SUM(ua.v * c.c * ub.v) AS lam
+  FROM cmat c JOIN {prev} ua ON ua.j = c.d1 JOIN {prev} ub ON ub.j = c.d2
+),
+tot AS (SELECT SUM(c) AS t, MAX(c) AS dm FROM cmat WHERE d1 = d2)
+SELECT CAST(64 AS BIGINT) AS dim,
+       ROUND(lam, 6) AS top_eigenvalue,
+       ROUND(lam / t, 6) AS top_var_share,
+       ROUND(dm / t, 6) AS diag_top_share
+FROM lam, tot
 """

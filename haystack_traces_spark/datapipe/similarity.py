@@ -1260,3 +1260,99 @@ def embedding_drift(emb: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def top_component(
+    emb: DataFrame,
+    dim: int = 64,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ one row (dim, top_eigenvalue, top_var_share, diag_top_share):
+    the TOP PRINCIPAL COMPONENT of the embedding cloud — largest
+    eigenvalue of the covariance matrix via power iteration, its share
+    of total variance, and beside it the share the DIAGONAL
+    approximation (`effective_dim`'s basis) would report. A top_var_share
+    far above diag_top_share means variance hides in CORRELATED
+    directions — the diagonal participation ratio is then an
+    overestimate of usable width, and distance thresholds calibrated
+    per-dimension are wrong.
+
+    Exactness/scale split: the covariance matrix is built DISTRIBUTED in
+    ONE pass — per row, the d² upper-triangle products via a nested
+    higher-order transform (map-side combinable aggregate; O(n·d²) work,
+    linear in n) — and is then a BOUNDED d×d table (64² = 4 KB of
+    doubles, data-size-independent by construction), so collecting it
+    for the deterministic numpy power iteration is the sanctioned
+    bounded-driver-sample pattern (same contract as IVF centroids / PQ
+    codebooks). C = E[xxᵀ] − μμᵀ, so no centering pass touches the rows.
+    Power iteration is CONTRACTIVE toward the top eigenvector, so the
+    ulp-level float-sum-order differences between engines shrink instead
+    of compounding — the 6dp-rounded outputs agree cross-engine."""
+    import numpy as np
+
+    def second_moments(batches):
+        # one GEMM per Arrow batch → ONE (d², sums) partial per batch,
+        # not per row — 8M interpreted-HOF struct rows become a few
+        # dozen 64×64 partials (the block-GEMM house pattern)
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            M = A.T @ A  # (dim, dim)
+            s = A.sum(axis=0)
+            d1, d2 = np.meshgrid(
+                np.arange(dim), np.arange(dim), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "d1": d1.reshape(-1),
+                    "d2": d2.reshape(-1),
+                    "sp": M.reshape(-1),
+                    "sx": np.tile(s, dim),  # per-d2 sums ride along
+                    "n": np.full(dim * dim, len(pdf), dtype=np.int64),
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        second_moments, schema="d1 int, d2 int, sp double, sx double, n long"
+    )
+    stats = partials.groupBy("d1", "d2").agg(
+        F.sum("sp").alias("sp"),
+        F.sum("sx").alias("sx"),
+        F.sum(F.when(F.col("d1") == 0, F.col("n"))).alias("n"),
+    )
+    rows = stats.collect()          # bounded: d² rows by construction
+    mu = np.zeros(dim)
+    C = np.zeros((dim, dim))
+    n = 0
+    for r in rows:
+        C[r["d1"], r["d2"]] = r["sp"]
+        if r["d1"] == 0:
+            mu[r["d2"]] = r["sx"]
+            if r["d2"] == 0:
+                n = r["n"]
+    C /= n
+    mu /= n
+    C -= np.outer(mu, mu)
+    u = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        y = C @ u
+        u = y / np.linalg.norm(y)
+    lam = float(u @ C @ u)
+    total_var = float(np.trace(C))
+    diag_top = float(np.max(np.diag(C)))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(
+            dim,
+            round(lam, 6),
+            round(lam / total_var, 6) if total_var else None,
+            round(diag_top / total_var, 6) if total_var else None,
+        )],
+        "dim long, top_eigenvalue double, top_var_share double, "
+        "diag_top_share double",
+    )

@@ -5731,6 +5731,7 @@ _ROTATION_QUEUE = (
     "split_ppl_gap",
     "canonical_quality_audit",
     "shingle_df_profile",
+    "pca_power_iteration",
 )
 
 

@@ -2570,3 +2570,32 @@ class TestRound6dOperators:
                               "total_occurrences": 4, "pair_mass": 6}
         finally:
             release_materialized()
+
+
+class TestPcaPowerIteration:
+    def test_correlated_axes_beat_diagonal_share(self, spark):
+        """Vectors (t, t, 0, …): each axis holds half the diagonal
+        variance, but the true top component is the diagonal direction
+        holding ALL of it — top_var_share 1.0 vs diag_top_share 0.5,
+        the exact gap this operator exists to expose."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        rows = [(i, [float(i), float(i)] + [0.0] * 62) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        r = S.top_component(emb).collect()[0].asDict()
+        var_t = sum((i - 4.5) ** 2 for i in range(10)) / 10
+        assert r["dim"] == 64
+        assert r["top_eigenvalue"] == round(2 * var_t, 6)
+        assert r["top_var_share"] == 1.0
+        assert r["diag_top_share"] == 0.5
+
+    def test_single_axis_cloud(self, spark):
+        """All variance on axis 0: eigenvalue = var, both shares 1."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        rows = [(i, [float(i)] + [0.0] * 63) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        r = S.top_component(emb).collect()[0].asDict()
+        var_t = sum((i - 4.5) ** 2 for i in range(10)) / 10
+        assert r["top_eigenvalue"] == round(var_t, 6)
+        assert r["top_var_share"] == 1.0 and r["diag_top_share"] == 1.0
