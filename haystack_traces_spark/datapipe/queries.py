@@ -3292,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_quality_audit": q_canonical_quality_audit,
         "shingle_df_profile": q_shingle_df_profile,
         "pca_power_iteration": q_pca_power_iteration,
+        "charset_anomalies": q_charset_anomalies,
     }
 
 
@@ -3425,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_quality_audit": sql_canonical_quality_audit(),
         "shingle_df_profile": sql_shingle_df_profile(),
         "pca_power_iteration": sql_pca_power_iteration(),
+        "charset_anomalies": sql_charset_anomalies(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6437,4 +6439,75 @@ SELECT CAST(64 AS BIGINT) AS dim,
        ROUND(lam / t, 6) AS top_var_share,
        ROUND(dm / t, 6) AS diag_top_share
 FROM lam, tot
+"""
+
+
+_NONASCII_RE = r"[^\x00-\x7f]"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_REPLACEMENT_RE = r"\x{FFFD}"
+
+
+def q_charset_anomalies(spark, sf_dir):
+    """→ (source, n_docs, total_chars, nonascii_chars, nonascii_ratio,
+    n_docs_ctrl, n_docs_replacement): ENCODING-HEALTH audit per source —
+    non-ASCII character mass, docs carrying raw control characters
+    (anything but tab/newline/CR: binary bleed-through, broken scrapers)
+    and docs carrying U+FFFD (the replacement character a decoder emits
+    where bytes were already lost — unrecoverable upstream corruption).
+    A source whose nonascii_ratio jumps between crawls without a
+    language-mix change is usually a charset-detection regression, not
+    new content. Regex constructs are the RE2∩Java subset the house
+    PRETOKEN_RE rule requires.
+
+    Scale shape: pure per-row expressions + one combinable per-source
+    rollup; the ratio derives from exact BIGINT char sums. NULL-text
+    docs are out of contract."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    nonascii = F.length("text") - F.length(
+        F.regexp_replace("text", _NONASCII_RE, "")
+    )
+    has_ctrl = (
+        F.length("text")
+        > F.length(F.regexp_replace("text", _CTRL_RE, ""))
+    ).cast("long")
+    has_repl = (
+        F.length("text")
+        > F.length(F.regexp_replace("text", _REPLACEMENT_RE, ""))
+    ).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(nonascii).cast("long").alias("nonascii_chars"),
+            F.round(
+                F.sum(nonascii) / F.nullif(F.sum(F.length("text")), F.lit(0)),
+                6,
+            ).alias("nonascii_ratio"),
+            F.sum(has_ctrl).cast("long").alias("n_docs_ctrl"),
+            F.sum(has_repl).cast("long").alias("n_docs_replacement"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_charset_anomalies() -> str:
+    na = f"length(text) - length(regexp_replace(text, '{_NONASCII_RE}', '', 'g'))"
+    ct = f"length(text) > length(regexp_replace(text, '{_CTRL_RE}', '', 'g'))"
+    rp = (
+        "length(text) > length(regexp_replace(text, "
+        f"'{_REPLACEMENT_RE}', '', 'g'))"
+    )
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM({na}) AS BIGINT) AS nonascii_chars,
+       ROUND(SUM({na}) * 1.0 / NULLIF(SUM(length(text)), 0), 6)
+         AS nonascii_ratio,
+       CAST(SUM(CASE WHEN {ct} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ctrl,
+       CAST(SUM(CASE WHEN {rp} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_replacement
+FROM documents WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
 """

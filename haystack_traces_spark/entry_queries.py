@@ -5592,6 +5592,121 @@ FROM decisions GROUP BY reason ORDER BY reason
 """
 
 
+
+def q_error_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (depth, n_spans, n_errors, error_rate): WHERE IN THE CALL TREE
+    errors live — error count and rate per tree depth. Errors
+    concentrated at the deepest tier point at a leaf dependency (one
+    backend poisoning every path through it); errors ONLY at depth 0
+    with clean subtrees point at gateway-side failures (timeouts,
+    rejections) that never reached the backends. The error-localized
+    sibling of `depth_profile` (latency per depth).
+
+    Depth rides the shared per-trace timeline walk; the error flag joins
+    back on (trace_id, span_id) within the SAME trace exchange; the
+    rollup is a tiny depth-keyed aggregate. (Parent-cycle spans: same
+    documented walk-vs-recursive-CTE divergence class as depth_profile;
+    well-formed corpora agree.)"""
+    from haystack_traces_spark.operators.timeline import trace_timeline
+
+    spans = _spans(spark, sf_dir)
+    tl = trace_timeline(spans).select("trace_id", "span_id", "depth")
+    err = spans.select(
+        "trace_id", "span_id",
+        (_errorcode() >= ERROR_THRESHOLD).cast("long").alias("is_err"),
+    )
+    return (
+        tl.join(err, ["trace_id", "span_id"])
+        .groupBy(F.col("depth").cast("long").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+            F.round(F.sum("is_err") / F.count(F.lit(1)), 6)
+            .alias("error_rate"),
+        )
+        .orderBy("depth")
+    )
+
+
+def sql_error_depth_profile() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + _DEPTH_CTE_SQL
+        + f"""
+SELECT CAST(d.depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN COALESCE(s.errorcode, 0) >= {ERROR_THRESHOLD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       ROUND(SUM(CASE WHEN COALESCE(s.errorcode, 0) >= {ERROR_THRESHOLD}
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS error_rate
+FROM d JOIN spans s ON s.trace_id = d.trace_id AND s.span_id = d.span_id
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def q_tag_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, tag_key, n_spans, n_tagged, coverage): what share
+    of each service's spans actually CARRY each whitelisted tag — the
+    index-coverage audit behind every tag-filtered search ("can I query
+    this service by role?" has a number, not a guess). A whitelisted key
+    at 3% coverage indexes noise; near-0% coverage on one service while
+    siblings sit at 100% is an instrumentation gap to fix at the SOURCE.
+    Mirrors the reference's whitelist semantics: the SAME typed
+    tag-extraction the index builder runs (absent tag = NULL = untagged).
+
+    Scale shape: map-only tag extraction + one (service, key)-keyed
+    combinable aggregate — the cheapest possible audit over the span
+    scan."""
+    from haystack_traces_spark.transform.tags import tag_str
+
+    spans = _spans(spark, sf_dir)
+    rows = []
+    for key in ("errorcode", "role"):
+        rows.append(
+            spans.select(
+                F.lower("service_name").alias("servicename"),
+                F.lit(key).alias("tag_key"),
+                tag_str("tags", key).isNotNull().cast("long").alias("tagged"),
+            )
+        )
+    unioned = rows[0]
+    for r in rows[1:]:
+        unioned = unioned.unionByName(r)
+    return (
+        unioned.groupBy("servicename", "tag_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("tagged").cast("long").alias("n_tagged"),
+            F.round(F.sum("tagged") / F.count(F.lit(1)), 6)
+            .alias("coverage"),
+        )
+        .orderBy("servicename", "tag_key")
+    )
+
+
+def sql_tag_coverage() -> str:
+    # the events source synthesizes BOTH whitelist tags: errorcode LONG
+    # from props.k (NULL when the json lacks k → untagged) and role
+    # STRING with a constant value (always tagged). "Tagged" = the tag
+    # yields a usable value, the same contract tag_str gives the Spark
+    # face.
+    return (
+        EVENT_SPANS_CTE
+        + """
+, keys AS (SELECT 'errorcode' AS tag_key UNION ALL SELECT 'role')
+SELECT lower(service_name) AS servicename, k.tag_key,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN k.tag_key = 'role' OR errorcode IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+       ROUND(SUM(CASE WHEN k.tag_key = 'role' OR errorcode IS NOT NULL
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS coverage
+FROM spans CROSS JOIN keys k
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5732,6 +5847,9 @@ _ROTATION_QUEUE = (
     "canonical_quality_audit",
     "shingle_df_profile",
     "pca_power_iteration",
+    "error_depth_profile",
+    "tag_coverage",
+    "charset_anomalies",
 )
 
 
@@ -5850,6 +5968,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_duration_modality": q_span_duration_modality,
         "service_overlap_time": q_service_overlap_time,
         "sampling_debias_weights": q_sampling_debias_weights,
+        "error_depth_profile": q_error_depth_profile,
+        "tag_coverage": q_tag_coverage,
     }
 
 
@@ -5956,4 +6076,6 @@ def _trace_oracles() -> dict[str, str]:
         "span_duration_modality": sql_span_duration_modality(),
         "service_overlap_time": sql_service_overlap_time(),
         "sampling_debias_weights": sql_sampling_debias_weights(),
+        "error_depth_profile": sql_error_depth_profile(),
+        "tag_coverage": sql_tag_coverage(),
     }

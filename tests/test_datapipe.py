@@ -2599,3 +2599,36 @@ class TestPcaPowerIteration:
         var_t = sum((i - 4.5) ** 2 for i in range(10)) / 10
         assert r["top_eigenvalue"] == round(var_t, 6)
         assert r["top_var_share"] == 1.0 and r["diag_top_share"] == 1.0
+
+
+class TestCharsetAnomalies:
+    def test_counts_nonascii_ctrl_and_replacement(self, spark, tmp_path):
+        import haystack_traces_spark.datapipe.queries as dp
+
+        d = str(tmp_path / "corpus")
+        rows = [
+            (1, "plain ascii text", "clean"),        # 16 chars, 0 anomalies
+            (2, "café naïve", "accents"),  # 10 chars, 2 non-ascii
+            (3, "bad\x01byte", "dirty"),             # control char doc
+            (4, "lost�byte", "dirty"),          # replacement char doc
+            (5, None, "dirty"),                      # out of contract
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r.asDict()
+               for r in dp.q_charset_anomalies(spark, d).collect()}
+        assert out["clean"] == {
+            "source": "clean", "n_docs": 1, "total_chars": 16,
+            "nonascii_chars": 0, "nonascii_ratio": 0.0,
+            "n_docs_ctrl": 0, "n_docs_replacement": 0,
+        }
+        acc = out["accents"]
+        assert (acc["nonascii_chars"], acc["total_chars"]) == (2, 10)
+        assert acc["nonascii_ratio"] == 0.2
+        dirty = out["dirty"]
+        assert dirty["n_docs"] == 2  # NULL-text doc excluded
+        assert dirty["n_docs_ctrl"] == 1
+        # U+FFFD is itself non-ascii AND the replacement marker
+        assert dirty["n_docs_replacement"] == 1
+        assert dirty["nonascii_chars"] == 1

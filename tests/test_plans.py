@@ -586,6 +586,9 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     cases["split_ppl_gap"] = (Q.q_split_ppl_gap, 2)
     cases["canonical_quality_audit"] = (Q.q_canonical_quality_audit, 0)
     cases["shingle_df_profile"] = (Q.q_shingle_df_profile, 0)
+    cases["charset_anomalies"] = (Q.q_charset_anomalies, 0)
+    cases["tag_coverage"] = (EQ.q_tag_coverage, 0)
+    cases["error_depth_profile"] = (EQ.q_error_depth_profile, 0)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name

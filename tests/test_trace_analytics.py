@@ -1335,3 +1335,42 @@ def test_sampling_debias_weights_policy_arms(spark):
         assert h["weighted_traces"] == round(n_hash * h["weight"], 6)
     assert out["drop"]["weight"] == 0.0
     assert out["drop"]["n_traces"] == 30 - n_hash
+
+
+def test_error_depth_profile_localizes_leaf_errors(spark):
+    """Root (depth 0) clean, both leaves (depth 1) erroring → depth-1
+    error_rate 1.0, depth-0 0.0."""
+    rows = [
+        mk(trace_id="t1", span_id="root"),
+        mk(trace_id="t1", span_id="l1", parent="root",
+           tags=[_ltag("errorcode", 500)]),
+        mk(trace_id="t1", span_id="l2", parent="root",
+           tags=[_ltag("errorcode", 503)]),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: {r["depth"]: r.asDict()
+                 for r in EQ.q_error_depth_profile(spark, "ignored").collect()},
+    )
+    assert out[0]["n_spans"] == 1 and out[0]["error_rate"] == 0.0
+    assert out[1] == {"depth": 1, "n_spans": 2, "n_errors": 2,
+                      "error_rate": 1.0}
+
+
+def test_tag_coverage_counts_usable_values_only(spark):
+    """A present-but-NULL-valued errorcode tag is NOT coverage; role
+    carries a value on one of two spans → 0.5."""
+    null_err = dict(_ltag("errorcode", 0)); null_err["vlong"] = None
+    rows = [
+        mk(trace_id="t1", span_id="a", service="svc_a",
+           tags=[_ltag("errorcode", 7), _stag("role", "edge")]),
+        mk(trace_id="t2", span_id="b", service="svc_a", tags=[null_err]),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: {r["tag_key"]: r.asDict()
+                 for r in EQ.q_tag_coverage(spark, "ignored").collect()},
+    )
+    err, role = out["errorcode"], out["role"]
+    assert (err["n_spans"], err["n_tagged"], err["coverage"]) == (2, 1, 0.5)
+    assert (role["n_spans"], role["n_tagged"], role["coverage"]) == (2, 1, 0.5)
