@@ -6347,21 +6347,28 @@ def q_shingle_df_profile(spark, sf_dir):
     a bucket self-join's output is Σ df·(df−1)/2 (pair_mass), so this
     one table predicts candidate volume BEFORE running a 100 TB dedup
     pass and shows exactly which df tail a `cap_buckets`/`max_df` dial
-    would cut. Pure integer arithmetic — exact cross-engine.
+    would cut. Pure integer arithmetic — exact cross-engine: the bucket
+    is bit_length(df) − 1 via base-2 string conversion (the
+    latency_heatmap house pattern — float FLOOR(LOG2) would make a
+    GROUP KEY depend on libm), and pair_mass sums df·(df−1) DIV 2 as
+    integers (a float sum loses order-dependent low bits past 2^53 —
+    reachable for a df≈2e8 stop-shingle at the scale this table
+    advertises — and Spark truncates CAST(double AS LONG) where DuckDB
+    rounds).
 
     Scale shape: one (s)-keyed combinable count + a ≤64-row bucket
-    rollup; log2 bucketing is per-row expression."""
+    rollup; the bucketing is per-row expression."""
     sh = D.shingle_rows(_docs(spark, sf_dir), "text", 3)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    bucket = (
+        F.length(F.conv(F.col("df").cast("string"), 10, 2)) - 1
+    ).cast("long")
     return (
-        dfreq.groupBy(
-            F.floor(F.log2("df")).cast("long").alias("df_bucket")
-        )
+        dfreq.groupBy(bucket.alias("df_bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             F.sum("df").cast("long").alias("total_occurrences"),
-            F.sum(F.col("df") * (F.col("df") - 1) / 2)
-            .cast("long")
+            F.expr("CAST(sum(df * (df - 1) DIV 2) AS BIGINT)")
             .alias("pair_mass"),
         )
         .orderBy("df_bucket")
@@ -6372,10 +6379,10 @@ def sql_shingle_df_profile() -> str:
     return f"""
 WITH sh AS ({_SHINGLES}),
 dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
-SELECT CAST(FLOOR(LOG2(df)) AS BIGINT) AS df_bucket,
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(SUM(df) AS BIGINT) AS total_occurrences,
-       CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS pair_mass
+       CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass
 FROM dfreq GROUP BY 1 ORDER BY 1
 """
 

@@ -1326,6 +1326,11 @@ def top_component(
         F.sum(F.when(F.col("d1") == 0, F.col("n"))).alias("n"),
     )
     rows = stats.collect()          # bounded: d² rows by construction
+    spark = emb.sparkSession
+    schema = (
+        "dim long, top_eigenvalue double, top_var_share double, "
+        "diag_top_share double"
+    )
     mu = np.zeros(dim)
     C = np.zeros((dim, dim))
     n = 0
@@ -1335,24 +1340,30 @@ def top_component(
             mu[r["d2"]] = r["sx"]
             if r["d2"] == 0:
                 n = r["n"]
+    if n == 0:
+        # empty corpus: the SQL face's empty-input aggregates yield one
+        # all-NULL row — mirror it (the empty-corpus parity class);
+        # without this guard C /= 0 cascades NaNs into every output
+        return spark.createDataFrame([(dim, None, None, None)], schema)
     C /= n
     mu /= n
     C -= np.outer(mu, mu)
     u = np.full(dim, 1.0 / np.sqrt(dim))
     for _ in range(iters):
         y = C @ u
-        u = y / np.linalg.norm(y)
+        ny = float(np.linalg.norm(y))
+        if ny == 0.0:  # C annihilates u (zero-variance cloud): stop
+            break
+        u = y / ny
     lam = float(u @ C @ u)
     total_var = float(np.trace(C))
     diag_top = float(np.max(np.diag(C)))
-    spark = emb.sparkSession
     return spark.createDataFrame(
         [(
             dim,
             round(lam, 6),
-            round(lam / total_var, 6) if total_var else None,
-            round(diag_top / total_var, 6) if total_var else None,
+            round(lam / total_var, 6) if total_var > 0 else None,
+            round(diag_top / total_var, 6) if total_var > 0 else None,
         )],
-        "dim long, top_eigenvalue double, top_var_share double, "
-        "diag_top_share double",
+        schema,
     )

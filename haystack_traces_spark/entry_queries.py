@@ -5655,26 +5655,33 @@ def q_tag_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's whitelist semantics: the SAME typed
     tag-extraction the index builder runs (absent tag = NULL = untagged).
 
-    Scale shape: map-only tag extraction + one (service, key)-keyed
-    combinable aggregate — the cheapest possible audit over the span
-    scan."""
+    Scale shape: ONE span scan — per-key tagged flags are computed in a
+    single projection and unpivoted with stack() (a per-key union would
+    re-run the events→spans window once per key); the rollup is a
+    (service, key)-keyed combinable aggregate. Keys come from the LIVE
+    whitelist config, not literals — adding/disabling a whitelist field
+    changes the audit with it (the oracle SQL stays literal for the
+    default config, like sql_field_names)."""
+    from haystack_traces_spark.config import DEFAULT_WHITELIST
     from haystack_traces_spark.transform.tags import tag_str
 
+    keys = DEFAULT_WHITELIST.field_names()
     spans = _spans(spark, sf_dir)
-    rows = []
-    for key in ("errorcode", "role"):
-        rows.append(
-            spans.select(
-                F.lower("service_name").alias("servicename"),
-                F.lit(key).alias("tag_key"),
-                tag_str("tags", key).isNotNull().cast("long").alias("tagged"),
-            )
-        )
-    unioned = rows[0]
-    for r in rows[1:]:
-        unioned = unioned.unionByName(r)
+    stack_args = ", ".join(f"'{k}', _t_{i}" for i, k in enumerate(keys))
+    flagged = spans.select(
+        F.lower("service_name").alias("servicename"),
+        *[
+            tag_str("tags", k).isNotNull().cast("long").alias(f"_t_{i}")
+            for i, k in enumerate(keys)
+        ],
+    ).select(
+        "servicename",
+        F.expr(
+            f"stack({len(keys)}, {stack_args}) AS (tag_key, tagged)"
+        ),
+    )
     return (
-        unioned.groupBy("servicename", "tag_key")
+        flagged.groupBy("servicename", "tag_key")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.sum("tagged").cast("long").alias("n_tagged"),

@@ -2601,6 +2601,35 @@ class TestPcaPowerIteration:
         assert r["top_var_share"] == 1.0 and r["diag_top_share"] == 1.0
 
 
+    def test_empty_corpus_matches_oracle_null_row(self, spark, tmp_path):
+        """Empty embeddings: BOTH faces emit one all-NULL row (the Spark
+        face used to cascade NaNs through C /= 0)."""
+        import duckdb
+
+        import haystack_traces_spark.datapipe.queries as dp
+        from tests.oracle_harness import compare
+
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        orig = dp._emb
+        dp._emb = lambda _s, _sf: spark.read.parquet(f"{d}/embeddings.parquet")
+        try:
+            spark_df = dp.q_pca_power_iteration(spark, d)
+            rows = spark_df.collect()
+            assert len(rows) == 1 and rows[0]["top_eigenvalue"] is None
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+            )
+            compare(spark_df, con.execute(dp.sql_pca_power_iteration()).df(),
+                    "pca_empty_corpus")
+        finally:
+            dp._emb = orig
+
+
 class TestCharsetAnomalies:
     def test_counts_nonascii_ctrl_and_replacement(self, spark, tmp_path):
         import haystack_traces_spark.datapipe.queries as dp
