@@ -1125,3 +1125,23 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cms_cells(key_col, depth: int, width: int) -> F.Column:
+    """The ONE Count-Min-Sketch cell derivation: array of (r, c) structs,
+    one per sketch row, c = seeded hash60 of the key mod ``width`` —
+    shared by the batch estimate-quality audit
+    (datapipe/queries.q_cms_estimate_quality) and the streaming
+    heavy-hitters gate (streaming/cms_stream.py), so the offline accuracy
+    measurement describes exactly the sketch the online gate maintains
+    (the bloom_position_array contract, for counts)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (hash60(c, seed=f"cms{r}:") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )

@@ -3293,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_df_profile": q_shingle_df_profile,
         "pca_power_iteration": q_pca_power_iteration,
         "charset_anomalies": q_charset_anomalies,
+        "cms_estimate_quality": q_cms_estimate_quality,
     }
 
 
@@ -3427,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_df_profile": sql_shingle_df_profile(),
         "pca_power_iteration": sql_pca_power_iteration(),
         "charset_anomalies": sql_charset_anomalies(),
+        "cms_estimate_quality": sql_cms_estimate_quality(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6517,4 +6519,94 @@ SELECT source,
          AS n_docs_replacement
 FROM documents WHERE text IS NOT NULL
 GROUP BY source ORDER BY source
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP = 50
+
+
+def q_cms_estimate_quality(spark, sf_dir):
+    """→ (token, exact_count, cms_estimate, overestimate): Count-Min
+    Sketch accuracy audit — the CMS_TOP most frequent tokens' exact
+    corpus counts beside the estimate a depth×width CMS returns for
+    them. CMS only ever OVERESTIMATES (estimate = min over rows of the
+    hashed cell, every cell ≥ the true count), so overestimate ≥ 0 is a
+    structural invariant (pinned in the crafted test); the magnitude
+    measures how much collision noise this (depth, width) budget carries
+    on this corpus — the sizing table for the streaming heavy-hitters
+    gate, which maintains the SAME sketch (shared `cms_cells`
+    geometry). Sketch-family governance sibling of minhash_est_quality /
+    lsh_recall_report.
+
+    Scale shape: token counts are one combinable aggregate; the sketch
+    builds from the COUNTED table (tf × depth rows, not occurrences ×
+    depth); cells are a ≤ depth·width bounded table that broadcasts to
+    the top-K probe join. NULL-text docs are out of contract."""
+    from haystack_traces_spark.session import materialize
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    )
+    tf = materialize(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cells = (
+        tf.select(
+            "tf", F.explode(D.cms_cells("tok", CMS_DEPTH, CMS_WIDTH)).alias("p")
+        )
+        .groupBy("p.r", "p.c")
+        .agg(F.sum("tf").alias("cell"))
+    )
+    top = tf.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(CMS_TOP)
+    probes = top.select(
+        "tok",
+        F.col("tf").alias("exact_count"),
+        F.explode(D.cms_cells("tok", CMS_DEPTH, CMS_WIDTH)).alias("p"),
+    ).select("tok", "exact_count", "p.r", "p.c")
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "token")
+
+
+def sql_cms_estimate_quality() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT tok, tf, {r} AS r, "
+        f"{hash60_sql('tok', seed=f'cms{r}:')} % {CMS_WIDTH} AS c FROM tf"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lower(UNNEST(string_split(text, ' '))) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS MATERIALIZED (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+tokcells AS MATERIALIZED ({cell_rows}),
+cells AS (SELECT r, c, SUM(tf) AS cell FROM tokcells GROUP BY 1, 2),
+top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok ASC LIMIT {CMS_TOP})
+SELECT t.tok AS token,
+       CAST(t.tf AS BIGINT) AS exact_count,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell) - t.tf AS BIGINT) AS overestimate
+FROM top t
+JOIN tokcells p ON p.tok = t.tok
+JOIN cells c ON c.r = p.r AND c.c = p.c
+GROUP BY t.tok, t.tf
+ORDER BY exact_count DESC, token
 """

@@ -5857,6 +5857,7 @@ _ROTATION_QUEUE = (
     "error_depth_profile",
     "tag_coverage",
     "charset_anomalies",
+    "cms_estimate_quality",
 )
 
 

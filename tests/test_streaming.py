@@ -1397,3 +1397,75 @@ def test_bloom_gate_restart_from_checkpoint(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     # pre-restart verdicts intact, pre-restart content HITS, fresh misses
     assert rows == {1: False, 2: False, 10: True, 11: False}
+
+
+def test_cms_gate_merge_matches_batch_face_and_estimates_bound(spark, tmp_path):
+    """Two micro-batches through the heavy-hitters gate: the merged
+    sketch equals the batch face built on the UNION (cell counters are
+    exactly associative — sketch mergeability), every estimate bounds
+    the exact count from above (CMS contract), and an unseen token
+    estimates 0 (definitely-unseen)."""
+    from haystack_traces_spark.streaming.cms_stream import (
+        HeavyHittersIngest,
+        batch_cell_counts,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en", "s"), (2, "alpha gamma", "en", "s")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, "beta beta delta", "en", "s"), (4, None, "en", "s")], schema
+    )
+    gate = HeavyHittersIngest(str(tmp_path / "cms"))
+    gate.process_batch(b1, 0)
+    gate.process_batch(b2, 1)
+
+    merged = {(r["r"], r["c"]): r["n"]
+              for r in gate.merged_sketch(spark).collect()}
+    whole = {(r["r"], r["c"]): r["n"]
+             for r in batch_cell_counts(b1.unionByName(b2)).collect()}
+    assert merged == whole
+
+    est = {r["token"]: r["cms_estimate"]
+           for r in gate.estimates(
+               spark, ["alpha", "beta", "gamma", "neverseen"]).collect()}
+    exact = {"alpha": 3, "beta": 3, "gamma": 1}
+    for tok, ex in exact.items():
+        assert est[tok] >= ex, (tok, est[tok], ex)
+    assert est["neverseen"] >= 0  # may collide, but present in output
+    # replay idempotence: re-running batch 1 must not double-count
+    gate.process_batch(b2, 1)
+    replayed = {(r["r"], r["c"]): r["n"]
+                for r in gate.merged_sketch(spark).collect()}
+    assert replayed == whole
+
+
+def test_cms_gate_writestream_end_to_end(spark, tmp_path):
+    """Live availableNow run: file doc source → CMS gate → bounded state;
+    estimates reflect the drained stream."""
+    import json as _json
+
+    from haystack_traces_spark.streaming.corpus_stream import file_doc_source
+    from haystack_traces_spark.streaming.cms_stream import (
+        DEFAULT_CMS_DEPTH,
+        DEFAULT_CMS_WIDTH,
+        HeavyHittersIngest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "d1.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps(
+                {"doc_id": i, "text": "hot hot cold", "lang": "en",
+                 "source": "s"}) + "\n")
+    gate = HeavyHittersIngest(str(tmp_path / "cms"))
+    q = gate.start(file_doc_source(spark, str(src)), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    est = {r["token"]: r["cms_estimate"]
+           for r in gate.estimates(spark, ["hot", "cold"]).collect()}
+    assert est["hot"] >= 40 and est["cold"] >= 20
+    n_state = spark.read.parquet(str(tmp_path / "cms")).count()
+    assert n_state <= DEFAULT_CMS_DEPTH * DEFAULT_CMS_WIDTH
