@@ -3294,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_iteration": q_pca_power_iteration,
         "charset_anomalies": q_charset_anomalies,
         "cms_estimate_quality": q_cms_estimate_quality,
+        "vocab_ownership": q_vocab_ownership,
     }
 
 
@@ -3429,6 +3430,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_power_iteration": sql_pca_power_iteration(),
         "charset_anomalies": sql_charset_anomalies(),
         "cms_estimate_quality": sql_cms_estimate_quality(),
+        "vocab_ownership": sql_vocab_ownership(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6609,4 +6611,77 @@ JOIN tokcells p ON p.tok = t.tok
 JOIN cells c ON c.r = p.r AND c.c = p.c
 GROUP BY t.tok, t.tf
 ORDER BY exact_count DESC, token
+"""
+
+
+def q_vocab_ownership(spark, sf_dir):
+    """→ (source, n_types, n_exclusive, exclusive_share): which sources
+    OWN vocabulary — per source, its distinct (lowercased) token types
+    and how many of them appear in NO other source. A source with high
+    exclusive_share is contributing genuine lexical diversity (or junk —
+    cross-check `rare_token_docs`/`charset_anomalies`); near-zero says
+    the source is lexically redundant with the rest of the mix and its
+    tokens are already paid for. The per-source decomposition of the
+    corpus vocabulary `heaps_law` tracks over ingestion order.
+
+    Scale shape: one distinct (source, token) aggregate, one token-keyed
+    source-count aggregate, one semi-join of the exclusive token set
+    back — all keyed on the token; output = |sources| rows. NULL-text
+    docs are out of contract."""
+    from haystack_traces_spark.session import materialize
+
+    pairs = materialize(
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .distinct()
+    )
+    owners = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    per_src = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    excl = (
+        pairs.join(owners.filter(F.col("n_sources") == 1), "tok")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exclusive"))
+    )
+    return (
+        per_src.join(excl, "source", "left")
+        .select(
+            "source",
+            "n_types",
+            F.coalesce("n_exclusive", F.lit(0)).cast("long")
+            .alias("n_exclusive"),
+            F.round(
+                F.coalesce("n_exclusive", F.lit(0)) / F.col("n_types"), 6
+            ).alias("exclusive_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_vocab_ownership() -> str:
+    return """
+WITH pairs AS (
+  SELECT DISTINCT source, lower(UNNEST(string_split(text, ' '))) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+owners AS (SELECT tok, COUNT(*) AS n_sources FROM pairs GROUP BY 1),
+per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM pairs GROUP BY 1),
+excl AS (
+  SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_exclusive
+  FROM pairs p JOIN owners o ON o.tok = p.tok AND o.n_sources = 1
+  GROUP BY 1
+)
+SELECT s.source, s.n_types,
+       COALESCE(e.n_exclusive, 0) AS n_exclusive,
+       ROUND(COALESCE(e.n_exclusive, 0) * 1.0 / s.n_types, 6)
+         AS exclusive_share
+FROM per_src s LEFT JOIN excl e USING (source)
+ORDER BY s.source
 """

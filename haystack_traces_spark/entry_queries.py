@@ -5714,6 +5714,89 @@ GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+
+def q_retry_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, n_error_chains, n_recovered,
+    recovery_rate): do retries actually RECOVER — among retry chains
+    (≥2 identical (service, operation) calls in one trace) that contain
+    at least one error, how often is the FINAL attempt clean. High
+    recovery says the dependency is transiently flaky and the retry
+    policy is earning its amplification (`retry_storms` prices that
+    amplification); near-zero recovery says retries are pure load with
+    no benefit — turn them off or fix the dependency. "Final" = max
+    (start_time, span_id) within the chain (deterministic tie-break).
+
+    Scale shape: one (trace, svc, op)-keyed combinable aggregate on the
+    shared trace exchange (count, error count, max-struct final-attempt
+    flag), then a tiny (svc, op) rollup — no joins, no windows."""
+    spans = _spans(spark, sf_dir)
+    is_err = (_errorcode() >= ERROR_THRESHOLD).cast("long")
+    chains = (
+        spans.select(
+            "trace_id",
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+            "start_time",
+            "span_id",
+            is_err.alias("e"),
+        )
+        .groupBy("trace_id", "servicename", "operationname")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("e").alias("n_err"),
+            F.max(F.struct("start_time", "span_id", "e"))["e"].alias(
+                "last_err"
+            ),
+        )
+        .filter((F.col("c") >= 2) & (F.col("n_err") >= 1))
+    )
+    return (
+        chains.groupBy("servicename", "operationname")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_error_chains"),
+            F.sum((F.col("last_err") == 0).cast("long"))
+            .cast("long")
+            .alias("n_recovered"),
+            F.round(
+                F.sum((F.col("last_err") == 0).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recovery_rate"),
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_retry_effectiveness() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, chains AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         COUNT(*) AS c,
+         SUM(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+                  THEN 1 ELSE 0 END) AS n_err,
+         MAX(struct_pack(st := start_time, sid := span_id,
+                         e := CASE WHEN COALESCE(errorcode, 0)
+                                        >= {ERROR_THRESHOLD}
+                                   THEN 1 ELSE 0 END))['e'] AS last_err
+  FROM spans GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2
+     AND SUM(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+                  THEN 1 ELSE 0 END) >= 1
+)
+SELECT servicename, operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_error_chains,
+       CAST(SUM(CASE WHEN last_err = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recovered,
+       ROUND(SUM(CASE WHEN last_err = 0 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recovery_rate
+FROM chains GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5858,6 +5941,8 @@ _ROTATION_QUEUE = (
     "tag_coverage",
     "charset_anomalies",
     "cms_estimate_quality",
+    "retry_effectiveness",
+    "vocab_ownership",
 )
 
 
@@ -5978,6 +6063,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_debias_weights": q_sampling_debias_weights,
         "error_depth_profile": q_error_depth_profile,
         "tag_coverage": q_tag_coverage,
+        "retry_effectiveness": q_retry_effectiveness,
     }
 
 
@@ -6086,4 +6172,5 @@ def _trace_oracles() -> dict[str, str]:
         "sampling_debias_weights": sql_sampling_debias_weights(),
         "error_depth_profile": sql_error_depth_profile(),
         "tag_coverage": sql_tag_coverage(),
+        "retry_effectiveness": sql_retry_effectiveness(),
     }

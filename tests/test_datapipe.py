@@ -2661,3 +2661,32 @@ class TestCharsetAnomalies:
         # U+FFFD is itself non-ascii AND the replacement marker
         assert dirty["n_docs_replacement"] == 1
         assert dirty["nonascii_chars"] == 1
+
+
+class TestVocabOwnership:
+    def test_exclusive_vs_shared_types(self, spark, tmp_path):
+        """srcA owns 'aaa'; srcB owns 'bbb' and 'ccc'; 'shared' is owned
+        by neither. Repeats within a source count once (types, not
+        occurrences)."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        rows = [
+            (1, "aaa shared aaa", "srcA"),
+            (2, "bbb shared ccc", "srcB"),
+            (3, None, "srcB"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            out = {r["source"]: r.asDict()
+                   for r in dp.q_vocab_ownership(spark, d).collect()}
+            assert out["srcA"] == {"source": "srcA", "n_types": 2,
+                                   "n_exclusive": 1, "exclusive_share": 0.5}
+            assert out["srcB"]["n_types"] == 3
+            assert out["srcB"]["n_exclusive"] == 2
+            assert out["srcB"]["exclusive_share"] == round(2 / 3, 6)
+        finally:
+            release_materialized()

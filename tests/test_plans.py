@@ -590,6 +590,8 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     cases["tag_coverage"] = (EQ.q_tag_coverage, 0)
     cases["error_depth_profile"] = (EQ.q_error_depth_profile, 0)
     cases["cms_estimate_quality"] = (Q.q_cms_estimate_quality, 2)
+    cases["retry_effectiveness"] = (EQ.q_retry_effectiveness, 0)
+    cases["vocab_ownership"] = (Q.q_vocab_ownership, 0)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name

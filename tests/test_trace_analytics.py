@@ -1374,3 +1374,34 @@ def test_tag_coverage_counts_usable_values_only(spark):
     err, role = out["errorcode"], out["role"]
     assert (err["n_spans"], err["n_tagged"], err["coverage"]) == (2, 1, 0.5)
     assert (role["n_spans"], role["n_tagged"], role["coverage"]) == (2, 1, 0.5)
+
+
+def test_retry_effectiveness_final_attempt_decides(spark):
+    """Chain A: error then clean retry → recovered. Chain B: error then
+    error → not recovered. A clean repeat chain (no error) is NOT an
+    error chain. A single error call (no retry) is NOT a chain."""
+    err = [_ltag("errorcode", 500)]
+    rows = [
+        # chain A (recovers): error at t0, clean at t1
+        mk(trace_id="t1", span_id="a1", operation="opA", start=T0, tags=err),
+        mk(trace_id="t1", span_id="a2", operation="opA", start=T0 + 10),
+        # chain B (doesn't): clean then error
+        mk(trace_id="t2", span_id="b1", operation="opB", start=T0),
+        mk(trace_id="t2", span_id="b2", operation="opB", start=T0 + 10,
+           tags=err),
+        # clean repeats: excluded
+        mk(trace_id="t3", span_id="c1", operation="opC", start=T0),
+        mk(trace_id="t3", span_id="c2", operation="opC", start=T0 + 10),
+        # single error call: excluded
+        mk(trace_id="t4", span_id="d1", operation="opD", start=T0, tags=err),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: {r["operationname"]: r.asDict()
+                 for r in EQ.q_retry_effectiveness(spark, "ignored").collect()},
+    )
+    assert set(out) == {"opa", "opb"}
+    assert (out["opa"]["n_error_chains"], out["opa"]["n_recovered"],
+            out["opa"]["recovery_rate"]) == (1, 1, 1.0)
+    assert (out["opb"]["n_error_chains"], out["opb"]["n_recovered"],
+            out["opb"]["recovery_rate"]) == (1, 0, 0.0)
