@@ -1145,3 +1145,28 @@ def cms_cells(key_col, depth: int, width: int) -> F.Column:
             for r in range(depth)
         ]
     )
+
+
+def lower_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (tok, tf): lowercased whitespace-token counts, NULL text out of
+    contract — the ONE tokenize-and-count front end shared by the CMS
+    batch audit and the streaming heavy-hitters gate (both sketch faces
+    MUST count the same tokens or the offline accuracy measurement stops
+    describing the online sketch)."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def cms_cell_counts(tf: DataFrame, depth: int, width: int) -> DataFrame:
+    """→ (r, c, n): CMS cell counters from a (tok, tf) count table — the
+    ONE sketch-build step shared by both CMS faces (fans the COUNTED
+    table over the depth rows, never occurrence rows)."""
+    return (
+        tf.select("tf", F.explode(cms_cells("tok", depth, width)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.sum("tf").cast("long").alias("n"))
+    )

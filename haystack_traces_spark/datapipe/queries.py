@@ -6547,22 +6547,12 @@ def q_cms_estimate_quality(spark, sf_dir):
     depth); cells are a ≤ depth·width bounded table that broadcasts to
     the top-K probe join. NULL-text docs are out of contract."""
     from haystack_traces_spark.session import materialize
-    from pyspark.sql import Window
 
-    toks = (
-        _docs(spark, sf_dir)
-        .filter(F.col("text").isNotNull())
-        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-    )
     tf = materialize(
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+        D.lower_token_counts(_docs(spark, sf_dir))
     )
-    cells = (
-        tf.select(
-            "tf", F.explode(D.cms_cells("tok", CMS_DEPTH, CMS_WIDTH)).alias("p")
-        )
-        .groupBy("p.r", "p.c")
-        .agg(F.sum("tf").alias("cell"))
+    cells = D.cms_cell_counts(tf, CMS_DEPTH, CMS_WIDTH).withColumnRenamed(
+        "n", "cell"
     )
     top = tf.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(CMS_TOP)
     probes = top.select(

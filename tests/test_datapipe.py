@@ -2690,3 +2690,33 @@ class TestVocabOwnership:
             assert out["srcB"]["exclusive_share"] == round(2 / 3, 6)
         finally:
             release_materialized()
+
+
+class TestCmsEstimateQuality:
+    def test_overestimate_invariant_and_exact_on_sparse_corpus(
+        self, spark, tmp_path
+    ):
+        """CMS never underestimates (structural: every cell >= the true
+        count); on a tiny vocabulary with a huge width the estimates are
+        EXACT (collision-free with overwhelming probability at 3 tokens
+        x 512 cells), so overestimate == 0 for every row."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [(1, "aaa aaa bbb", "s"), (2, "aaa ccc", "s")],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            rows = {r["token"]: r.asDict()
+                    for r in dp.q_cms_estimate_quality(spark, d).collect()}
+            assert {t: r["exact_count"] for t, r in rows.items()} == {
+                "aaa": 3, "bbb": 1, "ccc": 1}
+            for r in rows.values():
+                assert r["overestimate"] >= 0
+                assert r["cms_estimate"] >= r["exact_count"]
+            # sparse vocab in a 4x512 sketch: no collisions -> exact
+            assert all(r["overestimate"] == 0 for r in rows.values())
+        finally:
+            release_materialized()

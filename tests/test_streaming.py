@@ -1469,3 +1469,41 @@ def test_cms_gate_writestream_end_to_end(spark, tmp_path):
     assert est["hot"] >= 40 and est["cold"] >= 20
     n_state = spark.read.parquet(str(tmp_path / "cms")).count()
     assert n_state <= DEFAULT_CMS_DEPTH * DEFAULT_CMS_WIDTH
+
+
+def test_cms_gate_empty_state_compact_and_probe_normalization(spark, tmp_path):
+    """Before any batch: estimates are 0 (definitely unseen), no crash.
+    compact() folds N batch dirs into one with identical estimates.
+    Mixed-case probes read the lowercased sketch. An interrupted
+    compaction (.old orphan) refuses to silently reset."""
+    import pytest
+
+    from haystack_traces_spark.streaming.cms_stream import HeavyHittersIngest
+
+    gate = HeavyHittersIngest(str(tmp_path / "cms"))
+    pre = {r["token"]: r["cms_estimate"]
+           for r in gate.estimates(spark, ["anything"]).collect()}
+    assert pre == {"anything": 0}
+
+    schema = "doc_id long, text string, lang string, source string"
+    gate.process_batch(spark.createDataFrame(
+        [(1, "Hot hot thing", "en", "s")], schema), 0)
+    gate.process_batch(spark.createDataFrame(
+        [(2, "hot again", "en", "s")], schema), 1)
+    before = {(r["r"], r["c"]): r["n"]
+              for r in gate.merged_sketch(spark).collect()}
+    est_mixed = {r["token"]: r["cms_estimate"]
+                 for r in gate.estimates(spark, ["HOT", "hot"]).collect()}
+    assert est_mixed["HOT"] == est_mixed["hot"] >= 3
+
+    n = gate.compact(spark)
+    assert n <= len(before) and n > 0
+    after = {(r["r"], r["c"]): r["n"]
+             for r in gate.merged_sketch(spark).collect()}
+    assert after == before
+
+    # interrupted swap: state gone, .old present -> loud refusal
+    import shutil
+    shutil.move(str(tmp_path / "cms"), str(tmp_path / "cms.old"))
+    with pytest.raises(RuntimeError, match="compaction"):
+        gate.merged_sketch(spark)
