@@ -3295,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_anomalies": q_charset_anomalies,
         "cms_estimate_quality": q_cms_estimate_quality,
         "vocab_ownership": q_vocab_ownership,
+        "ann_recall_report": q_ann_recall_report,
     }
 
 
@@ -3431,6 +3432,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_anomalies": sql_charset_anomalies(),
         "cms_estimate_quality": sql_cms_estimate_quality(),
         "vocab_ownership": sql_vocab_ownership(),
+        "ann_recall_report": sql_ann_recall_report(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6674,4 +6676,104 @@ SELECT s.source, s.n_types,
          AS exclusive_share
 FROM per_src s LEFT JOIN excl e USING (source)
 ORDER BY s.source
+"""
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """→ (query_id, n_exact, n_caught, recall): per-query recall@k of
+    the SHIPPED LSH ANN (`ann_lsh`) against the SHIPPED exact baseline
+    (`ann_brute_force`) — the ANN-governance row that turns "≈0.85
+    recall" from a docstring claim into a measured, driver-checked
+    number per query. Complements `lsh_recall_report` (dedup-pair
+    recall) and `ivf_probe_sweep` (IVF's recall dial) — with this, every
+    approximate index family in the package carries its own measured
+    accuracy face.
+
+    Composes the two registry operators verbatim, so the recall is of
+    exactly what users run; both components are independently
+    oracle-verified, and the report joins their (query, neighbor) sets.
+
+    Scale shape: two bounded top-k tables (|queries|·k rows each) joined
+    on their keys — everything heavy is inside the components, which
+    carry their own 100 TB designs."""
+    exact = q_ann_brute_force(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    caught = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(caught, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.round(
+                F.coalesce("n_caught", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def sql_ann_recall_report() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    pcos = (
+        "list_dot_product({a}.v, {b}.v) / "
+        "(sqrt(list_dot_product({a}.v, {a}.v)) * "
+        "sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    return f"""
+WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, S.DEFAULT_LSH_PLANES)},
+ex_scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {pcos.format(a="q", b="b")} AS cos_raw
+  FROM e q JOIN e b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+    FROM ex_scored
+  ) WHERE rnk <= {ANN_K}
+),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets
+       WHERE vec_id IN ({ids})),
+ap_cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qb q JOIN buckets b ON b.t = q.t AND b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+),
+ap_scored AS (
+  SELECT c.query_id, c.neighbor_id, {pcos.format(a="qe", b="ne")} AS cos_raw
+  FROM ap_cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+    FROM ap_scored
+  ) WHERE rnk <= {ANN_K}
+),
+caught AS (
+  SELECT ex.query_id, COUNT(*) AS n_caught
+  FROM ex JOIN ap ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+)
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(c.n_caught), 0) AS BIGINT) AS n_caught,
+       ROUND(COALESCE(MAX(c.n_caught), 0) * 1.0 / COUNT(*), 6) AS recall
+FROM ex LEFT JOIN caught c ON c.query_id = ex.query_id
+GROUP BY ex.query_id
+ORDER BY ex.query_id
 """

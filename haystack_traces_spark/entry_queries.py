@@ -5943,6 +5943,7 @@ _ROTATION_QUEUE = (
     "cms_estimate_quality",
     "retry_effectiveness",
     "vocab_ownership",
+    "ann_recall_report",
 )
 
 

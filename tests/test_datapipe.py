@@ -2720,3 +2720,22 @@ class TestCmsEstimateQuality:
             assert all(r["overestimate"] == 0 for r in rows.values())
         finally:
             release_materialized()
+
+
+class TestAnnRecallReport:
+    def test_recall_bounds_and_composition(self, spark, sf_dir):
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        try:
+            rows = dp.q_ann_recall_report(spark, sf_dir).collect()
+            assert len(rows) == len(dp.ANN_QUERY_IDS)
+            for r in rows:
+                assert 0 <= r["n_caught"] <= r["n_exact"] <= dp.ANN_K
+                assert r["recall"] == round(r["n_caught"] / r["n_exact"], 6)
+            # non-vacuous: LSH at the default geometry catches most
+            # exact neighbors on the synthetic embeddings
+            mean = sum(r["recall"] for r in rows) / len(rows)
+            assert mean >= 0.5, mean
+        finally:
+            release_materialized()
