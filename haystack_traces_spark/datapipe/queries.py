@@ -3296,6 +3296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimate_quality": q_cms_estimate_quality,
         "vocab_ownership": q_vocab_ownership,
         "ann_recall_report": q_ann_recall_report,
+        "chunk_dup_rate": q_chunk_dup_rate,
+        "embedding_length_corr": q_embedding_length_corr,
     }
 
 
@@ -3433,6 +3435,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimate_quality": sql_cms_estimate_quality(),
         "vocab_ownership": sql_vocab_ownership(),
         "ann_recall_report": sql_ann_recall_report(),
+        "chunk_dup_rate": sql_chunk_dup_rate(),
+        "embedding_length_corr": sql_embedding_length_corr(),
     } | _ivf_pq_residual_oracle_entry()
 
 
@@ -6776,4 +6780,164 @@ SELECT ex.query_id,
 FROM ex LEFT JOIN caught c ON c.query_id = ex.query_id
 GROUP BY ex.query_id
 ORDER BY ex.query_id
+"""
+
+
+def q_chunk_dup_rate(spark, sf_dir):
+    """→ (source, n_chunks, n_dup_chunks, dup_share): duplication at the
+    TRAINING-EXAMPLE granularity — after `chunk_windows` slices docs
+    into fixed token windows, what share of each source's chunks is a
+    repeat of a chunk seen anywhere in the corpus (first global
+    occurrence by (doc_id, chunk_idx) stays unique; every later copy
+    counts as dup). Doc-level dedup can pass a corpus whose CHUNKS still
+    repeat heavily (boilerplate paragraphs shared across distinct docs)
+    — and chunks, not docs, are what the model actually trains on after
+    packing. The chunk-granularity complement of `dup_inflation`.
+
+    Scale shape: the chunk slicing is the map-only chunk_windows
+    expression + an array_join slice; dedup keys on the chunk md5 (one
+    combinable min-struct aggregate + a hash join back, the
+    segment_dedup plan); rollup per source. NULL-text docs are out of
+    contract (chunk_windows already excludes them)."""
+    docs = _docs(spark, sf_dir)
+    plan = X.chunk_windows(docs, CHUNK_WINDOW, CHUNK_OVERLAP)
+    chunks = (
+        plan.join(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("text"), " "),
+                        (F.col("start_tok") + 1).cast("int"),
+                        F.col("chunk_tokens").cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    firsts = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    flagged = chunks.join(firsts, "chunk_hash").select(
+        "source",
+        (
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("chunk_idx") != F.col("first.chunk_idx"))
+        ).cast("long").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 6)
+            .alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_chunk_dup_rate() -> str:
+    w, stride = CHUNK_WINDOW, CHUNK_WINDOW - CHUNK_OVERLAP
+    return f"""
+WITH plan AS ({sql_chunk_windows().strip()}),
+chunks AS (
+  SELECT p.doc_id, d.source, p.chunk_idx,
+         md5(array_to_string(
+           string_split(d.text, ' ')[(p.start_tok + 1):
+                                     (p.start_tok + p.chunk_tokens)], ' '))
+           AS chunk_hash
+  FROM plan p JOIN documents d USING (doc_id)
+),
+firsts AS (
+  SELECT chunk_hash,
+         MIN(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS f
+  FROM chunks GROUP BY 1
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.doc_id <> f['doc_id']
+                      OR c.chunk_idx <> f['chunk_idx']
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN c.doc_id <> f['doc_id']
+                       OR c.chunk_idx <> f['chunk_idx']
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_share
+FROM chunks c JOIN firsts USING (chunk_hash)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_embedding_length_corr(spark, sf_dir):
+    """→ one row (n_pairs, corr_dist_length, mean_dist, mean_tokens):
+    does document LENGTH leak into embedding GEOMETRY — Pearson
+    correlation of each doc's distance to its nearest cluster centroid
+    (the `doc_clusters` assignment) against its token count, over the
+    doc_id↔vec_id-aligned subset. Encoders that pool naively push long
+    docs toward cluster peripheries; a strong correlation means
+    distance-thresholded decisions (semantic dedup, outlier screens)
+    are secretly length filters. The classic norm-vs-length check is
+    DEGENERATE on this corpus (embeddings are unit-normalized — norm
+    variance is ulp noise, and noise correlations differ per engine),
+    so the geometry signal is the centroid distance instead.
+    Correlation via the ONE shared raw-sums builder
+    (functions/stats.py).
+
+    Scale shape: the centroid assignment is the broadcast-centroid join
+    `doc_clusters` uses; token count is a per-row expression; one
+    equi-join on the id + a 1-row combinable aggregate."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+
+    assign = S._assign_cells(_emb(spark, sf_dir), DOC_CLUSTER_CELLS)
+    emb = assign.select(
+        F.col("vec_id").alias("doc_id"), F.sqrt("d").alias("x")
+    )
+    lens = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("double").alias("y"),
+        )
+    )
+    j = emb.join(lens, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        pearson_corr(F.col("x"), F.col("y")).alias("corr_dist_length"),
+        F.round(F.avg("x"), 6).alias("mean_dist"),
+        F.round(F.avg("y"), 6).alias("mean_tokens"),
+    )
+
+
+def sql_embedding_length_corr() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {DOC_CLUSTER_CELLS})
+),
+assign AS (
+  SELECT e.vec_id AS doc_id,
+         sqrt(MIN(struct_pack(d := {dist}, cell := cell))['d']) AS x
+  FROM e CROSS JOIN cents GROUP BY e.vec_id
+),
+l AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+  FROM documents WHERE text IS NOT NULL
+),
+j AS (SELECT a.x, l.y FROM assign a JOIN l USING (doc_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {pearson_corr_sql("x", "y")} AS corr_dist_length,
+       ROUND(AVG(x), 6) AS mean_dist,
+       ROUND(AVG(y), 6) AS mean_tokens
+FROM j
 """

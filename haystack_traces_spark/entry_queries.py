@@ -5944,6 +5944,8 @@ _ROTATION_QUEUE = (
     "retry_effectiveness",
     "vocab_ownership",
     "ann_recall_report",
+    "chunk_dup_rate",
+    "embedding_length_corr",
 )
 
 

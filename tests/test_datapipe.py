@@ -2739,3 +2739,66 @@ class TestAnnRecallReport:
             assert mean >= 0.5, mean
         finally:
             release_materialized()
+
+
+class TestRound6jOperators:
+    def test_chunk_dup_rate_flags_repeated_chunks(self, spark, tmp_path):
+        """Two docs with identical single-window text: the later doc's
+        chunk is a dup; a unique doc contributes none."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+        text = " ".join(f"w{i}" for i in range(10))  # << CHUNK_WINDOW
+        rows = [
+            (1, text, "srcA"),
+            (2, text, "srcB"),      # dup chunk (first occurrence = doc 1)
+            (3, "totally different words in here now", "srcB"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            out = {r["source"]: r.asDict()
+                   for r in dp.q_chunk_dup_rate(spark, d).collect()}
+            assert out["srcA"] == {"source": "srcA", "n_chunks": 1,
+                                   "n_dup_chunks": 0, "dup_share": 0.0}
+            assert out["srcB"]["n_chunks"] == 2
+            assert out["srcB"]["n_dup_chunks"] == 1
+            assert out["srcB"]["dup_share"] == 0.5
+        finally:
+            release_materialized()
+
+    def test_embedding_length_corr_detects_planted_leakage(self, spark, tmp_path):
+        """Planted geometry: doc length proportional to distance from the
+        single centroid → correlation 1."""
+        import haystack_traces_spark.datapipe.queries as dp
+        from haystack_traces_spark.session import release_materialized
+
+        d = str(tmp_path / "corpus")
+
+        def vec(x):
+            return [float(x)] + [0.0] * 63
+
+        # centroids = 16 lowest-id vectors; give 16 dummies at origin,
+        # then probes at distance i with length 10*i
+        emb_rows = [(i, vec(0)) for i in range(16)]
+        emb_rows += [(100 + i, vec(i)) for i in range(1, 6)]
+        doc_rows = [(i, "x", "s") for i in range(16)]
+        doc_rows += [(100 + i, " ".join(["w"] * (10 * i)), "s")
+                     for i in range(1, 6)]
+        spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<double>"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        spark.createDataFrame(
+            doc_rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        try:
+            r = dp.q_embedding_length_corr(spark, d).collect()[0].asDict()
+            assert r["n_pairs"] == 21
+            # the 16 origin docs all have (dist 0, len 1); the 5 probes
+            # are exactly linear (dist i, len 10i) -> strong positive corr
+            assert r["corr_dist_length"] is not None
+            assert r["corr_dist_length"] > 0.99
+        finally:
+            release_materialized()

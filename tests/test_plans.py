@@ -592,6 +592,9 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     cases["cms_estimate_quality"] = (Q.q_cms_estimate_quality, 2)
     cases["retry_effectiveness"] = (EQ.q_retry_effectiveness, 0)
     cases["vocab_ownership"] = (Q.q_vocab_ownership, 0)
+    cases["chunk_dup_rate"] = (Q.q_chunk_dup_rate, 0)
+    # one bounded single-partition: the 1-row correlation aggregate
+    cases["embedding_length_corr"] = (Q.q_embedding_length_corr, 1)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
