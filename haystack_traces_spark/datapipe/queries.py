@@ -1173,7 +1173,11 @@ ORDER BY f.doc_id
 # -------------------------------------------------------- similarity ------
 
 def q_ann_brute_force(spark, sf_dir):
-    return S.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+    # rank-membership on the 6dp-rounded cosine (house rule; the oracle
+    # mirrors it) — raw-double boundary ties are engine-dependent
+    return S.brute_force_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, rank_rounded=True
+    )
 
 
 def sql_ann_brute_force() -> str:
@@ -1189,7 +1193,8 @@ WITH scored AS (
 ), ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+                            ORDER BY ROUND(cos_raw, 6) DESC,
+                                     neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
@@ -1203,7 +1208,8 @@ IVF_PROBE = 4
 
 def q_ann_ivf(spark, sf_dir):
     return S.ivf_topk(
-        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, IVF_CELLS, IVF_PROBE
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, IVF_CELLS, IVF_PROBE,
+        rank_rounded=True,
     )
 
 
@@ -1250,7 +1256,8 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+                            ORDER BY ROUND(cos_raw, 6) DESC,
+                                     neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
@@ -1293,7 +1300,9 @@ def q_ann_lsh(spark, sf_dir):
     force (bucket recall < 1), but fully DETERMINISTIC: the hyperplanes are
     hash-derived, so the DuckDB oracle rebuilds the same planes, buckets,
     candidates, and ranking."""
-    return S.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+    return S.lsh_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, rank_rounded=True
+    )
 
 
 def sql_ann_lsh() -> str:
@@ -1319,7 +1328,8 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+                            ORDER BY ROUND(cos_raw, 6) DESC,
+                                     neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos, CAST(rank AS BIGINT) AS rank
@@ -6700,8 +6710,13 @@ def q_ann_recall_report(spark, sf_dir):
     Scale shape: two bounded top-k tables (|queries|·k rows each) joined
     on their keys — everything heavy is inside the components, which
     carry their own 100 TB designs."""
-    exact = q_ann_brute_force(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    from haystack_traces_spark.session import materialize
+
+    # both top-k tables feed two branches of one action (caught join +
+    # per-query totals) — pin the |queries|·k rows or the full GEMM
+    # scoring re-executes per branch (house 2-branch rule)
+    exact = materialize(
+        q_ann_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
     )
     approx = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
     caught = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
@@ -6724,48 +6739,16 @@ def q_ann_recall_report(spark, sf_dir):
 
 
 def sql_ann_recall_report() -> str:
-    ids = ", ".join(map(str, ANN_QUERY_IDS))
-    pcos = (
-        "list_dot_product({a}.v, {b}.v) / "
-        "(sqrt(list_dot_product({a}.v, {a}.v)) * "
-        "sqrt(list_dot_product({b}.v, {b}.v)))"
-    )
+    """Nests the COMPONENT oracles verbatim as scoped subqueries (their
+    WITH clauses are subquery-local, so no CTE-name clash) — the recall
+    oracle can never drift from what ann_brute_force / ann_lsh actually
+    measure."""
     return f"""
-WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, S.DEFAULT_LSH_PLANES)},
-ex_scored AS (
-  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         {pcos.format(a="q", b="b")} AS cos_raw
-  FROM e q JOIN e b ON b.vec_id <> q.vec_id
-  WHERE q.vec_id IN ({ids})
-),
-ex AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
-    FROM ex_scored
-  ) WHERE rnk <= {ANN_K}
-),
-qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets
-       WHERE vec_id IN ({ids})),
-ap_cand AS (
-  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
-  FROM qb q JOIN buckets b ON b.t = q.t AND b.bucket = q.bucket
-  WHERE b.vec_id <> q.query_id
-),
-ap_scored AS (
-  SELECT c.query_id, c.neighbor_id, {pcos.format(a="qe", b="ne")} AS cos_raw
-  FROM ap_cand c
-  JOIN e qe ON qe.vec_id = c.query_id
-  JOIN e ne ON ne.vec_id = c.neighbor_id
+WITH ex AS (
+  SELECT query_id, neighbor_id FROM ({sql_ann_brute_force().strip()})
 ),
 ap AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
-    FROM ap_scored
-  ) WHERE rnk <= {ANN_K}
+  SELECT query_id, neighbor_id FROM ({sql_ann_lsh().strip()})
 ),
 caught AS (
   SELECT ex.query_id, COUNT(*) AS n_caught
@@ -6904,10 +6887,17 @@ def q_embedding_length_corr(spark, sf_dir):
         )
     )
     j = emb.join(lens, "doc_id")
+    # mean_dist sums exact BIGINT micros (per-row float AVG is summation-
+    # order dependent at 6dp — the cluster_silhouette rule); mean_tokens
+    # is integer-valued doubles, which sum exactly as-is
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         pearson_corr(F.col("x"), F.col("y")).alias("corr_dist_length"),
-        F.round(F.avg("x"), 6).alias("mean_dist"),
+        F.round(
+            F.sum(F.round(F.col("x") * 1_000_000).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("mean_dist"),
         F.round(F.avg("y"), 6).alias("mean_tokens"),
     )
 
@@ -6937,7 +6927,8 @@ l AS (
 j AS (SELECT a.x, l.y FROM assign a JOIN l USING (doc_id))
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        {pearson_corr_sql("x", "y")} AS corr_dist_length,
-       ROUND(AVG(x), 6) AS mean_dist,
+       ROUND(SUM(CAST(ROUND(x * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 6) AS mean_dist,
        ROUND(AVG(y), 6) AS mean_tokens
 FROM j
 """

@@ -358,13 +358,16 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """ANN: exact cosine ranking restricted to multi-table LSH candidates.
 
     Approximate by construction (bucket recall < 1); at 100 TB the bucket
     join replaces the all-pairs cross join and candidate volume is tuned by
     (n_tables, planes_per_table); ``max_bucket`` (caps.py) keeps a
-    degenerate bucket from flooding every query's candidate set."""
+    degenerate bucket from flooding every query's candidate set.
+    ``rank_rounded``: rank on the 6dp-rounded cosine (the house
+    rank-membership rule — see brute_force_topk)."""
     from pyspark.sql import Window
 
     # buckets feed the query-side filter AND the candidate join — persist so
@@ -402,8 +405,9 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         (dot / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"),
     )
+    rank_key = F.round("cos_raw", 6) if rank_rounded else F.col("cos_raw")
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+        rank_key.desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
