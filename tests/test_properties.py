@@ -791,3 +791,62 @@ def test_expression_compiler_matches_independent_sql_mirror(data):
             ).fetchall()
         }
         assert got == want, (i, t)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc XYZ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cms_never_underestimates_any_corpus(texts):
+    """For ANY corpus (mixed case, empty strings, repeated tokens): the
+    CMS estimate of every token's count is >= its exact count — the
+    structural Count-Min guarantee the heavy-hitters gate's semantics
+    rest on — and the sketch built per-batch then merged equals the
+    whole-corpus sketch (mergeability)."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.datapipe.dedup import (
+        cms_cell_counts,
+        lower_token_counts,
+    )
+    from haystack_traces_spark.datapipe.hashing import hash60_py
+    from haystack_traces_spark.datapipe.queries import CMS_DEPTH, CMS_WIDTH
+
+    spark = _spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cells = {
+        (r["r"], r["c"]): r["n"]
+        for r in cms_cell_counts(
+            lower_token_counts(docs), CMS_DEPTH, CMS_WIDTH
+        ).collect()
+    }
+    exact = Counter(
+        tok for t in texts for tok in t.lower().split(" ")
+    )
+    for tok, n in exact.items():
+        est = min(
+            cells.get(
+                (r, hash60_py(tok, seed=f"cms{r}:") % CMS_WIDTH), 0
+            )
+            for r in range(CMS_DEPTH)
+        )
+        assert est >= n, (tok, est, n)
+    # mergeability: two half-corpus sketches sum to the whole sketch
+    half = len(texts) // 2
+    a = docs.filter(F.col("doc_id") < half)
+    b = docs.filter(F.col("doc_id") >= half)
+    merged = Counter()
+    for part in (a, b):
+        for r in cms_cell_counts(
+            lower_token_counts(part), CMS_DEPTH, CMS_WIDTH
+        ).collect():
+            merged[(r["r"], r["c"])] += r["n"]
+    assert dict(merged) == cells
