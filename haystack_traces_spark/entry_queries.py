@@ -5797,6 +5797,67 @@ FROM chains GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+
+HB_US = 6 * 3_600_000_000
+
+
+def q_index_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (day_us, hb, n_traces, n_groups_total, max_groups_per_trace):
+    occupancy profile of the trace_index's (dt, hb) partition grid — how
+    many traces and index groups land in each 6-hour bucket. THE table
+    that answers "is my partition layout balanced, and which buckets
+    need the salt" (SCALE.md §1: add a salt to the repartition when a
+    bucket exceeds a few hundred MB — this is where you see it coming).
+    Buckets are computed with pure INTEGER epoch arithmetic (day_us =
+    UTC-day start in µs, hb = 6 h slot) — the same boundaries the
+    partition columns encode, without the session-timezone dependence a
+    date_format mirror would carry.
+
+    Scale shape: the per-trace row rides the index build's single trace
+    exchange; the profile is a tiny (day, hb)-keyed combinable rollup —
+    output rows = occupied partitions."""
+    idx = _index(spark, sf_dir)
+    day = F.col("starttime") - F.col("starttime") % DAY_US
+    hb = F.floor((F.col("starttime") % DAY_US) / HB_US).cast("long")
+    return (
+        idx.select(
+            day.alias("day_us"),
+            hb.alias("hb"),
+            F.size("spans").cast("long").alias("n_groups"),
+        )
+        .groupBy("day_us", "hb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.sum("n_groups").cast("long").alias("n_groups_total"),
+            F.max("n_groups").cast("long").alias("max_groups_per_trace"),
+        )
+        .orderBy("day_us", "hb")
+    )
+
+
+def sql_index_partition_profile() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per_trace AS (
+  SELECT trace_id,
+         MIN(start_time - start_time % 1000000) AS starttime,
+         CAST(COUNT(DISTINCT lower(service_name) || '|'
+                    || lower(operation_name)) AS BIGINT) AS n_groups
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+)
+SELECT starttime - starttime % {DAY_US} AS day_us,
+       CAST(FLOOR((starttime % {DAY_US}) / {HB_US}) AS BIGINT) AS hb,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CAST(SUM(n_groups) AS BIGINT) AS n_groups_total,
+       CAST(MAX(n_groups) AS BIGINT) AS max_groups_per_trace
+FROM per_trace GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -5946,6 +6007,7 @@ _ROTATION_QUEUE = (
     "ann_recall_report",
     "chunk_dup_rate",
     "embedding_length_corr",
+    "index_partition_profile",
 )
 
 
@@ -6067,6 +6129,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_depth_profile": q_error_depth_profile,
         "tag_coverage": q_tag_coverage,
         "retry_effectiveness": q_retry_effectiveness,
+        "index_partition_profile": q_index_partition_profile,
     }
 
 
@@ -6176,4 +6239,5 @@ def _trace_oracles() -> dict[str, str]:
         "error_depth_profile": sql_error_depth_profile(),
         "tag_coverage": sql_tag_coverage(),
         "retry_effectiveness": sql_retry_effectiveness(),
+        "index_partition_profile": sql_index_partition_profile(),
     }

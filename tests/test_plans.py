@@ -595,6 +595,7 @@ def test_round6_operators_have_no_global_bottleneck(spark):
     cases["chunk_dup_rate"] = (Q.q_chunk_dup_rate, 0)
     # one bounded single-partition: the 1-row correlation aggregate
     cases["embedding_length_corr"] = (Q.q_embedding_length_corr, 1)
+    cases["index_partition_profile"] = (EQ.q_index_partition_profile, 0)
     for name, (fn, max_single) in cases.items():
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name

@@ -1405,3 +1405,27 @@ def test_retry_effectiveness_final_attempt_decides(spark):
             out["opa"]["recovery_rate"]) == (1, 1, 1.0)
     assert (out["opb"]["n_error_chains"], out["opb"]["n_recovered"],
             out["opb"]["recovery_rate"]) == (1, 0, 0.0)
+
+
+def test_index_partition_profile_bucket_boundaries(spark):
+    """Traces at hour 0 and hour 6 of the same UTC day land in hb 0 and
+    hb 1; a trace the next day opens a new day_us row; group counts roll
+    up per bucket."""
+    day0 = (T0 // EQ.DAY_US) * EQ.DAY_US
+    rows = [
+        mk(trace_id="t1", span_id="a", service="svc_a", start=day0 + 1),
+        mk(trace_id="t1", span_id="b", service="svc_b", start=day0 + 2),
+        mk(trace_id="t2", span_id="c", start=day0 + EQ.HB_US + 5),
+        mk(trace_id="t3", span_id="d", start=day0 + EQ.DAY_US + 7),
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: [r.asDict() for r in
+                 EQ.q_index_partition_profile(spark, "ignored").collect()],
+    )
+    assert [(r["day_us"], r["hb"], r["n_traces"], r["n_groups_total"],
+             r["max_groups_per_trace"]) for r in out] == [
+        (day0, 0, 1, 2, 2),
+        (day0, 1, 1, 1, 1),
+        (day0 + EQ.DAY_US, 0, 1, 1, 1),
+    ]
