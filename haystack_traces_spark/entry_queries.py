@@ -5316,7 +5316,14 @@ def q_latency_variance_decomposition(
     Scale shape: per-(trace, service) totals and the trace envelope ride
     ONE trace exchange; the zero-fill grid is traces × |services| with
     the tiny service list broadcast; the final rollup keys on svc. The
-    1-row var(D) total is a broadcast join (bounded)."""
+    1-row var(D) total is a broadcast join (bounded). Both inputs are
+    ANCHORED on their per-svc minima before the moment sums (cov/var are
+    shift-invariant): raw x·dur power sums at ~1e6–1e7 µs magnitudes
+    pass 2^53 and make the 6dp-rounded ratio order-dependent across
+    engines — the stats.py anchoring contract, same window the groupBy
+    exchange already provides."""
+    from pyspark.sql import Window
+
     from haystack_traces_spark.functions.stats import pearson_corr
 
     spans = _spans(spark, sf_dir)
@@ -5333,19 +5340,26 @@ def q_latency_variance_decomposition(
     filled = grid.join(per, ["trace_id", "svc"], "left").select(
         "svc", "dur", F.coalesce("x", F.lit(0.0)).alias("x")
     )
+    wsvc = Window.partitionBy("svc")
+    anchored = filled.select(
+        "svc",
+        "x",
+        (F.col("x") - F.min("x").over(wsvc)).alias("xa"),
+        (F.col("dur") - F.min("dur").over(wsvc)).alias("da"),
+    )
     n = F.count(F.lit(1)).cast("double")
-    cov = n * F.sum(F.col("x") * F.col("dur")) - F.sum("x") * F.sum("dur")
+    cov = n * F.sum(F.col("xa") * F.col("da")) - F.sum("xa") * F.sum("da")
     var_d = F.greatest(
-        n * F.sum(F.col("dur") * F.col("dur")) - F.sum("dur") * F.sum("dur"),
+        n * F.sum(F.col("da") * F.col("da")) - F.sum("da") * F.sum("da"),
         F.lit(0.0),
     )
     return (
-        filled.groupBy("svc")
+        anchored.groupBy("svc")
         .agg(
             F.sum((F.col("x") > 0).cast("long")).cast("long")
             .alias("n_traces_present"),
             F.round(cov / F.nullif(var_d, F.lit(0.0)), 6).alias("var_share"),
-            pearson_corr(F.col("x"), F.col("dur")).alias("corr"),
+            pearson_corr(F.col("xa"), F.col("da")).alias("corr"),
         )
         .orderBy("svc")
     )
@@ -5372,16 +5386,22 @@ filled AS (
   SELECT s.svc, e.dur, COALESCE(p.x, 0) AS x
   FROM env e CROSS JOIN svcs s
   LEFT JOIN per p ON p.trace_id = e.trace_id AND p.svc = s.svc
+),
+anchored AS (
+  SELECT svc, x,
+         x - MIN(x) OVER (PARTITION BY svc) AS xa,
+         dur - MIN(dur) OVER (PARTITION BY svc) AS da
+  FROM filled
 )
 SELECT svc,
        CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_traces_present,
-       ROUND((COUNT(*) * SUM(x * dur) - SUM(x) * SUM(dur))
-             / NULLIF(GREATEST(COUNT(*) * SUM(dur * dur)
-                               - SUM(dur) * SUM(dur), 0), 0), 6)
+       ROUND((COUNT(*) * SUM(xa * da) - SUM(xa) * SUM(da))
+             / NULLIF(GREATEST(COUNT(*) * SUM(da * da)
+                               - SUM(da) * SUM(da), 0), 0), 6)
          AS var_share,
-       {pearson_corr_sql("x", "dur")} AS corr
-FROM filled GROUP BY svc ORDER BY svc
+       {pearson_corr_sql("xa", "da")} AS corr
+FROM anchored GROUP BY svc ORDER BY svc
 """
     )
 
@@ -5861,20 +5881,36 @@ FROM per_trace GROUP BY 1, 2 ORDER BY 1, 2
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
+#:
+#: ROUND-7 TEMPORARY TRIM (VERDICT r6 ask #8): the driver's sample is a
+#: fixed ~50-entry prefix, so for ONE round the core lead is the 10 most
+#: API-central queries (every endpoint family represented) and the other
+#: 13 core names sit right behind the rotation queue — this frees 40
+#: sample slots for never-driver-checked entries (79 -> ~39 remaining)
+#: and pulls full-registry cumulative coverage in by a round. All 23
+#: have been driver-green every round r02-r06 and stay covered by the
+#: local three-SF oracle suite. Restore the full 23-name lead in round 8.
 _CORE_TRACE = (
     "search_traces",
     "search_span_level",
     "trace_counts",
-    "trace_counts_filtered",
     "field_values",
-    "field_values_tag",
-    "field_values_by_count",
     "service_catalog",
-    "field_cardinalities",
     "trace_index_stats",
     "call_graph",
     "get_trace",
     "get_raw_traces",
+    "search_traces_processed",
+)
+
+#: The 13 core names benched from the round-7 lead (see _CORE_TRACE note);
+#: they re-enter the registry immediately after the rotation queue so a
+#: larger driver sample would still reach them before old extension rows.
+_CORE_TRACE_BENCHED = (
+    "trace_counts_filtered",
+    "field_values_tag",
+    "field_values_by_count",
+    "field_cardinalities",
     "get_raw_traces_fanout",
     "get_raw_span",
     "field_names",
@@ -5884,7 +5920,6 @@ _CORE_TRACE = (
     "search_mixed",
     "search_span_not_equal",
     "search_tag_range",
-    "search_traces_processed",
 )
 
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
@@ -5895,37 +5930,11 @@ _CORE_TRACE = (
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-6 queue — never driver-checked, priority order. The 27 names
-    # that earned green CORRECTNESS_r05 rows were removed from the front
-    # per the rotation protocol; they stay covered by the local suite.
-    "service_entry_points",
-    "operation_latency_trend",
-    "network_deltas",
-    "zipf_fit",
-    "char_entropy",
-    "window_cooccurrence",
-    "ngram_novelty",
-    "split_leak_audit",
-    "error_latency_tax",
-    "span_mad_outliers",
-    "operation_first_seen",
-    "parent_child_latency",
-    "knn_hubness",
-    "embedding_drift",
-    "token_burstiness",
-    "span_containment",
-    "sampling_bias_report",
-    "service_scorecard",
-    "event_sessions",
-    "funnel_steps",
-    "dedup_threshold_sweep",
-    "shard_balance",
-    "dup_degree_hist",
-    "purchase_attribution",
-    "incident_windows",
-    "dsir_resample",
-    "budget_trim",
-    # round-7 queue (next 27 after round-6 rotation):
+    # round-7 queue — never driver-checked, priority order. The 27 names
+    # that earned green CORRECTNESS_r06 rows (service_entry_points ...
+    # budget_trim) were removed from the front per the rotation protocol;
+    # they stay covered by the local suite. With the round-7 _CORE_TRACE
+    # trim, ~40 of these fit in the driver sample this round.
     "embedding_clusters",
     "service_seasonality",
     "user_kanonymity",
@@ -6023,6 +6032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[k] = fn     # a registry-wide KeyError (drift test catches it)
     for k in _ROTATION_QUEUE:
         fn = trace.get(k) or dp_q.get(k)
+        if fn is not None:
+            out.setdefault(k, fn)
+    for k in _CORE_TRACE_BENCHED:
+        fn = trace.get(k)
         if fn is not None:
             out.setdefault(k, fn)
     for k, v in trace.items():

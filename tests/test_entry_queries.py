@@ -65,7 +65,11 @@ def test_rotation_queue_names_resolve():
     assert missing == [], missing
     # _CORE_TRACE too: a typo would silently drop a core query out of the
     # driver's CORRECTNESS sample prefix, which is the whole point of it
-    core_missing = [n for n in EQ._CORE_TRACE if n not in EQ._trace_queries()]
+    core_missing = [
+        n
+        for n in EQ._CORE_TRACE + EQ._CORE_TRACE_BENCHED
+        if n not in EQ._trace_queries()
+    ]
     assert core_missing == [], core_missing
     merged = list(EQ.queries())
     assert len(merged) == len(set(merged)) == len(names)
