@@ -5943,11 +5943,13 @@ def q_pq_distortion(spark, sf_dir):
 def sql_pq_distortion() -> str:
     return f"""
 WITH {_pq_cb_ctes()},
-per_vec AS (SELECT vec_id, s, MIN(d) AS md FROM dists GROUP BY 1, 2)
+per_vec AS (SELECT vec_id, s,
+                   CAST(ROUND(MIN(d) * 1000000) AS BIGINT) AS md_micro
+            FROM dists GROUP BY 1, 2)
 SELECT CAST(s AS INT) AS s,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(AVG(md), 6) AS avg_sq_err,
-       ROUND(MAX(md), 6) AS max_sq_err
+       ROUND(SUM(md_micro) / (COUNT(*) * 1000000.0), 6) AS avg_sq_err,
+       ROUND(MAX(md_micro) / 1000000.0, 6) AS max_sq_err
 FROM per_vec GROUP BY s ORDER BY s
 """
 

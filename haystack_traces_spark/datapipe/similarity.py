@@ -806,12 +806,22 @@ def pq_distortion(
         "d", _sqdist("sv", "cw", dsub)
     )
     per_vec = joined.groupBy("vid", "s").agg(F.min("d").alias("md"))
+    # integer-micro units for the mean (house rule): a float AVG over
+    # per-vector doubles is summation-order-dependent at the last ulp, so
+    # a mean landing on a .5e-7 boundary flips ROUND(...,6) between
+    # engines; rounding each md to exact BIGINT micros first makes the
+    # SUM order-free (max_sq_err is already order-independent)
     return (
-        per_vec.groupBy("s")
+        per_vec.select(
+            "s", F.round(F.col("md") * 1_000_000).cast("long").alias("md_micro")
+        )
+        .groupBy("s")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(F.avg("md"), 6).alias("avg_sq_err"),
-            F.round(F.max("md"), 6).alias("max_sq_err"),
+            F.round(
+                F.sum("md_micro") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+            ).alias("avg_sq_err"),
+            F.round(F.max("md_micro") / F.lit(1_000_000.0), 6).alias("max_sq_err"),
         )
         .orderBy("s")
     )
@@ -1362,12 +1372,16 @@ def top_component(
     lam = float(u @ C @ u)
     total_var = float(np.trace(C))
     diag_top = float(np.max(np.diag(C)))
+    # HALF_UP, not builtin round(): these three doubles face the oracle's
+    # ROUND(x, 6) and banker's rounding flips on exact .5e-7 boundaries
+    from haystack_traces_spark.functions.stats import round6_half_up
+
     return spark.createDataFrame(
         [(
             dim,
-            round(lam, 6),
-            round(lam / total_var, 6) if total_var > 0 else None,
-            round(diag_top / total_var, 6) if total_var > 0 else None,
+            round6_half_up(lam),
+            round6_half_up(lam / total_var) if total_var > 0 else None,
+            round6_half_up(diag_top / total_var) if total_var > 0 else None,
         )],
         schema,
     )

@@ -92,3 +92,17 @@ def skew_kurt_sql(x: str) -> tuple[str, str]:
     g1 = f"({m3} / NULLIF(POWER({m2}, 1.5), 0))"
     g2 = f"({m4} / NULLIF({m2} * {m2}, 0) - 3)"
     return g1, g2
+
+
+def round6_half_up(x: float | None) -> float | None:
+    """HALF_UP 6dp rounding for DRIVER-SIDE Python floats that face a
+    DuckDB/Spark ``ROUND(x, 6)`` oracle. Python's builtin ``round()`` is
+    banker's rounding and flips against both engines on exact .5e-7
+    boundaries (house rule 15, found by hypothesis in round 6) — any
+    Python-computed value emitted into a createDataFrame result row must
+    route through this instead."""
+    if x is None:
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
