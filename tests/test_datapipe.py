@@ -2230,12 +2230,12 @@ class TestRealPnmCodec:
         from haystack_traces_spark.datapipe import multimodal as M
 
         payload = self._ppm(2, 1, [(1, 2, 3), (4, 5, 6)])
-        w, h, c, raster = M.decode_pnm(payload)
-        assert (w, h, c) == (2, 1, 3)
+        w, h, c, raster, maxval = M.decode_pnm(payload)
+        assert (w, h, c, maxval) == (2, 1, 3, 255)
         assert raster == bytes([1, 2, 3, 4, 5, 6])
         # P5 grayscale
         g = b"P5\n3 1\n255\n" + bytes([9, 8, 7])
-        assert M.decode_pnm(g) == (3, 1, 1, bytes([9, 8, 7]))
+        assert M.decode_pnm(g) == (3, 1, 1, bytes([9, 8, 7]), 255)
 
     def test_decode_pnm_rejects_truncated_and_unknown(self):
         import pytest
@@ -2285,7 +2285,145 @@ class TestRealPnmCodec:
         assert bytes(r["resized_payload"]) == want_payload
         assert r["resized_md5"] == hashlib.md5(want_payload).hexdigest()
         # round-trip: the re-encoded output decodes to the resized raster
-        assert M.decode_pnm(bytes(r["resized_payload"])) == (2, 1, 3, want_raster)
+        assert M.decode_pnm(bytes(r["resized_payload"])) == (
+            2, 1, 3, want_raster, 255,
+        )
+
+    def test_decode_png_all_filters(self):
+        """Crafted PNG exercising every scanline filter type (None, Sub,
+        Up, Average, Paeth) against a known raster — each row of the
+        5-row image is filtered with a different type, so a wrong
+        unfilter branch flips exact pixel values."""
+        import zlib
+
+        import numpy as np
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        rng = np.random.RandomState(7)
+        w, h, c = 4, 5, 3
+        raster = rng.randint(0, 256, size=(h, w * c)).astype(np.uint8)
+
+        def paeth(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+        # hand-filter each row with filter type = row index
+        stride = w * c
+        filtered = bytearray()
+        for y in range(h):
+            row = raster[y].astype(int)
+            prev = raster[y - 1].astype(int) if y > 0 else np.zeros(stride, int)
+            ft = y % 5
+            filtered.append(ft)
+            for i in range(stride):
+                left = row[i - c] if i >= c else 0
+                ul = prev[i - c] if i >= c else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = row[i] - left
+                elif ft == 2:
+                    v = row[i] - prev[i]
+                elif ft == 3:
+                    v = row[i] - ((left + prev[i]) >> 1)
+                else:
+                    v = row[i] - paeth(left, prev[i], ul)
+                filtered.append(v & 0xFF)
+
+        def chunk(ctype, data):
+            return (
+                len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big")
+            )
+
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        payload = (
+            M.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+            + chunk(b"IEND", b"")
+        )
+        got = M.decode_png(payload)
+        assert got == (w, h, c, raster.tobytes(), 255)
+        # decode_real dispatches on the signature
+        d = M.decode_real(payload, "image")
+        assert (d["format"], d["raster"]) == ("png", raster.tobytes())
+        # encode_png round-trips (stored-block deflate, deterministic)
+        re = M.encode_png(w, h, c, raster.tobytes())
+        assert M.decode_png(re) == (w, h, c, raster.tobytes(), 255)
+
+    def test_decode_png_rejects_corrupt_and_unsupported(self):
+        import zlib
+
+        import pytest
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        ok = M.encode_png(2, 2, 1, bytes([1, 2, 3, 4]))
+        with pytest.raises(ValueError, match="signature"):
+            M.decode_png(b"\x89PNX" + ok[4:])
+        # flip one raster-adjacent byte inside IDAT: CRC must catch it
+        bad = bytearray(ok)
+        idat_at = ok.index(b"IDAT") + 6
+        bad[idat_at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            M.decode_png(bytes(bad))
+        # 16-bit depth is a loud unsupported, not a mis-decode
+        ihdr16 = (
+            (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0])
+        )
+        chunk16 = (
+            len(ihdr16).to_bytes(4, "big") + b"IHDR" + ihdr16
+            + zlib.crc32(b"IHDR" + ihdr16).to_bytes(4, "big")
+        )
+        with pytest.raises(ValueError, match="bit depth"):
+            M.decode_png(M.PNG_SIGNATURE + chunk16)
+
+    def test_resize_images_real_png_end_to_end(self, spark):
+        """PNG through the Spark mapInPandas resize path: decode → integer
+        NN resize → PNG re-encode, pinned md5 (stored-block deflate is
+        byte-deterministic across zlib versions)."""
+        import hashlib
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        pixels = [(x, y, 100) for y in range(2) for x in range(4)]
+        raster = bytes(v for px in pixels for v in px)
+        payload = M.encode_png(4, 2, 3, raster)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload), len(payload))], M.MEDIA_SCHEMA
+        )
+        r = M.resize_images_real(media, 2, 1).collect()[0]
+        want_raster = bytes([0, 0, 100, 2, 0, 100])
+        want_payload = M.encode_png(2, 1, 3, want_raster)
+        assert bytes(r["resized_payload"]) == want_payload
+        assert r["resized_md5"] == hashlib.md5(want_payload).hexdigest()
+        # pinned: stored-block deflate output is fixed by the spec
+        assert r["resized_md5"] == "9c2d45baa54d4d887c2f75e2e0c466a6"
+        assert M.decode_png(bytes(r["resized_payload"]))[3] == want_raster
+
+    def test_resize_real_carries_source_maxval(self, spark):
+        """ADVICE r6: a maxval-100 source (sample 100 = full white) must
+        re-encode with maxval 100, not get silently darkened by a
+        re-stamped 255 header."""
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        payload = b"P5\n2 1\n100\n" + bytes([100, 50])
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload), len(payload))], M.MEDIA_SCHEMA
+        )
+        r = M.resize_images_real(media, 1, 1).collect()[0]
+        assert bytes(r["resized_payload"]) == b"P5\n1 1\n100\n" + bytes([100])
+        # and encode_pnm rejects out-of-range maxval loudly
+        import pytest
+
+        with pytest.raises(ValueError, match="maxval"):
+            M.encode_pnm(1, 1, 1, bytes([0]), 256)
 
 
 # ------------------------------------------------ round-6 operators -------
