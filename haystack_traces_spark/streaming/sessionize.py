@@ -257,6 +257,179 @@ def sessionize(
     )
 
 
+# ---------------------------------------------------------------- event-time
+# VERDICT r6 ask #2: the reference's T1 is PROCESSING-time
+# (SpanIndexProcessor.scala:108-128 sweeps on the consumer poll clock), which
+# is the right trade for live indexing but NON-deterministic — two replays of
+# the same corpus batch differently and cut different buffers. A 100 TB
+# backfill needs a face whose output is a pure function of the DATA, so this
+# face keys every decision on EVENT time + the watermark:
+#
+# - an island's membership is decided by event timestamps alone
+#   ("anchored" = the T1 window-from-first-seen rule transplanted onto event
+#   time: island = [t0, t0 + horizon); "gap" = classic inactivity-gap
+#   sessionization, the exact rule of the `event_sessions` batch operator),
+# - an island EMITS only when the watermark proves no admissible event can
+#   still join it — never on a wall clock,
+# - replay determinism contract: the emitted (key, session_start,
+#   session_end, n_events, events) multiset equals the batch recomputation
+#   on the same corpus, as long as the watermark delay covers the source's
+#   event-time disorder (events later than the watermark are dropped by
+#   Spark before the operator — the same bounded-lateness trade as
+#   streaming/metrics.py, and the reason the PROCESSING-time face stays the
+#   live default: it never drops, it re-emits (T4)).
+#
+# Which face replays deterministically and why → SCALE.md §6.
+
+EVENT_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("skey", T.StringType()),
+        T.StructField("session_start", T.LongType()),  # event µs
+        T.StructField("session_end", T.LongType()),    # event µs
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("events_json", T.ArrayType(T.StringType())),
+    ]
+)
+
+EVENT_STATE_SCHEMA = T.StructType([T.StructField("packed", T.BinaryType())])
+
+_TS_SEP = " "  # packed line = "<ts_us> <json>"; JSON never starts with space
+
+
+def _split_islands(
+    events: list[tuple[int, str]], mode: str, horizon_us: int
+) -> list[list[tuple[int, str]]]:
+    """Sorted (ts, json) events → islands under the mode's rule. Pure —
+    the single definition both emission and close-threshold logic use."""
+    islands: list[list[tuple[int, str]]] = []
+    for ev in events:
+        if not islands:
+            islands.append([ev])
+            continue
+        cur = islands[-1]
+        if mode == "gap":
+            splits = ev[0] - cur[-1][0] > horizon_us
+        else:  # anchored: island = [t0, t0 + horizon)
+            splits = ev[0] >= cur[0][0] + horizon_us
+        (islands.append([ev]) if splits else cur.append(ev))
+    return islands
+
+
+def _close_threshold_us(island: list[tuple[int, str]], mode: str, horizon_us: int) -> int:
+    """Earliest event time at which NO admissible future event could still
+    join this island: gap → last_ts + horizon (an event exactly at the
+    threshold still joins, hence strict compare at the call site);
+    anchored → t0 + horizon (membership is [t0, t0+horizon))."""
+    if mode == "gap":
+        return island[-1][0] + horizon_us
+    return island[0][0] + horizon_us
+
+
+def make_event_session_fn(mode: str, horizon_us: int):
+    """Build the event-time stateful function (extracted for unit tests).
+
+    One path for data and timeout: merge held+new events, split into
+    islands, emit every island the CURRENT WATERMARK has definitively
+    closed, keep the rest, arm the timer at the earliest future close.
+    The watermark is the only clock touched — output is replayable."""
+    if mode not in ("gap", "anchored"):
+        raise ValueError(f"unknown event-time session mode {mode!r}")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        skey = key[0]
+        events: list[tuple[int, str]] = []
+        if state.exists:
+            for line in _unpack_spans(state.get[0]):
+                ts, j = line.split(_TS_SEP, 1)
+                events.append((int(ts), j))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                events.extend(
+                    zip(pdf["ts_us"].astype("int64").tolist(), pdf["span_json"].tolist())
+                )
+        # total order (ts, json) — deterministic islands at equal timestamps
+        events.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_rows = []
+        keep: list[tuple[int, str]] = []
+        next_close: int | None = None
+        for island in _split_islands(events, mode, horizon_us):
+            close = _close_threshold_us(island, mode, horizon_us)
+            # gap: an event exactly AT last+gap still joins → close only
+            # when the watermark is strictly past; anchored: membership is
+            # half-open, an event at t0+horizon opens a NEW island → >= is
+            # enough. Closing exactly at the provable boundary is what
+            # makes replay equal the batch recomputation.
+            closed = (wm_us > close) if mode == "gap" else (wm_us >= close)
+            if closed:
+                out_rows.append(
+                    {
+                        "skey": skey,
+                        "session_start": island[0][0],
+                        "session_end": island[-1][0],
+                        "n_events": len(island),
+                        "events_json": [j for _, j in island],
+                    }
+                )
+            else:
+                keep.extend(island)
+                if next_close is None:
+                    next_close = close
+        if keep:
+            state.update(
+                (_pack_spans([f"{ts}{_TS_SEP}{j}" for ts, j in keep]),)
+            )
+            # ceil to ms and land strictly past the close boundary: the
+            # timer must fire only once the watermark PROVES closure under
+            # the compares above (gap needs strictly-greater)
+            timeout_ms = -(-(next_close) // 1000) + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in EVENT_SESSION_SCHEMA.fields])
+
+    return fn
+
+
+def sessionize_event_time(
+    stream: DataFrame,
+    ts_us_col: str,
+    key_col: str = "trace_id",
+    mode: str = "anchored",
+    horizon_us: int = DEFAULT_WINDOW_MS * 1000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """EVENT-time sessionization face (deterministic replay/backfill).
+
+    ``mode="anchored"`` transplants T1's window-from-first-seen onto event
+    time (island = [first_event, first_event + horizon)); ``mode="gap"``
+    is inactivity-gap sessionization — bit-equal to the batch
+    `event_sessions` operator on the same corpus (pinned by
+    test_streaming.py). Output: (key_col, session_start, session_end,
+    n_events, events_json), all event-time µs — no wall-clock column, so
+    two replays produce identical rows."""
+    packed = stream.select(
+        F.col(key_col).cast("string").alias("skey"),
+        F.col(ts_us_col).cast("long").alias("ts_us"),
+        F.to_json(F.struct(*stream.columns)).alias("span_json"),
+        F.timestamp_micros(F.col(ts_us_col).cast("long")).alias("event_time"),
+    ).withWatermark("event_time", watermark_delay)
+    return (
+        packed.groupBy("skey")
+        .applyInPandasWithState(
+            make_event_session_fn(mode, horizon_us),
+            outputStructType=EVENT_SESSION_SCHEMA,
+            stateStructType=EVENT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .withColumnRenamed("skey", key_col)
+    )
+
+
 def buffers_to_spans(buffers: DataFrame, span_schema: T.StructType) -> DataFrame:
     """Emitted buffers → flat spans (for writing trace_store/trace_index)."""
     return buffers.select(

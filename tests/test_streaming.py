@@ -1507,3 +1507,277 @@ def test_cms_gate_empty_state_compact_and_probe_normalization(spark, tmp_path):
     shutil.move(str(tmp_path / "cms"), str(tmp_path / "cms.old"))
     with pytest.raises(RuntimeError, match="compaction"):
         gate.merged_sketch(spark)
+
+
+# ------------------------------------------------- event-time face (r7) ----
+class FakeEventState(FakeState):
+    """FakeState + the event-time surface (watermark + timestamp timer)."""
+
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        super().__init__(value, timed_out)
+        self._wm = watermark_ms
+        self.timeout_ts = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+def _ev_pdf(events):
+    """events: list of (ts_us, payload_dict)"""
+    return pd.DataFrame(
+        {
+            "ts_us": [ts for ts, _ in events],
+            "span_json": [json.dumps(p) for _, p in events],
+        }
+    )
+
+
+def _run_event_fn(fn, key, events, state):
+    return list(fn((key,), iter([_ev_pdf(events)]), state))
+
+
+def test_event_islands_split_rules():
+    from haystack_traces_spark.streaming.sessionize import _split_islands
+
+    evs = [(0, "a"), (5, "b"), (12, "c"), (30, "d")]
+    # gap 10: 12-5=7 joins, 30-12=18 splits
+    gap = _split_islands(evs, "gap", 10)
+    assert [[t for t, _ in i] for i in gap] == [[0, 5, 12], [30]]
+    # anchored 10: island [0,10) -> 12 opens new [12,22) -> 30 new
+    anc = _split_islands(evs, "anchored", 10)
+    assert [[t for t, _ in i] for i in anc] == [[0, 5], [12], [30]]
+    # anchored half-open boundary: ts exactly at t0+horizon opens NEW island
+    anc2 = _split_islands([(0, "a"), (10, "b")], "anchored", 10)
+    assert [[t for t, _ in i] for i in anc2] == [[0], [10]]
+
+
+def test_event_fn_emits_only_watermark_closed_islands():
+    from haystack_traces_spark.streaming.sessionize import (
+        make_event_session_fn,
+    )
+
+    fn = make_event_session_fn("gap", 10_000_000)  # 10 s gap
+    # two islands: [0s,5s] and [60s]; watermark 20s: first island's close
+    # = 5s+10s = 15s < 20s -> emitted; second stays, timer armed at its close
+    st = FakeEventState(watermark_ms=20_000)
+    out = _run_event_fn(
+        fn,
+        "u1",
+        [(0, {"e": 1}), (5_000_000, {"e": 2}), (60_000_000, {"e": 3})],
+        st,
+    )
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (
+        0, 5_000_000, 2,
+    )
+    assert st.exists and not st.removed
+    # close = 60s + 10s = 70s -> timer strictly past it (ceil ms + 1)
+    assert st.timeout_ts == 70_000 + 1
+
+
+def test_event_fn_gap_boundary_is_strict():
+    """An event exactly AT last_ts + gap still joins its island, so the
+    watermark must be strictly past the close threshold to emit."""
+    from haystack_traces_spark.streaming.sessionize import (
+        make_event_session_fn,
+    )
+
+    fn = make_event_session_fn("gap", 10_000_000)
+    # close threshold = 10s exactly; wm == 10s must NOT emit
+    st = FakeEventState(watermark_ms=10_000)
+    out = _run_event_fn(fn, "u1", [(0, {"e": 1})], st)
+    assert out == [] and st.exists
+    # wm just past -> emits, state cleared
+    st2 = FakeEventState(watermark_ms=10_001)
+    out2 = _run_event_fn(fn, "u1", [(0, {"e": 1})], st2)
+    assert len(out2) == 1 and st2.removed
+
+
+def test_event_fn_timeout_path_flushes_state():
+    from haystack_traces_spark.streaming.sessionize import (
+        _pack_spans,
+        make_event_session_fn,
+    )
+
+    fn = make_event_session_fn("anchored", 10_000_000)
+    packed = _pack_spans([f"0 {json.dumps({'e': 1})}"])
+    st = FakeEventState(value=(packed,), timed_out=True, watermark_ms=10_000)
+    out = list(fn(("u1",), iter([]), st))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 1
+    assert st.removed
+
+
+def test_event_time_gap_face_matches_batch_event_sessions(spark, tmp_path):
+    """VERDICT r6 ask #2, the equivalence pin: the event-time streaming
+    face in gap mode, replayed over the sf0.001 events corpus, emits
+    EXACTLY the sessions the batch gaps-and-islands operator
+    (`sessionize_events`) computes — same corpus, same buffers. Two
+    sentinel drops advance the watermark so every real island provably
+    closes; sentinel rows are filtered from the comparison."""
+    from haystack_traces_spark.entry_queries import (
+        SESSION_GAP_US,
+        sessionize_events,
+    )
+    from haystack_traces_spark.sources.events import _epoch_micros
+    from haystack_traces_spark.streaming.sessionize import (
+        sessionize_event_time,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = events.select(
+        "user_id", "event_id", _epoch_micros(events).alias("tus")
+    )
+    batch = sessionize_events(ev).collect()
+    rows = ev.collect()  # bounded: 1000 events at sf0.001
+    max_tus = max(r["tus"] for r in rows)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        tmp.rename(src / name)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    schema = "user_id long, event_id long, tus long"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            sessionize_event_time(
+                stream,
+                "tus",
+                key_col="user_id",
+                mode="gap",
+                horizon_us=SESSION_GAP_US,
+                watermark_delay="1 second",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write(
+        "f1.json",
+        [
+            {"user_id": r["user_id"], "event_id": r["event_id"], "tus": r["tus"]}
+            for r in rows
+        ],
+    )
+    run_once()
+    write(
+        "f2.json",
+        [{"user_id": -1, "event_id": -1,
+          "tus": max_tus + SESSION_GAP_US + 10_000_000}],
+    )
+    run_once()
+    write(
+        "f3.json",
+        [{"user_id": -1, "event_id": -2,
+          "tus": max_tus + 2 * SESSION_GAP_US + 20_000_000}],
+    )
+    run_once()
+
+    got = [
+        r
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] != "-1"
+    ]
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in got:
+        per[r["user_id"]].append(r)
+    stream_rows = set()
+    for u, lst in per.items():
+        for i, r in enumerate(sorted(lst, key=lambda x: x["session_start"]), 1):
+            stream_rows.add(
+                (int(u), i, r["n_events"],
+                 r["session_start"], r["session_end"] - r["session_start"])
+            )
+    batch_rows = {
+        (r["user_id"], r["session_idx"], r["n_events"],
+         r["session_start"], r["session_dur"])
+        for r in batch
+    }
+    assert stream_rows == batch_rows
+
+
+def test_event_time_anchored_face_end_to_end(spark, tmp_path):
+    """Anchored mode live: window-from-first-EVENT islands (T1's rule on
+    the event clock) cut at exactly the crafted boundaries, and the
+    emitted rows carry no wall-clock column — replay-deterministic."""
+    from haystack_traces_spark.streaming.sessionize import (
+        sessionize_event_time,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    schema = "trace_id string, span_id string, start_time long"
+    S = 1_000_000  # 1 s in µs
+
+    def write(name, recs):
+        tmp = src / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+        tmp.rename(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            sessionize_event_time(
+                stream, "start_time", key_col="trace_id",
+                mode="anchored", horizon_us=10 * S,
+                watermark_delay="1 second",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    T = 1_700_000_000 * S
+    write(
+        "f1.json",
+        [
+            {"trace_id": "tA", "span_id": "a1", "start_time": T},
+            {"trace_id": "tA", "span_id": "a2", "start_time": T + 5 * S},
+            # exactly at the half-open boundary -> NEW island
+            {"trace_id": "tA", "span_id": "a3", "start_time": T + 10 * S},
+            {"trace_id": "tB", "span_id": "b1", "start_time": T + 2 * S},
+        ],
+    )
+    run_once()
+    write("f2.json", [{"trace_id": "__wm__", "span_id": "s",
+                       "start_time": T + 100 * S}])
+    run_once()
+    write("f3.json", [{"trace_id": "__wm__", "span_id": "s2",
+                       "start_time": T + 200 * S}])
+    run_once()
+
+    got = sorted(
+        (r["trace_id"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["trace_id"] != "__wm__"
+    )
+    assert got == [
+        ("tA", T, 2),
+        ("tA", T + 10 * S, 1),
+        ("tB", T + 2 * S, 1),
+    ]
