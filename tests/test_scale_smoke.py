@@ -301,11 +301,9 @@ def test_neardup_family_candidate_growth_at_10x(spark):
 
 
 @pytest.mark.slow
-def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
-    """VERDICT r5 ask #8 (suite-sized pin of the SCALE.md §6 soak): >=20
-    consecutive micro-batches through the FULL IngestTopology — state
-    rows bounded, and batch wall time FLAT (last-5 average within 3x the
-    middle-5 average; growth-with-batch-count would compound past that)."""
+def _run_ingest_soak(spark, tmp_path, n_batches=20):
+    """>=n_batches consecutive micro-batches through the FULL
+    IngestTopology; returns {batchId: (rows, ms, state_rows)}."""
     import time as _t
 
     from haystack_traces_spark.sources.events import spans_from_events
@@ -316,7 +314,9 @@ def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
         fan_out(spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
     )
     src_dir = str(tmp_path / "src")
-    spans.select(*[f.name for f in SPAN.fields]).repartition(22).write.json(src_dir)
+    spans.select(*[f.name for f in SPAN.fields]).repartition(
+        n_batches + 2
+    ).write.json(src_dir)
     src = (
         spark.readStream.schema(SPAN)
         .option("maxFilesPerTrigger", 1)
@@ -338,12 +338,16 @@ def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
                             for s in p.get("stateOperators") or []
                         ),
                     )
-            if len(prog) >= 20:
+            if len(prog) >= n_batches:
                 break
             _t.sleep(2)
     finally:
         q.stop()
-    assert len(prog) >= 20, f"only {len(prog)} data batches ran"
+    return prog
+
+
+def _assert_soak_flat_and_bounded(prog, n_batches=20):
+    assert len(prog) >= n_batches, f"only {len(prog)} data batches ran"
     ms = [v[1] for _, v in sorted(prog.items())]
     mid5 = sum(ms[8:13]) / 5
     last5 = sum(ms[-5:]) / 5
@@ -352,3 +356,34 @@ def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
     n_spans = sum(v[0] for v in prog.values())
     assert max(v[2] for v in prog.values()) < n_spans / 2, (
         max(v[2] for v in prog.values()), n_spans)
+
+
+def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
+    """VERDICT r5 ask #8 (suite-sized pin of the SCALE.md §6 soak): >=20
+    consecutive micro-batches through the FULL IngestTopology — state
+    rows bounded, and batch wall time FLAT (last-5 average within 3x the
+    middle-5 average; growth-with-batch-count would compound past that)."""
+    _assert_soak_flat_and_bounded(_run_ingest_soak(spark, tmp_path))
+
+
+def test_sessionizer_soak_rocksdb_state_store(spark, tmp_path):
+    """VERDICT r6 ask #4: the same soak on Spark's in-box
+    RocksDBStateStoreProvider — the provider SCALE.md prescribes for
+    cluster state. Same flat-and-bounded contract, same state-row count
+    as the HDFS-backed default (the provider changes storage, not
+    semantics); conf restored so other tests keep the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        prog = _run_ingest_soak(spark, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    _assert_soak_flat_and_bounded(prog)
