@@ -108,6 +108,32 @@ LIMIT 50
     )
 
 
+def q_search_traces_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship search answered ENTIRELY from the promoted wl_<name>
+    trace-wide value unions (build_trace_index(promote_whitelist=True)):
+    same request, same results, but the plan never projects the nested
+    spans column (plan-asserted in test_plans.py; measured at 10x in
+    SCALE.md §4). Oracle: identical to search_traces — promotion is a
+    physical layout change, not a semantics change."""
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T1,
+        limit=50,
+        expression=ExpressionTree(
+            (
+                Field("servicename", "error", EQUAL),
+                Field("duration", DUR_THRESHOLD, GREATER_THAN),
+            )
+        ),
+    )
+    idx = build_trace_index(_spans(spark, sf_dir), promote_whitelist=True)
+    return search_ops.search_trace_ids(idx, req)
+
+
+def sql_search_traces_promoted() -> str:
+    return sql_search_traces()
+
+
 def q_search_span_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level co-occurrence group (Q1): fields must match the SAME
     (service, operation) group — one nested bool in the reference
@@ -6017,6 +6043,8 @@ _ROTATION_QUEUE = (
     "chunk_dup_rate",
     "embedding_length_corr",
     "index_partition_profile",
+    # round-7 additions:
+    "search_traces_promoted",
 )
 
 
@@ -6048,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_traces": q_search_traces,
+        "search_traces_promoted": q_search_traces_promoted,
         "search_span_level": q_search_span_level,
         "trace_counts": q_trace_counts,
         "trace_counts_filtered": q_trace_counts_filtered,
@@ -6158,6 +6187,7 @@ def oracle_sql() -> dict[str, str]:
 def _trace_oracles() -> dict[str, str]:
     return {
         "search_traces": sql_search_traces(),
+        "search_traces_promoted": sql_search_traces_promoted(),
         "search_span_level": sql_search_span_level(),
         "trace_counts": sql_trace_counts(),
         "trace_counts_filtered": sql_trace_counts_filtered(),

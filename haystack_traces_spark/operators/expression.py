@@ -124,6 +124,68 @@ def compile_expression(
     return _and_all(conds) if conds else F.lit(True)
 
 
+def compile_promoted(
+    tree: ExpressionTree,
+    whitelist: WhitelistConfig = DEFAULT_WHITELIST,
+    available: frozenset[str] | None = None,
+) -> tuple[Column, bool]:
+    """Compile against the PROMOTED ``wl_<name>`` trace-wide value unions
+    (`index.py promote_whitelist=True`) → (predicate, exact).
+
+    Per operand, on the union column:
+    - trace-level EQUAL / GT / LT: EXACT — ∃group ∃value(p) ⇔ ∃value in
+      the union, so the nested spans column is never touched;
+    - trace-level NOT_EQUAL: NOT decidable from a union (the semantics is
+      "∃ a group in which the value does not occur" — a union can neither
+      prove nor refute per-group absence) → contributes True and drops
+      exactness;
+    - a field whose union column is not in ``available`` (selective
+      promotion — e.g. the measured default skips starttime) behaves the
+      same way: no contribution, exactness dropped, verifier decides;
+    - span-level sub-tree: each member's EQUAL/GT/LT union condition is
+      NECESSARY but co-occurrence-blind → contributes the conjunction as
+      a pre-filter and drops exactness (the exists() verifier runs on the
+      survivors only).
+
+    When exact, the caller can answer the whole search from the slim
+    promoted columns (scan never reads the nested array — the measured
+    point of promotion, SCALE.md §4)."""
+    conds: list[Column] = []
+    exact = True
+
+    def union_cond(f: Field) -> Column | None:
+        ftype = _field_type(f.name, whitelist)
+        lit = _coerce(f.value, ftype)
+        wl = whitelist.get(f.name)
+        name = wl.name if wl is not None and f.name not in _SCALAR_FIELDS else f.name
+        if available is not None and f"wl_{name}" not in available:
+            return None  # not promoted: the exists() verifier decides
+        col = F.col(f"wl_{name}")
+        if f.operator == EQUAL:
+            return F.array_contains(col, lit)
+        if f.operator == GREATER_THAN:
+            return F.exists(col, lambda x: x > lit)
+        if f.operator == LESS_THAN:
+            return F.exists(col, lambda x: x < lit)
+        return None  # NOT_EQUAL: union-undecidable
+
+    for op in tree.operands:
+        if isinstance(op, Field):
+            c = union_cond(op)
+            if c is None:
+                exact = False
+            else:
+                conds.append(c)
+        elif isinstance(op, ExpressionTree):
+            exact = False  # co-occurrence needs the nested groups
+            sub = [c for c in (union_cond(f) for f in op.operands) if c is not None]
+            if sub:
+                conds.append(_and_all(sub))
+        else:
+            raise TypeError(f"unsupported operand: {op!r}")
+    return (_and_all(conds) if conds else F.lit(True)), exact
+
+
 def compile_fields(
     fields: list[Field], whitelist: WhitelistConfig = DEFAULT_WHITELIST
 ) -> Column:

@@ -33,11 +33,18 @@ from haystack_traces_spark.functions.span_funcs import (
 HOURS_PER_BUCKET = 6
 
 
+#: Prefix of the round-7 PROMOTED top-level columns (see
+#: ``promote_whitelist``); a prefix keeps them clear of the root-doc
+#: ``starttime`` and the nested field namespace.
+PROMOTED_PREFIX = "wl_"
+
+
 def build_trace_index(
     spans: DataFrame,
     whitelist: WhitelistConfig = DEFAULT_WHITELIST,
     root_duration_mode: str = "parent_empty",
     with_partition_cols: bool = False,
+    promote_whitelist: bool | tuple[str, ...] = False,
 ) -> DataFrame:
     """spans → one index row per trace.
 
@@ -53,7 +60,21 @@ def build_trace_index(
                           parentSpanId == null, never true for proto3 strings
                           (IndexDocumentGenerator.scala:56), so shipped
                           behavior is always 0.
-    """
+
+    promote_whitelist (round 7, SURVEY §4's deferred promotion question,
+    answered by measurement in SCALE.md §4): additionally store each
+    queryable field's TRACE-WIDE distinct-value union as a top-level
+    ``wl_<name>`` array column — True = the measured default set
+    (servicename/operationname/duration + every enabled whitelist tag;
+    starttime excluded, see inline note), or pass an explicit iterable
+    of field names. Search predicates over these
+    skip the nested spans walk, and a fully trace-level expression never
+    projects the fat spans column at all — the scan reads only the slim
+    unions (`search.py:search_trace_ids` picks this automatically). The
+    unions are exact for trace-level EQUAL/range terms; span-level
+    co-occurrence and NOT_EQUAL still verify against the nested groups.
+    Write cost: one extra array_distinct per field over already-grouped
+    sets — no extra shuffle."""
     has_tags = "tags" in spans.columns
     wl_aggs = []
     wl_names: list[str] = []
@@ -94,10 +115,38 @@ def build_trace_index(
         *[F.col(n) for n in wl_names],
     )
 
+    promoted_aggs = []
+    if promote_whitelist:
+        if promote_whitelist is True:
+            # measured default (SCALE.md §4): starttime is EXCLUDED — its
+            # union is near-per-span distinct (23.7% of the 10x index file
+            # for a field the time predicate already answers from the
+            # top-level root-doc starttime); everything else is cheap
+            # (service/operation/tags < 6% combined, duration ~17% and
+            # carries the flagship range predicate)
+            fields = ("servicename", "operationname", "duration", *wl_names)
+        else:
+            fields = tuple(f.lower() for f in promote_whitelist)
+        set_col = {
+            "servicename": "servicename",
+            "operationname": "operationname",
+            "starttime": "starttime_set",
+            "duration": "duration_set",
+        }
+        for name in fields:
+            src = set_col.get(name, name)
+            agg = (
+                F.collect_set(src)
+                if name in ("servicename", "operationname")
+                else F.array_distinct(F.flatten(F.collect_list(src)))
+            )
+            promoted_aggs.append(agg.alias(f"{PROMOTED_PREFIX}{name}"))
+
     idx = groups.groupBy(F.col("trace_id").alias("traceid")).agg(
         F.min("_min_start").alias("starttime"),
         F.coalesce(F.max("_root_dur"), F.lit(0)).alias("rootduration"),
         F.collect_list(group_struct).alias("spans"),
+        *promoted_aggs,
     )
 
     if with_partition_cols:

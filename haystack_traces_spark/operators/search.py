@@ -84,9 +84,29 @@ def search_trace_ids(
                 g["starttime"], lambda s: s.between(req.start_time, req.end_time)
             ),
         )
+    # Promoted-union fast path (round 7, measured in SCALE.md §4): when the
+    # index carries the wl_<name> trace-wide value unions
+    # (build_trace_index(promote_whitelist=True)), compile against them.
+    # Exact compilations answer the search from the slim top-level arrays —
+    # the scan never projects the fat nested spans column; inexact ones
+    # (span-level co-occurrence, NOT_EQUAL) become a pre-filter with the
+    # exists() verifier running on survivors only. Plain indexes take the
+    # original exists()-only path — same results either way (plan-tested).
+    from haystack_traces_spark.operators.expression import compile_promoted
+    from haystack_traces_spark.operators.index import PROMOTED_PREFIX
+
+    cols = frozenset(trace_index.columns)
+    has_promoted = any(c.startswith(PROMOTED_PREFIX) for c in cols)
+    if has_promoted:
+        pre, exact = compile_promoted(req.expression, whitelist, available=cols)
+        expr_pred = pre if exact else (
+            pre & compile_expression(req.expression, whitelist)
+        )
+    else:
+        expr_pred = compile_expression(req.expression, whitelist)
     return (
         trace_index.filter(time_pred)
-        .filter(compile_expression(req.expression, whitelist))
+        .filter(expr_pred)
         .select("traceid", "starttime")
         .orderBy(F.col("starttime").desc(), F.col("traceid").desc())
         .limit(req.limit)

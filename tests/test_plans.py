@@ -15,7 +15,12 @@ import pyspark.sql.functions as F
 import pytest
 
 from haystack_traces_spark.operators import search as search_ops
-from haystack_traces_spark.operators.expression import EQUAL, ExpressionTree, Field
+from haystack_traces_spark.operators.expression import (
+    EQUAL,
+    GREATER_THAN,
+    ExpressionTree,
+    Field,
+)
 from haystack_traces_spark.operators.index import build_trace_index
 from haystack_traces_spark.sources.events import spans_from_events
 from haystack_traces_spark.sources.spans import build_trace_store
@@ -604,3 +609,51 @@ def test_round6_operators_have_no_global_bottleneck(spark):
         )
         if "BroadcastNestedLoopJoin" in plan:
             assert "BroadcastExchange" in plan, (name, plan[:1500])
+
+
+def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
+    """Round-7 promotion (SURVEY §4 deferred question): a fully
+    trace-level EQUAL/range search over a promoted index must answer
+    from the wl_<name> unions — the parquet ReadSchema excludes the fat
+    nested spans column entirely. An inexact expression (span-level
+    co-occurrence) still reads spans for the verifier."""
+    idx_path = str(tmp_path / "pidx")
+    build_trace_index(spans, promote_whitelist=True).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    req = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T0 + 30 * DAY_US,
+        limit=10,
+        expression=ExpressionTree(
+            (
+                Field("servicename", "error", EQUAL),
+                Field("duration", 100_000, GREATER_THAN),
+            )
+        ),
+    )
+    plan = _plan(search_ops.search_trace_ids(idx, req))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan[:2000]
+    assert "spans" not in m.group(1), m.group(1)
+    assert "wl_servicename" in m.group(1), m.group(1)
+    # span-level sub-tree: promoted prefilter + exists() verifier -> the
+    # scan must still carry spans
+    req2 = search_ops.SearchRequest(
+        start_time=T0,
+        end_time=T0 + 30 * DAY_US,
+        limit=10,
+        expression=ExpressionTree(
+            (
+                ExpressionTree(
+                    (
+                        Field("servicename", "error", EQUAL),
+                        Field("duration", 100_000, GREATER_THAN),
+                    ),
+                    is_span_level=True,
+                ),
+            )
+        ),
+    )
+    plan2 = _plan(search_ops.search_trace_ids(idx, req2))
+    m2 = re.search(r"ReadSchema: ([^\n]*)", plan2)
+    assert m2 and "spans" in m2.group(1), m2.group(1) if m2 else plan2[:2000]

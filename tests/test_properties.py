@@ -674,6 +674,9 @@ def _expr_fixture():
         fan_out(spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
     )
     idx = build_trace_index(spans).localCheckpoint(eager=True)
+    pidx = build_trace_index(spans, promote_whitelist=True).localCheckpoint(
+        eager=True
+    )
     flat = idx.select("traceid", F.explode("spans").alias("g")).select(
         "traceid", "g.servicename", "g.operationname",
         "g.starttime", "g.duration", "g.errorcode", "g.role",
@@ -690,7 +693,9 @@ def _expr_fixture():
         "duration": sorted({int(v) for arr in flat["duration"] for v in arr})[:20] + [0, 10**12],
         "starttime": sorted({int(v) for arr in flat["starttime"] for v in arr})[:20],
     }
-    _EXPR_STATE.update({"spark": spark, "idx": idx, "con": con, "pools": pools})
+    _EXPR_STATE.update(
+        {"spark": spark, "idx": idx, "pidx": pidx, "con": con, "pools": pools}
+    )
     return _EXPR_STATE
 
 
@@ -792,6 +797,20 @@ def test_expression_compiler_matches_independent_sql_mirror(data):
         "traceid",
         *[compile_expression(t).alias(f"p{i}") for i, t in enumerate(trees)],
     ).collect()
+    # same trees through the PROMOTED dispatch (search_trace_ids's rule:
+    # exact -> unions alone; inexact -> union prefilter AND exists verify)
+    from haystack_traces_spark.operators.expression import compile_promoted
+
+    avail = frozenset(state["pidx"].columns)
+
+    def promoted_pred(t):
+        pre, exact = compile_promoted(t, available=avail)
+        return pre if exact else (pre & compile_expression(t))
+
+    prow_sets = state["pidx"].select(
+        "traceid",
+        *[promoted_pred(t).alias(f"p{i}") for i, t in enumerate(trees)],
+    ).collect()
     for i, t in enumerate(trees):
         got = {r["traceid"] for r in row_sets if r[f"p{i}"]}
         want = {
@@ -802,6 +821,8 @@ def test_expression_compiler_matches_independent_sql_mirror(data):
             ).fetchall()
         }
         assert got == want, (i, t)
+        got_promoted = {r["traceid"] for r in prow_sets if r[f"p{i}"]}
+        assert got_promoted == want, ("promoted", i, t)
 
 
 @settings(max_examples=5, deadline=None)

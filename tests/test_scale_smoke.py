@@ -300,7 +300,6 @@ def test_neardup_family_candidate_growth_at_10x(spark):
         release_materialized()
 
 
-@pytest.mark.slow
 def _run_ingest_soak(spark, tmp_path, n_batches=20):
     """>=n_batches consecutive micro-batches through the FULL
     IngestTopology; returns {batchId: (rows, ms, state_rows)}."""
@@ -358,6 +357,7 @@ def _assert_soak_flat_and_bounded(prog, n_batches=20):
         max(v[2] for v in prog.values()), n_spans)
 
 
+@pytest.mark.slow
 def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
     """VERDICT r5 ask #8 (suite-sized pin of the SCALE.md §6 soak): >=20
     consecutive micro-batches through the FULL IngestTopology — state
@@ -366,6 +366,7 @@ def test_sessionizer_soak_20_batches_flat_and_bounded(spark, tmp_path):
     _assert_soak_flat_and_bounded(_run_ingest_soak(spark, tmp_path))
 
 
+@pytest.mark.slow
 def test_sessionizer_soak_rocksdb_state_store(spark, tmp_path):
     """VERDICT r6 ask #4: the same soak on Spark's in-box
     RocksDBStateStoreProvider — the provider SCALE.md prescribes for
