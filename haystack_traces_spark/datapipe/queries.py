@@ -1202,6 +1202,59 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+
+def q_ann_filtered(spark, sf_dir):
+    """Metadata-filtered exact top-k: each probe ranks only vectors
+    sharing its label (self excluded) — the vector-database staple where
+    post-filtering an unfiltered top-k silently under-fills k. Exact
+    face; rank-membership on the 6dp-rounded cosine (house rule)."""
+    return S.filtered_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_ann_filtered() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    cos = _COS.replace("a.embedding", "q.embedding").replace(
+        "a.vec_id", "q.vec_id"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(b.label AS BIGINT) AS flabel, {cos} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id AND b.label = q.label
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT query_id, neighbor_id, flabel, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(cos_raw, 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, flabel, ROUND(cos_raw, 6) AS cos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_pq_code_entropy(spark, sf_dir):
+    return S.pq_code_entropy(_emb(spark, sf_dir))
+
+
+def sql_pq_code_entropy() -> str:
+    return f"""
+WITH {_pq_cb_ctes()},
+cc AS (SELECT s, code, COUNT(*) AS cn FROM enc GROUP BY 1, 2)
+SELECT CAST(s AS INT) AS s,
+       CAST(SUM(cn) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+       ROUND(COUNT(*) * 1.0 / {S.PQ_KSUB}, 6) AS usage_ratio,
+       ROUND(ln(CAST(SUM(cn) AS DOUBLE))
+             - SUM(cn * ln(CAST(cn AS DOUBLE))) / SUM(cn), 6) AS code_entropy,
+       ROUND(MAX(cn) * 1.0 / SUM(cn), 6) AS top_code_share
+FROM cc GROUP BY s ORDER BY s
+"""
+
+
 IVF_CELLS = 16
 IVF_PROBE = 4
 
@@ -3266,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "clean_corpus": q_clean_corpus,
         "ann_brute_force": q_ann_brute_force,
+        "ann_filtered": q_ann_filtered,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -3295,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_plan": q_lsh_band_plan,
         "cluster_silhouette": q_cluster_silhouette,
         "pq_distortion": q_pq_distortion,
+        "pq_code_entropy": q_pq_code_entropy,
         "split_balance_audit": q_split_balance_audit,
         "token_coverage_curve": q_token_coverage_curve,
         "rare_token_docs": q_rare_token_docs,
@@ -3384,6 +3439,7 @@ def oracle_sql() -> dict[str, str]:
         "token_percentiles": sql_token_percentiles(),
         "clean_corpus": sql_clean_corpus(),
         "ann_brute_force": sql_ann_brute_force(),
+        "ann_filtered": sql_ann_filtered(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),
@@ -3434,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_band_plan": sql_lsh_band_plan(),
         "cluster_silhouette": sql_cluster_silhouette(),
         "pq_distortion": sql_pq_distortion(),
+        "pq_code_entropy": sql_pq_code_entropy(),
         "split_balance_audit": sql_split_balance_audit(),
         "token_coverage_curve": sql_token_coverage_curve(),
         "rare_token_docs": sql_rare_token_docs(),

@@ -1385,3 +1385,134 @@ def top_component(
         )],
         schema,
     )
+
+
+def filtered_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, flabel, cos, rank): METADATA-FILTERED
+    exact top-k — each query ranks only candidates sharing its
+    ``filter_col`` value (self excluded). The vector-database staple
+    ("nearest within this tenant/language/class"): filtering AFTER an
+    unfiltered top-k silently under-fills k when the filter is selective,
+    so the filter must live INSIDE candidate generation. Ranks on the
+    6dp-rounded cosine with id tiebreak (house rank-membership rule).
+
+    Scale shape: same broadcast-queries + one-GEMM-per-Arrow-batch scan
+    as brute_force_topk — the filter is a numpy mask on the (batch,
+    queries) score grid, so filtered search costs the same single pass
+    as unfiltered. At selective filters an IVF/LSH variant would prune
+    further; this face is the exact baseline those would verify against."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    q_pdf = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col, filter_col)
+        .toPandas()
+    )
+    Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
+    qlabels = q_pdf[filter_col].to_numpy(dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, Qn, qlabels))
+
+    def score(batches):
+        import pandas as pd
+
+        qids_, Qn_, qlabels_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[filter_col].to_numpy(dtype=np.int64)
+            qcos = An @ Qn_.T  # (n, n_q)
+            mask = (ids[:, None] != qids_[None, :]) & (
+                labels[:, None] == qlabels_[None, :]
+            )
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[qi],
+                    "neighbor_id": ids[ri],
+                    "flabel": labels[ri],
+                    "cos_raw": qcos[ri, qi],
+                }
+            )
+
+    scored = emb.select(id_col, vec_col, filter_col).mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, flabel long, cos_raw double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos_raw", 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "flabel",
+            F.round("cos_raw", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pq_code_entropy(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (s, n_vecs, n_codes_used, usage_ratio, code_entropy,
+    top_code_share): CODEBOOK-HEALTH audit per PQ subspace — entropy of
+    codeword usage (nats, the char_entropy construction), share of the
+    ksub codewords actually used, and the hottest codeword's mass. A
+    subspace whose usage collapses onto few codes (low entropy, high
+    top share) wastes its bits and is where `pq_distortion` will show
+    error first — retrain that codebook or rebalance dsub. Jégou 2011
+    §III trains k-means precisely to flatten this distribution.
+
+    Scale shape: rides the encoder's broadcast-codebook join, then two
+    tiny combinable rollups over at most m × ksub cells — codes-only
+    economics, no pair space, no new shuffle key."""
+    codes = pq_codes(emb, m, ksub, dim, id_col, vec_col)
+    cc = codes.groupBy("s", "code").agg(F.count(F.lit(1)).alias("cn"))
+    n = F.sum("cn")
+    return (
+        cc.groupBy("s")
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+            F.round(F.count(F.lit(1)) / F.lit(float(ksub)), 6).alias(
+                "usage_ratio"
+            ),
+            F.round(
+                F.log(n.cast("double"))
+                - F.sum(F.col("cn") * F.log(F.col("cn").cast("double"))) / n,
+                6,
+            ).alias("code_entropy"),
+            F.round(F.max("cn") / n, 6).alias("top_code_share"),
+        )
+        .select(
+            F.col("s").cast("int").alias("s"),
+            "n_vecs",
+            "n_codes_used",
+            "usage_ratio",
+            "code_entropy",
+            "top_code_share",
+        )
+        .orderBy("s")
+    )

@@ -113,7 +113,7 @@ def q_search_traces_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace-wide value unions (build_trace_index(promote_whitelist=True)):
     same request, same results, but the plan never projects the nested
     spans column (plan-asserted in test_plans.py; measured at 10x in
-    SCALE.md §4). Oracle: identical to search_traces — promotion is a
+    SCALE.md §2). Oracle: identical to search_traces — promotion is a
     physical layout change, not a semantics change."""
     req = search_ops.SearchRequest(
         start_time=T0,
@@ -3117,6 +3117,264 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: Anchored-session window — same horizon as the gap face so the two
+#: sessionization rules are directly comparable on one corpus.
+ANCHOR_WINDOW_US = SESSION_GAP_US
+
+
+def anchored_sessions(ev: DataFrame, window_us: int = ANCHOR_WINDOW_US) -> DataFrame:
+    """BATCH face of round 7's event-time ANCHORED sessionization (the
+    T1 window-from-first-seen rule transplanted onto the event clock):
+    a session opens at its first event and admits every event in
+    [anchor, anchor + window); the next event opens a new session. The
+    island rule is the STREAMING face's own `_split_islands` — one
+    definition, so the batch backfill and the live replay
+    (`sessionize_event_time(mode="anchored")`) cannot drift.
+
+    Scale shape: one grouped-map over the user key (the same exchange
+    every session operator shuffles on); per-user history is the bounded
+    unit of work, exactly as in the streaming state. Unlike the gap rule
+    (a LAG window), anchored islands are a sequential fold — the anchor
+    depends on every prior event — which is why this face is a grouped
+    map and the oracle is a recursive CTE, not a window function."""
+    import pandas as pd
+
+    from haystack_traces_spark.streaming.sessionize import _split_islands
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "event_id"])
+        evs = list(zip(pdf["tus"].tolist(), map(str, pdf["event_id"].tolist())))
+        islands = _split_islands(evs, "anchored", window_us)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "session_idx": i + 1,
+                    "n_events": len(isl),
+                    "session_start": isl[0][0],
+                    "session_end": isl[-1][0],
+                }
+                for i, isl in enumerate(islands)
+            ],
+            columns=[
+                "user_id", "session_idx", "n_events",
+                "session_start", "session_end",
+            ],
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id long, session_idx long, n_events long, "
+            "session_start long, session_end long",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def q_anchored_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return anchored_sessions(
+        events.select("user_id", "event_id", _epoch_micros(events).alias("tus"))
+    )
+
+
+def sql_anchored_sessions() -> str:
+    """Recursive ground truth: anchors advance island-by-island (each
+    step finds MIN(tus) ≥ previous anchor + window per user — iterations
+    bounded by sessions-per-user, not events), then each event joins its
+    unique half-open [anchor, anchor + W) interval (anchors are ≥ W
+    apart by construction)."""
+    w = ANCHOR_WINDOW_US
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+anchors AS (
+  SELECT user_id, MIN(tus) AS anchor, CAST(1 AS BIGINT) AS session_idx
+  FROM ev GROUP BY user_id
+  UNION ALL
+  SELECT e.user_id, MIN(e.tus) AS anchor, a.session_idx + 1
+  FROM anchors a JOIN ev e
+    ON e.user_id = a.user_id AND e.tus >= a.anchor + {w}
+  GROUP BY e.user_id, a.session_idx
+)
+SELECT e.user_id, a.session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(e.tus) AS session_start,
+       MAX(e.tus) AS session_end
+FROM ev e JOIN anchors a
+  ON a.user_id = e.user_id
+ AND e.tus >= a.anchor AND e.tus < a.anchor + {w}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+CP_BUCKET_US = HOUR_US   # changepoint series granularity
+CP_MIN_BUCKETS = 6       # below this a "split" is noise, not a regime
+
+
+def q_latency_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latency_changepoint_from(_spans(spark, sf_dir))
+
+
+def latency_changepoint_from(spans: DataFrame) -> DataFrame:
+    """→ (servicename, operationname, n_buckets, split_bucket,
+    mean_before_us, mean_after_us, gain_share): single CHANGEPOINT per
+    operation — the hour-bucket boundary whose two-segment split of the
+    bucket-mean latency series maximizes the between-group sum of
+    squares (the first step of binary segmentation, Scott & Knott 1974).
+    `operation_latency_trend` says WHETHER latency moves; this says
+    WHEN it stepped and by how much — the "which deploy did it" query.
+    split_bucket is the LAST bucket of the before-segment; gain_share
+    is the variance fraction the split explains (0 = flat, → 1 = clean
+    step).
+
+    Cross-engine discipline: per-bucket means are exact BIGINT integer
+    divisions (sum div count — truncating on both engines for the
+    non-negative inputs here), anchored on the per-operation minimum
+    before squaring (house anchoring rule: raw squares of ~1e6 µs means
+    pass 2^53), and the argmax ranks on the 6dp-ROUNDED gain with the
+    bucket as tiebreak (house rank rule). All prefix sums are integer
+    window sums over the deterministic bucket order.
+
+    Scale shape: one combinable (svc, op, bucket) rollup over the span
+    scan, then windows over at most buckets-per-operation rows — the
+    series table is hours × operations regardless of span volume."""
+    from pyspark.sql import Window
+
+    per = (
+        spans.filter(
+            (F.col("service_name") != "") & (F.col("operation_name") != "")
+        )
+        .groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+            (F.col("start_time") - F.col("start_time") % CP_BUCKET_US).alias(
+                "bucket"
+            ),
+        )
+        .agg(
+            F.sum("duration").alias("d_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "servicename",
+            "operationname",
+            "bucket",
+            F.expr("d_sum div n").alias("mean_us"),
+        )
+    )
+    wop = Window.partitionBy("servicename", "operationname")
+    word = wop.orderBy("bucket")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = F.col("mean_us") - F.min("mean_us").over(wop)
+    cur = (
+        per.withColumn("a", a)
+        .withColumn("k", F.row_number().over(word))
+        .withColumn("s1", F.sum("a").over(wcum))
+        .withColumn("s2", F.sum(F.col("a") * F.col("a")).over(wcum))
+        .withColumn("n_b", F.count(F.lit(1)).over(wop))
+        .withColumn("t1", F.sum("a").over(wop))
+        .withColumn("t2", F.sum(F.col("a") * F.col("a")).over(wop))
+        .withColumn("minv", F.min("mean_us").over(wop))
+    )
+    k, s1 = F.col("k").cast("double"), F.col("s1").cast("double")
+    n_b, t1 = F.col("n_b").cast("double"), F.col("t1").cast("double")
+    r1, rk = t1 - s1, n_b - k
+    gain = (s1 * s1 / k + r1 * r1 / rk) - t1 * t1 / n_b
+    sst = F.col("t2").cast("double") - t1 * t1 / n_b
+    cand = (
+        cur.filter((F.col("n_b") >= CP_MIN_BUCKETS) & (F.col("k") < F.col("n_b")))
+        .withColumn("gain", gain)
+        .withColumn("sst", sst)
+    )
+    wpick = Window.partitionBy("servicename", "operationname").orderBy(
+        F.round("gain", 6).desc(), F.col("bucket").asc()
+    )
+    return (
+        cand.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "servicename",
+            "operationname",
+            F.col("n_b").cast("long").alias("n_buckets"),
+            F.col("bucket").alias("split_bucket"),
+            F.expr("(s1 + k * minv) div k").alias("mean_before_us"),
+            F.expr("(t1 - s1 + (n_b - k) * minv) div (n_b - k)").alias(
+                "mean_after_us"
+            ),
+            F.round(
+                F.col("gain") / F.nullif(F.col("sst"), F.lit(0.0)), 6
+            ).alias("gain_share"),
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_latency_changepoint() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         start_time - start_time % {CP_BUCKET_US} AS bucket,
+         SUM(duration) // COUNT(*) AS mean_us
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2, 3
+),
+anch AS (
+  SELECT servicename, operationname, bucket,
+         mean_us - MIN(mean_us) OVER wop AS a,
+         MIN(mean_us) OVER wop AS minv
+  FROM per WINDOW wop AS (PARTITION BY servicename, operationname)
+),
+cum AS (
+  SELECT servicename, operationname, bucket, a, minv,
+         ROW_NUMBER() OVER word AS k,
+         SUM(a) OVER wcum AS s1,
+         SUM(a * a) OVER wcum AS s2,
+         COUNT(*) OVER wop AS n_b,
+         SUM(a) OVER wop AS t1,
+         SUM(a * a) OVER wop AS t2
+  FROM anch
+  WINDOW wop AS (PARTITION BY servicename, operationname),
+         word AS (PARTITION BY servicename, operationname ORDER BY bucket),
+         wcum AS (PARTITION BY servicename, operationname ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING)
+),
+cand AS (
+  SELECT *,
+         (CAST(s1 AS DOUBLE) * s1 / k
+          + CAST(t1 - s1 AS DOUBLE) * (t1 - s1) / (n_b - k))
+         - CAST(t1 AS DOUBLE) * t1 / n_b AS gain,
+         CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / n_b AS sst
+  FROM cum WHERE n_b >= {CP_MIN_BUCKETS} AND k < n_b
+),
+picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY servicename, operationname
+                               ORDER BY ROUND(gain, 6) DESC, bucket ASC)
+            AS pick
+  FROM cand
+)
+SELECT servicename, operationname,
+       CAST(n_b AS BIGINT) AS n_buckets,
+       bucket AS split_bucket,
+       (s1 + k * minv) // k AS mean_before_us,
+       (t1 - s1 + (n_b - k) * minv) // (n_b - k) AS mean_after_us,
+       ROUND(gain / NULLIF(sst, 0), 6) AS gain_share
+FROM picked WHERE pick = 1 ORDER BY servicename, operationname
+"""
+    )
+
+
 FUNNEL_STEPS = ("view", "click", "signup", "purchase")
 
 
@@ -6045,6 +6303,10 @@ _ROTATION_QUEUE = (
     "index_partition_profile",
     # round-7 additions:
     "search_traces_promoted",
+    "anchored_sessions",
+    "latency_changepoint",
+    "ann_filtered",
+    "pq_code_entropy",
 )
 
 
@@ -6138,6 +6400,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling_bias_report": q_sampling_bias_report,
         "service_scorecard": q_service_scorecard,
         "event_sessions": q_event_sessions,
+        "anchored_sessions": q_anchored_sessions,
+        "latency_changepoint": q_latency_changepoint,
         "funnel_steps": q_funnel_steps,
         "purchase_attribution": q_purchase_attribution,
         "incident_windows": q_incident_windows,
@@ -6249,6 +6513,8 @@ def _trace_oracles() -> dict[str, str]:
         "sampling_bias_report": sql_sampling_bias_report(),
         "service_scorecard": sql_service_scorecard(),
         "event_sessions": sql_event_sessions(),
+        "anchored_sessions": sql_anchored_sessions(),
+        "latency_changepoint": sql_latency_changepoint(),
         "funnel_steps": sql_funnel_steps(),
         "purchase_attribution": sql_purchase_attribution(),
         "incident_windows": sql_incident_windows(),

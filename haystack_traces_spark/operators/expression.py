@@ -149,7 +149,7 @@ def compile_promoted(
 
     When exact, the caller can answer the whole search from the slim
     promoted columns (scan never reads the nested array — the measured
-    point of promotion, SCALE.md §4)."""
+    point of promotion, SCALE.md §2)."""
     conds: list[Column] = []
     exact = True
 

@@ -62,7 +62,7 @@ def build_trace_index(
                           behavior is always 0.
 
     promote_whitelist (round 7, SURVEY §4's deferred promotion question,
-    answered by measurement in SCALE.md §4): additionally store each
+    answered by measurement in SCALE.md §2): additionally store each
     queryable field's TRACE-WIDE distinct-value union as a top-level
     ``wl_<name>`` array column — True = the measured default set
     (servicename/operationname/duration + every enabled whitelist tag;
@@ -118,7 +118,7 @@ def build_trace_index(
     promoted_aggs = []
     if promote_whitelist:
         if promote_whitelist is True:
-            # measured default (SCALE.md §4): starttime is EXCLUDED — its
+            # measured default (SCALE.md §2): starttime is EXCLUDED — its
             # union is near-per-span distinct (23.7% of the 10x index file
             # for a field the time predicate already answers from the
             # top-level root-doc starttime); everything else is cheap

@@ -84,7 +84,7 @@ def search_trace_ids(
                 g["starttime"], lambda s: s.between(req.start_time, req.end_time)
             ),
         )
-    # Promoted-union fast path (round 7, measured in SCALE.md §4): when the
+    # Promoted-union fast path (round 7, measured in SCALE.md §2): when the
     # index carries the wl_<name> trace-wide value unions
     # (build_trace_index(promote_whitelist=True)), compile against them.
     # Exact compilations answer the search from the slim top-level arrays —

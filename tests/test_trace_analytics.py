@@ -1429,3 +1429,123 @@ def test_index_partition_profile_bucket_boundaries(spark):
         (day0, 1, 1, 1, 1),
         (day0 + EQ.DAY_US, 0, 1, 1, 1),
     ]
+
+
+# ---------------------------------------------------- round-7 operators ----
+class TestRound7Operators:
+    def test_anchored_sessions_half_open_boundary(self, spark):
+        """Anchored rule: the session admits [anchor, anchor+W); an event
+        exactly AT anchor+W opens a NEW session (same boundary the
+        streaming event-time face enforces — shared _split_islands core)."""
+        W = EQ.ANCHOR_WINDOW_US
+        rows = [
+            # user 1: events at 0, W-1 (inside), W (boundary -> new), W+3
+            (1, 10, T0),
+            (1, 11, T0 + W - 1),
+            (1, 12, T0 + W),
+            (1, 13, T0 + W + 3),
+            # user 2: single event
+            (2, 20, T0 + 5),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_id long, tus long")
+        got = [tuple(r) for r in EQ.anchored_sessions(ev).collect()]
+        assert got == [
+            (1, 1, 2, T0, T0 + W - 1),
+            (1, 2, 2, T0 + W, T0 + W + 3),
+            (2, 1, 1, T0 + 5, T0 + 5),
+        ]
+
+    def test_anchored_vs_gap_sessions_differ_on_slow_drift(self, spark):
+        """A chain of events each spaced just under the horizon never gaps
+        out (ONE gap-session) but anchored windows keep cutting — the
+        semantic difference between the two faces, pinned."""
+        W = EQ.ANCHOR_WINDOW_US
+        step = W - 1
+        rows = [(1, i, T0 + i * step) for i in range(5)]
+        ev = spark.createDataFrame(rows, "user_id long, event_id long, tus long")
+        anchored = EQ.anchored_sessions(ev, window_us=W).count()
+        gap = EQ.sessionize_events(ev, gap_us=W).count()
+        assert gap == 1
+        assert anchored == 3  # [0, W-1], [2(W-1), 3(W-1)], [4(W-1)]
+
+    def test_latency_changepoint_clean_step(self, spark):
+        """12 hour-buckets of flat 1000 µs then flat 3000 µs: the split
+        lands exactly on the last before-bucket, means are exact, and
+        gain_share = 1 (the split explains all variance)."""
+        B = EQ.CP_BUCKET_US
+        rows = []
+        for b in range(12):
+            dur = 1000 if b < 7 else 3000
+            for i in range(3):  # 3 spans per bucket
+                rows.append(mk(
+                    trace_id=f"t{b}_{i}", span_id=f"s{b}_{i}",
+                    service="svc", operation="op",
+                    start=T0 + b * B + i, duration=dur,
+                ))
+        spans = _with_spans(spark, rows)
+        [r] = EQ.latency_changepoint_from(spans).collect()
+        assert r["n_buckets"] == 12
+        assert r["split_bucket"] == T0 + 6 * B  # last flat-1000 bucket
+        assert r["mean_before_us"] == 1000
+        assert r["mean_after_us"] == 3000
+        assert r["gain_share"] == 1.0
+
+    def test_latency_changepoint_flat_series_zero_gain(self, spark):
+        """A constant series has SST = 0: gain_share must be NULL (not a
+        div-by-zero abort), and short series are filtered out."""
+        B = EQ.CP_BUCKET_US
+        rows = [
+            mk(trace_id=f"c{b}", span_id=f"c{b}", service="svc",
+               operation="flat", start=T0 + b * B, duration=500)
+            for b in range(8)
+        ] + [
+            mk(trace_id="s1", span_id="s1", service="svc",
+               operation="short", start=T0, duration=100),
+        ]
+        out = {r["operationname"]: r for r in
+               EQ.latency_changepoint_from(_with_spans(spark, rows)).collect()}
+        assert "short" not in out  # < CP_MIN_BUCKETS buckets
+        assert out["flat"]["gain_share"] is None
+
+    def test_ann_filtered_excludes_other_labels(self, spark):
+        """The global nearest neighbor has the WRONG label: filtered
+        search must skip it and fill k from the probe's own label —
+        the under-fill a post-filter would cause."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        def vec(x, y):
+            return [x, y] + [0.0] * 62
+
+        rows = [
+            (0, vec(1.0, 0.0), 7),        # probe, label 7
+            (1, vec(0.999, 0.04), 9),     # global top-1, WRONG label
+            (2, vec(0.95, 0.3), 7),       # same-label nearest
+            (3, vec(0.0, 1.0), 7),        # same-label far
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = [(r["neighbor_id"], r["rank"], r["flabel"])
+               for r in S.filtered_topk(emb, [0], k=2).collect()]
+        assert got == [(2, 1, 7), (3, 2, 7)]
+
+    def test_pq_code_entropy_uniform_vs_collapsed(self, spark):
+        """Degenerate embeddings that all encode to one codeword per
+        subspace: entropy 0, top share 1, one code used."""
+        import math
+
+        from haystack_traces_spark.datapipe import similarity as S
+
+        emb = spark.createDataFrame(
+            [(i, [float(i == 0)] * 64) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        # 20 near-identical vectors (only vec 0 differs): k-means codebooks
+        # trained on the lowest-id sample still map the 19 identical ones
+        # to one codeword; entropy must be near 0, never ln(ksub)
+        out = {r["s"]: r for r in S.pq_code_entropy(emb, ksub=4).collect()}
+        assert set(out) == set(range(S.PQ_M))
+        for r in out.values():
+            assert r["n_vecs"] == 20
+            assert r["top_code_share"] >= 0.95
+            assert r["code_entropy"] <= math.log(2)
