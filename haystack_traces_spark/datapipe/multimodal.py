@@ -255,10 +255,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, int]:
 
 def encode_png(width: int, height: int, channels: int, raster: bytes) -> bytes:
     """Re-encode a raster as PNG — filter 0 on every scanline and zlib
-    STORED blocks (level 0): the output is byte-deterministic by the
-    deflate spec across zlib versions, so pinned md5 checksums hold
-    anywhere (a deployment that wants small files raises the level; the
-    pixels are identical either way)."""
+    STORED blocks (level 0). Output bytes are deterministic for a given
+    zlib BUILD (stored-block framing is still an encoder choice — a
+    zlib-ng-backed CPython may split blocks differently), so checksums
+    compare within one environment; the cross-environment invariant is
+    the DECODED raster, which is bit-identical everywhere (a deployment
+    that wants small files raises the level; pixels are unchanged)."""
     import zlib
 
     ctype_by_channels = {1: 0, 2: 4, 3: 2, 4: 6}
@@ -432,7 +434,9 @@ def resize_images_real(
     NotImplementedError out of the task — an honest failure, not a
     silent stub substitution. → (doc_id, width, height, resized_payload,
     resized_md5); the md5 doubles as the checksum a remote verifier can
-    compare without shipping pixels."""
+    compare without shipping pixels (PNM output is byte-identical
+    everywhere; PNG output is byte-identical per zlib build — compare
+    decoded rasters across heterogeneous builds)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1249,7 +1249,8 @@ SELECT CAST(s AS INT) AS s,
        CAST(COUNT(*) AS BIGINT) AS n_codes_used,
        ROUND(COUNT(*) * 1.0 / {S.PQ_KSUB}, 6) AS usage_ratio,
        ROUND(ln(CAST(SUM(cn) AS DOUBLE))
-             - SUM(cn * ln(CAST(cn AS DOUBLE))) / SUM(cn), 6) AS code_entropy,
+             - SUM(CAST(ROUND(cn * ln(CAST(cn AS DOUBLE)) * 1000000) AS BIGINT))
+               / (SUM(cn) * 1000000.0), 6) AS code_entropy,
        ROUND(MAX(cn) * 1.0 / SUM(cn), 6) AS top_code_share
 FROM cc GROUP BY s ORDER BY s
 """

@@ -81,8 +81,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rank_rounded: bool = False,
+    filter_col: str | None = None,
 ) -> DataFrame:
-    """→ (query_id, neighbor_id, cos, rank): exact top-k per query vector.
+    """→ (query_id, neighbor_id[, flabel], cos, rank): exact top-k per
+    query vector.
 
     Query vectors are a broadcast (tiny side); each Arrow batch is scored
     against all queries as ONE matrix multiply (the vectorized analog of a
@@ -94,21 +96,31 @@ def brute_force_topk(
     used by callers whose RESULT is set membership (dim ablation recall)
     rather than the scored list, where a last-ulp float-path difference
     between numpy GEMM and the oracle's sequential dot could flip the
-    boundary neighbor."""
+    boundary neighbor.
+
+    ``filter_col``: metadata-filtered search — each query ranks only
+    candidates whose ``filter_col`` value equals the query's own (the
+    filter lives INSIDE candidate generation as one more numpy mask on
+    the score grid, so it costs nothing and never under-fills k the way
+    post-filtering would); adds an ``flabel`` output column."""
     import numpy as np
     from pyspark.sql import Window
 
     spark = emb.sparkSession
-    q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
+    in_cols = [id_col, vec_col] + ([filter_col] if filter_col else [])
+    q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(*in_cols).toPandas()
     Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = q_pdf[id_col].to_numpy(dtype=np.int64)
-    bc = spark.sparkContext.broadcast((qids, Qn))
+    qlabels = (
+        q_pdf[filter_col].to_numpy(dtype=np.int64) if filter_col else None
+    )
+    bc = spark.sparkContext.broadcast((qids, Qn, qlabels))
 
     def score(batches):
         import pandas as pd
 
-        qids_, Qn_ = bc.value
+        qids_, Qn_, qlabels_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -116,30 +128,34 @@ def brute_force_topk(
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             qcos = An @ Qn_.T  # (n, n_q)
-            n, nq = qcos.shape
             mask = ids[:, None] != qids_[None, :]
+            if qlabels_ is not None:
+                labels = pdf[filter_col].to_numpy(dtype=np.int64)
+                mask &= labels[:, None] == qlabels_[None, :]
             ri, qi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids_[qi],
-                    "neighbor_id": ids[ri],
-                    "cos_raw": qcos[ri, qi],
-                }
-            )
+            out = {
+                "query_id": qids_[qi],
+                "neighbor_id": ids[ri],
+                "cos_raw": qcos[ri, qi],
+            }
+            if qlabels_ is not None:
+                out["flabel"] = labels[ri]
+            yield pd.DataFrame(out)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_raw double"
+    out_schema = "query_id long, neighbor_id long, cos_raw double" + (
+        ", flabel long" if filter_col else ""
     )
+    scored = emb.select(*in_cols).mapInPandas(score, schema=out_schema)
     rank_key = F.round("cos_raw", 6) if rank_rounded else F.col("cos_raw")
     w = Window.partitionBy("query_id").orderBy(
         rank_key.desc(), F.col("neighbor_id").asc()
     )
+    sel = ["query_id", "neighbor_id"] + (["flabel"] if filter_col else [])
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id",
-            "neighbor_id",
+            *sel,
             F.round("cos_raw", 6).alias("cos"),
             F.col("rank").cast("long").alias("rank"),
         )
@@ -1400,71 +1416,15 @@ def filtered_topk(
     ``filter_col`` value (self excluded). The vector-database staple
     ("nearest within this tenant/language/class"): filtering AFTER an
     unfiltered top-k silently under-fills k when the filter is selective,
-    so the filter must live INSIDE candidate generation. Ranks on the
-    6dp-rounded cosine with id tiebreak (house rank-membership rule).
-
-    Scale shape: same broadcast-queries + one-GEMM-per-Arrow-batch scan
-    as brute_force_topk — the filter is a numpy mask on the (batch,
-    queries) score grid, so filtered search costs the same single pass
-    as unfiltered. At selective filters an IVF/LSH variant would prune
-    further; this face is the exact baseline those would verify against."""
-    import numpy as np
-    from pyspark.sql import Window
-
-    spark = emb.sparkSession
-    q_pdf = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col, filter_col)
-        .toPandas()
-    )
-    Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
-    qlabels = q_pdf[filter_col].to_numpy(dtype=np.int64)
-    bc = spark.sparkContext.broadcast((qids, Qn, qlabels))
-
-    def score(batches):
-        import pandas as pd
-
-        qids_, Qn_, qlabels_ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            labels = pdf[filter_col].to_numpy(dtype=np.int64)
-            qcos = An @ Qn_.T  # (n, n_q)
-            mask = (ids[:, None] != qids_[None, :]) & (
-                labels[:, None] == qlabels_[None, :]
-            )
-            ri, qi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids_[qi],
-                    "neighbor_id": ids[ri],
-                    "flabel": labels[ri],
-                    "cos_raw": qcos[ri, qi],
-                }
-            )
-
-    scored = emb.select(id_col, vec_col, filter_col).mapInPandas(
-        score,
-        schema="query_id long, neighbor_id long, flabel long, cos_raw double",
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos_raw", 6).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "flabel",
-            F.round("cos_raw", 6).alias("cos"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    so the filter lives INSIDE :func:`brute_force_topk`'s candidate
+    generation (this is that operator with ``filter_col`` set and the
+    house rounded-rank rule on — ONE scoring/ranking implementation, so
+    the exact and filtered faces cannot drift). At selective filters an
+    IVF/LSH variant would prune further; this face is the exact baseline
+    those would verify against."""
+    return brute_force_topk(
+        emb, query_ids, k, id_col, vec_col,
+        rank_rounded=True, filter_col=filter_col,
     )
 
 
@@ -1491,6 +1451,12 @@ def pq_code_entropy(
     codes = pq_codes(emb, m, ksub, dim, id_col, vec_col)
     cc = codes.groupBy("s", "code").agg(F.count(F.lit(1)).alias("cn"))
     n = F.sum("cn")
+    # per-cell entropy terms rounded to exact BIGINT micro-units before the
+    # SUM (house rule: a float SUM feeding ROUND(...,6) is summation-order-
+    # dependent at the last ulp — the same class fixed in pq_distortion)
+    term_micro = F.round(
+        F.col("cn") * F.log(F.col("cn").cast("double")) * 1_000_000
+    ).cast("long")
     return (
         cc.groupBy("s")
         .agg(
@@ -1501,7 +1467,7 @@ def pq_code_entropy(
             ),
             F.round(
                 F.log(n.cast("double"))
-                - F.sum(F.col("cn") * F.log(F.col("cn").cast("double"))) / n,
+                - F.sum(term_micro) / (n * F.lit(1_000_000.0)),
                 6,
             ).alias("code_entropy"),
             F.round(F.max("cn") / n, 6).alias("top_code_share"),

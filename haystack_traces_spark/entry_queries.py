@@ -3278,7 +3278,6 @@ def latency_changepoint_from(spans: DataFrame) -> DataFrame:
         per.withColumn("a", a)
         .withColumn("k", F.row_number().over(word))
         .withColumn("s1", F.sum("a").over(wcum))
-        .withColumn("s2", F.sum(F.col("a") * F.col("a")).over(wcum))
         .withColumn("n_b", F.count(F.lit(1)).over(wop))
         .withColumn("t1", F.sum("a").over(wop))
         .withColumn("t2", F.sum(F.col("a") * F.col("a")).over(wop))
@@ -3340,7 +3339,6 @@ cum AS (
   SELECT servicename, operationname, bucket, a, minv,
          ROW_NUMBER() OVER word AS k,
          SUM(a) OVER wcum AS s1,
-         SUM(a * a) OVER wcum AS s2,
          COUNT(*) OVER wop AS n_b,
          SUM(a) OVER wop AS t1,
          SUM(a * a) OVER wop AS t2

@@ -24,6 +24,7 @@ row-at-a-time path. With spark-protobuf + a descriptor file available,
 from __future__ import annotations
 
 import struct
+import weakref
 from collections.abc import Iterator
 
 # Tag.type enum (haystack-idl): value-field presence mapping
@@ -353,7 +354,10 @@ def span_descriptor_set() -> bytes:
     return _len_delim(1, fdp)
 
 
-_JVM_PROBE_CACHE: dict[int, bool] = {}
+# probe verdict per live session: WeakKeyDictionary so a stopped+GC'd
+# session cannot bequeath a stale verdict to a new object at the same
+# address (id() reuse), and entries evict with the session
+_JVM_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def jvm_protobuf_available(spark) -> bool:
@@ -363,15 +367,26 @@ def jvm_protobuf_available(spark) -> bool:
     This container ships no spark-protobuf jar, so local runs take the
     Python-codec path; on a production cluster with the jar this flips
     the ingest hot loop to JVM decode with zero call-site changes.
-    Probed once per session (cached)."""
-    key = id(spark)
-    if key in _JVM_PROBE_CACHE:
-        return _JVM_PROBE_CACHE[key]
-    _JVM_PROBE_CACHE[key] = _probe_jvm_protobuf(spark)
-    return _JVM_PROBE_CACHE[key]
+    Probed once per session (cached; the failing exception is kept so
+    use_jvm=True can surface the REAL cause, not a guessed one)."""
+    ok, _err = _probe_result(spark)
+    return ok
 
 
-def _probe_jvm_protobuf(spark) -> bool:
+def _probe_result(spark) -> tuple[bool, Exception | None]:
+    try:
+        return _JVM_PROBE_CACHE[spark]
+    except (KeyError, TypeError):  # TypeError: non-weakrefable stand-in
+        pass
+    res = _probe_jvm_protobuf(spark)
+    try:
+        _JVM_PROBE_CACHE[spark] = res
+    except TypeError:
+        pass
+    return res
+
+
+def _probe_jvm_protobuf(spark) -> tuple[bool, Exception | None]:
     try:
         from pyspark.sql import functions as F
         from pyspark.sql.protobuf.functions import from_protobuf
@@ -388,9 +403,9 @@ def _probe_jvm_protobuf(spark) -> bool:
             )
             .collect()
         )
-        return True
-    except Exception:
-        return False
+        return True, None
+    except Exception as e:  # jar absent OR anything else — kept for the
+        return False, e     # use_jvm=True error message to surface
 
 
 # ------------------------------------------------------ DataFrame plumbing --
@@ -419,13 +434,17 @@ def proto_to_spans_df(raw, value_col: str = "value", use_jvm: str | bool = "auto
 
     if use_jvm not in ("auto", True, False):
         raise ValueError(f"use_jvm must be 'auto'/True/False, got {use_jvm!r}")
-    jvm_ok = use_jvm in ("auto", True) and jvm_protobuf_available(raw.sparkSession)
+    jvm_ok, probe_err = (False, None)
+    if use_jvm in ("auto", True):
+        jvm_ok, probe_err = _probe_result(raw.sparkSession)
     if use_jvm is True and not jvm_ok:
         raise RuntimeError(
-            "use_jvm=True but the spark-protobuf connector is not loadable "
-            "in this session (no jar in the container) — deploy with "
-            "--packages org.apache.spark:spark-protobuf_2.13:<spark version> "
-            "or call with use_jvm='auto' to fall back to the Python codec"
+            "use_jvm=True but the spark-protobuf probe failed in this "
+            "session. If the connector jar is missing, deploy with "
+            "--packages org.apache.spark:spark-protobuf_2.13:<spark version>; "
+            "otherwise the underlying probe failure (below) is the real "
+            "cause — or call with use_jvm='auto' to fall back to the "
+            f"Python codec. Probe error: {probe_err!r}"
         )
     if jvm_ok:
         from pyspark.sql import functions as F

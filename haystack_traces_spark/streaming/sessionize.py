@@ -410,23 +410,30 @@ def sessionize_event_time(
     `event_sessions` operator on the same corpus (pinned by
     test_streaming.py). Output: (key_col, session_start, session_end,
     n_events, events_json), all event-time µs — no wall-clock column, so
-    two replays produce identical rows."""
+    two replays produce identical rows. key_col keeps the INPUT's type
+    (the state key rides as a string internally, but a replay face whose
+    key type differed from the batch face's would break the union/join
+    interchangeability the face exists for)."""
+    key_type = stream.schema[key_col].dataType
     packed = stream.select(
         F.col(key_col).cast("string").alias("skey"),
         F.col(ts_us_col).cast("long").alias("ts_us"),
         F.to_json(F.struct(*stream.columns)).alias("span_json"),
         F.timestamp_micros(F.col(ts_us_col).cast("long")).alias("event_time"),
     ).withWatermark("event_time", watermark_delay)
-    return (
-        packed.groupBy("skey")
-        .applyInPandasWithState(
-            make_event_session_fn(mode, horizon_us),
-            outputStructType=EVENT_SESSION_SCHEMA,
-            stateStructType=EVENT_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-        .withColumnRenamed("skey", key_col)
+    out = packed.groupBy("skey").applyInPandasWithState(
+        make_event_session_fn(mode, horizon_us),
+        outputStructType=EVENT_SESSION_SCHEMA,
+        stateStructType=EVENT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        F.col("skey").cast(key_type).alias(key_col),
+        "session_start",
+        "session_end",
+        "n_events",
+        "events_json",
     )
 
 

@@ -1689,11 +1689,14 @@ def test_event_time_gap_face_matches_batch_event_sessions(spark, tmp_path):
     )
     run_once()
 
+    # key type preserved: the replay face emits user_id as LONG like the
+    # batch face (no string workaround needed for the comparison)
     got = [
         r
         for r in spark.read.parquet(str(out)).collect()
-        if r["user_id"] != "-1"
+        if r["user_id"] != -1
     ]
+    assert all(isinstance(r["user_id"], int) for r in got)
     from collections import defaultdict
 
     per = defaultdict(list)
@@ -1703,7 +1706,7 @@ def test_event_time_gap_face_matches_batch_event_sessions(spark, tmp_path):
     for u, lst in per.items():
         for i, r in enumerate(sorted(lst, key=lambda x: x["session_start"]), 1):
             stream_rows.add(
-                (int(u), i, r["n_events"],
+                (u, i, r["n_events"],
                  r["session_start"], r["session_end"] - r["session_start"])
             )
     batch_rows = {
