@@ -1256,6 +1256,195 @@ FROM cc GROUP BY s ORDER BY s
 """
 
 
+
+MMR_K = 5
+MMR_POOL = 20
+
+
+def q_mmr_diversify(spark, sf_dir):
+    return S.mmr_diversify(
+        _emb(spark, sf_dir), query_id=ANN_QUERY_IDS[0], k=MMR_K,
+        pool_size=MMR_POOL,
+    )
+
+
+def sql_mmr_diversify() -> str:
+    """Unrolled MMR selection (k chained CTEs — the pca_power_iteration
+    pattern; recursive aggregation over the accumulated selected set is
+    not portable). Lambda literals are injected via repr() so both faces
+    compute with the IDENTICAL doubles (1 - 0.7 is not 0.3 in IEEE)."""
+    lam = repr(S.MMR_LAMBDA)
+    onem = repr(1.0 - S.MMR_LAMBDA)
+    q = ANN_QUERY_IDS[0]
+    cos_qb = _COS.replace("a.embedding", "q.embedding")
+    cos_ab = _COS.replace("a.embedding", "ea.embedding").replace(
+        "b.embedding", "eb.embedding"
+    )
+    steps = []
+    sel_union = "SELECT cand FROM s1"
+    for n in range(2, MMR_K + 1):
+        steps.append(f"""
+c{n} AS (
+  SELECT p.cand, p.rel,
+         {lam} * p.rel - {onem} * (
+           SELECT MAX(sim) FROM psim
+           WHERE ca = p.cand AND cb IN ({sel_union})
+         ) AS score
+  FROM pool p WHERE p.cand NOT IN ({sel_union})
+),
+s{n} AS MATERIALIZED (
+  SELECT cand, rel, score FROM c{n} ORDER BY score DESC, cand ASC LIMIT 1
+)""")
+        sel_union += f" UNION ALL SELECT cand FROM s{n}"
+    selects = "\nUNION ALL ".join(
+        f"SELECT {n} AS pick, cand AS vec_id, rel AS relevance, "
+        f"ROUND(score, 6) AS mmr_score FROM s{n}"
+        for n in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH pool AS MATERIALIZED (
+  SELECT b.vec_id AS cand, ROUND({cos_qb}, 6) AS rel
+  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id = {q}
+  ORDER BY ROUND({cos_qb}, 6) DESC, b.vec_id ASC LIMIT {MMR_POOL}
+),
+psim AS MATERIALIZED (
+  SELECT a.cand AS ca, b.cand AS cb, ROUND({cos_ab}, 6) AS sim
+  FROM pool a JOIN pool b ON a.cand <> b.cand
+  JOIN embeddings ea ON ea.vec_id = a.cand
+  JOIN embeddings eb ON eb.vec_id = b.cand
+),
+s1 AS MATERIALIZED (
+  SELECT cand, rel, {lam} * rel AS score FROM pool
+  ORDER BY rel DESC, cand ASC LIMIT 1
+),{",".join(steps)}
+SELECT * FROM ({selects}) ORDER BY pick
+"""
+
+
+
+CASCADE_STAGES = (
+    (1, "exact"), (2, "normalized"), (3, "minhash"), (4, "containment")
+)
+
+
+def q_dedup_cascade_yield(spark, sf_dir):
+    """→ (stage, stage_name, n_flagged, n_new, share_new): MARGINAL yield
+    of each dedup stage applied in the canonical cascade order (exact →
+    normalized → MinHash-Jaccard → containment). Every stage flags the
+    NON-canonical doc (keep-lowest-id, the house convention); n_flagged
+    is what the stage finds on its own, n_new is what it adds beyond all
+    earlier stages. THE pipeline-planning table: a stage whose n_new is
+    ~0 is pure cost at 100 TB (exact dups are also normalized dups are
+    usually also MinHash dups — this measures how much of each layer is
+    shadowed), and the cascade order that maximizes early yield minimizes
+    total candidate-generation spend. Zero-filled from the stage catalog
+    so the row count is fixed.
+
+    Scale shape: a union of the four stages' flagged-doc sets (each
+    stage keeps its own §4 candidate economics), one doc-keyed MIN
+    aggregate for first-flagging stage, two tiny stage-keyed rollups
+    broadcast-joined onto the 4-row catalog."""
+    docs = _docs(spark, sf_dir)
+    ex = (
+        D.exact_dedup(docs)
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id", F.lit(1).alias("stage"))
+    )
+    no = (
+        D.normalized_dedup(docs)
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id", F.lit(2).alias("stage"))
+    )
+    mh = (
+        D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"), F.lit(3).alias("stage"))
+        .distinct()
+    )
+    ct = (
+        D.containment_pairs(docs, CONTAIN_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"), F.lit(4).alias("stage"))
+        .distinct()
+    )
+    flagged = ex.unionByName(no).unionByName(mh).unionByName(ct)
+    per_stage = flagged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged")
+    )
+    first = flagged.groupBy("doc_id").agg(F.min("stage").alias("stage"))
+    new_per = first.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    catalog = spark.createDataFrame(
+        list(CASCADE_STAGES), "stage int, stage_name string"
+    )
+    return (
+        catalog.join(F.broadcast(per_stage), "stage", "left")
+        .join(F.broadcast(new_per), "stage", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            "stage_name",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("share_new"),
+        )
+        .orderBy("stage")
+    )
+
+
+def sql_dedup_cascade_yield() -> str:
+    """Each stage's EXISTING oracle rides along verbatim as a scoped
+    subquery (nested WITHs are subquery-local — the ann_recall_report
+    pattern, no CTE clashes)."""
+    stage_values = ", ".join(
+        f"({n}, '{name}')" for n, name in CASCADE_STAGES
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, 1 AS stage FROM ({sql_dedup_exact()}) t
+  WHERE doc_id <> keep_doc_id
+),
+no AS (
+  SELECT doc_id, 2 AS stage FROM ({sql_normalized_dedup()}) t
+  WHERE doc_id <> keep_doc_id
+),
+mh AS (
+  SELECT DISTINCT doc_b AS doc_id, 3 AS stage
+  FROM ({sql_dedup_minhash_lsh()}) t
+),
+ct AS (
+  SELECT DISTINCT doc_b AS doc_id, 4 AS stage
+  FROM ({sql_containment_dedup()}) t
+),
+flagged AS (
+  SELECT * FROM ex UNION ALL SELECT * FROM no
+  UNION ALL SELECT * FROM mh UNION ALL SELECT * FROM ct
+),
+per_stage AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_flagged
+  FROM flagged GROUP BY 1
+),
+first AS (SELECT doc_id, MIN(stage) AS stage FROM flagged GROUP BY 1),
+new_per AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_new FROM first GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+catalog(stage, stage_name) AS (VALUES {stage_values})
+SELECT CAST(c.stage AS BIGINT) AS stage, c.stage_name,
+       COALESCE(p.n_flagged, 0) AS n_flagged,
+       COALESCE(n.n_new, 0) AS n_new,
+       ROUND(COALESCE(n.n_new, 0) * 1.0 / t.n_docs, 6) AS share_new
+FROM catalog c
+LEFT JOIN per_stage p ON p.stage = c.stage
+LEFT JOIN new_per n ON n.stage = c.stage
+CROSS JOIN total t
+ORDER BY c.stage
+"""
+
+
 IVF_CELLS = 16
 IVF_PROBE = 4
 
@@ -3321,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_brute_force": q_ann_brute_force,
         "ann_filtered": q_ann_filtered,
+        "mmr_diversify": q_mmr_diversify,
+        "dedup_cascade_yield": q_dedup_cascade_yield,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -3441,6 +3632,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": sql_clean_corpus(),
         "ann_brute_force": sql_ann_brute_force(),
         "ann_filtered": sql_ann_filtered(),
+        "mmr_diversify": sql_mmr_diversify(),
+        "dedup_cascade_yield": sql_dedup_cascade_yield(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

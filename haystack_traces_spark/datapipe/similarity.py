@@ -1482,3 +1482,95 @@ def pq_code_entropy(
         )
         .orderBy("s")
     )
+
+
+MMR_LAMBDA = 0.7
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    pool_size: int = 20,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (pick, vec_id, relevance, mmr_score): Maximal Marginal Relevance
+    re-rank (Carbonell & Goldstein 1998) of the query's top-``pool_size``
+    exact candidates — iteratively select the item maximizing
+    λ·rel − (1−λ)·max_sim(item, already-selected), so the final k trade
+    redundancy for coverage (a plain top-k returns five near-copies of
+    the same document; MMR returns the five DISTINCT things closest to
+    the query). The retrieval-diversification staple for RAG context
+    packing and dedup-aware search UIs.
+
+    Cross-engine discipline: relevance comes from brute_force_topk's
+    rounded face; pairwise pool similarities are computed IN SPARK with
+    the same sequential fold the oracle's list_dot_product uses, rounded
+    6dp before selection; the selection itself runs driver-side over the
+    BOUNDED pool (≤ pool_size rows, ≤ pool_size² sims — the codebook-
+    training pattern) with HALF_UP output rounding (house rule 15) and
+    lowest-id tiebreaks; the oracle unrolls the same k selection steps
+    as chained CTEs.
+
+    Scale shape: one exact top-k scan (the GEMM face) + one ≤pool_size²
+    broadcast self-join; everything after is O(k·pool) driver arithmetic
+    on a constant-bounded set."""
+    from haystack_traces_spark.functions.stats import round6_half_up
+
+    spark = emb.sparkSession
+    pool_rows = (
+        brute_force_topk(
+            emb, [query_id], k=pool_size, rank_rounded=True,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select("neighbor_id", "cos")
+        .collect()
+    )
+    rel = {r["neighbor_id"]: r["cos"] for r in pool_rows}
+    pool_ids = sorted(rel)
+    pv = with_norm(
+        emb.filter(F.col(id_col).isin(pool_ids)), id_col, vec_col
+    )
+    a = pv.select(
+        F.col(id_col).alias("ca"),
+        F.col("vec_d").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = pv.select(
+        F.col(id_col).alias("cb"),
+        F.col("vec_d").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("sim"),
+        )
+        .collect()
+    )
+    sim = {(r["ca"], r["cb"]): r["sim"] for r in sim_rows}
+
+    selected: list[tuple[int, float, float]] = []  # (id, rel, score)
+    remaining = set(pool_ids)
+    while remaining and len(selected) < k:
+        best = None
+        for cand in sorted(remaining):  # ascending id = deterministic tie
+            max_sim = max(
+                (sim[(cand, sid)] for sid, _, _ in selected), default=0.0
+            )
+            score = lam * rel[cand] - (1.0 - lam) * max_sim
+            if best is None or score > best[2]:
+                best = (cand, rel[cand], score)
+        selected.append(best)
+        remaining.discard(best[0])
+    return spark.createDataFrame(
+        [
+            (i + 1, cand, r, round6_half_up(s))
+            for i, (cand, r, s) in enumerate(selected)
+        ],
+        "pick long, vec_id long, relevance double, mmr_score double",
+    )

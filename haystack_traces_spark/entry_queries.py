@@ -3215,6 +3215,184 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+PATH_STEPS = 3  # leading steps that define a session's path signature
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (path, n_sessions, avg_session_events): frequency table of
+    session OPENINGS — the first PATH_STEPS event types of each session,
+    joined 'a>b>c'. The navigation-pattern rollup product teams read
+    next to `funnel_steps`: funnels count a FIXED step sequence, paths
+    surface the sequences users actually take (a hot 'view>view>view'
+    path says browse-heavy sessions dominate; 'view>click>purchase'
+    sessions convert fast). Sessions come from the SAME island core as
+    `event_sessions` (one definition). avg_session_events uses exact
+    integer sums, rounded once.
+
+    Scale shape: islands ride the user-key window exchange every session
+    operator shares; the path string is built from ≤PATH_STEPS rows per
+    session via a sorted-struct fold (deterministic at equal timestamps
+    by the event_id tiebreak); output rows are bounded by the event-type
+    alphabet ^ PATH_STEPS, not by traffic."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.lower("event_type").alias("etype"),
+        _epoch_micros(events).alias("tus"),
+    )
+    flagged = island_index(
+        ev, ["user_id"], "tus", SESSION_GAP_US, order_cols=("event_id",)
+    ).withColumnRenamed("island_idx", "session_idx")
+    per_sess = flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("tus", "event_id", "etype"))
+                ),
+                1,
+                PATH_STEPS,
+            ),
+            lambda s: s["etype"],
+        ).alias("steps"),
+    )
+    return (
+        per_sess.select(
+            F.array_join("steps", ">").alias("path"), "n_events"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(
+                F.sum("n_events") / F.count(F.lit(1)), 6
+            ).alias("avg_session_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+    )
+
+
+def sql_session_paths() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, lower(event_type) AS etype, epoch_us(ts) AS tus
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, etype, tus,
+         CASE WHEN COALESCE(tus - LAG(tus) OVER w, {SESSION_GAP_US + 1})
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, etype, tus,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+stepped AS (
+  SELECT user_id, session_idx, etype, tus, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                            ORDER BY tus, event_id) AS rn
+  FROM sess
+),
+per_sess AS (
+  SELECT user_id, session_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(etype, '>' ORDER BY tus, event_id)
+           FILTER (WHERE rn <= {PATH_STEPS}) AS path
+  FROM stepped GROUP BY 1, 2
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(n_events) * 1.0 / COUNT(*), 6) AS avg_session_events
+FROM per_sess GROUP BY path ORDER BY n_sessions DESC, path
+"""
+
+
+#: Salt planner target: index GROUPS per output file (groups dominate
+#: index bytes; a few hundred k groups ≈ a few hundred MB of parquet).
+SALT_TARGET_GROUPS = 2_000
+
+
+def q_index_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (day_us, hb, n_traces, n_groups_total, files_needed, salted):
+    the OPERATIONAL output of `index_partition_profile` — for each
+    occupied (day, 6h) partition of the trace_index grid, how many
+    right-sized files the write should produce (⌈groups / target⌉, pure
+    integer arithmetic) and whether the SCALE.md §1 salt is needed
+    (files > 1). write_trace_index repartitions by (dt, hb), which
+    yields ONE file per partition; this table is where a 100 TB operator
+    reads which buckets outgrow that and sizes the salt column — plan
+    from data, not incident.
+
+    Scale shape: identical to index_partition_profile (one tiny grid
+    rollup on the index build's own exchange) plus per-row integer
+    derivations."""
+    idx = _index(spark, sf_dir)
+    day = F.col("starttime") - F.col("starttime") % DAY_US
+    hb = F.floor((F.col("starttime") % DAY_US) / HB_US).cast("long")
+    grid = (
+        idx.select(
+            day.alias("day_us"),
+            hb.alias("hb"),
+            F.size("spans").cast("long").alias("n_groups"),
+        )
+        .groupBy("day_us", "hb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.sum("n_groups").cast("long").alias("n_groups_total"),
+        )
+    )
+    files = F.expr(
+        f"(n_groups_total + {SALT_TARGET_GROUPS - 1}) div {SALT_TARGET_GROUPS}"
+    )
+    return (
+        grid.select(
+            "day_us",
+            "hb",
+            "n_traces",
+            "n_groups_total",
+            files.cast("long").alias("files_needed"),
+            (files > 1).alias("salted"),
+        )
+        .orderBy("day_us", "hb")
+    )
+
+
+def sql_index_salt_plan() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per_trace AS (
+  SELECT trace_id,
+         MIN(start_time - start_time % 1000000) AS starttime,
+         CAST(COUNT(DISTINCT lower(service_name) || '|'
+                    || lower(operation_name)) AS BIGINT) AS n_groups
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+),
+grid AS (
+  SELECT starttime - starttime % {DAY_US} AS day_us,
+         CAST(FLOOR((starttime % {DAY_US}) / {HB_US}) AS BIGINT) AS hb,
+         CAST(COUNT(*) AS BIGINT) AS n_traces,
+         CAST(SUM(n_groups) AS BIGINT) AS n_groups_total
+  FROM per_trace GROUP BY 1, 2
+)
+SELECT day_us, hb, n_traces, n_groups_total,
+       CAST((n_groups_total + {SALT_TARGET_GROUPS - 1})
+            // {SALT_TARGET_GROUPS} AS BIGINT) AS files_needed,
+       (n_groups_total + {SALT_TARGET_GROUPS - 1})
+         // {SALT_TARGET_GROUPS} > 1 AS salted
+FROM grid ORDER BY day_us, hb
+"""
+    )
+
+
 CP_BUCKET_US = HOUR_US   # changepoint series granularity
 CP_MIN_BUCKETS = 6       # below this a "split" is noise, not a regime
 
@@ -6305,6 +6483,10 @@ _ROTATION_QUEUE = (
     "latency_changepoint",
     "ann_filtered",
     "pq_code_entropy",
+    "session_paths",
+    "index_salt_plan",
+    "mmr_diversify",
+    "dedup_cascade_yield",
 )
 
 
@@ -6399,6 +6581,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_scorecard": q_service_scorecard,
         "event_sessions": q_event_sessions,
         "anchored_sessions": q_anchored_sessions,
+        "session_paths": q_session_paths,
+        "index_salt_plan": q_index_salt_plan,
         "latency_changepoint": q_latency_changepoint,
         "funnel_steps": q_funnel_steps,
         "purchase_attribution": q_purchase_attribution,
@@ -6512,6 +6696,8 @@ def _trace_oracles() -> dict[str, str]:
         "service_scorecard": sql_service_scorecard(),
         "event_sessions": sql_event_sessions(),
         "anchored_sessions": sql_anchored_sessions(),
+        "session_paths": sql_session_paths(),
+        "index_salt_plan": sql_index_salt_plan(),
         "latency_changepoint": sql_latency_changepoint(),
         "funnel_steps": sql_funnel_steps(),
         "purchase_attribution": sql_purchase_attribution(),

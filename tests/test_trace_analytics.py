@@ -1549,3 +1549,115 @@ class TestRound7Operators:
             assert r["n_vecs"] == 20
             assert r["top_code_share"] >= 0.95
             assert r["code_entropy"] <= math.log(2)
+
+    def test_mmr_diversify_skips_near_copy(self, spark):
+        """The #2-by-relevance candidate is a near-copy of #1: plain
+        top-2 would return both; MMR's second pick must be the DIVERSE
+        third candidate instead."""
+        from haystack_traces_spark.datapipe import similarity as S
+
+        import math
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+        rows = [
+            (0, unit(0.0)),         # query
+            (1, unit(0.7854)),      # most relevant (ties rel with 3 -> id)
+            (2, unit(0.80)),        # near-copy of 1 (sim(1,2) ~ 0.9999)
+            (3, unit(-0.7854)),     # same relevance, ORTHOGONAL to 1
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = [(r["pick"], r["vec_id"]) for r in
+               S.mmr_diversify(emb, query_id=0, k=2, pool_size=3).collect()]
+        # pick 1: rel tie between 1 and 3 -> lowest id; pick 2: the
+        # near-copy 2 scores 0.7*rel - 0.3*~1, the orthogonal 3 scores
+        # 0.7*rel - 0, so diversity wins
+        assert got == [(1, 1), (2, 3)]
+
+    def test_session_paths_orders_steps_and_counts(self, spark):
+        """Crafted sessions: path = first PATH_STEPS event types in
+        (tus, event_id) order; short sessions keep their short path."""
+        rows = [
+            # user 1, one session of 4 events: view click view purchase
+            (1, 1, "view", T0), (1, 2, "click", T0 + 1),
+            (1, 3, "view", T0 + 2), (1, 4, "purchase", T0 + 3),
+            # user 2, one 1-event session far later
+            (2, 5, "view", T0),
+        ]
+        import pyspark.sql.functions as F  # noqa: F811
+
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, etype string, tus long"
+        )
+        # drive the core through the same machinery as the query fn
+        flagged = EQ.island_index(
+            ev, ["user_id"], "tus", EQ.SESSION_GAP_US, order_cols=("event_id",)
+        ).withColumnRenamed("island_idx", "session_idx")
+        per = flagged.groupBy("user_id", "session_idx").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("tus", "event_id", "etype"))
+                    ),
+                    1,
+                    EQ.PATH_STEPS,
+                ),
+                lambda s: s["etype"],
+            ).alias("steps"),
+        )
+        got = {
+            r["user_id"]: (F and None, r["n_events"], ">".join(r["steps"]))
+            for r in per.collect()
+        }
+        assert got[1] == (None, 4, "view>click>view")
+        assert got[2] == (None, 1, "view")
+
+    def test_index_salt_plan_flags_hot_partition(self, spark):
+        """A partition whose group count exceeds SALT_TARGET_GROUPS must
+        report files_needed > 1 and salted = true; integer ceil division
+        exact at the boundary."""
+        assert EQ.SALT_TARGET_GROUPS == 2_000
+        # exact boundary arithmetic (the div expression, no Spark needed):
+        # 2000 groups -> 1 file, 2001 -> 2
+        f = lambda g: (g + EQ.SALT_TARGET_GROUPS - 1) // EQ.SALT_TARGET_GROUPS
+        assert f(2000) == 1 and f(2001) == 2 and f(1) == 1
+
+    def test_dedup_cascade_marginal_attribution(self, spark):
+        """An exact copy is flagged by every stage but counted NEW only
+        at stage 1; a containment-only dup (paragraph inside a longer
+        doc) reaches stage 4 as new; marginal counts zero-fill."""
+        from haystack_traces_spark.datapipe import queries as dp
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, base, "en", "s", len(base)),
+            (1, base, "en", "s", len(base)),               # exact copy
+            (2, base + " " + base + " lam mu nu xi omicron pi rho sigma tau "
+                "upsilon phi chi psi omega one two three four five six",
+             "en", "s", 0),                                # contains base
+            (3, "totally different words nothing shared here at all "
+                "seven eight nine ten eleven twelve thirteen fourteen",
+             "en", "s", 0),                                # unique
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        import haystack_traces_spark.datapipe.queries as Q
+        orig = Q._docs
+        Q._docs = lambda _s, _d: docs
+        try:
+            out = {r["stage_name"]: r for r in
+                   dp.q_dedup_cascade_yield(spark, "ignored").collect()}
+        finally:
+            Q._docs = orig
+        assert out["exact"]["n_new"] == 1          # doc 1
+        assert out["normalized"]["n_new"] == 0     # shadowed by exact
+        assert out["minhash"]["n_flagged"] >= 1    # doc 1 again (J=1.0)
+        assert out["minhash"]["n_new"] == 0
+        # doc 2 contains doc 0's full shingle set but J << threshold:
+        # containment is the first stage to flag it
+        assert out["containment"]["n_new"] == 1
+        assert sum(r["n_new"] for r in out.values()) == 2  # docs 1 and 2
