@@ -1784,3 +1784,90 @@ def test_event_time_anchored_face_end_to_end(spark, tmp_path):
         ("tA", T + 10 * S, 1),
         ("tB", T + 2 * S, 1),
     ]
+
+
+def test_event_time_face_is_batching_invariant(spark, tmp_path):
+    """The determinism CONTRACT, pinned directly: the same corpus pushed
+    through sessionize_event_time under two different micro-batch
+    layouts (whole corpus in one file vs one file per event chunk,
+    maxFilesPerTrigger=1) emits EXACTLY the same session rows. This is
+    the property the processing-time face cannot have, and the reason
+    the event-time face is the backfill/replay face (SCALE.md §6)."""
+    import itertools
+
+    from haystack_traces_spark.streaming.sessionize import (
+        sessionize_event_time,
+    )
+
+    S = 1_000_000
+    T = 1_700_000_000 * S
+    events = [
+        {"trace_id": "a", "span_id": f"a{i}", "start_time": T + i * 4 * S}
+        for i in range(6)
+    ] + [
+        {"trace_id": "b", "span_id": f"b{i}", "start_time": T + i * 11 * S}
+        for i in range(4)
+    ]
+
+    def run(layout_tag, chunks):
+        src = tmp_path / f"src_{layout_tag}"
+        out = tmp_path / f"out_{layout_tag}"
+        ckpt = tmp_path / f"ckpt_{layout_tag}"
+        src.mkdir()
+        schema = "trace_id string, span_id string, start_time long"
+
+        def write(name, recs):
+            tmp = src / (name + ".tmp")
+            with open(tmp, "w") as f:
+                for r in recs:
+                    f.write(json.dumps(r) + "\n")
+            tmp.rename(src / name)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = (
+                sessionize_event_time(
+                    stream, "start_time", key_col="trace_id",
+                    mode="gap", horizon_us=10 * S,
+                    # the determinism contract's one premise: the delay
+                    # must cover the source's event-time disorder (the
+                    # scrambled layout interleaves the full 33 s corpus)
+                    watermark_delay="60 seconds",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        for i, chunk in enumerate(chunks):
+            write(f"f{i}.json", chunk)
+        run_once()
+        write("wm1.json", [{"trace_id": "__wm__", "span_id": "s",
+                            "start_time": T + 1000 * S}])
+        run_once()
+        write("wm2.json", [{"trace_id": "__wm__", "span_id": "s2",
+                            "start_time": T + 2000 * S}])
+        run_once()
+        return sorted(
+            (r["trace_id"], r["session_start"], r["session_end"],
+             r["n_events"], tuple(sorted(r["events_json"])))
+            for r in spark.read.parquet(str(out)).collect()
+            if r["trace_id"] != "__wm__"
+        )
+
+    # layout A: the whole corpus in one micro-batch
+    a = run("one", [events])
+    # layout B: four files of 2-3 events each, one per micro-batch, with
+    # event times fully interleaved across batches (disorder bounded by
+    # the watermark delay)
+    chunks = [events[i::4] for i in range(4)]
+    b = run("four", chunks)
+    assert a == b and len(a) > 0
