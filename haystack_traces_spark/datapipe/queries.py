@@ -131,8 +131,20 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def _minhash_pairs(spark, sf_dir):
+    """Session-cached MinHash-LSH verified-pair stage (round 7): shared
+    by dedup_minhash_lsh and dedup_cascade_yield — output-side pairs
+    table, bounded by true near-dup volume (the stagecache invariant)."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "minhash_pairs",
+        lambda: D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD),
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+    return _minhash_pairs(spark, sf_dir)
 
 
 def _minhash_sig_ctes() -> str:
@@ -1357,12 +1369,12 @@ def q_dedup_cascade_yield(spark, sf_dir):
         .select("doc_id", F.lit(2).alias("stage"))
     )
     mh = (
-        D.minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
+        _minhash_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"), F.lit(3).alias("stage"))
         .distinct()
     )
     ct = (
-        D.containment_pairs(docs, CONTAIN_THRESHOLD)
+        _containment_pairs_stage(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"), F.lit(4).alias("stage"))
         .distinct()
     )
@@ -3728,6 +3740,10 @@ def shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], in
     their marginal cost (VERDICT r5 ask #4)."""
     return {
         "jaccard_pairs": lambda: _jaccard_pairs(spark, sf_dir).count(),
+        "minhash_pairs": lambda: _minhash_pairs(spark, sf_dir).count(),
+        "containment_pairs": lambda: _containment_pairs_stage(
+            spark, sf_dir
+        ).count(),
         "dedup_clusters": lambda: q_dedup_clusters(spark, sf_dir).count(),
         "simhash_pairs": lambda: _simhash_pairs(spark, sf_dir).count(),
         "knn_graph": lambda: _knn_graph_stage(spark, sf_dir).count(),
@@ -4071,8 +4087,20 @@ GROUP BY d.source ORDER BY d.source
 CONTAIN_THRESHOLD = 0.9
 
 
+def _containment_pairs_stage(spark, sf_dir):
+    """Session-cached containment verified-pair stage (round 7): shared
+    by containment_dedup and dedup_cascade_yield — same output-side
+    bounded-pairs argument as _minhash_pairs."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "containment_pairs",
+        lambda: D.containment_pairs(_docs(spark, sf_dir), CONTAIN_THRESHOLD),
+    )
+
+
 def q_containment_dedup(spark, sf_dir):
-    return D.containment_pairs(_docs(spark, sf_dir), CONTAIN_THRESHOLD)
+    return _containment_pairs_stage(spark, sf_dir)
 
 
 def sql_containment_dedup() -> str:

@@ -1649,8 +1649,12 @@ class TestRound7Operators:
         orig = Q._docs
         Q._docs = lambda _s, _d: docs
         try:
+            # unique sf_dir tag: the mh/ct branches ride session-cached
+            # shared stages keyed by (appId, sf_dir, name) — a generic
+            # tag could collide with another monkeypatched test
             out = {r["stage_name"]: r for r in
-                   dp.q_dedup_cascade_yield(spark, "ignored").collect()}
+                   dp.q_dedup_cascade_yield(
+                       spark, "crafted://cascade_yield").collect()}
         finally:
             Q._docs = orig
         assert out["exact"]["n_new"] == 1          # doc 1
