@@ -220,3 +220,105 @@ class IngestTopology:
             .trigger(processingTime=f"{trigger_sec} seconds")
             .start()
         )
+
+    def start_backfill(
+        self,
+        span_stream: DataFrame,
+        checkpoint_dir: str,
+        watermark_delay: str = "1 hour",
+    ):
+        """DETERMINISTIC replay/backfill face of the topology (round 7):
+        the event-time ANCHORED sessionizer (T1's window-from-first-seen
+        rule on the EVENT clock, `sessionize_event_time`) feeds the
+        identical foreachBatch fan-out as the live path — same sinks,
+        same compaction story — but emission keys on the watermark, so
+        the produced tables are a pure function of the corpus (pinned:
+        `test_backfill_topology_reproduces_batch_build` — the compacted
+        backfill index equals the batch build exactly). availableNow
+        drains an at-rest corpus and stops; `run_backfill` below handles
+        the final-watermark flush. Contract: `watermark_delay` must
+        cover the source's event-time disorder (SCALE.md §6)."""
+        from haystack_traces_spark.streaming.sessionize import (
+            sessionize_event_time,
+        )
+
+        buffers = sessionize_event_time(
+            span_stream,
+            "start_time",
+            key_col="trace_id",
+            mode="anchored",
+            horizon_us=self.window_ms * 1000,
+            watermark_delay=watermark_delay,
+        )
+        mapped = buffers.filter(
+            F.col("trace_id") != BACKFILL_FLUSH_TRACE_ID
+        ).select("trace_id", F.col("events_json").alias("spans_json"))
+        return (
+            mapped.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+#: Reserved trace id of the watermark-flush sentinel run_backfill injects;
+#: filtered out of every sink before process_batch (leading NUL cannot
+#: collide with a real trace id from the decoders).
+BACKFILL_FLUSH_TRACE_ID = "\x00backfill-flush"
+
+
+def run_backfill(
+    spark: SparkSession,
+    src_dir: str,
+    tables_dir: str,
+    checkpoint_dir: str,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    watermark_delay_sec: int = 3600,
+    timeout_sec: int = 600,
+    **topology_kwargs,
+) -> "IngestTopology":
+    """One-call deterministic backfill of an at-rest JSON span corpus:
+    builds trace_store / trace_index / service_catalog through the full
+    streaming topology with EVENT-time semantics, so a re-run over the
+    same corpus writes the same tables (batching-invariance pinned in
+    test_streaming.py).
+
+    The final sessions only close when the watermark passes them; for
+    at-rest data nothing would advance it past the last close, so this
+    helper measures the corpus's max event time (one cheap batch scan of
+    one column — the data is at rest by definition) and injects a single
+    flush sentinel far enough ahead (max + window + 2·delay) via a side
+    directory unioned into the stream; Spark's run-another-batch logic
+    then fires every pending event-time timer before availableNow stops.
+    The sentinel's reserved trace id is filtered before the sinks."""
+    batch = spark.read.schema(SPAN).json(src_dir)
+    max_ts = batch.agg(F.max("start_time")).first()[0]
+    topo = IngestTopology(tables_dir, window_ms=window_ms, **topology_kwargs)
+    if max_ts is None:
+        return topo  # empty corpus: nothing to backfill
+    flush_dir = Path(f"{checkpoint_dir}_flush")
+    flush_dir.mkdir(parents=True, exist_ok=True)
+    flush_ts = int(max_ts) + window_ms * 1000 + 2 * watermark_delay_sec * 1_000_000
+    sentinel = {
+        "trace_id": BACKFILL_FLUSH_TRACE_ID,
+        "span_id": "flush",
+        "parent_span_id": "",
+        "service_name": "",
+        "operation_name": "",
+        "start_time": flush_ts,
+        "duration": 0,
+        "tags": [],
+        "logs": [],
+    }
+    tmp = flush_dir / "flush.json.tmp"
+    tmp.write_text(json.dumps(sentinel) + "\n")
+    tmp.rename(flush_dir / "flush.json")
+    stream = file_span_source(spark, src_dir).unionByName(
+        file_span_source(spark, str(flush_dir))
+    )
+    q = topo.start_backfill(
+        stream, checkpoint_dir, watermark_delay=f"{watermark_delay_sec} seconds"
+    )
+    q.awaitTermination(timeout_sec)
+    return topo

@@ -1871,3 +1871,62 @@ def test_event_time_face_is_batching_invariant(spark, tmp_path):
     chunks = [events[i::4] for i in range(4)]
     b = run("four", chunks)
     assert a == b and len(a) > 0
+
+
+def test_backfill_topology_reproduces_batch_build(spark, tmp_path):
+    """THE round-7 capstone equivalence: an at-rest corpus backfilled
+    through the FULL streaming topology with event-time semantics
+    (run_backfill: decode → anchored event-time sessionize → the same
+    foreachBatch sinks as live ingest), then compacted, produces EXACTLY
+    the trace_index the one-shot batch build produces — streaming
+    backfill and batch build are two routes to one table. Also checks
+    the trace_store covers every span exactly once."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.operators.index import (
+        build_trace_index,
+        compact_trace_index,
+    )
+    from haystack_traces_spark.streaming.ingest import run_backfill
+
+    spans = _spans(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "src"
+    spans.repartition(3).write.json(str(src))  # several files -> several batches
+
+    run_backfill(
+        spark,
+        str(src),
+        str(tmp_path / "tables"),
+        str(tmp_path / "ckpt"),
+        watermark_delay_sec=120,
+    )
+
+    streamed = compact_trace_index(
+        spark.read.parquet(str(tmp_path / "tables" / "trace_index"))
+    )
+    full = build_trace_index(spans, with_partition_cols=True)
+
+    def canon(df):
+        rows = {}
+        for r in df.collect():
+            groups = {}
+            for grp in r["spans"]:
+                d = grp.asDict()
+                key = (d.pop("servicename"), d.pop("operationname"))
+                groups[key] = {
+                    k: tuple(sorted(x for x in v if x is not None)) if v else ()
+                    for k, v in d.items()
+                }
+            rows[r["traceid"]] = (
+                r["starttime"], r["rootduration"], r["dt"], r["hb"], groups
+            )
+        return rows
+
+    cs, cf = canon(streamed), canon(full)
+    assert cs.keys() == cf.keys()
+    assert cs == cf
+    # store coverage: every span of every trace landed exactly once
+    store = spark.read.parquet(str(tmp_path / "tables" / "trace_store"))
+    n_store_spans = store.select(F.explode("spans")).count()
+    assert n_store_spans == spans.count()
