@@ -1461,6 +1461,112 @@ IVF_CELLS = 16
 IVF_PROBE = 4
 
 
+def q_ivf_cell_balance(spark, sf_dir):
+    """→ (cell, n_vecs, share, cum_share, imbalance): OCCUPANCY audit of
+    the IVF coarse index — how vectors distribute over the ann_ivf cells
+    (lowest-id centroids, the shipped deterministic quantizer). Skewed
+    cells are the IVF failure mode at scale: probe cost is the sum of
+    probed-cell sizes, so one hot cell makes every query that probes it
+    pay the skew; imbalance (max/mean occupancy, constant per row like
+    theory_at_threshold) is the dial that says "switch to kmeans
+    centroids / raise n_cells" before latency does. Pareto-ordered with
+    cumulative share.
+
+    Cross-engine discipline: the assignment cosine is the SEQUENTIAL
+    in-index-order fold on the Spark side (cosine_expr) against DuckDB's
+    list_dot_product — identical operation order, identical doubles —
+    with the argmax on the 6dp-ROUNDED cosine, cid tiebreak (the ANN
+    house rule), so per-cell COUNTS cannot flip on a boundary ulp.
+
+    Scale shape: one broadcast of n_cells centroids, a per-row argmax
+    (rows × n_cells fold — linear in the table, constant in n_cells),
+    one combinable cell rollup + windows over n_cells rows."""
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import Window
+
+    from haystack_traces_spark.datapipe.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    v = with_norm(emb)
+    cents = (
+        v.orderBy(F.col("vec_id").asc())
+        .limit(IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("vec_d").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine_expr("vec_d", "cv", "norm", "cnorm"), 6).alias("cos"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    per_cell = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy(F.col("n_vecs").desc(), F.col("cell").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_cell.withColumn("total", F.sum("n_vecs").over(wall))
+        .withColumn("mx", F.max("n_vecs").over(wall))
+        .withColumn("cum", F.sum("n_vecs").over(wcum))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+            F.round(
+                F.col("mx") * F.lit(IVF_CELLS) / F.col("total"), 6
+            ).alias("imbalance"),
+        )
+        .orderBy(F.col("n_vecs").desc(), F.col("cell").asc())
+    )
+
+
+def sql_ivf_cell_balance() -> str:
+    cos = (
+        "list_dot_product(a.v, c.cv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CELLS}),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND({cos}, 6) DESC, c.cid ASC) AS rn
+    FROM e a CROSS JOIN cents c) t WHERE rn = 1
+),
+per_cell AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1
+)
+SELECT cell, n_vecs,
+       ROUND(n_vecs * 1.0 / SUM(n_vecs) OVER (), 6) AS share,
+       ROUND(SUM(n_vecs) OVER (ORDER BY n_vecs DESC, cell ASC
+                               ROWS UNBOUNDED PRECEDING)
+             * 1.0 / SUM(n_vecs) OVER (), 6) AS cum_share,
+       ROUND(MAX(n_vecs) OVER () * {IVF_CELLS} * 1.0
+             / SUM(n_vecs) OVER (), 6) AS imbalance
+FROM per_cell ORDER BY n_vecs DESC, cell ASC
+"""
+
+
+
+
 def q_ann_ivf(spark, sf_dir):
     return S.ivf_topk(
         _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, IVF_CELLS, IVF_PROBE,
@@ -3523,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_filtered": q_ann_filtered,
         "mmr_diversify": q_mmr_diversify,
+        "ivf_cell_balance": q_ivf_cell_balance,
         "dedup_cascade_yield": q_dedup_cascade_yield,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -3645,6 +3752,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": sql_ann_brute_force(),
         "ann_filtered": sql_ann_filtered(),
         "mmr_diversify": sql_mmr_diversify(),
+        "ivf_cell_balance": sql_ivf_cell_balance(),
         "dedup_cascade_yield": sql_dedup_cascade_yield(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),

@@ -3215,6 +3215,67 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_service_cost_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, n_spans, total_time_us, share, cum_share): the
+    "cloud bill" Pareto of total span time by service — which handful of
+    services own 80% of all compute-time in the corpus, with exact
+    BIGINT time sums and cumulative share in (total desc, name asc)
+    order. service_scorecard rates each service in isolation; this is
+    the cross-service prioritization table capacity planning actually
+    sorts by.
+
+    Scale shape: one combinable per-service rollup over the span scan,
+    then windows over |services| rows (thousands at ANY corpus size)."""
+    spans = _spans(spark, sf_dir)
+    from pyspark.sql import Window
+
+    per = (
+        spans.filter(F.col("service_name") != "")
+        .groupBy(F.lower("service_name").alias("servicename"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("duration").cast("long").alias("total_time_us"),
+        )
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy(
+        F.col("total_time_us").desc(), F.col("servicename").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.withColumn("tot", F.sum("total_time_us").over(wall))
+        .withColumn("cum", F.sum("total_time_us").over(wcum))
+        .select(
+            "servicename",
+            "n_spans",
+            "total_time_us",
+            F.round(F.col("total_time_us") / F.col("tot"), 6).alias("share"),
+            F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+        )
+        .orderBy(F.col("total_time_us").desc(), F.col("servicename").asc())
+    )
+
+
+def sql_service_cost_pareto() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per AS (
+  SELECT lower(service_name) AS servicename,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(duration) AS BIGINT) AS total_time_us
+  FROM spans WHERE service_name <> '' GROUP BY 1
+)
+SELECT servicename, n_spans, total_time_us,
+       ROUND(total_time_us * 1.0 / SUM(total_time_us) OVER (), 6) AS share,
+       ROUND(SUM(total_time_us) OVER (ORDER BY total_time_us DESC,
+                                      servicename ASC
+                                      ROWS UNBOUNDED PRECEDING)
+             * 1.0 / SUM(total_time_us) OVER (), 6) AS cum_share
+FROM per ORDER BY total_time_us DESC, servicename ASC
+"""
+    )
+
+
 PATH_STEPS = 3  # leading steps that define a session's path signature
 
 
@@ -6487,6 +6548,8 @@ _ROTATION_QUEUE = (
     "index_salt_plan",
     "mmr_diversify",
     "dedup_cascade_yield",
+    "ivf_cell_balance",
+    "service_cost_pareto",
 )
 
 
@@ -6582,6 +6645,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "anchored_sessions": q_anchored_sessions,
         "session_paths": q_session_paths,
+        "service_cost_pareto": q_service_cost_pareto,
         "index_salt_plan": q_index_salt_plan,
         "latency_changepoint": q_latency_changepoint,
         "funnel_steps": q_funnel_steps,
@@ -6697,6 +6761,7 @@ def _trace_oracles() -> dict[str, str]:
         "event_sessions": sql_event_sessions(),
         "anchored_sessions": sql_anchored_sessions(),
         "session_paths": sql_session_paths(),
+        "service_cost_pareto": sql_service_cost_pareto(),
         "index_salt_plan": sql_index_salt_plan(),
         "latency_changepoint": sql_latency_changepoint(),
         "funnel_steps": sql_funnel_steps(),

@@ -1665,3 +1665,54 @@ class TestRound7Operators:
         # containment is the first stage to flag it
         assert out["containment"]["n_new"] == 1
         assert sum(r["n_new"] for r in out.values()) == 2  # docs 1 and 2
+
+    def test_ivf_cell_balance_counts_and_imbalance(self, spark):
+        """Crafted 2-cell geometry: centroids are the two lowest-id
+        vectors (orthogonal); remaining vectors split 3/1 -> shares,
+        cumulative order, and imbalance = max/mean are exact."""
+        from haystack_traces_spark.datapipe import queries as Q
+        from haystack_traces_spark.datapipe import similarity  # noqa: F401
+
+        def vec(x, y):
+            return [x, y] + [0.0] * 62
+
+        rows = [
+            (0, vec(1.0, 0.0), 0),   # centroid cell 0
+            (1, vec(0.0, 1.0), 0),   # centroid cell 1
+            (2, vec(0.9, 0.1), 0),
+            (3, vec(0.8, 0.2), 0),
+            (4, vec(0.1, 0.9), 0),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        orig_cells, orig_emb = Q.IVF_CELLS, Q._emb
+        Q.IVF_CELLS, Q._emb = 2, (lambda _s, _d: emb)
+        try:
+            got = [(r["cell"], r["n_vecs"], r["imbalance"])
+                   for r in Q.q_ivf_cell_balance(spark, "crafted").collect()]
+        finally:
+            Q.IVF_CELLS, Q._emb = orig_cells, orig_emb
+        # cell 0 holds vecs 0,2,3; cell 1 holds 1,4 -> max 3, mean 2.5
+        assert got == [(0, 3, 1.2), (1, 2, 1.2)]
+
+    def test_service_cost_pareto_exact_shares(self, spark):
+        rows = [
+            mk(trace_id="t1", span_id="a", service="big", duration=700),
+            mk(trace_id="t1", span_id="b", service="small", duration=200),
+            mk(trace_id="t2", span_id="c", service="tiny", duration=100),
+        ]
+        # drive through the core by monkeypatching the span reader
+        import haystack_traces_spark.entry_queries as EQm
+        orig = EQm._spans
+        EQm._spans = lambda _s, _d: _with_spans(spark, rows)
+        try:
+            out = [tuple(r) for r in
+                   EQm.q_service_cost_pareto(spark, "crafted").collect()]
+        finally:
+            EQm._spans = orig
+        assert out == [
+            ("big", 1, 700, 0.7, 0.7),
+            ("small", 1, 200, 0.2, 0.9),
+            ("tiny", 1, 100, 0.1, 1.0),
+        ]
