@@ -1472,11 +1472,13 @@ def q_ivf_cell_balance(spark, sf_dir):
     centroids / raise n_cells" before latency does. Pareto-ordered with
     cumulative share.
 
-    Cross-engine discipline: the assignment cosine is the SEQUENTIAL
-    in-index-order fold on the Spark side (cosine_expr) against DuckDB's
-    list_dot_product — identical operation order, identical doubles —
-    with the argmax on the 6dp-ROUNDED cosine, cid tiebreak (the ANN
-    house rule), so per-cell COUNTS cannot flip on a boundary ulp.
+    Cross-engine discipline: the assignment must match the INDEX it
+    audits, so it uses ann_ivf's exact rule — argmax on the RAW cosine,
+    cid tiebreak. Raw is safe here because the Spark side computes the
+    cosine with the SEQUENTIAL in-index-order fold (cosine_expr), the
+    identical operation order as DuckDB's list_dot_product: both faces
+    produce bitwise-equal doubles, unlike the GEMM faces that need the
+    rounded-rank rule.
 
     Scale shape: one broadcast of n_cells centroids, a per-row argmax
     (rows × n_cells fold — linear in the table, constant in n_cells),
@@ -1502,7 +1504,7 @@ def q_ivf_cell_balance(spark, sf_dir):
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
-        F.round(cosine_expr("vec_d", "cv", "norm", "cnorm"), 6).alias("cos"),
+        cosine_expr("vec_d", "cv", "norm", "cnorm").alias("cos"),
     )
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cid").asc()
@@ -1548,7 +1550,7 @@ assign AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT a.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                              ORDER BY ROUND({cos}, 6) DESC, c.cid ASC) AS rn
+                              ORDER BY {cos} DESC, c.cid ASC) AS rn
     FROM e a CROSS JOIN cents c) t WHERE rn = 1
 ),
 per_cell AS (

@@ -41,6 +41,7 @@ T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
 T1 = 1_767_225_600_000_000  # 2026-01-01
 HOUR_US = 3_600_000_000
 DAY_US = 24 * HOUR_US
+HB_US = 6 * HOUR_US  # trace_index 6 h partition bucket
 COUNTS_START = T0
 COUNTS_END = T0 + 7 * DAY_US
 COUNTS_INTERVAL = 6 * HOUR_US
@@ -3280,6 +3281,21 @@ PATH_STEPS = 3  # leading steps that define a session's path signature
 
 
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return session_paths_from(
+        events.select(
+            "user_id",
+            "event_id",
+            F.lower("event_type").alias("etype"),
+            _epoch_micros(events).alias("tus"),
+        )
+    )
+
+
+def session_paths_from(ev: DataFrame) -> DataFrame:
     """→ (path, n_sessions, avg_session_events): frequency table of
     session OPENINGS — the first PATH_STEPS event types of each session,
     joined 'a>b>c'. The navigation-pattern rollup product teams read
@@ -3294,17 +3310,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator shares; the path string is built from ≤PATH_STEPS rows per
     session via a sorted-struct fold (deterministic at equal timestamps
     by the event_id tiebreak); output rows are bounded by the event-type
-    alphabet ^ PATH_STEPS, not by traffic."""
-    from haystack_traces_spark.session import fan_out
-    from haystack_traces_spark.sources.events import _epoch_micros
-
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    ev = events.select(
-        "user_id",
-        "event_id",
-        F.lower("event_type").alias("etype"),
-        _epoch_micros(events).alias("tus"),
-    )
+    alphabet ^ PATH_STEPS, not by traffic. Takes any
+    (user_id, event_id, etype, tus) frame so crafted tests pin the
+    exact path strings (house rule 7)."""
     flagged = island_index(
         ev, ["user_id"], "tus", SESSION_GAP_US, order_cols=("event_id",)
     ).withColumnRenamed("island_idx", "session_idx")
@@ -3379,6 +3387,49 @@ FROM per_sess GROUP BY path ORDER BY n_sessions DESC, path
 SALT_TARGET_GROUPS = 2_000
 
 
+def _index_grid(idx: DataFrame) -> DataFrame:
+    """THE (day_us, hb) occupancy rollup of a trace_index frame — one
+    definition shared by index_partition_profile and index_salt_plan (a
+    drift between the two would disagree about which buckets exist)."""
+    day = F.col("starttime") - F.col("starttime") % DAY_US
+    hb = F.floor((F.col("starttime") % DAY_US) / HB_US).cast("long")
+    return (
+        idx.select(
+            day.alias("day_us"),
+            hb.alias("hb"),
+            F.size("spans").cast("long").alias("n_groups"),
+        )
+        .groupBy("day_us", "hb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_traces"),
+            F.sum("n_groups").cast("long").alias("n_groups_total"),
+            F.max("n_groups").cast("long").alias("max_groups_per_trace"),
+        )
+    )
+
+
+#: Shared oracle fragment of :func:`_index_grid` — appends per_trace and
+#: grid CTEs to the spans CTE chain.
+_INDEX_GRID_SQL = f"""
+, per_trace AS (
+  SELECT trace_id,
+         MIN(start_time - start_time % 1000000) AS starttime,
+         CAST(COUNT(DISTINCT lower(service_name) || '|'
+                    || lower(operation_name)) AS BIGINT) AS n_groups
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY trace_id
+),
+grid AS (
+  SELECT starttime - starttime % {DAY_US} AS day_us,
+         CAST(FLOOR((starttime % {DAY_US}) / {HB_US}) AS BIGINT) AS hb,
+         CAST(COUNT(*) AS BIGINT) AS n_traces,
+         CAST(SUM(n_groups) AS BIGINT) AS n_groups_total,
+         CAST(MAX(n_groups) AS BIGINT) AS max_groups_per_trace
+  FROM per_trace GROUP BY 1, 2
+)"""
+
+
 def q_index_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """→ (day_us, hb, n_traces, n_groups_total, files_needed, salted):
     the OPERATIONAL output of `index_partition_profile` — for each
@@ -3393,21 +3444,7 @@ def q_index_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to index_partition_profile (one tiny grid
     rollup on the index build's own exchange) plus per-row integer
     derivations."""
-    idx = _index(spark, sf_dir)
-    day = F.col("starttime") - F.col("starttime") % DAY_US
-    hb = F.floor((F.col("starttime") % DAY_US) / HB_US).cast("long")
-    grid = (
-        idx.select(
-            day.alias("day_us"),
-            hb.alias("hb"),
-            F.size("spans").cast("long").alias("n_groups"),
-        )
-        .groupBy("day_us", "hb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_traces"),
-            F.sum("n_groups").cast("long").alias("n_groups_total"),
-        )
-    )
+    grid = _index_grid(_index(spark, sf_dir))
     files = F.expr(
         f"(n_groups_total + {SALT_TARGET_GROUPS - 1}) div {SALT_TARGET_GROUPS}"
     )
@@ -3427,23 +3464,8 @@ def q_index_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_index_salt_plan() -> str:
     return (
         EVENT_SPANS_CTE
+        + _INDEX_GRID_SQL
         + f"""
-, per_trace AS (
-  SELECT trace_id,
-         MIN(start_time - start_time % 1000000) AS starttime,
-         CAST(COUNT(DISTINCT lower(service_name) || '|'
-                    || lower(operation_name)) AS BIGINT) AS n_groups
-  FROM spans
-  WHERE service_name <> '' AND operation_name <> ''
-  GROUP BY trace_id
-),
-grid AS (
-  SELECT starttime - starttime % {DAY_US} AS day_us,
-         CAST(FLOOR((starttime % {DAY_US}) / {HB_US}) AS BIGINT) AS hb,
-         CAST(COUNT(*) AS BIGINT) AS n_traces,
-         CAST(SUM(n_groups) AS BIGINT) AS n_groups_total
-  FROM per_trace GROUP BY 1, 2
-)
 SELECT day_us, hb, n_traces, n_groups_total,
        CAST((n_groups_total + {SALT_TARGET_GROUPS - 1})
             // {SALT_TARGET_GROUPS} AS BIGINT) AS files_needed,
@@ -6339,7 +6361,6 @@ FROM chains GROUP BY 1, 2 ORDER BY 1, 2
 
 
 
-HB_US = 6 * 3_600_000_000
 
 
 def q_index_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6357,44 +6378,16 @@ def q_index_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-trace row rides the index build's single trace
     exchange; the profile is a tiny (day, hb)-keyed combinable rollup —
     output rows = occupied partitions."""
-    idx = _index(spark, sf_dir)
-    day = F.col("starttime") - F.col("starttime") % DAY_US
-    hb = F.floor((F.col("starttime") % DAY_US) / HB_US).cast("long")
-    return (
-        idx.select(
-            day.alias("day_us"),
-            hb.alias("hb"),
-            F.size("spans").cast("long").alias("n_groups"),
-        )
-        .groupBy("day_us", "hb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_traces"),
-            F.sum("n_groups").cast("long").alias("n_groups_total"),
-            F.max("n_groups").cast("long").alias("max_groups_per_trace"),
-        )
-        .orderBy("day_us", "hb")
-    )
+    return _index_grid(_index(spark, sf_dir)).orderBy("day_us", "hb")
 
 
 def sql_index_partition_profile() -> str:
     return (
         EVENT_SPANS_CTE
-        + f"""
-, per_trace AS (
-  SELECT trace_id,
-         MIN(start_time - start_time % 1000000) AS starttime,
-         CAST(COUNT(DISTINCT lower(service_name) || '|'
-                    || lower(operation_name)) AS BIGINT) AS n_groups
-  FROM spans
-  WHERE service_name <> '' AND operation_name <> ''
-  GROUP BY trace_id
-)
-SELECT starttime - starttime % {DAY_US} AS day_us,
-       CAST(FLOOR((starttime % {DAY_US}) / {HB_US}) AS BIGINT) AS hb,
-       CAST(COUNT(*) AS BIGINT) AS n_traces,
-       CAST(SUM(n_groups) AS BIGINT) AS n_groups_total,
-       CAST(MAX(n_groups) AS BIGINT) AS max_groups_per_trace
-FROM per_trace GROUP BY 1, 2 ORDER BY 1, 2
+        + _INDEX_GRID_SQL
+        + """
+SELECT day_us, hb, n_traces, n_groups_total, max_groups_per_trace
+FROM grid ORDER BY 1, 2
 """
     )
 

@@ -250,8 +250,11 @@ class IngestTopology:
             horizon_us=self.window_ms * 1000,
             watermark_delay=watermark_delay,
         )
+        # null-safe: a NULL trace_id (PERMISSIVE decode of a malformed
+        # row) must flow to the sinks like the live path and the batch
+        # build, not vanish into the NULL-comparison hole
         mapped = buffers.filter(
-            F.col("trace_id") != BACKFILL_FLUSH_TRACE_ID
+            ~F.col("trace_id").eqNullSafe(BACKFILL_FLUSH_TRACE_ID)
         ).select("trace_id", F.col("events_json").alias("spans_json"))
         return (
             mapped.writeStream.outputMode("append")
@@ -274,8 +277,9 @@ def run_backfill(
     tables_dir: str,
     checkpoint_dir: str,
     window_ms: int = DEFAULT_WINDOW_MS,
-    watermark_delay_sec: int = 3600,
+    watermark_delay_sec: int | None = None,
     timeout_sec: int = 600,
+    max_files_per_trigger: int | None = None,
     **topology_kwargs,
 ) -> "IngestTopology":
     """One-call deterministic backfill of an at-rest JSON span corpus:
@@ -284,22 +288,76 @@ def run_backfill(
     same corpus writes the same tables (batching-invariance pinned in
     test_streaming.py).
 
+    ``watermark_delay_sec=None`` (default) derives the delay from the
+    CORPUS ITSELF: the files of an at-rest corpus stream in mtime order,
+    not event-time order, so a span in a later batch can be arbitrarily
+    older than an earlier batch's max — the delay must cover the whole
+    corpus time span or the watermark late-drops real spans mid-backfill
+    (state then holds everything until the flush, bounded by the corpus,
+    exactly like the batch build it reproduces). Pass an explicit delay
+    only when the source files are KNOWN time-ordered and state should
+    stay bounded by that horizon. ``max_files_per_trigger`` bounds the
+    per-batch file count for giant backfills.
+
     The final sessions only close when the watermark passes them; for
-    at-rest data nothing would advance it past the last close, so this
-    helper measures the corpus's max event time (one cheap batch scan of
-    one column — the data is at rest by definition) and injects a single
-    flush sentinel far enough ahead (max + window + 2·delay) via a side
-    directory unioned into the stream; Spark's run-another-batch logic
-    then fires every pending event-time timer before availableNow stops.
-    The sentinel's reserved trace id is filtered before the sinks."""
+    at-rest data nothing would advance it past the last close. So the
+    backfill is TWO sequential availableNow runs on one checkpoint:
+    run 1 drains every data file (the watermark never exceeds
+    corpus-max − delay ≤ corpus-min, so no real span can be
+    late-dropped regardless of file order), then a flush sentinel far
+    ahead of the corpus (max + window + 2·delay) lands in a side
+    directory and run 2 picks it up — the watermark jumps past every
+    pending close and Spark's run-another-batch logic fires all
+    event-time timers before stopping. Injecting the sentinel only
+    AFTER run 1 is what makes this safe: a sentinel visible in the
+    first micro-batch would advance the watermark past the whole corpus
+    and late-drop every later batch. The sentinel's reserved trace id
+    is filtered (null-safely) before the sinks.
+
+    Raises TimeoutError if a run has not drained within ``timeout_sec``
+    (the query is stopped first — never returns while the sinks are
+    still being appended to)."""
     batch = spark.read.schema(SPAN).json(src_dir)
-    max_ts = batch.agg(F.max("start_time")).first()[0]
+    row = batch.agg(
+        F.min("start_time").alias("lo"), F.max("start_time").alias("hi")
+    ).first()
     topo = IngestTopology(tables_dir, window_ms=window_ms, **topology_kwargs)
-    if max_ts is None:
+    if row["hi"] is None:
         return topo  # empty corpus: nothing to backfill
+    if watermark_delay_sec is None:
+        # corpus time span + one window + 1 s margin, in whole seconds
+        watermark_delay_sec = (
+            int(row["hi"] - row["lo"]) // 1_000_000 + window_ms // 1000 + 1
+        )
     flush_dir = Path(f"{checkpoint_dir}_flush")
     flush_dir.mkdir(parents=True, exist_ok=True)
-    flush_ts = int(max_ts) + window_ms * 1000 + 2 * watermark_delay_sec * 1_000_000
+
+    def source(path: str) -> DataFrame:
+        reader = spark.readStream.schema(SPAN)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.json(path)
+
+    def drain(tag: str) -> None:
+        stream = source(src_dir).unionByName(source(str(flush_dir)))
+        q = topo.start_backfill(
+            stream,
+            checkpoint_dir,
+            watermark_delay=f"{watermark_delay_sec} seconds",
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"backfill {tag} did not drain within {timeout_sec}s — "
+                f"tables under {tables_dir} are PARTIAL; re-run with a "
+                "larger timeout_sec (the checkpoint resumes where it "
+                "stopped)"
+            )
+
+    drain("data run")
+    flush_ts = (
+        int(row["hi"]) + window_ms * 1000 + 2 * watermark_delay_sec * 1_000_000
+    )
     sentinel = {
         "trace_id": BACKFILL_FLUSH_TRACE_ID,
         "span_id": "flush",
@@ -314,11 +372,5 @@ def run_backfill(
     tmp = flush_dir / "flush.json.tmp"
     tmp.write_text(json.dumps(sentinel) + "\n")
     tmp.rename(flush_dir / "flush.json")
-    stream = file_span_source(spark, src_dir).unionByName(
-        file_span_source(spark, str(flush_dir))
-    )
-    q = topo.start_backfill(
-        stream, checkpoint_dir, watermark_delay=f"{watermark_delay_sec} seconds"
-    )
-    q.awaitTermination(timeout_sec)
+    drain("flush run")
     return topo

@@ -539,8 +539,24 @@ def test_round5_dp_operators_plan_shapes(spark):
         assert "CartesianProduct" not in bloom
         assert "BroadcastNestedLoopJoin" not in bloom
 
+        # containment_dedup's QUERY fn now returns a session-cached
+        # localCheckpoint (plan = Scan ExistingRDD — vacuously clean), so
+        # the guard inspects the UNDERLYING pipeline the stage builds
+        from haystack_traces_spark.datapipe import dedup as D
+
+        def containment_pipeline(spark_, sf_):
+            return D.containment_pairs(
+                dp._docs(spark_, sf_), dp.CONTAIN_THRESHOLD
+            )
+
+        def minhash_pipeline(spark_, sf_):
+            return D.minhash_lsh_pairs(
+                dp._docs(spark_, sf_), dp.JACCARD_THRESHOLD
+            )
+
         for name, fn in {
-            "containment_dedup": dp.q_containment_dedup,
+            "containment_dedup": containment_pipeline,
+            "minhash_lsh": minhash_pipeline,
             "sketch_agreement": dp.q_sketch_agreement,
             "hapax_share": dp.q_hapax_share,
             "intro_bias": dp.q_intro_bias,

@@ -1892,14 +1892,20 @@ def test_backfill_topology_reproduces_batch_build(spark, tmp_path):
 
     spans = _spans(spark, "/root/testdata/sf0.001")
     src = tmp_path / "src"
-    spans.repartition(3).write.json(str(src))  # several files -> several batches
+    spans.repartition(3).write.json(str(src))
 
+    # maxFilesPerTrigger=1 forces a GENUINE multi-batch run: files are
+    # randomly partitioned, so later batches carry spans far older than
+    # earlier batches' max event time — the auto-derived watermark delay
+    # (corpus span + window) must keep them from being late-dropped, and
+    # the flush sentinel (newest mtime -> last batch) must still close
+    # every session
     run_backfill(
         spark,
         str(src),
         str(tmp_path / "tables"),
         str(tmp_path / "ckpt"),
-        watermark_delay_sec=120,
+        max_files_per_trigger=1,
     )
 
     streamed = compact_trace_index(

@@ -1576,53 +1576,61 @@ class TestRound7Operators:
         assert got == [(1, 1), (2, 3)]
 
     def test_session_paths_orders_steps_and_counts(self, spark):
-        """Crafted sessions: path = first PATH_STEPS event types in
-        (tus, event_id) order; short sessions keep their short path."""
+        """Crafted sessions through the SHIPPED core (session_paths_from):
+        path = first PATH_STEPS event types in (tus, event_id) order,
+        truncated paths for short sessions, exact avg."""
         rows = [
             # user 1, one session of 4 events: view click view purchase
             (1, 1, "view", T0), (1, 2, "click", T0 + 1),
             (1, 3, "view", T0 + 2), (1, 4, "purchase", T0 + 3),
-            # user 2, one 1-event session far later
+            # user 2, one 1-event session
             (2, 5, "view", T0),
         ]
-        import pyspark.sql.functions as F  # noqa: F811
-
         ev = spark.createDataFrame(
             rows, "user_id long, event_id long, etype string, tus long"
         )
-        # drive the core through the same machinery as the query fn
-        flagged = EQ.island_index(
-            ev, ["user_id"], "tus", EQ.SESSION_GAP_US, order_cols=("event_id",)
-        ).withColumnRenamed("island_idx", "session_idx")
-        per = flagged.groupBy("user_id", "session_idx").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct("tus", "event_id", "etype"))
-                    ),
-                    1,
-                    EQ.PATH_STEPS,
-                ),
-                lambda s: s["etype"],
-            ).alias("steps"),
-        )
-        got = {
-            r["user_id"]: (F and None, r["n_events"], ">".join(r["steps"]))
-            for r in per.collect()
+        got = {r["path"]: (r["n_sessions"], r["avg_session_events"])
+               for r in EQ.session_paths_from(ev).collect()}
+        assert got == {
+            "view>click>view": (1, 4.0),
+            "view": (1, 1.0),
         }
-        assert got[1] == (None, 4, "view>click>view")
-        assert got[2] == (None, 1, "view")
 
     def test_index_salt_plan_flags_hot_partition(self, spark):
-        """A partition whose group count exceeds SALT_TARGET_GROUPS must
-        report files_needed > 1 and salted = true; integer ceil division
-        exact at the boundary."""
-        assert EQ.SALT_TARGET_GROUPS == 2_000
-        # exact boundary arithmetic (the div expression, no Spark needed):
-        # 2000 groups -> 1 file, 2001 -> 2
-        f = lambda g: (g + EQ.SALT_TARGET_GROUPS - 1) // EQ.SALT_TARGET_GROUPS
-        assert f(2000) == 1 and f(2001) == 2 and f(1) == 1
+        """The SHIPPED operator over a crafted hot bucket: a (day, hb)
+        partition holding SALT_TARGET_GROUPS + 1 index groups must report
+        files_needed = 2 and salted = true, while a cool bucket reports
+        1/false — exact at the integer-ceil boundary."""
+        n_hot = EQ.SALT_TARGET_GROUPS + 1
+        rows = [
+            # hot bucket: one trace with n_hot distinct operations at T0
+            mk(trace_id="hot", span_id=f"h{i}", service="svc",
+               operation=f"op_{i}", start=T0 + i, duration=10)
+            for i in range(n_hot)
+        ] + [
+            # cool bucket, next day: one group
+            mk(trace_id="cool", span_id="c", service="svc",
+               operation="op", start=T0 + DAY_US, duration=10),
+        ]
+        import haystack_traces_spark.entry_queries as EQm
+        orig = EQm._spans
+        EQm._spans = lambda _s, _d: _with_spans(spark, rows)
+        try:
+            got = {
+                (r["day_us"], r["hb"]): (
+                    r["n_groups_total"], r["files_needed"], r["salted"]
+                )
+                for r in EQm.q_index_salt_plan(spark, "crafted").collect()
+            }
+        finally:
+            EQm._spans = orig
+        hot = got[(T0 - T0 % DAY_US, (T0 % DAY_US) // (6 * 3_600_000_000))]
+        cool_key = (
+            T0 + DAY_US - (T0 + DAY_US) % DAY_US,
+            ((T0 + DAY_US) % DAY_US) // (6 * 3_600_000_000),
+        )
+        assert hot == (n_hot, 2, True)
+        assert got[cool_key] == (1, 1, False)
 
     def test_dedup_cascade_marginal_attribution(self, spark):
         """An exact copy is flagged by every stage but counted NEW only
