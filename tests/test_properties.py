@@ -882,3 +882,66 @@ def test_cms_never_underestimates_any_corpus(texts):
         ).collect():
             merged[(r["r"], r["c"])] += r["n"]
     assert dict(merged) == cells
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 1_000), min_size=0, max_size=60),
+    st.integers(1, 200),
+    st.sampled_from(["gap", "anchored"]),
+)
+def test_split_islands_structural_invariants(ts_list, horizon, mode):
+    """The ONE island-split core under both session faces (streaming
+    event-time + batch anchored): for ANY event multiset and horizon,
+    (a) islands partition the input exactly (no loss, no dup), (b) each
+    island is internally rule-consistent (gap: consecutive deltas ≤
+    horizon; anchored: every member < start + horizon), (c) adjacent
+    islands are rule-separated (gap: boundary delta > horizon; anchored:
+    next start ≥ prev start + horizon), (d) island starts are
+    non-decreasing. A violation of any of these is a sessionization bug
+    no oracle comparison on the synthetic corpus would localize."""
+    from haystack_traces_spark.streaming.sessionize import _split_islands
+
+    events = sorted((t, f"e{i}") for i, t in enumerate(ts_list))
+    islands = _split_islands(events, mode, horizon)
+    flat = [e for isl in islands for e in isl]
+    assert flat == events  # exact partition, order preserved
+    for isl in islands:
+        assert isl, "empty island"
+        if mode == "gap":
+            assert all(
+                b[0] - a[0] <= horizon for a, b in zip(isl, isl[1:])
+            ), isl
+        else:
+            assert all(e[0] < isl[0][0] + horizon for e in isl), isl
+    for prev, nxt in zip(islands, islands[1:]):
+        if mode == "gap":
+            assert nxt[0][0] - prev[-1][0] > horizon
+        else:
+            assert nxt[0][0] >= prev[0][0] + horizon
+        assert nxt[0][0] >= prev[0][0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.integers(1, 120),
+)
+def test_gap_islands_match_lag_rule(ts_list, gap):
+    """The streaming face's gap islands equal the batch gaps-and-islands
+    LAG rule (new island iff delta > gap) computed independently — the
+    pure-Python mirror of the Spark-level event_sessions equivalence."""
+    from haystack_traces_spark.streaming.sessionize import _split_islands
+
+    events = sorted((t, f"e{i}") for i, t in enumerate(ts_list))
+    islands = _split_islands(events, "gap", gap)
+    # independent LAG-rule recomputation
+    want, cur = [], [events[0]]
+    for prev, nxt in zip(events, events[1:]):
+        if nxt[0] - prev[0] > gap:
+            want.append(cur)
+            cur = [nxt]
+        else:
+            cur.append(nxt)
+    want.append(cur)
+    assert islands == want
