@@ -1457,6 +1457,160 @@ ORDER BY c.stage
 """
 
 
+
+PACK_CONTEXTS = (512, 1024, 2048, 4096)
+
+
+def q_packing_waste_curve(spark, sf_dir):
+    """→ (context_len, total_chunks, pad_tokens, pad_share, n_docs_split,
+    split_share): PADDING/FRAGMENTATION cost of concat-and-chunk example
+    packing at several context lengths — for each candidate training
+    context size, how many tokens the last-chunk padding wastes and how
+    many documents a chunk boundary cuts in half (the two quantities the
+    context-length decision actually trades: bigger contexts waste more
+    pad per shard-tail but split fewer docs). Uses pack_shards' exact
+    grouping/order (hash pack groups, doc_id order, exclusive running
+    token totals), so the curve prices the SHIPPED packing, not an
+    idealized one.
+
+    Scale shape: pack_shards' per-group window once, then one combinable
+    per-group rollup carrying all context lengths as parallel columns,
+    unpivoted to the 4-row curve at the end — no per-L re-scan."""
+    from haystack_traces_spark.datapipe import corpus as C
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    grouped = docs.select(
+        "doc_id",
+        (C.hash60(F.col("doc_id").cast("string"), seed="pack:") % 8)
+        .cast("long")
+        .alias("pack_group"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    flagged = grouped.select(
+        "pack_group",
+        "n_tokens",
+        *[
+            (
+                F.floor(cum / L)
+                != F.floor((cum + F.col("n_tokens") - 1) / L)
+            ).cast("long").alias(f"x{L}")
+            for L in PACK_CONTEXTS
+        ],
+    )
+    per_group = flagged.groupBy("pack_group").agg(
+        F.sum("n_tokens").alias("tg"),
+        F.count(F.lit(1)).alias("nd"),
+        *[F.sum(f"x{L}").alias(f"s{L}") for L in PACK_CONTEXTS],
+    )
+    total = per_group.agg(
+        F.sum("nd").alias("n_docs"),
+        *[
+            F.sum(F.ceil(F.col("tg") / L)).alias(f"c{L}")
+            for L in PACK_CONTEXTS
+        ],
+        *[
+            F.sum(F.ceil(F.col("tg") / L) * L - F.col("tg")).alias(f"p{L}")
+            for L in PACK_CONTEXTS
+        ],
+        *[F.sum(f"s{L}").alias(f"k{L}") for L in PACK_CONTEXTS],
+    )
+    rows = ", ".join(
+        f"{L}L, c{L}, p{L}, k{L}" for L in PACK_CONTEXTS
+    )
+    return (
+        total.select(
+            F.expr(
+                f"stack({len(PACK_CONTEXTS)}, {rows}) "
+                "AS (context_len, total_chunks, pad_tokens, n_docs_split)"
+            ),
+            "n_docs",
+        )
+        .select(
+            F.col("context_len").cast("long").alias("context_len"),
+            F.col("total_chunks").cast("long").alias("total_chunks"),
+            F.col("pad_tokens").cast("long").alias("pad_tokens"),
+            F.round(
+                F.col("pad_tokens")
+                / (F.col("total_chunks") * F.col("context_len")),
+                6,
+            ).alias("pad_share"),
+            F.col("n_docs_split").cast("long").alias("n_docs_split"),
+            F.round(F.col("n_docs_split") / F.col("n_docs"), 6).alias(
+                "split_share"
+            ),
+        )
+        .orderBy("context_len")
+    )
+
+
+def sql_packing_waste_curve() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % 8"
+    flags = ",\n         ".join(
+        f"CASE WHEN FLOOR(cum / {L}) <> FLOOR((cum + n_tokens - 1) / {L}) "
+        f"THEN 1 ELSE 0 END AS x{L}"
+        for L in PACK_CONTEXTS
+    )
+    gaggs = ",\n         ".join(
+        f"SUM(x{L}) AS s{L}" for L in PACK_CONTEXTS
+    )
+    taggs = ",\n       ".join(
+        f"SUM(CEIL(tg * 1.0 / {L})) AS c{L},\n       "
+        f"SUM(CEIL(tg * 1.0 / {L}) * {L} - tg) AS p{L},\n       "
+        f"SUM(s{L}) AS k{L}"
+        for L in PACK_CONTEXTS
+    )
+    curve = "\n  UNION ALL ".join(
+        f"SELECT {L} AS context_len, c{L} AS total_chunks, p{L} AS pad_tokens,"
+        f" k{L} AS n_docs_split, n_docs FROM total"
+        for L in PACK_CONTEXTS
+    )
+    return f"""
+WITH grouped AS (
+  SELECT doc_id, {g} AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cums AS (
+  SELECT pack_group, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+  FROM grouped
+),
+flagged AS (
+  SELECT pack_group, n_tokens,
+         {flags}
+  FROM cums
+),
+per_group AS (
+  SELECT pack_group, SUM(n_tokens) AS tg, COUNT(*) AS nd,
+         {gaggs}
+  FROM flagged GROUP BY 1
+),
+total AS (
+  SELECT SUM(nd) AS n_docs,
+       {taggs}
+  FROM per_group
+)
+SELECT CAST(context_len AS BIGINT) AS context_len,
+       CAST(total_chunks AS BIGINT) AS total_chunks,
+       CAST(pad_tokens AS BIGINT) AS pad_tokens,
+       ROUND(pad_tokens * 1.0 / (total_chunks * context_len), 6) AS pad_share,
+       CAST(n_docs_split AS BIGINT) AS n_docs_split,
+       ROUND(n_docs_split * 1.0 / n_docs, 6) AS split_share
+FROM ({curve}) ORDER BY context_len
+"""
+
+
 IVF_CELLS = 16
 IVF_PROBE = 4
 
@@ -3633,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diversify": q_mmr_diversify,
         "ivf_cell_balance": q_ivf_cell_balance,
         "dedup_cascade_yield": q_dedup_cascade_yield,
+        "packing_waste_curve": q_packing_waste_curve,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -3756,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diversify": sql_mmr_diversify(),
         "ivf_cell_balance": sql_ivf_cell_balance(),
         "dedup_cascade_yield": sql_dedup_cascade_yield(),
+        "packing_waste_curve": sql_packing_waste_curve(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

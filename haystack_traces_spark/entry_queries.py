@@ -6543,6 +6543,7 @@ _ROTATION_QUEUE = (
     "dedup_cascade_yield",
     "ivf_cell_balance",
     "service_cost_pareto",
+    "packing_waste_curve",
 )
 
 

@@ -1724,3 +1724,54 @@ class TestRound7Operators:
             ("small", 1, 200, 0.2, 0.9),
             ("tiny", 1, 100, 0.1, 1.0),
         ]
+
+    def test_packing_waste_curve_matches_python_mirror(self, spark):
+        """Crafted docs with known token counts: the curve equals a pure-
+        Python recomputation of concat-and-chunk packing driven by the
+        bit-exact hash60 mirror (same groups, same doc order)."""
+        import math
+
+        from haystack_traces_spark.datapipe import queries as Q
+        from haystack_traces_spark.datapipe.hashing import hash60_py
+
+        token_counts = [5, 600, 3, 1200, 512, 1, 900, 77, 513, 511]
+        rows = [
+            (i, " ".join(["w"] * n), "en", "s", 0)
+            for i, n in enumerate(token_counts)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        orig = Q._docs
+        Q._docs = lambda _s, _d: docs
+        try:
+            got = {r["context_len"]: tuple(r)[1:] for r in
+                   Q.q_packing_waste_curve(spark, "crafted").collect()}
+        finally:
+            Q._docs = orig
+
+        # pure-Python mirror
+        groups: dict[int, list[int]] = {}
+        for i, n in enumerate(token_counts):
+            groups.setdefault(hash60_py(str(i), seed="pack:") % 8, []).append(n)
+        for L in Q.PACK_CONTEXTS:
+            chunks = pad = split = 0
+            for toks in groups.values():  # doc_id order preserved
+                tg = sum(toks)
+                chunks += math.ceil(tg / L)
+                pad += math.ceil(tg / L) * L - tg
+                cum = 0
+                for n in toks:
+                    if cum // L != (cum + n - 1) // L:
+                        split += 1
+                    cum += n
+            from haystack_traces_spark.functions.stats import round6_half_up
+
+            # HALF_UP, not builtin round (house rule 15: Python mirrors
+            # of engine ROUND must not use banker's rounding)
+            want = (
+                chunks, pad, round6_half_up(pad / (chunks * L)),
+                split, round6_half_up(split / len(token_counts)),
+            )
+            assert got[L] == want, (L, got[L], want)
