@@ -123,9 +123,15 @@ class IngestTopology:
         span_buffer_topic: str | None = None,
         span_buffer_brokers: str | None = None,
         span_buffer_dir: str | None = None,
+        promote_whitelist: bool | tuple[str, ...] = False,
     ):
         self.tables_dir = tables_dir
         self.window_ms = window_ms
+        # S4 index layout: write the promoted wl_<name> value unions
+        # (build_trace_index docstring / SCALE.md §2) — compact_trace_index
+        # preserves them, so the read path's fast dispatch works on
+        # streamed tables too
+        self.promote_whitelist = promote_whitelist
         self.max_spans = max_spans
         self.whitelist_path = whitelist_path
         # T2 full semantics: global spans-in-state cap divided across state
@@ -163,7 +169,10 @@ class IngestTopology:
 
             # S4: trace_index rows for this batch's buffers
             idx = build_trace_index(
-                spans, self._load_whitelist(), with_partition_cols=True
+                spans,
+                self._load_whitelist(),
+                with_partition_cols=True,
+                promote_whitelist=self.promote_whitelist,
             )
             idx.repartition("dt", "hb").write.mode("append").partitionBy("dt", "hb").parquet(f"{d}/trace_index")
 

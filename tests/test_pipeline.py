@@ -270,3 +270,40 @@ def test_compact_trace_index_equals_full_rebuild(spark):
     cm, cf = canon(merged), canon(full)
     assert cm.keys() == cf.keys()
     assert cm == cf
+
+
+def test_compact_preserves_promoted_unions(spark):
+    """compact(promoted build(A) ∪ promoted build(B)) == promoted
+    build(A ∪ B) INCLUDING the wl_<name> union columns — a compaction
+    that silently dropped them would downgrade a promoted table on its
+    first maintenance pass."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.operators.index import (
+        build_trace_index,
+        compact_trace_index,
+    )
+
+    spans = _spans(spark, "/root/testdata/sf0.001")
+    a = spans.filter(F.col("span_id").cast("long") % 2 == 0)
+    b = spans.filter(F.col("span_id").cast("long") % 2 == 1)
+    merged = compact_trace_index(
+        build_trace_index(a, promote_whitelist=True).unionByName(
+            build_trace_index(b, promote_whitelist=True)
+        )
+    )
+    full = build_trace_index(spans, promote_whitelist=True)
+    assert set(merged.columns) == set(full.columns)
+    wl_cols = [c for c in full.columns if c.startswith("wl_")]
+    assert wl_cols, "promoted build must carry wl_ columns"
+
+    def canon(df):
+        return {
+            r["traceid"]: tuple(
+                tuple(sorted(r[c])) for c in sorted(wl_cols)
+            )
+            for r in df.select("traceid", *wl_cols).collect()
+        }
+
+    assert canon(merged) == canon(full)
