@@ -354,6 +354,37 @@ def vocab_coverage(
 
 # --------------------------------------------------------- shard packing --
 
+def pack_grouped(
+    docs: DataFrame, n_groups: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, pack_group, n_tokens): THE pack-group assignment and
+    token counting under the shipped packing — one definition shared by
+    pack_shards and packing_waste_curve, so the waste curve always
+    prices the packing the pipeline actually ships (seed, group count,
+    and token rule cannot drift apart)."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        (hash60(F.col("doc_id").cast("string"), seed="pack:") % n_groups)
+        .cast("long")
+        .alias("pack_group"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+def sql_pack_grouped(n_groups: int = 8) -> str:
+    """DuckDB mirror of :func:`pack_grouped` — a full SELECT over
+    ``documents`` (drop into a CTE)."""
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % {n_groups}"
+    return (
+        f"SELECT doc_id, {g} AS pack_group,\n"
+        "         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens\n"
+        "  FROM documents"
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     token_budget: int = 2000,
@@ -371,14 +402,7 @@ def pack_shards(
     window per group vs a single-reducer global sort). A doc longer than
     the budget gets its own shard(s) boundary — chunking is by running
     total, docs are never split."""
-    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
-    grouped = docs.select(
-        "doc_id",
-        (hash60(F.col("doc_id").cast("string"), seed="pack:") % n_groups)
-        .cast("long")
-        .alias("pack_group"),
-        n_tokens.alias("n_tokens"),
-    )
+    grouped = pack_grouped(docs, n_groups, text_col)
     w = (
         Window.partitionBy("pack_group")
         .orderBy("doc_id")

@@ -1479,15 +1479,7 @@ def q_packing_waste_curve(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    grouped = docs.select(
-        "doc_id",
-        (C.hash60(F.col("doc_id").cast("string"), seed="pack:") % 8)
-        .cast("long")
-        .alias("pack_group"),
-        n_tokens.alias("n_tokens"),
-    )
+    grouped = C.pack_grouped(_docs(spark, sf_dir), PACK_GROUPS)
     w = (
         Window.partitionBy("pack_group")
         .orderBy("doc_id")
@@ -1552,9 +1544,7 @@ def q_packing_waste_curve(spark, sf_dir):
 
 
 def sql_packing_waste_curve() -> str:
-    from haystack_traces_spark.datapipe.hashing import hash60_sql
-
-    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % 8"
+    from haystack_traces_spark.datapipe import corpus as C
     flags = ",\n         ".join(
         f"CASE WHEN FLOOR(cum / {L}) <> FLOOR((cum + n_tokens - 1) / {L}) "
         f"THEN 1 ELSE 0 END AS x{L}"
@@ -1576,9 +1566,7 @@ def sql_packing_waste_curve() -> str:
     )
     return f"""
 WITH grouped AS (
-  SELECT doc_id, {g} AS pack_group,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
+  {C.sql_pack_grouped(PACK_GROUPS)}
 ),
 cums AS (
   SELECT pack_group, n_tokens,

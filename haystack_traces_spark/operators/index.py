@@ -228,30 +228,28 @@ def compact_trace_index(
         F.col("duration"),
         *[F.col(n) for n in wl_names],
     )
-    # a PROMOTED index (wl_<name> unions) compacts to a promoted index:
-    # rebuild each union from the MERGED group sets — the same
-    # construction the build uses, so compact(promoted build rows) ==
-    # promoted full build (silently dropping the columns would downgrade
-    # a promoted table on its first compaction)
-    promoted_names = [
-        c[len(PROMOTED_PREFIX):]
-        for c in idx.columns
-        if c.startswith(PROMOTED_PREFIX)
-    ]
-    promoted_aggs = []
-    for name in promoted_names:
-        agg = (
-            F.collect_set(name)
-            if name in ("servicename", "operationname")
-            else F.array_distinct(F.flatten(F.collect_list(name)))
-        )
-        promoted_aggs.append(agg.alias(f"{PROMOTED_PREFIX}{name}"))
     out = groups.groupBy("traceid").agg(
         F.min("_min_start").alias("starttime"),
         F.max("_root_dur").alias("rootduration"),
         F.collect_list(group_struct).alias("spans"),
-        *promoted_aggs,
     )
+    # a PROMOTED index (wl_<name> unions) compacts to a promoted index:
+    # each union is rebuilt from the wl_ COLUMNS THEMSELVES (union of
+    # per-row unions = the full union — set algebra, no whitelist or
+    # group-field dependence, so compact cannot crash or silently drop a
+    # tag the compactor's whitelist no longer lists, and there is no
+    # second copy of the build's per-field agg dispatch to drift)
+    promoted_cols = [
+        c for c in idx.columns if c.startswith(PROMOTED_PREFIX)
+    ]
+    if promoted_cols:
+        promoted = idx.groupBy("traceid").agg(
+            *[
+                F.array_distinct(F.flatten(F.collect_list(c))).alias(c)
+                for c in promoted_cols
+            ]
+        )
+        out = out.join(promoted, "traceid")
     if "dt" in idx.columns:
         out = _with_partition_cols(out)
     return out

@@ -145,6 +145,38 @@ class IngestTopology:
         self.span_buffer_brokers = span_buffer_brokers
         self.span_buffer_dir = span_buffer_dir
 
+    @staticmethod
+    def _check_index_layout(
+        spark: SparkSession, path: str, batch_cols: list[str]
+    ) -> None:
+        """Refuse to append a batch whose PROMOTED wl_<name> column set
+        differs from the existing trace_index's. Promotion is a
+        TABLE-level layout: parquet appends with a different top-level
+        column set read back as NULL unions on the other rows, and the
+        promoted search dispatch would silently drop those traces from
+        every result (wrong answers, no error). Flipping
+        promote_whitelist — or hot-reloading a whitelist that changes
+        the promoted tag set — therefore requires a rebuild/backfill of
+        the table, and this guard turns the silent-wrongness state into
+        a loud write-time error. Footer-only schema read: O(one file)."""
+        from haystack_traces_spark.operators.index import PROMOTED_PREFIX
+
+        try:
+            existing = spark.read.parquet(path).columns
+        except Exception:
+            return  # first batch: no table yet
+        have = {c for c in existing if c.startswith(PROMOTED_PREFIX)}
+        want = {c for c in batch_cols if c.startswith(PROMOTED_PREFIX)}
+        if have != want:
+            raise ValueError(
+                f"trace_index promoted-layout mismatch at {path}: table has "
+                f"{sorted(have) or 'no promoted columns'}, batch would write "
+                f"{sorted(want) or 'no promoted columns'} — promotion is a "
+                "table-level layout; rebuild/backfill the index instead of "
+                "appending mixed schemas (readers would silently drop the "
+                "rows whose unions read back as NULL)"
+            )
+
     def _load_whitelist(self) -> WhitelistConfig:
         """Re-read per micro-batch — the reference's hot reload (S9)."""
         if self.whitelist_path and Path(self.whitelist_path).exists():
@@ -174,6 +206,7 @@ class IngestTopology:
                 with_partition_cols=True,
                 promote_whitelist=self.promote_whitelist,
             )
+            self._check_index_layout(spark, f"{d}/trace_index", idx.columns)
             idx.repartition("dt", "hb").write.mode("append").partitionBy("dt", "hb").parquet(f"{d}/trace_index")
 
             # S6: service catalog merge (distinct new pairs only)

@@ -1936,3 +1936,94 @@ def test_backfill_topology_reproduces_batch_build(spark, tmp_path):
     store = spark.read.parquet(str(tmp_path / "tables" / "trace_store"))
     n_store_spans = store.select(F.explode("spans")).count()
     assert n_store_spans == spans.count()
+
+
+def test_backfill_with_promotion_and_layout_guard(spark, tmp_path):
+    """The promoted layout through the STREAMING write path: a promoted
+    backfill writes wl_ columns on every row (never NULL), the compacted
+    result equals the promoted batch build including the unions, the
+    promoted search over the streamed table matches the plain search,
+    and appending an UNPROMOTED batch onto the promoted table is refused
+    loudly (mixed schemas read back as NULL unions that the promoted
+    dispatch would silently drop)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.operators import search as search_ops
+    from haystack_traces_spark.operators.expression import (
+        EQUAL,
+        GREATER_THAN,
+        ExpressionTree,
+        Field,
+    )
+    from haystack_traces_spark.operators.index import (
+        build_trace_index,
+        compact_trace_index,
+    )
+    from haystack_traces_spark.streaming.ingest import (
+        IngestTopology,
+        run_backfill,
+    )
+
+    spans = _spans(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "src"
+    spans.write.json(str(src))
+    run_backfill(
+        spark,
+        str(src),
+        str(tmp_path / "tables"),
+        str(tmp_path / "ckpt"),
+        promote_whitelist=True,
+    )
+    raw = spark.read.parquet(str(tmp_path / "tables" / "trace_index"))
+    wl_cols = [c for c in raw.columns if c.startswith("wl_")]
+    assert wl_cols, raw.columns
+    for c in wl_cols:  # every streamed row carries its union
+        assert raw.filter(F.col(c).isNull()).count() == 0, c
+
+    streamed = compact_trace_index(raw)
+    full = build_trace_index(spans, promote_whitelist=True)
+
+    def canon_unions(df):
+        return {
+            r["traceid"]: tuple(tuple(sorted(r[c])) for c in sorted(wl_cols))
+            for r in df.select("traceid", *wl_cols).collect()
+        }
+
+    assert canon_unions(streamed) == canon_unions(full)
+
+    # promoted search over the streamed table == plain search over batch
+    req = search_ops.SearchRequest(
+        EQ.T0, EQ.T1, 20,
+        ExpressionTree((
+            Field("servicename", "error", EQUAL),
+            Field("duration", EQ.DUR_THRESHOLD, GREATER_THAN),
+        )),
+    )
+    got = sorted(
+        (r["traceid"], r["starttime"])
+        for r in search_ops.search_trace_ids(streamed, req).collect()
+    )
+    want = sorted(
+        (r["traceid"], r["starttime"])
+        for r in search_ops.search_trace_ids(
+            build_trace_index(spans), req
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # layout guard: an unpromoted append onto the promoted table refuses
+    topo = IngestTopology(str(tmp_path / "tables"))  # promote off
+    buffers = spark.createDataFrame(
+        [("tX", 0, 0, 1, "window",
+          ['{"trace_id":"tX","span_id":"s","parent_span_id":"",'
+           '"service_name":"svc","operation_name":"op",'
+           '"start_time":1704067200000000,"duration":5,'
+           '"tags":[],"logs":[]}'])],
+        "trace_id string, first_seen_ms long, emitted_ms long, "
+        "n_spans int, emit_reason string, spans_json array<string>",
+    )
+    with pytest.raises(ValueError, match="promoted-layout mismatch"):
+        topo.process_batch(buffers, 0)

@@ -1754,7 +1754,9 @@ class TestRound7Operators:
         # pure-Python mirror
         groups: dict[int, list[int]] = {}
         for i, n in enumerate(token_counts):
-            groups.setdefault(hash60_py(str(i), seed="pack:") % 8, []).append(n)
+            groups.setdefault(
+                hash60_py(str(i), seed="pack:") % Q.PACK_GROUPS, []
+            ).append(n)
         for L in Q.PACK_CONTEXTS:
             chunks = pad = split = 0
             for toks in groups.values():  # doc_id order preserved
