@@ -2918,6 +2918,97 @@ GROUP BY 1, 2 ORDER BY 1, 2
     )
 
 
+
+def q_sampling_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (service_name, n_full, n_kept, p50_full, p50_kept, p95_full,
+    p95_kept, p95_rel_err): does the SHIPPED tail-sampling policy
+    preserve each service's latency distribution — exact per-service
+    p50/p95 over ALL spans vs over spans of KEPT traces only, with the
+    relative p95 error derived from the UNROUNDED quantiles (house
+    rule). `sampling_bias_report` says what the sampler keeps; this says
+    what the dashboards built on the kept data will MIS-READ (tail
+    sampling over-keeps slow traces by design, so kept-p95 skews high —
+    the number an SRE must know before trusting a sampled SLO, and the
+    distortion `sampling_debias_weights` exists to correct).
+
+    Scale shape: the decision table rides the shared trace exchange;
+    spans join it on the same key; two combinable per-service quantile
+    rollups (exact face — the approx_percentile swap is the documented
+    scale path for percentiles, SCALE.md §5)."""
+    spans = _spans(spark, sf_dir)
+    kept_ids = q_tail_sampling(spark, sf_dir).filter(
+        F.col("reason") != "drop"
+    ).select("trace_id")
+    sv = spans.filter(F.col("service_name") != "").select(
+        "trace_id", "service_name", "duration"
+    )
+    full = sv.groupBy("service_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.expr("percentile(duration, 0.5)").alias("_p50_full"),
+        F.expr("percentile(duration, 0.95)").alias("_p95_full"),
+    )
+    kept = (
+        sv.join(kept_ids, "trace_id")
+        .groupBy("service_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.expr("percentile(duration, 0.5)").alias("_p50_kept"),
+            F.expr("percentile(duration, 0.95)").alias("_p95_kept"),
+        )
+    )
+    return (
+        full.join(kept, "service_name", "left")
+        .select(
+            "service_name",
+            "n_full",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round("_p50_full", 6).alias("p50_full"),
+            F.round("_p50_kept", 6).alias("p50_kept"),
+            F.round("_p95_full", 6).alias("p95_full"),
+            F.round("_p95_kept", 6).alias("p95_kept"),
+            F.round(
+                F.abs(F.col("_p95_kept") - F.col("_p95_full"))
+                / F.nullif(F.col("_p95_full"), F.lit(0.0)),
+                6,
+            ).alias("p95_rel_err"),
+        )
+        .orderBy("service_name")
+    )
+
+
+def sql_sampling_fidelity() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, kept AS (
+  SELECT trace_id FROM ({sql_tail_sampling()}) t WHERE reason <> 'drop'
+),
+sv AS (
+  SELECT trace_id, service_name, duration FROM spans
+  WHERE service_name <> ''
+),
+fullq AS (
+  SELECT service_name, CAST(COUNT(*) AS BIGINT) AS n_full,
+         quantile_cont(duration, 0.5) AS p50f,
+         quantile_cont(duration, 0.95) AS p95f
+  FROM sv GROUP BY 1
+),
+keptq AS (
+  SELECT service_name, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         quantile_cont(duration, 0.5) AS p50k,
+         quantile_cont(duration, 0.95) AS p95k
+  FROM sv JOIN kept USING (trace_id) GROUP BY service_name
+)
+SELECT f.service_name, f.n_full, COALESCE(k.n_kept, 0) AS n_kept,
+       ROUND(f.p50f, 6) AS p50_full, ROUND(k.p50k, 6) AS p50_kept,
+       ROUND(f.p95f, 6) AS p95_full, ROUND(k.p95k, 6) AS p95_kept,
+       ROUND(ABS(k.p95k - f.p95f) / NULLIF(f.p95f, 0), 6) AS p95_rel_err
+FROM fullq f LEFT JOIN keptq k USING (service_name)
+ORDER BY f.service_name
+"""
+    )
+
+
 def q_sampling_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit of the tail-sampling policy: per decision reason, how many
     traces, what share of the corpus, and the mean trace duration — the
@@ -6544,6 +6635,7 @@ _ROTATION_QUEUE = (
     "ivf_cell_balance",
     "service_cost_pareto",
     "packing_waste_curve",
+    "sampling_fidelity",
 )
 
 
@@ -6640,6 +6732,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchored_sessions": q_anchored_sessions,
         "session_paths": q_session_paths,
         "service_cost_pareto": q_service_cost_pareto,
+        "sampling_fidelity": q_sampling_fidelity,
         "index_salt_plan": q_index_salt_plan,
         "latency_changepoint": q_latency_changepoint,
         "funnel_steps": q_funnel_steps,
@@ -6756,6 +6849,7 @@ def _trace_oracles() -> dict[str, str]:
         "anchored_sessions": sql_anchored_sessions(),
         "session_paths": sql_session_paths(),
         "service_cost_pareto": sql_service_cost_pareto(),
+        "sampling_fidelity": sql_sampling_fidelity(),
         "index_salt_plan": sql_index_salt_plan(),
         "latency_changepoint": sql_latency_changepoint(),
         "funnel_steps": sql_funnel_steps(),

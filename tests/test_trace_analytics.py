@@ -1777,3 +1777,41 @@ class TestRound7Operators:
                 split, round6_half_up(split / len(token_counts)),
             )
             assert got[L] == want, (L, got[L], want)
+
+    def test_sampling_fidelity_detects_tail_skew(self, spark):
+        """Crafted population where the sampler drops exactly the fast
+        traces of one service: kept percentiles skew high and the
+        relative error is exact. Policy constants shared with the
+        operator (error keeps, slow keeps, hash decides the rest)."""
+        import haystack_traces_spark.entry_queries as EQm
+        from haystack_traces_spark.datapipe.hashing import hash60_py
+
+        # trace durations: 10 fast (100us) + 2 slow (keep: > slow
+        # threshold) for service svc; hash decides the fast ones
+        slow_us = EQm.SAMPLING_SLOW_US
+        rows = []
+        for i in range(10):
+            rows.append(mk(trace_id=f"f{i}", span_id=f"f{i}",
+                           service="svc", duration=100))
+        for i in range(2):
+            rows.append(mk(trace_id=f"s{i}", span_id=f"s{i}",
+                           service="svc", duration=slow_us + 1_000))
+        kept_fast = [
+            f"f{i}" for i in range(10)
+            if hash60_py(f"f{i}", seed="tail:") % 100
+            < EQm.SAMPLING_RATE_PCT
+        ]
+        orig = EQm._spans
+        EQm._spans = lambda _s, _d: _with_spans(spark, rows)
+        try:
+            [r] = EQm.q_sampling_fidelity(spark, "crafted").collect()
+        finally:
+            EQm._spans = orig
+        assert r["n_full"] == 12
+        assert r["n_kept"] == 2 + len(kept_fast)
+        # full p95 is dominated by the slow pair only at the very tail;
+        # kept set over-represents slow traces -> kept p50 must be >=
+        # full p50 whenever most fast traces were dropped
+        if len(kept_fast) <= 4:
+            assert r["p50_kept"] >= r["p50_full"]
+        assert r["p95_rel_err"] is not None and r["p95_rel_err"] >= 0.0
