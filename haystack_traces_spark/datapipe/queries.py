@@ -18,7 +18,11 @@ from haystack_traces_spark.datapipe import dedup as D
 from haystack_traces_spark.datapipe import multimodal as M
 from haystack_traces_spark.datapipe import similarity as S
 from haystack_traces_spark.datapipe import text as X
-from haystack_traces_spark.datapipe.hashing import hash60_sql, word_shingles_sql
+from haystack_traces_spark.datapipe.hashing import (
+    hash60,
+    hash60_sql,
+    word_shingles_sql,
+)
 from haystack_traces_spark.datapipe.stagecache import shared_stage
 
 JACCARD_THRESHOLD = 0.8
@@ -1596,6 +1600,172 @@ SELECT CAST(context_len AS BIGINT) AS context_len,
        CAST(n_docs_split AS BIGINT) AS n_docs_split,
        ROUND(n_docs_split * 1.0 / n_docs, 6) AS split_share
 FROM ({curve}) ORDER BY context_len
+"""
+
+
+
+def q_cluster_stability(spark, sf_dir):
+    """→ (half, n_docs, n_full_pairs, n_stable_pairs, stability): a
+    deterministic SPLIT-HALF stability audit of the near-dup clustering
+    — docs hash into two halves; each half is re-clustered from scratch
+    over only its internal pairs, and for every co-clustered pair of the
+    FULL clustering whose endpoints share a half, we ask whether the
+    half-clustering still co-clusters them. Removing vertices can only
+    split components, so stability ∈ [0, 1]: low values mean the
+    clusters are held together by BRIDGE documents (chain-shaped
+    template families that shatter under any subsampling — exactly the
+    clusters `cluster_transitivity` flags as suspect), high values mean
+    dense, resampling-robust duplicate groups a curator can act on.
+    The split-half trick is the deterministic analog of a bootstrap —
+    no RNG, both faces reproduce it from the shared hash.
+
+    Scale shape: rides the session-cached pair table and full cluster
+    map; two extra label propagations over half-sized pair tables;
+    full-pair enumeration is a per-cluster self-join (near-dup clusters
+    are small by construction — the same boundedness dedup_report
+    relies on)."""
+    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    fullc = q_dedup_clusters(spark, sf_dir)
+    half = lambda c: (hash60(F.col(c).cast("string"), seed="stab:") % 2).cast("long")  # noqa: E731
+    lab = fullc.select("doc_id", "cluster", half("doc_id").alias("h"))
+    a = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster").alias("ca"),
+        F.col("h").alias("h"),
+    )
+    b = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster").alias("cb"),
+        F.col("h").alias("hb"),
+    )
+    fp = a.join(
+        b,
+        (F.col("ca") == F.col("cb"))
+        & (F.col("h") == F.col("hb"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("h", "doc_a", "doc_b")
+
+    halved = []
+    for hx in (0, 1):
+        px = pairs.filter(
+            (half("doc_a") == hx) & (half("doc_b") == hx)
+        ).select("doc_a", "doc_b")
+        cx = D.dup_clusters(px).select(
+            F.col("doc_id"), F.col("cluster").alias("hcluster"),
+            F.lit(hx).cast("long").alias("h"),
+        )
+        halved.append(cx)
+    hc = halved[0].unionByName(halved[1])
+    stable = (
+        fp.join(
+            hc.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hcluster").alias("sca"), "h",
+            ),
+            ["doc_a", "h"],
+        )
+        .join(
+            hc.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hcluster").alias("scb"), "h",
+            ),
+            ["doc_b", "h"],
+        )
+        .filter(F.col("sca") == F.col("scb"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stable_pairs"))
+    )
+    per_half = fp.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full_pairs")
+    )
+    docs_per = lab.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    catalog = spark.createDataFrame([(0,), (1,)], "h long")
+    return (
+        catalog.join(F.broadcast(docs_per), "h", "left")
+        .join(F.broadcast(per_half), "h", "left")
+        .join(F.broadcast(stable), "h", "left")
+        .select(
+            F.col("h").alias("half"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_full_pairs", F.lit(0)).cast("long")
+            .alias("n_full_pairs"),
+            F.coalesce("n_stable_pairs", F.lit(0)).cast("long")
+            .alias("n_stable_pairs"),
+            F.round(
+                F.coalesce("n_stable_pairs", F.lit(0))
+                / F.nullif(F.coalesce("n_full_pairs", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("stability"),
+        )
+        .orderBy("half")
+    )
+
+
+def sql_cluster_stability() -> str:
+    """Each clustering (full, half-0, half-1) is the SAME shared
+    components fragment inside its own scoped subquery (nested WITHs are
+    subquery-local — no edges/reach CTE clashes)."""
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    def hh(col):
+        return f"{hash60_sql(f'CAST({col} AS VARCHAR)', seed='stab:')} % 2"
+
+    def clusters(where: str) -> str:
+        return f"""(
+  WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
+  dup AS (
+    SELECT doc_a, doc_b FROM jac
+    WHERE jaccard >= {JACCARD_THRESHOLD}{where}
+  ),
+  {_components_cte("dup")}
+  SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+)"""
+
+    return f"""
+WITH fullc AS {clusters("")},
+c0 AS {clusters(f" AND {hh('doc_a')} = 0 AND {hh('doc_b')} = 0")},
+c1 AS {clusters(f" AND {hh('doc_a')} = 1 AND {hh('doc_b')} = 1")},
+lab AS (
+  SELECT doc_id, cluster, CAST({hh('doc_id')} AS BIGINT) AS h FROM fullc
+),
+fp AS (
+  SELECT a.h, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lab a JOIN lab b
+    ON a.cluster = b.cluster AND a.h = b.h AND a.doc_id < b.doc_id
+),
+hc AS (
+  SELECT doc_id, cluster AS hcluster, CAST(0 AS BIGINT) AS h FROM c0
+  UNION ALL
+  SELECT doc_id, cluster, CAST(1 AS BIGINT) FROM c1
+),
+stable AS (
+  SELECT fp.h, CAST(COUNT(*) AS BIGINT) AS n_stable_pairs
+  FROM fp
+  JOIN hc ca ON ca.doc_id = fp.doc_a AND ca.h = fp.h
+  JOIN hc cb ON cb.doc_id = fp.doc_b AND cb.h = fp.h
+  WHERE ca.hcluster = cb.hcluster
+  GROUP BY 1
+),
+per_half AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_full_pairs FROM fp GROUP BY 1
+),
+docs_per AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab GROUP BY 1
+),
+catalog(h) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+SELECT c.h AS half,
+       COALESCE(d.n_docs, 0) AS n_docs,
+       COALESCE(p.n_full_pairs, 0) AS n_full_pairs,
+       COALESCE(s.n_stable_pairs, 0) AS n_stable_pairs,
+       ROUND(COALESCE(s.n_stable_pairs, 0) * 1.0
+             / NULLIF(COALESCE(p.n_full_pairs, 0), 0), 6) AS stability
+FROM catalog c
+LEFT JOIN docs_per d ON d.h = c.h
+LEFT JOIN per_half p ON p.h = c.h
+LEFT JOIN stable s ON s.h = c.h
+ORDER BY half
 """
 
 
@@ -3776,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_balance": q_ivf_cell_balance,
         "dedup_cascade_yield": q_dedup_cascade_yield,
         "packing_waste_curve": q_packing_waste_curve,
+        "cluster_stability": q_cluster_stability,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -3900,6 +4071,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cell_balance": sql_ivf_cell_balance(),
         "dedup_cascade_yield": sql_dedup_cascade_yield(),
         "packing_waste_curve": sql_packing_waste_curve(),
+        "cluster_stability": sql_cluster_stability(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

@@ -6636,6 +6636,7 @@ _ROTATION_QUEUE = (
     "service_cost_pareto",
     "packing_waste_curve",
     "sampling_fidelity",
+    "cluster_stability",
 )
 
 

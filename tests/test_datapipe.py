@@ -2943,3 +2943,50 @@ class TestRound6jOperators:
             assert r["corr_dist_length"] > 0.99
         finally:
             release_materialized()
+
+
+def test_cluster_stability_bridge_vs_dense(spark):
+    """Crafted geometry: a 3-doc chain A—B—C where B is in the OTHER
+    half (a bridge) must count its A—C full-pair as UNSTABLE (removing
+    B splits the component), while a same-half dense pair stays stable."""
+    import pyspark.sql.functions as F
+
+    import haystack_traces_spark.datapipe.queries as Q
+    from haystack_traces_spark.datapipe.hashing import hash60_py
+
+    # find doc ids by half under the shipped hash
+    def h(i):
+        return hash60_py(str(i), seed="stab:") % 2
+
+    ids = list(range(40))
+    half0 = [i for i in ids if h(i) == 0]
+    half1 = [i for i in ids if h(i) == 1]
+    a, c = half0[0], half0[1]   # same half
+    b = half1[0]                # the bridge, other half
+    d, e = half0[2], half0[3]   # dense same-half pair
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b), 1.0), (min(b, c), max(b, c), 1.0),
+         (min(d, e), max(d, e), 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    clusters = spark.createDataFrame(
+        [(a, min(a, b, c)), (b, min(a, b, c)), (c, min(a, b, c)),
+         (d, min(d, e)), (e, min(d, e))],
+        "doc_id long, cluster long",
+    )
+    orig_pairs, orig_clusters = Q._jaccard_pairs, Q.q_dedup_clusters
+    Q._jaccard_pairs = lambda _s, _d: pairs
+    Q.q_dedup_clusters = lambda _s, _d: clusters
+    try:
+        out = {r["half"]: r for r in
+               Q.q_cluster_stability(spark, "crafted://stab").collect()}
+    finally:
+        Q._jaccard_pairs, Q.q_dedup_clusters = orig_pairs, orig_clusters
+    h0 = out[0]
+    # full pairs within half 0: (a,c) from the chain cluster + (d,e)
+    assert h0["n_full_pairs"] == 2
+    # (d,e) survives (their edge is internal); (a,c) does not (bridge b
+    # is in half 1, so half-0 re-clustering cannot connect them)
+    assert h0["n_stable_pairs"] == 1
+    assert h0["stability"] == 0.5
