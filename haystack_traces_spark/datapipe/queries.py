@@ -1624,8 +1624,6 @@ def q_cluster_stability(spark, sf_dir):
     full-pair enumeration is a per-cluster self-join (near-dup clusters
     are small by construction — the same boundedness dedup_report
     relies on)."""
-    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
-
     pairs = _jaccard_pairs(spark, sf_dir)
     fullc = q_dedup_clusters(spark, sf_dir)
     half = lambda c: (hash60(F.col(c).cast("string"), seed="stab:") % 2).cast("long")  # noqa: E731
@@ -1704,9 +1702,11 @@ def q_cluster_stability(spark, sf_dir):
 
 
 def sql_cluster_stability() -> str:
-    """Each clustering (full, half-0, half-1) is the SAME shared
-    components fragment inside its own scoped subquery (nested WITHs are
-    subquery-local — no edges/reach CTE clashes)."""
+    """The pair stage (shingles → ppjoin → jaccard) is hoisted ONCE as
+    MATERIALIZED outer CTEs (rule 10 — it dominates dedup-family oracle
+    cost); each clustering (full, half-0, half-1) nests only its dup
+    filter + the shared edges/reach components fragment in a scoped
+    subquery (nested WITHs are subquery-local — no CTE clashes)."""
     from haystack_traces_spark.datapipe.hashing import hash60_sql
 
     def hh(col):
@@ -1714,9 +1714,8 @@ def sql_cluster_stability() -> str:
 
     def clusters(where: str) -> str:
         return f"""(
-  WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
-  dup AS (
-    SELECT doc_a, doc_b FROM jac
+  WITH RECURSIVE dup AS (
+    SELECT doc_a, doc_b FROM alljac
     WHERE jaccard >= {JACCARD_THRESHOLD}{where}
   ),
   {_components_cte("dup")}
@@ -1724,7 +1723,10 @@ def sql_cluster_stability() -> str:
 )"""
 
     return f"""
-WITH fullc AS {clusters("")},
+WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES}),
+{_JACCARD_PAIRS.lstrip().rstrip()},
+alljac AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM jac),
+fullc AS {clusters("")},
 c0 AS {clusters(f" AND {hh('doc_a')} = 0 AND {hh('doc_b')} = 0")},
 c1 AS {clusters(f" AND {hh('doc_a')} = 1 AND {hh('doc_b')} = 1")},
 lab AS (
