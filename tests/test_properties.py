@@ -945,3 +945,83 @@ def test_gap_islands_match_lag_rule(ts_list, gap):
             cur.append(nxt)
     want.append(cur)
     assert islands == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3_000_000), min_size=6, max_size=18),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_latency_changepoint_matches_python_mirror(series_list):
+    """For ANY per-operation bucket-mean series (one span per bucket, so
+    the bucket mean IS the drawn value): the shipped operator's split
+    bucket, exact integer means, and gain share equal an independent
+    pure-Python recomputation (anchored integer prefix sums, argmax on
+    the HALF_UP-rounded gain with bucket tiebreak). One Spark pass for
+    all drawn operations."""
+    from haystack_traces_spark.entry_queries import (
+        CP_BUCKET_US,
+        CP_MIN_BUCKETS,
+        latency_changepoint_from,
+    )
+    from haystack_traces_spark.functions.stats import round6_half_up
+    from haystack_traces_spark.schemas import SPAN
+
+    T0_ = 1_704_067_200_000_000
+    spark = _spark()
+    rows = []
+    for i, series in enumerate(series_list):
+        for b, dur in enumerate(series):
+            rows.append(
+                {
+                    "trace_id": f"t{i}_{b}",
+                    "span_id": f"s{i}_{b}",
+                    "parent_span_id": "",
+                    "service_name": "svc",
+                    "operation_name": f"op{i}",
+                    "start_time": T0_ + b * CP_BUCKET_US,
+                    "duration": dur,
+                    "tags": [],
+                    "logs": [],
+                }
+            )
+    spans = spark.createDataFrame(rows, SPAN)
+    got = {
+        r["operationname"]: r
+        for r in latency_changepoint_from(spans).collect()
+    }
+
+    for i, series in enumerate(series_list):
+        n = len(series)
+        if n < CP_MIN_BUCKETS:
+            assert f"op{i}" not in got
+            continue
+        mn = min(series)
+        a = [v - mn for v in series]
+        t1 = sum(a)
+        t2 = sum(x * x for x in a)
+        best = None  # (rounded_gain, bucket, k, s1)
+        s1 = 0
+        for k in range(1, n):  # split AFTER bucket k (1-based left size)
+            s1 += a[k - 1]
+            r1 = t1 - s1
+            gain = (
+                s1 * s1 / k + r1 * r1 / (n - k) - t1 * t1 / n
+            )
+            key = (-round6_half_up(gain), k)  # bucket asc == k asc here
+            if best is None or key < best[0]:
+                best = (key, k, s1, gain)
+        _, k, s1, gain = best
+        sst = t2 - t1 * t1 / n
+        r = got[f"op{i}"]
+        assert r["n_buckets"] == n
+        assert r["split_bucket"] == T0_ + (k - 1) * CP_BUCKET_US
+        assert r["mean_before_us"] == (s1 + k * mn) // k
+        assert r["mean_after_us"] == (t1 - s1 + (n - k) * mn) // (n - k)
+        if sst == 0:
+            assert r["gain_share"] is None
+        else:
+            assert r["gain_share"] == round6_half_up(gain / sst)
