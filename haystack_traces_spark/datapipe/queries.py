@@ -1786,13 +1786,19 @@ def q_ivf_cell_balance(spark, sf_dir):
     centroids / raise n_cells" before latency does. Pareto-ordered with
     cumulative share.
 
-    Cross-engine discipline: the assignment must match the INDEX it
-    audits, so it uses ann_ivf's exact rule — argmax on the RAW cosine,
-    cid tiebreak. Raw is safe here because the Spark side computes the
-    cosine with the SEQUENTIAL in-index-order fold (cosine_expr), the
-    identical operation order as DuckDB's list_dot_product: both faces
-    produce bitwise-equal doubles, unlike the GEMM faces that need the
-    rounded-rank rule.
+    Cross-engine discipline: the assignment uses ann_ivf's RULE — argmax
+    on the raw cosine, cid tiebreak — computed with the sequential
+    in-index-order fold (cosine_expr), the identical operation order as
+    DuckDB's list_dot_product: both FACES of this audit produce
+    bitwise-equal doubles, unlike the GEMM faces that need the
+    rounded-rank rule. Caveat (ADVICE r7): ann_ivf's index itself
+    assigns cells with a numpy GEMM, whose summation order can differ
+    from the fold at the last ulp — at an exact cosine tie between two
+    centroids this audit can count a vector in a different cell than
+    the index placed it. Occupancy shares are unaffected beyond that
+    ulp-tie row; rounded-rank unification would cost a rounding of
+    every cosine on the hot assignment path for a tie that synthetic
+    and real embeddings don't exhibit.
 
     Scale shape: one broadcast of n_cells centroids, a per-row argmax
     (rows × n_cells fold — linear in the table, constant in n_cells),

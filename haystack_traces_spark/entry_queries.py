@@ -6487,14 +6487,16 @@ FROM grid ORDER BY 1, 2
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
 #:
-#: ROUND-7 TEMPORARY TRIM (VERDICT r6 ask #8): the driver's sample is a
-#: fixed ~50-entry prefix, so for ONE round the core lead is the 10 most
-#: API-central queries (every endpoint family represented) and the other
-#: 13 core names sit right behind the rotation queue — this frees 40
-#: sample slots for never-driver-checked entries (79 -> ~39 remaining)
-#: and pulls full-registry cumulative coverage in by a round. All 23
-#: have been driver-green every round r02-r06 and stay covered by the
-#: local three-SF oracle suite. Restore the full 23-name lead in round 8.
+#: ROUND-7/8 TEMPORARY TRIM (VERDICT r6 ask #8, extended one round by
+#: VERDICT r7 ask #1): the driver's sample is a fixed ~50-entry prefix,
+#: so the core lead is the 10 most API-central queries (every endpoint
+#: family represented) and the other 13 core names sit right behind the
+#: rotation queue — this frees 40 sample slots per round for
+#: never-driver-checked entries (79 -> 39 after r07 -> ~13 after r08).
+#: All 23 have been driver-green every round r02-r07 and stay covered by
+#: the local three-SF oracle suite. RESTORE the full 23-name lead in
+#: round 9 (guarded: tests/test_entry_smoke.py asserts the restore once
+#: CORRECTNESS_r08.json exists — the trim cannot silently persist).
 _CORE_TRACE = (
     "search_traces",
     "search_span_level",
@@ -6535,52 +6537,13 @@ _CORE_TRACE_BENCHED = (
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-7 queue — never driver-checked, priority order. The 27 names
-    # that earned green CORRECTNESS_r06 rows (service_entry_points ...
-    # budget_trim) were removed from the front per the rotation protocol;
-    # they stay covered by the local suite. With the round-7 _CORE_TRACE
-    # trim, ~40 of these fit in the driver sample this round.
-    "embedding_clusters",
-    "service_seasonality",
-    "user_kanonymity",
-    "retention_cohorts",
-    "lsh_recall_report",
-    "lang_metadata_agreement",
-    "simhash_bit_balance",
-    "winnow_density",
-    "lsh_cap_pressure",
-    "slo_burn_rate",
-    "hedged_requests",
-    "operation_affinity",
-    "trace_fingerprints",
-    "containment_dedup",
-    "cluster_sample_weights",
-    "dup_cross_source_matrix",
-    "quality_dup_matrix",
-    "bottleneck_ops",
-    "clock_skew",
-    "callgraph_drift",
-    "bloom_dedup",
-    "embedding_dim_ablation",
-    "span_idle_gaps",
-    "heaps_law",
-    "dup_inflation",
-    "tokenizer_fertility",
-    "operation_cardinality_guard",
-    # round-8 queue:
-    "sketch_agreement",
-    "cluster_transitivity",
-    "dependency_cycles",
-    "service_latency_coupling",
-    "template_prefixes",
-    "embedding_isotropy",
-    "cold_start_tax",
-    "trace_parallelism",
-    "ivf_probe_sweep",
-    "ppl_length_confound",
-    "error_recovery_time",
-    "load_latency_curve",
-    "shard_source_entropy",
+    # round-8 queue — never driver-checked, priority order. The 40 names
+    # that earned green CORRECTNESS_r07 rows (embedding_clusters ...
+    # shard_source_entropy) were removed from the front per the rotation
+    # protocol; they stay covered by the local suite. With the extended
+    # _CORE_TRACE trim, ~40 of these fit in the driver sample this round
+    # (53 never-checked remain; ~13 left for round 9, which restores the
+    # full 23-name core lead: 23 + 13 + round-8 additions < 50).
     "gate_agreement",
     "sampling_rate_plan",
     "label_cohesion",
@@ -6595,7 +6558,6 @@ _ROTATION_QUEUE = (
     "concurrent_trace_load",
     "source_pair_jsd",
     "length_dup_propensity",
-    # round-9 queue:
     "ingestion_mixing",
     # round-6 additions (behind everything already queued):
     "lsh_band_plan",

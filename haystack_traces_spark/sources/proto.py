@@ -410,6 +410,51 @@ def _probe_jvm_protobuf(spark) -> tuple[bool, Exception | None]:
 
 # ------------------------------------------------------ DataFrame plumbing --
 
+#: spark-protobuf materializes proto3 non-optional scalars as their defaults
+#: (""/0/0.0/false/x'') even when absent on the wire, while the Python codec
+#: emits NULL for absent slots. The canonical proto3 encoder never serializes
+#: defaults, so default <=> absent — nullif-on-default makes JVM rows equal
+#: Python-codec rows exactly (ADVICE r7; unit-pinned against decode_tag in
+#: tests/test_proto.py without the jar).
+_JVM_TAG_STRUCT_SQL = (
+    "named_struct("
+    "'key', coalesce(t.key, ''), 'vtype', coalesce(t.type, 'STRING'),"
+    "'vstr', nullif(t.vStr, ''),"
+    "'vlong', nullif(t.vLong, 0L),"
+    "'vdouble', nullif(t.vDouble, cast(0.0 as double)),"
+    "'vbool', nullif(t.vBool, false),"
+    "'vbytes', if(length(t.vBytes) = 0, cast(null as binary), t.vBytes))"
+)
+
+_JVM_LOGS_SQL = (
+    "transform(coalesce(l.fields, array()), t ->"
+    " named_struct('key', coalesce(t.key, ''), 'vstr', nullif(t.vStr, '')))"
+)
+
+
+def _normalize_jvm_decoded(decoded):
+    """JVM-decoded `s` struct rows → the SPAN schema with Python-codec
+    null/default semantics (see _JVM_TAG_STRUCT_SQL)."""
+    from pyspark.sql import functions as F
+
+    return decoded.select(
+        F.coalesce("s.traceId", F.lit("")).alias("trace_id"),
+        F.coalesce("s.spanId", F.lit("")).alias("span_id"),
+        F.coalesce("s.parentSpanId", F.lit("")).alias("parent_span_id"),
+        F.coalesce("s.serviceName", F.lit("")).alias("service_name"),
+        F.coalesce("s.operationName", F.lit("")).alias("operation_name"),
+        F.coalesce("s.startTime", F.lit(0)).cast("long").alias("start_time"),
+        F.coalesce("s.duration", F.lit(0)).cast("long").alias("duration"),
+        F.expr(
+            f"transform(coalesce(s.tags, array()), t -> {_JVM_TAG_STRUCT_SQL})"
+        ).alias("tags"),
+        F.expr(
+            "transform(coalesce(s.logs, array()), l -> named_struct("
+            f"'timestamp', coalesce(l.timestamp, 0L), 'fields', {_JVM_LOGS_SQL}))"
+        ).alias("logs"),
+    )
+
+
 def proto_to_spans_df(raw, value_col: str = "value", use_jvm: str | bool = "auto"):
     """(.. value binary ..) → flat span rows: the Kafka-value decode step.
 
@@ -450,12 +495,6 @@ def proto_to_spans_df(raw, value_col: str = "value", use_jvm: str | bool = "auto
         from pyspark.sql import functions as F
         from pyspark.sql.protobuf.functions import from_protobuf
 
-        tag_struct = (
-            "named_struct("
-            "'key', coalesce(t.key, ''), 'vtype', coalesce(t.type, 'STRING'),"
-            "'vstr', t.vStr, 'vlong', t.vLong, 'vdouble', t.vDouble,"
-            "'vbool', t.vBool, 'vbytes', t.vBytes)"
-        )
         decoded = raw.select(
             from_protobuf(
                 F.col(value_col),
@@ -464,24 +503,7 @@ def proto_to_spans_df(raw, value_col: str = "value", use_jvm: str | bool = "auto
                 options={"mode": "PERMISSIVE"},  # corrupt → null row, filtered below
             ).alias("s")
         ).filter(F.col("s").isNotNull())
-        return decoded.select(
-            F.coalesce("s.traceId", F.lit("")).alias("trace_id"),
-            F.coalesce("s.spanId", F.lit("")).alias("span_id"),
-            F.coalesce("s.parentSpanId", F.lit("")).alias("parent_span_id"),
-            F.coalesce("s.serviceName", F.lit("")).alias("service_name"),
-            F.coalesce("s.operationName", F.lit("")).alias("operation_name"),
-            F.coalesce("s.startTime", F.lit(0)).cast("long").alias("start_time"),
-            F.coalesce("s.duration", F.lit(0)).cast("long").alias("duration"),
-            F.expr(
-                f"transform(coalesce(s.tags, array()), t -> {tag_struct})"
-            ).alias("tags"),
-            F.expr(
-                "transform(coalesce(s.logs, array()), l -> named_struct("
-                "'timestamp', coalesce(l.timestamp, 0L), 'fields',"
-                " transform(coalesce(l.fields, array()), t ->"
-                " named_struct('key', coalesce(t.key, ''), 'vstr', t.vStr))))"
-            ).alias("logs"),
-        )
+        return _normalize_jvm_decoded(decoded)
 
     def gen(batches):
         for pdf in batches:

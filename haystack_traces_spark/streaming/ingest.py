@@ -36,6 +36,29 @@ from haystack_traces_spark.streaming.sessionize import (
 )
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """`spark.read.parquet(path)`, returning None ONLY when the path does
+    not exist yet (the legitimate first-batch state). Any other failure —
+    corrupt footer, permission error, transient FS fault — re-raises:
+    swallowing it would bypass guards like _check_index_layout and
+    recreate exactly the silent mixed-state writes they exist to prevent
+    (ADVICE r7)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        # PATH_NOT_FOUND: no dir yet. UNABLE_TO_INFER_SCHEMA: dir exists
+        # but holds no parquet files (a zero-row first append writes only
+        # _SUCCESS) — both are the empty-table state, nothing to guard.
+        if cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or any(
+            m in str(e) for m in ("[PATH_NOT_FOUND]", "[UNABLE_TO_INFER_SCHEMA]")
+        ):
+            return None
+        raise
+
+
 #: the column contract of Spark's kafka source (what .format("kafka")
 #: .load() yields) — the stub source reproduces it exactly so everything
 #: downstream of the source swap is the SAME code path
@@ -158,13 +181,15 @@ class IngestTopology:
         promote_whitelist — or hot-reloading a whitelist that changes
         the promoted tag set — therefore requires a rebuild/backfill of
         the table, and this guard turns the silent-wrongness state into
-        a loud write-time error. Footer-only schema read: O(one file)."""
+        a loud write-time error. Footer-only schema read: O(one file).
+        Only a genuinely-missing path skips the check (first batch);
+        corrupt/unreadable tables re-raise rather than bypass it."""
         from haystack_traces_spark.operators.index import PROMOTED_PREFIX
 
-        try:
-            existing = spark.read.parquet(path).columns
-        except Exception:
+        table = read_parquet_if_exists(spark, path)
+        if table is None:
             return  # first batch: no table yet
+        existing = table.columns
         have = {c for c in existing if c.startswith(PROMOTED_PREFIX)}
         want = {c for c in batch_cols if c.startswith(PROMOTED_PREFIX)}
         if have != want:
@@ -212,13 +237,11 @@ class IngestTopology:
             # S6: service catalog merge (distinct new pairs only)
             fresh = build_service_catalog(spans)
             cat_path = f"{d}/service_catalog"
-            try:
-                existing = spark.read.parquet(cat_path)
+            existing = read_parquet_if_exists(spark, cat_path)
+            if existing is not None:  # else first batch: no catalog yet
                 fresh = fresh.join(
                     existing, ["servicename", "operationname"], "left_anti"
                 )
-            except Exception:
-                pass  # first batch: no catalog yet
             fresh.write.mode("append").parquet(cat_path)
 
             # S5: optional span-buffer re-publish — ONE message per emitted

@@ -79,3 +79,24 @@ def test_rotation_queue_names_resolve():
     assert merged[n_core : n_core + 5] == [
         n for n in EQ._ROTATION_QUEUE if n not in EQ._CORE_TRACE
     ][:5]
+
+
+def test_core_trace_trim_does_not_outlive_round_8():
+    """ADVICE r7: the rounds-7/8 _CORE_TRACE trim (10-name lead, 13 core
+    API queries benched behind the rotation queue) is temporary — once
+    the round-8 driver gate has run (CORRECTNESS_r08.json exists in the
+    repo root), the full 23-name core lead MUST be restored so every
+    reference-API endpoint is re-verified by the driver every round.
+    This guard fails round 9 loudly instead of letting a comment rot."""
+    from pathlib import Path
+
+    from haystack_traces_spark import entry_queries as EQ
+
+    repo_root = Path(__file__).resolve().parent.parent
+    if not (repo_root / "CORRECTNESS_r08.json").exists():
+        return  # still round 8: trim is sanctioned by VERDICT r7 ask #1
+    assert EQ._CORE_TRACE_BENCHED == (), (
+        "round-8 driver gate has run: fold _CORE_TRACE_BENCHED back into "
+        "_CORE_TRACE (restore the full 23-name core lead)"
+    )
+    assert len(EQ._CORE_TRACE) == 23

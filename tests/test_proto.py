@@ -228,6 +228,67 @@ def test_proto_to_spans_df_jvm_dispatch(spark):
         W.proto_to_spans_df(raw, use_jvm="yes")
 
 
+def test_jvm_default_normalization_matches_python_codec(spark):
+    """ADVICE r7 (proto.py medium): spark-protobuf materializes proto3
+    non-optional scalars as defaults (""/0/0.0/false/x'') where the
+    Python codec emits NULL for absent slots. This pins the JVM-side
+    normalization WITHOUT the jar: hand-build the struct rows
+    spark-protobuf would produce (defaults filled in) for a crafted
+    span, run _normalize_jvm_decoded, and require exact equality with
+    the Python wire codec's rows for the same span."""
+    span = {
+        "trace_id": "t1", "span_id": "s1", "parent_span_id": "",
+        "service_name": "svc", "operation_name": "op",
+        "start_time": 7, "duration": 3,
+        "tags": [
+            {"key": "kl", "vtype": "LONG", "vlong": 9},
+            {"key": "ks", "vtype": "STRING", "vstr": "hello"},
+            {"key": "kd", "vtype": "DOUBLE", "vdouble": 2.5},
+            {"key": "kb", "vtype": "BOOL", "vbool": True},
+            {"key": "ky", "vtype": "BINARY", "vbytes": b"\x01\x02"},
+            # default-valued slots: canonical proto3 never serializes
+            # these, so both decoders see an absent field
+            {"key": "k0", "vtype": "LONG", "vlong": 0},
+        ],
+        "logs": [{"timestamp": 5, "fields": [{"key": "f", "vstr": "v"}]}],
+    }
+    raw = spark.createDataFrame(
+        [(bytearray(W.encode_span(span)),)], "value binary"
+    )
+    py = W.proto_to_spans_df(raw, use_jvm=False).collect()
+
+    # what spark-protobuf would materialize: absent scalar slots filled
+    # with proto3 defaults, enum rendered as its value name
+    def jvm_tag(key, vtype, vstr="", vlong=0, vdouble=0.0,
+                vbool=False, vbytes=b""):
+        return (key, vtype, vstr, vlong, vdouble, vbool, bytearray(vbytes))
+
+    tag_t = (
+        "key string, type string, vStr string, vLong bigint,"
+        " vDouble double, vBool boolean, vBytes binary"
+    )
+    jvm_struct = spark.createDataFrame(
+        [((
+            "t1", "s1", "", "svc", "op", 7, 3,
+            [
+                jvm_tag("kl", "LONG", vlong=9),
+                jvm_tag("ks", "STRING", vstr="hello"),
+                jvm_tag("kd", "DOUBLE", vdouble=2.5),
+                jvm_tag("kb", "BOOL", vbool=True),
+                jvm_tag("ky", "BINARY", vbytes=b"\x01\x02"),
+                jvm_tag("k0", "LONG"),  # vlong=0 default == absent
+            ],
+            [(5, [jvm_tag("f", "STRING", vstr="v")])],
+        ),)],
+        f"s struct<traceId string, spanId string, parentSpanId string,"
+        f" serviceName string, operationName string, startTime bigint,"
+        f" duration bigint, tags array<struct<{tag_t}>>,"
+        f" logs array<struct<timestamp bigint, fields array<struct<{tag_t}>>>>>",
+    )
+    jvm = W._normalize_jvm_decoded(jvm_struct).collect()
+    assert jvm == py
+
+
 def test_proto_to_spans_df_jvm_path_live(spark):
     """Runs ONLY where the spark-protobuf jar is loadable (a real cluster):
     the JVM decode of a crafted span must equal the Python codec's row,

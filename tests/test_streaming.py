@@ -2027,3 +2027,29 @@ def test_backfill_with_promotion_and_layout_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="promoted-layout mismatch"):
         topo.process_batch(buffers, 0)
+
+
+def test_layout_guard_raises_on_corrupt_table(spark, tmp_path):
+    """ADVICE r7: a corrupt (or otherwise unreadable) existing
+    trace_index must NOT be mistaken for 'first batch' — that would
+    bypass the promoted-layout guard and append mixed schemas silently.
+    Only a genuinely-missing path skips the check."""
+    import pytest
+
+    from haystack_traces_spark.streaming.ingest import (
+        IngestTopology,
+        read_parquet_if_exists,
+    )
+
+    # missing path → None (first batch)
+    assert read_parquet_if_exists(spark, str(tmp_path / "nope")) is None
+    IngestTopology._check_index_layout(
+        spark, str(tmp_path / "nope"), ["traceid"]
+    )  # no raise
+
+    # corrupt table → loud failure, not a bypassed guard
+    bad = tmp_path / "trace_index"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception, match="(?i)parquet|footer|PAR1"):
+        IngestTopology._check_index_layout(spark, str(bad), ["traceid"])
