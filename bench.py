@@ -237,7 +237,8 @@ def main() -> None:
         except OSError:
             pass
         headline = (
-            "build_index", "search_traces", "search_ids", "trace_counts",
+            "build_index", "search_traces", "search_traces_promoted",
+            "search_ids", "trace_counts",
             "field_values", "service_catalog", "call_graph",
             "trace_index_stats", "search_traces_processed", "get_trace",
             "critical_path", "service_latency_percentiles",

@@ -30,11 +30,29 @@ them for the session is bounded by design.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _cache: dict[tuple[str, str, str], DataFrame] = {}
+_plan_view = False
+
+
+@contextlib.contextmanager
+def plan_view():
+    """Build stages INLINE (no localCheckpoint, no cache) for the scope —
+    plan-shape tests only. A checkpointed stage reads back as `Scan
+    ExistingRDD`, which neuters any .explain() assertion on the pipeline
+    underneath it (round-7 rule 18); inside this context the composed
+    query's plan shows the real stage pipeline. Never use on the hot
+    path: it defeats the sharing this module exists for."""
+    global _plan_view
+    _plan_view = True
+    try:
+        yield
+    finally:
+        _plan_view = False
 
 
 def shared_stage(
@@ -49,6 +67,8 @@ def shared_stage(
     via :func:`haystack_traces_spark.datapipe.queries.shared_stages`
     BEFORE the per-query loop, timing each as its own ``stage:<name>``
     line (VERDICT r5 ask #4)."""
+    if _plan_view:
+        return build()
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     df = _cache.get(key)
     if df is None:

@@ -627,6 +627,56 @@ def test_round6_operators_have_no_global_bottleneck(spark):
             assert "BroadcastExchange" in plan, (name, plan[:1500])
 
 
+def test_round7_operators_have_no_global_bottleneck(spark):
+    """Round-7 batch (VERDICT r7 ask #2): no cartesian products; every
+    single-partition exchange is catalog/k-bounded (service_cost_pareto's
+    cumulative-share Pareto over |services| rows, dedup_cascade_yield's
+    4-row stage catalog, ivf_cell_balance's occupancy window over
+    IVF_CELLS rows, packing_waste_curve's |contexts|-row rollup); the
+    BroadcastNestedLoopJoins are 1-row/centroid broadcasts. The two
+    stage-cached composites (dedup_cascade_yield, cluster_stability) are
+    inspected through stagecache.plan_view() so the assertions see the
+    UNDERLYING pipeline, not a checkpointed `Scan ExistingRDD` (rule 18;
+    the ExistingRDDs that remain inside cluster_stability /
+    mmr_diversify are the label-propagation iteration checkpoint and
+    the <=pool-size driver-selected MMR rows — inherent, not cache
+    artifacts)."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+    from haystack_traces_spark.datapipe import stagecache
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "search_traces_promoted": (EQ.q_search_traces_promoted, 0),
+        "anchored_sessions": (EQ.q_anchored_sessions, 0),
+        "latency_changepoint": (EQ.q_latency_changepoint, 0),
+        "session_paths": (EQ.q_session_paths, 0),
+        "index_salt_plan": (EQ.q_index_salt_plan, 0),
+        "service_cost_pareto": (EQ.q_service_cost_pareto, 1),
+        "sampling_fidelity": (EQ.q_sampling_fidelity, 0),
+        "ann_filtered": (Q.q_ann_filtered, 0),
+        "pq_code_entropy": (Q.q_pq_code_entropy, 0),
+        "mmr_diversify": (Q.q_mmr_diversify, 0),
+        "dedup_cascade_yield": (Q.q_dedup_cascade_yield, 1),
+        "ivf_cell_balance": (Q.q_ivf_cell_balance, 1),
+        "packing_waste_curve": (Q.q_packing_waste_curve, 1),
+        "cluster_stability": (Q.q_cluster_stability, 0),
+    }
+    try:
+        with stagecache.plan_view():
+            for name, (fn, max_single) in cases.items():
+                plan = _plan(fn(spark, sf))
+                assert "CartesianProduct" not in plan, name
+                assert plan.count("Exchange SinglePartition") <= max_single, (
+                    name, plan[:1500],
+                )
+                if "BroadcastNestedLoopJoin" in plan:
+                    assert "BroadcastExchange" in plan, (name, plan[:1500])
+    finally:
+        release_materialized()
+
+
 def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
     """Round-7 promotion (SURVEY §4 deferred question): a fully
     trace-level EQUAL/range search over a promoted index must answer
