@@ -1462,6 +1462,89 @@ ORDER BY c.stage
 
 
 
+#: synthetic ingest-time span for the event-time provenance face (µs);
+#: collisions are legitimate — lexicographic (ts, doc_id) breaks them on
+#: both faces
+NEARDUP_EVT_SPAN = 86_400_000_000
+
+
+def q_neardup_event_provenance(spark, sf_dir):
+    """→ (doc_id, ts, near_dup, dup_of, n_bands_hit): EVENT-TIME near-dup
+    verdicts — the batch face of streaming.neardup_stream's event-time
+    gate (round 8, VERDICT r7 ask #7), sharing its verdict core
+    (event_time_verdicts, rule 19). Each doc carries a deterministic
+    hash-derived ingest timestamp (the documents table has no time
+    column; the house hash-randomness pattern keeps both faces
+    reproducible); a band's holder is the lexicographically smallest
+    (ts, doc_id) producing it, a doc is near-dup iff some band's holder
+    strictly precedes it, and dup_of names the earliest such holder —
+    provenance that is a pure function of the data, invariant to
+    arrival order (the property the arrival-time gate cannot give).
+
+    Scale shape: band-keyed min aggregate (map-side combinable), one
+    equi-join back, one doc rollup — never pair enumeration."""
+    from haystack_traces_spark.streaming.neardup_stream import (
+        band_keys,
+        event_time_verdicts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.pmod(
+        hash60(F.col("doc_id").cast("string"), seed="evt:"),
+        F.lit(NEARDUP_EVT_SPAN),
+    ).cast("long")
+    doc_rows = docs.select("doc_id", ts.alias("ts"))
+    bands = band_keys(docs).join(doc_rows, "doc_id")
+    return event_time_verdicts(doc_rows, bands).orderBy("doc_id")
+
+
+def sql_neardup_event_provenance() -> str:
+    bands, rpb = D.DEFAULT_BANDS, D.DEFAULT_MINHASH_SEEDS // D.DEFAULT_BANDS
+    band_selects = []
+    for b in range(bands):
+        key = " || ':' || ".join(
+            f"CAST(mh_{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT s.doc_id, d.ts, '{b}:' || {key} AS band_key"
+            f" FROM sig s JOIN dts d ON d.doc_id = s.doc_id"
+        )
+    bandrows = " UNION ALL ".join(band_selects)
+    evt_hash = hash60_sql("CAST(doc_id AS VARCHAR)", seed="evt:")
+    return f"""
+WITH {_minhash_sig_ctes()},
+dts AS (
+  SELECT doc_id, CAST({evt_hash} % {NEARDUP_EVT_SPAN} AS BIGINT) AS ts
+  FROM documents
+),
+bandrows AS ({bandrows}),
+holder AS (
+  SELECT band_key, ts AS h_ts, doc_id AS h_doc FROM (
+    SELECT band_key, ts, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY band_key
+                              ORDER BY ts, doc_id) AS rn
+    FROM bandrows
+  ) WHERE rn = 1
+),
+hits AS (
+  SELECT b.doc_id, h.h_ts, h.h_doc
+  FROM bandrows b JOIN holder h ON h.band_key = b.band_key
+  WHERE h.h_ts < b.ts OR (h.h_ts = b.ts AND h.h_doc < b.doc_id)
+),
+hitrank AS (
+  SELECT doc_id, h_doc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h_ts, h_doc) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nh
+  FROM hits
+),
+v AS (SELECT doc_id, h_doc AS dup_of, nh FROM hitrank WHERE rn = 1)
+SELECT d.doc_id, d.ts, (v.doc_id IS NOT NULL) AS near_dup, v.dup_of,
+       CAST(COALESCE(v.nh, 0) AS BIGINT) AS n_bands_hit
+FROM dts d LEFT JOIN v ON v.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 PACK_CONTEXTS = (512, 1024, 2048, 4096)
 
 
@@ -3955,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade_yield": q_dedup_cascade_yield,
         "packing_waste_curve": q_packing_waste_curve,
         "cluster_stability": q_cluster_stability,
+        "neardup_event_provenance": q_neardup_event_provenance,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -4080,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cascade_yield": sql_dedup_cascade_yield(),
         "packing_waste_curve": sql_packing_waste_curve(),
         "cluster_stability": sql_cluster_stability(),
+        "neardup_event_provenance": sql_neardup_event_provenance(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

@@ -6599,6 +6599,8 @@ _ROTATION_QUEUE = (
     "packing_waste_curve",
     "sampling_fidelity",
     "cluster_stability",
+    # round-8 additions:
+    "neardup_event_provenance",
 )
 
 

@@ -178,3 +178,236 @@ class NearDupIngest:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# --------------------- event-time face (round 8, VERDICT r7 ask #7) ---------
+#
+# The arrival-time gate above assigns ``dup_of`` to whichever doc ARRIVED
+# first — replaying the same corpus with different batching flips the
+# provenance (exactly the property the trace sessionizer fixed with
+# sessionize_event_time). The event-time face makes the verdict a pure
+# function of the DATA: every doc carries an event timestamp ``ts``, a
+# band's holder is the lexicographically smallest (ts, doc_id) that ever
+# produced it, and a doc is a near-dup iff one of its bands has a STRICTLY
+# earlier holder. Verdicts are emitted only when the gate's own event-time
+# watermark (max seen ts − delay) passes the doc, so every earlier doc is
+# already in the band log — any batching of the same rows yields identical
+# output (pinned), and a backfill over the at-rest corpus equals the batch
+# face EXACTLY (the run_backfill equivalence, pinned).
+#
+# Semantics trade vs the arrival gate: holders are mins over ALL docs (no
+# admitted-only cascade), which is what makes the batch face one groupBy
+# + join (order-free, SQL-oracle-able: the neardup_event_provenance
+# registry entry) — the price is a band log that grows with all distinct
+# bands, not just admitted docs' (compaction = min-holder per band; the
+# log is band-keyed and mergeable, the same table a production gate would
+# keep bucketed).
+
+#: reserved sentinel doc id for run_neardup_backfill's flush tick — never
+#: a real doc id (doc ids are non-negative in every corpus this reads)
+BACKFILL_FLUSH_DOC_ID = -(1 << 60)
+
+
+def event_time_verdicts(doc_rows: DataFrame, band_rows: DataFrame) -> DataFrame:
+    """SHARED CORE (rule 19: the streaming gate and the batch/oracle face
+    must use the same verdict arithmetic). → (doc_id, ts, near_dup,
+    dup_of, n_bands_hit) from (doc_id, ts) docs and (doc_id, ts,
+    band_key) band rows. Holder per band = min (ts, doc_id) struct; a
+    band hits iff its holder is strictly earlier than the doc; dup_of is
+    the earliest hitting holder's doc. Docs with no bands (short text)
+    are admitted, never dropped.
+
+    Scale shape: one band-keyed aggregate (map-side combinable min), one
+    equi-join back on band_key, one doc-keyed rollup — no pair
+    enumeration anywhere."""
+    holder = band_rows.groupBy("band_key").agg(
+        F.min(F.struct("ts", "doc_id")).alias("h")
+    )
+    hits = (
+        band_rows.join(holder, "band_key")
+        .filter(F.col("h") < F.struct(F.col("ts"), F.col("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("hmin"),
+            F.count(F.lit(1)).cast("long").alias("n_bands_hit"),
+        )
+    )
+    return doc_rows.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "ts",
+        F.col("hmin").isNotNull().alias("near_dup"),
+        F.col("hmin.doc_id").alias("dup_of"),
+        F.coalesce("n_bands_hit", F.lit(0)).cast("long").alias("n_bands_hit"),
+    )
+
+
+class EventTimeNearDup:
+    """foreachBatch event-time near-dup gate over batch-keyed parquet logs.
+
+    Input rows: (doc_id long, ts long, text string) — ``ts`` in the
+    corpus's own event-time unit (comparisons only; the gate never does
+    time arithmetic beyond the delay subtraction). Both state logs and
+    the verdict output are ``batch_id=N`` OVERWRITE dirs and every read
+    filters to prior/current batches, so an at-least-once replay rewrites
+    the first run's files bit-for-bit (the bloom-gate idempotence
+    pattern). Rows older than the watermark at arrival are late-dropped
+    into ``<out_dir>/late`` — observable, never silently verdicted from
+    an incomplete holder log."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        out_dir: str,
+        delay_us: int,
+        n_seeds: int = DEFAULT_MINHASH_SEEDS,
+        bands: int = DEFAULT_BANDS,
+        n: int = 3,
+    ):
+        self.state_dir = state_dir.rstrip("/")
+        self.out_dir = out_dir.rstrip("/")
+        self.delay_us = int(delay_us)
+        self.n_seeds = n_seeds
+        self.bands = bands
+        self.n = n
+
+    def _log(self, spark, sub: str, schema: str, upto_incl: int) -> DataFrame:
+        # only a MISSING path means empty; any other failure propagates
+        # (a corrupt holder log must never silently reset provenance)
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.parquet(f"{self.state_dir}/{sub}")
+        except AnalysisException:
+            return spark.createDataFrame([], schema + ", batch_id long")
+        assert "batch_id" in df.columns, f"{self.state_dir}/{sub}: no batch_id"
+        return df.filter(F.col("batch_id") <= upto_incl)
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        spark = docs.sparkSession
+        # at-least-once sources can duplicate rows within a batch
+        new = docs.select("doc_id", "ts", "text").dropDuplicates(["doc_id"])
+
+        prior_docs = self._log(
+            spark, "docs", "doc_id long, ts long", batch_id - 1
+        )
+        hi_prev = prior_docs.agg(F.max("ts")).first()[0]
+        w_prev = None if hi_prev is None else hi_prev - self.delay_us
+        if w_prev is not None:
+            late = new.filter(F.col("ts") <= F.lit(w_prev))
+            late.select("doc_id", "ts").write.mode("overwrite").parquet(
+                f"{self.out_dir}/late/batch_id={batch_id}"
+            )
+            new = new.filter(F.col("ts") > F.lit(w_prev))
+        new = new.persist()
+
+        bands_new = band_keys(new, self.n_seeds, self.bands, self.n).join(
+            new.select("doc_id", "ts"), "doc_id"
+        )
+        bands_new.select("doc_id", "ts", "band_key").write.mode(
+            "overwrite"
+        ).parquet(f"{self.state_dir}/bands/batch_id={batch_id}")
+        new.select("doc_id", "ts").write.mode("overwrite").parquet(
+            f"{self.state_dir}/docs/batch_id={batch_id}"
+        )
+        new.unpersist()
+
+        all_docs = self._log(spark, "docs", "doc_id long, ts long", batch_id)
+        hi = all_docs.agg(F.max("ts")).first()[0]
+        if hi is None:
+            return  # nothing seen yet
+        w = hi - self.delay_us
+        # emit docs the watermark just passed: ts <= W, minus docs already
+        # emitted by an earlier batch (arrived before N and ts <= W_prev;
+        # W is monotone, so that condition is exactly "emitted before")
+        flush = all_docs.filter(F.col("ts") <= F.lit(w))
+        if w_prev is not None:
+            flush = flush.filter(
+                ~((F.col("batch_id") < batch_id) & (F.col("ts") <= F.lit(w_prev)))
+            )
+        flush = flush.filter(F.col("doc_id") != BACKFILL_FLUSH_DOC_ID)
+        flushed_bands = self._log(
+            spark, "bands", "doc_id long, ts long, band_key string", batch_id
+        ).filter(F.col("ts") <= F.lit(w))
+        event_time_verdicts(
+            flush.select("doc_id", "ts"), flushed_bands
+        ).write.mode("overwrite").parquet(
+            f"{self.out_dir}/verdicts/batch_id={batch_id}"
+        )
+
+    def start(self, source: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        writer = source.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def read_verdicts(spark, out_dir: str) -> DataFrame:
+    """All emitted verdicts across batches (each doc appears exactly
+    once: the emission rule partitions docs across batches)."""
+    return spark.read.parquet(f"{out_dir.rstrip('/')}/verdicts").drop("batch_id")
+
+
+def run_neardup_backfill(
+    spark,
+    src_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    delay_us: int | None = None,
+    timeout_sec: float = 120.0,
+    **gate_kwargs,
+):
+    """Deterministic near-dup backfill of an at-rest (doc_id, ts, text)
+    JSON corpus through the event-time gate — the corpus-gate analog of
+    ingest.run_backfill, same two-run sentinel design: run 1 drains every
+    data file with delay >= the corpus time span (files stream in mtime
+    order, not event order, so nothing may late-drop mid-backfill), then
+    a flush tick with ts far past the corpus lands in a side dir and
+    run 2 advances the gate's watermark over every pending doc. The
+    result equals event_time_verdicts over the whole corpus EXACTLY
+    (pinned in test_streaming.py)."""
+    import json as _json
+    from pathlib import Path
+
+    schema = "doc_id long, ts long, text string"
+    row = (
+        spark.read.schema(schema)
+        .json(src_dir)
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .first()
+    )
+    gate = EventTimeNearDup(state_dir, out_dir, 0, **gate_kwargs)
+    if row["hi"] is None:
+        return gate  # empty corpus
+    if delay_us is None:
+        delay_us = int(row["hi"] - row["lo"]) + 1
+    gate.delay_us = int(delay_us)
+    flush_dir = Path(f"{checkpoint_dir}_flush")
+    flush_dir.mkdir(parents=True, exist_ok=True)
+
+    def drain(tag: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(src_dir)
+            .unionByName(spark.readStream.schema(schema).json(str(flush_dir)))
+        )
+        q = gate.start(stream, checkpoint_dir)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"near-dup backfill {tag} did not drain within {timeout_sec}s"
+            )
+
+    drain("data run")
+    tick = {
+        "doc_id": BACKFILL_FLUSH_DOC_ID,
+        "ts": int(row["hi"]) + 2 * int(delay_us) + 1,
+        "text": "",
+    }
+    tmp = flush_dir / "flush.json.tmp"
+    tmp.write_text(_json.dumps(tick) + "\n")
+    tmp.rename(flush_dir / "flush.json")
+    drain("flush run")
+    return gate

@@ -726,6 +726,131 @@ def test_neardup_gate_flags_near_copies_across_batches(spark, tmp_path):
     assert firsts <= {1, 3, 11}, firsts
 
 
+def _evt_corpus():
+    base = " ".join(f"w{i}" for i in range(40))
+    return [
+        # d5 has the EARLIEST event time but arrives LAST in some
+        # layouts: event-time provenance must still name it the holder
+        {"doc_id": 5, "ts": 500, "text": base.replace("w10", "v10")},
+        {"doc_id": 1, "ts": 1000, "text": base},
+        {"doc_id": 3, "ts": 1500, "text": " ".join(f"zz{i}" for i in range(40))},
+        {"doc_id": 2, "ts": 2000, "text": base.replace("w20", "x20")},
+        {"doc_id": 4, "ts": 3000, "text": "a b"},  # bandless short doc
+    ]
+
+
+def _evt_batch_face(spark, recs):
+    from haystack_traces_spark.streaming.neardup_stream import (
+        band_keys,
+        event_time_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"]) for r in recs],
+        "doc_id long, ts long, text string",
+    )
+    doc_rows = docs.select("doc_id", "ts")
+    bands = band_keys(docs).join(doc_rows, "doc_id")
+    return sorted(
+        tuple(r) for r in event_time_verdicts(doc_rows, bands).collect()
+    )
+
+
+def test_neardup_event_backfill_equals_batch(spark, tmp_path):
+    """run_neardup_backfill over an at-rest corpus (files NOT in event
+    order — the mtime-vs-event-time hazard run_backfill documents)
+    produces EXACTLY the shared-core batch verdicts: deterministic
+    dup_of provenance pointing at the earliest (ts, doc_id) holder, the
+    bandless doc admitted, the flush tick absent from the output."""
+    import json
+
+    from haystack_traces_spark.streaming.neardup_stream import (
+        read_verdicts,
+        run_neardup_backfill,
+    )
+
+    recs = _evt_corpus()
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files, deliberately out of event-time order
+    for i, chunk in enumerate([recs[3:4], recs[0:2], recs[2:3] + recs[4:]]):
+        with open(src / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    run_neardup_backfill(
+        spark, str(src), str(tmp_path / "state"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        tuple(r) for r in read_verdicts(spark, str(tmp_path / "out")).collect()
+    )
+    want = _evt_batch_face(spark, recs)
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # earliest-holder provenance: d1 and d2 are near-copies of d5 (the
+    # earliest ts), so BOTH name 5 — an arrival-order gate would have
+    # named whichever copy arrived first
+    assert by_id[5][2] is False
+    assert by_id[1][2] is True and by_id[1][3] == 5
+    assert by_id[2][2] is True and by_id[2][3] == 5
+    assert by_id[3][2] is False and by_id[4][2] is False  # bandless admitted
+    assert set(by_id) == {1, 2, 3, 4, 5}  # no flush tick in the output
+
+
+def test_neardup_event_gate_batching_invariant_and_late_drop(spark, tmp_path):
+    """The same corpus pushed through EventTimeNearDup under different
+    micro-batch layouts emits IDENTICAL verdict rows (the determinism
+    contract the arrival-time gate cannot have); a row older than the
+    watermark at arrival is routed to the late dir, never verdicted."""
+    from haystack_traces_spark.streaming.neardup_stream import (
+        EventTimeNearDup,
+        read_verdicts,
+    )
+
+    recs = _evt_corpus()
+    tick = [{"doc_id": -(1 << 60), "ts": 10_000_000, "text": ""}]
+
+    def run(tag, layouts):
+        gate = EventTimeNearDup(
+            str(tmp_path / f"state_{tag}"), str(tmp_path / f"out_{tag}"),
+            delay_us=100_000,
+        )
+        for i, chunk in enumerate(layouts):
+            gate.process_batch(
+                spark.createDataFrame(
+                    [(r["doc_id"], r["ts"], r["text"]) for r in chunk],
+                    "doc_id long, ts long, text string",
+                ),
+                i,
+            )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    one = run("one", [recs, tick])
+    scrambled = run("scr", [recs[3:], recs[:3], tick])
+    assert one == scrambled == _evt_batch_face(spark, recs)
+
+    # late drop: watermark after the tick is 10_000_000 - 100_000; a doc
+    # arriving below it lands in late/, and the verdict table is unchanged
+    gate = EventTimeNearDup(
+        str(tmp_path / "state_one"), str(tmp_path / "out_one"),
+        delay_us=100_000,
+    )
+    gate.process_batch(
+        spark.createDataFrame(
+            [(99, 1200, "late doc text")], "doc_id long, ts long, text string"
+        ),
+        2,
+    )
+    late = spark.read.parquet(str(tmp_path / "out_one" / "late"))
+    assert [(r["doc_id"], r["ts"]) for r in late.collect()] == [(99, 1200)]
+    assert sorted(
+        tuple(r) for r in read_verdicts(spark, str(tmp_path / "out_one")).collect()
+    ) == one
+
+
 def test_neardup_gate_admits_bandless_short_docs(spark, tmp_path):
     """ADVICE r3: a doc with fewer tokens than the shingle width produces
     no band rows — it must still be ADMITTED with an explicit verdict row,
