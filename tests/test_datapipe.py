@@ -2246,8 +2246,13 @@ class TestRealPnmCodec:
             M.decode_pnm(b"P6\n2 2\n255\n" + bytes(3))
         with pytest.raises(ValueError, match="magic"):
             M.decode_pnm(b"\xff\xd8\xff\xe0 jpeg bytes")
-        with pytest.raises(NotImplementedError):
+        # baseline JPEG now dispatches to decode_jpeg (garbage raises its
+        # own loud parse error); the NotImplementedError seam is the
+        # still-unimplemented formats (audio/video containers)
+        with pytest.raises(ValueError):
             M.decode_real(b"\xff\xd8\xff\xe0 jpeg bytes", "image")
+        with pytest.raises(NotImplementedError):
+            M.decode_real(b"RIFF....WAVE", "image")
 
     def test_resize_nearest_integer_mapping(self):
         from haystack_traces_spark.datapipe import multimodal as M
@@ -2383,6 +2388,131 @@ class TestRealPnmCodec:
         )
         with pytest.raises(ValueError, match="bit depth"):
             M.decode_png(M.PNG_SIGNATURE + chunk16)
+
+    def test_jpeg_round_trip_all_modes(self):
+        """Baseline JPEG codec (VERDICT r7 ask #5): encode→decode round
+        trips stay within quantization error for gray, RGB 4:4:4 and
+        RGB 4:2:0 (incl. odd dims exercising MCU padding + crop), and a
+        restart-interval stream decodes to the BIT-IDENTICAL raster of
+        its no-DRI twin (RSTn resets predictors, nothing else)."""
+        import numpy as np
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        h, w = 24, 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((yy * 4 + xx * 3) % 256).astype(np.uint8)
+        jp = M.encode_jpeg(w, h, 1, gray.tobytes(), quality=90)
+        W, H, C, r, mx = M.decode_jpeg(jp)
+        assert (W, H, C, mx) == (w, h, 1, 255)
+        dec = np.frombuffer(r, np.uint8).reshape(h, w).astype(int)
+        assert np.abs(dec - gray.astype(int)).max() <= 3
+
+        rgb = np.stack(
+            [(yy * 5 + xx) % 256, (yy + xx * 7) % 256, (yy * 2 + xx * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        jp3 = M.encode_jpeg(w, h, 3, rgb.tobytes(), quality=92)
+        W, H, C, r3, _ = M.decode_jpeg(jp3)
+        assert (W, H, C) == (w, h, 3)
+        d3 = np.frombuffer(r3, np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(d3 - rgb.astype(int)).max() <= 5
+
+        jp420 = M.encode_jpeg(w, h, 3, rgb.tobytes(), quality=92, subsample=True)
+        W, H, C, r4, _ = M.decode_jpeg(jp420)
+        assert (W, H, C) == (w, h, 3)
+        d4 = np.frombuffer(r4, np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(d4 - rgb.astype(int)).max() <= 16  # chroma loss
+
+        jp_dri = M.encode_jpeg(
+            w, h, 3, rgb.tobytes(), quality=92, restart_interval=2
+        )
+        assert M.decode_jpeg(jp_dri)[3] == r3  # bit-identical raster
+
+        h2, w2 = 17, 19
+        g2 = np.mgrid[0:h2, 0:w2]
+        rgb2 = np.stack(
+            [(g2[0] * 9) % 256, (g2[1] * 11) % 256, np.full((h2, w2), 77)],
+            axis=-1,
+        ).astype(np.uint8)
+        jp6 = M.encode_jpeg(w2, h2, 3, rgb2.tobytes(), quality=90, subsample=True)
+        W, H, C, r6, _ = M.decode_jpeg(jp6)
+        assert (W, H, C) == (w2, h2, 3)
+
+    def test_jpeg_pinned_checksums_and_rejections(self):
+        """Determinism pin: encoded bytes AND decoded raster md5s for a
+        fixed input are constants of this codec (fixed tables, float64
+        IDCT on IEEE doubles — no zlib-build dependence, unlike PNG
+        framing). Progressive/arithmetic/12-bit/truncated inputs raise
+        loudly."""
+        import hashlib
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        h, w = 16, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((yy * 7 + xx * 13) % 256).astype(np.uint8)
+        jp = M.encode_jpeg(w, h, 1, gray.tobytes(), quality=80)
+        enc_md5 = hashlib.md5(jp).hexdigest()
+        raster = M.decode_jpeg(jp)[3]
+        dec_md5 = hashlib.md5(raster).hexdigest()
+        jp2 = M.encode_jpeg(w, h, 1, gray.tobytes(), quality=80)
+        assert hashlib.md5(jp2).hexdigest() == enc_md5
+        assert hashlib.md5(M.decode_jpeg(jp2)[3]).hexdigest() == dec_md5
+
+        with pytest.raises(ValueError, match="SOI"):
+            M.decode_jpeg(b"\x00\x00" + jp[2:])
+        # flip SOF0 marker to SOF2: progressive must raise, not mis-decode
+        sof_at = jp.index(b"\xff\xc0")
+        prog = jp[:sof_at + 1] + b"\xc2" + jp[sof_at + 2:]
+        with pytest.raises(ValueError, match="progressive"):
+            M.decode_jpeg(prog)
+        arith = jp[:sof_at + 1] + b"\xc9" + jp[sof_at + 2:]
+        with pytest.raises(ValueError, match="coding"):
+            M.decode_jpeg(arith)
+        # 12-bit precision byte inside SOF
+        (seg_len,) = struct.unpack(">H", jp[sof_at + 2:sof_at + 4])
+        deep = bytearray(jp)
+        deep[sof_at + 4] = 12
+        with pytest.raises(ValueError, match="precision"):
+            M.decode_jpeg(bytes(deep))
+        del seg_len
+        with pytest.raises(ValueError):
+            M.decode_jpeg(jp[: len(jp) // 2])  # truncated scan
+
+    def test_resize_images_real_jpeg_end_to_end(self, spark):
+        """JPEG through the Spark mapInPandas resize path: decode →
+        integer NN resize → JPEG re-encode (source-format-preserving),
+        md5 self-consistent, decoded output raster matches a local
+        re-run of the same deterministic pipeline."""
+        import hashlib
+
+        import numpy as np
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        h, w = 16, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [(yy * 16) % 256, (xx * 16) % 256, np.full((h, w), 40)], axis=-1
+        ).astype(np.uint8)
+        payload = M.encode_jpeg(w, h, 3, rgb.tobytes(), quality=95)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload), len(payload))], M.MEDIA_SCHEMA
+        )
+        r = M.resize_images_real(media, 8, 8).collect()[0]
+        d = M.decode_real(bytes(payload), "image")
+        want = M.encode_jpeg(
+            8, 8, 3,
+            M.resize_nearest(d["width"], d["height"], 3, d["raster"], 8, 8),
+        )
+        assert bytes(r["resized_payload"]) == want
+        assert r["resized_md5"] == hashlib.md5(want).hexdigest()
+        assert M.decode_jpeg(bytes(r["resized_payload"]))[0:2] == (8, 8)
 
     def test_resize_images_real_png_end_to_end(self, spark):
         """PNG through the Spark mapInPandas resize path: decode → integer
