@@ -1545,6 +1545,277 @@ ORDER BY d.doc_id
 """
 
 
+def q_knn_graph_reciprocity(spark, sf_dir):
+    """→ (rank, n_edges, n_mutual, reciprocity): share of directed kNN
+    edges that are MUTUAL (the reverse edge also appears in the graph),
+    per neighbor rank. Mutuality is the edge-retention dial of
+    embedding_clusters (its mutual-kNN filter keeps exactly these), and
+    rank-resolved reciprocity says how fast neighbor quality decays:
+    rank-1 edges are usually reciprocal, deep ranks that stay reciprocal
+    indicate dense duplicate clumps while ranks that collapse to near
+    zero indicate hub contamination (the knn_hubness failure mode seen
+    edge-by-edge).
+
+    Scale shape: rides the session-cached kNN graph (output-side,
+    |vectors|×K edges); one self equi-join on the reversed key pair,
+    one K-row rollup."""
+    return knn_reciprocity_from(_knn_graph_stage(spark, sf_dir))
+
+
+def knn_reciprocity_from(g: DataFrame) -> DataFrame:
+    rev = g.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("has_rev"),
+    )
+    j = g.select("vec_id", "neighbor_id", "rank").join(
+        rev, ["vec_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).cast("long").alias("n_mutual"),
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "n_edges",
+            "n_mutual",
+            F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def sql_knn_graph_reciprocity() -> str:
+    """The graph CTE nests ann_knn_graph's full oracle as a scoped
+    subquery (the ann_recall_report pattern — inner WITHs are
+    subquery-local, no CTE clashes)."""
+    return f"""
+WITH g AS ({sql_ann_knn_graph()}),
+rev AS (SELECT neighbor_id AS vec_id, vec_id AS neighbor_id, 1 AS has_rev FROM g),
+j AS (
+  SELECT g.rank, COALESCE(r.has_rev, 0) AS m
+  FROM g LEFT JOIN rev r
+    ON r.vec_id = g.vec_id AND r.neighbor_id = g.neighbor_id
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(m) AS BIGINT) AS n_mutual,
+       ROUND(SUM(m) * 1.0 / COUNT(*), 6) AS reciprocity
+FROM j GROUP BY rank ORDER BY rank
+"""
+
+
+PRECISION_BUCKETS = 10
+
+
+def q_lsh_candidate_precision(spark, sf_dir):
+    """→ (bucket, n_pairs, share, cum_share_ge): the VERIFY-ECONOMICS
+    curve of MinHash-LSH — every band-collision candidate pair scored
+    with its EXACT Jaccard and histogrammed into integer-arithmetic
+    buckets (bucket = ⌊10·|∩| / |∪|⌋ — never a float group key, rule 13).
+    cum_share_ge at bucket b is the candidate precision a threshold of
+    b/10 would see: the fraction of verify work that survives. A fat
+    bucket-0..2 mass says the band geometry wastes exact-verify compute
+    and lsh_band_plan should move (the per-pair view of what
+    lsh_recall_report scores in aggregate — recall there, precision
+    here). Zero-filled 0..10 so the curve has a fixed shape.
+
+    Scale shape: candidates are the capped band join (the §4 economics);
+    the exact verify touches candidates only; the histogram window runs
+    over 11 catalog rows (bounded single-partition)."""
+    return lsh_candidate_precision_from(spark, _docs(spark, sf_dir))
+
+
+def lsh_candidate_precision_from(spark, docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    cand = D.minhash_candidates(docs)
+    paired = D._pair_shingle_sets(cand, docs, 3)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = paired.select(
+        inter.alias("inter"),
+        (F.size("sh_a") + F.size("sh_b") - inter).alias("uni"),
+    ).select(
+        F.expr(f"CAST(({PRECISION_BUCKETS} * inter) DIV uni AS BIGINT)").alias(
+            "bucket"
+        )
+    )
+    per = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    catalog = spark.createDataFrame(
+        [(i,) for i in range(PRECISION_BUCKETS + 1)], "bucket long"
+    )
+    tot = per.agg(F.sum("n_pairs").alias("total"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 11 catalog rows — bounded global
+    return (
+        catalog.join(F.broadcast(per), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("total"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("n_pairs") / F.expr("NULLIF(total, 0)"), 6),
+        )
+        .withColumn(
+            "cum_share_ge",
+            F.round(F.sum("n_pairs").over(w) / F.expr("NULLIF(total, 0)"), 6),
+        )
+        .drop("total")
+        .orderBy("bucket")
+    )
+
+
+def sql_lsh_candidate_precision() -> str:
+    pb = PRECISION_BUCKETS
+    return f"""
+WITH {_minhash_cand_ctes()},
+{_JACCARD_PAIRS.lstrip().rstrip()},
+b AS (
+  SELECT CAST(({pb} * COALESCE(p.inter, 0))
+              // (sa.n_sh + sb.n_sh - COALESCE(p.inter, 0)) AS BIGINT)
+           AS bucket
+  FROM cand c
+  LEFT JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b GROUP BY 1),
+catalog AS (SELECT UNNEST(generate_series(0, {pb})) AS bucket),
+tot AS (SELECT SUM(n_pairs) AS total FROM per)
+SELECT c.bucket, COALESCE(per.n_pairs, 0) AS n_pairs,
+       ROUND(COALESCE(per.n_pairs, 0) * 1.0 / NULLIF(t.total, 0), 6) AS share,
+       ROUND(SUM(COALESCE(per.n_pairs, 0))
+               OVER (ORDER BY c.bucket DESC) * 1.0
+             / NULLIF(t.total, 0), 6) AS cum_share_ge
+FROM catalog c
+LEFT JOIN per ON per.bucket = c.bucket
+CROSS JOIN tot t
+ORDER BY c.bucket
+"""
+
+
+#: deterministic 1-in-8 doc sample for the spectrum's all-pairs face —
+#: quadratic in the SAMPLE by design (an audit face, like the block-grid
+#: exact dedup), never in the corpus
+SIMHASH_SPECTRUM_MOD = 8
+
+
+def q_simhash_hamming_spectrum(spark, sf_dir):
+    """→ (hamming, n_pairs, share, cum_share_le): the full pairwise
+    hamming-distance distribution of the simhash fingerprint population,
+    over a deterministic 1-in-{SIMHASH_SPECTRUM_MOD} doc sample. This is
+    the CALIBRATION curve behind SIMHASH_MAX_HAMMING: cum_share_le at
+    the shipped threshold is the expected candidate rate, and a spectrum
+    without a low-hamming bump says simhash has nothing to find on this
+    corpus (put beside simhash_bit_balance, which checks the hash family
+    itself). All-pairs over the sample is deliberate — the unbiased
+    audit face; candidate-restricted spectra only see what the buckets
+    already found.
+
+    Scale shape: fingerprints are one map-side aggregate; the pair join
+    is quadratic in the SAMPLE only (mod dial); histogram window over
+    bits+1 catalog rows."""
+    sampled = _docs(spark, sf_dir).filter(
+        F.pmod(
+            hash60(F.col("doc_id").cast("string"), seed="shs:"),
+            F.lit(SIMHASH_SPECTRUM_MOD),
+        )
+        == 0
+    )
+    return simhash_spectrum_from(spark, sampled)
+
+
+def simhash_spectrum_from(spark, docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    fp = D.simhash_fingerprints(docs, SIMHASH_PAIR_BITS)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        .cast("long")
+        .alias("hamming")
+    )
+    per = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    catalog = spark.createDataFrame(
+        [(i,) for i in range(SIMHASH_PAIR_BITS + 1)], "hamming long"
+    )
+    tot = per.agg(F.sum("n_pairs").alias("total"))
+    w = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bits+1 catalog rows — bounded global
+    return (
+        catalog.join(F.broadcast(per), "hamming", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hamming",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("total"),
+        )
+        .withColumn(
+            "share", F.round(F.col("n_pairs") / F.expr("NULLIF(total, 0)"), 6)
+        )
+        .withColumn(
+            "cum_share_le",
+            F.round(F.sum("n_pairs").over(w) / F.expr("NULLIF(total, 0)"), 6),
+        )
+        .drop("total")
+        .orderBy("hamming")
+    )
+
+
+def sql_simhash_hamming_spectrum() -> str:
+    h = hash60_sql("w", seed="sh:")
+    sample = hash60_sql("CAST(doc_id AS VARCHAR)", seed="shs:")
+    bits = SIMHASH_PAIR_BITS
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  WHERE {sample} % {SIMHASH_SPECTRUM_MOD} = 0
+),
+toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM sampled)
+),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+fp AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+       FROM h GROUP BY doc_id),
+pr AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+),
+per AS (SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr GROUP BY 1),
+catalog AS (SELECT UNNEST(generate_series(0, {bits})) AS hamming),
+tot AS (SELECT SUM(n_pairs) AS total FROM per)
+SELECT c.hamming, COALESCE(per.n_pairs, 0) AS n_pairs,
+       ROUND(COALESCE(per.n_pairs, 0) * 1.0 / NULLIF(t.total, 0), 6) AS share,
+       ROUND(SUM(COALESCE(per.n_pairs, 0))
+               OVER (ORDER BY c.hamming) * 1.0
+             / NULLIF(t.total, 0), 6) AS cum_share_le
+FROM catalog c
+LEFT JOIN per ON per.hamming = c.hamming
+CROSS JOIN tot t
+ORDER BY c.hamming
+"""
+
+
 PACK_CONTEXTS = (512, 1024, 2048, 4096)
 
 
@@ -4039,6 +4310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_waste_curve": q_packing_waste_curve,
         "cluster_stability": q_cluster_stability,
         "neardup_event_provenance": q_neardup_event_provenance,
+        "knn_graph_reciprocity": q_knn_graph_reciprocity,
+        "lsh_candidate_precision": q_lsh_candidate_precision,
+        "simhash_hamming_spectrum": q_simhash_hamming_spectrum,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -4165,6 +4439,9 @@ def oracle_sql() -> dict[str, str]:
         "packing_waste_curve": sql_packing_waste_curve(),
         "cluster_stability": sql_cluster_stability(),
         "neardup_event_provenance": sql_neardup_event_provenance(),
+        "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
+        "lsh_candidate_precision": sql_lsh_candidate_precision(),
+        "simhash_hamming_spectrum": sql_simhash_hamming_spectrum(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

@@ -6483,6 +6483,183 @@ FROM grid ORDER BY 1, 2
     )
 
 
+def q_duration_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, n_spans, n_round_1ms, n_round_10ms, share_1ms,
+    heap_factor_1ms): INSTRUMENTATION-ARTIFACT gauge — per service, how
+    many span durations land on round-millisecond multiples (duration ≡
+    0 mod 1000 µs / mod 10000 µs) and how far that exceeds the ~1/1000
+    share a genuinely µs-resolution clock would produce. heap_factor ≫ 1
+    means the service reports ms-truncated (or worse, hand-rounded)
+    durations — its percentiles, MAD outliers and changepoint stats are
+    quantized artifacts, not measurements; the gauge says WHOSE latency
+    numbers to distrust before any of the latency operators run. (The
+    timestamp analog is timestamp_granularity; this is the duration
+    face.)
+
+    Scale shape: one combinable per-service aggregate over the span
+    scan — no join, no window; output = |services| rows."""
+    return duration_heaping_from(_spans(spark, sf_dir))
+
+
+def duration_heaping_from(spans: DataFrame) -> DataFrame:
+    per = spans.groupBy(F.lower("service_name").alias("servicename")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((F.col("duration") % 1000 == 0).cast("long"))
+        .cast("long")
+        .alias("n_round_1ms"),
+        F.sum((F.col("duration") % 10000 == 0).cast("long"))
+        .cast("long")
+        .alias("n_round_10ms"),
+    )
+    return per.select(
+        "servicename",
+        "n_spans",
+        "n_round_1ms",
+        "n_round_10ms",
+        F.round(F.col("n_round_1ms") / F.col("n_spans"), 6).alias("share_1ms"),
+        F.round(
+            F.col("n_round_1ms") * F.lit(1000) / F.col("n_spans"), 6
+        ).alias("heap_factor_1ms"),
+    ).orderBy("servicename")
+
+
+def sql_duration_heaping() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + """
+, per AS (
+  SELECT lower(service_name) AS servicename,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN duration % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_round_1ms,
+         CAST(SUM(CASE WHEN duration % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_round_10ms
+  FROM spans GROUP BY 1
+)
+SELECT servicename, n_spans, n_round_1ms, n_round_10ms,
+       ROUND(n_round_1ms * 1.0 / n_spans, 6) AS share_1ms,
+       ROUND(n_round_1ms * 1000.0 / n_spans, 6) AS heap_factor_1ms
+FROM per ORDER BY servicename
+"""
+    )
+
+
+#: blast_radius fixpoint bound: reach can deepen at most |services| times;
+#: a graph that hasn't converged by then indicates a broken edge feed
+_BLAST_MAX_ITERS = 64
+
+
+def q_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (service, n_downstream, downstream): TRANSITIVE dependency
+    closure of the service call graph — for every service, the set of
+    distinct services reachable through one or more call edges (itself
+    excluded; cycles are dependency_cycles' job). This is the
+    impact-analysis table: a deploy or incident in `service` can touch
+    exactly `downstream`, and n_downstream ranks which services are
+    architectural chokepoints. Zero-filled from the service catalog so
+    leaf services report an explicit empty radius.
+
+    Scale shape: the edge list is a |services|²-bounded aggregate
+    (independent of span volume); the closure is a driver-bounded
+    fixpoint loop over that tiny table with localCheckpoint truncation
+    per step (the dup_clusters iteration contract: RAISES on
+    non-convergence rather than returning a partial closure). Span
+    volume is touched exactly once, by the edge aggregate."""
+    return blast_radius_from(_spans(spark, sf_dir))
+
+
+def blast_radius_from(spans_df: DataFrame) -> DataFrame:
+    edges = (
+        span_call_edges(spans_df)
+        .select(
+            F.lower("from_service").alias("a"),
+            F.lower("to_service").alias("b"),
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    reach = edges.select("a", F.col("b").alias("r")).distinct()
+    reach = reach.localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(_BLAST_MAX_ITERS):
+        grown = (
+            reach.unionByName(
+                reach.join(
+                    edges.select(F.col("a").alias("r"), F.col("b").alias("r2")),
+                    "r",
+                ).select("a", F.col("r2").alias("r"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n2 = grown.count()
+        if n2 == n:
+            reach = grown
+            break
+        reach, n = grown, n2
+    else:
+        raise RuntimeError(
+            f"blast_radius closure did not converge in {_BLAST_MAX_ITERS} "
+            "iterations — edge feed is deeper than any service graph "
+            "should be"
+        )
+    services = (
+        spans_df
+        .select(F.lower("service_name").alias("service"))
+        .distinct()
+    )
+    per = (
+        reach.filter(F.col("a") != F.col("r"))
+        .groupBy(F.col("a").alias("service"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_downstream"),
+            F.concat_ws(",", F.array_sort(F.collect_set("r"))).alias(
+                "downstream"
+            ),
+        )
+    )
+    return (
+        services.join(F.broadcast(per), "service", "left")
+        .select(
+            "service",
+            F.coalesce("n_downstream", F.lit(0)).cast("long").alias(
+                "n_downstream"
+            ),
+            F.coalesce("downstream", F.lit("")).alias("downstream"),
+        )
+        .orderBy("service")
+    )
+
+
+def sql_blast_radius() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, edges AS (
+  SELECT DISTINCT lower(p.service_name) AS a, lower(c.service_name) AS b
+  FROM spans c
+  JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  WHERE c.parent_span_id <> ''
+),
+reach AS (
+  SELECT a, b AS r FROM edges
+  UNION
+  SELECT re.a, e.b AS r FROM reach re JOIN edges e ON e.a = re.r
+),
+per AS (
+  SELECT a AS service, CAST(COUNT(*) AS BIGINT) AS n_downstream,
+         string_agg(r, ',' ORDER BY r) AS downstream
+  FROM reach WHERE a <> r GROUP BY a
+),
+svc AS (SELECT DISTINCT lower(service_name) AS service FROM spans)
+SELECT s.service, COALESCE(p.n_downstream, 0) AS n_downstream,
+       COALESCE(p.downstream, '') AS downstream
+FROM svc s LEFT JOIN per p ON p.service = s.service
+ORDER BY s.service
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension.
@@ -6601,6 +6778,11 @@ _ROTATION_QUEUE = (
     "cluster_stability",
     # round-8 additions:
     "neardup_event_provenance",
+    "duration_heaping",
+    "blast_radius",
+    "knn_graph_reciprocity",
+    "lsh_candidate_precision",
+    "simhash_hamming_spectrum",
 )
 
 
@@ -6734,6 +6916,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_coverage": q_tag_coverage,
         "retry_effectiveness": q_retry_effectiveness,
         "index_partition_profile": q_index_partition_profile,
+        "duration_heaping": q_duration_heaping,
+        "blast_radius": q_blast_radius,
     }
 
 
@@ -6851,4 +7035,6 @@ def _trace_oracles() -> dict[str, str]:
         "tag_coverage": sql_tag_coverage(),
         "retry_effectiveness": sql_retry_effectiveness(),
         "index_partition_profile": sql_index_partition_profile(),
+        "duration_heaping": sql_duration_heaping(),
+        "blast_radius": sql_blast_radius(),
     }

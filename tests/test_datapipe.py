@@ -3120,3 +3120,73 @@ def test_cluster_stability_bridge_vs_dense(spark):
     # is in half 1, so half-0 re-clustering cannot connect them)
     assert h0["n_stable_pairs"] == 1
     assert h0["stability"] == 0.5
+
+
+# ------------------------------ round-8 operators ---------------------------
+
+def test_knn_reciprocity_from_pins_mutual_shares(spark):
+    """Hand graph: rank-1 has one mutual pair and one one-way edge;
+    rank-2 is one one-way edge — shares are exact."""
+    from haystack_traces_spark.datapipe.queries import knn_reciprocity_from
+
+    g = spark.createDataFrame(
+        [
+            (1, 2, 0.9, 1),
+            (2, 1, 0.9, 1),
+            (3, 2, 0.8, 1),
+            (1, 3, 0.5, 2),
+        ],
+        "vec_id long, neighbor_id long, cos double, rank int",
+    )
+    out = {r["rank"]: r.asDict() for r in knn_reciprocity_from(g).collect()}
+    assert (out[1]["n_edges"], out[1]["n_mutual"]) == (3, 2)
+    assert out[1]["reciprocity"] == 0.666667
+    assert (out[2]["n_edges"], out[2]["n_mutual"]) == (1, 0)
+    assert out[2]["reciprocity"] == 0.0
+
+
+def test_lsh_candidate_precision_exact_dup_lands_in_bucket_10(spark):
+    """An exact duplicate pair (Jaccard 1) must land in bucket 10 and
+    the top-cumulative share must be 1.0 all the way down (zero-filled
+    buckets); a vocabulary-disjoint doc contributes no candidates."""
+    from haystack_traces_spark.datapipe.queries import (
+        lsh_candidate_precision_from,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, " ".join(f"zz{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket"]: r.asDict()
+            for r in lsh_candidate_precision_from(spark, docs).collect()}
+    assert sorted(rows) == list(range(11))
+    assert rows[10]["n_pairs"] == 1 and rows[10]["share"] == 1.0
+    assert all(rows[b]["n_pairs"] == 0 for b in range(10))
+    assert all(rows[b]["cum_share_ge"] == 1.0 for b in range(11))
+
+
+def test_simhash_spectrum_from_identical_docs_peak_at_zero(spark):
+    """Two identical docs (hamming 0) + one distinct doc: the spectrum
+    has exactly one zero-distance pair, the two cross pairs share one
+    hamming bucket, and cum_share_le reaches 1.0 at the top bit."""
+    from haystack_traces_spark.datapipe.queries import (
+        SIMHASH_PAIR_BITS,
+        simhash_spectrum_from,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"qq{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    rows = {r["hamming"]: r.asDict()
+            for r in simhash_spectrum_from(spark, docs).collect()}
+    assert rows[0]["n_pairs"] == 1  # the identical pair
+    nonzero = [h for h in rows if h > 0 and rows[h]["n_pairs"] > 0]
+    assert len(nonzero) == 1 and rows[nonzero[0]]["n_pairs"] == 2
+    assert rows[SIMHASH_PAIR_BITS]["cum_share_le"] == 1.0

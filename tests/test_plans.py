@@ -677,6 +677,43 @@ def test_round7_operators_have_no_global_bottleneck(spark):
         release_materialized()
 
 
+def test_round8_operators_have_no_global_bottleneck(spark):
+    """Round-8 batch: no cartesian products; the histogram operators'
+    two single-partition exchanges are the 1-row total aggregate and the
+    ≤33-row catalog window (bounded by design); their BNLJs are the
+    broadcast 1-row total and the broadcast SAMPLE pair join
+    (simhash_hamming_spectrum is deliberately quadratic in its 1-in-8
+    sample — the audit face). blast_radius' inner fixpoint uses
+    localCheckpoint (inherent to iteration, like dup_clusters); the
+    final assembly must still be broadcast-joined."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+    from haystack_traces_spark.datapipe import stagecache
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "duration_heaping": (EQ.q_duration_heaping, 0),
+        "blast_radius": (EQ.q_blast_radius, 0),
+        "neardup_event_provenance": (Q.q_neardup_event_provenance, 0),
+        "knn_graph_reciprocity": (Q.q_knn_graph_reciprocity, 0),
+        "lsh_candidate_precision": (Q.q_lsh_candidate_precision, 2),
+        "simhash_hamming_spectrum": (Q.q_simhash_hamming_spectrum, 2),
+    }
+    try:
+        with stagecache.plan_view():
+            for name, (fn, max_single) in cases.items():
+                plan = _plan(fn(spark, sf))
+                assert "CartesianProduct" not in plan, name
+                assert plan.count("Exchange SinglePartition") <= max_single, (
+                    name, plan[:1500],
+                )
+                if "BroadcastNestedLoopJoin" in plan:
+                    assert "BroadcastExchange" in plan, (name, plan[:1500])
+    finally:
+        release_materialized()
+
+
 def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
     """Round-7 promotion (SURVEY §4 deferred question): a fully
     trace-level EQUAL/range search over a promoted index must answer

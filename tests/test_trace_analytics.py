@@ -1815,3 +1815,49 @@ class TestRound7Operators:
         if len(kept_fast) <= 4:
             assert r["p50_kept"] >= r["p50_full"]
         assert r["p95_rel_err"] is not None and r["p95_rel_err"] >= 0.0
+
+
+# ---------------------------- round-8 operators -----------------------------
+
+def test_duration_heaping_pins_round_number_shares(spark):
+    """Crafted durations with known mod-1000/mod-10000 structure: the
+    shares and heap factor are exact rationals, and duration 0 counts as
+    heaped (a zero-duration span IS a quantization artifact)."""
+    rows = [
+        mk(span_id="a1", service="svc_a", duration=1000),
+        mk(span_id="a2", service="svc_a", duration=1500),
+        mk(span_id="a3", service="svc_a", duration=20000),
+        mk(span_id="a4", service="svc_a", duration=333),
+        mk(span_id="b1", service="svc_b", duration=0),
+    ]
+    out = EQ.duration_heaping_from(_with_spans(spark, rows)).collect()
+    got = {r["servicename"]: r.asDict() for r in out}
+    a = got["svc_a"]
+    assert (a["n_spans"], a["n_round_1ms"], a["n_round_10ms"]) == (4, 2, 1)
+    assert a["share_1ms"] == 0.5 and a["heap_factor_1ms"] == 500.0
+    b = got["svc_b"]
+    assert (b["n_spans"], b["n_round_1ms"], b["n_round_10ms"]) == (1, 1, 1)
+    assert b["heap_factor_1ms"] == 1000.0
+
+
+def test_blast_radius_transitive_closure_and_cycle(spark):
+    """Chain a→b→c plus a b→a back-edge: the closure must cross the
+    cycle without looping forever, exclude self from the radius, and
+    zero-fill leaf services from the catalog."""
+    rows = [
+        # t1: a -> b -> c
+        mk(trace_id="t1", span_id="ra", service="svc_a"),
+        mk(trace_id="t1", span_id="sb", parent="ra", service="svc_b"),
+        mk(trace_id="t1", span_id="sc", parent="sb", service="svc_c"),
+        # t2: b -> a (cycle edge)
+        mk(trace_id="t2", span_id="rb", service="svc_b"),
+        mk(trace_id="t2", span_id="sa", parent="rb", service="svc_a"),
+        # t3: isolated leaf service
+        mk(trace_id="t3", span_id="rd", service="svc_d"),
+    ]
+    out = EQ.blast_radius_from(_with_spans(spark, rows)).collect()
+    got = {r["service"]: (r["n_downstream"], r["downstream"]) for r in out}
+    assert got["svc_a"] == (2, "svc_b,svc_c")
+    assert got["svc_b"] == (2, "svc_a,svc_c")
+    assert got["svc_c"] == (0, "")
+    assert got["svc_d"] == (0, "")
