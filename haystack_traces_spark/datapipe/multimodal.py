@@ -538,7 +538,6 @@ def encode_jpeg(
     comp_planes = []
     for ci, p in enumerate(planes):
         hi, vi = samp[ci]
-        cw, ch = -(-width * hi // hmax), -(-height * vi // vmax)
         if (hi, vi) != (hmax, vmax):
             # 2x2 box average (baseline-encoder convention), on a
             # source padded to even dims by edge replication
@@ -557,7 +556,6 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         comp_planes.append(p)
-        del cw, ch
 
     dc_tabs = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_tabs = [_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -769,6 +767,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
                 hi, vi = hv >> 4, hv & 0xF
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(f"unsupported sampling {hi}x{vi}")
+                if nc == 1:
+                    # T.81 A.2: a single-component scan is NON-interleaved
+                    # — each MCU is one 8x8 block in raster order over the
+                    # component's full-resolution grid. Sampling factors
+                    # only have meaning relative to hmax/vmax, so forcing
+                    # 1x1 makes the interleaved loop degenerate to exactly
+                    # that (a grayscale re-encode of a 4:2:0 source keeps
+                    # Y's 2x2 factors in SOF; honoring them would scramble
+                    # the raster).
+                    hi = vi = 1
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = (width, height, comps)
         elif marker == 0xC2:

@@ -1633,7 +1633,11 @@ def q_lsh_candidate_precision(spark, sf_dir):
 def lsh_candidate_precision_from(spark, docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    cand = D.minhash_candidates(docs)
+    # UNCAPPED candidates on purpose: this audit prices the band
+    # geometry's raw verify economics, and the oracle's cand CTE has no
+    # cap — a capped face would diverge on every row the moment a hot
+    # bucket engages (cap engagement itself is lsh_cap_pressure's job)
+    cand = D.minhash_candidates(docs, max_bucket=None)
     paired = D._pair_shingle_sets(cand, docs, 3)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     scored = paired.select(

@@ -6544,8 +6544,10 @@ FROM per ORDER BY servicename
     )
 
 
-#: blast_radius fixpoint bound: reach can deepen at most |services| times;
-#: a graph that hasn't converged by then indicates a broken edge feed
+#: blast_radius fixpoint bound: the closure grows by PATH DOUBLING
+#: (reach ∘ reach), so convergence takes ceil(log2(diameter)) steps —
+#: 64 covers any graph a machine can hold; hitting it means the loop
+#: itself is broken, never that the graph is deep
 _BLAST_MAX_ITERS = 64
 
 
@@ -6582,12 +6584,12 @@ def blast_radius_from(spans_df: DataFrame) -> DataFrame:
     reach = reach.localCheckpoint(eager=True)
     n = reach.count()
     for _ in range(_BLAST_MAX_ITERS):
+        # path doubling: reach ∘ reach reaches depth 2^k after k steps,
+        # so a 70-deep chain converges in 7 iterations, not 69
+        hop = reach.select(F.col("a").alias("r"), F.col("r").alias("r2"))
         grown = (
             reach.unionByName(
-                reach.join(
-                    edges.select(F.col("a").alias("r"), F.col("b").alias("r2")),
-                    "r",
-                ).select("a", F.col("r2").alias("r"))
+                reach.join(hop, "r").select("a", F.col("r2").alias("r"))
             )
             .distinct()
             .localCheckpoint(eager=True)
@@ -6600,8 +6602,8 @@ def blast_radius_from(spans_df: DataFrame) -> DataFrame:
     else:
         raise RuntimeError(
             f"blast_radius closure did not converge in {_BLAST_MAX_ITERS} "
-            "iterations — edge feed is deeper than any service graph "
-            "should be"
+            "doubling steps — the loop is broken (2^64 exceeds any "
+            "possible graph diameter)"
         )
     services = (
         spans_df
@@ -6672,8 +6674,9 @@ ORDER BY s.service
 #: never-driver-checked entries (79 -> 39 after r07 -> ~13 after r08).
 #: All 23 have been driver-green every round r02-r07 and stay covered by
 #: the local three-SF oracle suite. RESTORE the full 23-name lead in
-#: round 9 (guarded: tests/test_entry_smoke.py asserts the restore once
-#: CORRECTNESS_r08.json exists — the trim cannot silently persist).
+#: round 9 (guarded: tests/test_entry_queries.py::
+#: test_core_trace_trim_does_not_outlive_round_8 asserts the restore
+#: once CORRECTNESS_r08.json exists — the trim cannot silently persist).
 _CORE_TRACE = (
     "search_traces",
     "search_span_level",

@@ -415,7 +415,11 @@ def _probe_jvm_protobuf(spark) -> tuple[bool, Exception | None]:
 #: emits NULL for absent slots. The canonical proto3 encoder never serializes
 #: defaults, so default <=> absent — nullif-on-default makes JVM rows equal
 #: Python-codec rows exactly (ADVICE r7; unit-pinned against decode_tag in
-#: tests/test_proto.py without the jar).
+#: tests/test_proto.py without the jar). ASSUMPTION: canonical producers.
+#: A writer that force-serializes a default (vLong=0 explicitly on the
+#: wire — legal proto3) decodes as 0 on the Python path but NULL here;
+#: no proto3 consumer can distinguish that case portably, and the live
+#: jvm==py parity test covers the canonical contract only.
 _JVM_TAG_STRUCT_SQL = (
     "named_struct("
     "'key', coalesce(t.key, ''), 'vtype', coalesce(t.type, 'STRING'),"

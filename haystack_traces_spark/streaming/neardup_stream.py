@@ -271,24 +271,32 @@ class EventTimeNearDup:
         self.n = n
 
     def _log(self, spark, sub: str, schema: str, upto_incl: int) -> DataFrame:
-        # only a MISSING path means empty; any other failure propagates
-        # (a corrupt holder log must never silently reset provenance)
-        from pyspark.errors import AnalysisException
+        # only a MISSING/EMPTY path means empty; any other failure
+        # propagates (a corrupt holder log must never silently reset
+        # provenance — the same contract as the ingest layout guard)
+        from haystack_traces_spark.streaming.ingest import (
+            read_parquet_if_exists,
+        )
 
-        try:
-            df = spark.read.parquet(f"{self.state_dir}/{sub}")
-        except AnalysisException:
+        df = read_parquet_if_exists(spark, f"{self.state_dir}/{sub}")
+        if df is None:
             return spark.createDataFrame([], schema + ", batch_id long")
         assert "batch_id" in df.columns, f"{self.state_dir}/{sub}: no batch_id"
         return df.filter(F.col("batch_id") <= upto_incl)
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession
-        # at-least-once sources can duplicate rows within a batch
-        new = docs.select("doc_id", "ts", "text").dropDuplicates(["doc_id"])
-
         prior_docs = self._log(
             spark, "docs", "doc_id long, ts long", batch_id - 1
+        )
+        # at-least-once sources can duplicate rows within a batch AND
+        # across batches: dedupe in-batch, then drop docs already logged
+        # by an earlier delivery (a cross-batch redelivery would
+        # double-write band rows and emit a second verdict row)
+        new = (
+            docs.select("doc_id", "ts", "text")
+            .dropDuplicates(["doc_id"])
+            .join(prior_docs.select("doc_id"), "doc_id", "left_anti")
         )
         hi_prev = prior_docs.agg(F.max("ts")).first()[0]
         w_prev = None if hi_prev is None else hi_prev - self.delay_us

@@ -2439,6 +2439,17 @@ class TestRealPnmCodec:
         W, H, C, r6, _ = M.decode_jpeg(jp6)
         assert (W, H, C) == (w2, h2, 3)
 
+        # T.81 A.2: single-component scans are NON-interleaved, so SOF
+        # sampling factors must be ignored for a 1-component frame — a
+        # grayscale file carrying 2x2 factors (grayscale re-encode of a
+        # 4:2:0 source) must decode identically, not scrambled
+        g_plain = M.decode_jpeg(jp)[3]
+        sof_at = jp.index(b"\xff\xc0")
+        patched = bytearray(jp)
+        assert patched[sof_at + 11] == 0x11  # (h<<4)|v of the Y component
+        patched[sof_at + 11] = 0x22
+        assert M.decode_jpeg(bytes(patched))[3] == g_plain
+
     def test_jpeg_pinned_checksums_and_rejections(self):
         """Determinism pin: encoded bytes AND decoded raster md5s for a
         fixed input are constants of this codec (fixed tables, float64

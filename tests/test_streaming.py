@@ -832,6 +832,32 @@ def test_neardup_event_gate_batching_invariant_and_late_drop(spark, tmp_path):
     scrambled = run("scr", [recs[3:], recs[:3], tick])
     assert one == scrambled == _evt_batch_face(spark, recs)
 
+    # cross-batch redelivery: the same doc (ts above the watermark at
+    # first arrival) delivered again in a later batch must NOT produce a
+    # second docs/bands log row or a second verdict
+    gate_r = EventTimeNearDup(
+        str(tmp_path / "state_r"), str(tmp_path / "out_r"), delay_us=100_000,
+    )
+    d7 = [(7, 5_000, " ".join(f"w{i}" for i in range(40)))]
+    gate_r.process_batch(
+        spark.createDataFrame(d7, "doc_id long, ts long, text string"), 0
+    )
+    gate_r.process_batch(  # redelivery of the SAME doc
+        spark.createDataFrame(d7, "doc_id long, ts long, text string"), 1
+    )
+    gate_r.process_batch(
+        spark.createDataFrame(
+            [(-(1 << 60), 10_000_000, "")], "doc_id long, ts long, text string"
+        ),
+        2,
+    )
+    vr = read_verdicts(spark, str(tmp_path / "out_r")).collect()
+    assert [(r["doc_id"], r["near_dup"], r["n_bands_hit"]) for r in vr] == [
+        (7, False, 0)
+    ]
+    docs_log = spark.read.parquet(str(tmp_path / "state_r" / "docs"))
+    assert docs_log.filter("doc_id = 7").count() == 1
+
     # late drop: watermark after the tick is 10_000_000 - 100_000; a doc
     # arriving below it lands in late/, and the verdict table is unchanged
     gate = EventTimeNearDup(
