@@ -1820,6 +1820,243 @@ ORDER BY c.hamming
 """
 
 
+def q_band_contribution(spark, sf_dir):
+    """→ (band, n_candidates, n_verified, n_unique_verified): per-BAND
+    economics of the MinHash-LSH geometry — how many candidate pairs
+    each band surfaces, how many verify as true near-dups, and how many
+    true pairs THIS band alone finds (the pairs that vanish if the band
+    is dropped). Bands whose n_unique_verified is ~0 are pure candidate
+    cost and argue for fewer bands × more rows (higher precision); the
+    per-band answer to the question lsh_band_plan prices analytically.
+
+    Scale shape: the per-band self-join is the same capped band join the
+    candidate generator runs (here uncapped to match the oracle, like
+    lsh_candidate_precision); verified pairs ride the session-cached
+    minhash stage; rollup = |bands| rows."""
+    return band_contribution_from(
+        spark, _docs(spark, sf_dir), _minhash_pairs(spark, sf_dir)
+    )
+
+
+def band_contribution_from(spark, docs, verified) -> DataFrame:
+    rpb = D.DEFAULT_MINHASH_SEEDS // D.DEFAULT_BANDS
+    rows = D.minhash_band_rows(docs)
+    a = rows.alias("a")
+    b = rows.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for j in range(rpb):
+        cond = cond & (F.col(f"a.v{j}") == F.col(f"b.v{j}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.band").alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pb = cand.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )
+    ver = verified.select("doc_a", "doc_b", F.lit(1).alias("is_ver"))
+    j = cand.join(ver, ["doc_a", "doc_b"], "left").join(
+        pb, ["doc_a", "doc_b"]
+    )
+    per = j.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce("is_ver", F.lit(0))).cast("long").alias("n_verified"),
+        F.sum(
+            (F.coalesce("is_ver", F.lit(0)) == 1).cast("long")
+            * (F.col("n_bands") == 1).cast("long")
+        )
+        .cast("long")
+        .alias("n_unique_verified"),
+    )
+    catalog = spark.createDataFrame(
+        [(i,) for i in range(D.DEFAULT_BANDS)], "band long"
+    )
+    return (
+        catalog.join(F.broadcast(per), "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
+            F.coalesce("n_unique_verified", F.lit(0))
+            .cast("long")
+            .alias("n_unique_verified"),
+        )
+        .orderBy("band")
+    )
+
+
+def sql_band_contribution() -> str:
+    bands, rpb = D.DEFAULT_BANDS, D.DEFAULT_MINHASH_SEEDS // D.DEFAULT_BANDS
+    band_selects = []
+    for bi in range(bands):
+        cond = " AND ".join(
+            f"a.mh_{bi * rpb + j} = b.mh_{bi * rpb + j}" for j in range(rpb)
+        )
+        band_selects.append(
+            f"SELECT {bi} AS band, a.doc_id AS doc_a, b.doc_id AS doc_b"
+            f" FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND {cond}"
+        )
+    bandcand = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_minhash_sig_ctes()},
+bandcand AS ({bandcand}),
+{_JACCARD_PAIRS.lstrip().rstrip()},
+ver AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+pb AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_bands FROM bandcand GROUP BY 1, 2
+),
+per AS (
+  SELECT c.band,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_verified,
+         CAST(SUM(CASE WHEN v.doc_a IS NOT NULL AND p.n_bands = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_verified
+  FROM bandcand c
+  LEFT JOIN ver v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+  JOIN pb p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+  GROUP BY 1
+),
+catalog AS (SELECT UNNEST(generate_series(0, {bands - 1})) AS band)
+SELECT CAST(c.band AS BIGINT) AS band,
+       COALESCE(per.n_candidates, 0) AS n_candidates,
+       COALESCE(per.n_verified, 0) AS n_verified,
+       COALESCE(per.n_unique_verified, 0) AS n_unique_verified
+FROM catalog c LEFT JOIN per ON per.band = c.band
+ORDER BY c.band
+"""
+
+
+#: deterministic 1-in-8 doc sample for the diversity index's all-pairs
+#: face (seed-disjoint from the simhash spectrum's sample)
+DIVERSITY_SAMPLE_MOD = 8
+
+
+def q_sampled_diversity(spark, sf_dir):
+    """→ (n_docs, n_pairs, mean_jaccard, zero_overlap_share): one-row
+    CORPUS DIVERSITY index — mean pairwise shingle-Jaccard and the share
+    of pairs with zero overlap, over a deterministic 1-in-{mod} doc
+    sample (all pairs within the SAMPLE — unbiased, unlike any
+    candidate-restricted estimate). A rising mean_jaccard across
+    ingestion rounds is early template creep before dedup thresholds
+    trigger; zero_overlap_share is the fraction of doc pairs that share
+    literally nothing — the corpus breadth number. Docs with fewer
+    words than the shingle width have no sets and are excluded on both
+    faces. The mean is an exact integer-µ-unit sum (per-pair round-
+    half-up via pure integer arithmetic) — no order-dependent float
+    accumulation (house AVG rule).
+
+    Scale shape: quadratic in the SAMPLE only (mod dial), one shingle
+    aggregate, one 1-row rollup."""
+    sampled = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .filter(
+            F.pmod(
+                hash60(F.col("doc_id").cast("string"), seed="div:"),
+                F.lit(DIVERSITY_SAMPLE_MOD),
+            )
+            == 0
+        )
+    )
+    return sampled_diversity_from(spark, sampled)
+
+
+def sampled_diversity_from(spark, docs) -> DataFrame:
+    from haystack_traces_spark.datapipe.hashing import word_shingles
+
+    sets = docs.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        inter.alias("inter"),
+        (F.size("sh_a") + F.size("sh_b") - inter).alias("uni"),
+    )
+    # round-half-up of 1e6·inter/uni in pure integers (cross-engine safe)
+    scored = pairs.select(
+        F.expr(
+            "CAST((2000000 * inter + uni) DIV (2 * uni) AS BIGINT)"
+        ).alias("j_micro"),
+        (F.col("inter") == 0).cast("long").alias("is_zero"),
+    )
+    n_docs = sets.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("j_micro").alias("jm"),
+            F.sum("is_zero").alias("nz"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_pairs",
+            F.round(
+                F.col("jm") / (F.expr("NULLIF(n_pairs, 0)") * F.lit(1_000_000)),
+                6,
+            ).alias("mean_jaccard"),
+            F.round(F.col("nz") / F.expr("NULLIF(n_pairs, 0)"), 6).alias(
+                "zero_overlap_share"
+            ),
+        )
+    )
+
+
+def sql_sampled_diversity() -> str:
+    sample = hash60_sql("CAST(doc_id AS VARCHAR)", seed="div:")
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND {sample} % {DIVERSITY_SAMPLE_MOD} = 0
+),
+sh AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sampled),
+         UNNEST(generate_series(1, len(w) - 2)) t(i)
+  ) GROUP BY doc_id, s
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT COALESCE(o.inter, 0) AS inter,
+         sa.n_sh + sb.n_sh - COALESCE(o.inter, 0) AS uni
+  FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+  LEFT JOIN ov o ON o.doc_a = sa.doc_id AND o.doc_b = sb.doc_id
+),
+scored AS (
+  SELECT (2000000 * inter + uni) // (2 * uni) AS j_micro,
+         CASE WHEN inter = 0 THEN 1 ELSE 0 END AS is_zero
+  FROM pairs
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sizes)
+SELECT nd.n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(j_micro) * 1.0 / (NULLIF(COUNT(*), 0) * 1000000), 6)
+         AS mean_jaccard,
+       ROUND(SUM(is_zero) * 1.0 / NULLIF(COUNT(*), 0), 6)
+         AS zero_overlap_share
+FROM scored CROSS JOIN nd
+GROUP BY nd.n_docs
+"""
+
+
 PACK_CONTEXTS = (512, 1024, 2048, 4096)
 
 
@@ -4317,6 +4554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_reciprocity": q_knn_graph_reciprocity,
         "lsh_candidate_precision": q_lsh_candidate_precision,
         "simhash_hamming_spectrum": q_simhash_hamming_spectrum,
+        "band_contribution": q_band_contribution,
+        "sampled_diversity": q_sampled_diversity,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -4446,6 +4685,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
         "lsh_candidate_precision": sql_lsh_candidate_precision(),
         "simhash_hamming_spectrum": sql_simhash_hamming_spectrum(),
+        "band_contribution": sql_band_contribution(),
+        "sampled_diversity": sql_sampled_diversity(),
         "ann_ivf": sql_ann_ivf(),
         "ann_lsh": sql_ann_lsh(),
         "text_stats": sql_text_stats(),

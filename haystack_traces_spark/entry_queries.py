@@ -6544,6 +6544,112 @@ FROM per ORDER BY servicename
     )
 
 
+#: slow-trace cut for tail_latency_attribution: traces at or above this
+#: exact wall-clock percentile form the "tail" cohort
+TAIL_PCTL = 0.9
+
+
+def q_tail_latency_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, share_all, share_slow, excess_share): WHAT MAKES
+    SLOW TRACES SLOW — each service's share of total span time across
+    ALL traces vs across the slowest decile (trace wall-clock ≥ the
+    exact p{TAIL_PCTL} — rule 20: Spark percentile == DuckDB
+    quantile_cont on identical integers). excess_share > 0 names the
+    services that are over-represented precisely when latency hurts —
+    the tail-optimization priority list, which differs from the mean
+    cost ranking (service_cost_pareto) whenever tail latency has a
+    different owner than throughput cost.
+
+    Shares are aggregate ratios (Σ service time / Σ all time within the
+    cohort), not per-trace averages — exact integer sums, no
+    order-dependent float accumulation.
+
+    Scale shape: one per-(trace, service) combinable aggregate on the
+    trace exchange; the percentile is a 1-row aggregate broadcast back;
+    output = |services| rows."""
+    return tail_latency_attribution_from(_spans(spark, sf_dir))
+
+
+def tail_latency_attribution_from(spans_df: DataFrame) -> DataFrame:
+    per = spans_df.groupBy(
+        "trace_id", F.lower("service_name").alias("servicename")
+    ).agg(F.sum("duration").cast("long").alias("svc_time"))
+    walls = spans_df.groupBy("trace_id").agg(
+        (
+            F.max(F.col("start_time") + F.col("duration"))
+            - F.min("start_time")
+        ).alias("wall")
+    )
+    thr = walls.agg(
+        F.expr(f"percentile(wall, {TAIL_PCTL})").alias("thr")
+    )
+    tagged = per.join(walls, "trace_id").crossJoin(F.broadcast(thr))
+    agg = tagged.groupBy("servicename").agg(
+        F.sum("svc_time").cast("long").alias("t_all"),
+        F.sum(F.when(F.col("wall") >= F.col("thr"), F.col("svc_time")))
+        .cast("long")
+        .alias("t_slow"),
+    )
+    tot = agg.agg(
+        F.sum("t_all").alias("g_all"),
+        F.sum(F.coalesce("t_slow", F.lit(0))).alias("g_slow"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "servicename",
+            F.round(F.col("t_all") / F.col("g_all"), 6).alias("share_all"),
+            F.round(
+                F.coalesce("t_slow", F.lit(0)) / F.expr("NULLIF(g_slow, 0)"), 6
+            ).alias("share_slow"),
+            F.round(
+                F.coalesce("t_slow", F.lit(0)) / F.expr("NULLIF(g_slow, 0)")
+                - F.col("t_all") / F.col("g_all"),
+                6,
+            ).alias("excess_share"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_tail_latency_attribution() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per AS (
+  SELECT trace_id, lower(service_name) AS servicename,
+         CAST(SUM(duration) AS BIGINT) AS svc_time
+  FROM spans GROUP BY 1, 2
+),
+walls AS (
+  SELECT trace_id,
+         MAX(start_time + duration) - MIN(start_time) AS wall
+  FROM spans GROUP BY 1
+),
+thr AS (SELECT quantile_cont(wall, {TAIL_PCTL}) AS thr FROM walls),
+agg AS (
+  SELECT p.servicename,
+         CAST(SUM(p.svc_time) AS BIGINT) AS t_all,
+         CAST(SUM(CASE WHEN w.wall >= t.thr THEN p.svc_time END) AS BIGINT)
+           AS t_slow
+  FROM per p JOIN walls w ON w.trace_id = p.trace_id CROSS JOIN thr t
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(t_all) AS g_all, SUM(COALESCE(t_slow, 0)) AS g_slow FROM agg
+)
+SELECT a.servicename,
+       ROUND(a.t_all * 1.0 / t.g_all, 6) AS share_all,
+       ROUND(COALESCE(a.t_slow, 0) * 1.0 / NULLIF(t.g_slow, 0), 6)
+         AS share_slow,
+       ROUND(COALESCE(a.t_slow, 0) * 1.0 / NULLIF(t.g_slow, 0)
+             - a.t_all * 1.0 / t.g_all, 6) AS excess_share
+FROM agg a CROSS JOIN tot t
+ORDER BY a.servicename
+"""
+    )
+
+
 #: blast_radius fixpoint bound: the closure grows by PATH DOUBLING
 #: (reach ∘ reach), so convergence takes ceil(log2(diameter)) steps —
 #: 64 covers any graph a machine can hold; hitting it means the loop
@@ -6786,6 +6892,9 @@ _ROTATION_QUEUE = (
     "knn_graph_reciprocity",
     "lsh_candidate_precision",
     "simhash_hamming_spectrum",
+    "tail_latency_attribution",
+    "band_contribution",
+    "sampled_diversity",
 )
 
 
@@ -6921,6 +7030,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_partition_profile": q_index_partition_profile,
         "duration_heaping": q_duration_heaping,
         "blast_radius": q_blast_radius,
+        "tail_latency_attribution": q_tail_latency_attribution,
     }
 
 
@@ -7040,4 +7150,5 @@ def _trace_oracles() -> dict[str, str]:
         "index_partition_profile": sql_index_partition_profile(),
         "duration_heaping": sql_duration_heaping(),
         "blast_radius": sql_blast_radius(),
+        "tail_latency_attribution": sql_tail_latency_attribution(),
     }

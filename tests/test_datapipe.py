@@ -3201,3 +3201,47 @@ def test_simhash_spectrum_from_identical_docs_peak_at_zero(spark):
     nonzero = [h for h in rows if h > 0 and rows[h]["n_pairs"] > 0]
     assert len(nonzero) == 1 and rows[nonzero[0]]["n_pairs"] == 2
     assert rows[SIMHASH_PAIR_BITS]["cum_share_le"] == 1.0
+
+
+def test_band_contribution_identical_pair_hits_every_band(spark):
+    """An exact duplicate pair collides in ALL bands (identical
+    signatures), so each band reports it as a candidate with n_bands=4 —
+    verified when the verified table holds it, never unique."""
+    from haystack_traces_spark.datapipe.queries import band_contribution_from
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    verified = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = {r["band"]: r.asDict()
+            for r in band_contribution_from(spark, docs, verified).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    for b in rows.values():
+        assert (b["n_candidates"], b["n_verified"], b["n_unique_verified"]) \
+            == (1, 1, 0)
+    empty_ver = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows0 = {r["band"]: r.asDict()
+             for r in band_contribution_from(spark, docs, empty_ver).collect()}
+    assert all(r["n_verified"] == 0 for r in rows0.values())
+
+
+def test_sampled_diversity_exact_means(spark):
+    """Two identical + one disjoint doc: mean jaccard 1/3, zero-overlap
+    share 2/3; a doc shorter than the shingle width is excluded."""
+    from haystack_traces_spark.datapipe.queries import sampled_diversity_from
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, " ".join(f"qq{i}" for i in range(20))),
+            (4, "a b"),  # no shingles — excluded
+        ],
+        "doc_id long, text string",
+    )
+    r = sampled_diversity_from(spark, docs).collect()[0].asDict()
+    assert (r["n_docs"], r["n_pairs"]) == (3, 3)
+    assert r["mean_jaccard"] == 0.333333
+    assert r["zero_overlap_share"] == 0.666667

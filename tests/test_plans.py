@@ -699,6 +699,13 @@ def test_round8_operators_have_no_global_bottleneck(spark):
         "knn_graph_reciprocity": (Q.q_knn_graph_reciprocity, 0),
         "lsh_candidate_precision": (Q.q_lsh_candidate_precision, 2),
         "simhash_hamming_spectrum": (Q.q_simhash_hamming_spectrum, 2),
+        # three 1-row aggregates: the p90 threshold, the per-cohort
+        # grand totals, and the final rollup — all bounded by design
+        "tail_latency_attribution": (EQ.q_tail_latency_attribution, 3),
+        "band_contribution": (Q.q_band_contribution, 0),
+        # 1-row doc-count + 1-row final rollup; pair join is the
+        # broadcast SAMPLE (quadratic in the 1-in-8 sample by design)
+        "sampled_diversity": (Q.q_sampled_diversity, 2),
     }
     try:
         with stagecache.plan_view():

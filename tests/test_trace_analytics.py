@@ -1861,3 +1861,28 @@ def test_blast_radius_transitive_closure_and_cycle(spark):
     assert got["svc_b"] == (2, "svc_a,svc_c")
     assert got["svc_c"] == (0, "")
     assert got["svc_d"] == (0, "")
+
+
+def test_tail_latency_attribution_pins_excess_shares(spark):
+    """Nine fast single-span svc_a traces + one slow trace where svc_b
+    owns 80% of span time: the p90 cut isolates the slow trace and the
+    excess shares are exact rationals."""
+    rows = []
+    for i in range(9):
+        rows.append(mk(trace_id=f"f{i}", span_id=f"s{i}", service="svc_a",
+                       start=T0, duration=10))
+    rows += [
+        mk(trace_id="slow", span_id="p", service="svc_a", start=T0,
+           duration=20),
+        mk(trace_id="slow", span_id="c", parent="p", service="svc_b",
+           start=T0 + 20, duration=80),
+    ]
+    out = {r["servicename"]: r.asDict()
+           for r in EQ.tail_latency_attribution_from(
+               _with_spans(spark, rows)).collect()}
+    a, b = out["svc_a"], out["svc_b"]
+    assert a["share_all"] == round(110 / 190, 6)
+    assert b["share_all"] == round(80 / 190, 6)
+    assert a["share_slow"] == 0.2 and b["share_slow"] == 0.8
+    assert b["excess_share"] == round(0.8 - 80 / 190, 6)
+    assert a["excess_share"] == round(0.2 - 110 / 190, 6)
