@@ -600,18 +600,18 @@ def minhash_band_rows(
     ).select("doc_id", "bk.*")
 
 
-def minhash_candidates(
+def minhash_band_pairs(
     docs: DataFrame,
     n_seeds: int = DEFAULT_MINHASH_SEEDS,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """→ distinct (doc_a, doc_b) candidate pairs from MinHash-LSH band
-    collisions. Shared candidate generator for every fuzzy-dedup verifier
-    (Jaccard, edit-distance): bands/rows tune recall vs candidate volume;
-    the verify step downstream fixes precision. ``max_bucket`` guards the
-    band self-join against hot buckets going quadratic (caps.py)."""
+    """→ distinct BAND-LABELED collision pairs (band, doc_a, doc_b) —
+    the ONE definition of the band self-join, shared by
+    minhash_candidates (which drops the band column) and the per-band
+    economics audit (band_contribution), so band keying can never
+    silently diverge between the generator and its audit (rule 19)."""
     rows_per_band = n_seeds // bands
     buckets = minhash_band_rows(docs, n_seeds, bands, n)
     buckets = cap_buckets(
@@ -631,8 +631,29 @@ def minhash_candidates(
     return (
         a.join(b, join_cond)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.band").alias("band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    n_seeds: int = DEFAULT_MINHASH_SEEDS,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """→ distinct (doc_a, doc_b) candidate pairs from MinHash-LSH band
+    collisions. Shared candidate generator for every fuzzy-dedup verifier
+    (Jaccard, edit-distance): bands/rows tune recall vs candidate volume;
+    the verify step downstream fixes precision. ``max_bucket`` guards the
+    band self-join against hot buckets going quadratic (caps.py)."""
+    return (
+        minhash_band_pairs(docs, n_seeds, bands, n, max_bucket)
+        .select("doc_a", "doc_b")
         .distinct()
     )
 

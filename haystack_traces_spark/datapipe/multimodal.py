@@ -765,18 +765,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
                 hi, vi = hv >> 4, hv & 0xF
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
-                    raise ValueError(f"unsupported sampling {hi}x{vi}")
                 if nc == 1:
                     # T.81 A.2: a single-component scan is NON-interleaved
                     # — each MCU is one 8x8 block in raster order over the
                     # component's full-resolution grid. Sampling factors
                     # only have meaning relative to hmax/vmax, so forcing
                     # 1x1 makes the interleaved loop degenerate to exactly
-                    # that (a grayscale re-encode of a 4:2:0 source keeps
-                    # Y's 2x2 factors in SOF; honoring them would scramble
-                    # the raster).
+                    # that (a grayscale re-encode of a subsampled source
+                    # keeps Y's factors — any legal 1..4 value — in SOF;
+                    # honoring OR range-rejecting them would be wrong).
                     hi = vi = 1
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported sampling {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = (width, height, comps)
         elif marker == 0xC2:

@@ -1624,9 +1624,13 @@ def q_lsh_candidate_precision(spark, sf_dir):
     lsh_recall_report scores in aggregate — recall there, precision
     here). Zero-filled 0..10 so the curve has a fixed shape.
 
-    Scale shape: candidates are the capped band join (the §4 economics);
-    the exact verify touches candidates only; the histogram window runs
-    over 11 catalog rows (bounded single-partition)."""
+    Scale shape: candidates are the UNCAPPED band join — this audit
+    prices the geometry's raw verify economics and must match the
+    uncapped oracle (the production dedup path stays capped; run
+    lsh_cap_pressure first on corpora with hot buckets before running
+    this audit at scale); the exact verify touches candidates only; the
+    histogram window runs over 11 catalog rows (bounded
+    single-partition)."""
     return lsh_candidate_precision_from(spark, _docs(spark, sf_dir))
 
 
@@ -1829,34 +1833,26 @@ def q_band_contribution(spark, sf_dir):
     cost and argue for fewer bands × more rows (higher precision); the
     per-band answer to the question lsh_band_plan prices analytically.
 
-    Scale shape: the per-band self-join is the same capped band join the
-    candidate generator runs (here uncapped to match the oracle, like
-    lsh_candidate_precision); verified pairs ride the session-cached
-    minhash stage; rollup = |bands| rows."""
-    return band_contribution_from(
-        spark, _docs(spark, sf_dir), _minhash_pairs(spark, sf_dir)
-    )
+    Scale shape: the per-band self-join is the generator's own shared
+    band-pair builder (minhash_band_pairs — rule 19), uncapped on BOTH
+    the candidate AND verify sides to match the oracle exactly (a capped
+    verified table would diverge on n_verified the moment a hot bucket
+    engages — the lsh_candidate_precision lesson applied to both
+    columns); rollup = |bands| rows."""
+    return band_contribution_from(spark, _docs(spark, sf_dir))
 
 
-def band_contribution_from(spark, docs, verified) -> DataFrame:
-    rpb = D.DEFAULT_MINHASH_SEEDS // D.DEFAULT_BANDS
-    rows = D.minhash_band_rows(docs)
-    a = rows.alias("a")
-    b = rows.alias("b")
-    cond = (F.col("a.band") == F.col("b.band")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    for j in range(rpb):
-        cond = cond & (F.col(f"a.v{j}") == F.col(f"b.v{j}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col("a.band").alias("band"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+def band_contribution_from(spark, docs, verified=None) -> DataFrame:
+    cand = D.minhash_band_pairs(docs, max_bucket=None)
+    if verified is None:
+        # exact-Jaccard verify of the UNCAPPED candidate set — never the
+        # capped session stage (face parity; see the q_ docstring)
+        verified = D._verify_jaccard(
+            cand.select("doc_a", "doc_b").distinct(),
+            docs,
+            JACCARD_THRESHOLD,
+            3,
+        ).select("doc_a", "doc_b")
     pb = cand.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_bands")
     )
@@ -2046,14 +2042,13 @@ scored AS (
   FROM pairs
 ),
 nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sizes)
-SELECT nd.n_docs,
+SELECT (SELECT n_docs FROM nd) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(SUM(j_micro) * 1.0 / (NULLIF(COUNT(*), 0) * 1000000), 6)
          AS mean_jaccard,
        ROUND(SUM(is_zero) * 1.0 / NULLIF(COUNT(*), 0), 6)
          AS zero_overlap_share
-FROM scored CROSS JOIN nd
-GROUP BY nd.n_docs
+FROM scored
 """
 
 

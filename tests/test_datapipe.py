@@ -2449,6 +2449,8 @@ class TestRealPnmCodec:
         assert patched[sof_at + 11] == 0x11  # (h<<4)|v of the Y component
         patched[sof_at + 11] = 0x22
         assert M.decode_jpeg(bytes(patched))[3] == g_plain
+        patched[sof_at + 11] = 0x44  # T.81 allows 1..4; still normalized
+        assert M.decode_jpeg(bytes(patched))[3] == g_plain
 
     def test_jpeg_pinned_checksums_and_rejections(self):
         """Determinism pin: encoded bytes AND decoded raster md5s for a
