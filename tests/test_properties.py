@@ -1025,3 +1025,119 @@ def test_latency_changepoint_matches_python_mirror(series_list):
             assert r["gain_share"] is None
         else:
             assert r["gain_share"] == round6_half_up(gain / sst)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),       # doc_id
+            st.integers(min_value=0, max_value=5),        # ts (collisions!)
+            st.sets(st.sampled_from("abcdefg"), max_size=4),  # band keys
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_event_time_verdicts_matches_python_mirror(rows):
+    """For ANY (doc, ts, bands) population — ts collisions, bandless
+    docs, shared holders — the shared verdict core equals the pure-
+    Python mirror: holder = lexicographic min (ts, doc_id) per band, a
+    doc is near-dup iff some band's holder strictly precedes it, dup_of
+    is the earliest hitting holder, n_bands_hit counts hitting bands.
+    The mirror is order-free, so this also pins arrival-order
+    invariance (the property the event-time face exists for)."""
+    from haystack_traces_spark.streaming.neardup_stream import (
+        event_time_verdicts,
+    )
+
+    spark = _spark()
+    doc_rows = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows] or [(0, 0)], "doc_id long, ts long"
+    )
+    if not rows:
+        doc_rows = doc_rows.filter("doc_id < 0")  # empty, typed
+    band_rows = spark.createDataFrame(
+        [(d, t, b) for d, t, bs in rows for b in sorted(bs)]
+        or [(0, 0, "x")],
+        "doc_id long, ts long, band_key string",
+    )
+    if not any(bs for _, _, bs in rows):
+        band_rows = band_rows.filter("doc_id < 0")
+    got = {
+        r["doc_id"]: (r["near_dup"], r["dup_of"], r["n_bands_hit"])
+        for r in event_time_verdicts(doc_rows, band_rows).collect()
+    }
+
+    holder = {}
+    for d, t, bs in rows:
+        for b in bs:
+            if b not in holder or (t, d) < holder[b]:
+                holder[b] = (t, d)
+    for d, t, bs in rows:
+        hits = [holder[b] for b in bs if holder[b] < (t, d)]
+        want = (
+            (True, min(hits)[1], len(hits)) if hits else (False, None, 0)
+        )
+        assert got[d] == want, (d, t, sorted(bs), got[d], want)
+    assert set(got) == {d for d, _, _ in rows}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_blast_radius_matches_bfs_mirror(raw_edges):
+    """For ANY directed service graph (cycles, self-loops, chains) the
+    path-doubling closure equals a pure-Python BFS reachability mirror —
+    including the self-exclusion rule and the zero-filled catalog."""
+    from haystack_traces_spark.entry_queries import blast_radius_from
+
+    spark = _spark()
+    spans = []
+    seen_services = set()
+    for i, (a, b) in enumerate(raw_edges):
+        spans.append(
+            (f"t{i}", f"p{i}", "", f"svc{a}", "op", T0, 10, [], [])
+        )
+        spans.append(
+            (f"t{i}", f"c{i}", f"p{i}", f"svc{b}", "op", T0, 5, [], [])
+        )
+        seen_services |= {a, b}
+    if not spans:  # at least one isolated service so the frame is typed
+        spans.append(("t0", "p0", "", "svc0", "op", T0, 10, [], []))
+        seen_services = {0}
+    df = spark.createDataFrame(
+        spans,
+        "trace_id string, span_id string, parent_span_id string, "
+        "service_name string, operation_name string, start_time long, "
+        "duration long, tags array<struct<key string>>, "
+        "logs array<struct<timestamp long>>",
+    )
+    got = {
+        r["service"]: (r["n_downstream"], r["downstream"])
+        for r in blast_radius_from(df).collect()
+    }
+
+    adj = {}
+    for a, b in raw_edges:
+        adj.setdefault(f"svc{a}", set()).add(f"svc{b}")
+    for s in sorted(seen_services):
+        name = f"svc{s}"
+        reach, frontier = set(), set(adj.get(name, ()))
+        while frontier:
+            reach |= frontier
+            frontier = {
+                n for f in frontier for n in adj.get(f, ()) if n not in reach
+            }
+        down = sorted(reach - {name})
+        assert got[name] == (len(down), ",".join(down)), (name, got[name], down)
+    assert set(got) == {f"svc{s}" for s in seen_services}
