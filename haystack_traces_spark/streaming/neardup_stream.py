@@ -350,6 +350,60 @@ class EventTimeNearDup:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def compact_state(self, spark) -> tuple[int, int]:
+        """OFFLINE band-log compaction (the cms/anomaly-gate contract:
+        stream stopped, checkpoint committed). Band rows at or below the
+        current watermark collapse to ONE min-holder row per band —
+        lossless for every future verdict, because a holder is a
+        mergeable min: min(compacted-min ∪ later rows) is the true min,
+        and already-emitted docs are never re-verdicted so their other
+        rows carry no information. Rows above the watermark (pending
+        docs) stay raw — they are both future holder candidates and the
+        pending docs' own verdict-join rows. Both logs land in a single
+        ``batch_id=-1`` dir (always "prior" to any future batch — the
+        emitted-before rule stays exact: a compacted doc with
+        ts ≤ W_prev was emitted pre-compact by the same rule). The swap
+        is staged + rename-aside, so an interrupted compact leaves
+        either the old state or a detectable ``.old`` remnant, never a
+        mix. → (band rows after, doc rows after)."""
+        import shutil
+
+        bands = self._log(
+            spark, "bands", "doc_id long, ts long, band_key string", 1 << 62
+        )
+        all_docs = self._log(spark, "docs", "doc_id long, ts long", 1 << 62)
+        hi = all_docs.agg(F.max("ts")).first()[0]
+        if hi is None:
+            return 0, 0  # nothing to compact
+        w = hi - self.delay_us
+        flushed_min = (
+            bands.filter(F.col("ts") <= F.lit(w))
+            .groupBy("band_key")
+            .agg(F.min(F.struct("ts", "doc_id")).alias("h"))
+            .select(
+                F.col("h.doc_id").alias("doc_id"),
+                F.col("h.ts").alias("ts"),
+                "band_key",
+            )
+        )
+        pending = bands.filter(F.col("ts") > F.lit(w)).select(
+            "doc_id", "ts", "band_key"
+        )
+        out = (flushed_min.unionByName(pending), all_docs.select("doc_id", "ts"))
+        counts = []
+        for sub, df in zip(("bands", "docs"), out):
+            live = f"{self.state_dir}/{sub}"
+            staging = live + ".compact"
+            shutil.rmtree(staging, ignore_errors=True)
+            df.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+            counts.append(spark.read.parquet(staging).count())
+            aside = live + ".old"
+            shutil.rmtree(aside, ignore_errors=True)
+            shutil.move(live, aside)
+            shutil.move(staging, live)
+            shutil.rmtree(aside)
+        return counts[0], counts[1]
+
 
 def read_verdicts(spark, out_dir: str) -> DataFrame:
     """All emitted verdicts across batches (each doc appears exactly

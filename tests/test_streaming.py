@@ -877,6 +877,57 @@ def test_neardup_event_gate_batching_invariant_and_late_drop(spark, tmp_path):
     ) == one
 
 
+def test_neardup_event_gate_compaction_preserves_verdicts(spark, tmp_path):
+    """Offline band-log compaction mid-stream is LOSSLESS: two gates see
+    identical batches, one compacts between deliveries; their final
+    verdict tables are identical, the compacted band log holds one
+    min-holder row per flushed band, and an arriving doc can still
+    collide with a holder known only through the compacted row."""
+    from haystack_traces_spark.streaming.neardup_stream import (
+        EventTimeNearDup,
+        read_verdicts,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    b0 = [
+        (1, 1_000, base),
+        (3, 1_500, " ".join(f"zz{i}" for i in range(40))),
+        (9, 400_000, base.replace("w5", "p5")),  # pending at compact time
+    ]
+    b1 = [(2, 350_000, base.replace("w20", "x20"))]  # near-copy of doc 1
+    tick = [(-(1 << 60), 10_000_000, "")]
+    schema = "doc_id long, ts long, text string"
+
+    def run(tag, compact_after_0):
+        gate = EventTimeNearDup(
+            str(tmp_path / f"st_{tag}"), str(tmp_path / f"o_{tag}"),
+            delay_us=200_000,
+        )
+        gate.process_batch(spark.createDataFrame(b0, schema), 0)
+        if compact_after_0:
+            nb, nd = gate.compact_state(spark)
+            assert nd == 3
+            # doc 1 + doc 3 are flushed (ts <= W = 400k-200k): their bands
+            # collapse to min-holder rows; doc 9's rows stay raw
+            bands = spark.read.parquet(str(tmp_path / f"st_{tag}" / "bands"))
+            flushed = bands.filter("ts <= 200000")
+            assert flushed.count() == flushed.select("band_key").distinct().count()
+        gate.process_batch(spark.createDataFrame(b1, schema), 1)
+        gate.process_batch(spark.createDataFrame(tick, schema), 2)
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"o_{tag}")).collect()
+        )
+
+    plain = run("plain", False)
+    compacted = run("comp", True)
+    assert plain == compacted
+    by_id = {r[0]: r for r in compacted}
+    # doc 2 collides with doc 1 purely via compacted holder rows
+    assert by_id[2][2] is True and by_id[2][3] == 1
+    assert set(by_id) == {1, 2, 3, 9}
+
+
 def test_neardup_gate_admits_bandless_short_docs(spark, tmp_path):
     """ADVICE r3: a doc with fewer tokens than the shingle width produces
     no band rows — it must still be ADMITTED with an explicit verdict row,
