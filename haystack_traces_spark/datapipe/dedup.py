@@ -628,14 +628,15 @@ def minhash_band_pairs(
     )
     for j in range(rows_per_band):
         join_cond = join_cond & (F.col(f"a.v{j}") == F.col(f"b.v{j}"))
-    return (
-        a.join(b, join_cond)
-        .select(
-            F.col("a.band").alias("band"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    # no distinct needed here: within one band a pair co-occupies exactly
+    # one bucket (the join equates their full signature slice), so
+    # (band, doc_a, doc_b) rows are unique by construction — the only
+    # dedup that exists is ACROSS bands, and that stays in
+    # minhash_candidates so this builder adds no extra exchange
+    return a.join(b, join_cond).select(
+        F.col("a.band").alias("band"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
 
 
