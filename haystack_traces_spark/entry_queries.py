@@ -6770,19 +6770,11 @@ ORDER BY s.service
 
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
-#: always re-verifies the core product before any extension.
-#:
-#: ROUND-7/8 TEMPORARY TRIM (VERDICT r6 ask #8, extended one round by
-#: VERDICT r7 ask #1): the driver's sample is a fixed ~50-entry prefix,
-#: so the core lead is the 10 most API-central queries (every endpoint
-#: family represented) and the other 13 core names sit right behind the
-#: rotation queue — this frees 40 sample slots per round for
-#: never-driver-checked entries (79 -> 39 after r07 -> ~13 after r08).
-#: All 23 have been driver-green every round r02-r07 and stay covered by
-#: the local three-SF oracle suite. RESTORE the full 23-name lead in
-#: round 9 (guarded: tests/test_entry_queries.py::
-#: test_core_trace_trim_does_not_outlive_round_8 asserts the restore
-#: once CORRECTNESS_r08.json exists — the trim cannot silently persist).
+#: always re-verifies the core product before any extension. The full
+#: 23-name lead was restored in round 9 after the rounds-7/8 temporary
+#: trim (VERDICT r6 ask #8 / r7 ask #1) cleared the never-driver-checked
+#: backlog; the restore is guarded by tests/test_entry_queries.py::
+#: test_core_trace_trim_does_not_outlive_round_8.
 _CORE_TRACE = (
     "search_traces",
     "search_span_level",
@@ -6794,12 +6786,6 @@ _CORE_TRACE = (
     "get_trace",
     "get_raw_traces",
     "search_traces_processed",
-)
-
-#: The 13 core names benched from the round-7 lead (see _CORE_TRACE note);
-#: they re-enter the registry immediately after the rotation queue so a
-#: larger driver sample would still reach them before old extension rows.
-_CORE_TRACE_BENCHED = (
     "trace_counts_filtered",
     "field_values_tag",
     "field_values_by_count",
@@ -6815,6 +6801,11 @@ _CORE_TRACE_BENCHED = (
     "search_tag_range",
 )
 
+#: Emptied in round 9: the 13 core names benched during the rounds-7/8
+#: trim are back in _CORE_TRACE above (kept as a tuple so the guard test
+#: and queries() ordering logic stay unconditional).
+_CORE_TRACE_BENCHED = ()
+
 #: Driver-rotation queue (VERDICT r4 ask #1): the CORRECTNESS gate samples
 #: a bounded ~50-entry PREFIX of queries(). The 23 core reference-surface
 #: queries lead; the rotation queue fills the remaining ~27 sample slots
@@ -6823,55 +6814,15 @@ _CORE_TRACE_BENCHED = (
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-8 queue — never driver-checked, priority order. The 40 names
-    # that earned green CORRECTNESS_r07 rows (embedding_clusters ...
-    # shard_source_entropy) were removed from the front per the rotation
-    # protocol; they stay covered by the local suite. With the extended
-    # _CORE_TRACE trim, ~40 of these fit in the driver sample this round
-    # (53 never-checked remain; ~13 left for round 9, which restores the
-    # full 23-name core lead: 23 + 13 + round-8 additions < 50).
-    "gate_agreement",
-    "sampling_rate_plan",
-    "label_cohesion",
-    "hapax_share",
-    "doc_length_outliers",
-    "hot_call_paths",
-    "effective_dim",
-    "ngram_entropy_rate",
-    "tag_value_stats",
-    "intro_bias",
-    "timestamp_granularity",
-    "concurrent_trace_load",
-    "source_pair_jsd",
-    "length_dup_propensity",
-    "ingestion_mixing",
-    # round-6 additions (behind everything already queued):
-    "lsh_band_plan",
-    "cluster_silhouette",
-    "pq_distortion",
-    "split_balance_audit",
-    "token_coverage_curve",
-    "rare_token_docs",
-    "latency_variance_decomposition",
-    "span_duration_modality",
-    "service_overlap_time",
-    "sampling_debias_weights",
-    "split_ppl_gap",
-    "canonical_quality_audit",
-    "shingle_df_profile",
-    "pca_power_iteration",
-    "error_depth_profile",
-    "tag_coverage",
-    "charset_anomalies",
-    "cms_estimate_quality",
-    "retry_effectiveness",
-    "vocab_ownership",
-    "ann_recall_report",
-    "chunk_dup_rate",
-    "embedding_length_corr",
-    "index_partition_profile",
+    # round-9 queue — never driver-checked, priority order. The 40 names
+    # that earned green CORRECTNESS_r08 rows (gate_agreement ...
+    # index_partition_profile + search_traces_promoted) were removed from
+    # the front per the rotation protocol; they stay covered by the local
+    # suite. With the full 23-name _CORE_TRACE lead restored, the 22
+    # remaining never-checked entries below ALL fit in the driver sample
+    # (23 + 22 = 45 < 50) — cumulative driver coverage completes this
+    # round; the ~5 spare slots fall to previously-green re-checks.
     # round-7 additions:
-    "search_traces_promoted",
     "anchored_sessions",
     "latency_changepoint",
     "ann_filtered",
