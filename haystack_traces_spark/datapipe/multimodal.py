@@ -723,6 +723,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker byte — skip them (ADVICE r8)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -420,6 +420,14 @@ def _probe_jvm_protobuf(spark) -> tuple[bool, Exception | None]:
 #: wire — legal proto3) decodes as 0 on the Python path but NULL here;
 #: no proto3 consumer can distinguish that case portably, and the live
 #: jvm==py parity test covers the canonical contract only.
+#: Considered and rejected (ADVICE r8): CASE-on-t.type that nulls only
+#: the non-active slots would keep an on-wire zero of the active type —
+#: but spark-protobuf can't distinguish on-wire-zero from absent, so the
+#: active slot would decode to the typed default for ABSENT values too,
+#: while decode_tag emits NULL for every absent slot (proto.py:196-200).
+#: That trades the rare non-canonical divergence for a divergence on
+#: EVERY canonical row whose active value is absent; nullif-on-default
+#: stays the unique scheme matching the Python codec on canonical wire.
 _JVM_TAG_STRUCT_SQL = (
     "named_struct("
     "'key', coalesce(t.key, ''), 'vtype', coalesce(t.type, 'STRING'),"

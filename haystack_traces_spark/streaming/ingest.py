@@ -48,7 +48,15 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        # PySpark 4.x renamed getErrorClass() -> getCondition() (the old
+        # name is deprecated and slated for removal) — prefer the new
+        # accessor, fall back to the old, then to string matching (ADVICE r8)
+        if hasattr(e, "getCondition"):
+            cls = e.getCondition()
+        elif hasattr(e, "getErrorClass"):
+            cls = e.getErrorClass()
+        else:
+            cls = None
         # PATH_NOT_FOUND: no dir yet. UNABLE_TO_INFER_SCHEMA: dir exists
         # but holds no parquet files (a zero-row first append writes only
         # _SUCCESS) — both are the empty-table state, nothing to guard.

@@ -284,6 +284,14 @@ class EventTimeNearDup:
         assert "batch_id" in df.columns, f"{self.state_dir}/{sub}: no batch_id"
         return df.filter(F.col("batch_id") <= upto_incl)
 
+    def _band_rows(self, new: DataFrame) -> DataFrame:
+        """(doc_id, ts, band_key) rows for a deduped new-doc batch — the
+        ONE place collision keys are built (rule 19/21); the event-time
+        exact-dedup gate overrides this with the content hash."""
+        return band_keys(new, self.n_seeds, self.bands, self.n).join(
+            new.select("doc_id", "ts"), "doc_id"
+        )
+
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession
         prior_docs = self._log(
@@ -308,10 +316,7 @@ class EventTimeNearDup:
             new = new.filter(F.col("ts") > F.lit(w_prev))
         new = new.persist()
 
-        bands_new = band_keys(new, self.n_seeds, self.bands, self.n).join(
-            new.select("doc_id", "ts"), "doc_id"
-        )
-        bands_new.select("doc_id", "ts", "band_key").write.mode(
+        self._band_rows(new).select("doc_id", "ts", "band_key").write.mode(
             "overwrite"
         ).parquet(f"{self.state_dir}/bands/batch_id={batch_id}")
         new.select("doc_id", "ts").write.mode("overwrite").parquet(
@@ -365,8 +370,25 @@ class EventTimeNearDup:
         ts ≤ W_prev was emitted pre-compact by the same rule). The swap
         is staged + rename-aside, so an interrupted compact leaves
         either the old state or a detectable ``.old`` remnant, never a
-        mix. → (band rows after, doc rows after)."""
+        mix. A crash in the swap window (live dir moved aside, staging
+        not yet moved in) is detected at the START of the next
+        compact_state and raises with the recovery step — restore by
+        renaming ``<state>/bands.old`` (or ``docs.old``) back to the
+        live name; never delete the .old remnant without restoring.
+        → (band rows after, doc rows after)."""
+        import os
         import shutil
+
+        for sub in ("bands", "docs"):
+            live = f"{self.state_dir}/{sub}"
+            if not os.path.exists(live) and os.path.exists(live + ".old"):
+                raise RuntimeError(
+                    f"near-dup state {live} missing but its .old sibling "
+                    "exists — a prior compact_state was interrupted in its "
+                    f"swap window; recover by renaming {live}.old back to "
+                    f"{live} (a leftover {live}.compact is incomplete and "
+                    "can be deleted), then re-run compact_state"
+                )
 
         bands = self._log(
             spark, "bands", "doc_id long, ts long, band_key string", 1 << 62
@@ -405,6 +427,32 @@ class EventTimeNearDup:
         return counts[0], counts[1]
 
 
+class EventTimeExactDedup(EventTimeNearDup):
+    """Event-time EXACT first-seen dedup — corpus_stream.dedup_gate's
+    provenance made a pure function of the data (VERDICT r8 ask #3: the
+    arrival-time gate assigns first_doc_id to whichever doc ARRIVED
+    first, so replaying the same corpus with different batching flips
+    it — the same defect the near-dup gate fixed in round 8).
+
+    The collision key is the md5 content hash: each doc contributes
+    exactly ONE "band", the band's holder min is the event-time-first
+    occurrence of the content, and event_time_verdicts' near_dup /
+    dup_of / n_bands_hit collapse to is-duplicate / first-seen-doc /
+    0-or-1. Everything else — watermark arithmetic, batch-keyed
+    replay-idempotent logs, late routing, cross-batch redelivery
+    anti-join, compact_state — is inherited UNCHANGED from the near-dup
+    gate (rule 19: one implementation of the event-time machinery).
+    State after compaction is one row per distinct content hash at or
+    below the watermark — the same bound as the arrival gate's
+    per-hash state."""
+
+    def __init__(self, state_dir: str, out_dir: str, delay_us: int):
+        super().__init__(state_dir, out_dir, delay_us)
+
+    def _band_rows(self, new: DataFrame) -> DataFrame:
+        return new.select("doc_id", "ts", F.md5("text").alias("band_key"))
+
+
 def read_verdicts(spark, out_dir: str) -> DataFrame:
     """All emitted verdicts across batches (each doc appears exactly
     once: the emission rule partitions docs across batches)."""
@@ -419,6 +467,7 @@ def run_neardup_backfill(
     checkpoint_dir: str,
     delay_us: int | None = None,
     timeout_sec: float = 120.0,
+    gate_cls: type = None,
     **gate_kwargs,
 ):
     """Deterministic near-dup backfill of an at-rest (doc_id, ts, text)
@@ -429,7 +478,9 @@ def run_neardup_backfill(
     a flush tick with ts far past the corpus lands in a side dir and
     run 2 advances the gate's watermark over every pending doc. The
     result equals event_time_verdicts over the whole corpus EXACTLY
-    (pinned in test_streaming.py)."""
+    (pinned in test_streaming.py). ``gate_cls`` swaps the gate
+    (EventTimeExactDedup for the exact-dedup backfill) — the sentinel /
+    watermark mechanics are gate-independent."""
     import json as _json
     from pathlib import Path
 
@@ -440,7 +491,7 @@ def run_neardup_backfill(
         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
         .first()
     )
-    gate = EventTimeNearDup(state_dir, out_dir, 0, **gate_kwargs)
+    gate = (gate_cls or EventTimeNearDup)(state_dir, out_dir, 0, **gate_kwargs)
     if row["hi"] is None:
         return gate  # empty corpus
     if delay_us is None:

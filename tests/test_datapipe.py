@@ -2452,6 +2452,32 @@ class TestRealPnmCodec:
         patched[sof_at + 11] = 0x44  # T.81 allows 1..4; still normalized
         assert M.decode_jpeg(bytes(patched))[3] == g_plain
 
+    def test_jpeg_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        marker byte; a legal writer may emit them for alignment. Padded
+        streams must decode bit-identically to the unpadded twin
+        (ADVICE r8: the marker loop used to mis-read the padded length)."""
+        import numpy as np
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        h, w = 16, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        gray = ((yy * 7 + xx * 5) % 256).astype(np.uint8)
+        jp = M.encode_jpeg(w, h, 1, gray.tobytes(), quality=85)
+        want = M.decode_jpeg(jp)
+
+        # one fill byte right after SOI, before the first header marker
+        padded1 = jp[:2] + b"\xff" + jp[2:]
+        assert M.decode_jpeg(padded1) == want
+        # several consecutive fill bytes
+        padded3 = jp[:2] + b"\xff\xff\xff" + jp[2:]
+        assert M.decode_jpeg(padded3) == want
+        # fill bytes between two header segments (before the SOF marker)
+        sof_at = jp.index(b"\xff\xc0")
+        padded_mid = jp[:sof_at] + b"\xff\xff" + jp[sof_at:]
+        assert M.decode_jpeg(padded_mid) == want
+
     def test_jpeg_pinned_checksums_and_rejections(self):
         """Determinism pin: encoded bytes AND decoded raster md5s for a
         fixed input are constants of this codec (fixed tables, float64
