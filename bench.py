@@ -212,11 +212,23 @@ def main() -> None:
             pass
         release_materialized()
 
-        total = time.perf_counter() - t_all
+        wall = time.perf_counter() - t_all
+        # VERDICT r8 ask #4: stage:ingest_codegen is one-time Janino
+        # compilation of the ingest pipeline's generated classes — it
+        # swung 6.6-13.9 s across the three r8 captures (JIT weather,
+        # amortizes to zero in a long-lived indexer) and dominated
+        # capture-to-capture total variance. Attribute it separately
+        # (codegen_sec + its own stage: line) and EXCLUDE it from the
+        # headline value so round-over-round totals compare engine
+        # work; wall_sec keeps the raw end-to-end number.
+        codegen = times.get("stage:ingest_codegen", 0.0)
+        total = wall - codegen
         full = {
             "metric": "haystack_traces_spark end-to-end (build+query)",
             "value": round(total, 3),
             "unit": "sec",
+            "wall_sec": round(wall, 3),
+            "codegen_sec": round(codegen, 3),
             "queries": {k: round(v, 3) for k, v in times.items()},
             "n_queries": len(times),
             "sf": sf,
@@ -247,6 +259,8 @@ def main() -> None:
             "metric": full["metric"],
             "value": full["value"],
             "unit": "sec",
+            "wall_sec": full["wall_sec"],
+            "codegen_sec": full["codegen_sec"],
             "queries": {k: round(times[k], 3) for k in headline if k in times},
             "n_queries": len(times),
             "sf": sf,
