@@ -657,23 +657,22 @@ def sql_shuffle_order() -> str:
 
 
 KNN_GRAPH_K = 3
-# 6 planes (64 buckets/table) instead of the query-ANN's 5: the graph ranks
-# EVERY vector, so per-bucket pair volume (not per-query recall) is the
-# binding cost — 4x fewer candidate pairs for a small recall give-up
-KNN_GRAPH_PLANES = 6
 
 
 def _knn_graph_stage(spark, sf_dir):
     """Session-cached kNN graph (output-side: |vectors| × K edges) —
     shared by ann_knn_graph, knn_label_consistency's scale face, and
-    knn_hubness, mirroring a persisted neighbor table in production."""
+    knn_hubness, mirroring a persisted neighbor table in production.
+    planes_per_table is DERIVED from the corpus size (S.derive_planes,
+    VERDICT r8 ask #2) — the oracle face derives the identical count in
+    SQL (_lsh_bucket_ctes planes=None), so both faces track corpus
+    growth together. At the sf0.1 bench corpus the derived p equals the
+    former fixed constant (6)."""
     return shared_stage(
         spark,
         sf_dir,
         "knn_graph",
-        lambda: S.lsh_knn_graph(
-            _emb(spark, sf_dir), KNN_GRAPH_K, planes_per_table=KNN_GRAPH_PLANES
-        ),
+        lambda: S.lsh_knn_graph(_emb(spark, sf_dir), KNN_GRAPH_K),
     )
 
 
@@ -687,7 +686,7 @@ def sql_ann_knn_graph() -> str:
         "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
     )
     return f"""
-WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, KNN_GRAPH_PLANES)},
+WITH {_lsh_bucket_ctes(S.DEFAULT_LSH_TABLES, None)},
 cand AS (
   SELECT DISTINCT a.vec_id AS vid, b.vec_id AS neighbor_id
   FROM buckets a JOIN buckets b
@@ -2538,20 +2537,36 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-def _lsh_bucket_ctes(n_t: int, n_p: int) -> str:
+def _lsh_bucket_ctes(n_t: int, n_p: int | None) -> str:
     """DuckDB CTEs rebuilding hyperplane_buckets exactly: e (double vectors),
-    planes (hash-derived ±1 components), dots, buckets (sign-pattern keys)."""
+    planes (hash-derived ±1 components), dots, buckets (sign-pattern keys).
+    ``n_p=None`` mirrors the engine's auto mode: planes are generated up to
+    MAX_KNN_PLANES and filtered to S.derive_planes' integer bit-length rule
+    — GREATEST/LEAST + length(bin(x)) is floor(log2)+1 on both engines, so
+    the derived count is bit-identical to the Spark face (never float log2,
+    rule 13)."""
     h = (
         "CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ':' || "
         "CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 15)) AS BIGINT)"
     )
+    if n_p is None:
+        np_cte = f"""nplanes AS (
+  SELECT GREATEST({S.MIN_KNN_PLANES}, LEAST({S.MAX_KNN_PLANES},
+         length(bin(GREATEST(COUNT(*) // {S.KNN_TARGET_OCCUPANCY}, 1))))) AS np
+  FROM e
+),
+"""
+        gen_hi, p_filter = S.MAX_KNN_PLANES - 1, \
+            "\n  WHERE p.p < (SELECT np FROM nplanes)"
+    else:
+        np_cte, gen_hi, p_filter = "", n_p - 1, ""
     return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes AS (
+{np_cte}planes AS (
   SELECT t.t, p.p, d.d,
          CASE WHEN ({h} & 1) = 1 THEN 1.0 ELSE -1.0 END AS comp
   FROM UNNEST(generate_series(0, {n_t - 1})) t(t),
-       UNNEST(generate_series(0, {n_p - 1})) p(p),
-       UNNEST(generate_series(0, 63)) d(d)
+       UNNEST(generate_series(0, {gen_hi})) p(p),
+       UNNEST(generate_series(0, 63)) d(d){p_filter}
 ),
 elems AS (
   SELECT vec_id, i - 1 AS d, v[i] AS val

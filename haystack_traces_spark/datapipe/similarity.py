@@ -163,7 +163,38 @@ def brute_force_topk(
 
 
 DEFAULT_LSH_TABLES = 24
+#: Query-ANN planes (lsh_topk): per-QUERY recall is the binding cost there,
+#: so a fixed small p is the right default. The GRAPH family (lsh_knn_graph
+#: / lsh_candidate_pairs) instead defaults to planes=None ("auto") — see
+#: derive_planes: per-bucket PAIR volume binds, and a fixed p at a growing
+#: corpus is corpus-quadratic (measured: 27x wall at 10x data with p fixed
+#: vs 3.8x with occupancy held, SCALE.md §2 r8).
 DEFAULT_LSH_PLANES = 5
+
+#: The measured knn-graph operating point (SCALE.md §2 r8): hold per-bucket
+#: occupancy ≈ this constant as the corpus grows. At the sf0.1 bench corpus
+#: (2000 vectors) the derived p equals the previous fixed default (6).
+KNN_TARGET_OCCUPANCY = 32
+MIN_KNN_PLANES = 4   # below: buckets too few for the join to prune anything
+MAX_KNN_PLANES = 16  # above: 2^16 buckets/table; raise n_tables instead
+
+
+def derive_planes(
+    n_vectors: int, target_occupancy: int = KNN_TARGET_OCCUPANCY
+) -> int:
+    """planes_per_table ≈ log2(n_vectors / target_occupancy) — the measured
+    operating rule that keeps hyperplane-bucket occupancy (and therefore
+    candidate-pair volume) ~constant per vector as the corpus grows
+    (SCALE.md §2 r8: fixed planes at 10x data = 27x wall; occupancy held =
+    3.8x). Integer bit-length, floor(log2)+1 — never float log2 (group
+    keys / cross-engine rule 13), so the DuckDB oracle face derives the
+    IDENTICAL count. Higher p trades threshold-edge recall (measured
+    99.5% -> 84.5% at p=9 on the 10x corpus); buy it back with n_tables,
+    the nearly-free lever (one shared GEMM per batch)."""
+    return max(
+        MIN_KNN_PLANES,
+        min(MAX_KNN_PLANES, max(n_vectors // target_occupancy, 1).bit_length()),
+    )
 
 
 def hyperplane_buckets(
@@ -440,7 +471,7 @@ def lsh_topk(
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_tables: int = DEFAULT_LSH_TABLES,
-    planes_per_table: int = DEFAULT_LSH_PLANES,
+    planes_per_table: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
@@ -448,7 +479,14 @@ def lsh_candidate_pairs(
     """→ distinct directed (vid, neighbor_id) candidate pairs from
     hyperplane-bucket co-occupancy — the candidate stage of
     :func:`lsh_knn_graph`, exposed on its own so the 10×-growth scale
-    smoke can measure candidate VOLUME directly (VERDICT r5 ask #6)."""
+    smoke can measure candidate VOLUME directly (VERDICT r5 ask #6).
+
+    ``planes_per_table=None`` (the default) derives p from a cheap
+    ``count()`` via :func:`derive_planes` — occupancy held as the corpus
+    grows, so candidate volume stays ~linear instead of corpus-quadratic
+    (VERDICT r8 ask #2). Pass an explicit int to pin geometry."""
+    if planes_per_table is None:
+        planes_per_table = derive_planes(emb.count())
     buckets = materialize(
         hyperplane_buckets(emb, n_tables, planes_per_table, dim, id_col)
     )
@@ -476,7 +514,7 @@ def lsh_knn_graph(
     emb: DataFrame,
     k: int = 3,
     n_tables: int = DEFAULT_LSH_TABLES,
-    planes_per_table: int = DEFAULT_LSH_PLANES,
+    planes_per_table: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
@@ -492,7 +530,9 @@ def lsh_knn_graph(
     partition count = |vectors|, never global. At 100 TB the bucket join
     replaces the |emb|² cross join and (n_tables, planes_per_table) dials
     candidate volume; recall < 1 only for vectors whose true neighbors
-    never share a bucket."""
+    never share a bucket. ``planes_per_table=None`` (default) derives p
+    from the corpus size via :func:`derive_planes` so occupancy — and
+    per-vector candidate volume — holds as the corpus grows."""
     from pyspark.sql import Window
 
     cand = lsh_candidate_pairs(

@@ -272,10 +272,12 @@ def test_neardup_family_candidate_growth_at_10x(spark):
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
         .drop("rep")
     )
+    # planes pinned to the old fixed default: this section measures the
+    # FIXED-geometry worst case (auto-planes linearity has its own test)
     try:
-        k1 = S.lsh_candidate_pairs(emb).count()
+        k1 = S.lsh_candidate_pairs(emb, planes_per_table=5).count()
         release_materialized()
-        k10 = S.lsh_candidate_pairs(big_emb).count()
+        k10 = S.lsh_candidate_pairs(big_emb, planes_per_table=5).count()
         release_materialized()
         n_vec10 = big_emb.count()
         # every 1x candidate replicates 10x10 ways + replica-identity
@@ -284,20 +286,64 @@ def test_neardup_family_candidate_growth_at_10x(spark):
 
         # ---- cap engages at growth and reports its drops ----
         occ_max = (
-            S.hyperplane_buckets(big_emb)
+            S.hyperplane_buckets(big_emb, planes_per_table=5)
             .groupBy("table", "bucket")
             .count()
             .agg(F.max("count"))
             .first()[0]
         )
         cap = max(1, int(occ_max * 0.6))
-        k_capped = S.lsh_candidate_pairs(big_emb, max_bucket=cap).count()
+        k_capped = S.lsh_candidate_pairs(
+            big_emb, planes_per_table=5, max_bucket=cap
+        ).count()
         stats = dict(caps.last_cap_stats["lsh_knn_graph"])
         assert stats["n_buckets_dropped"] > 0, stats
         assert stats["n_rows_dropped"] >= cap + 1, stats
         assert k_capped < k10, (k_capped, k10)
     finally:
         release_materialized()
+
+
+def test_auto_planes_hold_candidate_volume_near_linear_at_10x(spark):
+    """VERDICT r8 ask #2: planes_per_table=None derives
+    p ≈ log2(n/occupancy) (S.derive_planes), so per-bucket occupancy —
+    and with it per-vector candidate volume — holds as the corpus grows.
+    10x growth via per-replica deterministic sign flips (a diagonal
+    isometry: within-replica geometry identical, cross-replica cosines
+    pseudo-random ≈ 0 — the embedding analog of token-prefixing, rule 16).
+    Fixed planes at this growth measured corpus-quadratic candidates /
+    27x wall (SCALE.md §2 r8); derived planes must keep the 10x candidate
+    count near 10x the base, not 100x."""
+    from haystack_traces_spark.datapipe import similarity as S
+    from haystack_traces_spark.session import release_materialized
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n1 = emb.count()
+    # the derived dial must move with the corpus (occupancy held)
+    assert S.derive_planes(n1) < S.derive_planes(10 * n1)
+
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    flip = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            F.pmod(F.hash(F.col("rep"), i), F.lit(2)) == 0, x
+        ).otherwise(-x),
+    )
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        flip.alias("embedding"),
+    )
+    try:
+        k1 = S.lsh_candidate_pairs(emb).count()
+        release_materialized()
+        k10 = S.lsh_candidate_pairs(big_emb).count()
+    finally:
+        release_materialized()
+    # near-linear: the derived p quantizes to powers of two, so the ratio
+    # wobbles around 10x — but it must stay O(n), nowhere near the ~100x
+    # a fixed-p corpus-quadratic blowup produces on this growth
+    assert k10 <= 30 * k1, (k1, k10)
+    assert k10 >= 2 * k1, (k1, k10)
 
 
 def _run_ingest_soak(spark, tmp_path, n_batches=20):
