@@ -1497,7 +1497,11 @@ def q_neardup_event_provenance(spark, sf_dir):
     return event_time_verdicts(doc_rows, bands).orderBy("doc_id")
 
 
-def sql_neardup_event_provenance() -> str:
+def _neardup_evt_body() -> str:
+    """Shared WITH-body for the event-time near-dup oracles (through the
+    ``v`` verdict CTE) — one place for the band/holder/hit arithmetic so
+    neardup_event_provenance and dedup_horizon_plan can never diverge
+    (rule 19)."""
     bands, rpb = D.DEFAULT_BANDS, D.DEFAULT_MINHASH_SEEDS // D.DEFAULT_BANDS
     band_selects = []
     for b in range(bands):
@@ -1536,12 +1540,19 @@ hitrank AS (
          COUNT(*) OVER (PARTITION BY doc_id) AS nh
   FROM hits
 ),
-v AS (SELECT doc_id, h_doc AS dup_of, nh FROM hitrank WHERE rn = 1)
+v AS (SELECT doc_id, h_doc AS dup_of, nh FROM hitrank WHERE rn = 1)"""
+
+
+def sql_neardup_event_provenance() -> str:
+    return (
+        _neardup_evt_body()
+        + """
 SELECT d.doc_id, d.ts, (v.doc_id IS NOT NULL) AS near_dup, v.dup_of,
        CAST(COALESCE(v.nh, 0) AS BIGINT) AS n_bands_hit
 FROM dts d LEFT JOIN v ON v.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+    )
 
 
 def q_dedup_event_provenance(spark, sf_dir):
@@ -1611,6 +1622,178 @@ SELECT d.doc_id, d.ts, (v.doc_id IS NOT NULL) AS is_duplicate,
        COALESCE(v.h_doc, d.doc_id) AS first_doc_id
 FROM dts d LEFT JOIN hits v ON v.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+#: TTL ladder for the dedup-horizon plan, in the synthetic event-time
+#: unit (µs over the NEARDUP_EVT_SPAN 24h span): 1m / 10m / 1h / 6h / 24h
+_DEDUP_HORIZONS_US = (
+    60_000_000,
+    600_000_000,
+    3_600_000_000,
+    21_600_000_000,
+    86_400_000_000,
+)
+
+
+def q_dedup_horizon_plan(spark, sf_dir):
+    """→ (horizon_us, n_dups, n_caught, caught_ppm): dedup STATE-TTL
+    sizing table. A streaming gate that expires idle state after
+    ``horizon`` (corpus_stream.dedup_gate's ttl_ms; the event-time
+    gates' band-log compaction window — the standard windowed-dedup
+    trade) catches exactly the duplicates whose event-time LAG behind
+    their content's first holder fits the horizon; this face evaluates
+    every rung of a TTL ladder against the observed lag distribution of
+    the NEAR-dup provenance (the corpus's real duplicate family — the
+    exact-dup face is empty on this corpus, and the verdict arithmetic
+    is the same shared event_time_verdicts core either way, rule 19), so
+    the state-size-vs-recall knob is priced from data before a 100 TB
+    run commits to a horizon. Integer ppm — no float ratios (caught_ppm
+    from UNROUNDED counts).
+
+    Scale shape: the band-keyed min + join of the provenance core, then
+    a ≤5-row broadcast ladder and one map-side-combinable rollup."""
+    prov = q_neardup_event_provenance(spark, sf_dir).select(
+        "doc_id",
+        "ts",
+        F.col("near_dup").alias("is_duplicate"),
+        F.coalesce("dup_of", "doc_id").alias("first_doc_id"),
+    )
+    return dedup_horizon_plan_from(spark, prov)
+
+
+def dedup_horizon_plan_from(spark, prov: DataFrame) -> DataFrame:
+    """Core over any (doc_id, ts, is_duplicate, first_doc_id) provenance
+    frame — split out so crafted tests pin exact ladder values."""
+    holders = prov.select(
+        F.col("doc_id").alias("h_doc"), F.col("ts").alias("h_ts")
+    )
+    lags = (
+        prov.filter(F.col("is_duplicate"))
+        .join(holders, F.col("first_doc_id") == F.col("h_doc"))
+        .select((F.col("ts") - F.col("h_ts")).alias("lag_us"))
+    )
+    ladder = spark.createDataFrame(
+        [(h,) for h in _DEDUP_HORIZONS_US], "horizon_us long"
+    )
+    return (
+        lags.crossJoin(F.broadcast(ladder))
+        .groupBy("horizon_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.sum((F.col("lag_us") <= F.col("horizon_us")).cast("long"))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "horizon_us",
+            "n_dups",
+            "n_caught",
+            F.expr("1000000 * n_caught DIV n_dups").alias("caught_ppm"),
+        )
+        .orderBy("horizon_us")
+    )
+
+
+def sql_dedup_horizon_plan() -> str:
+    ladder = ", ".join(f"({h})" for h in _DEDUP_HORIZONS_US)
+    return (
+        _neardup_evt_body()
+        + f""",
+lags AS (
+  SELECT d.ts - hd.ts AS lag_us
+  FROM v JOIN dts d ON d.doc_id = v.doc_id
+  JOIN dts hd ON hd.doc_id = v.dup_of
+),
+ladder(horizon_us) AS (VALUES {ladder})
+SELECT CAST(l.horizon_us AS BIGINT) AS horizon_us,
+       COUNT(*) AS n_dups,
+       CAST(SUM(CASE WHEN lag_us <= l.horizon_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       (1000000 * CAST(SUM(CASE WHEN lag_us <= l.horizon_us THEN 1 ELSE 0 END)
+                       AS BIGINT)) // COUNT(*) AS caught_ppm
+FROM lags CROSS JOIN ladder l
+GROUP BY l.horizon_us
+ORDER BY horizon_us
+"""
+    )
+
+
+#: hypothetical growth factors for the auto-planes sizing table
+_PLANES_GROWTHS = (1, 10, 100, 1000)
+
+
+def q_lsh_planes_plan(spark, sf_dir):
+    """→ (growth, n_vectors, planes, buckets_per_table, occupancy_milli):
+    the AUTO-PLANES sizing table — VERDICT r8 ask #2's measured operating
+    rule (planes ≈ log2(n_vectors / target_occupancy), SCALE.md §2) as a
+    planner face. For the live corpus and hypothetical growth factors it
+    derives planes_per_table with the SAME integer bit-length arithmetic
+    similarity.derive_planes ships (GREATEST/LEAST + length(bin(...)) on
+    both engine faces — rules 13/19: never float log2, and the planner
+    must share the generator's assignment rule or they silently diverge
+    when constants change), plus the bucket count and expected per-bucket
+    occupancy (milli-units, integer division) each rung implies.
+
+    Scale shape: one count() aggregate crossed with a 4-row broadcast
+    ladder — corpus touched once, by the count."""
+    emb = _emb(spark, sf_dir)
+    n1 = emb.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    ladder = spark.createDataFrame(
+        [(g,) for g in _PLANES_GROWTHS], "growth long"
+    )
+    planes = F.greatest(
+        F.lit(S.MIN_KNN_PLANES),
+        F.least(
+            F.lit(S.MAX_KNN_PLANES),
+            F.length(
+                F.bin(
+                    F.greatest(
+                        F.expr(f"n_vectors DIV {S.KNN_TARGET_OCCUPANCY}"),
+                        F.lit(1).cast("long"),
+                    )
+                )
+            ),
+        ),
+    )
+    return (
+        n1.crossJoin(F.broadcast(ladder))
+        .select("growth", (F.col("n1") * F.col("growth")).alias("n_vectors"))
+        .withColumn("planes", planes.cast("long"))
+        .withColumn(
+            "buckets_per_table",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(planes AS INT))"),
+        )
+        .withColumn(
+            "occupancy_milli", F.expr("1000 * n_vectors DIV buckets_per_table")
+        )
+        .orderBy("growth")
+    )
+
+
+def sql_lsh_planes_plan() -> str:
+    ladder = ", ".join(f"({g})" for g in _PLANES_GROWTHS)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n1 FROM embeddings),
+ladder(growth) AS (VALUES {ladder}),
+rows_ AS (
+  SELECT CAST(growth AS BIGINT) AS growth,
+         CAST(n1 * growth AS BIGINT) AS n_vectors
+  FROM n CROSS JOIN ladder
+),
+p AS (
+  SELECT growth, n_vectors,
+         CAST(GREATEST({S.MIN_KNN_PLANES}, LEAST({S.MAX_KNN_PLANES},
+              length(bin(GREATEST(n_vectors // {S.KNN_TARGET_OCCUPANCY}, 1)))))
+              AS BIGINT) AS planes
+  FROM rows_
+)
+SELECT growth, n_vectors, planes,
+       (CAST(1 AS BIGINT) << CAST(planes AS INT)) AS buckets_per_table,
+       (1000 * n_vectors) // (CAST(1 AS BIGINT) << CAST(planes AS INT))
+         AS occupancy_milli
+FROM p
+ORDER BY growth
 """
 
 
@@ -4632,6 +4815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stability": q_cluster_stability,
         "neardup_event_provenance": q_neardup_event_provenance,
         "dedup_event_provenance": q_dedup_event_provenance,
+        "dedup_horizon_plan": q_dedup_horizon_plan,
+        "lsh_planes_plan": q_lsh_planes_plan,
         "knn_graph_reciprocity": q_knn_graph_reciprocity,
         "lsh_candidate_precision": q_lsh_candidate_precision,
         "simhash_hamming_spectrum": q_simhash_hamming_spectrum,
@@ -4764,6 +4949,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_stability": sql_cluster_stability(),
         "neardup_event_provenance": sql_neardup_event_provenance(),
         "dedup_event_provenance": sql_dedup_event_provenance(),
+        "dedup_horizon_plan": sql_dedup_horizon_plan(),
+        "lsh_planes_plan": sql_lsh_planes_plan(),
         "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
         "lsh_candidate_precision": sql_lsh_candidate_precision(),
         "simhash_hamming_spectrum": sql_simhash_hamming_spectrum(),

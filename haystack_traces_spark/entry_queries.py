@@ -6768,6 +6768,241 @@ ORDER BY s.service
     )
 
 
+def q_service_reach_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (service, max_hop, n_at_max): downstream ECCENTRICITY of every
+    service — the longest SHORTEST-path (in call hops) from the service
+    to anything it can reach, plus how many dependencies sit at that
+    frontier. Where blast_radius answers "how many services can an
+    incident touch", this answers "how many synchronous hops deep does
+    the dependency chain run" — the latency-floor / cascade-depth rank.
+    Shortest-path distances stay finite under call cycles (no divergence
+    guard needed, unlike longest-path); leaf services report an explicit
+    0-hop row from the catalog.
+
+    Scale shape: the edge list is a |services|²-bounded aggregate; the
+    min-plus closure is a path-DOUBLING fixpoint over that tiny table
+    (log2(diameter) steps, localCheckpoint truncation per step, RAISES
+    on non-convergence). Span volume is touched exactly once."""
+    return service_reach_depth_from(_spans(spark, sf_dir))
+
+
+def service_reach_depth_from(spans_df: DataFrame) -> DataFrame:
+    edges = (
+        span_call_edges(spans_df)
+        .select(
+            F.lower("from_service").alias("a"),
+            F.lower("to_service").alias("b"),
+        )
+        .distinct()
+    )
+    dist = edges.select(
+        "a", F.col("b").alias("r"), F.lit(1).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    stat = tuple(dist.agg(F.count(F.lit(1)), F.sum("d")).first())
+    for _ in range(_BLAST_MAX_ITERS):
+        # min-plus path doubling: after k steps every shortest path of
+        # length <= 2^k is final. d only ever SHRINKS per pair and pairs
+        # only ever APPEAR, so (count, sum d) stable <=> fixpoint.
+        hop = dist.select(
+            F.col("a").alias("r"),
+            F.col("r").alias("r2"),
+            F.col("d").alias("d2"),
+        )
+        grown = (
+            dist.unionByName(
+                dist.join(hop, "r").select(
+                    "a",
+                    F.col("r2").alias("r"),
+                    (F.col("d") + F.col("d2")).alias("d"),
+                )
+            )
+            .groupBy("a", "r")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        st2 = tuple(grown.agg(F.count(F.lit(1)), F.sum("d")).first())
+        if st2 == stat:
+            dist = grown
+            break
+        dist, stat = grown, st2
+    else:
+        raise RuntimeError(
+            f"service_reach_depth closure did not converge in "
+            f"{_BLAST_MAX_ITERS} doubling steps — the loop is broken "
+            "(2^64 exceeds any possible graph diameter)"
+        )
+    sp = dist.filter(F.col("a") != F.col("r"))
+    per = sp.groupBy(F.col("a").alias("service")).agg(
+        F.max("d").alias("max_hop")
+    )
+    at_max = (
+        sp.join(
+            per,
+            (F.col("a") == F.col("service")) & (F.col("d") == F.col("max_hop")),
+        )
+        .groupBy("service", "max_hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_at_max"))
+    )
+    services = (
+        spans_df.select(F.lower("service_name").alias("service")).distinct()
+    )
+    return (
+        services.join(F.broadcast(at_max), "service", "left")
+        .select(
+            "service",
+            F.coalesce("max_hop", F.lit(0)).cast("long").alias("max_hop"),
+            F.coalesce("n_at_max", F.lit(0)).cast("long").alias("n_at_max"),
+        )
+        .orderBy("service")
+    )
+
+
+def sql_service_reach_depth() -> str:
+    # the oracle's walk caps d at 64 — an INDEPENDENT strategy from the
+    # engine's doubling (shortest paths are < |services| <= 64 at every
+    # test SF, so the cap never binds); UNION dedups (a, r, d) triples,
+    # which bounds the recursion even under call cycles
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, edges AS (
+  SELECT DISTINCT lower(p.service_name) AS a, lower(c.service_name) AS b
+  FROM spans c
+  JOIN spans p ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  WHERE c.parent_span_id <> ''
+),
+walk(a, r, d) AS (
+  SELECT a, b, 1 FROM edges
+  UNION
+  SELECT w.a, e.b, w.d + 1 FROM walk w JOIN edges e ON e.a = w.r
+  WHERE w.d < 64
+),
+sp AS (
+  SELECT a, r, CAST(MIN(d) AS BIGINT) AS d FROM walk
+  WHERE a <> r GROUP BY a, r
+),
+per AS (SELECT a AS service, MAX(d) AS max_hop FROM sp GROUP BY a),
+atm AS (
+  SELECT p.service, p.max_hop, CAST(COUNT(*) AS BIGINT) AS n_at_max
+  FROM sp JOIN per p ON p.service = sp.a AND sp.d = p.max_hop
+  GROUP BY p.service, p.max_hop
+),
+svc AS (SELECT DISTINCT lower(service_name) AS service FROM spans)
+SELECT s.service, COALESCE(a.max_hop, 0) AS max_hop,
+       COALESCE(a.n_at_max, 0) AS n_at_max
+FROM svc s LEFT JOIN atm a ON a.service = s.service
+ORDER BY s.service
+"""
+    )
+
+
+#: SLO error budget: 1% target error rate, expressed in ppm so the burn
+#: arithmetic stays integer on both engine faces
+SLO_ERROR_BUDGET_PPM = 10_000
+#: the public multi-window burn-rate alert thresholds (fast 1h window at
+#: 14.4x budget consumption confirmed by the trailing 6h window at 6x),
+#: in milli-units — integer comparisons, no float ratios in the rule
+BURN_FAST_MILLI = 14_400
+BURN_SLOW_MILLI = 6_000
+
+
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, hour_start, n_spans, n_errors, burn_1h_milli,
+    burn_6h_milli, alert): multi-window SLO BURN-RATE alerting over the
+    span stream — burn = observed error rate / error budget, computed
+    per hour AND over the trailing 6 hours; a page fires only when the
+    fast window burns > 14.4x and the slow window confirms > 6x (the
+    standard published multiwindow rule: fast for detection latency,
+    slow to suppress blips). Where error_rate_trends reports the raw
+    series, this face prices it against a budget and yields the on-call
+    verdict. All burn arithmetic is integer milli/ppm from UNROUNDED
+    counts (cross-engine rule: never rank or alert on float ratios).
+
+    Scale shape: one (service, hour) map-side-combinable aggregate on
+    the prunable scan, then a per-service RANGE window over the hourly
+    series (frame = 6 rows max, partition = |services| x |hours|)."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir)
+    hour = (F.col("start_time") - F.col("start_time") % HOUR_US).alias(
+        "hour_start"
+    )
+    hourly = spans.groupBy(
+        F.lower("service_name").alias("servicename"), hour
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum((_errorcode() >= ERROR_THRESHOLD).cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    w6 = (
+        Window.partitionBy("servicename")
+        .orderBy("hour_start")
+        .rangeBetween(-5 * HOUR_US, 0)
+    )
+    burn1 = F.expr(
+        f"1000000000 * n_errors DIV (n_spans * {SLO_ERROR_BUDGET_PPM})"
+    )
+    out = (
+        hourly.withColumn("e6", F.sum("n_errors").over(w6))
+        .withColumn("s6", F.sum("n_spans").over(w6))
+        .withColumn("burn_1h_milli", burn1)
+        .withColumn(
+            "burn_6h_milli",
+            F.expr(f"1000000000 * e6 DIV (s6 * {SLO_ERROR_BUDGET_PPM})"),
+        )
+    )
+    return out.select(
+        "servicename",
+        "hour_start",
+        "n_spans",
+        "n_errors",
+        "burn_1h_milli",
+        "burn_6h_milli",
+        (
+            (F.col("burn_1h_milli") > BURN_FAST_MILLI)
+            & (F.col("burn_6h_milli") > BURN_SLOW_MILLI)
+        ).alias("alert"),
+    ).orderBy("servicename", "hour_start")
+
+
+def sql_error_budget_burn() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hourly AS (
+  SELECT lower(service_name) AS servicename,
+         start_time - start_time % {HOUR_US} AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM spans
+  GROUP BY 1, 2
+),
+win AS (
+  -- CAST the window sums: DuckDB SUM(BIGINT) OVER yields HUGEINT,
+  -- which pandas would surface as float64 (cross-engine rule 3)
+  SELECT servicename, hour_start, n_spans, n_errors,
+         CAST(SUM(n_errors) OVER w6 AS BIGINT) AS e6,
+         CAST(SUM(n_spans) OVER w6 AS BIGINT) AS s6
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY servicename ORDER BY hour_start
+                RANGE BETWEEN {5 * HOUR_US} PRECEDING AND CURRENT ROW)
+)
+SELECT servicename, hour_start, n_spans, n_errors,
+       (1000000000 * n_errors) // (n_spans * {SLO_ERROR_BUDGET_PPM})
+         AS burn_1h_milli,
+       (1000000000 * e6) // (s6 * {SLO_ERROR_BUDGET_PPM}) AS burn_6h_milli,
+       ((1000000000 * n_errors) // (n_spans * {SLO_ERROR_BUDGET_PPM})
+          > {BURN_FAST_MILLI}
+        AND (1000000000 * e6) // (s6 * {SLO_ERROR_BUDGET_PPM})
+          > {BURN_SLOW_MILLI}) AS alert
+FROM win
+ORDER BY servicename, hour_start
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -6849,6 +7084,10 @@ _ROTATION_QUEUE = (
     # round-9 additions (behind the 22-name never-checked backlog, which
     # clears this round: 23 core + 22 + these still fit the ~50 sample):
     "dedup_event_provenance",
+    "dedup_horizon_plan",
+    "lsh_planes_plan",
+    "service_reach_depth",
+    "error_budget_burn",
 )
 
 
@@ -6984,6 +7223,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_partition_profile": q_index_partition_profile,
         "duration_heaping": q_duration_heaping,
         "blast_radius": q_blast_radius,
+        "service_reach_depth": q_service_reach_depth,
+        "error_budget_burn": q_error_budget_burn,
         "tail_latency_attribution": q_tail_latency_attribution,
     }
 
@@ -7104,5 +7345,7 @@ def _trace_oracles() -> dict[str, str]:
         "index_partition_profile": sql_index_partition_profile(),
         "duration_heaping": sql_duration_heaping(),
         "blast_radius": sql_blast_radius(),
+        "service_reach_depth": sql_service_reach_depth(),
+        "error_budget_burn": sql_error_budget_burn(),
         "tail_latency_attribution": sql_tail_latency_attribution(),
     }

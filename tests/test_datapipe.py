@@ -3357,3 +3357,60 @@ def test_sampled_diversity_exact_means(spark):
     assert (r["n_docs"], r["n_pairs"]) == (3, 3)
     assert r["mean_jaccard"] == 0.333333
     assert r["zero_overlap_share"] == 0.666667
+
+
+def test_dedup_horizon_plan_exact_ladder(spark):
+    """Round-9 operator: crafted provenance with known dup lags pins the
+    whole TTL ladder — n_caught is cumulative in the horizon, caught_ppm
+    is integer DIV of unrounded counts, and a lag beyond the largest
+    horizon is never caught."""
+    from haystack_traces_spark.datapipe.queries import (
+        _DEDUP_HORIZONS_US,
+        dedup_horizon_plan_from,
+    )
+
+    prov = spark.createDataFrame(
+        [
+            (1, 0, False, 1),                    # holder
+            (2, 30_000_000, True, 1),            # lag 30s
+            (3, 2_000_000_000, True, 1),         # lag 2000s (>10m, <=1h)
+            (4, 90_000_000_000, True, 1),        # lag > 24h: never caught
+            (5, 500, False, 5),                  # unrelated non-dup
+        ],
+        "doc_id long, ts long, is_duplicate boolean, first_doc_id long",
+    )
+    rows = {
+        r["horizon_us"]: r.asDict()
+        for r in dedup_horizon_plan_from(spark, prov).collect()
+    }
+    assert set(rows) == set(_DEDUP_HORIZONS_US)
+    expect_caught = {
+        60_000_000: 1,
+        600_000_000: 1,
+        3_600_000_000: 2,
+        21_600_000_000: 2,
+        86_400_000_000: 2,
+    }
+    for h, n in expect_caught.items():
+        assert rows[h]["n_dups"] == 3
+        assert rows[h]["n_caught"] == n
+        assert rows[h]["caught_ppm"] == 1_000_000 * n // 3
+
+
+def test_lsh_planes_plan_matches_code_rule(spark):
+    """Round-9 operator: the planner face must reproduce
+    similarity.derive_planes EXACTLY for every growth rung (rule 19: a
+    planner must share the generator's assignment rule), with
+    buckets = 2^planes and occupancy in integer milli-units."""
+    from haystack_traces_spark.datapipe import similarity as S
+    from haystack_traces_spark.datapipe.queries import q_lsh_planes_plan
+
+    rows = q_lsh_planes_plan(spark, "/root/testdata/sf0.001").collect()
+    assert [r["growth"] for r in rows] == [1, 10, 100, 1000]
+    for r in rows:
+        n = r["n_vectors"]
+        assert r["planes"] == S.derive_planes(n), r
+        assert r["buckets_per_table"] == 1 << r["planes"]
+        assert r["occupancy_milli"] == 1000 * n // r["buckets_per_table"]
+    # the dial must actually move across the ladder at this corpus size
+    assert rows[0]["planes"] < rows[-1]["planes"]

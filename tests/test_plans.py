@@ -721,6 +721,44 @@ def test_round8_operators_have_no_global_bottleneck(spark):
         release_materialized()
 
 
+def test_round9_operators_have_no_global_bottleneck(spark):
+    """Round-9 batch: no cartesian products; the only single-partition
+    exchanges are bounded by design — the plan ladders are ≤5-row
+    broadcast literals crossed with 1-row count aggregates
+    (lsh_planes_plan), and the horizon rollup groups a ≤5-key ladder.
+    service_reach_depth's inner fixpoint uses localCheckpoint (inherent
+    to iteration, like blast_radius); its final assembly must still be
+    broadcast-joined. error_budget_burn's per-service window partitions
+    on (service), never globally."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+    from haystack_traces_spark.datapipe import stagecache
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "dedup_event_provenance": (Q.q_dedup_event_provenance, 0),
+        # 1-row vector count crossed with the broadcast growth ladder
+        "lsh_planes_plan": (Q.q_lsh_planes_plan, 1),
+        # ≤5-key ladder rollup ends in one bounded ordering exchange
+        "dedup_horizon_plan": (Q.q_dedup_horizon_plan, 1),
+        "service_reach_depth": (EQ.q_service_reach_depth, 0),
+        "error_budget_burn": (EQ.q_error_budget_burn, 0),
+    }
+    try:
+        with stagecache.plan_view():
+            for name, (fn, max_single) in cases.items():
+                plan = _plan(fn(spark, sf))
+                assert "CartesianProduct" not in plan, name
+                assert plan.count("Exchange SinglePartition") <= max_single, (
+                    name, plan[:1500],
+                )
+                if "BroadcastNestedLoopJoin" in plan:
+                    assert "BroadcastExchange" in plan, (name, plan[:1500])
+    finally:
+        release_materialized()
+
+
 def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
     """Round-7 promotion (SURVEY §4 deferred question): a fully
     trace-level EQUAL/range search over a promoted index must answer

@@ -1886,3 +1886,81 @@ def test_tail_latency_attribution_pins_excess_shares(spark):
     assert a["share_slow"] == 0.2 and b["share_slow"] == 0.8
     assert b["excess_share"] == round(0.8 - 80 / 190, 6)
     assert a["excess_share"] == round(0.2 - 110 / 190, 6)
+
+
+def test_service_reach_depth_chain_diamond_and_cycle(spark):
+    """Round-9 operator: downstream eccentricity = longest SHORTEST path.
+    A diamond shortcut must SHORTEN the chain distance (min-plus, not
+    longest-path), leaves report explicit 0 rows, and a call cycle stays
+    finite (shortest distances converge; no divergence guard needed)."""
+    rows = [
+        # t1: chain a->b->c->d plus diamond a->e->d
+        mk(trace_id="t1", span_id="s1", service="a"),
+        mk(trace_id="t1", span_id="s2", parent="s1", service="b"),
+        mk(trace_id="t1", span_id="s3", parent="s2", service="c"),
+        mk(trace_id="t1", span_id="s4", parent="s3", service="d"),
+        mk(trace_id="t1", span_id="s5", parent="s1", service="e"),
+        mk(trace_id="t1", span_id="s6", parent="s5", service="d"),
+        # t2: cycle f->g->f
+        mk(trace_id="t2", span_id="s1", service="f"),
+        mk(trace_id="t2", span_id="s2", parent="s1", service="g"),
+        mk(trace_id="t2", span_id="s3", parent="s2", service="f"),
+    ]
+    out = {
+        r["service"]: (r["max_hop"], r["n_at_max"])
+        for r in EQ.service_reach_depth_from(_with_spans(spark, rows)).collect()
+    }
+    assert out == {
+        "a": (2, 2),  # diamond: d reachable in 2, not 3; frontier {c, d}
+        "b": (2, 1),
+        "c": (1, 1),
+        "d": (0, 0),  # leaf: zero-filled from the catalog
+        "e": (1, 1),
+        "f": (1, 1),  # cycle: self-distance excluded, g at 1
+        "g": (1, 1),
+    }
+
+
+def test_error_budget_burn_multiwindow_alert_rule(spark):
+    """Round-9 operator: the fast window alone must not page (slow
+    window suppresses low-traffic blips), the slow window alone must not
+    page (fast window gives detection latency), and a confirmed burn
+    pages. Integer milli-burn pinned exactly."""
+    H = EQ.HOUR_US
+    rows = []
+
+    def hour_of(tag, h_idx, n_ok, n_err):
+        for i in range(n_ok):
+            rows.append(mk(trace_id=f"{tag}ok{h_idx}_{i}", span_id="s",
+                           service="svc", start=T0 + h_idx * H,
+                           tags=[_ltag("errorcode", 0)]))
+        for i in range(n_err):
+            rows.append(mk(trace_id=f"{tag}er{h_idx}_{i}", span_id="s",
+                           service="svc", start=T0 + h_idx * H,
+                           tags=[_ltag("errorcode", 100)]))
+
+    hour_of("a", 0, 10, 0)    # clean
+    hour_of("b", 1, 8, 2)     # burn1=20000>14400, burn6=10000>6000 -> page
+    hour_of("c", 2, 9, 1)     # burn1=10000<14400 -> no page (fast fails)
+    # low-traffic blip after 4 heavy clean hours: fast window fires,
+    # slow window suppresses
+    for h in (16, 17, 18, 19):
+        hour_of("d", h, 100, 0)
+    hour_of("e", 20, 1, 1)    # burn1=50000; burn6=1e9 DIV 402*1e4=248
+
+    out = {
+        r["hour_start"]: r.asDict()
+        for r in _patched(
+            spark, rows, lambda: EQ.q_error_budget_burn(spark, "")
+        ).collect()
+    }
+    assert out[T0]["alert"] is False and out[T0]["burn_1h_milli"] == 0
+    h1 = out[T0 + H]
+    assert (h1["burn_1h_milli"], h1["burn_6h_milli"]) == (20000, 10000)
+    assert h1["alert"] is True
+    h2 = out[T0 + 2 * H]
+    assert h2["burn_1h_milli"] == 10000 and h2["alert"] is False
+    blip = out[T0 + 20 * H]
+    assert blip["burn_1h_milli"] == 50000  # fast window screams...
+    assert blip["burn_6h_milli"] == 248    # ...slow window says blip
+    assert blip["alert"] is False
