@@ -548,6 +548,60 @@ def _jpeg_prepare(width, height, channels, raster, quality, subsample):
     return comp_planes, samp, qt_l, qt_c, qtab_l, qtab_c, mcux, mcuy
 
 
+def _jpeg_seg(marker: int, payload_: bytes) -> bytes:
+    import struct as _struct
+
+    return bytes([0xFF, marker]) + _struct.pack(
+        ">H", len(payload_) + 2
+    ) + payload_
+
+
+def _jpeg_header(
+    width, height, channels, samp, qt_l, qt_c, sof_marker, dhts
+) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOF + DHT(s) — shared by the baseline and
+    progressive encoders (the review-flagged drift risk: a DQT/SOF fix
+    applied to one encoder must reach the other, or the pinned
+    decode-equivalence contract silently breaks)."""
+    import struct as _struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(
+        0xDB, bytes([0x00]) + bytes(qt_l[_ZIGZAG[i]] for i in range(64))
+    )
+    if channels == 3:
+        out += _jpeg_seg(
+            0xDB, bytes([0x01]) + bytes(qt_c[_ZIGZAG[i]] for i in range(64))
+        )
+    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _jpeg_seg(sof_marker, bytes(sof))
+    for tc, th, bits, vals in dhts:
+        out += _jpeg_seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    return out
+
+
+def _dc_block_order(channels, samp, mcux, mcuy, true_dims):
+    """Block visitation order for a DC scan: non-interleaved raster over
+    the true grid for a single component, interleaved MCU order over the
+    padded grid otherwise (the decoder's exact rule — one generator so
+    first and refinement scans can never disagree)."""
+    if channels == 1:
+        wb, hb = true_dims[0]
+        return ((0, by, bx) for by in range(hb) for bx in range(wb))
+    return (
+        (ci, my * samp[ci][1] + byy, mx * samp[ci][0] + bxx)
+        for my in range(mcuy)
+        for mx in range(mcux)
+        for ci in range(channels)
+        for byy in range(samp[ci][1])
+        for bxx in range(samp[ci][0])
+    )
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -634,35 +688,23 @@ def encode_jpeg(
     bw.pad_align()
     segments.append(bytes(bw.out))
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(qt_l[_ZIGZAG[i]] for i in range(64)))
+    dhts = [
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
     if channels == 3:
-        out += seg(0xDB, bytes([0x01]) + bytes(qt_c[_ZIGZAG[i]] for i in range(64)))
-    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([channels])
-    for ci in range(channels):
-        hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-
-    def dht(tc, th, bits, vals):
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    if channels == 3:
-        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        dhts += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    out = _jpeg_header(width, height, channels, samp, qt_l, qt_c, 0xC0, dhts)
     if restart_interval:
-        out += seg(0xDD, _struct.pack(">H", restart_interval))
+        out += _jpeg_seg(0xDD, _struct.pack(">H", restart_interval))
     sos = bytearray([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
+    out += _jpeg_seg(0xDA, bytes(sos))
     for i, s in enumerate(segments):
         out += s
         if i < len(segments) - 1:
@@ -711,8 +753,6 @@ def encode_jpeg_progressive(
       Al=0 (raw bits); per-component AC refinements with EOB-run coding
       and buffered correction bits (T.81 G.1.2.3's encoder side).
     """
-    import struct as _struct
-
     import numpy as np
 
     comp_planes, samp, qt_l, qt_c, qtab_l, qtab_c, mcux, mcuy = _jpeg_prepare(
@@ -759,22 +799,7 @@ def encode_jpeg_progressive(
     def dc_first_scan(Al):
         bw_ = _BitWriter()
         preds = [0] * channels
-        if channels == 1:
-            # single-component scan: non-interleaved raster order
-            wb, hb = true_dims[0]
-            order = (
-                (0, by, bx) for by in range(hb) for bx in range(wb)
-            )
-        else:
-            order = (
-                (ci, my * samp[ci][1] + byy, mx * samp[ci][0] + bxx)
-                for my in range(mcuy)
-                for mx in range(mcux)
-                for ci in range(channels)
-                for byy in range(samp[ci][1])
-                for bxx in range(samp[ci][0])
-            )
-        for ci, by, bx in order:
+        for ci, by, bx in _dc_block_order(channels, samp, mcux, mcuy, true_dims):
             dc = int(zz[ci][by, bx, 0]) >> Al  # arithmetic shift (G.1.2.1)
             diff = dc - preds[ci]
             preds[ci] = dc
@@ -789,19 +814,7 @@ def encode_jpeg_progressive(
 
     def dc_refine_scan(Ah, Al):
         bw_ = _BitWriter()
-        if channels == 1:
-            wb, hb = true_dims[0]
-            order = ((0, by, bx) for by in range(hb) for bx in range(wb))
-        else:
-            order = (
-                (ci, my * samp[ci][1] + byy, mx * samp[ci][0] + bxx)
-                for my in range(mcuy)
-                for mx in range(mcux)
-                for ci in range(channels)
-                for byy in range(samp[ci][1])
-                for bxx in range(samp[ci][0])
-            )
-        for ci, by, bx in order:
+        for ci, by, bx in _dc_block_order(channels, samp, mcux, mcuy, true_dims):
             bw_.write((int(zz[ci][by, bx, 0]) >> Al) & 1, 1)
         bw_.pad_align()
         sel = [(ci + 1, 0, 0) for ci in range(channels)]
@@ -944,31 +957,13 @@ def encode_jpeg_progressive(
         for ci in range(channels):
             ac_refine_scan(ci, 6, 63, 1, 0)
 
-    def seg(marker, payload_):
-        return bytes([0xFF, marker]) + _struct.pack(
-            ">H", len(payload_) + 2
-        ) + payload_
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(qt_l[_ZIGZAG[i]] for i in range(64)))
+    dhts = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)]
     if channels == 3:
-        out += seg(0xDB, bytes([0x01]) + bytes(qt_c[_ZIGZAG[i]] for i in range(64)))
-    sof = bytearray([8]) + _struct.pack(">HH", height, width) + bytes([channels])
-    for ci in range(channels):
-        hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xC2, bytes(sof))  # SOF2: progressive
-
-    def dht(tc, th, bits, vals):
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    if channels == 3:
-        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+        dhts.append((0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    dhts.append((1, 0, _PROG_AC_BITS, _PROG_AC_VALS))
+    out = _jpeg_header(width, height, channels, samp, qt_l, qt_c, 0xC2, dhts)
     for sos_payload, entropy in scans:
-        out += seg(0xDA, sos_payload)
+        out += _jpeg_seg(0xDA, sos_payload)
         out += entropy
     out += b"\xff\xd9"
     return bytes(out)
@@ -1250,12 +1245,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes, int]:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
-        # marker byte — skip them (ADVICE r8)
+        # marker byte — skip them (ADVICE r8). The skip can reach the
+        # payload end (a writer dying mid-pad): keep the contractual
+        # ValueError instead of an IndexError
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > n:
+            raise ValueError("JPEG truncated in marker fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("JPEG segment truncated")
         (length,) = _struct.unpack(">H", payload[pos + 2:pos + 4])
         data = payload[pos + 4:pos + 2 + length]
         if len(data) != length - 2:

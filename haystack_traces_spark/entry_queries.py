@@ -7054,9 +7054,10 @@ _ROTATION_QUEUE = (
     # index_partition_profile + search_traces_promoted) were removed from
     # the front per the rotation protocol; they stay covered by the local
     # suite. With the full 23-name _CORE_TRACE lead restored, the 22
-    # remaining never-checked entries below ALL fit in the driver sample
-    # (23 + 22 = 45 < 50) — cumulative driver coverage completes this
-    # round; the ~5 spare slots fall to previously-green re-checks.
+    # remaining never-checked entries below ALL fit in the driver sample,
+    # and the 5 round-9 additions at the queue tail take the remaining
+    # slots exactly (23 + 22 + 5 = 50) — cumulative driver coverage
+    # completes this round with no spare slots for re-checks.
     # round-7 additions:
     "anchored_sessions",
     "latency_changepoint",

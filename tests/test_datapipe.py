@@ -2478,6 +2478,15 @@ class TestRealPnmCodec:
         padded_mid = jp[:sof_at] + b"\xff\xff" + jp[sof_at:]
         assert M.decode_jpeg(padded_mid) == want
 
+        # a stream truncated INSIDE fill padding (writer died mid-pad)
+        # must raise the contractual ValueError, not IndexError
+        import pytest
+
+        with pytest.raises(ValueError):
+            M.decode_jpeg(jp[:sof_at] + b"\xff\xff\xff\xff")
+        with pytest.raises(ValueError):
+            M.decode_jpeg(jp[:sof_at] + b"\xff\xff\xff\xc0")  # marker, no len
+
     def test_progressive_jpeg_decodes_identically_to_baseline(self):
         """VERDICT r8 ask #6: decode_jpeg handles PROGRESSIVE streams.
         encode_jpeg_progressive shares the quantization front half with
