@@ -6896,6 +6896,96 @@ ORDER BY s.service
     )
 
 
+def q_service_error_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (service_a, service_b, n_hours, corr): which services' error
+    counts RISE AND FALL TOGETHER over time — pairwise Pearson
+    correlation of the zero-filled hourly error-count series. Where
+    error_cooccurrence counts services erroring in the SAME TRACE
+    (request-path coupling), this correlates hourly totals across the
+    fleet: a shared dependency, zone, or deploy train shows up as
+    correlated error waves even between services that never share a
+    request. Zero-filling the common hour grid matters — correlating
+    only co-active hours biases toward 1. functions/stats.pearson_corr
+    is the one shared correlation core (house rule); counts enter as
+    exact-integer doubles, so the moment sums are order-independent.
+
+    Scale shape: one (service, hour) combinable aggregate; the dense
+    series is |services| x |hours| (hours broadcast onto the catalog);
+    the pair table is catalog²-bounded per hour — never span-volume."""
+    from haystack_traces_spark.functions.stats import pearson_corr
+
+    spans = _spans(spark, sf_dir)
+    hour = (F.col("start_time") - F.col("start_time") % HOUR_US).alias(
+        "hour_ts"
+    )
+    hourly = spans.groupBy(
+        F.lower("service_name").alias("service"), hour
+    ).agg(
+        F.sum((_errorcode() >= ERROR_THRESHOLD).cast("long")).alias("n_err")
+    )
+    hours = hourly.select("hour_ts").distinct()
+    services = hourly.select("service").distinct()
+    filled = (
+        services.crossJoin(F.broadcast(hours))
+        .join(hourly, ["service", "hour_ts"], "left")
+        .select(
+            "service",
+            "hour_ts",
+            F.coalesce("n_err", F.lit(0)).cast("double").alias("x"),
+        )
+    )
+    a = filled.select(
+        F.col("service").alias("service_a"), "hour_ts", F.col("x").alias("xa")
+    )
+    b = filled.select(
+        F.col("service").alias("service_b"), "hour_ts", F.col("x").alias("xb")
+    )
+    pairs = a.join(b, "hour_ts").filter(F.col("service_a") < F.col("service_b"))
+    return (
+        pairs.groupBy("service_a", "service_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            pearson_corr(F.col("xa"), F.col("xb")).alias("corr"),
+        )
+        .filter(F.col("corr").isNotNull())
+        .orderBy("service_a", "service_b")
+    )
+
+
+def sql_service_error_correlation() -> str:
+    from haystack_traces_spark.functions.stats import pearson_corr_sql
+
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hourly AS MATERIALIZED (
+  SELECT lower(service_name) AS service,
+         start_time - start_time % {HOUR_US} AS hour_ts,
+         CAST(SUM(CASE WHEN errorcode >= {ERROR_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM spans GROUP BY 1, 2
+),
+filled AS MATERIALIZED (
+  SELECT s.service, h.hour_ts, CAST(COALESCE(x.n_err, 0) AS DOUBLE) AS x
+  FROM (SELECT DISTINCT service FROM hourly) s
+  CROSS JOIN (SELECT DISTINCT hour_ts FROM hourly) h
+  LEFT JOIN hourly x ON x.service = s.service AND x.hour_ts = h.hour_ts
+),
+pairs AS (
+  SELECT a.service AS service_a, b.service AS service_b,
+         a.x AS xa, b.x AS xb
+  FROM filled a JOIN filled b
+    ON b.hour_ts = a.hour_ts AND a.service < b.service
+)
+SELECT service_a, service_b, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       {pearson_corr_sql("xa", "xb")} AS corr
+FROM pairs GROUP BY 1, 2
+HAVING corr IS NOT NULL
+ORDER BY service_a, service_b
+"""
+    )
+
+
 #: SLO error budget: 1% target error rate, expressed in ppm so the burn
 #: arithmetic stays integer on both engine faces
 SLO_ERROR_BUDGET_PPM = 10_000
@@ -7089,6 +7179,12 @@ _ROTATION_QUEUE = (
     "lsh_planes_plan",
     "service_reach_depth",
     "error_budget_burn",
+    # round-9 batch B — positions 50+ fall past this round's sample and
+    # become round-10's never-checked front (≤ new-ops count, per the
+    # rotation protocol's growth rule):
+    "service_error_correlation",
+    "quality_drift_windows",
+    "ann_two_stage_recall",
 )
 
 
@@ -7226,6 +7322,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blast_radius": q_blast_radius,
         "service_reach_depth": q_service_reach_depth,
         "error_budget_burn": q_error_budget_burn,
+        "service_error_correlation": q_service_error_correlation,
         "tail_latency_attribution": q_tail_latency_attribution,
     }
 
@@ -7348,5 +7445,6 @@ def _trace_oracles() -> dict[str, str]:
         "blast_radius": sql_blast_radius(),
         "service_reach_depth": sql_service_reach_depth(),
         "error_budget_burn": sql_error_budget_burn(),
+        "service_error_correlation": sql_service_error_correlation(),
         "tail_latency_attribution": sql_tail_latency_attribution(),
     }

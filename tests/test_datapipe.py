@@ -3423,3 +3423,74 @@ def test_lsh_planes_plan_matches_code_rule(spark):
         assert r["occupancy_milli"] == 1000 * n // r["buckets_per_table"]
     # the dial must actually move across the ladder at this corpus size
     assert rows[0]["planes"] < rows[-1]["planes"]
+
+
+def test_quality_drift_windows_exact_z_and_gates(spark):
+    """Round-9 batch B: crafted hourly series pins the expanding-window
+    z-test — the baseline is strictly-earlier hours only, cold-start
+    hours (< DRIFT_MIN_PRIOR prior docs) and zero-variance baselines are
+    excluded, and a planted quality jump is flagged."""
+    import math
+
+    from haystack_traces_spark.datapipe.queries import (
+        DRIFT_MIN_PRIOR,
+        quality_drift_windows_from,
+    )
+
+    H = 3_600_000_000
+    rows = []
+    # hour 0: 30 docs at 0.4 + 30 at 0.6 (mean 0.5, real variance)
+    rows += [("s", 0, 400_000)] * 30 + [("s", 0, 600_000)] * 30
+    rows += [("s", H, 500_000)] * 10      # hour 1: on-baseline, z = 0
+    rows += [("s", 2 * H, 800_000)] * 10  # hour 2: planted jump
+    # cold-start source: never reaches DRIFT_MIN_PRIOR prior docs
+    rows += [("cold", 0, 500_000)] * (DRIFT_MIN_PRIOR - 1)
+    rows += [("cold", H, 900_000)] * 5
+    # constant source: prior variance exactly 0 -> excluded
+    rows += [("flat", 0, 500_000)] * (DRIFT_MIN_PRIOR + 5)
+    rows += [("flat", H, 700_000)] * 5
+    scored = spark.createDataFrame(
+        rows, "source string, hour_ts long, q_micro long"
+    )
+    got = {
+        (r["source"], r["hour_ts"]): r.asDict()
+        for r in quality_drift_windows_from(scored).collect()
+    }
+    # only source "s" hours 1 and 2 survive the gates
+    assert set(got) == {("s", H), ("s", 2 * H)}
+    h1 = got[("s", H)]
+    assert h1["z"] == 0.0 and h1["drifted"] is False
+    assert h1["batch_mean"] == 0.5 and h1["prior_mean"] == 0.5
+
+    h2 = got[("s", 2 * H)]
+    # mirror the operator's arithmetic exactly (same float ops)
+    pn, ps = 70, 30 * 400_000 + 30 * 600_000 + 10 * 500_000
+    pss = 30 * 400_000**2 + 30 * 600_000**2 + 10 * 500_000**2
+    pm = ps / pn
+    var = pss / pn - pm * pm
+    z = (800_000.0 - pm) / (math.sqrt(var) / math.sqrt(10))
+    assert abs(h2["z"] - z) < 1e-6
+    assert h2["drifted"] is True and h2["batch_mean"] == 0.8
+
+
+def test_ann_two_stage_recall_rerank_lifts_every_query(spark):
+    """Round-9 batch B: on the deterministic sf0.001 embeddings the
+    exact re-rank of the PQ shortlist improves recall for EVERY query —
+    pinned tuples (the whole pipeline is hash-deterministic), and the
+    re-rank can only use candidates PQ surfaced (two_stage <= shortlist
+    recall by construction)."""
+    from haystack_traces_spark.datapipe.queries import q_ann_two_stage_recall
+
+    rows = [
+        tuple(r)[:4]
+        for r in q_ann_two_stage_recall(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert rows == [
+        (0, 10, 4, 7),
+        (1, 10, 5, 7),
+        (2, 10, 1, 5),
+        (3, 10, 3, 7),
+        (4, 10, 4, 5),
+    ]
+    for _, n_exact, pq_hits, ts_hits in rows:
+        assert ts_hits >= pq_hits and n_exact == 10

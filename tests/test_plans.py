@@ -744,6 +744,9 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         "dedup_horizon_plan": (Q.q_dedup_horizon_plan, 1),
         "service_reach_depth": (EQ.q_service_reach_depth, 0),
         "error_budget_burn": (EQ.q_error_budget_burn, 0),
+        # hour grid broadcast onto the catalog (BNLJ+BroadcastExchange ok)
+        "service_error_correlation": (EQ.q_service_error_correlation, 0),
+        "quality_drift_windows": (Q.q_quality_drift_windows, 0),
     }
     try:
         with stagecache.plan_view():

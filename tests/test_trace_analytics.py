@@ -1964,3 +1964,45 @@ def test_error_budget_burn_multiwindow_alert_rule(spark):
     assert blip["burn_1h_milli"] == 50000  # fast window screams...
     assert blip["burn_6h_milli"] == 248    # ...slow window says blip
     assert blip["alert"] is False
+
+
+def test_service_error_correlation_phase_and_gating(spark):
+    """Round-9 batch B: in-phase hourly error series correlate at 1.0,
+    anti-phase at -1.0, and a zero-variance (never-erroring) service is
+    excluded by the NULL-correlation gate. The hour grid is zero-filled:
+    service 'c' has spans only in hour 0, but its series still spans the
+    full grid."""
+    H = EQ.HOUR_US
+    rows = []
+
+    def spanrow(tag, svc, h_idx, err):
+        rows.append(mk(trace_id=f"{tag}{svc}{h_idx}_{err}_{len(rows)}",
+                       span_id="s", service=svc, start=T0 + h_idx * H,
+                       tags=[_ltag("errorcode", 100 if err else 0)]))
+
+    # a and b in phase: errors in hours 0 and 2; anti c: errors in 1 and 3
+    for h, n_err in ((0, 3), (1, 0), (2, 3), (3, 0)):
+        for i in range(n_err):
+            spanrow("p", "a", h, True)
+            spanrow("p", "b", h, True)
+        spanrow("p", "a", h, False)  # keeps the service present every hour
+        spanrow("p", "b", h, False)
+    for h, n_err in ((0, 0), (1, 3), (2, 0), (3, 3)):
+        for i in range(n_err):
+            spanrow("p", "c", h, True)
+        spanrow("p", "c", h, False)
+    # d: zero errors everywhere -> zero variance -> excluded pairs
+    spanrow("p", "d", 0, False)
+
+    out = {
+        (r["service_a"], r["service_b"]): r.asDict()
+        for r in _patched(
+            spark, rows, lambda: EQ.q_service_error_correlation(spark, "")
+        ).collect()
+    }
+    assert out[("a", "b")]["corr"] == 1.0
+    assert out[("a", "c")]["corr"] == -1.0
+    assert out[("b", "c")]["corr"] == -1.0
+    assert all(r["n_hours"] == 4 for r in out.values())
+    # d pairs with anyone have zero variance on d's side -> NULL -> gone
+    assert not any("d" in k for k in out)
