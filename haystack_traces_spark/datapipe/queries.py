@@ -1720,7 +1720,132 @@ ORDER BY horizon_us
 
 
 #: hypothetical growth factors for the auto-planes sizing table
+#: (shared by the vocab-forecast planner — one growth ladder, rule 19)
 _PLANES_GROWTHS = (1, 10, 100, 1000)
+
+
+def q_neardup_band_calibration(spark, sf_dir):
+    """→ (n_bands_hit, n_pairs, mean_jac_micro, min_jac_micro):
+    CALIBRATION of the near-dup gate's evidence signal — for every
+    (doc, dup_of) provenance pair, the TRUE shingle Jaccard, rolled up
+    by how many bands fired. A healthy gate shows Jaccard rising with
+    n_bands_hit and min_jac_micro staying above the noise floor at high
+    band counts; a flat curve means the bands carry no evidence and the
+    (bands, rows) geometry needs re-planning (lsh_band_plan). Per-pair
+    Jaccard is the pure-integer round-half-up micro form
+    ((2e6·inter + uni) DIV (2·uni) — the sampled_diversity pattern), so
+    the rollup is exact on both faces.
+
+    Scale shape: the pair list is the verdict table's dup rows (bounded
+    by the corpus's duplicate families, never |docs|²); shingle joins
+    run against the pair docs only (broadcast id list)."""
+    from haystack_traces_spark.session import materialize
+
+    prov = q_neardup_event_provenance(spark, sf_dir).filter(
+        F.col("near_dup")
+    )
+    pairs = materialize(
+        prov.select(
+            F.col("doc_id").alias("da"),
+            F.col("dup_of").alias("db"),
+            "n_bands_hit",
+        )
+    )
+    docs = _docs(spark, sf_dir)
+    ids = (
+        pairs.select(F.col("da").alias("doc_id"))
+        .unionByName(pairs.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    sh = materialize(
+        D.shingle_rows(
+            docs.join(F.broadcast(ids), "doc_id").select("doc_id", "text"),
+            "text",
+            3,
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        pairs.join(a, "da")
+        .join(b, ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    jac = (
+        pairs.join(inter, ["da", "db"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")),
+            "da",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")),
+            "db",
+        )
+        .select(
+            "n_bands_hit",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias(
+                "uni"
+            ),
+        )
+        .select(
+            "n_bands_hit",
+            F.expr("(2000000 * inter + uni) DIV (2 * uni)").alias("jac_micro"),
+        )
+    )
+    return (
+        jac.groupBy("n_bands_hit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("SUM(jac_micro) DIV COUNT(*)").alias("mean_jac_micro"),
+            F.min("jac_micro").alias("min_jac_micro"),
+        )
+        .select(
+            F.col("n_bands_hit").cast("long").alias("n_bands_hit"),
+            "n_pairs",
+            "mean_jac_micro",
+            "min_jac_micro",
+        )
+        .orderBy("n_bands_hit")
+    )
+
+
+def sql_neardup_band_calibration() -> str:
+    # the nested provenance body already defines sh (the corpus distinct
+    # shingles) — reuse it rather than redefining (CTE-clash rule 9)
+    return (
+        _neardup_evt_body()
+        + """,
+pa AS (SELECT doc_id AS da, dup_of AS db, nh AS n_bands_hit FROM v),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM pa p
+  JOIN sh a ON a.doc_id = p.da
+  JOIN sh b ON b.doc_id = p.db AND b.s = a.s
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT p.n_bands_hit,
+         (2000000 * COALESCE(i.inter, 0)
+            + (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0)))
+           // (2 * (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))) AS jac_micro
+  FROM pa p
+  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+  JOIN sizes sa ON sa.doc_id = p.da
+  JOIN sizes sb ON sb.doc_id = p.db
+)
+SELECT CAST(n_bands_hit AS BIGINT) AS n_bands_hit,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(jac_micro) // COUNT(*) AS BIGINT) AS mean_jac_micro,
+       CAST(MIN(jac_micro) AS BIGINT) AS min_jac_micro
+FROM jac GROUP BY 1 ORDER BY 1
+"""
+    )
 
 
 def q_lsh_planes_plan(spark, sf_dir):
@@ -3431,6 +3556,134 @@ ORDER BY source, hour_ts
 """
 
 
+def q_heaps_vocab_forecast(spark, sf_dir):
+    """→ (growth, proj_tokens, proj_vocab, beta, k): VOCABULARY GROWTH
+    forecast — fits Heaps' law V ≈ k·Nᵝ by log-log least squares over
+    heaps_law's prefix checkpoints (composed verbatim, so the fit is of
+    exactly the curve the audit face reports), then projects the
+    distinct-type count at 1/10/100/1000× the corpus. The planner
+    companion to lsh_planes_plan: tokenizer/vocab budgets, CMS widths,
+    and Bloom m all size against projected DISTINCT counts, not row
+    counts. Log terms enter as exact integer micro-units so the moment
+    sums are order-independent; β and the projections are then derived
+    from identical integers on both engine faces.
+
+    Scale shape: everything heavy is inside heaps_law (one combinable
+    first-seen aggregate); the fit is one aggregate over ≤HEAPS_BUCKETS
+    rows crossed with the 4-row growth ladder."""
+    pts = q_heaps_law(spark, sf_dir).filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    )
+    terms = pts.select(
+        F.round(F.log(F.col("cum_tokens")) * 1_000_000)
+        .cast("long")
+        .alias("lt"),
+        F.round(F.log(F.col("cum_vocab")) * 1_000_000)
+        .cast("long")
+        .alias("lv"),
+        "cum_tokens",
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lt").alias("sx"),
+        F.sum("lv").alias("sy"),
+        F.sum(F.col("lt") * F.col("lv")).alias("sxy"),
+        F.sum(F.col("lt") * F.col("lt")).alias("sxx"),
+        F.max("cum_tokens").alias("ntok"),
+    )
+    fit = agg.select(
+        "ntok",
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+        ).alias("beta"),
+    ).select(
+        "ntok",
+        "beta",
+        ((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n")).alias(
+            "alpha_micro"
+        ),
+    )
+    ladder = spark.createDataFrame(
+        [(g,) for g in _PLANES_GROWTHS], "growth long"
+    )
+    return (
+        fit.crossJoin(F.broadcast(ladder))
+        .select(
+            "growth",
+            (F.col("ntok") * F.col("growth")).alias("proj_tokens"),
+            F.round(
+                F.exp(
+                    (
+                        F.col("alpha_micro")
+                        + F.col("beta")
+                        * (
+                            F.log(F.col("ntok") * F.col("growth"))
+                            * F.lit(1000000.0)
+                        )
+                    )
+                    / F.lit(1000000.0)
+                )
+            )
+            .cast("long")
+            .alias("proj_vocab"),
+            F.round("beta", 6).alias("beta"),
+            F.round(F.exp(F.col("alpha_micro") / F.lit(1000000.0)), 6).alias(
+                "k"
+            ),
+        )
+        .orderBy("growth")
+    )
+
+
+def sql_heaps_vocab_forecast() -> str:
+    ladder = ", ".join(f"({g})" for g in _PLANES_GROWTHS)
+    return f"""
+WITH hl AS ({sql_heaps_law().strip()}),
+terms AS (
+  SELECT CAST(ROUND(ln(cum_tokens) * 1000000) AS BIGINT) AS lt,
+         CAST(ROUND(ln(cum_vocab) * 1000000) AS BIGINT) AS lv,
+         cum_tokens
+  FROM hl WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lt) AS BIGINT) AS sx,
+         CAST(SUM(lv) AS BIGINT) AS sy,
+         CAST(SUM(lt * lv) AS BIGINT) AS sxy,
+         CAST(SUM(lt * lt) AS BIGINT) AS sxx,
+         CAST(MAX(cum_tokens) AS BIGINT) AS ntok
+  FROM terms
+),
+fit AS (
+  SELECT ntok, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS beta
+  FROM agg
+),
+fit2 AS (SELECT ntok, beta, (sy - beta * sx) / n AS alpha_micro FROM fit),
+ladder(growth) AS (VALUES {ladder})
+SELECT CAST(growth AS BIGINT) AS growth,
+       CAST(ntok * growth AS BIGINT) AS proj_tokens,
+       CAST(ROUND(exp((alpha_micro + beta * (ln(ntok * growth) * 1000000.0))
+                      / 1000000.0)) AS BIGINT) AS proj_vocab,
+       ROUND(beta, 6) AS beta,
+       ROUND(exp(alpha_micro / 1000000.0), 6) AS k
+FROM fit2 CROSS JOIN ladder
+ORDER BY growth
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
@@ -4976,6 +5229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_planes_plan": q_lsh_planes_plan,
         "quality_drift_windows": q_quality_drift_windows,
         "ann_two_stage_recall": q_ann_two_stage_recall,
+        "neardup_band_calibration": q_neardup_band_calibration,
+        "heaps_vocab_forecast": q_heaps_vocab_forecast,
         "knn_graph_reciprocity": q_knn_graph_reciprocity,
         "lsh_candidate_precision": q_lsh_candidate_precision,
         "simhash_hamming_spectrum": q_simhash_hamming_spectrum,
@@ -5112,6 +5367,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_planes_plan": sql_lsh_planes_plan(),
         "quality_drift_windows": sql_quality_drift_windows(),
         "ann_two_stage_recall": sql_ann_two_stage_recall(),
+        "neardup_band_calibration": sql_neardup_band_calibration(),
+        "heaps_vocab_forecast": sql_heaps_vocab_forecast(),
         "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
         "lsh_candidate_precision": sql_lsh_candidate_precision(),
         "simhash_hamming_spectrum": sql_simhash_hamming_spectrum(),

@@ -6896,6 +6896,148 @@ ORDER BY s.service
     )
 
 
+def q_workload_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, n_shared_ops, mass_a, mass_b, jsd): per-service
+    WORKLOAD drift — Jensen-Shannon divergence between the operation-mix
+    distribution in the first and second half of the observed time range
+    (split at the global start_time midpoint). A capacity model or
+    latency SLO tuned on last month's mix silently rots when the mix
+    shifts even if volume holds; jsd ∈ [0, ln 2] ranks which services'
+    traffic CHANGED SHAPE. Uses source_pair_jsd's shared-support
+    decomposition (exclusive mass falls out of the shared totals), and
+    like it emits only services observed in BOTH halves; a service whose
+    halves share no operations reports jsd = ln 2 with zero shared mass.
+
+    Scale shape: one (service, half, operation) combinable aggregate on
+    the prunable scan; the midpoint is a broadcast 1-row aggregate; the
+    shared join is catalog-bounded (|services|·|operations|)."""
+    import math
+
+    from haystack_traces_spark.session import materialize
+
+    spans = _spans(spark, sf_dir)
+    # 1-row bounded driver aggregate (house-allowed collect class): a
+    # broadcast-crossJoin of the midpoint would splice a SinglePartition
+    # global-agg subtree into every downstream branch of the plan
+    lo, hi = spans.agg(
+        F.min("start_time").alias("lo"), F.max("start_time").alias("hi")
+    ).first()
+    if lo is None:
+        mid = 0
+    else:
+        mid = (int(lo) + int(hi)) // 2
+    tagged = spans.select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("op"),
+        (F.col("start_time") > F.lit(mid)).cast("int").alias("half"),
+    )
+    # counts feeds FOUR branches of one action (tot, both, dist a, dist
+    # b) — pin the catalog-bounded table or the span scan re-executes
+    # per branch (house 2-branch rule)
+    counts = materialize(
+        tagged.groupBy("servicename", "half", "op").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        )
+    )
+    tot = counts.groupBy("servicename", "half").agg(F.sum("c").alias("n"))
+    both = (
+        tot.groupBy("servicename")
+        .agg(F.countDistinct("half").alias("nh"))
+        .filter(F.col("nh") == 2)
+        .select("servicename")
+    )
+    dist = counts.join(tot, ["servicename", "half"]).select(
+        "servicename", "half", "op", (F.col("c") / F.col("n")).alias("p")
+    )
+    a = dist.filter(F.col("half") == 0).select(
+        "servicename", "op", F.col("p").alias("pa")
+    )
+    b = dist.filter(F.col("half") == 1).select(
+        "servicename", "op", F.col("p").alias("pb")
+    )
+    shared = a.join(b, ["servicename", "op"])
+    ln2 = math.log(2.0)
+    term = F.col("pa") * F.log(
+        2 * F.col("pa") / (F.col("pa") + F.col("pb"))
+    ) + F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    per = shared.groupBy("servicename").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_ops"),
+        F.sum("pa").alias("ma"),
+        F.sum("pb").alias("mb"),
+        F.sum(term).alias("shared_term"),
+    )
+    return (
+        both.join(per, "servicename", "left")
+        .select(
+            "servicename",
+            F.coalesce("n_shared_ops", F.lit(0)).cast("long").alias(
+                "n_shared_ops"
+            ),
+            F.round(F.coalesce("ma", F.lit(0.0)), 6).alias("mass_a"),
+            F.round(F.coalesce("mb", F.lit(0.0)), 6).alias("mass_b"),
+            F.round(
+                0.5
+                * ln2
+                * (
+                    (1 - F.coalesce("ma", F.lit(0.0)))
+                    + (1 - F.coalesce("mb", F.lit(0.0)))
+                )
+                + 0.5 * F.coalesce("shared_term", F.lit(0.0)),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_workload_drift() -> str:
+    import math
+
+    ln2 = math.log(2.0)
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, mm AS (SELECT MIN(start_time) AS lo, MAX(start_time) AS hi FROM spans),
+counts AS MATERIALIZED (
+  SELECT lower(s.service_name) AS servicename,
+         CAST(s.start_time > (m.lo + m.hi) // 2 AS INT) AS half,
+         lower(s.operation_name) AS op,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM spans s CROSS JOIN mm m
+  GROUP BY 1, 2, 3
+),
+tot AS MATERIALIZED (
+  SELECT servicename, half, SUM(c) AS n FROM counts GROUP BY 1, 2
+),
+both_h AS (
+  SELECT servicename FROM tot GROUP BY 1 HAVING COUNT(DISTINCT half) = 2
+),
+dist AS (
+  SELECT c.servicename, c.half, c.op, c.c / t.n AS p
+  FROM counts c JOIN tot t ON t.servicename = c.servicename AND t.half = c.half
+),
+shared AS (
+  SELECT a.servicename, COUNT(*) AS n_shared_ops,
+         SUM(a.p) AS ma, SUM(b.p) AS mb,
+         SUM(a.p * ln(2 * a.p / (a.p + b.p))
+             + b.p * ln(2 * b.p / (a.p + b.p))) AS shared_term
+  FROM dist a JOIN dist b
+    ON b.servicename = a.servicename AND b.op = a.op
+   AND a.half = 0 AND b.half = 1
+  GROUP BY 1
+)
+SELECT s.servicename,
+       CAST(COALESCE(h.n_shared_ops, 0) AS BIGINT) AS n_shared_ops,
+       ROUND(COALESCE(h.ma, 0.0), 6) AS mass_a,
+       ROUND(COALESCE(h.mb, 0.0), 6) AS mass_b,
+       ROUND(0.5 * {ln2!r} * ((1 - COALESCE(h.ma, 0.0)) + (1 - COALESCE(h.mb, 0.0)))
+             + 0.5 * COALESCE(h.shared_term, 0.0), 6) AS jsd
+FROM both_h s LEFT JOIN shared h ON h.servicename = s.servicename
+ORDER BY s.servicename
+"""
+    )
+
+
 def q_service_error_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """→ (service_a, service_b, n_hours, corr): which services' error
     counts RISE AND FALL TOGETHER over time — pairwise Pearson
@@ -7185,6 +7327,9 @@ _ROTATION_QUEUE = (
     "service_error_correlation",
     "quality_drift_windows",
     "ann_two_stage_recall",
+    "workload_drift",
+    "neardup_band_calibration",
+    "heaps_vocab_forecast",
 )
 
 
@@ -7323,6 +7468,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_reach_depth": q_service_reach_depth,
         "error_budget_burn": q_error_budget_burn,
         "service_error_correlation": q_service_error_correlation,
+        "workload_drift": q_workload_drift,
         "tail_latency_attribution": q_tail_latency_attribution,
     }
 
@@ -7446,5 +7592,6 @@ def _trace_oracles() -> dict[str, str]:
         "service_reach_depth": sql_service_reach_depth(),
         "error_budget_burn": sql_error_budget_burn(),
         "service_error_correlation": sql_service_error_correlation(),
+        "workload_drift": sql_workload_drift(),
         "tail_latency_attribution": sql_tail_latency_attribution(),
     }

@@ -3494,3 +3494,57 @@ def test_ann_two_stage_recall_rerank_lifts_every_query(spark):
     ]
     for _, n_exact, pq_hits, ts_hits in rows:
         assert ts_hits >= pq_hits and n_exact == 10
+
+
+def test_heaps_vocab_forecast_planted_curve(spark):
+    """Round-9 batch C: a crafted corpus with LINEAR vocabulary growth
+    (every doc contributes two fresh types plus fixed filler) must fit
+    beta ~= 1 and project ~10x vocab per 10x tokens; the shipped corpus'
+    saturated vocabulary (beta = 0, flat projection) is covered by the
+    oracle gate. growth=1 projection must come back near the actual
+    vocab (the fit reproduces its own anchor point)."""
+    from haystack_traces_spark.datapipe import queries as Q
+
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b fill1 fill2 fill3", "s") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    orig = Q._docs
+    Q._docs = lambda _s, _d: docs
+    try:
+        rows = {r["growth"]: r.asDict()
+                for r in Q.q_heaps_vocab_forecast(spark, "").collect()}
+    finally:
+        Q._docs = orig
+    actual_vocab = 2 * 200 + 3
+    r1 = rows[1]
+    assert r1["proj_tokens"] == 200 * 5
+    assert 0.85 <= r1["beta"] <= 1.0
+    assert abs(r1["proj_vocab"] - actual_vocab) / actual_vocab < 0.2
+    # ~linear growth: 10x tokens -> ~10^beta x vocab
+    ratio = rows[10]["proj_vocab"] / r1["proj_vocab"]
+    assert 6.0 < ratio < 11.0, ratio
+    for g in (1, 10, 100, 1000):
+        assert rows[g]["proj_tokens"] == 1000 * g
+
+
+def test_neardup_band_calibration_curve_shape(spark):
+    """Round-9 batch C: on the deterministic sf0.001 corpus the gate's
+    evidence signal calibrates — pairs that fired a single band are
+    near-noise Jaccard, pairs that fired most bands are near-duplicates,
+    and every provenance dup pair is accounted for exactly once."""
+    from haystack_traces_spark.datapipe import queries as Q
+
+    rows = sorted(
+        (r["n_bands_hit"], r["n_pairs"], r["mean_jac_micro"], r["min_jac_micro"])
+        for r in Q.q_neardup_band_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert sum(r[1] for r in rows) == 26  # every dup pair, exactly once
+    assert all(r[3] > 0 for r in rows)
+    lo, hi = rows[0], rows[-1]
+    assert lo[0] == 1 and hi[0] >= 3
+    # single-band evidence is noise; near-all-bands evidence is near-dup
+    assert lo[2] < 100_000 < hi[2], rows
+    assert hi[2] > 900_000, rows

@@ -747,6 +747,13 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # hour grid broadcast onto the catalog (BNLJ+BroadcastExchange ok)
         "service_error_correlation": (EQ.q_service_error_correlation, 0),
         "quality_drift_windows": (Q.q_quality_drift_windows, 0),
+        # midpoint fetched as a bounded 1-row driver agg; counts pinned
+        "workload_drift": (EQ.q_workload_drift, 0),
+        # heaps_law's own bounded globals (1-row max agg duplicated into
+        # its two branches + the ≤HEAPS_BUCKETS cumulative window) + the
+        # 1-row fit aggregate — all bounded by design
+        "heaps_vocab_forecast": (Q.q_heaps_vocab_forecast, 4),
+        "neardup_band_calibration": (Q.q_neardup_band_calibration, 0),
     }
     try:
         with stagecache.plan_view():

@@ -2006,3 +2006,41 @@ def test_service_error_correlation_phase_and_gating(spark):
     assert all(r["n_hours"] == 4 for r in out.values())
     # d pairs with anyone have zero variance on d's side -> NULL -> gone
     assert not any("d" in k for k in out)
+
+
+def test_workload_drift_mix_shift_semantics(spark):
+    """Round-9 batch C: identical halves -> jsd 0; fully disjoint
+    operation mixes -> jsd = ln 2 with zero shared ops; a service seen
+    in only one half is excluded (no distribution to compare)."""
+    import math
+
+    H = EQ.HOUR_US
+    rows = []
+
+    def op_span(svc, op, h_idx, i):
+        rows.append(mk(trace_id=f"w{svc}{op}{h_idx}_{i}", span_id="s",
+                       service=svc, operation=op, start=T0 + h_idx * H))
+
+    # global range: hours 0..9; midpoint splits 0-4 / 5-9
+    for h in (0, 9):
+        for i in range(4):
+            op_span("same", "op_x", h, i)
+            op_span("same", "op_y", h, i + 10)
+    for i in range(5):
+        op_span("shift", "old_op", 0, i)
+        op_span("shift", "new_op", 9, i)
+    for i in range(3):
+        op_span("early_only", "op_z", 0, i)
+
+    out = {
+        r["servicename"]: r.asDict()
+        for r in _patched(
+            spark, rows, lambda: EQ.q_workload_drift(spark, "")
+        ).collect()
+    }
+    assert set(out) == {"same", "shift"}
+    assert out["same"]["jsd"] == 0.0 and out["same"]["n_shared_ops"] == 2
+    assert out["same"]["mass_a"] == 1.0 and out["same"]["mass_b"] == 1.0
+    sh = out["shift"]
+    assert sh["n_shared_ops"] == 0 and sh["mass_a"] == 0.0
+    assert abs(sh["jsd"] - math.log(2.0)) < 1e-6
