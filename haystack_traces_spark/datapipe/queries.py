@@ -151,6 +151,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir)
 
 
+def _quality_score_sql(toks: str = "toks") -> str:
+    """The ONE quality-score SQL expression (mirrors datapipe.text
+    text_stats' composite exactly; rule 19 — four oracles consume it, so
+    a formula tweak propagates everywhere or nowhere)."""
+    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return (
+        f"ROUND((len(list_filter({toks}, w -> lower(w) IN ({stop_list})))"
+        f" / len({toks})) * 0.4"
+        f" + (len(list_distinct({toks})) / len({toks})) * 0.4"
+        f" + (CASE WHEN len({toks}) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)"
+    )
+
+
 def _minhash_sig_ctes() -> str:
     """DuckDB CTEs for the per-doc MinHash signature table (sh + sig) —
     the ONE definition of the mh_i construction, shared by the fuzzy-dedup
@@ -1147,7 +1160,6 @@ def q_clean_corpus(spark, sf_dir):
 
 
 def sql_clean_corpus() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     hits = {
         lang: f"len(list_filter(toks, w -> lower(w) IN ({', '.join(repr(m) for m in markers)})))"
         for lang, markers in X.LANG_MARKERS.items()
@@ -1161,9 +1173,7 @@ WITH base AS (
 ), feats AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
-               + (len(list_distinct(toks)) / len(toks)) * 0.4
-               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+         {_quality_score_sql()}
            AS quality_score,
          {hit_sel}
   FROM base
@@ -3377,14 +3387,11 @@ def q_source_quality(spark, sf_dir):
 
 
 def sql_source_quality() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     return f"""
 WITH feats AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
-               + (len(list_distinct(toks)) / len(toks)) * 0.4
-               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+         {_quality_score_sql()}
            AS quality_score
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 )
@@ -3430,8 +3437,6 @@ def q_quality_drift_windows(spark, sf_dir):
     Scale shape: map-only per-doc features → one (source, hour)
     combinable aggregate → a per-source expanding window over a ≤24-row
     hourly series per source."""
-    from pyspark.sql import Window
-
     from haystack_traces_spark.datapipe.text import text_stats
 
     docs = _docs(spark, sf_dir).withColumn(
@@ -3497,14 +3502,11 @@ def quality_drift_windows_from(scored: DataFrame) -> DataFrame:
 
 
 def sql_quality_drift_windows() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     evt_hash = hash60_sql("CAST(doc_id AS VARCHAR)", seed="evt:")
     return f"""
 WITH q6 AS (
   SELECT doc_id,
-         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
-               + (len(list_distinct(toks)) / len(toks)) * 0.4
-               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+         {_quality_score_sql()}
            AS quality_score
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ),
@@ -3752,16 +3754,13 @@ def q_canonical_docs(spark, sf_dir):
 
 
 def sql_canonical_docs() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     return f"""
 WITH RECURSIVE sh AS ({_SHINGLES}), {_JACCARD_PAIRS.lstrip().rstrip()},
 {_DUP_COMPONENTS},
 clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
 feats AS (
   SELECT doc_id,
-         ROUND((len(list_filter(toks, w -> lower(w) IN ({stop_list}))) / len(toks)) * 0.4
-               + (len(list_distinct(toks)) / len(toks)) * 0.4
-               + (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.2 ELSE 0.0 END), 6)
+         {_quality_score_sql()}
            AS quality_score
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ),
@@ -8776,8 +8775,9 @@ ORDER BY ex.query_id
 
 
 #: stage-1 shortlist size for the two-stage retrieval audit (4x the
-#: final k — the standard production over-fetch)
-TWO_STAGE_SHORTLIST = 40
+#: final k — the standard production over-fetch; derived so a PQ_K
+#: change keeps the documented L=4k invariant)
+TWO_STAGE_SHORTLIST = 4 * PQ_K
 
 
 def q_ann_two_stage_recall(spark, sf_dir):
@@ -8805,12 +8805,17 @@ def q_ann_two_stage_recall(spark, sf_dir):
     truth = materialize(
         q_ann_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
     )
-    direct = S.pq_search(emb, PQ_QUERY_IDS, PQ_K).select(
+    # ONE PQ pipeline run: the k=PQ_K result is provably the rank<=PQ_K
+    # prefix of the L-shortlist (identical scoring and (approx_dist,
+    # neighbor_id) ordering) — never pay the codebook/encode/ADC scan
+    # twice (review r9)
+    short_full = materialize(
+        S.pq_search(emb, PQ_QUERY_IDS, TWO_STAGE_SHORTLIST)
+    )
+    direct = short_full.filter(F.col("rank") <= PQ_K).select(
         "query_id", "neighbor_id"
     )
-    short = S.pq_search(emb, PQ_QUERY_IDS, TWO_STAGE_SHORTLIST).select(
-        "query_id", "neighbor_id"
-    )
+    short = short_full.select("query_id", "neighbor_id")
     base = S.with_norm(emb)
     q = base.filter(F.col("vec_id").isin(PQ_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
@@ -8879,12 +8884,15 @@ def sql_ann_two_stage_recall() -> str:
 WITH ex AS (
   SELECT query_id, neighbor_id FROM ({sql_ann_brute_force().strip()})
 ),
+pql AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank
+  FROM ({sql_pq_search(TWO_STAGE_SHORTLIST).strip()})
+),
 pq AS (
-  SELECT query_id, neighbor_id FROM ({sql_pq_search().strip()})
+  SELECT query_id, neighbor_id FROM pql WHERE rank <= {PQ_K}
 ),
 short AS (
-  SELECT query_id, neighbor_id
-  FROM ({sql_pq_search(TWO_STAGE_SHORTLIST).strip()})
+  SELECT query_id, neighbor_id FROM pql
 ),
 rs AS (
   SELECT s.query_id, s.neighbor_id, {cos} AS cos_raw

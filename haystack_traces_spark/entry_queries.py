@@ -7055,19 +7055,26 @@ def q_service_error_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is |services| x |hours| (hours broadcast onto the catalog);
     the pair table is catalog²-bounded per hour — never span-volume."""
     from haystack_traces_spark.functions.stats import pearson_corr
+    from haystack_traces_spark.session import materialize
 
     spans = _spans(spark, sf_dir)
     hour = (F.col("start_time") - F.col("start_time") % HOUR_US).alias(
         "hour_ts"
     )
-    hourly = spans.groupBy(
-        F.lower("service_name").alias("service"), hour
-    ).agg(
-        F.sum((_errorcode() >= ERROR_THRESHOLD).cast("long")).alias("n_err")
+    # hourly feeds three branches (hour grid, service catalog, the
+    # left-join probe) and filled feeds both self-join sides — pin the
+    # catalog-bounded tables or the span scan re-executes per branch
+    # (house 2-branch rule; the oracle marks the same CTEs MATERIALIZED)
+    hourly = materialize(
+        spans.groupBy(F.lower("service_name").alias("service"), hour).agg(
+            F.sum((_errorcode() >= ERROR_THRESHOLD).cast("long")).alias(
+                "n_err"
+            )
+        )
     )
     hours = hourly.select("hour_ts").distinct()
     services = hourly.select("service").distinct()
-    filled = (
+    filled = materialize(
         services.crossJoin(F.broadcast(hours))
         .join(hourly, ["service", "hour_ts"], "left")
         .select(
