@@ -1141,3 +1141,29 @@ def test_blast_radius_matches_bfs_mirror(raw_edges):
         down = sorted(reach - {name})
         assert got[name] == (len(down), ",".join(down)), (name, got[name], down)
     assert set(got) == {f"svc{s}" for s in seen_services}
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=300, deadline=None)
+def test_derive_planes_holds_occupancy_band(n):
+    """The auto-planes rule (round 9): p is clamped to [MIN, MAX]; inside
+    the unclamped regime the implied per-bucket occupancy n / 2^p sits in
+    (target/2, target] — i.e. the dial actually holds occupancy, which is
+    the whole point (fixed planes measured corpus-quadratic at 10x,
+    SCALE.md §2). Also monotone non-decreasing in n."""
+    from haystack_traces_spark.datapipe.similarity import (
+        KNN_TARGET_OCCUPANCY,
+        MAX_KNN_PLANES,
+        MIN_KNN_PLANES,
+        derive_planes,
+    )
+
+    p = derive_planes(n)
+    assert MIN_KNN_PLANES <= p <= MAX_KNN_PLANES
+    assert derive_planes(n + 1) >= p
+    raw = max(n // KNN_TARGET_OCCUPANCY, 1).bit_length()
+    if MIN_KNN_PLANES <= raw <= MAX_KNN_PLANES and n >= KNN_TARGET_OCCUPANCY:
+        occ = n / (1 << p)
+        # bitlen(m) = floor(log2 m)+1 => 2^p in (m, 2m], m = n // target
+        assert occ <= KNN_TARGET_OCCUPANCY
+        assert occ > KNN_TARGET_OCCUPANCY / 2 - 1  # integer-div slack
