@@ -6896,6 +6896,155 @@ ORDER BY s.service
     )
 
 
+#: retention ladder for the index TTL cost curve; 72 h is the
+#: reference's own spans-index TTL (reader base.conf:38-39, via
+#: operators/retention.py)
+TTL_LADDER_HOURS = (24, 72, 168, 720)
+
+
+def q_index_ttl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (ttl_hours, n_traces, n_spans, traces_ppm, spans_ppm):
+    RETENTION cost curve — the share of the trace index (and its span
+    volume) each TTL rung keeps, measured against the data's own horizon
+    (now = the newest trace start; data-relative like incident_windows,
+    so the curve is meaningful at any SF). The reference expires its
+    spans index at hour.ttl = 72 h and writes per-record Cassandra TTLs
+    (CassandraSession.scala:78-90, reader base.conf:38-39 — see
+    operators/retention.py, where expiry is a partition-directory drop);
+    this face prices every candidate rung BEFORE the config changes.
+    Integer ppm from unrounded counts.
+
+    Scale shape: one per-trace min/count aggregate (rides the trace
+    exchange), a bounded 1-row driver max, a ≤4-row broadcast ladder,
+    one combinable rollup."""
+    spans = _spans(spark, sf_dir)
+    tr = spans.groupBy("trace_id").agg(
+        F.min("start_time").alias("t0"),
+        F.count(F.lit(1)).cast("long").alias("n_sp"),
+    )
+    now = tr.agg(F.max("t0")).first()[0]  # bounded 1-row driver agg
+    if now is None:
+        now = 0
+    ladder = spark.createDataFrame(
+        [(h,) for h in TTL_LADDER_HOURS], "ttl_hours long"
+    )
+    kept = (
+        F.col("t0") > F.lit(int(now)) - F.col("ttl_hours") * HOUR_US
+    ).cast("long")
+    return (
+        tr.crossJoin(F.broadcast(ladder))
+        .groupBy("ttl_hours")
+        .agg(
+            F.sum(kept).cast("long").alias("n_traces"),
+            F.sum(kept * F.col("n_sp")).cast("long").alias("n_spans"),
+            F.count(F.lit(1)).cast("long").alias("tot_traces"),
+            F.sum("n_sp").cast("long").alias("tot_spans"),
+        )
+        .select(
+            "ttl_hours",
+            "n_traces",
+            "n_spans",
+            F.expr("1000000 * n_traces DIV tot_traces").alias("traces_ppm"),
+            F.expr("1000000 * n_spans DIV tot_spans").alias("spans_ppm"),
+        )
+        .orderBy("ttl_hours")
+    )
+
+
+def sql_index_ttl_plan() -> str:
+    ladder = ", ".join(f"({h})" for h in TTL_LADDER_HOURS)
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, tr AS (
+  SELECT trace_id, MIN(start_time) AS t0, CAST(COUNT(*) AS BIGINT) AS n_sp
+  FROM spans GROUP BY 1
+),
+nowt AS (SELECT MAX(t0) AS now FROM tr),
+ladder(ttl_hours) AS (VALUES {ladder}),
+flags AS (
+  SELECT CAST(l.ttl_hours AS BIGINT) AS ttl_hours,
+         CAST(t.t0 > n.now - l.ttl_hours * {HOUR_US} AS BIGINT) AS kept,
+         t.n_sp
+  FROM tr t CROSS JOIN ladder l CROSS JOIN nowt n
+)
+SELECT ttl_hours,
+       CAST(SUM(kept) AS BIGINT) AS n_traces,
+       CAST(SUM(kept * n_sp) AS BIGINT) AS n_spans,
+       (1000000 * CAST(SUM(kept) AS BIGINT)) // COUNT(*) AS traces_ppm,
+       (1000000 * CAST(SUM(kept * n_sp) AS BIGINT))
+         // CAST(SUM(n_sp) AS BIGINT) AS spans_ppm
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+#: activity-lifetime survival ladder (days)
+LIFETIME_LADDER_DAYS = (1, 7, 30, 90)
+
+
+def q_user_lifetime_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (min_days, n_users, users_ppm): user activity SURVIVAL curve —
+    how many users' observed lifetime (last event − first event) reaches
+    each rung. Where retention_cohorts reports the cohort×period
+    triangle, this is the marginal distribution product teams quote as
+    "X% of users are still active after a week/month" — and the
+    state-sizing input for any per-user streaming state with a TTL (the
+    sessionizer's T2 budget, the dedup gate's horizon). Integer ppm.
+
+    Scale shape: one per-user min/max aggregate, a ≤4-row broadcast
+    ladder, one combinable rollup."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    life = events.select(
+        "user_id", _epoch_micros(events).alias("tus")
+    ).groupBy("user_id").agg(
+        (F.max("tus") - F.min("tus")).alias("lifetime_us")
+    )
+    ladder = spark.createDataFrame(
+        [(d,) for d in LIFETIME_LADDER_DAYS], "min_days long"
+    )
+    reaches = (
+        F.col("lifetime_us") >= F.col("min_days") * DAY_US
+    ).cast("long")
+    return (
+        life.crossJoin(F.broadcast(ladder))
+        .groupBy("min_days")
+        .agg(
+            F.sum(reaches).cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("tot_users"),
+        )
+        .select(
+            "min_days",
+            "n_users",
+            F.expr("1000000 * n_users DIV tot_users").alias("users_ppm"),
+        )
+        .orderBy("min_days")
+    )
+
+
+def sql_user_lifetime_curve() -> str:
+    ladder = ", ".join(f"({d})" for d in LIFETIME_LADDER_DAYS)
+    return f"""
+WITH life AS (
+  SELECT user_id, MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS lifetime_us
+  FROM events GROUP BY 1
+),
+ladder(min_days) AS (VALUES {ladder}),
+flags AS (
+  SELECT CAST(l.min_days AS BIGINT) AS min_days,
+         CAST(f.lifetime_us >= l.min_days * {DAY_US} AS BIGINT) AS reaches
+  FROM life f CROSS JOIN ladder l
+)
+SELECT min_days,
+       CAST(SUM(reaches) AS BIGINT) AS n_users,
+       (1000000 * CAST(SUM(reaches) AS BIGINT)) // COUNT(*) AS users_ppm
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_workload_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """→ (servicename, n_shared_ops, mass_a, mass_b, jsd): per-service
     WORKLOAD drift — Jensen-Shannon divergence between the operation-mix
@@ -7337,6 +7486,8 @@ _ROTATION_QUEUE = (
     "workload_drift",
     "neardup_band_calibration",
     "heaps_vocab_forecast",
+    "index_ttl_plan",
+    "user_lifetime_curve",
 )
 
 
@@ -7476,6 +7627,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_budget_burn": q_error_budget_burn,
         "service_error_correlation": q_service_error_correlation,
         "workload_drift": q_workload_drift,
+        "index_ttl_plan": q_index_ttl_plan,
+        "user_lifetime_curve": q_user_lifetime_curve,
         "tail_latency_attribution": q_tail_latency_attribution,
     }
 
@@ -7600,5 +7753,7 @@ def _trace_oracles() -> dict[str, str]:
         "error_budget_burn": sql_error_budget_burn(),
         "service_error_correlation": sql_service_error_correlation(),
         "workload_drift": sql_workload_drift(),
+        "index_ttl_plan": sql_index_ttl_plan(),
+        "user_lifetime_curve": sql_user_lifetime_curve(),
         "tail_latency_attribution": sql_tail_latency_attribution(),
     }

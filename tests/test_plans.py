@@ -754,6 +754,9 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # 1-row fit aggregate — all bounded by design
         "heaps_vocab_forecast": (Q.q_heaps_vocab_forecast, 4),
         "neardup_band_calibration": (Q.q_neardup_band_calibration, 0),
+        # horizon fetched as a bounded 1-row driver agg; ladders broadcast
+        "index_ttl_plan": (EQ.q_index_ttl_plan, 0),
+        "user_lifetime_curve": (EQ.q_user_lifetime_curve, 0),
     }
     try:
         with stagecache.plan_view():

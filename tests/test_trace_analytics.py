@@ -2044,3 +2044,32 @@ def test_workload_drift_mix_shift_semantics(spark):
     sh = out["shift"]
     assert sh["n_shared_ops"] == 0 and sh["mass_a"] == 0.0
     assert abs(sh["jsd"] - math.log(2.0)) < 1e-6
+
+
+def test_index_ttl_plan_data_relative_horizon(spark):
+    """Round-9 batch D: the TTL cost curve is measured against the
+    newest trace start — crafted traces at known ages pin every rung,
+    ppm is integer DIV of unrounded counts, and the curve is
+    monotone non-decreasing in the TTL."""
+    H = EQ.HOUR_US
+    rows = []
+    # ages (hours before the newest trace): 0, 48, 100, 500; span counts
+    # 1, 2, 3, 4
+    for i, (age_h, n_sp) in enumerate([(0, 1), (48, 2), (100, 3), (500, 4)]):
+        for j in range(n_sp):
+            rows.append(mk(trace_id=f"t{i}", span_id=f"s{j}",
+                           service="svc", start=T0 + (600 - age_h) * H))
+    out = {r["ttl_hours"]: r.asDict()
+           for r in _patched(spark, rows,
+                             lambda: EQ.q_index_ttl_plan(spark, "")).collect()}
+    assert set(out) == {24, 72, 168, 720}
+    # kept iff age < ttl (strict: t0 > now - ttl)
+    assert (out[24]["n_traces"], out[24]["n_spans"]) == (1, 1)
+    assert (out[72]["n_traces"], out[72]["n_spans"]) == (2, 3)
+    assert (out[168]["n_traces"], out[168]["n_spans"]) == (3, 6)
+    assert (out[720]["n_traces"], out[720]["n_spans"]) == (4, 10)
+    assert out[72]["traces_ppm"] == 500000 and out[72]["spans_ppm"] == 300000
+    assert out[168]["traces_ppm"] == 750000
+    hours = sorted(out)
+    assert all(out[a]["n_traces"] <= out[b]["n_traces"]
+               for a, b in zip(hours, hours[1:]))
