@@ -690,6 +690,156 @@ def epoch_plan(
     ).orderBy(stratum_col)
 
 
+#: Temperature ladder for mix_temperature_sweep, in integer percent so the
+#: row key is exact on both engine faces (0 = uniform, 100 = natural).
+MIX_ALPHA_LADDER_PCT = (0, 25, 50, 75, 100)
+
+
+def mix_temperature_sweep(
+    docs: DataFrame,
+    token_budget: int = 1_000_000,
+    alphas_pct: tuple = MIX_ALPHA_LADDER_PCT,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (alpha_pct, source, n_tokens, weight, target_tokens, epochs,
+    mix_entropy): :func:`epoch_plan` swept across the temperature ladder —
+    the "which α do I pick" table. Each α row-group is one candidate mix;
+    ``epochs`` exposes which sources that α over-repeats (the usual ≫4-5
+    repetition-harm flag) and ``mix_entropy`` (−Σ w·ln w of the 6dp
+    weights, shared across the α group) scores how much source diversity
+    the temperature buys.
+
+    One per-source token aggregate crossed with the ladder — every window
+    partitions by alpha over the AGGREGATED table (cardinality = #sources
+    × #alphas, never #docs); scale-independent like epoch_plan. The
+    entropy terms enter the window sum as 6dp micro-integers, so the
+    group total is order-independent across engines."""
+    w = Window.partitionBy("alpha_pct")
+    agg = docs.groupBy(stratum_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    ladder = docs.sparkSession.createDataFrame(
+        [(a,) for a in alphas_pct], "alpha_pct int"
+    )
+    swept = agg.crossJoin(F.broadcast(ladder)).select(
+        "alpha_pct",
+        stratum_col,
+        "n_tokens",
+        F.pow(
+            F.col("n_tokens") / F.sum("n_tokens").over(w),
+            F.col("alpha_pct") / F.lit(100.0),
+        ).alias("w_raw"),
+    )
+    weight = F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6)
+    weighted = swept.select(
+        "alpha_pct", stratum_col, "n_tokens", weight.alias("weight")
+    )
+    ent_term = F.when(
+        F.col("weight") > 0,
+        F.round(-F.col("weight") * F.log(F.col("weight")) * 1_000_000)
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    target = F.floor(F.col("weight") * token_budget).cast("long")
+    return (
+        weighted.select(
+            "alpha_pct",
+            stratum_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "weight",
+            target.alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+            ent_term.alias("ent_micro"),
+        )
+        .select(
+            "alpha_pct",
+            stratum_col,
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            "epochs",
+            F.round(F.sum("ent_micro").over(w) / 1_000_000.0, 6).alias(
+                "mix_entropy"
+            ),
+        )
+        .orderBy("alpha_pct", stratum_col)
+    )
+
+
+CURRICULUM_STAGES = 4
+
+
+def curriculum_plan(
+    docs: DataFrame, stages: int = CURRICULUM_STAGES, text_col: str = "text"
+) -> DataFrame:
+    """→ (stage, tau, n_docs, n_tokens, mean_quality, token_share): a
+    quality-ramp training curriculum — stage 1 trains on the WHOLE corpus,
+    each later stage raises the quality floor linearly from the corpus MIN
+    quality toward the MAX (τ_s = min + ((s−1)/S)·(max−min), i.e.
+    τ_s = ((S+1−s)·min + (s−1)·max) / S for S stages; the final floor
+    stops 1/S short of max so the last stage is a top band, not a single
+    doc), the standard "anneal on high quality" schedule. Each row
+    answers: at stage s, how much data is left, how many tokens, and how
+    clean is it.
+
+    The threshold test runs entirely in exact integer arithmetic on the
+    6dp micro-unit quality scores (S·q ≥ (S+1−s)·min + (s−1)·max), so
+    boundary docs land identically on both engine faces — no float τ
+    comparison anywhere. One map-only feature pass, one 1-row corpus
+    aggregate (broadcast), a ladder cross-join (S× map fan-out with
+    map-side combine into S groups) — linear in corpus, no sort, no
+    quantile shuffle."""
+    from haystack_traces_spark.datapipe.text import text_stats
+
+    feats = text_stats(docs, text_col).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q_micro"),
+    )
+    tot = feats.agg(
+        F.min("q_micro").cast("long").alias("min_q"),
+        F.max("q_micro").cast("long").alias("max_q"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    ladder = docs.sparkSession.createDataFrame(
+        [(s,) for s in range(1, stages + 1)], "stage int"
+    )
+    s_col = F.col("stage").cast("long")
+    keep = (F.lit(stages) * F.col("q_micro")) >= (
+        (F.lit(stages + 1) - s_col) * F.col("min_q")
+        + (s_col - 1) * F.col("max_q")
+    )
+    return (
+        feats.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ladder))
+        .filter(keep)
+        .groupBy("stage")
+        .agg(
+            F.round(
+                (
+                    (F.lit(stages + 1) - s_col) * F.first("min_q")
+                    + (s_col - 1) * F.first("max_q")
+                )
+                / F.lit(float(stages))
+                / 1_000_000.0,
+                6,
+            ).alias("tau"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("q_micro") / (F.count(F.lit(1)) * 1_000_000.0), 6
+            ).alias("mean_quality"),
+            F.round(F.sum("n_tokens") / F.first("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+        .select(
+            "stage", "tau", "n_docs", "n_tokens", "mean_quality", "token_share"
+        )
+        .orderBy("stage")
+    )
+
+
 # -------------------------------------------- canonical doc per cluster ----
 
 def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:

@@ -1261,6 +1261,101 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def _quant_dq_ctes() -> str:
+    """DuckDB CTE rebuilding _dequantized() for the full QUANT_BITS ladder
+    — the ONE SQL mirror of the symmetric scalar-quantization round-trip
+    (scale = max|x|/(2^(b-1)-1), clamp(round(x/scale))*scale), shared by
+    both quantization faces so a ladder or clamp change propagates
+    everywhere or nowhere."""
+    arms = []
+    for b in S.QUANT_BITS:
+        levels = float(2 ** (b - 1) - 1)
+        arms.append(
+            f"SELECT {b} AS bits, vec_id, label, v,\n"
+            f"       list_transform(v, x -> LEAST(GREATEST(ROUND(x / (mx / {levels}), 0),"
+            f" -{levels}), {levels}) * (mx / {levels})) AS deq\n"
+            f"FROM qbase"
+        )
+        # NB: scale is inlined as (mx / levels) because DuckDB lambda
+        # bodies can reference row columns — kept identical to Spark's
+        # per-row scale column.
+    union = "\n  UNION ALL ".join(arms)
+    return f"""qbase AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+), dq AS (
+  {union}
+)"""
+
+
+def q_embedding_quantization_error(spark, sf_dir):
+    return S.quantization_error(_emb(spark, sf_dir))
+
+
+def sql_embedding_quantization_error() -> str:
+    return f"""
+WITH {_quant_dq_ctes()},
+per_vec AS (
+  SELECT bits, CAST(label AS BIGINT) AS label,
+         ROUND(list_dot_product(v, deq)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))), 6) AS cos_sd,
+         ROUND(sqrt(list_sum(list_transform(list_zip(v, deq), p -> (p[1]-p[2])*(p[1]-p[2]))))
+               / sqrt(list_dot_product(v, v)), 6) AS rel_err
+  FROM dq
+), micro AS (
+  SELECT bits, label, cos_sd, rel_err,
+         CAST(ROUND(cos_sd * 1000000) AS BIGINT) AS cos_micro,
+         CAST(ROUND(rel_err * 1000000) AS BIGINT) AS rel_micro
+  FROM per_vec
+)
+SELECT CAST(bits AS INT) AS bits, label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(cos_micro) / (COUNT(*) * 1000000.0), 6) AS mean_cos,
+       ROUND(SUM(rel_micro) / (COUNT(*) * 1000000.0), 6) AS mean_rel_err,
+       MIN(cos_sd) AS min_cos,
+       MAX(rel_err) AS max_rel_err
+FROM micro GROUP BY bits, label
+ORDER BY bits, label
+"""
+
+
+def q_ann_quantized_recall(spark, sf_dir):
+    return S.quantized_topk_recall(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_ann_quantized_recall() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH {_quant_dq_ctes()},
+nrm AS (
+  SELECT bits, vec_id, v, deq,
+         sqrt(list_dot_product(v, v)) AS nv,
+         sqrt(list_dot_product(deq, deq)) AS nd
+  FROM dq
+), scored AS (
+  SELECT q.bits, q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, b.v) / (q.nv * b.nv), 6) AS cos_e,
+         ROUND(list_dot_product(q.deq, b.deq) / (q.nd * b.nd), 6) AS cos_q
+  FROM nrm q JOIN nrm b ON b.bits = q.bits AND b.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+), ranked AS (
+  SELECT bits, query_id,
+         ROW_NUMBER() OVER (PARTITION BY bits, query_id
+                            ORDER BY cos_e DESC, neighbor_id ASC) AS re,
+         ROW_NUMBER() OVER (PARTITION BY bits, query_id
+                            ORDER BY cos_q DESC, neighbor_id ASC) AS rq
+  FROM scored
+)
+SELECT CAST(bits AS INT) AS bits, query_id,
+       CAST(SUM(CASE WHEN re <= {ANN_K} AND rq <= {ANN_K} THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       ROUND(SUM(CASE WHEN re <= {ANN_K} AND rq <= {ANN_K} THEN 1 ELSE 0 END) / {ANN_K}.0, 6) AS recall
+FROM ranked WHERE re <= {ANN_K} OR rq <= {ANN_K}
+GROUP BY bits, query_id
+ORDER BY bits, query_id
+"""
+
+
 def q_pq_code_entropy(spark, sf_dir):
     return S.pq_code_entropy(_emb(spark, sf_dir))
 
@@ -4214,6 +4309,92 @@ ORDER BY source
 """
 
 
+def q_mix_temperature_sweep(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.mix_temperature_sweep(_docs(spark, sf_dir), TOKEN_BUDGET)
+
+
+def sql_mix_temperature_sweep() -> str:
+    from haystack_traces_spark.datapipe.corpus import MIX_ALPHA_LADDER_PCT
+
+    ladder = ", ".join(f"({a})" for a in MIX_ALPHA_LADDER_PCT)
+    return f"""
+WITH agg AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+lad(alpha_pct) AS (VALUES {ladder}),
+swept AS (
+  SELECT alpha_pct, source, n_tokens,
+         POW(n_tokens / SUM(n_tokens) OVER (PARTITION BY alpha_pct),
+             alpha_pct / 100.0) AS w_raw
+  FROM agg CROSS JOIN lad
+),
+weighted AS (
+  SELECT alpha_pct, source, n_tokens,
+         ROUND(w_raw / SUM(w_raw) OVER (PARTITION BY alpha_pct), 6) AS weight
+  FROM swept
+),
+terms AS (
+  SELECT alpha_pct, source, n_tokens, weight,
+         CAST(FLOOR(weight * {TOKEN_BUDGET}) AS BIGINT) AS target_tokens,
+         CASE WHEN weight > 0
+              THEN CAST(ROUND(-weight * ln(weight) * 1000000) AS BIGINT)
+              ELSE 0 END AS ent_micro
+  FROM weighted
+)
+SELECT CAST(alpha_pct AS INT) AS alpha_pct, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens, weight, target_tokens,
+       ROUND(target_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       ROUND(SUM(ent_micro) OVER (PARTITION BY alpha_pct) / 1000000.0, 6)
+         AS mix_entropy
+FROM terms
+ORDER BY alpha_pct, source
+"""
+
+
+def q_curriculum_plan(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.curriculum_plan(_docs(spark, sf_dir))
+
+
+def sql_curriculum_plan() -> str:
+    from haystack_traces_spark.datapipe.corpus import CURRICULUM_STAGES as SS
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(ROUND({_quality_score_sql()} * 1000000) AS BIGINT) AS q_micro
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+tot AS (
+  SELECT CAST(MIN(q_micro) AS BIGINT) AS min_q,
+         CAST(MAX(q_micro) AS BIGINT) AS max_q,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM feats
+),
+lad(stage) AS (VALUES {", ".join(f"({s})" for s in range(1, SS + 1))}),
+kept AS (
+  SELECT stage, q_micro, n_tokens, min_q, max_q, tot_tokens
+  FROM feats CROSS JOIN tot CROSS JOIN lad
+  WHERE {SS} * q_micro >= ({SS + 1} - stage) * min_q
+                          + (stage - 1) * max_q
+)
+SELECT CAST(stage AS INT) AS stage,
+       ROUND((({SS + 1} - stage) * ANY_VALUE(min_q)
+              + (stage - 1) * ANY_VALUE(max_q))
+             / {SS}.0 / 1000000.0, 6) AS tau,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(q_micro) / (COUNT(*) * 1000000.0), 6) AS mean_quality,
+       ROUND(SUM(n_tokens) / CAST(ANY_VALUE(tot_tokens) AS DOUBLE), 6) AS token_share
+FROM kept GROUP BY stage
+ORDER BY stage
+"""
+
+
 OUTLIER_K = 20
 
 
@@ -5228,6 +5409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_planes_plan": q_lsh_planes_plan,
         "quality_drift_windows": q_quality_drift_windows,
         "ann_two_stage_recall": q_ann_two_stage_recall,
+        "ann_quantized_recall": q_ann_quantized_recall,
+        "embedding_quantization_error": q_embedding_quantization_error,
         "neardup_band_calibration": q_neardup_band_calibration,
         "heaps_vocab_forecast": q_heaps_vocab_forecast,
         "knn_graph_reciprocity": q_knn_graph_reciprocity,
@@ -5255,6 +5438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "mix_weights": q_mix_weights,
+        "mix_temperature_sweep": q_mix_temperature_sweep,
+        "curriculum_plan": q_curriculum_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5366,6 +5551,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_planes_plan": sql_lsh_planes_plan(),
         "quality_drift_windows": sql_quality_drift_windows(),
         "ann_two_stage_recall": sql_ann_two_stage_recall(),
+        "ann_quantized_recall": sql_ann_quantized_recall(),
+        "embedding_quantization_error": sql_embedding_quantization_error(),
         "neardup_band_calibration": sql_neardup_band_calibration(),
         "heaps_vocab_forecast": sql_heaps_vocab_forecast(),
         "knn_graph_reciprocity": sql_knn_graph_reciprocity(),
@@ -5393,6 +5580,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "stratified_sample": sql_stratified_sample(),
         "mix_weights": sql_mix_weights(),
+        "mix_temperature_sweep": sql_mix_temperature_sweep(),
+        "curriculum_plan": sql_curriculum_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),

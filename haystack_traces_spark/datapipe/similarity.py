@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from haystack_traces_spark.session import materialize
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from haystack_traces_spark.datapipe.caps import DEFAULT_MAX_BUCKET, cap_buckets
 from haystack_traces_spark.datapipe.hashing import hash60_py
@@ -1613,4 +1613,218 @@ def mmr_diversify(
             for i, (cand, r, s) in enumerate(selected)
         ],
         "pick long, vec_id long, relevance double, mmr_score double",
+    )
+
+
+# ---------------------------------------------- scalar quantization -------
+
+#: Bit-width ladder for the scalar-quantization faces: int8 is the standard
+#: storage format (4x smaller than float32 on the scan path), int6/int4 map
+#: the degradation curve so the "how low can we quantize" decision is read
+#: off measured rows, not guessed.
+QUANT_BITS = (8, 6, 4)
+
+
+def _dequantized(
+    emb: DataFrame,
+    bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """→ (bits, id, *extra, v, deq): per-vector symmetric int quantization
+    round-trip — scale = max|x| / (2^(bits-1)-1), deq_i = clamp(round(x_i /
+    scale)) * scale. Everything is array Column expressions (map-only,
+    whole-stage codegen, no Python); ROUND half-away-from-zero matches
+    DuckDB's ROUND so both engine faces see identical dequantized doubles.
+    A zero vector yields scale 0 → x/0 = NULL in SQL semantics on BOTH
+    engines → deq NULL; the synthetic embeddings have no zero vectors and
+    callers aggregate with the same NULL propagation either way."""
+    levels = F.lit(float(2 ** (bits - 1) - 1))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col), *[F.col(c) for c in extra_cols], v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / levels
+    )
+    deq = F.transform(
+        F.col("v"),
+        lambda x: F.least(F.greatest(F.round(x / F.col("scale")), -levels), levels)
+        * F.col("scale"),
+    )
+    return base.select(
+        F.lit(bits).alias("bits"),
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col("v"),
+        deq.alias("deq"),
+    )
+
+
+def _arr_dot(a, b) -> Column:
+    """Sequential in-order fold dot product over two array Columns —
+    bit-identical to DuckDB's list_dot_product (same summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def quantization_error(
+    emb: DataFrame,
+    bits: tuple = QUANT_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """→ (bits, label, n_vecs, mean_cos, mean_rel_err, min_cos,
+    max_rel_err): per-vector scalar-quantization distortion, aggregated per
+    (bit-width, label) — cos(v, dequant(v)) and relative L2 error
+    |v - deq| / |v|. The storage-planning face: int8 cuts ANN scan bytes 4x
+    vs float32; these rows say what that costs in geometry before
+    `ann_quantized_recall` says what it costs in retrieval.
+
+    Per-vector values are rounded to 6dp micro-integers BEFORE the group
+    aggregate, so sums are order-independent and both engine faces derive
+    identical means. Map-only per bits level (|bits| passes over the
+    vectors), then a tiny groupBy — linear in corpus, no joins."""
+    out = None
+    for b in bits:
+        dq = _dequantized(emb, b, id_col, vec_col, extra_cols=(label_col,))
+        diff_sq = F.aggregate(
+            F.zip_with(F.col("v"), F.col("deq"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_vec = dq.select(
+            "bits",
+            F.col(label_col).cast("long").alias("label"),
+            F.round(
+                _arr_dot(F.col("v"), F.col("deq"))
+                / (
+                    F.sqrt(_arr_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_arr_dot(F.col("deq"), F.col("deq")))
+                ),
+                6,
+            ).alias("cos_sd"),
+            F.round(
+                F.sqrt(diff_sq) / F.sqrt(_arr_dot(F.col("v"), F.col("v"))), 6
+            ).alias("rel_err"),
+        ).select(
+            "bits",
+            "label",
+            "cos_sd",
+            "rel_err",
+            F.round(F.col("cos_sd") * 1_000_000).cast("long").alias("cos_micro"),
+            F.round(F.col("rel_err") * 1_000_000).cast("long").alias("rel_micro"),
+        )
+        out = per_vec if out is None else out.unionByName(per_vec)
+    return (
+        out.groupBy("bits", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.sum("cos_micro") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+                "mean_cos"
+            ),
+            F.round(F.sum("rel_micro") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+                "mean_rel_err"
+            ),
+            F.min("cos_sd").alias("min_cos"),
+            F.max("rel_err").alias("max_rel_err"),
+        )
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            "label",
+            "n_vecs",
+            "mean_cos",
+            "mean_rel_err",
+            "min_cos",
+            "max_rel_err",
+        )
+        .orderBy("bits", "label")
+    )
+
+
+def quantized_topk_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bits: tuple = QUANT_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (bits, query_id, overlap, recall): recall@k of exact top-k under
+    scalar quantization — rank every probe's neighbors by float cosine and
+    by quantized cosine (both on the dequantized doubles), count the top-k
+    overlap. THE acceptance gate for shipping an int8/int6/int4 scan path:
+    the int8 row ≈ 1.0 licenses the 4x-smaller scan; the int4 row shows
+    the cliff.
+
+    Probe side is |query_ids| x |bits| rows → broadcast; the corpus side is
+    one map-only pass per bits level — candidate volume is exactly
+    |corpus| x |probes| per level (linear in corpus, probes bounded), the
+    same cost class as the other exact-baseline ANN faces. Ranks use the
+    house rank-membership rule (6dp-rounded cosine, id tiebreak), so rank
+    sets are engine-stable."""
+    dq = None
+    for b in bits:
+        d = _dequantized(emb, b, id_col, vec_col)
+        dq = d if dq is None else dq.unionByName(d)
+    dq = dq.select(
+        "bits",
+        F.col(id_col),
+        "v",
+        "deq",
+        F.sqrt(_arr_dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(_arr_dot(F.col("deq"), F.col("deq"))).alias("nd"),
+    )
+    probes = dq.filter(F.col(id_col).isin(query_ids)).select(
+        F.col("bits").alias("qbits"),
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("deq").alias("qdeq"),
+        F.col("nv").alias("qnv"),
+        F.col("nd").alias("qnd"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            dq.withColumnRenamed(id_col, "neighbor_id"),
+            (F.col("qbits") == F.col("bits"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "bits",
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _arr_dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv")), 6
+            ).alias("cos_e"),
+            F.round(
+                _arr_dot(F.col("qdeq"), F.col("deq")) / (F.col("qnd") * F.col("nd")),
+                6,
+            ).alias("cos_q"),
+        )
+    )
+    we = Window.partitionBy("bits", "query_id").orderBy(
+        F.col("cos_e").desc(), F.col("neighbor_id").asc()
+    )
+    wq = Window.partitionBy("bits", "query_id").orderBy(
+        F.col("cos_q").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "bits",
+        "query_id",
+        F.row_number().over(we).alias("re"),
+        F.row_number().over(wq).alias("rq"),
+    )
+    hit = (F.col("re") <= k) & (F.col("rq") <= k)
+    return (
+        ranked.filter((F.col("re") <= k) | (F.col("rq") <= k))
+        .groupBy("bits", "query_id")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("overlap"))
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            "query_id",
+            "overlap",
+            F.round(F.col("overlap") / F.lit(k), 6).alias("recall"),
+        )
+        .orderBy("bits", "query_id")
     )

@@ -3548,3 +3548,91 @@ def test_neardup_band_calibration_curve_shape(spark):
     # single-band evidence is noise; near-all-bands evidence is near-dup
     assert lo[2] < 100_000 < hi[2], rows
     assert hi[2] > 900_000, rows
+
+
+def test_quantization_error_degrades_with_fewer_bits(emb):
+    """Round-9 batch C: scalar-quantization distortion is monotone in the
+    bit width — int8 round-trips near-losslessly (cos ≈ 1), and each step
+    down the ladder strictly raises the mean relative error. min_cos
+    never exceeds mean_cos's ceiling of 1."""
+    rows = S.quantization_error(emb).collect()
+    by_bits = {}
+    for r in rows:
+        by_bits.setdefault(r["bits"], []).append(r)
+    assert set(by_bits) == set(S.QUANT_BITS)
+    mean_err = {
+        b: sum(r["mean_rel_err"] * r["n_vecs"] for r in rs)
+        / sum(r["n_vecs"] for r in rs)
+        for b, rs in by_bits.items()
+    }
+    assert mean_err[8] < mean_err[6] < mean_err[4], mean_err
+    assert all(r["mean_cos"] > 0.999 for r in by_bits[8])
+    assert all(-1.0 <= r["min_cos"] <= 1.0 for r in rows)
+    assert all(r["mean_rel_err"] >= 0 for r in rows)
+
+
+def test_quantized_recall_monotone_in_bits(emb):
+    """Round-9 batch C: int8 preserves the exact top-k on this corpus
+    (recall 1.0 for every probe); mean recall never improves as bits
+    drop; every overlap is within [0, k]."""
+    from haystack_traces_spark.datapipe.queries import ANN_K, ANN_QUERY_IDS
+
+    rows = S.quantized_topk_recall(emb, ANN_QUERY_IDS, ANN_K).collect()
+    by_bits = {}
+    for r in rows:
+        assert 0 <= r["overlap"] <= ANN_K
+        by_bits.setdefault(r["bits"], []).append(r["recall"])
+    assert all(len(v) == len(ANN_QUERY_IDS) for v in by_bits.values())
+    assert all(rec == 1.0 for rec in by_bits[8]), by_bits[8]
+    mean = {b: sum(v) / len(v) for b, v in by_bits.items()}
+    assert mean[8] >= mean[6] >= mean[4], mean
+
+
+def test_mix_temperature_sweep_matches_epoch_plan_endpoints(docs):
+    """Round-9 batch C: the sweep's α=0 group is the uniform mix, its
+    α=50 group reproduces epoch_plan(α=0.5) row-for-row, and mix entropy
+    is monotone non-increasing as α rises (temperature flattening can
+    only add diversity)."""
+    from haystack_traces_spark.datapipe.corpus import (
+        epoch_plan,
+        mix_temperature_sweep,
+    )
+
+    budget = 1_000_000
+    out = mix_temperature_sweep(docs, budget).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r["alpha_pct"], {})[r["source"]] = r
+    n_src = len(groups[0])
+    for r in groups[0].values():
+        assert r["weight"] == pytest.approx(1.0 / n_src, abs=2e-6)
+    ref = {r["source"]: r for r in epoch_plan(docs, budget, 0.5).collect()}
+    for src, r in groups[50].items():
+        assert r["n_tokens"] == ref[src]["n_tokens"]
+        assert r["weight"] == pytest.approx(ref[src]["weight"], abs=2e-6)
+        assert abs(r["target_tokens"] - ref[src]["target_tokens"]) <= 1
+    ent = {a: next(iter(g.values()))["mix_entropy"] for a, g in groups.items()}
+    alphas = sorted(ent)
+    for lo, hi in zip(alphas, alphas[1:]):
+        assert ent[lo] >= ent[hi] - 1e-6, ent
+
+
+def test_curriculum_plan_ramps_quality(docs):
+    """Round-9 batch C: stage 1 is the whole corpus (token_share 1.0);
+    later stages shrink the kept set while mean quality and the floor τ
+    never decrease; no stage is empty (the max-quality doc always
+    qualifies)."""
+    from haystack_traces_spark.datapipe.corpus import (
+        CURRICULUM_STAGES,
+        curriculum_plan,
+    )
+
+    rows = {r["stage"]: r for r in curriculum_plan(docs).collect()}
+    assert set(rows) == set(range(1, CURRICULUM_STAGES + 1))
+    assert rows[1]["n_docs"] == docs.count()
+    assert rows[1]["token_share"] == pytest.approx(1.0, abs=1e-6)
+    for s in range(1, CURRICULUM_STAGES):
+        assert rows[s]["n_docs"] >= rows[s + 1]["n_docs"]
+        assert rows[s]["tau"] <= rows[s + 1]["tau"]
+        assert rows[s]["mean_quality"] <= rows[s + 1]["mean_quality"] + 1e-6
+    assert all(r["n_docs"] > 0 for r in rows.values())

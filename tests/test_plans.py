@@ -757,6 +757,16 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # horizon fetched as a bounded 1-row driver agg; ladders broadcast
         "index_ttl_plan": (EQ.q_index_ttl_plan, 0),
         "user_lifetime_curve": (EQ.q_user_lifetime_curve, 0),
+        # batch C — temperature/entropy windows partition on alpha_pct
+        # over the per-source aggregate, never globally
+        "mix_temperature_sweep": (Q.q_mix_temperature_sweep, 0),
+        # 1-row corpus aggregate (n, Σq, max q, Σtokens) broadcast onto
+        # the feature pass — bounded by design
+        "curriculum_plan": (Q.q_curriculum_plan, 1),
+        "embedding_quantization_error": (Q.q_embedding_quantization_error, 0),
+        # probe side is |queries|x|bits| rows, broadcast; ranks partition
+        # on (bits, query_id)
+        "ann_quantized_recall": (Q.q_ann_quantized_recall, 0),
     }
     try:
         with stagecache.plan_view():
