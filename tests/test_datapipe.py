@@ -3636,3 +3636,27 @@ def test_curriculum_plan_ramps_quality(docs):
         assert rows[s]["tau"] <= rows[s + 1]["tau"]
         assert rows[s]["mean_quality"] <= rows[s + 1]["mean_quality"] + 1e-6
     assert all(r["n_docs"] > 0 for r in rows.values())
+
+
+def test_dequantized_matches_numpy_mirror(emb):
+    """Third-implementation pin: Spark's _dequantized (array Column
+    expressions) reproduces the independent numpy mirror bit-for-bit on
+    the real corpus, at every ladder rung — on top of the DuckDB oracle
+    agreement the registry faces already prove."""
+    import numpy as np
+
+    from tests.test_properties import _quantize_mirror
+
+    sample = emb.orderBy("vec_id").limit(50)
+    for bits in S.QUANT_BITS:
+        rows = (
+            S._dequantized(sample, bits)
+            .select("vec_id", "v", "deq")
+            .orderBy("vec_id")
+            .collect()
+        )
+        assert len(rows) == 50
+        for r in rows:
+            want = _quantize_mirror(np.asarray(r["v"]), bits)
+            got = np.asarray(r["deq"])
+            assert np.array_equal(got, want), (bits, r["vec_id"])

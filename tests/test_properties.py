@@ -1167,3 +1167,48 @@ def test_derive_planes_holds_occupancy_band(n):
         # bitlen(m) = floor(log2 m)+1 => 2^p in (m, 2m], m = n // target
         assert occ <= KNN_TARGET_OCCUPANCY
         assert occ > KNN_TARGET_OCCUPANCY / 2 - 1  # integer-div slack
+
+
+def _quantize_mirror(v, bits):
+    """Independent numpy mirror of similarity._dequantized: symmetric
+    scalar quantization round-trip with half-away-from-zero rounding
+    (matching Spark ROUND / DuckDB ROUND on these magnitudes)."""
+    import numpy as np
+
+    levels = float(2 ** (bits - 1) - 1)
+    v = np.asarray(v, dtype=np.float64)
+    scale = np.abs(v).max() / levels
+    q = np.copysign(np.floor(np.abs(v / scale) + 0.5), v)
+    return np.clip(q, -levels, levels) * scale
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-100_000, max_value=100_000),
+        min_size=2,
+        max_size=64,
+    ).filter(lambda xs: any(x != 0 for x in xs)),
+    st.sampled_from([8, 6, 4]),
+)
+def test_scalar_quantization_error_bound_and_idempotence(milli, bits):
+    """Round-9 batch C invariants, pinned on the mirror: (a) the
+    round-trip error respects the theoretical per-element bound scale/2
+    (clamping never activates because |x| <= levels*scale by
+    construction), so L2(v-deq) <= sqrt(dim)*scale/2; (b) re-quantizing
+    the dequantized vector at the same bit width is exactly idempotent
+    (deq values are integer multiples of scale); (c) the bound — and
+    with it the worst-case relative error — tightens as bits grow."""
+    import numpy as np
+
+    v = np.asarray(milli, dtype=np.float64) / 1000.0
+    deq = _quantize_mirror(v, bits)
+    levels = float(2 ** (bits - 1) - 1)
+    scale = np.abs(v).max() / levels
+    assert np.all(np.abs(v - deq) <= scale / 2 + 1e-12)
+    assert np.linalg.norm(v - deq) <= np.sqrt(len(v)) * scale / 2 + 1e-9
+    again = _quantize_mirror(deq, bits)
+    # same scale: max|deq| can only shrink, but deq's max element is
+    # +/-levels*scale only when no clamp occurred at the max — re-derive
+    # scale from deq to assert idempotence of the VALUE grid
+    assert np.allclose(again, deq, rtol=0, atol=1e-12)
