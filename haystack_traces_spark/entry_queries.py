@@ -2116,6 +2116,143 @@ FROM per, tot ORDER BY servicename
     )
 
 
+def q_critical_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, path_time_early, path_time_late, share_early,
+    share_late, drift): has the latency GATE moved — per-service share of
+    critical-path time in the first vs second half of the observed range
+    (traces split at the midpoint of their start times), drift =
+    share_late − share_early. critical_path_contrib ranks who gates
+    latency NOW; this face ranks whose gating share is GROWING — the
+    regression-hunt view after a deploy window (a service whose
+    path-share doubled is the lead suspect even if its absolute latency
+    barely moved).
+
+    Composition: the same critical_path_members walk + span join as
+    critical_path_contrib (and the same rootless-cycle oracle caveat),
+    plus the per-trace t0 (rides the trace exchange) and workload_drift's
+    bounded 1-row driver midpoint; one conditional rollup per service,
+    half totals broadcast back. Shares are computed from exact long sums
+    by one double division each, drift from the two ROUNDED shares —
+    engine-stable everywhere."""
+    from haystack_traces_spark.operators.timeline import critical_path_members
+
+    spans = _spans(spark, sf_dir)
+    tr0 = spans.groupBy("trace_id").agg(F.min("start_time").alias("t0"))
+    row = tr0.agg(F.min("t0").alias("lo"), F.max("t0").alias("hi")).first()
+    mid = 0 if row["lo"] is None else (int(row["lo"]) + int(row["hi"])) // 2
+    members = critical_path_members(spans)
+    j = members.join(
+        spans.select(
+            "trace_id",
+            "span_id",
+            F.lower("service_name").alias("servicename"),
+            "duration",
+        ),
+        ["trace_id", "span_id"],
+    ).join(tr0, "trace_id")
+    late = F.col("t0") > F.lit(mid)
+    per = j.groupBy("servicename").agg(
+        F.sum(F.when(~late, F.col("duration")).otherwise(0))
+        .cast("long")
+        .alias("path_time_early"),
+        F.sum(F.when(late, F.col("duration")).otherwise(0))
+        .cast("long")
+        .alias("path_time_late"),
+    )
+    tot = per.agg(
+        F.sum("path_time_early").alias("te"),
+        F.sum("path_time_late").alias("tl"),
+    )
+    share_early = F.round(
+        F.col("path_time_early")
+        / F.nullif(F.col("te").cast("double"), F.lit(0.0)),
+        6,
+    )
+    share_late = F.round(
+        F.col("path_time_late")
+        / F.nullif(F.col("tl").cast("double"), F.lit(0.0)),
+        6,
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "servicename",
+            "path_time_early",
+            "path_time_late",
+            share_early.alias("share_early"),
+            share_late.alias("share_late"),
+        )
+        .select(
+            "*",
+            F.round(F.col("share_late") - F.col("share_early"), 6).alias(
+                "drift"
+            ),
+        )
+        .orderBy("servicename")
+    )
+
+
+def sql_critical_path_drift() -> str:
+    return (
+        EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
+        + """
+, paths(trace_id, span_id, path_duration, members) AS (
+  SELECT s.trace_id, s.span_id, s.duration, [s.span_id]
+  FROM spans s
+  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
+    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
+  UNION ALL
+  SELECT c.trace_id, c.span_id, p.path_duration + c.duration,
+         list_append(p.members, c.span_id)
+  FROM spans c JOIN paths p ON p.trace_id = c.trace_id
+                           AND c.parent_span_id = p.span_id
+),
+leaves AS (
+  SELECT p.* FROM paths p
+  WHERE NOT EXISTS (SELECT 1 FROM spans ch
+                    WHERE ch.trace_id = p.trace_id
+                      AND ch.parent_span_id = p.span_id)
+),
+winner AS (
+  SELECT trace_id, members,
+         ROW_NUMBER() OVER (PARTITION BY trace_id
+                            ORDER BY path_duration DESC, span_id ASC) AS rn
+  FROM leaves
+),
+mem AS (
+  SELECT trace_id, UNNEST(members) AS span_id FROM winner WHERE rn = 1
+),
+tr0 AS (SELECT trace_id, MIN(start_time) AS t0 FROM spans GROUP BY 1),
+mid AS (SELECT (MIN(t0) + MAX(t0)) // 2 AS mid FROM tr0),
+j AS (
+  SELECT m.trace_id, lower(s.service_name) AS servicename, s.duration, t.t0
+  FROM mem m JOIN spans s USING (trace_id, span_id)
+             JOIN tr0 t USING (trace_id)
+),
+per AS (
+  SELECT servicename,
+         CAST(SUM(CASE WHEN j.t0 <= d.mid THEN duration ELSE 0 END) AS BIGINT)
+           AS path_time_early,
+         CAST(SUM(CASE WHEN j.t0 > d.mid THEN duration ELSE 0 END) AS BIGINT)
+           AS path_time_late
+  FROM j CROSS JOIN mid d GROUP BY 1
+),
+tot AS (SELECT SUM(path_time_early) AS te, SUM(path_time_late) AS tl FROM per),
+sh AS (
+  SELECT servicename, path_time_early, path_time_late,
+         ROUND(path_time_early / NULLIF(CAST(te AS DOUBLE), 0.0), 6)
+           AS share_early,
+         ROUND(path_time_late / NULLIF(CAST(tl AS DOUBLE), 0.0), 6)
+           AS share_late
+  FROM per, tot
+)
+SELECT servicename, path_time_early, path_time_late, share_early, share_late,
+       ROUND(share_late - share_early, 6) AS drift
+FROM sh ORDER BY servicename
+"""
+    )
+
+
 def q_span_fanout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service call FAN-OUT profile: how many direct children a
     service's spans spawn (avg and max) and what fraction of its spans
@@ -7489,12 +7626,13 @@ _ROTATION_QUEUE = (
     "index_ttl_plan",
     "user_lifetime_curve",
     # round-9 batch C — same growth rule; round-10's never-checked
-    # backlog is batches B+C (12 names), well inside the ~27 rotation
+    # backlog is batches B+C (13 names), well inside the ~27 rotation
     # slots behind the 23-name core lead, so it clears in one round:
     "mix_temperature_sweep",
     "curriculum_plan",
     "embedding_quantization_error",
     "ann_quantized_recall",
+    "critical_path_drift",
 )
 
 
@@ -7571,6 +7709,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_completeness": q_trace_completeness,
         "span_kinds": q_span_kinds,
         "critical_path_contrib": q_critical_path_contrib,
+        "critical_path_drift": q_critical_path_drift,
         "span_fanout_stats": q_span_fanout_stats,
         "error_cooccurrence": q_error_cooccurrence,
         "depth_profile": q_depth_profile,
@@ -7697,6 +7836,7 @@ def _trace_oracles() -> dict[str, str]:
         "trace_completeness": sql_trace_completeness(),
         "span_kinds": sql_span_kinds(),
         "critical_path_contrib": sql_critical_path_contrib(),
+        "critical_path_drift": sql_critical_path_drift(),
         "span_fanout_stats": sql_span_fanout_stats(),
         "error_cooccurrence": sql_error_cooccurrence(),
         "depth_profile": sql_depth_profile(),

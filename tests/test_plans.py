@@ -767,6 +767,9 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # probe side is |queries|x|bits| rows, broadcast; ranks partition
         # on (bits, query_id)
         "ann_quantized_recall": (Q.q_ann_quantized_recall, 0),
+        # 1-row half-totals aggregate broadcast back; midpoint is the
+        # bounded driver agg (workload_drift's pattern)
+        "critical_path_drift": (EQ.q_critical_path_drift, 1),
     }
     try:
         with stagecache.plan_view():

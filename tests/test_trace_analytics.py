@@ -2073,3 +2073,26 @@ def test_index_ttl_plan_data_relative_horizon(spark):
     hours = sorted(out)
     assert all(out[a]["n_traces"] <= out[b]["n_traces"]
                for a, b in zip(hours, hours[1:]))
+
+
+def test_critical_path_drift_shares_and_totals(spark, sf_dir):
+    """Round-9 batch C: each half's shares sum to ~1 over the services
+    present in it, the per-service early+late path time reconciles with
+    critical_path_contrib's total on-path time, and drift is exactly the
+    difference of the rounded shares."""
+    rows = EQ.q_critical_path_drift(spark, sf_dir).collect()
+    assert rows
+    for half in ("share_early", "share_late"):
+        tot = sum(r[half] for r in rows if r[half] is not None)
+        assert abs(tot - 1.0) < 1e-4, (half, tot)
+    contrib = {
+        r["servicename"]: r["path_time"]
+        for r in EQ.q_critical_path_contrib(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["path_time_early"] + r["path_time_late"] == contrib[
+            r["servicename"]
+        ], r
+        if r["share_early"] is not None and r["share_late"] is not None:
+            want = round(r["share_late"] - r["share_early"], 6)
+            assert abs(r["drift"] - want) < 1e-9, (r["drift"], want)
