@@ -5410,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drift_windows": q_quality_drift_windows,
         "ann_two_stage_recall": q_ann_two_stage_recall,
         "ann_quantized_recall": q_ann_quantized_recall,
+        "pq_dim_permutation_gain": q_pq_dim_permutation_gain,
         "embedding_quantization_error": q_embedding_quantization_error,
         "neardup_band_calibration": q_neardup_band_calibration,
         "heaps_vocab_forecast": q_heaps_vocab_forecast,
@@ -5552,6 +5553,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_drift_windows": sql_quality_drift_windows(),
         "ann_two_stage_recall": sql_ann_two_stage_recall(),
         "ann_quantized_recall": sql_ann_quantized_recall(),
+        "pq_dim_permutation_gain": sql_pq_dim_permutation_gain(),
         "embedding_quantization_error": sql_embedding_quantization_error(),
         "neardup_band_calibration": sql_neardup_band_calibration(),
         "heaps_vocab_forecast": sql_heaps_vocab_forecast(),
@@ -8146,6 +8148,70 @@ SELECT CAST(s AS INT) AS s,
        ROUND(SUM(md_micro) / (COUNT(*) * 1000000.0), 6) AS avg_sq_err,
        ROUND(MAX(md_micro) / 1000000.0, 6) AS max_sq_err
 FROM per_vec GROUP BY s ORDER BY s
+"""
+
+
+def q_pq_dim_permutation_gain(spark, sf_dir):
+    return S.pq_dim_permutation_gain(_emb(spark, sf_dir))
+
+
+def sql_pq_dim_permutation_gain() -> str:
+    m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 64 // S.PQ_M
+    rollup = """SELECT CAST(s AS INT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(md_micro) / (COUNT(*) * 1000000.0), 6) AS avg_sq_err,
+       ROUND(MAX(md_micro) / 1000000.0, 6) AS max_sq_err"""
+    return f"""
+WITH {_pq_cb_ctes()},
+mom AS (
+  SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(v[i] * 1000000) AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(v[i] * 1000000) AS BIGINT)
+             * CAST(ROUND(v[i] * 1000000) AS BIGINT)) AS s2
+  FROM e, UNNEST(generate_series(1, 64)) t(i)
+  GROUP BY i
+),
+ordd AS (
+  SELECT dim,
+         ROW_NUMBER() OVER (ORDER BY (n * s2 - s1 * s1) DESC, dim ASC) - 1 AS r
+  FROM mom
+),
+assign AS (
+  SELECT dim,
+         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m - 1} - (r % {m}) END AS s,
+         r // {m} AS slot
+  FROM ordd
+),
+psub AS (
+  SELECT e.vec_id, a.s, list(e.v[a.dim] ORDER BY a.slot) AS sv
+  FROM e, assign a GROUP BY e.vec_id, a.s
+),
+pcb AS (
+  SELECT p.s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.s ORDER BY p.vec_id) - 1
+              AS BIGINT) AS code,
+         p.sv AS cw
+  FROM psub p JOIN cbase c USING (vec_id)
+),
+pdists AS (
+  SELECT p.vec_id, p.s, cb.code,
+         list_sum(list_transform(generate_series(1, {dsub}),
+                                 i -> (p.sv[i] - cb.cw[i]) * (p.sv[i] - cb.cw[i]))) AS d
+  FROM psub p JOIN pcb cb ON cb.s = p.s
+),
+nat_pv AS (SELECT vec_id, s, CAST(ROUND(MIN(d) * 1000000) AS BIGINT) AS md_micro
+           FROM dists GROUP BY 1, 2),
+bal_pv AS (SELECT vec_id, s, CAST(ROUND(MIN(d) * 1000000) AS BIGINT) AS md_micro
+           FROM pdists GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT 'natural' AS layout, {rollup.replace("SELECT ", "")}
+  FROM nat_pv GROUP BY s
+  UNION ALL
+  SELECT 'balanced' AS layout, {rollup.replace("SELECT ", "")}
+  FROM bal_pv GROUP BY s
+)
+ORDER BY layout, s
 """
 
 

@@ -1616,6 +1616,111 @@ def mmr_diversify(
     )
 
 
+# ------------------------------------------ PQ dimension permutation ------
+
+def dim_variance_order(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """→ 0-based dims ordered by per-dimension variance DESC (index ASC
+    tie-break) — computed as the EXACT integer second moment
+    n·Σx² − (Σx)² over 6dp micro-unit elements, so both engine faces
+    derive the identical ordering with no float-sum order dependence.
+    A bounded |dim|-row driver aggregate (house-allowed collect class).
+    int64 headroom: |x|≤~1 unit-scale embeddings keep n·Σx_micro² inside
+    int64 up to ~10⁹ vectors; larger corpora should sample (the ordering
+    is a statistic, not an exact artifact)."""
+    x = F.posexplode(
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+        )
+    )
+    rows = (
+        emb.select(x.alias("pos", "xm"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xm").alias("s1"),
+            F.sum(F.col("xm") * F.col("xm")).alias("s2"),
+        )
+        .collect()
+    )
+    assert len(rows) == dim, (len(rows), dim)
+    ordered = sorted(
+        rows, key=lambda r: (-(r["n"] * r["s2"] - r["s1"] * r["s1"]), r["pos"])
+    )
+    return [r["pos"] for r in ordered]
+
+
+def snake_assignment(order: list[int], m: int) -> list[list[int]]:
+    """Balanced-variance subspace assignment (the OPQ-initialization
+    trick, Ge et al. 2013 "Optimized Product Quantization" — the
+    permutation-only baseline): deal the variance-ranked dims to the m
+    subspaces in SNAKE order (left-to-right, then right-to-left), so
+    every subspace gets one dim from each variance band and the
+    sum-of-variance per subspace is near-equal. Returns per-subspace dim
+    lists, each in rank order."""
+    out: list[list[int]] = [[] for _ in range(m)]
+    for r, d in enumerate(order):
+        pas, pos = divmod(r, m)
+        s = pos if pas % 2 == 0 else m - 1 - pos
+        out[s].append(d)
+    return out
+
+
+def pq_dim_permutation_gain(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (layout, s, n_vecs, avg_sq_err, max_sq_err): PQ distortion under
+    the NATURAL contiguous-slice subspace layout vs the BALANCED
+    variance-snake permutation — the cheap OPQ question ("does
+    reordering dims alone buy distortion?") answered with measured rows
+    before anyone reaches for a learned rotation. A natural layout whose
+    high-variance dims cluster in one slice starves the other codebooks;
+    the snake permutation equalizes per-subspace variance at zero
+    runtime cost (a dimension permutation is free at encode time). On a
+    corpus whose per-dim variances are already near-uniform the two
+    layouts tie (measured: the synthetic bench embeddings tie within
+    ~1-2% either way) — a tie is the audit SAYING the natural layout is
+    fine; the face earns its keep on corpora with variance-concentrated
+    dims (PCA-projected or whitened-then-truncated embeddings).
+
+    Both layouts run the identical pq_distortion pipeline (lowest-id
+    codebooks → broadcast join → min-struct encode → micro-integer
+    rollup); the permutation itself is the exact-integer variance order,
+    so the oracle rebuilds it bit-for-bit. Scale shape: one |dim|-row
+    moment aggregate + 2× the codes-only distortion audit."""
+    order = dim_variance_order(emb, dim, id_col, vec_col)
+    flat = [d for sub in snake_assignment(order, m) for d in sub]
+    permuted = F.array(
+        *[F.element_at(F.col(vec_col), d + 1) for d in flat]
+    ).cast("array<double>")
+    nat = pq_distortion(
+        emb.select(id_col, vec_col), m, ksub, dim, id_col, vec_col
+    )
+    bal = pq_distortion(
+        emb.select(F.col(id_col), permuted.alias(vec_col)),
+        m,
+        ksub,
+        dim,
+        id_col,
+        vec_col,
+    )
+    return (
+        nat.select(F.lit("natural").alias("layout"), "*")
+        .unionByName(bal.select(F.lit("balanced").alias("layout"), "*"))
+        .orderBy("layout", "s")
+    )
+
+
 # ---------------------------------------------- scalar quantization -------
 
 #: Bit-width ladder for the scalar-quantization faces: int8 is the standard

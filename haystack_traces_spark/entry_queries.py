@@ -7626,13 +7626,14 @@ _ROTATION_QUEUE = (
     "index_ttl_plan",
     "user_lifetime_curve",
     # round-9 batch C — same growth rule; round-10's never-checked
-    # backlog is batches B+C (13 names), well inside the ~27 rotation
+    # backlog is batches B+C (14 names), well inside the ~27 rotation
     # slots behind the 23-name core lead, so it clears in one round:
     "mix_temperature_sweep",
     "curriculum_plan",
     "embedding_quantization_error",
     "ann_quantized_recall",
     "critical_path_drift",
+    "pq_dim_permutation_gain",
 )
 
 

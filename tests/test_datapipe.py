@@ -3660,3 +3660,50 @@ def test_dequantized_matches_numpy_mirror(emb):
             want = _quantize_mirror(np.asarray(r["v"]), bits)
             got = np.asarray(r["deq"])
             assert np.array_equal(got, want), (bits, r["vec_id"])
+
+
+def test_dim_variance_order_and_snake_assignment(emb):
+    """Round-9 batch C: the variance ordering is a true permutation of
+    the dims, descending in the exact integer variance statistic; the
+    snake deal gives every subspace exactly dsub dims AND an identical
+    rank-sum (complete snake pass-pairs cancel), which is the balance
+    property the permuted layout exists for."""
+    import numpy as np
+
+    order = S.dim_variance_order(emb)
+    assert sorted(order) == list(range(64))
+    X = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    xm = np.round(X * 1_000_000).astype(np.int64)
+    n = xm.shape[0]
+    var_int = n * (xm * xm).sum(axis=0) - xm.sum(axis=0) ** 2
+    want = sorted(range(64), key=lambda d: (-int(var_int[d]), d))
+    assert order == want
+    groups = S.snake_assignment(order, 8)
+    assert all(len(g) == 8 for g in groups)
+    rank = {d: r for r, d in enumerate(order)}
+    sums = [sum(rank[d] for d in g) for g in groups]
+    assert len(set(sums)) == 1, sums
+
+
+def test_pq_dim_permutation_gain_is_a_fair_comparison(emb):
+    """Both layouts run the identical distortion pipeline: same subspace
+    count, same vector count per subspace, all errors finite and
+    non-negative, and the natural rows reproduce pq_distortion exactly
+    (the permuted face changes the layout, never the metric)."""
+    rows = S.pq_dim_permutation_gain(emb).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["layout"], {})[r["s"]] = r
+    assert set(by) == {"natural", "balanced"}
+    assert set(by["natural"]) == set(by["balanced"]) == set(range(8))
+    for layout in by.values():
+        for r in layout.values():
+            assert r["n_vecs"] == emb.count()
+            assert 0.0 <= r["avg_sq_err"] <= r["max_sq_err"]
+    base = {r["s"]: r for r in S.pq_distortion(emb).collect()}
+    for s, r in by["natural"].items():
+        assert r["avg_sq_err"] == base[s]["avg_sq_err"]
+        assert r["max_sq_err"] == base[s]["max_sq_err"]

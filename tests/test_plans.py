@@ -770,6 +770,9 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # 1-row half-totals aggregate broadcast back; midpoint is the
         # bounded driver agg (workload_drift's pattern)
         "critical_path_drift": (EQ.q_critical_path_drift, 1),
+        # two pq_distortion pipelines: each ranks the 16-row codebook
+        # base in one bounded single-partition window
+        "pq_dim_permutation_gain": (Q.q_pq_dim_permutation_gain, 2),
     }
     try:
         with stagecache.plan_view():
