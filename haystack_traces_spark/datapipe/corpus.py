@@ -649,6 +649,35 @@ ORDER BY source
 """
 
 
+def _recipe_cols(w: Window, token_budget: int):
+    """The ONE weight → target-tokens construction (rule 19): weight =
+    6dp-rounded share of ``w_raw`` within the window, target =
+    floor(weight·budget). Shared by :func:`epoch_plan` (global window)
+    and :func:`mix_temperature_sweep` (per-α window) so the recipe a
+    sweep row advertises for an α can never drift from the plan actually
+    shipped for that α (review r9 finding)."""
+    weight = F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6)
+    target = F.floor(weight * token_budget).cast("long")
+    return weight, target
+
+
+def sql_weight_expr(partition: str = "") -> str:
+    """Oracle twin of _recipe_cols' weight column; ``partition`` is the
+    window clause body ('' for the global recipe, 'PARTITION BY
+    alpha_pct' for the sweep)."""
+    return f"ROUND(w_raw / SUM(w_raw) OVER ({partition}), 6)"
+
+
+def sql_recipe_select(budget: int) -> str:
+    """Oracle twin of _recipe_cols' target + epochs columns, projected
+    over a CTE exposing (n_tokens, weight)."""
+    return (
+        f"CAST(FLOOR(weight * {budget}) AS BIGINT) AS target_tokens,\n"
+        f"       ROUND(CAST(FLOOR(weight * {budget}) AS BIGINT)"
+        f" / CAST(n_tokens AS DOUBLE), 6) AS epochs"
+    )
+
+
 def epoch_plan(
     docs: DataFrame,
     token_budget: int = 1_000_000,
@@ -679,12 +708,11 @@ def epoch_plan(
             F.col("n_tokens") / F.sum("n_tokens").over(w), F.lit(alpha)
         ).alias("w_raw"),
     )
-    weight = F.col("w_raw") / F.sum("w_raw").over(w)
-    target = F.floor(F.round(weight, 6) * token_budget).cast("long")
+    weight, target = _recipe_cols(w, token_budget)
     return shared.select(
         stratum_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(weight, 6).alias("weight"),
+        weight.alias("weight"),
         target.alias("target_tokens"),
         F.round(target / F.col("n_tokens"), 6).alias("epochs"),
     ).orderBy(stratum_col)
@@ -731,24 +759,29 @@ def mix_temperature_sweep(
             F.col("alpha_pct") / F.lit(100.0),
         ).alias("w_raw"),
     )
-    weight = F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6)
+    weight, target = _recipe_cols(w, token_budget)
     weighted = swept.select(
-        "alpha_pct", stratum_col, "n_tokens", weight.alias("weight")
+        "alpha_pct",
+        stratum_col,
+        "n_tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
     )
     ent_term = F.when(
         F.col("weight") > 0,
         F.round(-F.col("weight") * F.log(F.col("weight")) * 1_000_000)
         .cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    target = F.floor(F.col("weight") * token_budget).cast("long")
     return (
         weighted.select(
             "alpha_pct",
             stratum_col,
             F.col("n_tokens").cast("long").alias("n_tokens"),
             "weight",
-            target.alias("target_tokens"),
-            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+            "target_tokens",
+            F.round(F.col("target_tokens") / F.col("n_tokens"), 6).alias(
+                "epochs"
+            ),
             ent_term.alias("ent_micro"),
         )
         .select(

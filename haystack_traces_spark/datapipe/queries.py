@@ -1272,13 +1272,17 @@ def _quant_dq_ctes() -> str:
         levels = float(2 ** (b - 1) - 1)
         arms.append(
             f"SELECT {b} AS bits, vec_id, label, v,\n"
-            f"       list_transform(v, x -> LEAST(GREATEST(ROUND(x / (mx / {levels}), 0),"
-            f" -{levels}), {levels}) * (mx / {levels})) AS deq\n"
+            f"       CASE WHEN mx > 0 THEN"
+            f" list_transform(v, x -> LEAST(GREATEST(ROUND(x / (mx / {levels}), 0),"
+            f" -{levels}), {levels}) * (mx / {levels})) END AS deq\n"
             f"FROM qbase"
         )
         # NB: scale is inlined as (mx / levels) because DuckDB lambda
         # bodies can reference row columns — kept identical to Spark's
-        # per-row scale column.
+        # per-row scale column, including the whole-array zero-vector
+        # guard (Spark ANSI mode aborts on x/0, and least/greatest
+        # IGNORE per-element NULLs on both engines — so the guard must
+        # null the array, not the elements).
     union = "\n  UNION ALL ".join(arms)
     return f"""qbase AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -1335,8 +1339,8 @@ nrm AS (
   FROM dq
 ), scored AS (
   SELECT q.bits, q.vec_id AS query_id, b.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.v, b.v) / (q.nv * b.nv), 6) AS cos_e,
-         ROUND(list_dot_product(q.deq, b.deq) / (q.nd * b.nd), 6) AS cos_q
+         ROUND(list_dot_product(q.v, b.v) / NULLIF(q.nv * b.nv, 0.0), 6) AS cos_e,
+         ROUND(list_dot_product(q.deq, b.deq) / NULLIF(q.nd * b.nd, 0.0), 6) AS cos_q
   FROM nrm q JOIN nrm b ON b.bits = q.bits AND b.vec_id <> q.vec_id
   WHERE q.vec_id IN ({ids})
 ), ranked AS (
@@ -4288,6 +4292,11 @@ def q_epoch_plan(spark, sf_dir):
 
 
 def sql_epoch_plan() -> str:
+    from haystack_traces_spark.datapipe.corpus import (
+        sql_recipe_select,
+        sql_weight_expr,
+    )
+
     return f"""
 WITH agg AS (
   SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
@@ -4297,14 +4306,15 @@ shared AS (
   SELECT source, n_tokens,
          POW(n_tokens / SUM(n_tokens) OVER (), {MIX_ALPHA}) AS w_raw
   FROM agg
+),
+weighted AS (
+  SELECT source, n_tokens, {sql_weight_expr()} AS weight FROM shared
 )
 SELECT source,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight,
-       CAST(FLOOR(ROUND(w_raw / SUM(w_raw) OVER (), 6) * {TOKEN_BUDGET}) AS BIGINT) AS target_tokens,
-       ROUND(CAST(FLOOR(ROUND(w_raw / SUM(w_raw) OVER (), 6) * {TOKEN_BUDGET}) AS BIGINT)
-             / CAST(n_tokens AS DOUBLE), 6) AS epochs
-FROM shared
+       weight,
+       {sql_recipe_select(TOKEN_BUDGET)}
+FROM weighted
 ORDER BY source
 """
 
@@ -4316,7 +4326,11 @@ def q_mix_temperature_sweep(spark, sf_dir):
 
 
 def sql_mix_temperature_sweep() -> str:
-    from haystack_traces_spark.datapipe.corpus import MIX_ALPHA_LADDER_PCT
+    from haystack_traces_spark.datapipe.corpus import (
+        MIX_ALPHA_LADDER_PCT,
+        sql_recipe_select,
+        sql_weight_expr,
+    )
 
     ladder = ", ".join(f"({a})" for a in MIX_ALPHA_LADDER_PCT)
     return f"""
@@ -4333,20 +4347,19 @@ swept AS (
 ),
 weighted AS (
   SELECT alpha_pct, source, n_tokens,
-         ROUND(w_raw / SUM(w_raw) OVER (PARTITION BY alpha_pct), 6) AS weight
+         {sql_weight_expr("PARTITION BY alpha_pct")} AS weight
   FROM swept
 ),
 terms AS (
   SELECT alpha_pct, source, n_tokens, weight,
-         CAST(FLOOR(weight * {TOKEN_BUDGET}) AS BIGINT) AS target_tokens,
          CASE WHEN weight > 0
               THEN CAST(ROUND(-weight * ln(weight) * 1000000) AS BIGINT)
               ELSE 0 END AS ent_micro
   FROM weighted
 )
 SELECT CAST(alpha_pct AS INT) AS alpha_pct, source,
-       CAST(n_tokens AS BIGINT) AS n_tokens, weight, target_tokens,
-       ROUND(target_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+       {sql_recipe_select(TOKEN_BUDGET)},
        ROUND(SUM(ent_micro) OVER (PARTITION BY alpha_pct) / 1000000.0, 6)
          AS mix_entropy
 FROM terms

@@ -1742,18 +1742,26 @@ def _dequantized(
     scale)) * scale. Everything is array Column expressions (map-only,
     whole-stage codegen, no Python); ROUND half-away-from-zero matches
     DuckDB's ROUND so both engine faces see identical dequantized doubles.
-    A zero vector yields scale 0 → x/0 = NULL in SQL semantics on BOTH
-    engines → deq NULL; the synthetic embeddings have no zero vectors and
-    callers aggregate with the same NULL propagation either way."""
+    A zero vector yields scale 0: deq is guarded to NULL as a WHOLE
+    array on BOTH faces (Spark 4 runs ANSI mode, where a bare x/0 would
+    ABORT the job; a per-ELEMENT guard is not enough because
+    least/greatest IGNORE null arguments on both engines), so downstream
+    dot products propagate NULL and the aggregate faces skip the row's
+    metrics identically (review r9 finding; pinned by
+    test_dequantized_zero_vector_yields_null)."""
     levels = F.lit(float(2 ** (bits - 1) - 1))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), *[F.col(c) for c in extra_cols], v.alias("v")).withColumn(
         "scale", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / levels
     )
-    deq = F.transform(
-        F.col("v"),
-        lambda x: F.least(F.greatest(F.round(x / F.col("scale")), -levels), levels)
-        * F.col("scale"),
+    safe_scale = F.nullif(F.col("scale"), F.lit(0.0))
+    deq = F.when(
+        F.col("scale") > F.lit(0.0),
+        F.transform(
+            F.col("v"),
+            lambda x: F.least(F.greatest(F.round(x / safe_scale), -levels), levels)
+            * F.col("scale"),
+        ),
     )
     return base.select(
         F.lit(bits).alias("bits"),
@@ -1899,11 +1907,17 @@ def quantized_topk_recall(
             "bits",
             "query_id",
             "neighbor_id",
+            # NULLIF-guarded norms: a zero vector has nv = 0 (and a NULL
+            # deq from the quantizer guard) — ANSI mode would abort on
+            # the bare division; NULL cosines rank last on both engines
             F.round(
-                _arr_dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv")), 6
+                _arr_dot(F.col("qv"), F.col("v"))
+                / F.nullif(F.col("qnv") * F.col("nv"), F.lit(0.0)),
+                6,
             ).alias("cos_e"),
             F.round(
-                _arr_dot(F.col("qdeq"), F.col("deq")) / (F.col("qnd") * F.col("nd")),
+                _arr_dot(F.col("qdeq"), F.col("deq"))
+                / F.nullif(F.col("qnd") * F.col("nd"), F.lit(0.0)),
                 6,
             ).alias("cos_q"),
         )

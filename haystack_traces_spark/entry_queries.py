@@ -2071,7 +2071,32 @@ def q_critical_path_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_critical_path_contrib() -> str:
     return (
         EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
-        + """
+        + f"""{_CRITICAL_PATH_MEM_CTES}
+j AS (
+  SELECT m.trace_id, lower(s.service_name) AS servicename, s.duration
+  FROM mem m JOIN spans s USING (trace_id, span_id)
+),
+per AS (
+  SELECT servicename, COUNT(DISTINCT trace_id) AS n_traces,
+         SUM(duration) AS path_time
+  FROM j GROUP BY 1
+),
+tot AS (SELECT SUM(path_time) AS t FROM per)
+SELECT servicename, CAST(n_traces AS BIGINT) AS n_traces,
+       CAST(path_time AS BIGINT) AS path_time,
+       ROUND(path_time / CAST(t AS DOUBLE), 6) AS share
+FROM per, tot ORDER BY servicename
+"""
+    )
+
+
+#: The ONE SQL mirror of critical_path_members' argmax root-to-leaf
+#: walk (recursive CTE carrying the member list; same tie-breaks as
+#: critical_path) — shared by the contrib and drift oracles so a
+#: tie-break or cycle-guard change propagates everywhere or nowhere
+#: (rule 19; review r9 finding). Requires the surrounding WITH to be
+#: RECURSIVE; consumers read (trace_id, span_id) from ``mem``.
+_CRITICAL_PATH_MEM_CTES = """
 , paths(trace_id, span_id, path_duration, members) AS (
   SELECT s.trace_id, s.span_id, s.duration, [s.span_id]
   FROM spans s
@@ -2097,23 +2122,7 @@ winner AS (
 ),
 mem AS (
   SELECT trace_id, UNNEST(members) AS span_id FROM winner WHERE rn = 1
-),
-j AS (
-  SELECT m.trace_id, lower(s.service_name) AS servicename, s.duration
-  FROM mem m JOIN spans s USING (trace_id, span_id)
-),
-per AS (
-  SELECT servicename, COUNT(DISTINCT trace_id) AS n_traces,
-         SUM(duration) AS path_time
-  FROM j GROUP BY 1
-),
-tot AS (SELECT SUM(path_time) AS t FROM per)
-SELECT servicename, CAST(n_traces AS BIGINT) AS n_traces,
-       CAST(path_time AS BIGINT) AS path_time,
-       ROUND(path_time / CAST(t AS DOUBLE), 6) AS share
-FROM per, tot ORDER BY servicename
-"""
-    )
+),"""
 
 
 def q_critical_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2195,33 +2204,7 @@ def q_critical_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_critical_path_drift() -> str:
     return (
         EVENT_SPANS_CTE.replace("WITH spans", "WITH RECURSIVE spans")
-        + """
-, paths(trace_id, span_id, path_duration, members) AS (
-  SELECT s.trace_id, s.span_id, s.duration, [s.span_id]
-  FROM spans s
-  WHERE s.parent_span_id = '' OR s.parent_span_id NOT IN (
-    SELECT span_id FROM spans s2 WHERE s2.trace_id = s.trace_id)
-  UNION ALL
-  SELECT c.trace_id, c.span_id, p.path_duration + c.duration,
-         list_append(p.members, c.span_id)
-  FROM spans c JOIN paths p ON p.trace_id = c.trace_id
-                           AND c.parent_span_id = p.span_id
-),
-leaves AS (
-  SELECT p.* FROM paths p
-  WHERE NOT EXISTS (SELECT 1 FROM spans ch
-                    WHERE ch.trace_id = p.trace_id
-                      AND ch.parent_span_id = p.span_id)
-),
-winner AS (
-  SELECT trace_id, members,
-         ROW_NUMBER() OVER (PARTITION BY trace_id
-                            ORDER BY path_duration DESC, span_id ASC) AS rn
-  FROM leaves
-),
-mem AS (
-  SELECT trace_id, UNNEST(members) AS span_id FROM winner WHERE rn = 1
-),
+        + f"""{_CRITICAL_PATH_MEM_CTES}
 tr0 AS (SELECT trace_id, MIN(start_time) AS t0 FROM spans GROUP BY 1),
 mid AS (SELECT (MIN(t0) + MAX(t0)) // 2 AS mid FROM tr0),
 j AS (

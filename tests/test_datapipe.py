@@ -3707,3 +3707,27 @@ def test_pq_dim_permutation_gain_is_a_fair_comparison(emb):
     for s, r in by["natural"].items():
         assert r["avg_sq_err"] == base[s]["avg_sq_err"]
         assert r["max_sq_err"] == base[s]["max_sq_err"]
+
+
+def test_dequantized_zero_vector_yields_null(spark):
+    """Review r9 finding: a zero embedding vector gives scale 0; under
+    Spark 4's default ANSI mode an unguarded x/0 would ABORT the whole
+    job. The NULLIF guard must instead propagate NULL through deq (both
+    engine faces share it), and the aggregate faces must survive —
+    skipping the NULL metrics while still counting the row."""
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8, 1), (1, [1.0, -2.0, 0.5, 0.0, 0.25, -0.125, 2.0, 1.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    dq = {r["vec_id"]: r for r in S._dequantized(emb, 8).collect()}
+    assert dq[0]["deq"] is None  # whole-array guard, not per-element
+    assert all(x is not None for x in dq[1]["deq"])
+    rows = S.quantization_error(emb, bits=(8,)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vecs"] == 2  # the zero vector still counts
+    assert r["min_cos"] is not None  # the finite vector's metrics survive
+    # the recall face survives too: the zero vector's cosines are NULL
+    # (guarded norms), it ranks last, and the finite probe still scores
+    rec = S.quantized_topk_recall(emb, [1], k=1, bits=(8,)).collect()
+    assert len(rec) == 1 and rec[0]["overlap"] == 1

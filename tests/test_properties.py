@@ -1171,14 +1171,21 @@ def test_derive_planes_holds_occupancy_band(n):
 
 def _quantize_mirror(v, bits):
     """Independent numpy mirror of similarity._dequantized: symmetric
-    scalar quantization round-trip with half-away-from-zero rounding
-    (matching Spark ROUND / DuckDB ROUND on these magnitudes)."""
+    scalar quantization round-trip with half-away-from-zero rounding.
+    Ties (fractional part EXACTLY 0.5 — representable for |x| < 2^52)
+    round away from zero on top of banker's np.round; the naive
+    floor(|x| + 0.5) trick is deliberately avoided because the FP
+    addition rounds x = k + 0.49999999999999994 UP across the boundary,
+    diverging from Spark/DuckDB ROUND (review r9 finding)."""
     import numpy as np
 
     levels = float(2 ** (bits - 1) - 1)
     v = np.asarray(v, dtype=np.float64)
     scale = np.abs(v).max() / levels
-    q = np.copysign(np.floor(np.abs(v / scale) + 0.5), v)
+    x = v / scale
+    q = np.round(x)  # nearest for non-ties; banker's on exact .5
+    tie = np.abs(x) % 1.0 == 0.5
+    q[tie] = np.copysign(np.ceil(np.abs(x[tie])), x[tie])
     return np.clip(q, -levels, levels) * scale
 
 
