@@ -1315,8 +1315,8 @@ per_vec AS (
 )
 SELECT CAST(bits AS INT) AS bits, label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(SUM(cos_micro) / (COUNT(*) * 1000000.0), 6) AS mean_cos,
-       ROUND(SUM(rel_micro) / (COUNT(*) * 1000000.0), 6) AS mean_rel_err,
+       ROUND(SUM(cos_micro) / (COUNT(cos_micro) * 1000000.0), 6) AS mean_cos,
+       ROUND(SUM(rel_micro) / (COUNT(rel_micro) * 1000000.0), 6) AS mean_rel_err,
        MIN(cos_sd) AS min_cos,
        MAX(rel_err) AS max_rel_err
 FROM micro GROUP BY bits, label
@@ -8170,7 +8170,7 @@ def q_pq_dim_permutation_gain(spark, sf_dir):
 
 def sql_pq_dim_permutation_gain() -> str:
     m, ksub, dsub = S.PQ_M, S.PQ_KSUB, 64 // S.PQ_M
-    rollup = """SELECT CAST(s AS INT) AS s,
+    rollup = """CAST(s AS INT) AS s,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        ROUND(SUM(md_micro) / (COUNT(*) * 1000000.0), 6) AS avg_sq_err,
        ROUND(MAX(md_micro) / 1000000.0, 6) AS max_sq_err"""
@@ -8218,10 +8218,10 @@ nat_pv AS (SELECT vec_id, s, CAST(ROUND(MIN(d) * 1000000) AS BIGINT) AS md_micro
 bal_pv AS (SELECT vec_id, s, CAST(ROUND(MIN(d) * 1000000) AS BIGINT) AS md_micro
            FROM pdists GROUP BY 1, 2)
 SELECT * FROM (
-  SELECT 'natural' AS layout, {rollup.replace("SELECT ", "")}
+  SELECT 'natural' AS layout, {rollup}
   FROM nat_pv GROUP BY s
   UNION ALL
-  SELECT 'balanced' AS layout, {rollup.replace("SELECT ", "")}
+  SELECT 'balanced' AS layout, {rollup}
   FROM bal_pv GROUP BY s
 )
 ORDER BY layout, s

@@ -1629,9 +1629,11 @@ def dim_variance_order(
     n·Σx² − (Σx)² over 6dp micro-unit elements, so both engine faces
     derive the identical ordering with no float-sum order dependence.
     A bounded |dim|-row driver aggregate (house-allowed collect class).
-    int64 headroom: |x|≤~1 unit-scale embeddings keep n·Σx_micro² inside
-    int64 up to ~10⁹ vectors; larger corpora should sample (the ordering
-    is a statistic, not an exact artifact)."""
+    The square-sum accumulates in DECIMAL(38,0) — a long SUM(xm²)
+    overflows int64 at ~10⁷ unit-SCALE vectors under ANSI mode while the
+    DuckDB twin survives via HUGEINT (review r9 pass-2 finding); the
+    final moment n·Σx² − (Σx)² is then exact arbitrary-precision Python
+    on the collected |dim| rows."""
     x = F.posexplode(
         F.transform(
             F.col(vec_col),
@@ -1644,13 +1646,14 @@ def dim_variance_order(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("xm").alias("s1"),
-            F.sum(F.col("xm") * F.col("xm")).alias("s2"),
+            F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s2"),
         )
         .collect()
     )
     assert len(rows) == dim, (len(rows), dim)
     ordered = sorted(
-        rows, key=lambda r: (-(r["n"] * r["s2"] - r["s1"] * r["s1"]), r["pos"])
+        rows,
+        key=lambda r: (-(int(r["n"]) * int(r["s2"]) - int(r["s1"]) ** 2), r["pos"]),
     )
     return [r["pos"] for r in ordered]
 
@@ -1801,11 +1804,7 @@ def quantization_error(
     out = None
     for b in bits:
         dq = _dequantized(emb, b, id_col, vec_col, extra_cols=(label_col,))
-        diff_sq = F.aggregate(
-            F.zip_with(F.col("v"), F.col("deq"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        diff_sq = _sqdist("v", "deq")
         per_vec = dq.select(
             "bits",
             F.col(label_col).cast("long").alias("label"),
@@ -1833,10 +1832,13 @@ def quantization_error(
         out.groupBy("bits", "label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(F.sum("cos_micro") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+            # means divide by the NON-NULL metric count, not the row
+            # count — a zero vector (NULL metrics) must not deflate the
+            # group mean below its own min (review r9 pass-2 finding)
+            F.round(F.sum("cos_micro") / (F.count("cos_micro") * 1_000_000.0), 6).alias(
                 "mean_cos"
             ),
-            F.round(F.sum("rel_micro") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+            F.round(F.sum("rel_micro") / (F.count("rel_micro") * 1_000_000.0), 6).alias(
                 "mean_rel_err"
             ),
             F.min("cos_sd").alias("min_cos"),

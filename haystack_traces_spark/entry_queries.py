@@ -2144,9 +2144,15 @@ def q_critical_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by one double division each, drift from the two ROUNDED shares —
     engine-stable everywhere."""
     from haystack_traces_spark.operators.timeline import critical_path_members
+    from haystack_traces_spark.session import materialize
 
     spans = _spans(spark, sf_dir)
-    tr0 = spans.groupBy("trace_id").agg(F.min("start_time").alias("t0"))
+    # tr0 feeds BOTH the driver midpoint action and the member join —
+    # pin it or the spans scan + groupBy exchange run twice (house
+    # 2-branch rule; review r9 pass-2 finding)
+    tr0 = materialize(
+        spans.groupBy("trace_id").agg(F.min("start_time").alias("t0"))
+    )
     row = tr0.agg(F.min("t0").alias("lo"), F.max("t0").alias("hi")).first()
     mid = 0 if row["lo"] is None else (int(row["lo"]) + int(row["hi"])) // 2
     members = critical_path_members(spans)

@@ -3727,6 +3727,11 @@ def test_dequantized_zero_vector_yields_null(spark):
     r = rows[0]
     assert r["n_vecs"] == 2  # the zero vector still counts
     assert r["min_cos"] is not None  # the finite vector's metrics survive
+    # means divide by the non-NULL count: with one finite vector the
+    # mean must EQUAL its metrics, never be deflated by the NULL row
+    # (review r9 pass-2: mean_cos below min_cos is impossible)
+    assert r["mean_cos"] >= r["min_cos"]
+    assert r["mean_rel_err"] <= r["max_rel_err"]
     # the recall face survives too: the zero vector's cosines are NULL
     # (guarded norms), it ranks last, and the finite probe still scores
     rec = S.quantized_topk_recall(emb, [1], k=1, bits=(8,)).collect()
