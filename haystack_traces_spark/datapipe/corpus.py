@@ -649,14 +649,21 @@ ORDER BY source
 """
 
 
+def _tempered_weight(w: Window, raw_col: str = "w_raw"):
+    """The ONE normalized-temperature-weight column (rule 19):
+    6dp-rounded share of ``raw_col`` within the window. Consumed by
+    :func:`_recipe_cols` and :func:`mix_dedup_shift`'s two branches."""
+    return F.round(F.col(raw_col) / F.sum(raw_col).over(w), 6)
+
+
 def _recipe_cols(w: Window, token_budget: int):
     """The ONE weight → target-tokens construction (rule 19): weight =
-    6dp-rounded share of ``w_raw`` within the window, target =
-    floor(weight·budget). Shared by :func:`epoch_plan` (global window)
-    and :func:`mix_temperature_sweep` (per-α window) so the recipe a
-    sweep row advertises for an α can never drift from the plan actually
-    shipped for that α (review r9 finding)."""
-    weight = F.round(F.col("w_raw") / F.sum("w_raw").over(w), 6)
+    :func:`_tempered_weight`, target = floor(weight·budget). Shared by
+    :func:`epoch_plan` (global window) and :func:`mix_temperature_sweep`
+    (per-α window) so the recipe a sweep row advertises for an α can
+    never drift from the plan actually shipped for that α (review r9
+    finding)."""
+    weight = _tempered_weight(w)
     target = F.floor(weight * token_budget).cast("long")
     return weight, target
 
@@ -797,6 +804,78 @@ def mix_temperature_sweep(
         )
         .orderBy("alpha_pct", stratum_col)
     )
+
+
+def mix_dedup_shift(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (source, n_tokens_raw, n_tokens_dedup, dedup_token_share,
+    weight_raw, weight_dedup, weight_shift): how exact-content dedup
+    MOVES the training mix — the temperature weights (token-share^α,
+    epoch_plan's recipe) recomputed on the SURVIVOR corpus (keep = min
+    doc_id per md5 group, exact_dedup's rule, applied globally so a
+    cross-source duplicate survives in exactly one source) vs the raw
+    corpus. A source that is mostly duplicates loses weight;
+    ``weight_shift`` is precisely what a mix tuned before dedup silently
+    mis-allocates after it — the composition question dup_inflation
+    (volume) and epoch_plan (recipe) each answer only half of.
+
+    Scale shape: exact_dedup's one map-side-combinable md5 groupBy +
+    hash equi-join back, a per-source conditional rollup, then windows
+    over the AGGREGATED (|sources|-row) table only — the mix_weights
+    cost class on top of the dedup_exact cost class."""
+    w = Window.partitionBy()
+    hashed = docs.select(
+        stratum_col,
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("n_toks"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    per = (
+        hashed.join(keep, "h")
+        .groupBy(stratum_col)
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_tokens_raw"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_toks"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_dedup"),
+        )
+    )
+    sw = per.select(
+        stratum_col,
+        "n_tokens_raw",
+        "n_tokens_dedup",
+        F.pow(
+            F.col("n_tokens_raw") / F.sum("n_tokens_raw").over(w), F.lit(alpha)
+        ).alias("wr"),
+        F.pow(
+            F.col("n_tokens_dedup") / F.sum("n_tokens_dedup").over(w),
+            F.lit(alpha),
+        ).alias("wd"),
+    )
+    wt = sw.select(
+        stratum_col,
+        "n_tokens_raw",
+        "n_tokens_dedup",
+        F.round(F.col("n_tokens_dedup") / F.col("n_tokens_raw"), 6).alias(
+            "dedup_token_share"
+        ),
+        _tempered_weight(w, "wr").alias("weight_raw"),
+        _tempered_weight(w, "wd").alias("weight_dedup"),
+    )
+    return wt.select(
+        "*",
+        F.round(F.col("weight_dedup") - F.col("weight_raw"), 6).alias(
+            "weight_shift"
+        ),
+    ).orderBy(stratum_col)
 
 
 CURRICULUM_STAGES = 4

@@ -4367,6 +4367,48 @@ ORDER BY alpha_pct, source
 """
 
 
+def q_mix_dedup_shift(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.mix_dedup_shift(_docs(spark, sf_dir), MIX_ALPHA)
+
+
+def sql_mix_dedup_shift() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks,
+         md5(text) AS h
+  FROM documents
+),
+keep AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY 1),
+per AS (
+  SELECT source,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens_raw,
+         CAST(SUM(CASE WHEN doc_id = keep_id THEN n_toks ELSE 0 END)
+              AS BIGINT) AS n_tokens_dedup
+  FROM hashed JOIN keep USING (h) GROUP BY 1
+),
+sw AS (
+  SELECT source, n_tokens_raw, n_tokens_dedup,
+         POW(n_tokens_raw / SUM(n_tokens_raw) OVER (), {MIX_ALPHA}) AS wr,
+         POW(n_tokens_dedup / SUM(n_tokens_dedup) OVER (), {MIX_ALPHA}) AS wd
+  FROM per
+),
+wt AS (
+  SELECT source, n_tokens_raw, n_tokens_dedup,
+         ROUND(n_tokens_dedup / CAST(n_tokens_raw AS DOUBLE), 6)
+           AS dedup_token_share,
+         ROUND(wr / SUM(wr) OVER (), 6) AS weight_raw,
+         ROUND(wd / SUM(wd) OVER (), 6) AS weight_dedup
+  FROM sw
+)
+SELECT source, n_tokens_raw, n_tokens_dedup, dedup_token_share,
+       weight_raw, weight_dedup,
+       ROUND(weight_dedup - weight_raw, 6) AS weight_shift
+FROM wt ORDER BY source
+"""
+
+
 def q_curriculum_plan(spark, sf_dir):
     from haystack_traces_spark.datapipe import corpus as C
 
@@ -5453,6 +5495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_weights": q_mix_weights,
         "mix_temperature_sweep": q_mix_temperature_sweep,
+        "mix_dedup_shift": q_mix_dedup_shift,
         "curriculum_plan": q_curriculum_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
@@ -5596,6 +5639,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sql_stratified_sample(),
         "mix_weights": sql_mix_weights(),
         "mix_temperature_sweep": sql_mix_temperature_sweep(),
+        "mix_dedup_shift": sql_mix_dedup_shift(),
         "curriculum_plan": sql_curriculum_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),

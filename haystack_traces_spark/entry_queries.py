@@ -7615,7 +7615,7 @@ _ROTATION_QUEUE = (
     "index_ttl_plan",
     "user_lifetime_curve",
     # round-9 batch C — same growth rule; round-10's never-checked
-    # backlog is batches B+C (14 names), well inside the ~27 rotation
+    # backlog is batches B+C (15 names), well inside the ~27 rotation
     # slots behind the 23-name core lead, so it clears in one round:
     "mix_temperature_sweep",
     "curriculum_plan",
@@ -7623,6 +7623,7 @@ _ROTATION_QUEUE = (
     "ann_quantized_recall",
     "critical_path_drift",
     "pq_dim_permutation_gain",
+    "mix_dedup_shift",
 )
 
 

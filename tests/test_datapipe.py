@@ -3736,3 +3736,36 @@ def test_dequantized_zero_vector_yields_null(spark):
     # (guarded norms), it ranks last, and the finite probe still scores
     rec = S.quantized_topk_recall(emb, [1], k=1, bits=(8,)).collect()
     assert len(rec) == 1 and rec[0]["overlap"] == 1
+
+
+def test_mix_dedup_shift_reconciles_with_exact_dedup(docs):
+    """Round-9 batch C: both weight columns are proper mixes (sum ~1),
+    the per-source survivor token counts reconcile exactly with
+    exact_dedup's keep rule, and weight_shift is the difference of the
+    rounded weights."""
+    from haystack_traces_spark.datapipe.corpus import mix_dedup_shift
+
+    rows = {r["source"]: r for r in mix_dedup_shift(docs).collect()}
+    for col in ("weight_raw", "weight_dedup"):
+        assert abs(sum(r[col] for r in rows.values()) - 1.0) < 1e-4, col
+    keep = {
+        r["doc_id"]
+        for r in D.exact_dedup(docs).collect()
+        if r["doc_id"] == r["keep_doc_id"]
+    }
+    toks = {
+        r["doc_id"]: (r["source"], len(r["text"].split(" ")))
+        for r in docs.select("doc_id", "source", "text").collect()
+    }
+    per_src = {}
+    for d, (src, n) in toks.items():
+        raw, ded = per_src.get(src, (0, 0))
+        per_src[src] = (raw + n, ded + (n if d in keep else 0))
+    assert set(per_src) == set(rows)
+    for src, (raw, ded) in per_src.items():
+        assert rows[src]["n_tokens_raw"] == raw, src
+        assert rows[src]["n_tokens_dedup"] == ded, src
+        assert ded < raw or rows[src]["dedup_token_share"] == 1.0
+    for r in rows.values():
+        want = round(r["weight_dedup"] - r["weight_raw"], 6)
+        assert abs(r["weight_shift"] - want) < 1e-9

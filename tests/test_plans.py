@@ -773,6 +773,9 @@ def test_round9_operators_have_no_global_bottleneck(spark):
         # two pq_distortion pipelines: each ranks the 16-row codebook
         # base in one bounded single-partition window
         "pq_dim_permutation_gain": (Q.q_pq_dim_permutation_gain, 2),
+        # the one single-partition exchange is the global window over
+        # the |sources|-row AGGREGATE (mix_weights' bounded shape)
+        "mix_dedup_shift": (Q.q_mix_dedup_shift, 1),
     }
     try:
         with stagecache.plan_view():
