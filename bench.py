@@ -17,6 +17,15 @@ import tempfile
 import time
 from pathlib import Path
 
+# VERDICT r9 ask #4: pin BLAS threading HERE, before any numpy-importing
+# module loads — get_spark()'s setdefault runs after pandas/numpy have
+# already sized the OpenBLAS pool, so the driver-side k-means fits
+# (dp_ivf_pq_residual's codebook training) ran N-threaded and swung 2.8 →
+# 14.7 s under box load. Env must precede the first numpy import to take
+# effect; parallelism belongs to Spark's task fan-out, not nested BLAS.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import pyspark.sql.functions as F  # noqa: E402
@@ -43,6 +52,41 @@ from haystack_traces_spark.session import (  # noqa: E402
 )
 from haystack_traces_spark.sources.events import spans_from_events  # noqa: E402
 from haystack_traces_spark.sources.spans import build_trace_store  # noqa: E402
+
+#: VERDICT r9 ask #5: box-speed normalizer. r8→r9 wall moved 1.43×
+#: UNIFORMLY across all 264 shared lines with zero plan changes — host
+#: weather, not engine work — and the verdict needed forensic per-line
+#: diffing to say so. The calibration stage is a fixed workload (sf0.1
+#: lineitem scan + 2-key hash-agg, min of 3 warm runs, immune to engine
+#: changes); the summary reports value_normalized = value ×
+#: (CALIBRATION_REF_SEC / measured) so round-over-round totals separate
+#: engine speed from box speed. REF pinned from the round-10 box
+#: (warm floor of back-to-back captures: [0.34, 0.34, 0.33] after the
+#: codegen runs); only the RATIO matters, so the constant never needs
+#: re-tuning unless the calibration workload changes.
+CALIBRATION_REF_SEC = 0.34
+_CALIBRATION_RUNS = 5
+_CALIBRATION_DIR = "/root/testdata/sf0.1"
+
+
+def _run_calibration(spark) -> float:
+    """Fixed-cost box-speed probe: full lineitem scan + hash aggregate.
+    Reads the PINNED sf0.1 copy regardless of SPARK_GRAFT_SF_DIR so the
+    workload is identical across rounds; min-of-3 discards scheduler
+    noise while staying load-sensitive (the point is to measure the box)."""
+    path = f"{_CALIBRATION_DIR}/lineitem.parquet"
+    if not os.path.exists(path):
+        return 0.0
+    runs = []
+    for _ in range(_CALIBRATION_RUNS):
+        t0 = time.perf_counter()
+        spark.read.parquet(path).groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    # the first run pays this plan's own Janino codegen (~1.8 s measured)
+    # and it lingers into the second; the box probe is the warm floor
+    return min(runs[2:])
 
 
 def main() -> None:
@@ -90,6 +134,12 @@ def main() -> None:
             .partitionBy("dt", "hb").parquet(f"{tmp}/ti_warm")
         _wspans.unpersist()
         times["stage:ingest_codegen"] = time.perf_counter() - t0
+
+        # box-speed probe AFTER the JVM warmup (it measures the host, not
+        # class loading); its own ledger line, excluded from `value`
+        t0 = time.perf_counter()
+        times["stage:calibration"] = _run_calibration(spark)
+        cal_probe_wall = time.perf_counter() - t0
 
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()
@@ -222,11 +272,18 @@ def main() -> None:
         # headline value so round-over-round totals compare engine
         # work; wall_sec keeps the raw end-to-end number.
         codegen = times.get("stage:ingest_codegen", 0.0)
-        total = wall - codegen
+        cal = times.get("stage:calibration", 0.0)
+        # calibration cost (~2 s incl. its 3 runs) is overhead of the
+        # probe itself, not engine work — exclude it like codegen
+        total = wall - codegen - cal_probe_wall
+        norm = round(total * (CALIBRATION_REF_SEC / cal), 3) if cal > 0 else None
         full = {
             "metric": "haystack_traces_spark end-to-end (build+query)",
             "value": round(total, 3),
             "unit": "sec",
+            "value_normalized": norm,
+            "calibration_sec": round(cal, 3),
+            "calibration_ref_sec": CALIBRATION_REF_SEC,
             "wall_sec": round(wall, 3),
             "codegen_sec": round(codegen, 3),
             "queries": {k: round(v, 3) for k, v in times.items()},
@@ -259,6 +316,8 @@ def main() -> None:
             "metric": full["metric"],
             "value": full["value"],
             "unit": "sec",
+            "value_normalized": full["value_normalized"],
+            "calibration_sec": full["calibration_sec"],
             "wall_sec": full["wall_sec"],
             "codegen_sec": full["codegen_sec"],
             "queries": {k: round(times[k], 3) for k in headline if k in times},

@@ -1261,14 +1261,15 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-def _quant_dq_ctes() -> str:
-    """DuckDB CTE rebuilding _dequantized() for the full QUANT_BITS ladder
+def _quant_dq_ctes(bits: tuple | None = None) -> str:
+    """DuckDB CTE rebuilding _dequantized() for the QUANT_BITS ladder
     — the ONE SQL mirror of the symmetric scalar-quantization round-trip
     (scale = max|x|/(2^(b-1)-1), clamp(round(x/scale))*scale), shared by
     both quantization faces so a ladder or clamp change propagates
-    everywhere or nowhere."""
+    everywhere or nowhere. ``bits`` mirrors the Spark operators' knob
+    (ADVICE r9: non-default invocations stay oracle-checkable)."""
     arms = []
-    for b in S.QUANT_BITS:
+    for b in bits if bits is not None else S.QUANT_BITS:
         levels = float(2 ** (b - 1) - 1)
         arms.append(
             f"SELECT {b} AS bits, vec_id, label, v,\n"
@@ -1297,9 +1298,9 @@ def q_embedding_quantization_error(spark, sf_dir):
     return S.quantization_error(_emb(spark, sf_dir))
 
 
-def sql_embedding_quantization_error() -> str:
+def sql_embedding_quantization_error(bits: tuple | None = None) -> str:
     return f"""
-WITH {_quant_dq_ctes()},
+WITH {_quant_dq_ctes(bits)},
 per_vec AS (
   SELECT bits, CAST(label AS BIGINT) AS label,
          ROUND(list_dot_product(v, deq)
@@ -1328,10 +1329,15 @@ def q_ann_quantized_recall(spark, sf_dir):
     return S.quantized_topk_recall(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
-def sql_ann_quantized_recall() -> str:
-    ids = ", ".join(map(str, ANN_QUERY_IDS))
+def sql_ann_quantized_recall(
+    query_ids: list[int] | None = None,
+    k: int | None = None,
+    bits: tuple | None = None,
+) -> str:
+    ids = ", ".join(map(str, query_ids if query_ids is not None else ANN_QUERY_IDS))
+    k = k if k is not None else ANN_K
     return f"""
-WITH {_quant_dq_ctes()},
+WITH {_quant_dq_ctes(bits)},
 nrm AS (
   SELECT bits, vec_id, v, deq,
          sqrt(list_dot_product(v, v)) AS nv,
@@ -1352,9 +1358,9 @@ nrm AS (
   FROM scored
 )
 SELECT CAST(bits AS INT) AS bits, query_id,
-       CAST(SUM(CASE WHEN re <= {ANN_K} AND rq <= {ANN_K} THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
-       ROUND(SUM(CASE WHEN re <= {ANN_K} AND rq <= {ANN_K} THEN 1 ELSE 0 END) / {ANN_K}.0, 6) AS recall
-FROM ranked WHERE re <= {ANN_K} OR rq <= {ANN_K}
+       CAST(SUM(CASE WHEN re <= {k} AND rq <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       ROUND(SUM(CASE WHEN re <= {k} AND rq <= {k} THEN 1 ELSE 0 END) / {k}.0, 6) AS recall
+FROM ranked WHERE re <= {k} OR rq <= {k}
 GROUP BY bits, query_id
 ORDER BY bits, query_id
 """
@@ -4325,14 +4331,21 @@ def q_mix_temperature_sweep(spark, sf_dir):
     return C.mix_temperature_sweep(_docs(spark, sf_dir), TOKEN_BUDGET)
 
 
-def sql_mix_temperature_sweep() -> str:
+def sql_mix_temperature_sweep(
+    token_budget: int | None = None, alphas_pct: tuple | None = None
+) -> str:
+    """Knobs mirror :func:`corpus.mix_temperature_sweep` with the same
+    defaults (ADVICE r9: ad-hoc non-default runs stay oracle-checkable)."""
     from haystack_traces_spark.datapipe.corpus import (
         MIX_ALPHA_LADDER_PCT,
         sql_recipe_select,
         sql_weight_expr,
     )
 
-    ladder = ", ".join(f"({a})" for a in MIX_ALPHA_LADDER_PCT)
+    budget = token_budget if token_budget is not None else TOKEN_BUDGET
+    ladder = ", ".join(
+        f"({a})" for a in (alphas_pct if alphas_pct is not None else MIX_ALPHA_LADDER_PCT)
+    )
     return f"""
 WITH agg AS (
   SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
@@ -4359,7 +4372,7 @@ terms AS (
 )
 SELECT CAST(alpha_pct AS INT) AS alpha_pct, source,
        CAST(n_tokens AS BIGINT) AS n_tokens, weight,
-       {sql_recipe_select(TOKEN_BUDGET)},
+       {sql_recipe_select(budget)},
        ROUND(SUM(ent_micro) OVER (PARTITION BY alpha_pct) / 1000000.0, 6)
          AS mix_entropy
 FROM terms
@@ -4373,7 +4386,9 @@ def q_mix_dedup_shift(spark, sf_dir):
     return C.mix_dedup_shift(_docs(spark, sf_dir), MIX_ALPHA)
 
 
-def sql_mix_dedup_shift() -> str:
+def sql_mix_dedup_shift(alpha: float | None = None) -> str:
+    """``alpha`` mirrors :func:`corpus.mix_dedup_shift` (ADVICE r9)."""
+    MIX_ALPHA = alpha if alpha is not None else globals()["MIX_ALPHA"]
     return f"""
 WITH hashed AS (
   SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks,
@@ -4415,9 +4430,11 @@ def q_curriculum_plan(spark, sf_dir):
     return C.curriculum_plan(_docs(spark, sf_dir))
 
 
-def sql_curriculum_plan() -> str:
-    from haystack_traces_spark.datapipe.corpus import CURRICULUM_STAGES as SS
+def sql_curriculum_plan(stages: int | None = None) -> str:
+    """``stages`` mirrors :func:`corpus.curriculum_plan` (ADVICE r9)."""
+    from haystack_traces_spark.datapipe.corpus import CURRICULUM_STAGES
 
+    SS = stages if stages is not None else CURRICULUM_STAGES
     return f"""
 WITH feats AS (
   SELECT doc_id, len(toks) AS n_tokens,
@@ -8223,8 +8240,11 @@ WITH {_pq_cb_ctes()},
 mom AS (
   SELECT i AS dim, CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(ROUND(v[i] * 1000000) AS BIGINT)) AS s1,
-         SUM(CAST(ROUND(v[i] * 1000000) AS BIGINT)
-             * CAST(ROUND(v[i] * 1000000) AS BIGINT)) AS s2
+         -- HUGEINT before squaring: a BIGINT xm² overflows (and aborts)
+         -- at element |x| >= ~3036, same bound the Spark face widens
+         -- past via decimal(38,0) (ADVICE r9)
+         SUM(CAST(ROUND(v[i] * 1000000) AS HUGEINT)
+             * CAST(ROUND(v[i] * 1000000) AS HUGEINT)) AS s2
   FROM e, UNNEST(generate_series(1, 64)) t(i)
   GROUP BY i
 ),

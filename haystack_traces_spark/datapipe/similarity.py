@@ -1629,9 +1629,10 @@ def dim_variance_order(
     n·Σx² − (Σx)² over 6dp micro-unit elements, so both engine faces
     derive the identical ordering with no float-sum order dependence.
     A bounded |dim|-row driver aggregate (house-allowed collect class).
-    The square-sum accumulates in DECIMAL(38,0) — a long SUM(xm²)
-    overflows int64 at ~10⁷ unit-SCALE vectors under ANSI mode while the
-    DuckDB twin survives via HUGEINT (review r9 pass-2 finding); the
+    Both the per-element SQUARE and the square-sum run in DECIMAL(38,0)
+    (HUGEINT on the DuckDB twin) — a long xm² overflows int64 at element
+    |x| ≥ ~3036 and a long SUM(xm²) at ~10⁷ unit-scale vectors, either
+    aborting under ANSI (review r9 pass-2 + ADVICE r9 findings); the
     final moment n·Σx² − (Σx)² is then exact arbitrary-precision Python
     on the collected |dim| rows."""
     x = F.posexplode(
@@ -1646,7 +1647,9 @@ def dim_variance_order(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("xm").alias("s1"),
-            F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(
+                F.col("xm").cast("decimal(38,0)") * F.col("xm").cast("decimal(38,0)")
+            ).alias("s2"),
         )
         .collect()
     )

@@ -3717,9 +3717,17 @@ def latency_changepoint_from(spans: DataFrame) -> DataFrame:
     divisions (sum div count — truncating on both engines for the
     non-negative inputs here), anchored on the per-operation minimum
     before squaring (house anchoring rule: raw squares of ~1e6 µs means
-    pass 2^53), and the argmax ranks on the 6dp-ROUNDED gain with the
-    bucket as tiebreak (house rank rule). All prefix sums are integer
-    window sums over the deterministic bucket order.
+    pass 2^53). The argmax ranks on the EXACT integer floor of the gain:
+    gain = N/D with N = s1²·(n_b−k)·n_b + (t1−s1)²·k·n_b − t1²·k·(n_b−k)
+    and D = k·(n_b−k)·n_b, both accumulated in DECIMAL(38,0) (HUGEINT on
+    the DuckDB face) so `N div D` is bit-identical on both engines —
+    gains sit at ~1e9–1e12 where a double ulp (~1e-4) exceeds any fixed
+    decimal rounding quantum, so the house "rank on ROUND(x, 6)" rule
+    cannot absorb cross-engine float noise here (VERDICT r9 §wrong #3);
+    the 1 µs² floor quantum is ≫ below the ≥1e6 observed top-2 gaps and
+    exact ties at that quantum break on the earlier bucket. N ≤ ~4e30
+    fits DECIMAL(38,0); the quotient (= ⌊gain⌋ ≤ ~5e18) fits BIGINT.
+    The reported gain/sst stay double — only the rank key is exact.
 
     Scale shape: one combinable (svc, op, bucket) rollup over the span
     scan, then windows over at most buckets-per-operation rows — the
@@ -3766,13 +3774,23 @@ def latency_changepoint_from(spans: DataFrame) -> DataFrame:
     r1, rk = t1 - s1, n_b - k
     gain = (s1 * s1 / k + r1 * r1 / rk) - t1 * t1 / n_b
     sst = F.col("t2").cast("double") - t1 * t1 / n_b
+    kd = F.col("k").cast("decimal(38,0)")
+    s1d = F.col("s1").cast("decimal(38,0)")
+    nbd = F.col("n_b").cast("decimal(38,0)")
+    t1d = F.col("t1").cast("decimal(38,0)")
+    r1d, rkd = t1d - s1d, nbd - kd
     cand = (
         cur.filter((F.col("n_b") >= CP_MIN_BUCKETS) & (F.col("k") < F.col("n_b")))
         .withColumn("gain", gain)
         .withColumn("sst", sst)
+        .withColumn(
+            "gain_num",
+            s1d * s1d * rkd * nbd + r1d * r1d * kd * nbd - t1d * t1d * kd * rkd,
+        )
+        .withColumn("gain_den", kd * rkd * nbd)
     )
     wpick = Window.partitionBy("servicename", "operationname").orderBy(
-        F.round("gain", 6).desc(), F.col("bucket").asc()
+        F.expr("gain_num div gain_den").desc(), F.col("bucket").asc()
     )
     return (
         cand.withColumn("pick", F.row_number().over(wpick))
@@ -3836,15 +3854,23 @@ cand AS (
 ),
 picked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY servicename, operationname
-                               ORDER BY ROUND(gain, 6) DESC, bucket ASC)
+                               ORDER BY (s1 * s1 * (n_b - k) * n_b
+                                         + (t1 - s1) * (t1 - s1) * k * n_b
+                                         - t1 * t1 * k * (n_b - k))
+                                        // (k * (n_b - k) * n_b) DESC,
+                                        bucket ASC)
             AS pick
   FROM cand
 )
 SELECT servicename, operationname,
        CAST(n_b AS BIGINT) AS n_buckets,
        bucket AS split_bucket,
-       (s1 + k * minv) // k AS mean_before_us,
-       (t1 - s1 + (n_b - k) * minv) // (n_b - k) AS mean_after_us,
+       -- CAST: windowed SUM over BIGINT widens to HUGEINT in DuckDB and
+       -- pandas renders HUGEINT as float64 (49015.0 vs Spark's int64
+       -- 49015) — the driver hash distinguishes them (VERDICT r9 #1)
+       CAST((s1 + k * minv) // k AS BIGINT) AS mean_before_us,
+       CAST((t1 - s1 + (n_b - k) * minv) // (n_b - k) AS BIGINT)
+         AS mean_after_us,
        ROUND(gain / NULLIF(sst, 0), 6) AS gain_share
 FROM picked WHERE pick = 1 ORDER BY servicename, operationname
 """
@@ -7563,49 +7589,17 @@ _CORE_TRACE_BENCHED = ()
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-9 queue — never driver-checked, priority order. The 40 names
-    # that earned green CORRECTNESS_r08 rows (gate_agreement ...
-    # index_partition_profile + search_traces_promoted) were removed from
-    # the front per the rotation protocol; they stay covered by the local
-    # suite. With the full 23-name _CORE_TRACE lead restored, the 22
-    # remaining never-checked entries below ALL fit in the driver sample,
-    # and the 5 round-9 additions at the queue tail take the remaining
-    # slots exactly (23 + 22 + 5 = 50) — cumulative driver coverage
-    # completes this round with no spare slots for re-checks.
-    # round-7 additions:
-    "anchored_sessions",
+    # round-10 queue. The 26 names that earned GREEN CORRECTNESS_r09 rows
+    # (anchored_sessions ... error_budget_burn, minus latency_changepoint)
+    # were removed from the front per the rotation protocol; they stay
+    # covered by the local three-SF oracle suite. `latency_changepoint`
+    # was r09's one RED row (oracle HUGEINT face, fixed this round —
+    # VERDICT r9 ask #1) and stays FIRST so the driver re-earns its green
+    # row; the 15 round-9 batch-B/C names behind it have never been
+    # driver-checked (they sat at queue positions 50+). 23 core + 16 = 39
+    # ≤ 50 sample slots, leaving ~11 for round-10 additions at the tail.
     "latency_changepoint",
-    "ann_filtered",
-    "pq_code_entropy",
-    "session_paths",
-    "index_salt_plan",
-    "mmr_diversify",
-    "dedup_cascade_yield",
-    "ivf_cell_balance",
-    "service_cost_pareto",
-    "packing_waste_curve",
-    "sampling_fidelity",
-    "cluster_stability",
-    # round-8 additions:
-    "neardup_event_provenance",
-    "duration_heaping",
-    "blast_radius",
-    "knn_graph_reciprocity",
-    "lsh_candidate_precision",
-    "simhash_hamming_spectrum",
-    "tail_latency_attribution",
-    "band_contribution",
-    "sampled_diversity",
-    # round-9 additions (behind the 22-name never-checked backlog, which
-    # clears this round: 23 core + 22 + these still fit the ~50 sample):
-    "dedup_event_provenance",
-    "dedup_horizon_plan",
-    "lsh_planes_plan",
-    "service_reach_depth",
-    "error_budget_burn",
-    # round-9 batch B — positions 50+ fall past this round's sample and
-    # become round-10's never-checked front (≤ new-ops count, per the
-    # rotation protocol's growth rule):
+    # round-9 batch B (never driver-checked, judge-green at sf0.01):
     "service_error_correlation",
     "quality_drift_windows",
     "ann_two_stage_recall",
@@ -7614,9 +7608,7 @@ _ROTATION_QUEUE = (
     "heaps_vocab_forecast",
     "index_ttl_plan",
     "user_lifetime_curve",
-    # round-9 batch C — same growth rule; round-10's never-checked
-    # backlog is batches B+C (15 names), well inside the ~27 rotation
-    # slots behind the 23-name core lead, so it clears in one round:
+    # round-9 batch C (never driver-checked, judge-green at sf0.01):
     "mix_temperature_sweep",
     "curriculum_plan",
     "embedding_quantization_error",
@@ -7624,6 +7616,7 @@ _ROTATION_QUEUE = (
     "critical_path_drift",
     "pq_dim_permutation_gain",
     "mix_dedup_shift",
+    # round-10 additions (≤ ~11 to stay inside the 50-slot sample):
 )
 
 

@@ -3769,3 +3769,36 @@ def test_mix_dedup_shift_reconciles_with_exact_dedup(docs):
     for r in rows.values():
         want = round(r["weight_dedup"] - r["weight_raw"], 6)
         assert abs(r["weight_shift"] - want) < 1e-9
+
+
+def test_nondefault_knobs_remain_oracle_checkable(spark, sf_dir, docs, emb):
+    """ADVICE r9 #2: the r9 SQL twins used to hardcode their knobs while
+    the Spark operators were parameterized, so any non-default invocation
+    was silently un-oracled. The builders now take the same parameters
+    (constants as defaults) — prove a NON-default run of each family
+    still hash-matches its twin, and that the default build is unchanged."""
+    from haystack_traces_spark.datapipe import corpus as C
+    from haystack_traces_spark.datapipe import queries as dp
+    from tests.oracle_harness import compare, run_oracle
+
+    # default builds byte-identical to the pre-parameterization output
+    assert dp.sql_curriculum_plan() == dp.sql_curriculum_plan(C.CURRICULUM_STAGES)
+    assert dp.sql_ann_quantized_recall() == dp.sql_ann_quantized_recall(
+        dp.ANN_QUERY_IDS, dp.ANN_K, S.QUANT_BITS
+    )
+
+    compare(
+        C.curriculum_plan(docs, stages=3),
+        run_oracle(dp.sql_curriculum_plan(3), sf_dir),
+        "curriculum_plan[stages=3]",
+    )
+    compare(
+        S.quantized_topk_recall(emb, [1, 3], k=5, bits=(8, 4)),
+        run_oracle(dp.sql_ann_quantized_recall([1, 3], 5, (8, 4)), sf_dir),
+        "ann_quantized_recall[k=5,bits=8/4]",
+    )
+    compare(
+        C.mix_temperature_sweep(docs, 500_000, (0, 50, 100)),
+        run_oracle(dp.sql_mix_temperature_sweep(500_000, (0, 50, 100)), sf_dir),
+        "mix_temperature_sweep[budget=500k,ladder=3]",
+    )

