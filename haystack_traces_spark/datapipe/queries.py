@@ -3563,47 +3563,21 @@ def q_quality_drift_windows(spark, sf_dir):
 
 def quality_drift_windows_from(scored: DataFrame) -> DataFrame:
     """Core over any (source, hour_ts, q_micro) frame — split out so
-    crafted tests pin exact z / gating values (house rule 7)."""
-    from pyspark.sql import Window
+    crafted tests pin exact z / gating values (house rule 7). Delegates
+    the verdict arithmetic to the streaming module's
+    :func:`quality_stream.drift_verdicts_from_moments` (rule 19: the
+    EventTimeQualityDrift gate, its backfill, and this batch/oracle face
+    are one implementation — r10, VERDICT r9 ask #6)."""
+    from haystack_traces_spark.streaming.quality_stream import (
+        drift_verdicts_from_moments,
+    )
 
     hourly = scored.groupBy("source", "hour_ts").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("q_micro").alias("s_micro"),
         F.sum(F.col("q_micro") * F.col("q_micro")).alias("ss_micro"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    win = (
-        hourly.withColumn("pn", F.sum("n_docs").over(w))
-        .withColumn("ps", F.sum("s_micro").over(w))
-        .withColumn("pss", F.sum("ss_micro").over(w))
-        .filter(F.col("pn") >= DRIFT_MIN_PRIOR)
-    )
-    bm = F.col("s_micro") / F.col("n_docs")
-    pm = F.col("ps") / F.col("pn")
-    var = F.greatest(
-        F.col("pss") / F.col("pn") - pm * pm, F.lit(0.0)
-    )
-    out = (
-        win.withColumn("var_", var)
-        .filter(F.col("var_") > 0)
-        .withColumn(
-            "z",
-            F.round((bm - pm) / (F.sqrt(F.col("var_")) / F.sqrt(F.col("n_docs"))), 6),
-        )
-    )
-    return out.select(
-        "source",
-        "hour_ts",
-        "n_docs",
-        F.round(bm / F.lit(1000000.0), 6).alias("batch_mean"),
-        F.round(pm / F.lit(1000000.0), 6).alias("prior_mean"),
-        "z",
-        (F.abs(F.col("z")) >= DRIFT_Z).alias("drifted"),
-    ).orderBy("source", "hour_ts")
+    return drift_verdicts_from_moments(hourly, DRIFT_MIN_PRIOR, DRIFT_Z)
 
 
 def sql_quality_drift_windows() -> str:

@@ -468,6 +468,7 @@ def run_neardup_backfill(
     delay_us: int | None = None,
     timeout_sec: float = 120.0,
     gate_cls: type = None,
+    schema: str = "doc_id long, ts long, text string",
     **gate_kwargs,
 ):
     """Deterministic near-dup backfill of an at-rest (doc_id, ts, text)
@@ -479,12 +480,14 @@ def run_neardup_backfill(
     run 2 advances the gate's watermark over every pending doc. The
     result equals event_time_verdicts over the whole corpus EXACTLY
     (pinned in test_streaming.py). ``gate_cls`` swaps the gate
-    (EventTimeExactDedup for the exact-dedup backfill) — the sentinel /
-    watermark mechanics are gate-independent."""
+    (EventTimeExactDedup for the exact-dedup backfill,
+    EventTimeQualityDrift with a source column in ``schema`` for the
+    quality backfill) — the sentinel / watermark mechanics are
+    gate-independent, and the flush tick carries every ``schema`` column
+    (extra JSON keys are ignored by schemas that omit them)."""
     import json as _json
     from pathlib import Path
 
-    schema = "doc_id long, ts long, text string"
     row = (
         spark.read.schema(schema)
         .json(src_dir)
@@ -518,6 +521,7 @@ def run_neardup_backfill(
         "doc_id": BACKFILL_FLUSH_DOC_ID,
         "ts": int(row["hi"]) + 2 * int(delay_us) + 1,
         "text": "",
+        "source": "",
     }
     tmp = flush_dir / "flush.json.tmp"
     tmp.write_text(_json.dumps(tick) + "\n")

@@ -2350,3 +2350,111 @@ def test_layout_guard_raises_on_corrupt_table(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"not a parquet footer")
     with pytest.raises(Exception, match="(?i)parquet|footer|PAR1"):
         IngestTopology._check_index_layout(spark, str(bad), ["traceid"])
+
+
+def _quality_evt_corpus():
+    """4 event-time "hours" (hour_us=1000) x 2 sources; the `web` source's
+    final hour collapses to junk (token-salad repetition) so the z-test
+    must flag it; `books` stays stable. Enough docs per hour that the
+    DRIFT_MIN_PRIOR=10 gate opens from hour 2 on."""
+    recs, did = [], 0
+    goods = (
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a short clean sentence with plain words and a final stop mark here",
+        "many different tokens keep the prior variance strictly positive now",
+    )
+    junk = "zz zz zz zz zz zz zz zz zz zz zz zz"
+    for h in range(4):
+        for i in range(12):
+            base = junk if (h == 3 and i < 10) else goods[i % 3]
+            recs.append(
+                {"doc_id": did, "ts": h * 1000 + i * 7 + 1,
+                 "text": base + f" tail{did}", "source": "web"}
+            )
+            did += 1
+        for i in range(11):
+            recs.append(
+                {"doc_id": did, "ts": h * 1000 + i * 11 + 3,
+                 "text": goods[i % 3] + f" extra words here {did}",
+                 "source": "books"}
+            )
+            did += 1
+    return recs
+
+
+def test_quality_drift_event_backfill_equals_batch(spark, tmp_path):
+    """EventTimeQualityDrift (VERDICT r9 ask #6): the event-time drift
+    gate, backfilled over an at-rest corpus whose files are NOT in event
+    order, equals the shared-core batch face (quality_drift_windows'
+    arithmetic) EXACTLY — per-hour verdicts are a pure function of the
+    data, so two different file batchings emit identical rows, and the
+    engineered hour-3 quality collapse is flagged with the same z on
+    every path."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.datapipe.text import text_stats
+    from haystack_traces_spark.streaming.neardup_stream import (
+        read_verdicts,
+        run_neardup_backfill,
+    )
+    from haystack_traces_spark.streaming.quality_stream import (
+        EventTimeQualityDrift,
+    )
+
+    recs = _quality_evt_corpus()
+    hour_us, min_prior, z_thr = 1000, 10, 3.0
+    schema = "doc_id long, ts long, text string, source string"
+
+    def backfill(splits, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for i, chunk in enumerate(splits):
+            with open(src / f"part{i}.json", "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+        run_neardup_backfill(
+            spark, str(src), str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            gate_cls=EventTimeQualityDrift, schema=schema,
+            hour_us=hour_us, min_prior=min_prior, z_threshold=z_thr,
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    # deliberately out of event-time order, and a second, different split
+    got_a = backfill([recs[60:], recs[:25], recs[25:60]], "a")
+    got_b = backfill([recs[40:41], recs[41:], recs[:40]], "b")
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"], r["source"]) for r in recs], schema
+    )
+    scored = text_stats(docs, extra_cols=("source", "ts")).select(
+        "source",
+        (F.col("ts") - F.col("ts") % hour_us).alias("hour_ts"),
+        F.round(F.col("quality_score") * 1_000_000).cast("long").alias("q_micro"),
+    )
+    from haystack_traces_spark.streaming.quality_stream import (
+        drift_verdicts_from_moments,
+    )
+
+    hourly = scored.groupBy("source", "hour_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q_micro").alias("s_micro"),
+        F.sum(F.col("q_micro") * F.col("q_micro")).alias("ss_micro"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in drift_verdicts_from_moments(hourly, min_prior, z_thr).collect()
+    )
+    assert got_a == want
+    assert got_b == want  # batching-invariant
+    by_key = {(r[0], r[1]): r for r in got_a}
+    # hour 3's web collapse drifts; books' hour 3 does not
+    assert by_key[("web", 3000)][6] is True
+    assert by_key[("books", 3000)][6] is False
+    # hours 0-1 never reach min_prior=10 prior docs -> gated out
+    assert ("web", 0) not in by_key and ("books", 0) not in by_key
