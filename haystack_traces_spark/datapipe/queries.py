@@ -5488,6 +5488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_sweep": q_mix_temperature_sweep,
         "mix_dedup_shift": q_mix_dedup_shift,
         "curriculum_plan": q_curriculum_plan,
+        # round-10 additions (queued behind the batch-B/C backlog):
+        "corpus_token_growth": q_corpus_token_growth,
+        "pack_attention_efficiency": q_pack_attention_efficiency,
+        "ann_storage_plan": q_ann_storage_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5632,6 +5636,9 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature_sweep": sql_mix_temperature_sweep(),
         "mix_dedup_shift": sql_mix_dedup_shift(),
         "curriculum_plan": sql_curriculum_plan(),
+        "corpus_token_growth": sql_corpus_token_growth(),
+        "pack_attention_efficiency": sql_pack_attention_efficiency(),
+        "ann_storage_plan": sql_ann_storage_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -9403,4 +9410,394 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
              / (COUNT(*) * 1000000.0), 6) AS mean_dist,
        ROUND(AVG(y), 6) AS mean_tokens
 FROM j
+"""
+
+
+# ------------------------------------------------- round-10 additions -----
+
+GROWTH_TRAIL_H = 6
+
+
+def q_corpus_token_growth(spark, sf_dir):
+    """→ (hour_ts, n_docs, tokens_added, cum_tokens, budget_share,
+    trailing_tokens, hours_to_budget): CORPUS GROWTH over event time —
+    per hour, tokens landed, the cumulative total against TOKEN_BUDGET,
+    and a trailing-6h-rate forecast of hours until the budget fills (0
+    once full, NULL while the trailing window is empty). The capacity
+    face of the ingest stream: `heaps_vocab_forecast` says when VOCAB
+    growth flattens; this says when the TOKEN bucket overflows — the
+    "do we stop crawling Tuesday or Friday" row. Hours with no arrivals
+    are FILLED (zero rows), so the trailing window is 6 wall-clock
+    hours, never 6 busy hours.
+
+    Cross-engine discipline: event timestamps are the registry's shared
+    doc-id hash (NEARDUP_EVT_SPAN); the forecast is EXACT integer ceil
+    division ((rem·6 + trailing − 1) div trailing) — never a float
+    ceil; cumulative sums widen to HUGEINT on DuckDB and are CAST back
+    to BIGINT at the output face (the r9 lesson).
+
+    Scale shape: one map-side-combinable hour rollup, one ≤|hours| fill
+    + window pass — series-sized, never corpus-sized."""
+    from haystack_traces_spark.datapipe.hashing import hash60
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    hourly = (
+        docs.select(
+            F.pmod(
+                hash60(F.col("doc_id").cast("string"), seed="evt:"),
+                F.lit(NEARDUP_EVT_SPAN),
+            ).alias("evt_ts"),
+            F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        )
+        .select(
+            (F.col("evt_ts") - F.col("evt_ts") % DRIFT_HOUR_US).alias("hour_ts"),
+            "n_toks",
+        )
+        .groupBy("hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").alias("tokens_added"),
+        )
+    )
+    hours = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(DRIFT_HOUR_US))
+        ).alias("hour_ts")
+    )
+    filled = (
+        hours.join(hourly, "hour_ts", "left")
+        .select(
+            "hour_ts",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("tokens_added", F.lit(0)).alias("tokens_added"),
+        )
+    )
+    w = Window.orderBy("hour_ts")
+    cum = F.sum("tokens_added").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    trail = F.sum("tokens_added").over(
+        w.rowsBetween(-(GROWTH_TRAIL_H - 1), Window.currentRow)
+    )
+    out = filled.withColumn("cum_tokens", cum).withColumn(
+        "trailing_tokens", trail
+    )
+    rem = F.lit(TOKEN_BUDGET) - F.col("cum_tokens")
+    return out.select(
+        "hour_ts",
+        "n_docs",
+        "tokens_added",
+        "cum_tokens",
+        F.round(F.col("cum_tokens") / F.lit(float(TOKEN_BUDGET)), 6).alias(
+            "budget_share"
+        ),
+        "trailing_tokens",
+        F.when(rem <= 0, F.lit(0).cast("long"))
+        .when(
+            F.col("trailing_tokens") > 0,
+            F.expr(
+                f"(({TOKEN_BUDGET} - cum_tokens) * {GROWTH_TRAIL_H}"
+                " + trailing_tokens - 1) div trailing_tokens"
+            ),
+        )
+        .alias("hours_to_budget"),
+    ).orderBy("hour_ts")
+
+
+def sql_corpus_token_growth() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    evt = hash60_sql("CAST(doc_id AS VARCHAR)", seed="evt:")
+    return f"""
+WITH hourly AS (
+  SELECT ts - ts % {DRIFT_HOUR_US} AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_added
+  FROM (SELECT CAST({evt} % {NEARDUP_EVT_SPAN} AS BIGINT) AS ts, text
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY 1
+),
+bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly),
+hours AS (
+  SELECT CAST(h AS BIGINT) AS hour_ts
+  FROM bounds, UNNEST(generate_series(lo, hi, {DRIFT_HOUR_US})) t(h)
+),
+filled AS (
+  SELECT hours.hour_ts,
+         COALESCE(n_docs, 0) AS n_docs,
+         COALESCE(tokens_added, 0) AS tokens_added
+  FROM hours LEFT JOIN hourly USING (hour_ts)
+),
+win AS (
+  SELECT hour_ts, n_docs, tokens_added,
+         SUM(tokens_added) OVER (ORDER BY hour_ts
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(tokens_added) OVER (ORDER BY hour_ts
+                                 ROWS {GROWTH_TRAIL_H - 1} PRECEDING) AS trailing_tokens
+  FROM filled
+)
+SELECT hour_ts, n_docs, tokens_added,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       ROUND(cum_tokens / {float(TOKEN_BUDGET)}, 6) AS budget_share,
+       CAST(trailing_tokens AS BIGINT) AS trailing_tokens,
+       CAST(CASE WHEN {TOKEN_BUDGET} - cum_tokens <= 0 THEN 0
+                 WHEN trailing_tokens > 0
+                 THEN (({TOKEN_BUDGET} - cum_tokens) * {GROWTH_TRAIL_H}
+                       + trailing_tokens - 1) // trailing_tokens
+            END AS BIGINT) AS hours_to_budget
+FROM win ORDER BY hour_ts
+"""
+
+
+def q_pack_attention_efficiency(spark, sf_dir):
+    """→ (context_len, n_chunks, n_pieces, attention_useful_share,
+    pieces_per_chunk, full_doc_share): the ATTENTION-FLOPs face of the
+    packing decision. With document-boundary attention masking, a packed
+    sequence of length L holding doc pieces ℓ1..ℓk spends L² compute but
+    only Σℓᵢ² of it attends within documents — attention_useful_share is
+    that ratio over the whole shipped packing (pad and cross-doc pairs
+    are the waste). packing_waste_curve prices pad TOKENS (linear cost);
+    this prices the QUADRATIC compute, which is what actually moves the
+    training bill at long context: bigger L packs more docs per sequence
+    and the useful share FALLS even as pad share falls — the two curves
+    cross, and the crossing is the context-length decision.
+
+    Uses pack_grouped/cum — the identical hash groups, doc_id order and
+    exclusive running totals as pack_shards (the shipped packing, not an
+    idealized one); a doc spanning a chunk boundary contributes one
+    piece per chunk it touches. All piece arithmetic is exact BIGINT
+    (ℓ² ≤ L² ≤ 1.7e7 per piece); shares are 6dp doubles from those
+    integers.
+
+    Scale shape: the per-group running-total window once (pack_shards'
+    own scale argument), then ~1 + ℓ/L rows per doc through a combinable
+    per-L rollup — no pair space, no re-scan per L."""
+    from haystack_traces_spark.datapipe import corpus as C
+    from pyspark.sql import Window
+
+    grouped = C.pack_grouped(_docs(spark, sf_dir), PACK_GROUPS)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum")
+    base = grouped.select("pack_group", "n_tokens", cum).filter(
+        F.col("n_tokens") > 0
+    )
+    lad = F.explode(
+        F.array(*[F.lit(L).cast("long") for L in PACK_CONTEXTS])
+    ).alias("context_len")
+    L = F.col("context_len")
+    pieces = (
+        base.select("pack_group", "n_tokens", "cum", lad)
+        .select(
+            "context_len",
+            "n_tokens",
+            "cum",
+            F.explode(
+                F.sequence(
+                    F.expr("cum div context_len"),
+                    F.expr("(cum + n_tokens - 1) div context_len"),
+                )
+            ).alias("chunk"),
+        )
+        .select(
+            "context_len",
+            "n_tokens",
+            (
+                F.least(F.col("cum") + F.col("n_tokens"), (F.col("chunk") + 1) * L)
+                - F.greatest(F.col("cum"), F.col("chunk") * L)
+            ).alias("piece"),
+        )
+    )
+    per_l = pieces.groupBy("context_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.sum(F.col("piece") * F.col("piece")).alias("sum_sq"),
+        F.sum((F.col("piece") == F.col("n_tokens")).cast("long")).alias("n_full"),
+    )
+    chunks = (
+        grouped.groupBy("pack_group")
+        .agg(F.sum("n_tokens").alias("tg"))
+        .agg(
+            *[
+                F.sum(F.ceil(F.col("tg") / L_)).cast("long").alias(f"c{L_}")
+                for L_ in PACK_CONTEXTS
+            ]
+        )
+        .select(
+            F.expr(
+                f"stack({len(PACK_CONTEXTS)}, "
+                + ", ".join(f"{L_}L, c{L_}" for L_ in PACK_CONTEXTS)
+                + ") AS (context_len, n_chunks)"
+            )
+        )
+    )
+    return (
+        per_l.join(chunks, "context_len")
+        .select(
+            F.col("context_len"),
+            F.col("n_chunks"),
+            "n_pieces",
+            F.round(
+                F.col("sum_sq")
+                / (F.col("n_chunks") * F.col("context_len") * F.col("context_len")),
+                6,
+            ).alias("attention_useful_share"),
+            F.round(F.col("n_pieces") / F.col("n_chunks"), 6).alias(
+                "pieces_per_chunk"
+            ),
+            F.round(F.col("n_full") / F.col("n_pieces"), 6).alias(
+                "full_doc_share"
+            ),
+        )
+        .orderBy("context_len")
+    )
+
+
+def sql_pack_attention_efficiency() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % {PACK_GROUPS}"
+    lad = ", ".join(f"({L})" for L in PACK_CONTEXTS)
+    chunk_curve = "\n  UNION ALL ".join(
+        f"SELECT {L} AS context_len, SUM(CAST(CEIL(tg * 1.0 / {L}) AS BIGINT))"
+        " AS n_chunks FROM per_group"
+        for L in PACK_CONTEXTS
+    )
+    return f"""
+WITH grouped AS (
+  SELECT doc_id, {g} AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cums AS (
+  -- CAST: window SUM widens to HUGEINT, which generate_series rejects
+  SELECT pack_group, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS cum
+  FROM grouped
+),
+pieces AS (
+  SELECT l.context_len, c.n_tokens,
+         LEAST(c.cum + c.n_tokens, (t.chunk + 1) * l.context_len)
+           - GREATEST(c.cum, t.chunk * l.context_len) AS piece
+  FROM cums c
+  CROSS JOIN (SELECT * FROM (VALUES {lad}) v(context_len)) l,
+  UNNEST(generate_series(c.cum // l.context_len,
+                         (c.cum + c.n_tokens - 1) // l.context_len)) t(chunk)
+  WHERE c.n_tokens > 0
+),
+per_l AS (
+  SELECT context_len,
+         CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         CAST(SUM(piece * piece) AS BIGINT) AS sum_sq,
+         CAST(SUM(CASE WHEN piece = n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full
+  FROM pieces GROUP BY 1
+),
+per_group AS (SELECT pack_group, SUM(n_tokens) AS tg FROM grouped GROUP BY 1),
+chunks AS (
+  {chunk_curve}
+)
+SELECT CAST(p.context_len AS BIGINT) AS context_len,
+       CAST(k.n_chunks AS BIGINT) AS n_chunks,
+       p.n_pieces,
+       ROUND(p.sum_sq / (CAST(k.n_chunks AS DOUBLE) * p.context_len * p.context_len), 6)
+         AS attention_useful_share,
+       ROUND(p.n_pieces / CAST(k.n_chunks AS DOUBLE), 6) AS pieces_per_chunk,
+       ROUND(p.n_full / CAST(p.n_pieces AS DOUBLE), 6) AS full_doc_share
+FROM per_l p JOIN chunks k USING (context_len)
+ORDER BY context_len
+"""
+
+
+#: storage-plan representation ladder: (variant, bytes-per-vector formula
+#: over dim, query-time scan share). id = 8 bytes everywhere; scalar
+#: quantizers carry a 4-byte per-vector scale; PQ stores PQ_M 1-byte
+#: codes; the IVF row scans only the probed share of cells.
+def _ann_storage_variants(dim_expr: str) -> list:
+    return [
+        ("float32_flat", f"4 * {dim_expr} + 8", 1.0),
+        ("float16_flat", f"2 * {dim_expr} + 8", 1.0),
+        ("int8_sq_flat", f"{dim_expr} + 12", 1.0),
+        ("int4_sq_flat", f"({dim_expr} + 1) div 2 + 12", 1.0),
+        ("pq8_codes", f"{S.PQ_M} + 8", 1.0),
+        ("ivf_float32", f"4 * {dim_expr} + 16", IVF_PROBE / IVF_CELLS),
+    ]
+
+
+def q_ann_storage_plan(spark, sf_dir):
+    """→ (variant, bytes_per_vec, corpus_mb, scan_mb_per_query,
+    corpus_gb_100x): the ANN STORAGE/SCAN budget table — for each
+    shipped representation (flat float32/float16, int8/int4 scalar
+    quantization, PQ codes, IVF-partitioned float32), the per-vector
+    byte cost, the resident corpus size, the bytes one query scans
+    (flat = everything; IVF = the probed cell share), and the resident
+    size at 100× corpus — the "does the index fit in RAM, and what does
+    a query touch" row the quantized-recall gauges
+    (ann_quantized_recall, embedding_quantization_error) price the
+    accuracy side of. Variants and knobs are the registry's own
+    (QUANT ladder widths, PQ_M codes, IVF probe/cells), so the plan
+    prices the shipped configs, not hypotheticals.
+
+    Scale shape: ONE count+dim aggregate over the embedding scan, then
+    a 6-row literal ladder — pure closed-form arithmetic."""
+    dims = _emb(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+    )
+    rows = ", ".join(
+        f"'{name}', CAST({formula} AS BIGINT), CAST({share} AS DOUBLE)"
+        for name, formula, share in _ann_storage_variants("dim")
+    )
+    lad = dims.select(
+        "n_vecs",
+        F.expr(
+            f"stack({len(_ann_storage_variants('dim'))}, {rows}) "
+            "AS (variant, bytes_per_vec, scan_share)"
+        ),
+    )
+    total = F.col("n_vecs") * F.col("bytes_per_vec")
+    return lad.select(
+        "variant",
+        "bytes_per_vec",
+        F.round(total / F.lit(1_000_000.0), 6).alias("corpus_mb"),
+        F.round(total * F.col("scan_share") / F.lit(1_000_000.0), 6).alias(
+            "scan_mb_per_query"
+        ),
+        F.round(total * F.lit(100) / F.lit(1_000_000_000.0), 6).alias(
+            "corpus_gb_100x"
+        ),
+    ).orderBy("variant")
+
+
+def sql_ann_storage_plan() -> str:
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS variant, CAST({formula.replace(' div ', ' // ')} AS BIGINT)"
+        f" AS bytes_per_vec, CAST({share} AS DOUBLE) AS scan_share FROM dims"
+        for name, formula, share in _ann_storage_variants("dim")
+    )
+    return f"""
+WITH dims AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings
+),
+lad AS (
+  {arms}
+)
+SELECT variant, bytes_per_vec,
+       ROUND(d.n_vecs * bytes_per_vec / 1000000.0, 6) AS corpus_mb,
+       ROUND(d.n_vecs * bytes_per_vec * scan_share / 1000000.0, 6)
+         AS scan_mb_per_query,
+       ROUND(d.n_vecs * bytes_per_vec * 100 / 1000000000.0, 6)
+         AS corpus_gb_100x
+FROM lad CROSS JOIN dims d
+ORDER BY variant
 """

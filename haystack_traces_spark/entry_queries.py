@@ -7543,6 +7543,264 @@ ORDER BY servicename, hour_start
     )
 
 
+#: Round-number SLO candidate thresholds (µs), ascending — the ladder an
+#: operator would actually pick from (1 ms … 20 s; durations truncate at
+#: 20 s, the reference's own cap).
+SLO_LADDER_US = (
+    1_000, 5_000, 10_000, 25_000, 50_000, 100_000, 250_000, 500_000,
+    1_000_000, 2_500_000, 5_000_000, 10_000_000, 20_000_000,
+)
+SLO_FIT_PCT = 5       # target violation budget, integer percent (95% SLO)
+SLO_FIT_MIN_SPANS = 20
+
+
+def q_latency_slo_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, n_spans, slo_us, violation_share,
+    max_duration_us): SLO RECOMMENDATION — per operation, the TIGHTEST
+    round-number latency threshold from SLO_LADDER_US whose violation
+    share fits the SLO_FIT_PCT budget. `slo_burn_rate` prices errors
+    against a GIVEN budget and `apdex` scores a GIVEN threshold; this is
+    the step before either: which threshold to publish. slo_us is NULL
+    when even the loosest rung misses the budget (the "don't publish an
+    SLO you can't keep" row); violation_share is the achieved share at
+    the chosen rung.
+
+    Cross-engine discipline: the budget gate is EXACT integer arithmetic
+    (100·violations ≤ pct·n — never a float-ratio compare); the rung
+    pick is least() over per-rung conditionals, and least/greatest
+    skip NULL arguments identically on both engines (the house gotcha,
+    here load-bearing by design). violation_share is a 6dp-rounded
+    double derived from the same integers.
+
+    Scale shape: ONE combinable (service, operation) aggregate over the
+    prunable span scan carrying the 13 rung counters as parallel
+    columns — no per-rung re-scan, nothing larger than |operations|
+    ever shuffles."""
+    return latency_slo_fit_from(_spans(spark, sf_dir))
+
+
+def latency_slo_fit_from(spans: DataFrame) -> DataFrame:
+    """Core over any spans frame — split out so crafted tests pin the
+    exact rung-pick rule (house rule 7)."""
+    spans = spans.filter(
+        (F.col("service_name") != "") & (F.col("operation_name") != "")
+    )
+    per = (
+        spans.groupBy(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("duration").alias("max_duration_us"),
+            *[
+                F.sum((F.col("duration") > L).cast("long")).alias(f"v{L}")
+                for L in SLO_LADDER_US
+            ],
+        )
+        .filter(F.col("n") >= SLO_FIT_MIN_SPANS)
+    )
+    fit = [
+        F.when(
+            F.lit(100) * F.col(f"v{L}") <= F.lit(SLO_FIT_PCT) * F.col("n"),
+            F.lit(L).cast("long"),
+        )
+        for L in SLO_LADDER_US
+    ]
+    chosen = F.least(*fit)
+    viol_at = F.coalesce(
+        *[
+            F.when(F.col("slo_us") == L, F.col(f"v{L}"))
+            for L in SLO_LADDER_US
+        ]
+    )
+    return (
+        per.withColumn("slo_us", chosen)
+        .withColumn(
+            "violation_share", F.round(viol_at / F.col("n"), 6)
+        )
+        .select(
+            "servicename",
+            "operationname",
+            F.col("n").alias("n_spans"),
+            "slo_us",
+            "violation_share",
+            "max_duration_us",
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_latency_slo_fit() -> str:
+    counters = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN duration > {L} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v{L}"
+        for L in SLO_LADDER_US
+    )
+    fit = ",\n              ".join(
+        f"CASE WHEN 100 * v{L} <= {SLO_FIT_PCT} * n THEN {L} END"
+        for L in SLO_LADDER_US
+    )
+    viol = " ".join(
+        f"WHEN slo_us = {L} THEN v{L}" for L in SLO_LADDER_US
+    )
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, per AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(duration) AS max_duration_us,
+         {counters}
+  FROM spans
+  WHERE service_name <> '' AND operation_name <> ''
+  GROUP BY 1, 2 HAVING COUNT(*) >= {SLO_FIT_MIN_SPANS}
+),
+picked AS (
+  SELECT *, LEAST({fit}) AS slo_us FROM per
+)
+SELECT servicename, operationname, n AS n_spans,
+       CAST(slo_us AS BIGINT) AS slo_us,
+       ROUND((CASE {viol} END) / CAST(n AS DOUBLE), 6) AS violation_share,
+       max_duration_us
+FROM picked ORDER BY servicename, operationname
+"""
+    )
+
+
+AB_SEED = "ab:"
+AB_MIN_N = 30
+
+
+def q_ab_cohort_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, n_a, n_b, mean_a_us, mean_b_us, err_rate_a,
+    err_rate_b, z_mean, z_err, balanced): the EXPERIMENT-HARNESS NULL
+    TEST — traces hash-split into two cohorts (a deterministic coin on
+    the trace id, the assignment a real canary/A-B rollout would use),
+    then per service the Welch z on mean duration and the two-proportion
+    z on error rate between cohorts. On a hash split both z's are noise
+    (|z| ≲ 3): a service row outside that band means the HARNESS is
+    broken (assignment leaking into behavior, e.g. keying on a field
+    correlated with load), which is exactly what you must rule out
+    before trusting the same readout on a real deployment split.
+    `balanced` is the size-balance check against a fair coin at 4σ —
+    exact integer form (n_a−n_b)² ≤ 16·(n_a+n_b), since the difference
+    of a fair n-coin split has sd √n (a fixed-percent gate would
+    false-alarm on small services where binomial noise alone exceeds
+    it).
+
+    Cross-engine discipline: cohort = hash60(trace_id) % 2 (md5-based,
+    bit-identical on both faces); duration sums are exact BIGINT and
+    squared sums accumulate in DECIMAL(38,0) (HUGEINT on DuckDB —
+    duration² ≤ 4e14 × 1e5 spans passes int64, the ANSI-overflow house
+    rule); all z's derive from those integers through the same double
+    expression tree, then 6dp-round.
+
+    Scale shape: ONE combinable (service) aggregate with per-cohort
+    conditional columns — the cohort never becomes a join or a second
+    scan; output = |services| rows."""
+    from haystack_traces_spark.datapipe.hashing import hash60
+
+    spans = _spans(spark, sf_dir).filter(F.col("service_name") != "")
+    a = (F.pmod(hash60(F.col("trace_id"), seed=AB_SEED), F.lit(2)) == 0)
+    err = (_errorcode() >= ERROR_THRESHOLD).cast("long")
+    dd = F.col("duration").cast("decimal(38,0)")
+    per = (
+        spans.groupBy(F.lower("service_name").alias("servicename"))
+        .agg(
+            F.sum(a.cast("long")).alias("n_a"),
+            F.sum((~a).cast("long")).alias("n_b"),
+            F.sum(F.when(a, F.col("duration")).otherwise(0)).alias("s_a"),
+            F.sum(F.when(~a, F.col("duration")).otherwise(0)).alias("s_b"),
+            F.sum(F.when(a, dd * dd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_a"),
+            F.sum(F.when(~a, dd * dd).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("ss_b"),
+            F.sum(F.when(a, err).otherwise(0)).alias("e_a"),
+            F.sum(F.when(~a, err).otherwise(0)).alias("e_b"),
+        )
+        .filter((F.col("n_a") >= AB_MIN_N) & (F.col("n_b") >= AB_MIN_N))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    va = F.col("ss_a").cast("double") / na - ma * ma
+    vb = F.col("ss_b").cast("double") / nb - mb * mb
+    z_mean = (ma - mb) / F.nullif(
+        F.sqrt(va / na + vb / nb), F.lit(0.0)
+    )
+    pa, pb = F.col("e_a") / na, F.col("e_b") / nb
+    p = (F.col("e_a") + F.col("e_b")) / (na + nb)
+    z_err = (pa - pb) / F.nullif(
+        F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+    )
+    return per.select(
+        "servicename",
+        "n_a",
+        "n_b",
+        F.expr("s_a div n_a").alias("mean_a_us"),
+        F.expr("s_b div n_b").alias("mean_b_us"),
+        F.round(pa, 6).alias("err_rate_a"),
+        F.round(pb, 6).alias("err_rate_b"),
+        F.round(z_mean, 6).alias("z_mean"),
+        F.round(z_err, 6).alias("z_err"),
+        (
+            (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+            <= F.lit(16) * (F.col("n_a") + F.col("n_b"))
+        ).alias("balanced"),
+    ).orderBy("servicename")
+
+
+def sql_ab_cohort_calibration() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    coin = f"({hash60_sql('trace_id', seed=AB_SEED)} % 2 = 0)"
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, tagged AS (
+  SELECT lower(service_name) AS servicename, duration,
+         CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+              THEN 1 ELSE 0 END AS is_err,
+         {coin} AS in_a
+  FROM spans WHERE service_name <> ''
+),
+per AS (
+  SELECT servicename,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN in_a THEN duration ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE duration END) AS BIGINT) AS s_b,
+         SUM(CASE WHEN in_a THEN CAST(duration AS HUGEINT) * duration
+                  ELSE 0 END) AS ss_a,
+         SUM(CASE WHEN in_a THEN 0
+                  ELSE CAST(duration AS HUGEINT) * duration END) AS ss_b,
+         CAST(SUM(CASE WHEN in_a THEN is_err ELSE 0 END) AS BIGINT) AS e_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE is_err END) AS BIGINT) AS e_b
+  FROM tagged GROUP BY 1
+  HAVING SUM(CASE WHEN in_a THEN 1 ELSE 0 END) >= {AB_MIN_N}
+     AND SUM(CASE WHEN in_a THEN 0 ELSE 1 END) >= {AB_MIN_N}
+)
+SELECT servicename, n_a, n_b,
+       CAST(s_a // n_a AS BIGINT) AS mean_a_us,
+       CAST(s_b // n_b AS BIGINT) AS mean_b_us,
+       ROUND(e_a / CAST(n_a AS DOUBLE), 6) AS err_rate_a,
+       ROUND(e_b / CAST(n_b AS DOUBLE), 6) AS err_rate_b,
+       ROUND((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+             / NULLIF(sqrt((CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            - (s_a / CAST(n_a AS DOUBLE)) * (s_a / CAST(n_a AS DOUBLE))) / CAST(n_a AS DOUBLE)
+                           + (CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                              - (s_b / CAST(n_b AS DOUBLE)) * (s_b / CAST(n_b AS DOUBLE))) / CAST(n_b AS DOUBLE)), 0.0), 6)
+         AS z_mean,
+       ROUND((e_a / CAST(n_a AS DOUBLE) - e_b / CAST(n_b AS DOUBLE))
+             / NULLIF(sqrt(((e_a + e_b) / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 - (e_a + e_b) / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0), 6)
+         AS z_err,
+       ((n_a - n_b) * (n_a - n_b) <= 16 * (n_a + n_b)) AS balanced
+FROM per ORDER BY servicename
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -7616,7 +7874,12 @@ _ROTATION_QUEUE = (
     "critical_path_drift",
     "pq_dim_permutation_gain",
     "mix_dedup_shift",
-    # round-10 additions (≤ ~11 to stay inside the 50-slot sample):
+    # round-10 additions (5 ≤ ~11 budget; sample = 23 core + 16 + 5 = 44):
+    "latency_slo_fit",
+    "ab_cohort_calibration",
+    "corpus_token_growth",
+    "pack_attention_efficiency",
+    "ann_storage_plan",
 )
 
 
@@ -7760,6 +8023,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_ttl_plan": q_index_ttl_plan,
         "user_lifetime_curve": q_user_lifetime_curve,
         "tail_latency_attribution": q_tail_latency_attribution,
+        "latency_slo_fit": q_latency_slo_fit,
+        "ab_cohort_calibration": q_ab_cohort_calibration,
     }
 
 
@@ -7887,4 +8152,6 @@ def _trace_oracles() -> dict[str, str]:
         "index_ttl_plan": sql_index_ttl_plan(),
         "user_lifetime_curve": sql_user_lifetime_curve(),
         "tail_latency_attribution": sql_tail_latency_attribution(),
+        "latency_slo_fit": sql_latency_slo_fit(),
+        "ab_cohort_calibration": sql_ab_cohort_calibration(),
     }

@@ -3933,3 +3933,98 @@ class TestWavDecode:
         assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
         assert (rows[(1, 2)]["start_frame"], rows[(1, 2)]["end_frame"]) == (200, 249)
         assert (rows[(2, 0)]["start_frame"], rows[(2, 0)]["end_frame"]) == (0, 99)
+
+
+def test_pack_attention_efficiency_pieces_and_exact_small_case(spark, sf_dir):
+    """Piece arithmetic invariants on the real corpus (pieces PARTITION
+    the token stream) plus an exact single-doc case: 5 tokens at L=4
+    split into pieces [4, 1] -> useful share 17/32 over 2 chunks,
+    regardless of which hash group the doc lands in."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = {r["context_len"]: r for r in dp.q_pack_attention_efficiency(spark, sf_dir).collect()}
+    assert set(rows) == set(dp.PACK_CONTEXTS)
+    prev = None
+    for L in dp.PACK_CONTEXTS:
+        r = rows[L]
+        assert 0 < r["attention_useful_share"] <= 1
+        assert r["n_pieces"] >= r["n_chunks"] > 0
+        if prev is not None:  # bigger context => more docs share a chunk
+            assert r["pieces_per_chunk"] >= prev["pieces_per_chunk"]
+        prev = r
+
+    one = spark.createDataFrame(
+        [(1, "a b c d e", "s", "en", 9)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    import haystack_traces_spark.datapipe.queries as Q
+
+    orig = Q._docs
+    Q._docs = lambda _s, _d: one
+    try:
+        got = {r["context_len"]: r for r in dp.q_pack_attention_efficiency(spark, sf_dir).collect()}
+    finally:
+        Q._docs = orig
+    # L=512: the 5-token doc fits one chunk whole: share = 25/512**2? No —
+    # 1 chunk of len 512, sum_sq = 25 -> 25/(512*512)
+    assert got[512]["n_chunks"] == 1 and got[512]["n_pieces"] == 1
+    assert got[512]["attention_useful_share"] == round(25 / (512 * 512), 6)
+    assert got[512]["full_doc_share"] == 1.0
+
+
+def test_corpus_token_growth_series_invariants(spark, sf_dir):
+    """Hour series is gap-FILLED and contiguous; cumulative is monotone;
+    the forecast row recomputes exactly from its own trailing window
+    (integer ceil rule), and goes to 0 at/after budget."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = dp.q_corpus_token_growth(spark, sf_dir).collect()
+    assert rows, "empty growth series"
+    hours = [r["hour_ts"] for r in rows]
+    assert all(
+        b - a == dp.DRIFT_HOUR_US for a, b in zip(hours, hours[1:])
+    ), "series must be contiguous"
+    cum = 0
+    for r in rows:
+        cum += r["tokens_added"]
+        assert r["cum_tokens"] == cum
+        assert r["budget_share"] == round(cum / dp.TOKEN_BUDGET, 6)
+        rem = dp.TOKEN_BUDGET - cum
+        if rem <= 0:
+            assert r["hours_to_budget"] == 0
+        elif r["trailing_tokens"] > 0:
+            want = (rem * dp.GROWTH_TRAIL_H + r["trailing_tokens"] - 1) // r[
+                "trailing_tokens"
+            ]
+            assert r["hours_to_budget"] == want
+        else:
+            assert r["hours_to_budget"] is None
+
+
+def test_ann_storage_plan_closed_form(spark, sf_dir):
+    """Every plan row recomputes exactly from (n_vecs, dim) and the
+    registry's own knobs — the table is pure closed-form arithmetic."""
+    from haystack_traces_spark.datapipe import queries as dp
+    from haystack_traces_spark.datapipe import similarity as S
+
+    emb = dp._emb(spark, sf_dir)
+    n = emb.count()
+    dim = 64
+    want_bpv = {
+        "float32_flat": (4 * dim + 8, 1.0),
+        "float16_flat": (2 * dim + 8, 1.0),
+        "int8_sq_flat": (dim + 12, 1.0),
+        "int4_sq_flat": ((dim + 1) // 2 + 12, 1.0),
+        "pq8_codes": (S.PQ_M + 8, 1.0),
+        "ivf_float32": (4 * dim + 16, dp.IVF_PROBE / dp.IVF_CELLS),
+    }
+    rows = {r["variant"]: r for r in dp.q_ann_storage_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(want_bpv)
+    for v, (bpv, share) in want_bpv.items():
+        r = rows[v]
+        assert r["bytes_per_vec"] == bpv, v
+        assert r["corpus_mb"] == round(n * bpv / 1e6, 6), v
+        assert r["scan_mb_per_query"] == round(n * bpv * share / 1e6, 6), v
+        assert r["corpus_gb_100x"] == round(n * bpv * 100 / 1e9, 6), v

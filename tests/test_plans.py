@@ -837,3 +837,42 @@ def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
     plan2 = _plan(search_ops.search_trace_ids(idx, req2))
     m2 = re.search(r"ReadSchema: ([^\n]*)", plan2)
     assert m2 and "spans" in m2.group(1), m2.group(1) if m2 else plan2[:2000]
+
+
+def test_round10_operators_have_no_global_bottleneck(spark):
+    """Round-10 batch: no cartesian products; single-partition exchanges
+    only where bounded by design. latency_slo_fit / ab_cohort_calibration
+    are ONE combinable (service[, operation]) aggregate each — zero
+    global exchanges (the rung ladder and cohort split ride as parallel
+    conditional columns, never joins). corpus_token_growth's one global
+    window runs over the gap-filled HOUR series (≤ |hours| rows, the
+    error_budget_burn bound) with the 1-row bounds agg broadcast.
+    pack_attention_efficiency's single-partition stage is the ≤8-row
+    per-group chunk rollup stacked to the 4-row ladder, broadcast-joined
+    back. ann_storage_plan is a 1-row aggregate crossed with a 6-row
+    literal ladder."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+    from haystack_traces_spark.datapipe import stagecache
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "latency_slo_fit": (EQ.q_latency_slo_fit, 0),
+        "ab_cohort_calibration": (EQ.q_ab_cohort_calibration, 0),
+        "corpus_token_growth": (Q.q_corpus_token_growth, 1),
+        "pack_attention_efficiency": (Q.q_pack_attention_efficiency, 1),
+        "ann_storage_plan": (Q.q_ann_storage_plan, 1),
+    }
+    try:
+        with stagecache.plan_view():
+            for name, (fn, max_single) in cases.items():
+                plan = _plan(fn(spark, sf))
+                assert "CartesianProduct" not in plan, name
+                assert plan.count("Exchange SinglePartition") <= max_single, (
+                    name, plan[:1500],
+                )
+                if "BroadcastNestedLoopJoin" in plan:
+                    assert "BroadcastExchange" in plan, (name, plan[:1500])
+    finally:
+        release_materialized()

@@ -2096,3 +2096,65 @@ def test_critical_path_drift_shares_and_totals(spark, sf_dir):
         if r["share_early"] is not None and r["share_late"] is not None:
             want = round(r["share_late"] - r["share_early"], 6)
             assert abs(r["drift"] - want) < 1e-9, (r["drift"], want)
+
+
+def test_latency_slo_fit_exact_rung_pick(spark):
+    """Crafted operations pin the pick rule: the chosen rung is the
+    TIGHTEST with 100*violations <= 5*n (exact integers, never float
+    shares), NULL when even 20 s misses the budget, and the boundary
+    case (exactly 5%) fits."""
+    from haystack_traces_spark.entry_queries import latency_slo_fit_from
+
+    rows = []
+    # op A: 19/20 spans at 900us, 1 at 4ms -> 1/20 = 5% violate 1ms
+    #       (boundary: fits 1ms exactly)
+    rows += [("svc", "a", 900)] * 19 + [("svc", "a", 4_000)]
+    # op B: 10/20 at 30ms -> 50% violate 25ms, 0% violate 50ms -> pick 50ms
+    rows += [("svc", "b", 30_000)] * 10 + [("svc", "b", 1_000)] * 10
+    # op C: 100% at 25s (> every rung) -> NULL slo
+    rows += [("svc", "c", 25_000_000)] * 20
+    # op D: below min-span floor -> absent
+    rows += [("svc", "d", 1)] * 19
+    spans = spark.createDataFrame(
+        [(s, o, d) for s, o, d in rows],
+        "service_name string, operation_name string, duration long",
+    ).selectExpr("service_name", "operation_name", "duration")
+    got = {
+        r["operationname"]: r for r in latency_slo_fit_from(spans).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["slo_us"] == 1_000 and got["a"]["violation_share"] == 0.05
+    assert got["b"]["slo_us"] == 50_000 and got["b"]["violation_share"] == 0.0
+    assert got["c"]["slo_us"] is None and got["c"]["violation_share"] is None
+    assert got["c"]["max_duration_us"] == 25_000_000
+
+
+def test_ab_cohort_calibration_hash_split_is_null_experiment(spark, sf_dir):
+    """On the real corpus the hash split must read as a NULL experiment:
+    every service balanced, |z| < 5 on both readouts (the operator's
+    whole point — a violation means the harness leaks); cohorts verified
+    against the bit-exact python mirror of the assignment hash."""
+    from haystack_traces_spark.datapipe.hashing import hash60_py
+    from haystack_traces_spark.entry_queries import (
+        AB_SEED,
+        q_ab_cohort_calibration,
+        _spans,
+    )
+    import pyspark.sql.functions as F
+
+    rows = q_ab_cohort_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["balanced"] is True, r
+        assert abs(r["z_mean"]) < 5 and abs(r["z_err"]) < 5, r
+    # cohort counts match the python mirror of hash60(trace_id) % 2
+    svc = rows[0]["servicename"]
+    traces = (
+        _spans(spark, sf_dir)
+        .filter(F.lower("service_name") == svc)
+        .select("trace_id")
+        .collect()
+    )
+    n_a = sum(1 for t in traces if hash60_py(t[0], seed=AB_SEED) % 2 == 0)
+    assert rows[0]["n_a"] == n_a
+    assert rows[0]["n_b"] == len(traces) - n_a
