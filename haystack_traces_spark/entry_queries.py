@@ -7801,6 +7801,240 @@ FROM per ORDER BY servicename
     )
 
 
+P99_MIN_SPANS = 100
+P99_Z95 = 1.96
+
+
+def q_p99_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, n_spans, p99_us, ci_lo_us,
+    ci_hi_us, rel_width, measurable): is the p99 you are alerting on
+    even MEASURABLE at this traffic? The p99 order statistic of n
+    samples has a binomial-rank 95% CI (rank ± 1.96·√(n·0.99·0.01));
+    this reports the duration at the p99 rank and at the CI-bound
+    ranks, the relative CI width, and `measurable` — the exact integer
+    gate 2·(hi−lo) ≤ p99 (CI narrower than half the value). Low-traffic
+    operations show rel_width ≫ 1: their p99 alarms are noise, and
+    `sampling_rate_plan`'s budget math should not start from them.
+
+    Cross-engine discipline: ranks are exact integers (p99 rank =
+    ⌈99n/100⌉ via (99n+99) div 100; the CI offset's one float ceil is
+    the packing-curve precedent — identical IEEE ops both faces), the
+    ordering key is (duration, span_id-as-number) so rank→value is
+    deterministic under ties, and `measurable` never compares floats.
+
+    Scale shape: one rank window per (service, operation) — the same
+    partitioning every percentile face here uses — then a 1-row-per-
+    operation conditional-max rollup; nothing global."""
+    return p99_confidence_from(_spans(spark, sf_dir))
+
+
+def p99_confidence_from(spans: DataFrame) -> DataFrame:
+    """Core over any spans frame — split out so crafted tests pin the
+    exact rank/CI arithmetic (house rule 7)."""
+    from pyspark.sql import Window
+
+    spans = spans.filter(
+        (F.col("service_name") != "") & (F.col("operation_name") != "")
+    ).select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        "duration",
+        F.col("span_id").cast("long").alias("sid"),
+    )
+    w = Window.partitionBy("servicename", "operationname").orderBy(
+        "duration", "sid"
+    )
+    wn = Window.partitionBy("servicename", "operationname")
+    ranked = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= P99_MIN_SPANS)
+    )
+    r99 = F.expr("(99 * n + 99) div 100")
+    off = F.ceil(
+        F.lit(P99_Z95) * F.sqrt(F.col("n") * F.lit(0.99) * F.lit(0.01))
+    ).cast("long")
+    ranked = (
+        ranked.withColumn("r99", r99)
+        .withColumn("rlo", F.greatest(F.lit(1), r99 - off))
+        .withColumn("rhi", F.least(F.col("n"), r99 + off))
+    )
+    out = ranked.groupBy("servicename", "operationname").agg(
+        F.max("n").alias("n_spans"),
+        F.max(F.when(F.col("rn") == F.col("r99"), F.col("duration"))).alias(
+            "p99_us"
+        ),
+        F.max(F.when(F.col("rn") == F.col("rlo"), F.col("duration"))).alias(
+            "ci_lo_us"
+        ),
+        F.max(F.when(F.col("rn") == F.col("rhi"), F.col("duration"))).alias(
+            "ci_hi_us"
+        ),
+    )
+    return out.select(
+        "servicename",
+        "operationname",
+        "n_spans",
+        "p99_us",
+        "ci_lo_us",
+        "ci_hi_us",
+        F.round(
+            (F.col("ci_hi_us") - F.col("ci_lo_us"))
+            / F.nullif(F.col("p99_us").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rel_width"),
+        (
+            F.lit(2) * (F.col("ci_hi_us") - F.col("ci_lo_us"))
+            <= F.col("p99_us")
+        ).alias("measurable"),
+    ).orderBy("servicename", "operationname")
+
+
+def sql_p99_confidence() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, ranked AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         duration,
+         ROW_NUMBER() OVER (PARTITION BY lower(service_name), lower(operation_name)
+                            ORDER BY duration, CAST(span_id AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY lower(service_name), lower(operation_name)) AS n
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+),
+marked AS (
+  SELECT *,
+         (99 * n + 99) // 100 AS r99,
+         GREATEST(1, (99 * n + 99) // 100
+                     - CAST(CEIL({P99_Z95} * sqrt(n * 0.99 * 0.01)) AS BIGINT)) AS rlo,
+         LEAST(n, (99 * n + 99) // 100
+                  + CAST(CEIL({P99_Z95} * sqrt(n * 0.99 * 0.01)) AS BIGINT)) AS rhi
+  FROM ranked WHERE n >= {P99_MIN_SPANS}
+),
+agg AS (
+  SELECT servicename, operationname,
+         CAST(MAX(n) AS BIGINT) AS n_spans,
+         MAX(CASE WHEN rn = r99 THEN duration END) AS p99_us,
+         MAX(CASE WHEN rn = rlo THEN duration END) AS ci_lo_us,
+         MAX(CASE WHEN rn = rhi THEN duration END) AS ci_hi_us
+  FROM marked GROUP BY 1, 2
+)
+SELECT servicename, operationname, n_spans, p99_us, ci_lo_us, ci_hi_us,
+       ROUND((ci_hi_us - ci_lo_us) / NULLIF(CAST(p99_us AS DOUBLE), 0.0), 6)
+         AS rel_width,
+       (2 * (ci_hi_us - ci_lo_us) <= p99_us) AS measurable
+FROM agg ORDER BY servicename, operationname
+"""
+    )
+
+
+BURST_MIN_HOURS = 24
+
+
+def q_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, n_hours, total_spans, mean_hourly, fano,
+    burstiness): ARRIVAL-PROCESS dispersion per service — the Fano
+    factor (var/mean of hourly counts over the service's GAP-FILLED
+    hour grid) and the bounded Kim–Jo burstiness (σ−μ)/(σ+μ) ∈ (−1, 1).
+    Fano ≈ 1 is Poisson traffic (autoscalers' default assumption);
+    Fano ≫ 1 is bursty arrivals where mean-based capacity under-
+    provisions — `service_seasonality` finds the PERIODIC component,
+    this measures total over-dispersion whatever its shape. Empty hours
+    are REAL zero observations (a service idle half the day is bursty),
+    hence the fill against the global hour span.
+
+    Cross-engine discipline: moments are exact integer sums over
+    integer hourly counts (Σc in BIGINT, Σc² widened before squaring —
+    the dim_variance_order lesson); fano/burstiness are 6dp doubles
+    derived from those integers through the same expression tree.
+
+    Scale shape: one (service, hour) combinable rollup, a broadcast
+    hour-grid fill (|services| × |hours| rows — the
+    service_error_correlation pattern), one per-service aggregate."""
+    spans = _spans(spark, sf_dir).filter(F.col("service_name") != "")
+    hourly = spans.groupBy(
+        F.lower("service_name").alias("servicename"),
+        (F.col("start_time") - F.col("start_time") % HOUR_US).alias("hour_ts"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = (
+        hourly.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+            ).alias("hour_ts")
+        )
+        .crossJoin(hourly.select("servicename").distinct())
+    )
+    filled = grid.join(hourly, ["servicename", "hour_ts"], "left").select(
+        "servicename", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    per = filled.groupBy("servicename").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(cd * cd).alias("s2"),
+    ).filter(F.col("n_hours") >= BURST_MIN_HOURS)
+    nh = F.col("n_hours").cast("double")
+    mu = F.col("s1") / nh
+    var = F.col("s2").cast("double") / nh - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return per.select(
+        "servicename",
+        "n_hours",
+        F.col("s1").alias("total_spans"),
+        F.round(mu, 6).alias("mean_hourly"),
+        F.round(var / F.nullif(mu, F.lit(0.0)), 6).alias("fano"),
+        F.round((sig - mu) / F.nullif(sig + mu, F.lit(0.0)), 6).alias(
+            "burstiness"
+        ),
+    ).orderBy("servicename")
+
+
+def sql_arrival_burstiness() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hourly AS (
+  SELECT lower(service_name) AS servicename,
+         start_time - start_time % {HOUR_US} AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM spans WHERE service_name <> ''
+  GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly),
+grid AS (
+  SELECT s.servicename, CAST(h AS BIGINT) AS hour_ts
+  FROM (SELECT DISTINCT servicename FROM hourly) s
+  CROSS JOIN bounds, UNNEST(generate_series(lo, hi, {HOUR_US})) t(h)
+),
+filled AS (
+  SELECT g.servicename, COALESCE(c, 0) AS c
+  FROM grid g LEFT JOIN hourly USING (servicename, hour_ts)
+),
+per AS (
+  SELECT servicename,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM filled GROUP BY 1 HAVING COUNT(*) >= {BURST_MIN_HOURS}
+)
+SELECT servicename, n_hours, s1 AS total_spans,
+       ROUND(s1 / CAST(n_hours AS DOUBLE), 6) AS mean_hourly,
+       ROUND((CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+              - (s1 / CAST(n_hours AS DOUBLE)) * (s1 / CAST(n_hours AS DOUBLE)))
+             / NULLIF(s1 / CAST(n_hours AS DOUBLE), 0.0), 6) AS fano,
+       ROUND((sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                            - (s1 / CAST(n_hours AS DOUBLE)) * (s1 / CAST(n_hours AS DOUBLE)), 0.0))
+              - s1 / CAST(n_hours AS DOUBLE))
+             / NULLIF(sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                                    - (s1 / CAST(n_hours AS DOUBLE)) * (s1 / CAST(n_hours AS DOUBLE)), 0.0))
+                      + s1 / CAST(n_hours AS DOUBLE), 0.0), 6) AS burstiness
+FROM per ORDER BY servicename
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -7874,12 +8108,14 @@ _ROTATION_QUEUE = (
     "critical_path_drift",
     "pq_dim_permutation_gain",
     "mix_dedup_shift",
-    # round-10 additions (5 ≤ ~11 budget; sample = 23 core + 16 + 5 = 44):
+    # round-10 additions (7 ≤ ~11 budget; sample = 23 core + 16 + 7 = 46):
     "latency_slo_fit",
     "ab_cohort_calibration",
     "corpus_token_growth",
     "pack_attention_efficiency",
     "ann_storage_plan",
+    "p99_confidence",
+    "arrival_burstiness",
 )
 
 
@@ -8025,6 +8261,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_latency_attribution": q_tail_latency_attribution,
         "latency_slo_fit": q_latency_slo_fit,
         "ab_cohort_calibration": q_ab_cohort_calibration,
+        "p99_confidence": q_p99_confidence,
+        "arrival_burstiness": q_arrival_burstiness,
     }
 
 
@@ -8154,4 +8392,6 @@ def _trace_oracles() -> dict[str, str]:
         "tail_latency_attribution": sql_tail_latency_attribution(),
         "latency_slo_fit": sql_latency_slo_fit(),
         "ab_cohort_calibration": sql_ab_cohort_calibration(),
+        "p99_confidence": sql_p99_confidence(),
+        "arrival_burstiness": sql_arrival_burstiness(),
     }

@@ -863,6 +863,12 @@ def test_round10_operators_have_no_global_bottleneck(spark):
         "corpus_token_growth": (Q.q_corpus_token_growth, 1),
         "pack_attention_efficiency": (Q.q_pack_attention_efficiency, 1),
         "ann_storage_plan": (Q.q_ann_storage_plan, 1),
+        # rank window partitions on (service, operation); rollup on the
+        # same key — zero global exchanges
+        "p99_confidence": (EQ.q_p99_confidence, 0),
+        # 1-row bounds agg + |services|x|hours| grid fill via broadcast
+        # BNLJ (the service_error_correlation hour-grid pattern)
+        "arrival_burstiness": (EQ.q_arrival_burstiness, 1),
     }
     try:
         with stagecache.plan_view():

@@ -2158,3 +2158,45 @@ def test_ab_cohort_calibration_hash_split_is_null_experiment(spark, sf_dir):
     n_a = sum(1 for t in traces if hash60_py(t[0], seed=AB_SEED) % 2 == 0)
     assert rows[0]["n_a"] == n_a
     assert rows[0]["n_b"] == len(traces) - n_a
+
+
+def test_p99_confidence_exact_rank_arithmetic(spark):
+    """Crafted 200-span operation with durations 1..200 pins every rank:
+    p99 rank = ceil(0.99*200) = 198 -> value 198; CI offset =
+    ceil(1.96*sqrt(200*0.0099)) = ceil(2.757) = 3 -> ranks 195/201->200,
+    values 195/200; rel_width = 5/198; measurable since 2*5 <= 198.
+    A 99-span operation sits under the min-span floor and is absent."""
+    from haystack_traces_spark.entry_queries import p99_confidence_from
+
+    rows = [("svc", "big", i + 1, str(i)) for i in range(200)]
+    rows += [("svc", "tiny", 5, str(1000 + i)) for i in range(99)]
+    spans = spark.createDataFrame(
+        rows,
+        "service_name string, operation_name string, duration long, span_id string",
+    )
+    got = {r["operationname"]: r for r in p99_confidence_from(spans).collect()}
+    assert set(got) == {"big"}
+    r = got["big"]
+    assert r["n_spans"] == 200
+    assert r["p99_us"] == 198
+    assert (r["ci_lo_us"], r["ci_hi_us"]) == (195, 200)
+    assert r["rel_width"] == round(5 / 198, 6)
+    assert r["measurable"] is True
+
+
+def test_arrival_burstiness_poisson_vs_bursty(spark, sf_dir):
+    """On the real corpus every service emits a row with exact-moment
+    fano/burstiness; sanity: fano > 0, burstiness in (-1, 1), and the
+    identity burstiness = (sqrt(fano*mu) - mu) / (sqrt(fano*mu) + mu)
+    recomputes from the row's own mean (shared integer moments)."""
+    import math
+
+    from haystack_traces_spark.entry_queries import q_arrival_burstiness
+
+    rows = q_arrival_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["fano"] > 0 and -1 < r["burstiness"] < 1
+        sig = math.sqrt(r["fano"] * r["mean_hourly"])
+        want = (sig - r["mean_hourly"]) / (sig + r["mean_hourly"])
+        assert abs(r["burstiness"] - want) < 1e-4, r
