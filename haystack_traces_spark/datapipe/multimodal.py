@@ -1467,9 +1467,50 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
     cue) are skipped, odd-sized chunks consume their pad byte, and a
     declared chunk size past EOF or a partial trailing frame raises —
     a truncated upload must fail loudly, not yield a short clip."""
-    import struct
-
     import numpy as np
+
+    audio_format, n_ch, rate, bits, block_align, data = _wav_parse(payload)
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = ((v ^ 0x800000) - 0x800000) >> 8  # sign-extend, drop low byte
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+    else:  # audio_format == 3 and bits == 32, per _wav_parse's gate
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        x = np.rint(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
+    return rate, n_ch, bits, len(data) // block_align, x.astype("<i2").tobytes()
+
+
+#: (audio_format, bits) combinations the canonicalizer implements — the
+#: header parse enforces the SAME gate, so a planner that only reads
+#: frame counts still rejects exactly what decode would reject.
+_WAV_SUPPORTED = {(1, 8), (1, 16), (1, 24), (1, 32), (3, 32)}
+
+
+def wav_frame_count(payload: bytes) -> tuple[int, int, int, int]:
+    """Header-only WAV metadata: → (sample_rate, n_channels, bits,
+    n_frames) with decode_wav's full validation (chunk walk, fmt
+    consistency, supported-format gate, whole-frame data length) but
+    WITHOUT touching the sample bytes — O(header), not O(data). The
+    planner-side face: chunk_plan_real reads millions of frame counts
+    per pass and must not pay per-sample numpy canonicalization for a
+    number derivable from the fmt fields (review r10)."""
+    audio_format, n_ch, rate, bits, block_align, data = _wav_parse(payload)
+    return rate, n_ch, bits, len(data) // block_align
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, int, int, int, bytes]:
+    """Shared RIFF/WAVE chunk walk + fmt validation → (audio_format,
+    n_channels, sample_rate, bits, block_align, data_bytes). ONE
+    implementation of every malformed-payload rejection, so the
+    header-only and full-decode paths cannot drift on what they
+    accept."""
+    import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -1493,26 +1534,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
     audio_format, n_ch, rate, _brate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if n_ch < 1 or block_align != n_ch * (bits // 8):
+    # bits=0/align=0 would pass the consistency check (0 == 0) and crash
+    # the modulo below with ZeroDivisionError instead of the promised
+    # loud ValueError (review r10)
+    if n_ch < 1 or bits < 8 or block_align != n_ch * (bits // 8):
         raise ValueError(f"bad WAV fmt: ch={n_ch} align={block_align} bits={bits}")
     if len(data) % block_align:
         raise ValueError(f"partial trailing frame: {len(data)} % {block_align}")
-    if audio_format == 1 and bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
-    elif audio_format == 1 and bits == 8:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128) << 8
-    elif audio_format == 1 and bits == 24:
-        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
-        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        x = ((v ^ 0x800000) - 0x800000) >> 8  # sign-extend, drop low byte
-    elif audio_format == 1 and bits == 32:
-        x = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
-    elif audio_format == 3 and bits == 32:
-        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
-        x = np.rint(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
-    else:
+    if (audio_format, bits) not in _WAV_SUPPORTED:
         raise ValueError(f"unsupported WAV format {audio_format}/{bits}-bit")
-    return rate, n_ch, bits, len(data) // block_align, x.astype("<i2").tobytes()
+    return audio_format, n_ch, rate, bits, block_align, data
 
 
 def encode_wav(pcm16: bytes, sample_rate: int, n_channels: int) -> bytes:
@@ -1794,11 +1825,13 @@ def _chunks_from_feats(feats: DataFrame, chunk_frames: int) -> DataFrame:
 
 def chunk_plan_real(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
     """The audio chunk plan over REAL decoded frame counts (round 10):
-    WAV payloads go through :func:`decode_wav` in a mapInPandas batch —
-    n_frames is the true sample-frame count, not the md5 stub — then the
-    SAME chunk arithmetic as :func:`chunk_plan`. This is the end-to-end
-    shape an ASR batching stage runs: decode headers once, plan fixed
-    sample-count work items, fetch payload bytes only inside each item.
+    WAV headers go through :func:`wav_frame_count` in a mapInPandas
+    batch — n_frames is the true sample-frame count, not the md5 stub,
+    validated by the same parse decode_wav uses but WITHOUT per-sample
+    canonicalization — then the SAME chunk arithmetic as
+    :func:`chunk_plan`. This is the end-to-end shape an ASR batching
+    stage runs: decode headers once, plan fixed sample-count work
+    items, fetch payload bytes only inside each item.
 
     Scale shape: identical to extract_features — Arrow batches of
     (payload, type) through Python with bounded batch size; the plan
@@ -1808,7 +1841,9 @@ def chunk_plan_real(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                _rate, _ch, _bits, n_frames, _pcm = decode_wav(bytes(r.payload))
+                # header-only: frame count needs fmt fields + data length,
+                # never the per-sample canonicalization (review r10)
+                _rate, _ch, _bits, n_frames = wav_frame_count(bytes(r.payload))
                 out.append(
                     {
                         "doc_id": r.doc_id,

@@ -9659,9 +9659,11 @@ def q_pack_attention_efficiency(spark, sf_dir):
 
 
 def sql_pack_attention_efficiency() -> str:
-    from haystack_traces_spark.datapipe.hashing import hash60_sql
+    # grouped CTE comes from corpus.sql_pack_grouped — the ONE mirror of
+    # the packing seed/group-count/token rule (review r10: a hand-inlined
+    # copy here could silently drift from the packing the pipeline ships)
+    from haystack_traces_spark.datapipe import corpus as C
 
-    g = f"{hash60_sql('CAST(doc_id AS VARCHAR)', seed='pack:')} % {PACK_GROUPS}"
     lad = ", ".join(f"({L})" for L in PACK_CONTEXTS)
     chunk_curve = "\n  UNION ALL ".join(
         f"SELECT {L} AS context_len, SUM(CAST(CEIL(tg * 1.0 / {L}) AS BIGINT))"
@@ -9670,9 +9672,7 @@ def sql_pack_attention_efficiency() -> str:
     )
     return f"""
 WITH grouped AS (
-  SELECT doc_id, {g} AS pack_group,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
+  {C.sql_pack_grouped(PACK_GROUPS)}
 ),
 cums AS (
   -- CAST: window SUM widens to HUGEINT, which generate_series rejects
@@ -9785,8 +9785,7 @@ def sql_ann_storage_plan() -> str:
     return f"""
 WITH dims AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         CAST(MAX(len(embedding)) AS BIGINT) AS dim,
-         CAST(COUNT(*) AS BIGINT) AS n
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim
   FROM embeddings
 ),
 lad AS (

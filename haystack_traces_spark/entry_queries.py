@@ -7700,9 +7700,15 @@ def q_ab_cohort_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE combinable (service) aggregate with per-cohort
     conditional columns — the cohort never becomes a join or a second
     scan; output = |services| rows."""
+    return ab_cohort_calibration_from(_spans(spark, sf_dir))
+
+
+def ab_cohort_calibration_from(spans: DataFrame) -> DataFrame:
+    """Core over any spans frame — split out so crafted tests pin the
+    degenerate cases (constant-duration cohorts, clamp rule)."""
     from haystack_traces_spark.datapipe.hashing import hash60
 
-    spans = _spans(spark, sf_dir).filter(F.col("service_name") != "")
+    spans = spans.filter(F.col("service_name") != "")
     a = (F.pmod(hash60(F.col("trace_id"), seed=AB_SEED), F.lit(2)) == 0)
     err = (_errorcode() >= ERROR_THRESHOLD).cast("long")
     dd = F.col("duration").cast("decimal(38,0)")
@@ -7722,8 +7728,12 @@ def q_ab_cohort_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ma, mb = F.col("s_a") / na, F.col("s_b") / nb
-    va = F.col("ss_a").cast("double") / na - ma * ma
-    vb = F.col("ss_b").cast("double") / nb - mb * mb
+    # GREATEST-clamp: ss/n - m*m goes fractionally NEGATIVE in float64 for
+    # near-constant cohorts (duration heaping is real in this corpus) --
+    # unclamped, Spark emits NaN while DuckDB ABORTS on sqrt(negative)
+    # (review r10; same clamp as arrival_burstiness / drift verdicts)
+    va = F.greatest(F.col("ss_a").cast("double") / na - ma * ma, F.lit(0.0))
+    vb = F.greatest(F.col("ss_b").cast("double") / nb - mb * mb, F.lit(0.0))
     z_mean = (ma - mb) / F.nullif(
         F.sqrt(va / na + vb / nb), F.lit(0.0)
     )
@@ -7785,10 +7795,10 @@ SELECT servicename, n_a, n_b,
        ROUND(e_a / CAST(n_a AS DOUBLE), 6) AS err_rate_a,
        ROUND(e_b / CAST(n_b AS DOUBLE), 6) AS err_rate_b,
        ROUND((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
-             / NULLIF(sqrt((CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                            - (s_a / CAST(n_a AS DOUBLE)) * (s_a / CAST(n_a AS DOUBLE))) / CAST(n_a AS DOUBLE)
-                           + (CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-                              - (s_b / CAST(n_b AS DOUBLE)) * (s_b / CAST(n_b AS DOUBLE))) / CAST(n_b AS DOUBLE)), 0.0), 6)
+             / NULLIF(sqrt(GREATEST(CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                    - (s_a / CAST(n_a AS DOUBLE)) * (s_a / CAST(n_a AS DOUBLE)), 0.0) / CAST(n_a AS DOUBLE)
+                           + GREATEST(CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                                      - (s_b / CAST(n_b AS DOUBLE)) * (s_b / CAST(n_b AS DOUBLE)), 0.0) / CAST(n_b AS DOUBLE)), 0.0), 6)
          AS z_mean,
        ROUND((e_a / CAST(n_a AS DOUBLE) - e_b / CAST(n_b AS DOUBLE))
              / NULLIF(sqrt(((e_a + e_b) / CAST(n_a + n_b AS DOUBLE))

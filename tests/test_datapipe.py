@@ -4028,3 +4028,30 @@ def test_ann_storage_plan_closed_form(spark, sf_dir):
         assert r["corpus_mb"] == round(n * bpv / 1e6, 6), v
         assert r["scan_mb_per_query"] == round(n * bpv * share / 1e6, 6), v
         assert r["corpus_gb_100x"] == round(n * bpv * 100 / 1e9, 6), v
+
+
+def test_wav_header_only_parse_matches_decode_and_rejects_zero_bits():
+    """Review r10: (a) a malformed fmt with bits=0/align=0 passed the
+    consistency check (0 == 0) and crashed with ZeroDivisionError — now
+    a loud ValueError; (b) wav_frame_count returns decode_wav's exact
+    metadata without per-sample canonicalization, through the SAME
+    shared parse (one implementation of every rejection)."""
+    import struct
+
+    pcm = struct.pack("<8h", *range(8))
+    payload = M.encode_wav(pcm, 16000, 2)
+    assert M.wav_frame_count(payload) == M.decode_wav(payload)[:4]
+    bad = bytearray(payload)
+    bad[32] = 0  # block_align = 0
+    bad[34] = 0  # bits = 0 -> 0 == 2*0 passes the old consistency check
+    with pytest.raises(ValueError, match="bad WAV fmt"):
+        M.wav_frame_count(bytes(bad))
+    with pytest.raises(ValueError, match="bad WAV fmt"):
+        M.decode_wav(bytes(bad))
+    # unsupported combos rejected identically on the header-only path
+    law = bytearray(payload)
+    law[20] = 7  # mu-law
+    law[34] = 8
+    law[32] = 2
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        M.wav_frame_count(bytes(law))

@@ -2200,3 +2200,34 @@ def test_arrival_burstiness_poisson_vs_bursty(spark, sf_dir):
         sig = math.sqrt(r["fano"] * r["mean_hourly"])
         want = (sig - r["mean_hourly"]) / (sig + r["mean_hourly"])
         assert abs(r["burstiness"] - want) < 1e-4, r
+
+
+def test_ab_cohort_constant_durations_yield_null_z_not_nan(spark):
+    """Review r10: near-constant cohorts make ss/n - m*m fractionally
+    NEGATIVE in float64 — unclamped, Spark emitted NaN z_mean and the
+    DuckDB oracle ABORTED on sqrt(negative). Both faces now GREATEST-
+    clamp; exactly-constant cohorts pin the limiting case: variance 0 →
+    z_mean NULL (never NaN), z_err NULL when no errors differ."""
+    import math
+
+    from haystack_traces_spark.entry_queries import ab_cohort_calibration_from
+
+    spans = spark.createDataFrame(
+        [("svc", str(t), 17_922_960, 0) for t in range(100)],
+        "service_name string, trace_id string, duration long, _k long",
+    ).selectExpr(
+        "service_name", "trace_id", "duration",
+        "CAST(array(struct('errorcode' AS key, 'LONG' AS vtype, "
+        "CAST(NULL AS STRING) AS vstr, _k AS vlong, CAST(NULL AS DOUBLE) AS vdouble, "
+        "CAST(NULL AS BOOLEAN) AS vbool, CAST(NULL AS BINARY) AS vbytes)) "
+        "AS array<struct<key:string,vtype:string,vstr:string,vlong:bigint,"
+        "vdouble:double,vbool:boolean,vbytes:binary>>) AS tags",
+    )
+    rows = ab_cohort_calibration_from(spans).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["z_mean"] is None  # clamped 0 variance -> NULLIF -> NULL
+    assert r["z_err"] is None  # both error rates 0 -> pooled p = 0
+    assert r["mean_a_us"] == r["mean_b_us"] == 17_922_960
+    for v in (r["err_rate_a"], r["err_rate_b"]):
+        assert v == 0.0 and not math.isnan(v)
