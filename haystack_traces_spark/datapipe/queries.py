@@ -9619,9 +9619,13 @@ def q_pack_attention_efficiency(spark, sf_dir):
         F.sum(F.col("piece") * F.col("piece")).alias("sum_sq"),
         F.sum((F.col("piece") == F.col("n_tokens")).cast("long")).alias("n_full"),
     )
+    # group totals from the WINDOWED base (last row's cum + n_tokens ==
+    # the group total; zero-token docs contribute 0 either way), so both
+    # branches share one scan+window subtree instead of re-scanning
+    # documents for a plain re-aggregate (review r10)
     chunks = (
-        grouped.groupBy("pack_group")
-        .agg(F.sum("n_tokens").alias("tg"))
+        base.groupBy("pack_group")
+        .agg(F.max(F.col("cum") + F.col("n_tokens")).alias("tg"))
         .agg(
             *[
                 F.sum(F.ceil(F.col("tg") / L_)).cast("long").alias(f"c{L_}")
@@ -9751,14 +9755,15 @@ def q_ann_storage_plan(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.max(F.size("embedding")).cast("long").alias("dim"),
     )
+    variants = _ann_storage_variants("dim")
     rows = ", ".join(
         f"'{name}', CAST({formula} AS BIGINT), CAST({share} AS DOUBLE)"
-        for name, formula, share in _ann_storage_variants("dim")
+        for name, formula, share in variants
     )
     lad = dims.select(
         "n_vecs",
         F.expr(
-            f"stack({len(_ann_storage_variants('dim'))}, {rows}) "
+            f"stack({len(variants)}, {rows}) "
             "AS (variant, bytes_per_vec, scan_share)"
         ),
     )
