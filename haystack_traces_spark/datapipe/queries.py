@@ -5492,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_growth": q_corpus_token_growth,
         "pack_attention_efficiency": q_pack_attention_efficiency,
         "ann_storage_plan": q_ann_storage_plan,
+        "recency_mix_plan": q_recency_mix_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5639,6 +5640,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_growth": sql_corpus_token_growth(),
         "pack_attention_efficiency": sql_pack_attention_efficiency(),
         "ann_storage_plan": sql_ann_storage_plan(),
+        "recency_mix_plan": sql_recency_mix_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -9804,4 +9806,124 @@ SELECT variant, bytes_per_vec,
          AS corpus_gb_100x
 FROM lad CROSS JOIN dims d
 ORDER BY variant
+"""
+
+
+RECENCY_HALFLIVES_H = (2, 6, 24)
+_MINUTE_US = 60_000_000
+
+
+def q_recency_mix_plan(spark, sf_dir):
+    """→ (half_life_h, source, n_docs, n_tokens, uniform_share,
+    recency_share, share_shift): the FRESHNESS-WEIGHTING plan — per
+    source, the token share it would receive under exponential recency
+    weighting (w = 0.5^(age/half_life), age from the corpus's newest
+    doc) across a half-life ladder, beside its uniform share. Recency
+    sampling is the standard counter to a stale crawl mix; this table
+    is the knob's consequence sheet: a source whose share_shift
+    collapses at short half-lives is an archival feed the weighted mix
+    would starve, one that swells delivers disproportionately fresh
+    tokens. Complements `mix_temperature_sweep` (size temperature) and
+    `corpus_token_growth` (arrival rate) — same event-time hash, third
+    axis of the mix decision.
+
+    Cross-engine discipline: ages QUANTIZE to minutes before the pow
+    (Java Math.pow and C pow may differ in the last ulp — quantizing
+    leaves ≤ minutes-per-span distinct exponents instead of one per
+    doc, making a micro-rounding boundary flip astronomically unlikely
+    instead of expected at corpus scale), then w rounds to integer
+    MICRO-units per doc so every sum is exact BIGINT (the r6
+    order-independence rule — float sums drift with partition order).
+    Shares are 6dp doubles from those integers.
+
+    Scale shape: map-only weighting (1-row max-ts aggregate broadcast
+    onto the scan), one (ladder × source) combinable rollup, a window
+    over the ≤|ladder|·|sources| aggregate — never doc-sized after the
+    rollup."""
+    from haystack_traces_spark.datapipe.hashing import hash60
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "source",
+        F.pmod(
+            hash60(F.col("doc_id").cast("string"), seed="evt:"),
+            F.lit(NEARDUP_EVT_SPAN),
+        ).alias("evt_ts"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    mx = docs.agg(F.max("evt_ts").alias("mx"))
+    lad = F.explode(
+        F.array(*[F.lit(h).cast("long") for h in RECENCY_HALFLIVES_H])
+    ).alias("half_life_h")
+    base = (
+        docs.crossJoin(F.broadcast(mx))
+        .withColumn("age_min", F.expr(f"(mx - evt_ts) div {_MINUTE_US}"))
+        .select("source", "n_toks", "age_min", lad)
+        .withColumn(
+            "w_micro",
+            F.round(
+                F.pow(
+                    F.lit(0.5),
+                    F.col("age_min") / (F.col("half_life_h") * F.lit(60.0)),
+                )
+                * F.lit(1_000_000)
+            ).cast("long"),
+        )
+    )
+    per = base.groupBy("half_life_h", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.col("n_toks") * F.col("w_micro")).alias("mass"),
+    )
+    wl = Window.partitionBy("half_life_h")
+    uni = F.col("n_tokens") / F.sum("n_tokens").over(wl)
+    rec = F.col("mass") / F.sum("mass").over(wl)
+    return per.select(
+        "half_life_h",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(uni, 6).alias("uniform_share"),
+        F.round(rec, 6).alias("recency_share"),
+        F.round(rec - uni, 6).alias("share_shift"),
+    ).orderBy("half_life_h", "source")
+
+
+def sql_recency_mix_plan() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    evt = hash60_sql("CAST(doc_id AS VARCHAR)", seed="evt:")
+    lad = ", ".join(f"({h})" for h in RECENCY_HALFLIVES_H)
+    return f"""
+WITH d AS (
+  SELECT source,
+         CAST({evt} % {NEARDUP_EVT_SPAN} AS BIGINT) AS evt_ts,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents WHERE text IS NOT NULL
+),
+mx AS (SELECT MAX(evt_ts) AS mx FROM d),
+base AS (
+  SELECT d.source, d.n_toks, l.half_life_h,
+         CAST(ROUND(POWER(0.5, ((mx.mx - d.evt_ts) // {_MINUTE_US})
+                                / (l.half_life_h * 60.0)) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM d CROSS JOIN mx
+  CROSS JOIN (SELECT * FROM (VALUES {lad}) v(half_life_h)) l
+),
+per AS (
+  SELECT half_life_h, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_toks * w_micro) AS BIGINT) AS mass
+  FROM base GROUP BY 1, 2
+)
+SELECT CAST(half_life_h AS BIGINT) AS half_life_h, source, n_docs, n_tokens,
+       ROUND(n_tokens / CAST(SUM(n_tokens) OVER (PARTITION BY half_life_h)
+                             AS DOUBLE), 6) AS uniform_share,
+       ROUND(mass / CAST(SUM(mass) OVER (PARTITION BY half_life_h)
+                         AS DOUBLE), 6) AS recency_share,
+       ROUND(mass / CAST(SUM(mass) OVER (PARTITION BY half_life_h) AS DOUBLE)
+             - n_tokens / CAST(SUM(n_tokens) OVER (PARTITION BY half_life_h)
+                               AS DOUBLE), 6) AS share_shift
+FROM per ORDER BY half_life_h, source
 """

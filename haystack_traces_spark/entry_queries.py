@@ -8118,7 +8118,7 @@ _ROTATION_QUEUE = (
     "critical_path_drift",
     "pq_dim_permutation_gain",
     "mix_dedup_shift",
-    # round-10 additions (7 ≤ ~11 budget; sample = 23 core + 16 + 7 = 46):
+    # round-10 additions (8 ≤ ~11 budget; sample = 23 core + 16 + 8 = 47):
     "latency_slo_fit",
     "ab_cohort_calibration",
     "corpus_token_growth",
@@ -8126,6 +8126,7 @@ _ROTATION_QUEUE = (
     "ann_storage_plan",
     "p99_confidence",
     "arrival_burstiness",
+    "recency_mix_plan",
 )
 
 

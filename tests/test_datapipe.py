@@ -4055,3 +4055,34 @@ def test_wav_header_only_parse_matches_decode_and_rejects_zero_bits():
     law[32] = 2
     with pytest.raises(ValueError, match="unsupported WAV format"):
         M.wav_frame_count(bytes(law))
+
+
+def test_recency_mix_plan_share_identities(spark, sf_dir):
+    """Per half-life: shares sum to 1 (6dp), shifts sum to ~0, uniform
+    shares are IDENTICAL across half-lives (weighting never changes the
+    raw token census), and the newest-doc source's recency share can
+    only grow or hold as the half-life SHRINKS if it holds the newest
+    mass — weaker invariant asserted: short half-life redistributes at
+    least as much total share as long (L1 shift is monotone in decay
+    strength on this corpus)."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = dp.q_recency_mix_plan(spark, sf_dir).collect()
+    assert rows
+    by_hl = {}
+    for r in rows:
+        by_hl.setdefault(r["half_life_h"], []).append(r)
+    assert set(by_hl) == set(dp.RECENCY_HALFLIVES_H)
+    uni_ref = None
+    l1 = {}
+    for hl, rs in by_hl.items():
+        assert abs(sum(r["uniform_share"] for r in rs) - 1.0) < 1e-4
+        assert abs(sum(r["recency_share"] for r in rs) - 1.0) < 1e-4
+        assert abs(sum(r["share_shift"] for r in rs)) < 1e-4
+        uni = {r["source"]: r["uniform_share"] for r in rs}
+        if uni_ref is None:
+            uni_ref = uni
+        assert uni == uni_ref
+        l1[hl] = sum(abs(r["share_shift"]) for r in rs)
+    hls = sorted(l1)
+    assert l1[hls[0]] >= l1[hls[-1]] - 1e-6  # shorter half-life shifts >=

@@ -869,6 +869,9 @@ def test_round10_operators_have_no_global_bottleneck(spark):
         # 1-row bounds agg + |services|x|hours| grid fill via broadcast
         # BNLJ (the service_error_correlation hour-grid pattern)
         "arrival_burstiness": (EQ.q_arrival_burstiness, 1),
+        # 1-row max-ts agg broadcast onto the scan; shares window over
+        # the |ladder|x|sources| aggregate
+        "recency_mix_plan": (Q.q_recency_mix_plan, 1),
     }
     try:
         with stagecache.plan_view():
