@@ -5493,6 +5493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_attention_efficiency": q_pack_attention_efficiency,
         "ann_storage_plan": q_ann_storage_plan,
         "recency_mix_plan": q_recency_mix_plan,
+        "quality_threshold_sweep": q_quality_threshold_sweep,
+        "shingle_size_plan": q_shingle_size_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5641,6 +5643,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_attention_efficiency": sql_pack_attention_efficiency(),
         "ann_storage_plan": sql_ann_storage_plan(),
         "recency_mix_plan": sql_recency_mix_plan(),
+        "quality_threshold_sweep": sql_quality_threshold_sweep(),
+        "shingle_size_plan": sql_shingle_size_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -9926,4 +9930,208 @@ SELECT CAST(half_life_h AS BIGINT) AS half_life_h, source, n_docs, n_tokens,
              - n_tokens / CAST(SUM(n_tokens) OVER (PARTITION BY half_life_h)
                                AS DOUBLE), 6) AS share_shift
 FROM per ORDER BY half_life_h, source
+"""
+
+
+QUALITY_CUTOFF_PCTS = (30, 40, 50, 60, 70, 80)
+
+
+def q_quality_threshold_sweep(spark, sf_dir):
+    """→ (cutoff_pct, n_kept, doc_share, token_share, mean_score_kept):
+    the quality-classifier CUTOFF consequence table — for each candidate
+    score threshold, how many docs and what token mass survive, and how
+    clean the survivors are. `quality_classifier` ships keep = score ≥
+    0.5 as a point decision and `dedup_threshold_sweep` tunes the
+    JACCARD knob; this is the same tuning face for the quality knob: the
+    yield-vs-purity frontier a data lead reads before burning a 100 TB
+    filter pass at the wrong operating point.
+
+    Cross-engine discipline: every keep decision is the EXACT integer
+    gate score_micro ≥ pct·10⁴ on the 6dp-rounded score both faces
+    already share (never a float threshold compare), and kept-score
+    means divide exact micro sums.
+
+    Scale shape: ONE map-only scoring scan carrying the 6 cutoff
+    counters as parallel conditional columns into a single 1-row
+    aggregate — no per-cutoff re-scan, no shuffle bigger than the
+    ladder."""
+    from haystack_traces_spark.datapipe.text import quality_classifier
+
+    scored = quality_classifier(
+        _docs(spark, sf_dir), keep_cols=("n_tokens",)
+    ).select(
+        F.round(F.col("score") * 1_000_000).cast("long").alias("s_micro"),
+        F.col("n_tokens").cast("long").alias("n_toks"),
+    )
+    keeps = {p: F.col("s_micro") >= F.lit(p * 10_000) for p in QUALITY_CUTOFF_PCTS}
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").alias("tot_toks"),
+        *[F.sum(k.cast("long")).alias(f"k{p}") for p, k in keeps.items()],
+        *[
+            F.sum(F.when(k, F.col("n_toks")).otherwise(0)).alias(f"t{p}")
+            for p, k in keeps.items()
+        ],
+        *[
+            F.sum(F.when(k, F.col("s_micro")).otherwise(0)).alias(f"m{p}")
+            for p, k in keeps.items()
+        ],
+    )
+    rows = ", ".join(
+        f"{p}L, k{p}, t{p}, m{p}" for p in QUALITY_CUTOFF_PCTS
+    )
+    return (
+        tot.select(
+            "n_docs",
+            "tot_toks",
+            F.expr(
+                f"stack({len(QUALITY_CUTOFF_PCTS)}, {rows}) "
+                "AS (cutoff_pct, n_kept, toks_kept, micro_kept)"
+            ),
+        )
+        .select(
+            "cutoff_pct",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("doc_share"),
+            F.round(F.col("toks_kept") / F.col("tot_toks"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.col("micro_kept")
+                / (F.nullif(F.col("n_kept").cast("double"), F.lit(0.0)) * 1e6),
+                6,
+            ).alias("mean_score_kept"),
+        )
+        .orderBy("cutoff_pct")
+    )
+
+
+def sql_quality_threshold_sweep() -> str:
+    from haystack_traces_spark.datapipe.text import QUALITY_WEIGHTS as W
+
+    z = (
+        f"({W['intercept']} + stopword_ratio * {W['stopword_ratio']} "
+        f"+ ttr * {W['ttr']} + digit_ratio * {W['digit_ratio']} "
+        f"+ punct_ratio * {W['punct_ratio']} "
+        f"+ ln(1 + n_tokens) * {W['log1p_tokens']})"
+    )
+    counters = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN s_micro >= {p * 10_000} THEN 1 ELSE 0 END) AS BIGINT) AS k{p},\n"
+        f"         CAST(SUM(CASE WHEN s_micro >= {p * 10_000} THEN n_toks ELSE 0 END) AS BIGINT) AS t{p},\n"
+        f"         CAST(SUM(CASE WHEN s_micro >= {p * 10_000} THEN s_micro ELSE 0 END) AS BIGINT) AS m{p}"
+        for p in QUALITY_CUTOFF_PCTS
+    )
+    curve = "\n  UNION ALL ".join(
+        f"SELECT {p} AS cutoff_pct, k{p} AS n_kept, t{p} AS toks_kept,"
+        f" m{p} AS micro_kept, n_docs, tot_toks FROM tot"
+        for p in QUALITY_CUTOFF_PCTS
+    )
+    return f"""
+WITH scored AS (
+  SELECT CAST(ROUND(ROUND(1.0 / (1.0 + exp(-{z})), 6) * 1000000) AS BIGINT)
+           AS s_micro,
+         n_tokens AS n_toks
+  FROM ({sql_text_stats()})
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS tot_toks,
+         {counters}
+  FROM scored
+),
+curve AS (
+  {curve}
+)
+SELECT CAST(cutoff_pct AS BIGINT) AS cutoff_pct, n_kept,
+       ROUND(n_kept / CAST(n_docs AS DOUBLE), 6) AS doc_share,
+       ROUND(toks_kept / CAST(tot_toks AS DOUBLE), 6) AS token_share,
+       ROUND(micro_kept / (NULLIF(CAST(n_kept AS DOUBLE), 0.0) * 1000000.0), 6)
+         AS mean_score_kept
+FROM curve ORDER BY cutoff_pct
+"""
+
+
+SHINGLE_N_LADDER = (2, 3, 5)
+
+
+def q_shingle_size_plan(spark, sf_dir):
+    """→ (shingle_n, vocabulary, occurrences, mean_per_doc, max_df,
+    pair_mass, collision_ppm): the SHINGLE-SIZE knob table — the same
+    cost-model statistics `shingle_df_profile` reports for the shipped
+    n=3, swept across the n ladder. Small n inflates document frequency
+    (common bigrams everywhere), and since every shingle-joined
+    candidate generator's output is Σ df·(df−1)/2 (pair_mass), the
+    ladder shows exactly how much candidate volume — and background
+    collision probability (collision_ppm = pair doc-pairs sharing a
+    shingle per million) — each step of n buys down, against the recall
+    a bigger n gives up on short docs. The "which n before the 100 TB
+    dedup pass" row.
+
+    All integer arithmetic (df·(df−1) div 2 sums, ppm by exact integer
+    division); mean_per_doc is the one 6dp double, from exact counts.
+
+    Scale shape: one distinct-shingle explode + one shingle-keyed
+    combinable aggregate per ladder rung (the jaccard stage's own
+    shape), each collapsing to a 1-row rollup — never a pair join."""
+    from haystack_traces_spark.datapipe.dedup import shingle_rows
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # bounded driver scalar (house-allowed class)
+    denom = n_docs * (n_docs - 1) if n_docs > 1 else 1
+    out = None
+    for sn in SHINGLE_N_LADDER:
+        df_tab = shingle_rows(docs, n=sn).groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        one = df_tab.agg(
+            F.lit(sn).cast("long").alias("shingle_n"),
+            F.count(F.lit(1)).cast("long").alias("vocabulary"),
+            F.sum("df").alias("occurrences"),
+            F.max("df").alias("max_df"),
+            F.sum(F.expr("df * (df - 1) div 2")).alias("pair_mass"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.select(
+        "shingle_n",
+        "vocabulary",
+        "occurrences",
+        F.round(F.col("occurrences") / F.lit(float(n_docs)), 6).alias(
+            "mean_per_doc"
+        ),
+        "max_df",
+        "pair_mass",
+        F.expr(f"(2 * pair_mass * 1000000) div {denom}").alias(
+            "collision_ppm"
+        ),
+    ).orderBy("shingle_n")
+
+
+def sql_shingle_size_plan() -> str:
+    from haystack_traces_spark.datapipe.hashing import word_shingles_sql
+
+    arms = []
+    for sn in SHINGLE_N_LADDER:
+        arms.append(
+            f"""SELECT {sn} AS shingle_n,
+       CAST(COUNT(*) AS BIGINT) AS vocabulary,
+       CAST(SUM(df) AS BIGINT) AS occurrences,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+      FROM ({word_shingles_sql('text', sn)}) GROUP BY s)"""
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+per AS (
+  {union}
+)
+SELECT CAST(shingle_n AS BIGINT) AS shingle_n, vocabulary, occurrences,
+       ROUND(occurrences / CAST(n_docs AS DOUBLE), 6) AS mean_per_doc,
+       max_df, pair_mass,
+       CAST((2 * pair_mass * 1000000)
+            // (CASE WHEN n_docs > 1 THEN n_docs * (n_docs - 1) ELSE 1 END)
+            AS BIGINT) AS collision_ppm
+FROM per CROSS JOIN nd
+ORDER BY shingle_n
 """

@@ -88,8 +88,10 @@ QUALITY_WEIGHTS = {
 }
 
 
-def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ (doc_id, score, keep): logistic quality score from the
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
+    """→ (doc_id, score, keep[, *keep_cols]): logistic quality score from the
     :func:`text_stats` features with fixed literal weights
     (``QUALITY_WEIGHTS``) — the shape of a fasttext/linear quality
     classifier (CCNet, Brown et al. 2020 WebText filter) without a model
@@ -113,6 +115,9 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
+        # text_stats feature passthroughs (e.g. n_tokens) — map-only, so
+        # carrying them beats a re-join for callers that weight by tokens
+        *keep_cols,
     )
 
 

@@ -8118,7 +8118,7 @@ _ROTATION_QUEUE = (
     "critical_path_drift",
     "pq_dim_permutation_gain",
     "mix_dedup_shift",
-    # round-10 additions (8 ≤ ~11 budget; sample = 23 core + 16 + 8 = 47):
+    # round-10 additions (10 ≤ ~11 budget; sample = 23 core + 16 + 10 = 49):
     "latency_slo_fit",
     "ab_cohort_calibration",
     "corpus_token_growth",
@@ -8127,6 +8127,8 @@ _ROTATION_QUEUE = (
     "p99_confidence",
     "arrival_burstiness",
     "recency_mix_plan",
+    "quality_threshold_sweep",
+    "shingle_size_plan",
 )
 
 

@@ -4086,3 +4086,53 @@ def test_recency_mix_plan_share_identities(spark, sf_dir):
         l1[hl] = sum(abs(r["share_shift"]) for r in rs)
     hls = sorted(l1)
     assert l1[hls[0]] >= l1[hls[-1]] - 1e-6  # shorter half-life shifts >=
+
+
+def test_quality_threshold_sweep_monotone_and_exact_gate(spark, sf_dir):
+    """Cutoff curve invariants: kept counts/shares/token shares are
+    NON-INCREASING in the cutoff, mean kept score is NON-DECREASING
+    (raising the bar can only clean the survivors), and the 50-row
+    reconciles exactly with quality_classifier's shipped keep count
+    (same integer micro gate)."""
+    from haystack_traces_spark.datapipe import queries as dp
+    from haystack_traces_spark.datapipe.text import quality_classifier
+
+    rows = sorted(
+        dp.q_quality_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["cutoff_pct"],
+    )
+    assert [r["cutoff_pct"] for r in rows] == list(dp.QUALITY_CUTOFF_PCTS)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_kept"] >= b["n_kept"]
+        assert a["doc_share"] >= b["doc_share"]
+        assert a["token_share"] >= b["token_share"]
+        if a["n_kept"] and b["n_kept"]:
+            assert a["mean_score_kept"] <= b["mean_score_kept"] + 1e-6
+    shipped_keep = (
+        quality_classifier(dp._docs(spark, sf_dir))
+        .filter("keep")
+        .count()
+    )
+    at50 = next(r for r in rows if r["cutoff_pct"] == 50)
+    assert at50["n_kept"] == shipped_keep
+
+
+def test_shingle_size_plan_ladder_invariants(spark, sf_dir):
+    """Bigger shingles are rarer: document frequency concentration —
+    max_df, pair_mass, and collision_ppm — is NON-INCREASING in n, and
+    the n=3 row's pair_mass reconciles exactly with shingle_df_profile's
+    own total (one cost model, two views)."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = {r["shingle_n"]: r for r in dp.q_shingle_size_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(dp.SHINGLE_N_LADDER)
+    ns = sorted(rows)
+    for a, b in zip(ns, ns[1:]):
+        assert rows[a]["max_df"] >= rows[b]["max_df"]
+        assert rows[a]["pair_mass"] >= rows[b]["pair_mass"]
+        assert rows[a]["collision_ppm"] >= rows[b]["collision_ppm"]
+    profile_mass = sum(
+        r["pair_mass"]
+        for r in dp.q_shingle_df_profile(spark, sf_dir).collect()
+    )
+    assert rows[3]["pair_mass"] == profile_mass

@@ -872,6 +872,10 @@ def test_round10_operators_have_no_global_bottleneck(spark):
         # 1-row max-ts agg broadcast onto the scan; shares window over
         # the |ladder|x|sources| aggregate
         "recency_mix_plan": (Q.q_recency_mix_plan, 1),
+        # one map-only scoring scan into a 1-row ladder aggregate
+        "quality_threshold_sweep": (Q.q_quality_threshold_sweep, 1),
+        # one 1-row rollup per ladder rung (3 rungs), each bounded
+        "shingle_size_plan": (Q.q_shingle_size_plan, 3),
     }
     try:
         with stagecache.plan_view():
