@@ -2458,3 +2458,67 @@ def test_quality_drift_event_backfill_equals_batch(spark, tmp_path):
     assert by_key[("books", 3000)][6] is False
     # hours 0-1 never reach min_prior=10 prior docs -> gated out
     assert ("web", 0) not in by_key and ("books", 0) not in by_key
+
+
+def test_quality_drift_gate_routes_late_and_emits_once(spark, tmp_path):
+    """Direct process_batch drive of EventTimeQualityDrift: an hour's
+    verdict is emitted exactly once (in the batch whose watermark passes
+    the hour end), a later arrival for an already-final hour is routed
+    to late/ and the verdict table is unchanged, and moments split
+    across deliveries of the SAME hour merge exactly (associative
+    integer moments)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.streaming.neardup_stream import read_verdicts
+    from haystack_traces_spark.streaming.quality_stream import (
+        EventTimeQualityDrift,
+    )
+
+    gate = EventTimeQualityDrift(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        delay_us=100, hour_us=1000, min_prior=5, z_threshold=3.0,
+    )
+    schema = "doc_id long, ts long, text string, source string"
+    texts = [
+        "the quick brown fox jumps over a lazy dog",
+        "a different clean sentence with several plain words here",
+        "many other tokens keep variance strictly positive now",
+    ]
+
+    def rows(hour, ids):
+        return [
+            (i, hour * 1000 + (i % 7) * 100 + 1, texts[i % 3] + f" t{i}", "web")
+            for i in ids
+        ]
+
+    # hour 0 split across TWO deliveries; nothing final yet (w < 999).
+    # Doc 7's ts (1) sits below batch 0's watermark (301 - 100) when it
+    # arrives in batch 1 -> CROSS-BATCH late routing, admitted docs = 7
+    gate.process_batch(spark.createDataFrame(rows(0, range(4)), schema), 0)
+    gate.process_batch(spark.createDataFrame(rows(0, range(4, 8)), schema), 1)
+    assert read_verdicts(spark, str(tmp_path / "out")).count() == 0
+
+    # hour 1 arrivals push the watermark past hour 0's end -> hour 0 is
+    # final but has no prior -> still no verdict rows; hour 2 arrivals
+    # finalize hour 1, whose prior (hour 0: 8 docs) passes min_prior=5
+    gate.process_batch(spark.createDataFrame(rows(1, range(10, 18)), schema), 2)
+    gate.process_batch(spark.createDataFrame(rows(2, range(20, 26)), schema), 3)
+    v = read_verdicts(spark, str(tmp_path / "out")).collect()
+    assert [(r["source"], r["hour_ts"], r["n_docs"]) for r in v] == [
+        ("web", 1000, 8)
+    ]
+
+    # a straggler for the FINAL hour 0 must late-route, not mutate state
+    gate.process_batch(
+        spark.createDataFrame([(99, 5, texts[0], "web")], schema), 4
+    )
+    late = spark.read.parquet(str(tmp_path / "out" / "late"))
+    assert sorted((r["doc_id"], r["ts"]) for r in late.collect()) == [
+        (7, 1),   # the cross-batch straggler from delivery 1
+        (99, 5),  # the post-verdict straggler
+    ]
+    v2 = read_verdicts(spark, str(tmp_path / "out")).collect()
+    assert sorted(map(tuple, v2)) == sorted(map(tuple, v))
+    # neither straggler entered the moment log (7 + 8 + 6 admitted docs)
+    moments = spark.read.parquet(str(tmp_path / "state" / "moments"))
+    assert moments.agg(F.sum("n_docs")).first()[0] == 7 + 8 + 6
