@@ -65,28 +65,117 @@ from haystack_traces_spark.sources.spans import build_trace_store  # noqa: E402
 #: codegen runs); only the RATIO matters, so the constant never needs
 #: re-tuning unless the calibration workload changes.
 CALIBRATION_REF_SEC = 0.34
-_CALIBRATION_RUNS = 5
 _CALIBRATION_DIR = "/root/testdata/sf0.1"
+#: VERDICT r10 ask #1: a SINGLE start-of-run probe mis-normalizes under
+#: time-varying load (driver r10 capture: probe ran in a quiet 0.289 s
+#: moment, mid-run lines hit load spikes → value_normalized came out 39%
+#: ABOVE the builder's same-code number). Probe every ~60 timed lines
+#: instead; each line is normalized by the MEAN of its two bracketing
+#: probes, so a mid-run load era scales the lines that actually ran in it.
+_PROBE_EVERY_LINES = 60
 
 
-def _run_calibration(spark) -> float:
-    """Fixed-cost box-speed probe: full lineitem scan + hash aggregate.
-    Reads the PINNED sf0.1 copy regardless of SPARK_GRAFT_SF_DIR so the
-    workload is identical across rounds; min-of-3 discards scheduler
-    noise while staying load-sensitive (the point is to measure the box)."""
-    path = f"{_CALIBRATION_DIR}/lineitem.parquet"
-    if not os.path.exists(path):
-        return 0.0
-    runs = []
-    for _ in range(_CALIBRATION_RUNS):
+class Calibrator:
+    """Interleaved box-speed probes: fixed sf0.1 lineitem scan + 2-key
+    hash-agg, identical workload every probe and every round. The first
+    probe runs 5 reps and takes the warm floor min(runs[2:]) — the plan's
+    own Janino codegen (~1.8 s) pays into reps 1-2; later probes are warm
+    and take min-of-3. Probe wall time is tracked so it can be excluded
+    from the headline value (it measures the host, not the engine)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.probes: list[float] = []
+        self.overhead = 0.0
+        self._path = f"{_CALIBRATION_DIR}/lineitem.parquet"
+        self.enabled = os.path.exists(self._path)
+
+    def probe(self) -> float:
+        if not self.enabled:
+            return 0.0
         t0 = time.perf_counter()
-        spark.read.parquet(path).groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
-        ).collect()
-        runs.append(time.perf_counter() - t0)
-    # the first run pays this plan's own Janino codegen (~1.8 s measured)
-    # and it lingers into the second; the box probe is the warm floor
-    return min(runs[2:])
+        n_runs, skip = (5, 2) if not self.probes else (3, 0)
+        runs = []
+        for _ in range(n_runs):
+            t = time.perf_counter()
+            self.spark.read.parquet(self._path).groupBy(
+                "l_returnflag", "l_linestatus"
+            ).agg(
+                F.sum("l_quantity"), F.sum("l_extendedprice"), F.count(F.lit(1))
+            ).collect()
+            runs.append(time.perf_counter() - t)
+        val = min(runs[skip:])
+        self.probes.append(val)
+        self.overhead += time.perf_counter() - t0
+        return val
+
+    def ratio_for_section(self, section: int) -> float:
+        """Normalization ratio for lines recorded in section k (after
+        probe k-1, before probe k): REF / mean(bracketing probes)."""
+        if not self.probes:
+            return 1.0
+        lo = self.probes[min(max(section - 1, 0), len(self.probes) - 1)]
+        hi = self.probes[min(section, len(self.probes) - 1)]
+        return CALIBRATION_REF_SEC / ((lo + hi) / 2.0)
+
+    def median_ratio(self) -> float:
+        if not self.probes:
+            return 1.0
+        s = sorted(self.probes)
+        mid = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        return CALIBRATION_REF_SEC / mid
+
+    def spread(self) -> float | None:
+        if not self.probes:
+            return None
+        return round(max(self.probes) / min(self.probes), 3)
+
+
+def detect_regressions(
+    current: dict[str, float],
+    history: list[dict[str, float]],
+    factor: float = 2.0,
+    floor: float = 0.75,
+) -> list[str]:
+    """VERDICT r10 ask #2: per-line bench regression gate. A line regresses
+    when its NORMALIZED time exceeds `factor` x the median of the last
+    (up to 3) committed rounds' normalized times for the same line, and is
+    at least `floor` seconds absolute (sub-second lines swing on scheduler
+    noise, not plans). Lines need >=2 history observations — a debut line
+    has no baseline. Pure function so the synthetic-slowdown test can pin
+    detection without Spark."""
+    recent = history[-3:]
+    out = []
+    for name, sec in current.items():
+        if name.startswith("stage:") or sec < floor:
+            continue
+        obs = [h[name] for h in recent if name in h]
+        if len(obs) < 2:
+            continue
+        obs.sort()
+        med = obs[len(obs) // 2] if len(obs) % 2 else (obs[len(obs) // 2 - 1] + obs[len(obs) // 2]) / 2
+        if med > 0 and sec > factor * med:
+            out.append(name)
+    return sorted(out)
+
+
+def load_history(path: Path) -> list[dict[str, float]]:
+    """Read bench_history.jsonl (one normalized per-line map per committed
+    sf0.1 capture). Malformed lines are skipped — the gate degrades to
+    'no baseline', never crashes the bench."""
+    hist = []
+    try:
+        for line in path.read_text().splitlines():
+            try:
+                e = json.loads(line)
+                q = e.get("queries_normalized")
+                if isinstance(q, dict):
+                    hist.append({k: float(v) for k, v in q.items()})
+            except (ValueError, TypeError):
+                continue
+    except OSError:
+        pass
+    return hist
 
 
 def main() -> None:
@@ -96,6 +185,8 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="haystack_bench_")
     times: dict[str, float] = {}
+    sections: dict[str, int] = {}
+    cal = Calibrator(spark)
     t_all = time.perf_counter()
     try:
         # Untimed per-query (still inside the end-to-end total): one tiny
@@ -135,11 +226,11 @@ def main() -> None:
         _wspans.unpersist()
         times["stage:ingest_codegen"] = time.perf_counter() - t0
 
-        # box-speed probe AFTER the JVM warmup (it measures the host, not
-        # class loading); its own ledger line, excluded from `value`
-        t0 = time.perf_counter()
-        times["stage:calibration"] = _run_calibration(spark)
-        cal_probe_wall = time.perf_counter() - t0
+        # first box-speed probe AFTER the JVM warmup (it measures the host,
+        # not class loading); further probes interleave every ~60 timed
+        # lines inside timed() below. All probe wall time is excluded from
+        # `value` via cal.overhead.
+        cal.probe()
 
         # ---- write path: ingest events -> trace_store + trace_index ----
         t0 = time.perf_counter()
@@ -156,10 +247,18 @@ def main() -> None:
         trace_store = spark.read.parquet(f"{tmp}/trace_store")
         trace_index = spark.read.parquet(f"{tmp}/trace_index")
 
+        lines_since_probe = 0
+
         def timed(name, fn):
+            nonlocal lines_since_probe
             t = time.perf_counter()
             n = fn()
             times[name] = time.perf_counter() - t
+            sections[name] = len(cal.probes)
+            lines_since_probe += 1
+            if lines_since_probe >= _PROBE_EVERY_LINES:
+                cal.probe()
+                lines_since_probe = 0
             return n
 
         expr = ExpressionTree(
@@ -243,6 +342,9 @@ def main() -> None:
         # long-lived service would run with. Per-query release would
         # recompute those tables up to 10x (measured on dp_dedup_minhash_lsh).
         release_materialized()
+        # section-boundary probe: the datapipe block starts a fresh load era
+        cal.probe()
+        lines_since_probe = 0
 
         # datapipe operators (added as implemented). Session-cached
         # composite stages are forced FIRST as their own stage:<name>
@@ -261,6 +363,8 @@ def main() -> None:
         except ImportError:
             pass
         release_materialized()
+        # closing probe so the last section has a trailing bracket
+        cal.probe()
 
         wall = time.perf_counter() - t_all
         # VERDICT r8 ask #4: stage:ingest_codegen is one-time Janino
@@ -272,21 +376,36 @@ def main() -> None:
         # headline value so round-over-round totals compare engine
         # work; wall_sec keeps the raw end-to-end number.
         codegen = times.get("stage:ingest_codegen", 0.0)
-        cal = times.get("stage:calibration", 0.0)
-        # calibration cost (~2 s incl. its 3 runs) is overhead of the
-        # probe itself, not engine work — exclude it like codegen
-        total = wall - codegen - cal_probe_wall
-        norm = round(total * (CALIBRATION_REF_SEC / cal), 3) if cal > 0 else None
+        # probe cost (~1-2 s each, all reps) is overhead of the probes
+        # themselves, not engine work — exclude it like codegen
+        total = wall - codegen - cal.overhead
+        # Per-section normalization: each line scaled by the mean of its
+        # two bracketing probes; untimed slack (inter-line driver overhead,
+        # not attributable to a section) scaled by the median probe ratio.
+        norm = None
+        norm_lines: dict[str, float] = {}
+        if cal.probes:
+            for k, v in times.items():
+                if k == "stage:ingest_codegen":
+                    continue
+                norm_lines[k] = v * cal.ratio_for_section(sections.get(k, 1))
+            slack = max(0.0, total - sum(times[k] for k in norm_lines))
+            norm = round(sum(norm_lines.values()) + slack * cal.median_ratio(), 3)
+        hist_path = Path(__file__).resolve().parent / "bench_history.jsonl"
+        regressed = detect_regressions(norm_lines, load_history(hist_path)) if norm_lines else []
         full = {
             "metric": "haystack_traces_spark end-to-end (build+query)",
             "value": round(total, 3),
             "unit": "sec",
             "value_normalized": norm,
-            "calibration_sec": round(cal, 3),
+            "calibration_probes": [round(p, 3) for p in cal.probes],
+            "calibration_spread": cal.spread(),
             "calibration_ref_sec": CALIBRATION_REF_SEC,
+            "regressed_lines": regressed,
             "wall_sec": round(wall, 3),
             "codegen_sec": round(codegen, 3),
             "queries": {k: round(v, 3) for k, v in times.items()},
+            "queries_normalized": {k: round(v, 3) for k, v in norm_lines.items()},
             "n_queries": len(times),
             "sf": sf,
         }
@@ -317,7 +436,9 @@ def main() -> None:
             "value": full["value"],
             "unit": "sec",
             "value_normalized": full["value_normalized"],
-            "calibration_sec": full["calibration_sec"],
+            "calibration_probes": full["calibration_probes"],
+            "calibration_spread": full["calibration_spread"],
+            "regressed_lines": regressed,
             "wall_sec": full["wall_sec"],
             "codegen_sec": full["codegen_sec"],
             "queries": {k: round(times[k], 3) for k in headline if k in times},
@@ -325,6 +446,19 @@ def main() -> None:
             "sf": sf,
         }
         print(json.dumps(summary, separators=(",", ":")))
+        # append this capture to the git-tracked per-line history (the
+        # regression gate's baseline) — only full sf0.1 captures qualify;
+        # local sf0.01 iteration runs would poison the medians
+        if sf == 0.1 and norm_lines:
+            try:
+                with open(hist_path, "a") as f:
+                    f.write(json.dumps({
+                        "value_normalized": norm,
+                        "calibration_spread": cal.spread(),
+                        "queries_normalized": {k: round(v, 3) for k, v in norm_lines.items()},
+                    }, separators=(",", ":")) + "\n")
+            except OSError:
+                pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
