@@ -1552,6 +1552,10 @@ def encode_wav(pcm16: bytes, sample_rate: int, n_channels: int) -> bytes:
     scope is the canonical depth only; decode accepts the wider ladder."""
     import struct
 
+    # mirror _wav_parse's fmt gate (ADVICE r10): ch=0 was a
+    # ZeroDivisionError below and rate<1 wrote a nonsense header silently
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"bad WAV encode fmt: ch={n_channels} rate={sample_rate}")
     if len(pcm16) % (2 * n_channels):
         raise ValueError("pcm16 length not a whole number of frames")
     block = 2 * n_channels
@@ -1835,15 +1839,26 @@ def chunk_plan_real(media: DataFrame, chunk_frames: int = 100) -> DataFrame:
 
     Scale shape: identical to extract_features — Arrow batches of
     (payload, type) through Python with bounded batch size; the plan
-    output is rows-per-chunk, never payload-sized."""
+    output is rows-per-chunk, never payload-sized.
+
+    Non-WAV audio payloads (mp3/flac/ogg — decode_real's documented codec
+    seam) are EXCLUDED from the plan, gated on the same RIFF/WAVE magic
+    decode_real routes on: a real frame count for compressed audio needs
+    the codec library this environment lacks, and one such row must not
+    crash the whole job with a worker-side ValueError (ADVICE r10). A
+    malformed payload that CLAIMS to be RIFF/WAVE still fails loudly via
+    wav_frame_count's full validation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    continue  # codec seam: compressed audio has no real frame count here
                 # header-only: frame count needs fmt fields + data length,
                 # never the per-sample canonicalization (review r10)
-                _rate, _ch, _bits, n_frames = wav_frame_count(bytes(r.payload))
+                _rate, _ch, _bits, n_frames = wav_frame_count(payload)
                 out.append(
                     {
                         "doc_id": r.doc_id,

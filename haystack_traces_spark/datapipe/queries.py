@@ -10054,6 +10054,17 @@ FROM curve ORDER BY cutoff_pct
 SHINGLE_N_LADDER = (2, 3, 5)
 
 
+def collision_ppm_expr(denom: int):
+    """collision_ppm = (2 * pair_mass * 1e6) div denom with pair_mass
+    widened to DECIMAL(38,0) BEFORE the multiply (ADVICE r10): at
+    million-doc scale a common-bigram pair_mass ~4.6e12 puts the product
+    past int64 — an ANSI abort on Spark, out-of-range on DuckDB. The
+    oracle face mirrors with HUGEINT; `div` returns BIGINT on both."""
+    return F.expr(
+        f"(2 * CAST(pair_mass AS DECIMAL(38,0)) * 1000000) div {denom}"
+    )
+
+
 def q_shingle_size_plan(spark, sf_dir):
     """→ (shingle_n, vocabulary, occurrences, mean_per_doc, max_df,
     pair_mass, collision_ppm): the SHINGLE-SIZE knob table — the same
@@ -10100,9 +10111,7 @@ def q_shingle_size_plan(spark, sf_dir):
         ),
         "max_df",
         "pair_mass",
-        F.expr(f"(2 * pair_mass * 1000000) div {denom}").alias(
-            "collision_ppm"
-        ),
+        collision_ppm_expr(denom).alias("collision_ppm"),
     ).orderBy("shingle_n")
 
 
@@ -10129,7 +10138,7 @@ per AS (
 SELECT CAST(shingle_n AS BIGINT) AS shingle_n, vocabulary, occurrences,
        ROUND(occurrences / CAST(n_docs AS DOUBLE), 6) AS mean_per_doc,
        max_df, pair_mass,
-       CAST((2 * pair_mass * 1000000)
+       CAST((2 * CAST(pair_mass AS HUGEINT) * 1000000)
             // (CASE WHEN n_docs > 1 THEN n_docs * (n_docs - 1) ELSE 1 END)
             AS BIGINT) AS collision_ppm
 FROM per CROSS JOIN nd

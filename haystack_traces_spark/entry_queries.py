@@ -7815,7 +7815,9 @@ P99_MIN_SPANS = 100
 P99_Z95 = 1.96
 
 
-def q_p99_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_p99_confidence(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """→ (servicename, operationname, n_spans, p99_us, ci_lo_us,
     ci_hi_us, rel_width, measurable): is the p99 you are alerting on
     even MEASURABLE at this traffic? The p99 order statistic of n
@@ -7834,11 +7836,27 @@ def q_p99_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one rank window per (service, operation) — the same
     partitioning every percentile face here uses — then a 1-row-per-
-    operation conditional-max rollup; nothing global."""
-    return p99_confidence_from(_spans(spark, sf_dir))
+    operation conditional-max rollup; nothing global. ``approx=True``
+    is the 100 TB face (VERDICT r10 ask #3): a hot operation makes the
+    exact per-key sort the dominant cost, so the approx path swaps the
+    rank window for ONE mergeable `percentile_approx` sketch per group
+    evaluated on a fixed 0.1%-step quantile grid, and snaps the exact
+    integer CI ranks (the same r99/rlo/rhi arithmetic) onto that grid —
+    no window, no per-key sort, map-side combinable like the
+    `service_latency_percentiles`/`ppl_buckets` siblings."""
+    return p99_confidence_from(_spans(spark, sf_dir), approx=approx)
 
 
-def p99_confidence_from(spans: DataFrame) -> DataFrame:
+#: approx-face quantile grid: 0.950..0.999 in 0.1% steps. CI ranks land
+#: in (0.95, 1] for every n >= P99_MIN_SPANS (at n=100 the offset is 2
+#: ranks -> q >= 0.97; the offset quantile shrinks as 1/sqrt(n)), so the
+#: grid brackets every reachable bound; indices clamp at the edges.
+P99_GRID = tuple(round(0.95 + i * 0.001, 3) for i in range(50))
+
+
+def p99_confidence_from(
+    spans: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
     """Core over any spans frame — split out so crafted tests pin the
     exact rank/CI arithmetic (house rule 7)."""
     from pyspark.sql import Window
@@ -7851,6 +7869,63 @@ def p99_confidence_from(spans: DataFrame) -> DataFrame:
         "duration",
         F.col("span_id").cast("long").alias("sid"),
     )
+    if approx:
+        grid_sql = ", ".join(str(q) for q in P99_GRID)
+        agg = (
+            spans.groupBy("servicename", "operationname")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.expr(
+                    f"percentile_approx(duration, array({grid_sql}), {accuracy})"
+                ).alias("qv"),
+            )
+            .filter(F.col("n") >= P99_MIN_SPANS)
+        )
+        r99 = F.expr("(99 * n + 99) div 100")
+        off = F.ceil(
+            F.lit(P99_Z95) * F.sqrt(F.col("n") * F.lit(0.99) * F.lit(0.01))
+        ).cast("long")
+        agg = (
+            agg.withColumn("r99", r99)
+            .withColumn("rlo", F.greatest(F.lit(1), r99 - off))
+            .withColumn("rhi", F.least(F.col("n"), r99 + off))
+        )
+
+        def snap(rank_col):
+            # rank r of n -> quantile r/n -> nearest grid rung (1-based)
+            idx = F.round(
+                (rank_col / F.col("n") - F.lit(0.95)) * F.lit(1000.0)
+            ).cast("int")
+            return F.element_at(
+                "qv", F.least(F.lit(len(P99_GRID) - 1), F.greatest(F.lit(0), idx)) + 1
+            )
+
+        out = agg.select(
+            "servicename",
+            "operationname",
+            F.col("n").alias("n_spans"),
+            snap(F.col("r99")).alias("p99_us"),
+            snap(F.col("rlo")).alias("ci_lo_us"),
+            snap(F.col("rhi")).alias("ci_hi_us"),
+        )
+        return out.select(
+            "servicename",
+            "operationname",
+            "n_spans",
+            "p99_us",
+            "ci_lo_us",
+            "ci_hi_us",
+            F.round(
+                (F.col("ci_hi_us") - F.col("ci_lo_us"))
+                / F.nullif(F.col("p99_us").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("rel_width"),
+            (
+                F.lit(2) * (F.col("ci_hi_us") - F.col("ci_lo_us"))
+                <= F.col("p99_us")
+            ).alias("measurable"),
+        ).orderBy("servicename", "operationname")
+
     w = Window.partitionBy("servicename", "operationname").orderBy(
         "duration", "sid"
     )

@@ -205,55 +205,42 @@ class QualityDriftIngest:
         return writer.start()
 
 
-class EventTimeQualityDrift:
-    """foreachBatch EVENT-TIME quality-drift gate (VERDICT r9 ask #6).
+class EventTimeHourGate:
+    """Shared machinery of every EVENT-TIME hour-bucketed foreachBatch
+    gate (extracted from EventTimeQualityDrift for VERDICT r10 ask #6 —
+    rule 19: ONE implementation of the dedup / late-routing / watermark /
+    single-shot-emission mechanics).
 
-    Input rows: (doc_id long, ts long, text string, source string). Docs
-    bucket into event-time hours; per-(source, hour) integer micro-unit
-    quality moments accumulate in a batch-keyed OVERWRITE moment log
-    (at-least-once replay rewrites the first run's files bit-for-bit —
-    the bloom/neardup-gate idempotence pattern), and an hour's verdict is
-    emitted exactly once: in the batch whose watermark (max seen ts −
-    delay) first passes the hour's END. At that point the hour AND every
-    earlier hour are final — a later arrival for any of them would sit at
-    or below the previous watermark and is late-routed to ``<out>/late``
-    instead (observable, never silently folded into a verdicted
-    baseline) — so the emitted rows are a pure function of the data and
-    equal the `quality_drift_windows` batch face exactly under ANY
-    batching of the same corpus (pinned by the backfill==batch test).
+    Contract: rows arrive with at least (doc_id long, ts long) plus the
+    subclass's payload columns (``_INPUT_COLS``). Per batch the gate
+    (1) drops redelivered doc_ids against the admitted log, (2) routes
+    rows at or below the PREVIOUS watermark to ``<out>/late`` (observable,
+    never folded into a finalized hour), (3) appends the subclass's
+    per-hour moment rows to a batch-keyed OVERWRITE moment log
+    (at-least-once replay rewrites the first run's files bit-for-bit),
+    and (4) emits the subclass's verdict for every hour whose END the new
+    watermark (max admitted ts − delay) passed since the previous batch —
+    exactly once, and only when final, so emitted rows are a pure
+    function of the data under ANY batching (each gate pins this with a
+    backfill==batch test).
 
-    State bound: one docs row per admitted doc (redelivery anti-join; the
-    same bound every event-time gate here carries) plus one moment row
-    per (source, hour, delivering batch) — hours × sources × batches,
-    never corpus-sized, and moment rows are associative sums so offline
-    compaction to one row per (source, hour) is lossless if ever needed.
+    State bound: one docs row per admitted doc plus one moment row per
+    (hour, subclass keys, delivering batch) — never corpus-sized; moment
+    rows are associative sums, so offline compaction is lossless.
 
-    Cites the reference's monitoring surface only by analogy — this gate
-    is part of the LLM-datapipe extension, not a reference port."""
+    Subclasses define ``_INPUT_COLS``, ``_MOMENT_SCHEMA``,
+    ``moment_rows(new)`` (per-hour associative sums including a
+    ``hour_ts`` column; the backfill flush tick is already excluded) and
+    ``verdict_rows(final_moments)`` (pure function of the moment rows)."""
 
-    def __init__(
-        self,
-        state_dir: str,
-        out_dir: str,
-        delay_us: int,
-        hour_us: int | None = None,
-        min_prior: int | None = None,
-        z_threshold: float | None = None,
-    ):
-        # policy constants shared with the batch/oracle face (lazy import:
-        # queries.py imports this module's shared core)
-        from haystack_traces_spark.datapipe.queries import (
-            DRIFT_HOUR_US,
-            DRIFT_MIN_PRIOR,
-            DRIFT_Z,
-        )
+    _INPUT_COLS: tuple = ()
+    _MOMENT_SCHEMA: str = ""
 
+    def __init__(self, state_dir: str, out_dir: str, delay_us: int, hour_us: int):
         self.state_dir = state_dir.rstrip("/")
         self.out_dir = out_dir.rstrip("/")
         self.delay_us = int(delay_us)
-        self.hour_us = int(hour_us if hour_us is not None else DRIFT_HOUR_US)
-        self.min_prior = min_prior if min_prior is not None else DRIFT_MIN_PRIOR
-        self.z_threshold = z_threshold if z_threshold is not None else DRIFT_Z
+        self.hour_us = int(hour_us)
 
     def _log(self, spark, sub: str, schema: str, upto_incl: int) -> DataFrame:
         from haystack_traces_spark.streaming.ingest import (
@@ -266,16 +253,20 @@ class EventTimeQualityDrift:
         assert "batch_id" in df.columns, f"{self.state_dir}/{sub}: no batch_id"
         return df.filter(F.col("batch_id") <= upto_incl)
 
-    _MOMENT_SCHEMA = (
-        "source string, hour_ts long, n_docs long, s_micro long, ss_micro long"
-    )
-
     def _hour_end(self, hour_col):
         # last representable ts inside the hour (integer event-time units)
         return hour_col + F.lit(self.hour_us - 1)
 
+    def _hour_col(self):
+        return (F.col("ts") - F.col("ts") % self.hour_us).alias("hour_ts")
+
+    def moment_rows(self, new: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def verdict_rows(self, final_moments: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
-        from haystack_traces_spark.datapipe.text import text_stats
         from haystack_traces_spark.streaming.neardup_stream import (
             BACKFILL_FLUSH_DOC_ID,
         )
@@ -285,7 +276,7 @@ class EventTimeQualityDrift:
             spark, "docs", "doc_id long, ts long", batch_id - 1
         )
         new = (
-            docs.select("doc_id", "ts", "text", "source")
+            docs.select("doc_id", "ts", *self._INPUT_COLS)
             .dropDuplicates(["doc_id"])
             .join(prior_docs.select("doc_id"), "doc_id", "left_anti")
         )
@@ -300,21 +291,9 @@ class EventTimeQualityDrift:
         new = new.persist()
 
         # the backfill flush tick advances the watermark but must never
-        # contribute a quality observation
-        scored = text_stats(
-            new.filter(F.col("doc_id") != BACKFILL_FLUSH_DOC_ID),
-            extra_cols=("source", "ts"),
-        ).select(
-            "source",
-            (F.col("ts") - F.col("ts") % self.hour_us).alias("hour_ts"),
-            F.round(F.col("quality_score") * 1_000_000)
-            .cast("long")
-            .alias("q_micro"),
-        )
-        scored.groupBy("source", "hour_ts").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("q_micro").alias("s_micro"),
-            F.sum(F.col("q_micro") * F.col("q_micro")).alias("ss_micro"),
+        # contribute an observation
+        self.moment_rows(
+            new.filter(F.col("doc_id") != BACKFILL_FLUSH_DOC_ID)
         ).write.mode("overwrite").parquet(
             f"{self.state_dir}/moments/batch_id={batch_id}"
         )
@@ -333,9 +312,7 @@ class EventTimeQualityDrift:
         # ones the watermark passed since the previous batch (w monotone,
         # so "emitted before" == "final at the previous watermark")
         final = moments.filter(self._hour_end(F.col("hour_ts")) <= F.lit(w))
-        verdicts = drift_verdicts_from_moments(
-            final, self.min_prior, self.z_threshold
-        )
+        verdicts = self.verdict_rows(final)
         if w_prev is not None:
             verdicts = verdicts.filter(
                 self._hour_end(F.col("hour_ts")) > F.lit(w_prev)
@@ -351,3 +328,70 @@ class EventTimeQualityDrift:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class EventTimeQualityDrift(EventTimeHourGate):
+    """foreachBatch EVENT-TIME quality-drift gate (VERDICT r9 ask #6).
+
+    Input rows: (doc_id long, ts long, text string, source string). Docs
+    bucket into event-time hours; per-(source, hour) integer micro-unit
+    quality moments accumulate in the base class's batch-keyed moment
+    log, and an hour's drift verdict (vs the cumulative moments of
+    strictly earlier hours) is emitted exactly once when the watermark
+    passes the hour's end — equal to the `quality_drift_windows` batch
+    face under ANY batching (pinned by the backfill==batch test).
+
+    Cites the reference's monitoring surface only by analogy — this gate
+    is part of the LLM-datapipe extension, not a reference port."""
+
+    _INPUT_COLS = ("text", "source")
+    _MOMENT_SCHEMA = (
+        "source string, hour_ts long, n_docs long, s_micro long, ss_micro long"
+    )
+
+    def __init__(
+        self,
+        state_dir: str,
+        out_dir: str,
+        delay_us: int,
+        hour_us: int | None = None,
+        min_prior: int | None = None,
+        z_threshold: float | None = None,
+    ):
+        # policy constants shared with the batch/oracle face (lazy import:
+        # queries.py imports this module's shared core)
+        from haystack_traces_spark.datapipe.queries import (
+            DRIFT_HOUR_US,
+            DRIFT_MIN_PRIOR,
+            DRIFT_Z,
+        )
+
+        super().__init__(
+            state_dir,
+            out_dir,
+            delay_us,
+            hour_us if hour_us is not None else DRIFT_HOUR_US,
+        )
+        self.min_prior = min_prior if min_prior is not None else DRIFT_MIN_PRIOR
+        self.z_threshold = z_threshold if z_threshold is not None else DRIFT_Z
+
+    def moment_rows(self, new: DataFrame) -> DataFrame:
+        from haystack_traces_spark.datapipe.text import text_stats
+
+        scored = text_stats(new, extra_cols=("source", "ts")).select(
+            "source",
+            self._hour_col(),
+            F.round(F.col("quality_score") * 1_000_000)
+            .cast("long")
+            .alias("q_micro"),
+        )
+        return scored.groupBy("source", "hour_ts").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("q_micro").alias("s_micro"),
+            F.sum(F.col("q_micro") * F.col("q_micro")).alias("ss_micro"),
+        )
+
+    def verdict_rows(self, final_moments: DataFrame) -> DataFrame:
+        return drift_verdicts_from_moments(
+            final_moments, self.min_prior, self.z_threshold
+        )

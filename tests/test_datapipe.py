@@ -3922,6 +3922,11 @@ class TestWavDecode:
                 (1, "audio", bytearray(mk(250)), 0),
                 (2, "audio", bytearray(mk(100)), 0),
                 (3, "image", bytearray(b"P5\n1 1\n255\n\x00"), 0),
+                # compressed audio (mp3 frame sync / flac magic): the codec
+                # seam — must be EXCLUDED from the real plan, not crash the
+                # job with a worker-side ValueError (ADVICE r10)
+                (4, "audio", bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 32), 0),
+                (5, "audio", bytearray(b"fLaC" + b"\x00" * 16), 0),
             ],
             M.MEDIA_SCHEMA,
         )
@@ -3933,6 +3938,99 @@ class TestWavDecode:
         assert set(rows) == {(1, 0), (1, 1), (1, 2), (2, 0)}
         assert (rows[(1, 2)]["start_frame"], rows[(1, 2)]["end_frame"]) == (200, 249)
         assert (rows[(2, 0)]["start_frame"], rows[(2, 0)]["end_frame"]) == (0, 99)
+
+    def test_chunk_plan_real_malformed_riff_still_fails_loudly(self, spark):
+        # claims RIFF/WAVE but truncated: full validation must still raise
+        # (the magic gate excludes OTHER formats, not broken WAVs)
+        import struct
+
+        good = M.encode_wav(struct.pack("<2h", 1, 2), 8000, 1)
+        media = spark.createDataFrame(
+            [(1, "audio", bytearray(good[:-1]), 0)], M.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="truncated"):
+            M.chunk_plan_real(media).collect()
+
+    def test_wav_round_trip_property(self):
+        """VERDICT r10 ask #7: hypothesis fuzz of the encode→decode seam.
+        For the canonical 16-bit path decode(encode(x)) == x EXACTLY at
+        random rate/channels/frames; for the wider depth ladder (8/24/
+        32-bit int, float32) a crafted container at random samples must
+        canonicalize to the independently-computed int16 value — the
+        24-bit sign-extend/pack path is fuzzed, not just pinned. Float32
+        agrees within 1 LSB of plain round-to-nearest (rint is
+        half-even; both are within 1 of truncation-free scaling)."""
+        import struct
+
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def container(fmt_code, n_ch, rate, bits, data):
+            block = n_ch * bits // 8
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, fmt_code, n_ch, rate,
+                              rate * block, block, bits)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            rate=st.integers(1, 192000),
+            n_ch=st.integers(1, 8),
+            frames=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        )
+        def pcm16_round_trip(rate, n_ch, frames):
+            samples = frames * n_ch  # whole frames
+            pcm = struct.pack(f"<{len(samples)}h", *samples)
+            rate2, ch2, bits2, nf2, pcm2 = M.decode_wav(M.encode_wav(pcm, rate, n_ch))
+            assert (rate2, ch2, bits2, nf2) == (rate, n_ch, 16, len(frames))
+            assert pcm2 == pcm
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            bits=st.sampled_from([8, 24, 32]),
+            vals=st.lists(st.integers(0, (1 << 32) - 1), min_size=1, max_size=32),
+        )
+        def int_ladder_canonicalizes(bits, vals):
+            raw = b"".join(v.to_bytes(bits // 8, "little") for v in (x % (1 << bits) for x in vals))
+            _, _, _, nf, pcm = M.decode_wav(container(1, 1, 8000, bits, raw))
+            got = np.frombuffer(pcm, "<i2").tolist()
+            want = []
+            for v in (x % (1 << bits) for x in vals):
+                if bits == 8:
+                    want.append((v - 128) << 8)
+                else:
+                    signed = v - (1 << bits) if v >= (1 << (bits - 1)) else v
+                    want.append(signed >> (bits - 16))
+            assert nf == len(vals) and got == want
+
+        @settings(max_examples=150, deadline=None)
+        @given(vals=st.lists(st.floats(-4.0, 4.0, allow_nan=False), min_size=1, max_size=32))
+        def float32_within_one_lsb(vals):
+            raw = struct.pack(f"<{len(vals)}f", *vals)
+            _, _, _, _, pcm = M.decode_wav(container(3, 1, 8000, 32, raw))
+            got = np.frombuffer(pcm, "<i2").tolist()
+            f32 = struct.unpack(f"<{len(vals)}f", raw)  # post-f32-quantization values
+            for g, v in zip(got, f32):
+                want = max(-1.0, min(1.0, v)) * 32767.0
+                assert abs(g - want) <= 1.0
+
+        pcm16_round_trip()
+        int_ladder_canonicalizes()
+        float32_within_one_lsb()
+
+    def test_encode_wav_rejects_degenerate_fmt(self):
+        # ADVICE r10: ch=0 was ZeroDivisionError; rate=0 wrote a nonsense
+        # header silently — both must be the loud ValueError _wav_parse
+        # promises for the same bug class
+        with pytest.raises(ValueError, match="bad WAV encode fmt"):
+            M.encode_wav(b"\x00\x00", 8000, 0)
+        with pytest.raises(ValueError, match="bad WAV encode fmt"):
+            M.encode_wav(b"\x00\x00", 0, 1)
+        with pytest.raises(ValueError, match="bad WAV encode fmt"):
+            M.encode_wav(b"\x00\x00", -44100, 1)
 
 
 def test_pack_attention_efficiency_pieces_and_exact_small_case(spark, sf_dir):
@@ -4136,3 +4234,26 @@ def test_shingle_size_plan_ladder_invariants(spark, sf_dir):
         for r in dp.q_shingle_df_profile(spark, sf_dir).collect()
     )
     assert rows[3]["pair_mass"] == profile_mass
+
+
+def test_collision_ppm_widens_past_int64(spark):
+    """ADVICE r10: pair_mass ~5e12 (million-doc common-bigram scale) puts
+    2*pair_mass*1e6 = 1e19 past int64 — the old bare-int64 multiply was an
+    ANSI abort on Spark and out-of-range on DuckDB. The DECIMAL(38,0)/
+    HUGEINT faces must agree on the exact value and a BIGINT dtype."""
+    import duckdb
+
+    from haystack_traces_spark.datapipe import queries as dp
+
+    pm, denom = 5_000_000_000_000, 999_966_000_278_556  # n_docs ~ 31.6M
+    got = (
+        spark.range(1)
+        .select(F.lit(pm).cast("long").alias("pair_mass"))
+        .select(dp.collision_ppm_expr(denom).alias("collision_ppm"))
+        .collect()[0]["collision_ppm"]
+    )
+    want = duckdb.sql(
+        f"SELECT CAST((2 * CAST({pm} AS HUGEINT) * 1000000) // {denom} AS BIGINT) AS x"
+    ).fetchone()[0]
+    assert got == want == (2 * pm * 1_000_000) // denom
+    assert isinstance(got, int)

@@ -2460,6 +2460,146 @@ def test_quality_drift_event_backfill_equals_batch(spark, tmp_path):
     assert ("web", 0) not in by_key and ("books", 0) not in by_key
 
 
+def test_latency_hist_event_backfill_equals_batch(spark, tmp_path):
+    """EventTimeLatencyHistogram (VERDICT r10 ask #6): the event-time
+    hourly percentile gate, backfilled over span files NOT in event
+    order, equals the hourly_latency_percentiles batch face EXACTLY and
+    is batching-invariant — per-hour estimates are a pure function of
+    the data."""
+    import json
+
+    from haystack_traces_spark.streaming.latency_stream import (
+        EventTimeLatencyHistogram,
+        hourly_latency_percentiles,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import (
+        read_verdicts,
+        run_neardup_backfill,
+    )
+
+    hour_us = 1000
+    schema = (
+        "doc_id long, ts long, servicename string, operationname string, "
+        "duration long"
+    )
+    recs = []
+    i = 0
+    for hour in range(4):
+        for svc, op, durs in (
+            ("web", "get", [1, 2, 3, 4, 5, 6, 7, 8 + hour * 100]),
+            ("db", "query", [10, 20, 40, 80]),
+        ):
+            for d in durs:
+                recs.append(
+                    {"doc_id": i, "ts": hour * hour_us + (i % 9) * 100 + 1,
+                     "servicename": svc, "operationname": op, "duration": d}
+                )
+                i += 1
+
+    def backfill(splits, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for j, chunk in enumerate(splits):
+            with open(src / f"part{j}.json", "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+        run_neardup_backfill(
+            spark, str(src), str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            gate_cls=EventTimeLatencyHistogram, schema=schema,
+            hour_us=hour_us,
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    got_a = backfill([recs[50:], recs[:20], recs[20:50]], "a")
+    got_b = backfill([recs[33:34], recs[34:], recs[:33]], "b")
+    frame = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["servicename"], r["operationname"],
+          r["duration"]) for r in recs],
+        schema,
+    )
+    want = sorted(
+        tuple(r) for r in hourly_latency_percentiles(frame, hour_us).collect()
+    )
+    assert got_a == want
+    assert got_b == want  # batching-invariant
+    # hand-pinned hour-0 web row: durations 1..8 bucket to counts
+    # {1:1, 2:2, 3:4, 4:1}; q=0.5 -> bucket 3 -> 7; q=0.9/0.99 -> 15
+    by_key = {(r[0], r[1], r[2], r[3]): r[4] for r in got_a}
+    assert by_key[("web", "get", 0, 0.5)] == 7
+    assert by_key[("web", "get", 0, 0.9)] == 15
+    assert by_key[("web", "get", 0, 0.99)] == 15
+
+
+def test_latency_hist_gate_routes_late_and_emits_once(spark, tmp_path):
+    """Direct process_batch drive of EventTimeLatencyHistogram: an hour's
+    percentile rows are emitted exactly once (when the watermark passes
+    the hour end), a straggler for a finalized hour routes to late/ and
+    neither the verdicts nor the moment log change."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.streaming.latency_stream import (
+        EventTimeLatencyHistogram,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import read_verdicts
+
+    gate = EventTimeLatencyHistogram(
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        delay_us=100, hour_us=1000,
+    )
+    schema = (
+        "doc_id long, ts long, servicename string, operationname string, "
+        "duration long"
+    )
+
+    # hour 0 split across two deliveries; nothing final while w < 999
+    gate.process_batch(
+        spark.createDataFrame(
+            [(i, 1 + i * 100, "web", "get", i + 1) for i in range(4)], schema
+        ),
+        0,
+    )
+    gate.process_batch(
+        spark.createDataFrame(
+            [(i, 1 + i * 100, "web", "get", i + 1) for i in range(4, 8)], schema
+        ),
+        1,
+    )
+    assert read_verdicts(spark, str(tmp_path / "out")).count() == 0
+
+    # hour 1 pushes the watermark past hour 0's end -> hour 0 emitted once,
+    # with moments MERGED across the two deliveries (durations 1..8)
+    gate.process_batch(
+        spark.createDataFrame([(10, 1500, "web", "get", 50)], schema), 2
+    )
+    v = {
+        (r["servicename"], r["operationname"], r["hour_ts"], r["q"]): r["est_us"]
+        for r in read_verdicts(spark, str(tmp_path / "out")).collect()
+    }
+    assert v == {
+        ("web", "get", 0, 0.5): 7,
+        ("web", "get", 0, 0.9): 15,
+        ("web", "get", 0, 0.99): 15,
+    }
+
+    # straggler for finalized hour 0: late-routed, verdicts + moments frozen
+    gate.process_batch(
+        spark.createDataFrame([(99, 5, "web", "get", 9999)], schema), 3
+    )
+    late = spark.read.parquet(str(tmp_path / "out" / "late"))
+    assert [(r["doc_id"], r["ts"]) for r in late.collect()] == [(99, 5)]
+    v2 = {
+        (r["servicename"], r["operationname"], r["hour_ts"], r["q"]): r["est_us"]
+        for r in read_verdicts(spark, str(tmp_path / "out")).collect()
+    }
+    assert v2 == v
+    moments = spark.read.parquet(str(tmp_path / "state" / "moments"))
+    assert moments.agg(F.sum("n")).first()[0] == 9  # 4 + 4 + 1 admitted
+
+
 def test_quality_drift_gate_routes_late_and_emits_once(spark, tmp_path):
     """Direct process_batch drive of EventTimeQualityDrift: an hour's
     verdict is emitted exactly once (in the batch whose watermark passes
