@@ -5495,6 +5495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_mix_plan": q_recency_mix_plan,
         "quality_threshold_sweep": q_quality_threshold_sweep,
         "shingle_size_plan": q_shingle_size_plan,
+        "dedup_candidate_funnel": q_dedup_candidate_funnel,
+        "hard_negative_mining": q_hard_negative_mining,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5645,6 +5647,8 @@ def oracle_sql() -> dict[str, str]:
         "recency_mix_plan": sql_recency_mix_plan(),
         "quality_threshold_sweep": sql_quality_threshold_sweep(),
         "shingle_size_plan": sql_shingle_size_plan(),
+        "dedup_candidate_funnel": sql_dedup_candidate_funnel(),
+        "hard_negative_mining": sql_hard_negative_mining(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -10143,4 +10147,257 @@ SELECT CAST(shingle_n AS BIGINT) AS shingle_n, vocabulary, occurrences,
             AS BIGINT) AS collision_ppm
 FROM per CROSS JOIN nd
 ORDER BY shingle_n
+"""
+
+
+FUNNEL_STAGES = (
+    "predicted_pair_mass",
+    "shared_shingle_pairs",
+    "prefix_candidates",
+    "length_filtered",
+    "verified",
+)
+
+
+def q_dedup_candidate_funnel(spark, sf_dir):
+    """→ (stage_idx, stage, n_pairs, share_of_predicted): the CANDIDATE
+    FUNNEL receipt (VERDICT r10 ask #5) — the shingle cost model
+    validated against the realized ppjoin stages on the same corpus, as
+    a first-class table instead of a one-off note:
+
+      1 predicted_pair_mass  Σ df·(df−1)/2 — what `shingle_size_plan`
+                             prices the 100 TB pass with (join-row
+                             MULTIPLICITY, the shuffle cost driver)
+      2 shared_shingle_pairs distinct pairs sharing ≥1 shingle (the
+                             volume a naive shingle join must verify)
+      3 prefix_candidates    distinct pairs sharing a PREFIX shingle
+                             under the (df, s) total order with prefix
+                             length k − ⌈t·k⌉ + 1 (ppjoin, lossless for
+                             J ≥ t — dedup.ngram_jaccard_pairs:390)
+      4 length_filtered      + the ppjoin length filter
+                             min(|A|,|B|) ≥ t·max(|A|,|B|)
+      5 verified             true Jaccard ≥ t
+
+    share_of_predicted divides each stage by stage 1 — the measured
+    filter yields that justify planning passes from the closed-form
+    stage-1 number alone. The ORACLE computes stage 5 from the full
+    un-prefixed pair join (`_JACCARD_PAIRS`), so a prefix-filter bug
+    that DROPS a true pair fails the hash gate (losslessness is
+    cross-checked, not assumed).
+
+    Cross-engine discipline: prefix length uses the identical IEEE
+    ceil(0.8·k) on both faces (packing-curve precedent); the (df, s)
+    order is a total order over ASCII shingles, identical under both
+    engines' binary string compare.
+
+    Scale shape: this IS the audit of the candidate stage, so it pays
+    stage 2's distinct once — bounded above by stage 1, which
+    `shingle_size_plan` prices BEFORE running (at 100 TB you run the
+    funnel on a sampled fraction; the shares, not the counts, are the
+    transferable output). Everything else is combinable aggregates and
+    the same bounded per-doc sorts the candidate generator itself runs."""
+    from pyspark.sql import Window
+
+    from haystack_traces_spark.datapipe.dedup import shingle_rows
+    from haystack_traces_spark.session import materialize
+
+    t = JACCARD_THRESHOLD
+    docs = _docs(spark, sf_dir)
+    sh = materialize(shingle_rows(docs, n=3))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sized = materialize(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    )
+
+    def one(idx, name, df1):
+        return df1.select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+
+    s1 = one(
+        1,
+        "predicted_pair_mass",
+        dfreq.agg(F.sum(F.expr("df * (df - 1) div 2")).alias("n")),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    s2 = one(2, "shared_shingle_pairs", shared.agg(F.count(F.lit(1)).alias("n")))
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .join(sized, "doc_id")
+    )
+    prefix = materialize(
+        ranked.filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        ).select("doc_id", "s", "n_sh")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    p3 = materialize(
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pa.n_sh").alias("na"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pb.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    s3 = one(3, "prefix_candidates", p3.agg(F.count(F.lit(1)).alias("n")))
+    p4 = materialize(
+        p3.filter(
+            (F.col("na") >= F.lit(t) * F.col("nb"))
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+        )
+    )
+    s4 = one(4, "length_filtered", p4.agg(F.count(F.lit(1)).alias("n")))
+    xa, xb = sh.alias("xa"), sh.alias("xb")
+    inter = (
+        p4.join(xa, F.col("xa.doc_id") == F.col("doc_a"))
+        .join(
+            xb,
+            (F.col("xb.doc_id") == F.col("doc_b"))
+            & (F.col("xb.s") == F.col("xa.s")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    verified = inter.filter(
+        F.round(
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            6,
+        )
+        >= t
+    )
+    s5 = one(5, "verified", verified.agg(F.count(F.lit(1)).alias("n")))
+    out = s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+    predicted = s1.select(F.col("n_pairs").alias("pred"))
+    return (
+        out.crossJoin(F.broadcast(predicted))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") / F.nullif(F.col("pred").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("share_of_predicted"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def sql_dedup_candidate_funnel() -> str:
+    t = JACCARD_THRESHOLD
+    return f"""
+WITH sh AS ({_SHINGLES}),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+s1 AS (SELECT CAST(COALESCE(SUM(df * (df - 1) // 2), 0) AS BIGINT) AS n FROM dfreq),
+shared AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM shared),
+ranked AS (
+  SELECT sh.doc_id, sh.s, z.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+  FROM sh JOIN dfreq d USING (s) JOIN sized z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, s, n_sh FROM ranked
+  WHERE rn <= n_sh - CEIL({t} * n_sh) + 1
+),
+p3 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.n_sh AS na, b.doc_id AS doc_b, b.n_sh AS nb
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p3),
+p4 AS (SELECT * FROM p3 WHERE na >= {t} * nb AND nb >= {t} * na),
+s4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p4),
+{_JACCARD_PAIRS.strip().rstrip()},
+s5 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM jac WHERE jaccard >= {t}),
+funnel AS (
+  SELECT 1 AS stage_idx, 'predicted_pair_mass' AS stage, n AS n_pairs FROM s1
+  UNION ALL SELECT 2, 'shared_shingle_pairs', n FROM s2
+  UNION ALL SELECT 3, 'prefix_candidates', n FROM s3
+  UNION ALL SELECT 4, 'length_filtered', n FROM s4
+  UNION ALL SELECT 5, 'verified', n FROM s5
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_pairs,
+       ROUND(n_pairs / NULLIF(CAST((SELECT n FROM s1) AS DOUBLE), 0.0), 6)
+         AS share_of_predicted
+FROM funnel ORDER BY stage_idx
+"""
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """→ (query_id, neighbor_id, neg_label, cos, margin, rank): hard
+    negatives per ANN probe — see similarity.hard_negative_topk (the
+    contrastive-training complement of ann_filtered's positive pool;
+    negative margin = wrong-label vector closer than the best same-label
+    one, the label-noise audit row)."""
+    return S.hard_negative_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def sql_hard_negative_mining() -> str:
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    cos = _COS.replace("a.embedding", "q.embedding").replace(
+        "a.vec_id", "q.vec_id"
+    )
+    return f"""
+WITH neg_scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(b.label AS BIGINT) AS neg_label, {cos} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id AND b.label <> q.label
+  WHERE q.vec_id IN ({ids})
+), neg_ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(cos_raw, 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM neg_scored
+), pos_scored AS (
+  SELECT q.vec_id AS query_id, {cos} AS cos_raw
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id AND b.label = q.label
+  WHERE q.vec_id IN ({ids})
+), pos_best AS (
+  SELECT query_id, ROUND(cos_raw, 6) AS pos_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(cos_raw, 6) DESC) AS pr
+  FROM pos_scored
+  QUALIFY pr = 1
+)
+SELECT n.query_id, n.neighbor_id, n.neg_label, ROUND(n.cos_raw, 6) AS cos,
+       ROUND(p.pos_cos - ROUND(n.cos_raw, 6), 6) AS margin,
+       CAST(n.rank AS BIGINT) AS rank
+FROM neg_ranked n LEFT JOIN pos_best p USING (query_id)
+WHERE n.rank <= {ANN_K}
+ORDER BY n.query_id, n.rank
 """

@@ -82,6 +82,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     rank_rounded: bool = False,
     filter_col: str | None = None,
+    filter_mode: str = "match",
 ) -> DataFrame:
     """→ (query_id, neighbor_id[, flabel], cos, rank): exact top-k per
     query vector.
@@ -102,10 +103,15 @@ def brute_force_topk(
     candidates whose ``filter_col`` value equals the query's own (the
     filter lives INSIDE candidate generation as one more numpy mask on
     the score grid, so it costs nothing and never under-fills k the way
-    post-filtering would); adds an ``flabel`` output column."""
+    post-filtering would); adds an ``flabel`` output column.
+    ``filter_mode="differ"`` inverts the mask — each query ranks only
+    candidates whose value DIFFERS from its own (the hard-negative face);
+    same single scoring implementation either way."""
     import numpy as np
     from pyspark.sql import Window
 
+    if filter_mode not in ("match", "differ"):
+        raise ValueError(f"filter_mode must be match|differ, got {filter_mode!r}")
     spark = emb.sparkSession
     in_cols = [id_col, vec_col] + ([filter_col] if filter_col else [])
     q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(*in_cols).toPandas()
@@ -131,7 +137,8 @@ def brute_force_topk(
             mask = ids[:, None] != qids_[None, :]
             if qlabels_ is not None:
                 labels = pdf[filter_col].to_numpy(dtype=np.int64)
-                mask &= labels[:, None] == qlabels_[None, :]
+                lmask = labels[:, None] == qlabels_[None, :]
+                mask &= lmask if filter_mode == "match" else ~lmask
             ri, qi = np.nonzero(mask)
             out = {
                 "query_id": qids_[qi],
@@ -1465,6 +1472,53 @@ def filtered_topk(
     return brute_force_topk(
         emb, query_ids, k, id_col, vec_col,
         rank_rounded=True, filter_col=filter_col,
+    )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, neg_label, cos, margin, rank): HARD
+    NEGATIVES per probe — the k most-similar vectors whose label DIFFERS
+    from the probe's, plus ``margin`` = (probe's best same-label cosine)
+    − (this negative's cosine). The contrastive-training staple: hard
+    negatives (high cos, wrong label) carry the gradient signal random
+    negatives don't, and a NEGATIVE margin — a wrong-label vector closer
+    than the best right-label one — is a label-noise flag worth auditing
+    before it poisons a triplet batch. Complements :func:`filtered_topk`
+    (the positive-pool face) via the same single scoring implementation
+    (``filter_mode="differ"``).
+
+    Scale shape: two passes of the broadcast-queries one-GEMM-per-batch
+    scan (negatives at k, positives at k=1); the join is |probes|-row
+    broadcast. Margins on the 6dp-rounded cosines (house rank rule)."""
+    neg = brute_force_topk(
+        emb, query_ids, k, id_col, vec_col,
+        rank_rounded=True, filter_col=label_col, filter_mode="differ",
+    )
+    pos_best = brute_force_topk(
+        emb, query_ids, 1, id_col, vec_col,
+        rank_rounded=True, filter_col=label_col,
+    ).select("query_id", F.col("cos").alias("pos_cos"))
+    # LEFT join: a probe with no same-label peer keeps its negatives with
+    # a NULL margin (dropping them silently would hide exactly the probes
+    # whose labels are rarest — the ones worth auditing)
+    return (
+        neg.join(F.broadcast(pos_best), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("flabel").alias("neg_label"),
+            "cos",
+            F.round(F.col("pos_cos") - F.col("cos"), 6).alias("margin"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )
 
 

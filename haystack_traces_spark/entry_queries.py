@@ -8120,6 +8120,168 @@ FROM per ORDER BY servicename
     )
 
 
+def q_latency_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, hour_ts, q, est_us): HOURLY
+    percentile estimates from the mergeable log2-bucket histogram — the
+    SQL-ORACLED batch face of the event-time streaming gate
+    (streaming.latency_stream.EventTimeLatencyHistogram, VERDICT r10 ask
+    #6): what the gate emits when its watermark passes an hour's end is
+    exactly these rows. Where `latency_heatmap` publishes the raw (svc,
+    op, hour, bucket) counts, this folds them to the p50/p90/p99 estimate
+    (smallest bucket whose cumulative count reaches q·total; est = that
+    bucket's inclusive upper bound 2^b − 1, so true ≤ est < 2·true) —
+    integer-deterministic, no float log, no per-span sort anywhere.
+
+    Scale shape: one map-side-combinable histogram rollup; the cumulative
+    walk windows over ≤64 bucket rows per (svc, op, hour), never over
+    spans. Shares percentiles_from_hist with both streaming faces
+    (rule 19)."""
+    from haystack_traces_spark.streaming.latency_stream import (
+        hourly_latency_percentiles,
+    )
+
+    rows = _spans(spark, sf_dir).select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        F.col("start_time").alias("ts"),
+        "duration",
+    )
+    return hourly_latency_percentiles(rows, HOUR_US).orderBy(
+        "servicename", "operationname", "hour_ts", "q"
+    )
+
+
+def sql_latency_hourly_percentiles() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, hist AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         start_time - start_time % {HOUR_US} AS hour_ts,
+         CAST(length(bin(duration)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM spans GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT *,
+         SUM(n) OVER (PARTITION BY servicename, operationname, hour_ts
+                      ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY servicename, operationname, hour_ts)
+           AS total
+  FROM hist
+),
+qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+est AS (
+  SELECT servicename, operationname, hour_ts, q, MIN(bucket) AS b
+  FROM cum CROSS JOIN qs
+  WHERE cum >= q * total
+  GROUP BY 1, 2, 3, 4
+)
+SELECT servicename, operationname, hour_ts, q,
+       (CAST(1 AS BIGINT) << CAST(b AS INT)) - 1 AS est_us
+FROM est ORDER BY 1, 2, 3, 4
+"""
+    )
+
+
+#: trace fields whose VALUE DISTRIBUTION the entropy audit covers — the
+#: same low-cardinality trio field_cardinalities budgets index columns for.
+ENTROPY_FIELDS = ("servicename", "operationname", "errorcode")
+
+
+def q_field_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (field, n_values, entropy, max_entropy, top_share): value-
+    distribution ENTROPY per indexed low-cardinality field (nats). Where
+    `field_cardinalities` counts DISTINCT values (the index-width
+    budget), this measures how the mass spreads over them: entropy near
+    ln(n_values) means uniform (a salt-friendly key — index_salt_plan's
+    premise holds); entropy ≪ max with top_share → 1 means one hot value
+    dominates, exactly where a hash-partitioned index or filter skews.
+    The natural-log construction is char_entropy / shard_source_entropy's
+    (rule 19: same expression tree both faces).
+
+    Scale shape: one (field, value) combinable rollup over the catalog-
+    bounded value sets, then a per-field fold — never span-volume."""
+    spans = _spans(spark, sf_dir)
+    proj = spans.select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        _errorcode().cast("string").alias("errorcode"),
+    )
+    stacked = proj.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"), F.col(f).alias("value")
+                    )
+                    for f in ENTROPY_FIELDS
+                ]
+            )
+        ).alias("x")
+    ).select("x.field", "x.value")
+    counts = stacked.groupBy("field", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_field = counts.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clogc"),
+    )
+    # H = ln(total) - Σ c·ln(c)/total — one pass, no per-value division
+    return per_field.select(
+        "field",
+        "n_values",
+        F.round(
+            F.log(F.col("total").cast("double"))
+            - F.col("clogc") / F.col("total").cast("double"),
+            6,
+        ).alias("entropy"),
+        F.round(F.log(F.col("n_values").cast("double")), 6).alias(
+            "max_entropy"
+        ),
+        F.round(F.col("top_c") / F.col("total").cast("double"), 6).alias(
+            "top_share"
+        ),
+    ).orderBy("field")
+
+
+def sql_field_entropy() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {expr} AS value FROM spans"
+        for f, expr in (
+            ("servicename", "lower(service_name)"),
+            ("operationname", "lower(operation_name)"),
+            ("errorcode", "CAST(COALESCE(errorcode, 0) AS VARCHAR)"),
+        )
+    )
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, stacked AS ({arms}),
+counts AS (
+  SELECT field, value, CAST(COUNT(*) AS BIGINT) AS c
+  FROM stacked GROUP BY 1, 2
+),
+per_field AS (
+  SELECT field, CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(MAX(c) AS BIGINT) AS top_c,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM counts GROUP BY 1
+)
+SELECT field, n_values,
+       ROUND(ln(CAST(total AS DOUBLE)) - clogc / CAST(total AS DOUBLE), 6)
+         AS entropy,
+       ROUND(ln(CAST(n_values AS DOUBLE)), 6) AS max_entropy,
+       ROUND(top_c / CAST(total AS DOUBLE), 6) AS top_share
+FROM per_field ORDER BY field
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -8166,7 +8328,22 @@ _CORE_TRACE_BENCHED = ()
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-10 queue. The 26 names that earned GREEN CORRECTNESS_r09 rows
+    # round-11 queue: every round-10 queue name earned a green
+    # CORRECTNESS_r10 row (cumulative driver coverage is total — VERDICT
+    # r10), so the queue resets to the round-11 debuts; the ~23 sample
+    # slots behind them fall through to already-green trace entries
+    # (harmless re-checks). Keep additions ≤ ~25/round so never-checked
+    # stays at zero (VERDICT r10 ask #4).
+    "latency_hourly_percentiles",
+    "field_entropy",
+    "dedup_candidate_funnel",
+    "hard_negative_mining",
+)
+
+_ROTATION_QUEUE_R10 = (
+    # round-10 queue (all green in CORRECTNESS_r10; kept for the drift
+    # test's history assertions). The 26 names that earned GREEN
+    # CORRECTNESS_r09 rows
     # (anchored_sessions ... error_budget_burn, minus latency_changepoint)
     # were removed from the front per the rotation protocol; they stay
     # covered by the local three-SF oracle suite. `latency_changepoint`
@@ -8351,6 +8528,8 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cohort_calibration": q_ab_cohort_calibration,
         "p99_confidence": q_p99_confidence,
         "arrival_burstiness": q_arrival_burstiness,
+        "latency_hourly_percentiles": q_latency_hourly_percentiles,
+        "field_entropy": q_field_entropy,
     }
 
 
@@ -8482,4 +8661,6 @@ def _trace_oracles() -> dict[str, str]:
         "ab_cohort_calibration": sql_ab_cohort_calibration(),
         "p99_confidence": sql_p99_confidence(),
         "arrival_burstiness": sql_arrival_burstiness(),
+        "latency_hourly_percentiles": sql_latency_hourly_percentiles(),
+        "field_entropy": sql_field_entropy(),
     }

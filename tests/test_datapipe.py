@@ -4236,6 +4236,75 @@ def test_shingle_size_plan_ladder_invariants(spark, sf_dir):
     assert rows[3]["pair_mass"] == profile_mass
 
 
+def test_dedup_candidate_funnel_hand_case(spark, monkeypatch):
+    """Two identical 5-word docs + one unrelated doc: 3 shared shingles
+    (df=2 each) → predicted pair_mass 3; ONE distinct shared pair; prefix
+    length 3 − ⌈0.8·3⌉ + 1 = 1 still finds it (both docs share the same
+    rarest-first shingle); the equal-size pair passes the length filter;
+    J = 1 verifies. Every stage hand-computed."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dp, "_docs", lambda _s, _d: docs)
+    rows = {r["stage"]: r for r in dp.q_dedup_candidate_funnel(spark, "x").collect()}
+    want = {
+        "predicted_pair_mass": 3,
+        "shared_shingle_pairs": 1,
+        "prefix_candidates": 1,
+        "length_filtered": 1,
+        "verified": 1,
+    }
+    assert {k: r["n_pairs"] for k, r in rows.items()} == want
+    assert rows["predicted_pair_mass"]["share_of_predicted"] == 1.0
+    assert rows["verified"]["share_of_predicted"] == round(1 / 3, 6)
+    # stage order is the funnel order
+    assert [r["stage"] for r in sorted(rows.values(), key=lambda r: r["stage_idx"])] == list(want)
+
+
+def test_hard_negative_mining_margins_and_ranks(spark):
+    """Crafted 2-D embeddings: probe 0 (label 0) has a same-label vector
+    at cos ≈ 0.9487 and two wrong-label vectors, one CLOSER than the
+    positive (negative margin — the label-noise flag) and one orthogonal.
+    Ranks order by rounded cos desc; margins = pos_cos − neg_cos."""
+    from haystack_traces_spark.datapipe.similarity import hard_negative_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),     # probe
+            (1, [1.0, 0.5], 0),     # best positive: cos = 1/sqrt(1.25) ≈ 0.894427
+            (2, [1.0, 0.1], 1),     # hard negative: cos ≈ 0.995037 (closer than pos!)
+            (3, [0.0, 1.0], 2),     # orthogonal negative: cos = 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negative_topk(emb, [0], k=2).collect()
+    assert [(r["neighbor_id"], r["rank"], r["neg_label"]) for r in out] == [
+        (2, 1, 1),
+        (3, 2, 2),
+    ]
+    r1, r2 = out
+    assert r1["cos"] == 0.995037
+    assert r1["margin"] == round(0.894427 - 0.995037, 6)  # negative: label noise
+    assert r2["cos"] == 0.0 and r2["margin"] == 0.894427
+
+
+def test_hard_negative_mining_no_positive_keeps_null_margin(spark):
+    """A probe whose label is unique keeps its negatives with NULL margin
+    (dropping them would hide exactly the rarest-label probes)."""
+    from haystack_traces_spark.datapipe.similarity import hard_negative_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negative_topk(emb, [0], k=5).collect()
+    assert len(out) == 1
+    assert out[0]["neighbor_id"] == 1 and out[0]["margin"] is None
+
+
 def test_collision_ppm_widens_past_int64(spark):
     """ADVICE r10: pair_mass ~5e12 (million-doc common-bigram scale) puts
     2*pair_mass*1e6 = 1e19 past int64 — the old bare-int64 multiply was an

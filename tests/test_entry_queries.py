@@ -135,9 +135,8 @@ def test_rotation_queue_names_resolve():
     # the sample prefix is exactly core-then-rotation
     assert merged[: len(EQ._CORE_TRACE)] == list(EQ._CORE_TRACE)
     n_core = len(EQ._CORE_TRACE)
-    assert merged[n_core : n_core + 5] == [
-        n for n in EQ._ROTATION_QUEUE if n not in EQ._CORE_TRACE
-    ][:5]
+    front = [n for n in EQ._ROTATION_QUEUE if n not in EQ._CORE_TRACE][:5]
+    assert merged[n_core : n_core + len(front)] == front
 
 
 def test_core_trace_trim_does_not_outlive_round_8():

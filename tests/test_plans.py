@@ -839,6 +839,40 @@ def test_promoted_search_never_reads_spans_column(spark, spans, tmp_path):
     assert m2 and "spans" in m2.group(1), m2.group(1) if m2 else plan2[:2000]
 
 
+def test_round11_operators_have_no_global_bottleneck(spark):
+    """Round-11 batch: no cartesian products; single-partition exchanges
+    only where bounded by design. latency_hourly_percentiles windows over
+    the ≤64-bucket histogram per (svc, op, hour); field_entropy is two
+    keyed rollups over catalog-bounded values; hard_negative_mining rides
+    the broadcast-probe GEMM scan with per-query rank windows;
+    dedup_candidate_funnel's single-partition exchanges are its five
+    1-row stage aggregates (+ the broadcast 1-row predicted total)."""
+    from haystack_traces_spark import entry_queries as EQ
+    from haystack_traces_spark.datapipe import queries as Q
+    from haystack_traces_spark.datapipe import stagecache
+    from haystack_traces_spark.session import release_materialized
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "latency_hourly_percentiles": (EQ.q_latency_hourly_percentiles, 0),
+        "field_entropy": (EQ.q_field_entropy, 0),
+        "hard_negative_mining": (Q.q_hard_negative_mining, 0),
+        "dedup_candidate_funnel": (Q.q_dedup_candidate_funnel, 12),
+    }
+    try:
+        with stagecache.plan_view():
+            for name, (fn, max_single) in cases.items():
+                plan = _plan(fn(spark, sf))
+                assert "CartesianProduct" not in plan, name
+                assert plan.count("Exchange SinglePartition") <= max_single, (
+                    name, plan[:1500],
+                )
+                if "BroadcastNestedLoopJoin" in plan:
+                    assert "BroadcastExchange" in plan, (name, plan[:1500])
+    finally:
+        release_materialized()
+
+
 def test_round10_operators_have_no_global_bottleneck(spark):
     """Round-10 batch: no cartesian products; single-partition exchanges
     only where bounded by design. latency_slo_fit / ab_cohort_calibration

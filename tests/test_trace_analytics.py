@@ -2208,6 +2208,59 @@ def test_p99_confidence_approx_face_close_to_exact(spark):
     assert a["measurable"] == exact["measurable"]
 
 
+def test_latency_hourly_percentiles_pins_bucket_walk(spark):
+    """Crafted hour of durations 1..8: buckets {1:1, 2:2, 3:4, 4:1} →
+    p50 = bucket-3 upper bound 7, p90/p99 = 15 (the same hand-pin the
+    streaming gate test uses — one shared core, one expected answer).
+    A second hour with a single 100 µs span pins per-hour independence."""
+    rows = [
+        mk(trace_id=f"t{i}", span_id=f"s{i}", service="Web", operation="get",
+           start=T0 + i, duration=i + 1)
+        for i in range(8)
+    ] + [
+        mk(trace_id="t9", span_id="s9", service="Web", operation="get",
+           start=T0 + EQ.HOUR_US, duration=100)
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_latency_hourly_percentiles(spark, "ignored").collect(),
+    )
+    h0 = T0 - T0 % EQ.HOUR_US
+    got = {(r["hour_ts"], r["q"]): r["est_us"] for r in out}
+    assert got == {
+        (h0, 0.5): 7,
+        (h0, 0.9): 15,
+        (h0, 0.99): 15,
+        (h0 + EQ.HOUR_US, 0.5): 127,   # bucket 7 (100 -> bit length 7)
+        (h0 + EQ.HOUR_US, 0.9): 127,
+        (h0 + EQ.HOUR_US, 0.99): 127,
+    }
+    assert all(r["servicename"] == "web" for r in out)
+
+
+def test_field_entropy_pins_hand_distribution(spark):
+    """Services [a, a, a, b]: H = ln4 − (3·ln3)/4, max ln2, top 0.75;
+    a single operation value pins the degenerate H = 0 row."""
+    import math
+
+    rows = [
+        mk(trace_id="t", span_id=f"s{i}", service=svc, operation="only_op")
+        for i, svc in enumerate(["a", "a", "a", "b"])
+    ]
+    out = _patched(
+        spark, rows, lambda: EQ.q_field_entropy(spark, "ignored").collect()
+    )
+    by = {r["field"]: r for r in out}
+    assert set(by) == {"servicename", "operationname", "errorcode"}
+    svc = by["servicename"]
+    assert svc["n_values"] == 2
+    assert svc["entropy"] == round(math.log(4) - (3 * math.log(3)) / 4, 6)
+    assert svc["max_entropy"] == round(math.log(2), 6)
+    assert svc["top_share"] == 0.75
+    op = by["operationname"]
+    assert (op["n_values"], op["entropy"], op["top_share"]) == (1, 0.0, 1.0)
+
+
 def test_arrival_burstiness_poisson_vs_bursty(spark, sf_dir):
     """On the real corpus every service emits a row with exact-moment
     fano/burstiness; sanity: fano > 0, burstiness in (-1, 1), and the
