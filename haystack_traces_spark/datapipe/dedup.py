@@ -300,6 +300,49 @@ def bloom_position_array(key_col, m: int, k: int) -> F.Column:
     )
 
 
+def _bloom_flags(
+    docs: DataFrame, m: int, k: int, probe_mod: int, text_col: str = "text"
+):
+    """Shared build/probe/flag pipeline of the Bloom audit → (build,
+    build_pos, flags) — one derivation of the filter geometry and the
+    hit/exact flags, shared by the per-source report (:func:`bloom_probe`)
+    and the (m, k) ladder (`queries.q_bloom_sizing_plan`)."""
+    # COALESCE: NULL text keys as empty — the SAME rule as the streaming
+    # gate's doc_positions, or the two faces would derive different
+    # position sets for the same doc (breaking the shared-geometry
+    # contract of bloom_position_array)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("key"),
+    )
+    build = keyed.filter(F.col("doc_id") % probe_mod != 0)
+    probe = keyed.filter(F.col("doc_id") % probe_mod == 0)
+    pos_arr = bloom_position_array("key", m, k)
+    build_pos = build.select(F.explode(pos_arr).alias("pos")).distinct()
+    probed = probe.withColumn("pos_arr", pos_arr)
+    matched = (
+        probed.select("doc_id", F.explode("pos_arr").alias("pos"))
+        .join(F.broadcast(build_pos), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    exact = build.select("key").distinct().withColumn("is_exact", F.lit(1))
+    flags = (
+        probed.join(matched, "doc_id", "left")
+        .join(exact, "key", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.coalesce("n_matched", F.lit(0)) == F.size("pos_arr"))
+            .cast("long")
+            .alias("bloom_hit"),
+            F.coalesce("is_exact", F.lit(0)).cast("long").alias("exact_hit"),
+        )
+    )
+    return build, build_pos, flags
+
+
 def bloom_probe(
     docs: DataFrame,
     m: int = 4096,
@@ -327,41 +370,7 @@ def bloom_probe(
     only to measure the FP rate; production callers drop it (or sample)
     once m/k are validated. Everything is hash-groupBy/broadcast-join —
     no windows, no Python."""
-    # COALESCE: NULL text keys as empty — the SAME rule as the streaming
-    # gate's doc_positions, or the two faces would derive different
-    # position sets for the same doc (breaking the shared-geometry
-    # contract of bloom_position_array)
-    keyed = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("key"),
-    )
-    build = keyed.filter(F.col("doc_id") % probe_mod != 0)
-    probe = keyed.filter(F.col("doc_id") % probe_mod == 0)
-    pos_arr = bloom_position_array("key", m, k)
-    build_pos = (
-        build.select(F.explode(pos_arr).alias("pos")).distinct()
-    )
-    probed = probe.withColumn("pos_arr", pos_arr)
-    matched = (
-        probed.select("doc_id", F.explode("pos_arr").alias("pos"))
-        .join(F.broadcast(build_pos), "pos")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    exact = build.select("key").distinct().withColumn("is_exact", F.lit(1))
-    flags = (
-        probed.join(matched, "doc_id", "left")
-        .join(exact, "key", "left")
-        .select(
-            "doc_id",
-            "source",
-            (F.coalesce("n_matched", F.lit(0)) == F.size("pos_arr"))
-            .cast("long")
-            .alias("bloom_hit"),
-            F.coalesce("is_exact", F.lit(0)).cast("long").alias("exact_hit"),
-        )
-    )
+    build, build_pos, flags = _bloom_flags(docs, m, k, probe_mod, text_col)
     n_fp = F.sum("bloom_hit") - F.sum("exact_hit")
     denom = F.nullif(
         (F.count(F.lit(1)) - F.sum("exact_hit")).cast("double"), F.lit(0.0)

@@ -5497,6 +5497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_size_plan": q_shingle_size_plan,
         "dedup_candidate_funnel": q_dedup_candidate_funnel,
         "hard_negative_mining": q_hard_negative_mining,
+        "bloom_sizing_plan": q_bloom_sizing_plan,
+        "gemm_block_plan": q_gemm_block_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5649,6 +5651,8 @@ def oracle_sql() -> dict[str, str]:
         "shingle_size_plan": sql_shingle_size_plan(),
         "dedup_candidate_funnel": sql_dedup_candidate_funnel(),
         "hard_negative_mining": sql_hard_negative_mining(),
+        "bloom_sizing_plan": sql_bloom_sizing_plan(),
+        "gemm_block_plan": sql_gemm_block_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -10400,4 +10404,211 @@ SELECT n.query_id, n.neighbor_id, n.neg_label, ROUND(n.cos_raw, 6) AS cos,
 FROM neg_ranked n LEFT JOIN pos_best p USING (query_id)
 WHERE n.rank <= {ANN_K}
 ORDER BY n.query_id, n.rank
+"""
+
+
+#: (m, k) rungs for the Bloom sizing ladder — brackets the shipped
+#: BLOOM_M/BLOOM_K config with a half-size, a double-size, and a more-
+#: hashes variant, so the table shows the FPR knee in both directions.
+BLOOM_PLAN_LADDER = ((2048, 3), (4096, 3), (8192, 3), (4096, 5))
+
+
+def q_bloom_sizing_plan(spark, sf_dir):
+    """→ (m, k, n_keys, bits_set, load_factor, predicted_fpr, n_probes,
+    n_false_pos, realized_fpr): the BLOOM-FILTER sizing knob table —
+    the standard approximation FPR ≈ (1 − e^(−k·n/m))^k per ladder rung
+    against the REALIZED false-positive rate of the same filter geometry
+    on the actual corpus (the `bloom_dedup` audit, re-run per rung).
+    n_keys is DISTINCT build keys (duplicates set the same bits).
+    The pre-100 TB question this prices: how many bits per key does the
+    streaming dedup gate need before its screening FPR stops paying for
+    itself (`dedup_horizon_plan` prices the TTL axis; this prices m/k).
+
+    Cross-engine discipline: predicted_fpr is the identical exp/pow
+    expression tree over (BIGINT n_keys, literal m, k) on both faces,
+    6dp-rounded (the float-identity precedent); realized rates divide
+    exact integer counts.
+
+    Scale shape: per rung, the same ≤m-row broadcast screen as
+    bloom_probe plus three 1-row aggregates crossed broadcast-style —
+    the snapshot corpus never shuffles; the ladder is a 4-row union."""
+    from haystack_traces_spark.datapipe.dedup import _bloom_flags
+
+    docs = _docs(spark, sf_dir)
+    out = None
+    for m, k in BLOOM_PLAN_LADDER:
+        build, build_pos, flags = _bloom_flags(docs, m, k, PROBE_MOD)
+        nk = build.agg(
+            F.countDistinct("key").cast("long").alias("n_keys")
+        )
+        bits = build_pos.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+        fl = flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            (F.sum("bloom_hit") - F.sum("exact_hit"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum("exact_hit").cast("long").alias("n_exact"),
+        )
+        one = (
+            nk.crossJoin(F.broadcast(bits))
+            .crossJoin(F.broadcast(fl))
+            .select(
+                F.lit(m).cast("long").alias("m"),
+                F.lit(k).cast("long").alias("k"),
+                "n_keys",
+                "bits_set",
+                F.round(F.col("bits_set") / F.lit(float(m)), 6).alias(
+                    "load_factor"
+                ),
+                F.round(
+                    F.pow(
+                        F.lit(1.0)
+                        - F.exp(
+                            -(F.lit(float(k)) * F.col("n_keys")) / F.lit(float(m))
+                        ),
+                        F.lit(float(k)),
+                    ),
+                    6,
+                ).alias("predicted_fpr"),
+                "n_probes",
+                "n_false_pos",
+                F.round(
+                    F.col("n_false_pos")
+                    / F.nullif(
+                        (F.col("n_probes") - F.col("n_exact")).cast("double"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("realized_fpr"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("m", "k")
+
+
+def _bloom_rung_sql(m: int, k: int) -> str:
+    pos_builds = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {hash60_sql('key', seed=f'bl{i}:')} % {m} AS pos FROM build"
+        for i in range(k)
+    )
+    pos_probes = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {hash60_sql('key', seed=f'bl{i}:')} % {m} AS pos FROM probe"
+        for i in range(k)
+    )
+    return f"""
+SELECT {m} AS m, {k} AS k, nk.n_keys, bp.bits_set,
+       fl.n_probes, fl.n_false_pos, fl.n_exact
+FROM (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys FROM build) nk,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set
+      FROM (SELECT DISTINCT pos FROM ({pos_builds}))) bp,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos,
+             CAST(SUM(exact_hit) AS BIGINT) AS n_exact
+      FROM (
+        SELECT CASE WHEN pm.n_matched = pn.n_pos THEN 1 ELSE 0 END AS bloom_hit,
+               CASE WHEN ek.key IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM probe p
+        JOIN (SELECT doc_id, COUNT(*) AS n_pos
+              FROM (SELECT DISTINCT doc_id, pos FROM ({pos_probes})) GROUP BY 1) pn
+          ON pn.doc_id = p.doc_id
+        JOIN (SELECT q.doc_id, COUNT(b.pos) AS n_matched
+              FROM (SELECT DISTINCT doc_id, pos FROM ({pos_probes})) q
+              LEFT JOIN (SELECT DISTINCT pos FROM ({pos_builds})) b USING (pos)
+              GROUP BY 1) pm
+          ON pm.doc_id = p.doc_id
+        LEFT JOIN (SELECT DISTINCT key FROM build) ek ON ek.key = p.key
+      )) fl"""
+
+
+def sql_bloom_sizing_plan() -> str:
+    rungs = "\n  UNION ALL ".join(
+        _bloom_rung_sql(m, k) for m, k in BLOOM_PLAN_LADDER
+    )
+    return f"""
+WITH keyed AS (SELECT doc_id, source, md5(COALESCE(text, '')) AS key FROM documents),
+build AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} <> 0),
+probe AS (SELECT * FROM keyed WHERE doc_id % {PROBE_MOD} = 0),
+rungs AS (
+  {rungs}
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS k, n_keys, bits_set,
+       ROUND(bits_set / CAST(m AS DOUBLE), 6) AS load_factor,
+       ROUND(POWER(1.0 - EXP(-(CAST(k AS DOUBLE) * n_keys) / CAST(m AS DOUBLE)),
+                   CAST(k AS DOUBLE)), 6) AS predicted_fpr,
+       n_probes, n_false_pos,
+       ROUND(n_false_pos / CAST(NULLIF(n_probes - n_exact, 0) AS DOUBLE), 6)
+         AS realized_fpr
+FROM rungs ORDER BY m, k
+"""
+
+
+#: Block-count rungs for the exact-GEMM grid planner — brackets the
+#: local-mode auto-derived B (~2 cells/core) and the scale-out ladder.
+GEMM_BLOCK_LADDER = (4, 8, 16, 32)
+
+
+def q_gemm_block_plan(spark, sf_dir):
+    """→ (n_blocks, n_cells, rows_per_block, replicated_rows, task_mb,
+    cell_pair_rows): the BLOCK-GRID sizing table for the exact cosine
+    sweep (`dedup_embedding`'s distributed GEMM): per ladder rung B, the
+    triangular grid has B(B+1)/2 cells, every row replicates to B cells
+    (replicated_rows = n·B — the one shuffle's row volume), each task
+    holds ≤ 2·⌈n/B⌉ vectors (task_mb, float64) and sweeps ≤ ⌈n/B⌉²
+    candidate pairs. The pre-100 TB question: which B keeps task memory
+    under the executor budget while cells stay ≥ ~2 per core —
+    embedding_neardup_pairs derives B from parallelism locally; at a
+    1000-executor cluster you read it off this table instead.
+
+    All-integer arithmetic from ONE 1-row (count, dim) aggregate crossed
+    with the literal ladder; pair rows widen to DECIMAL(38,0)/HUGEINT
+    before the square (the collision_ppm lesson) and divide back to
+    BIGINT."""
+    emb = _emb(spark, sf_dir)
+    base = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+    )
+    ladder = ", ".join(str(b) for b in GEMM_BLOCK_LADDER)
+    grid = base.select(
+        "n_vecs",
+        "dim",
+        F.explode(F.expr(f"array({ladder})")).alias("n_blocks"),
+    ).select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.expr("n_blocks * (n_blocks + 1) div 2").alias("n_cells"),
+        F.expr("(n_vecs + n_blocks - 1) div n_blocks").alias("rows_per_block"),
+        F.expr("n_vecs * n_blocks").alias("replicated_rows"),
+        F.expr(
+            "(2 * ((n_vecs + n_blocks - 1) div n_blocks) * dim * 8)"
+            " div (1024 * 1024)"
+        ).alias("task_mb"),
+        F.expr(
+            "CAST(CAST((n_vecs + n_blocks - 1) div n_blocks AS DECIMAL(38,0))"
+            " * ((n_vecs + n_blocks - 1) div n_blocks) AS BIGINT)"
+        ).alias("cell_pair_rows"),
+    )
+    return grid.orderBy("n_blocks")
+
+
+def sql_gemm_block_plan() -> str:
+    ladder = ", ".join(str(b) for b in GEMM_BLOCK_LADDER)
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim
+  FROM embeddings
+),
+grid AS (
+  SELECT n_vecs, dim, UNNEST([{ladder}]) AS n_blocks FROM base
+)
+SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+       n_blocks * (n_blocks + 1) // 2 AS n_cells,
+       (n_vecs + n_blocks - 1) // n_blocks AS rows_per_block,
+       n_vecs * n_blocks AS replicated_rows,
+       (2 * ((n_vecs + n_blocks - 1) // n_blocks) * dim * 8)
+         // (1024 * 1024) AS task_mb,
+       CAST(CAST((n_vecs + n_blocks - 1) // n_blocks AS HUGEINT)
+            * ((n_vecs + n_blocks - 1) // n_blocks) AS BIGINT)
+         AS cell_pair_rows
+FROM grid ORDER BY n_blocks
 """

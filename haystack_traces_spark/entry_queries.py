@@ -8338,6 +8338,8 @@ _ROTATION_QUEUE = (
     "field_entropy",
     "dedup_candidate_funnel",
     "hard_negative_mining",
+    "bloom_sizing_plan",
+    "gemm_block_plan",
 )
 
 _ROTATION_QUEUE_R10 = (

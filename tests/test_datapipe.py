@@ -4305,6 +4305,52 @@ def test_hard_negative_mining_no_positive_keeps_null_margin(spark):
     assert out[0]["neighbor_id"] == 1 and out[0]["margin"] is None
 
 
+def test_bloom_sizing_plan_ladder_invariants(spark, sf_dir):
+    """Per rung: load_factor in (0, 1], realized_fpr in [0, 1]; doubling
+    m at fixed k strictly lowers the predicted FPR; n_keys is the same
+    corpus snapshot on every rung; the shipped (BLOOM_M, BLOOM_K) rung's
+    realized counts reconcile with the bloom_dedup audit's totals."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = {(r["m"], r["k"]): r for r in dp.q_bloom_sizing_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(dp.BLOOM_PLAN_LADDER)
+    n_keys = {r["n_keys"] for r in rows.values()}
+    assert len(n_keys) == 1
+    for r in rows.values():
+        assert 0 < r["load_factor"] <= 1
+        assert r["realized_fpr"] is None or 0 <= r["realized_fpr"] <= 1
+        assert r["n_false_pos"] >= 0
+    assert rows[(2048, 3)]["predicted_fpr"] > rows[(4096, 3)]["predicted_fpr"] > rows[(8192, 3)]["predicted_fpr"]
+    audit = dp.q_bloom_dedup(spark, sf_dir).collect()
+    shipped = rows[(dp.BLOOM_M, dp.BLOOM_K)]
+    assert shipped["n_probes"] == sum(r["n_probes"] for r in audit)
+    assert shipped["n_false_pos"] == sum(r["n_false_pos"] for r in audit)
+
+
+def test_gemm_block_plan_hand_case(spark, monkeypatch):
+    """10 vectors of dim 4 pin every column: B=4 → 10 cells, ceil(10/4)=3
+    rows/block, 40 replicated rows, 9 candidate pairs per cell."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(dp, "_emb", lambda _s, _d: emb)
+    rows = {r["n_blocks"]: r for r in dp.q_gemm_block_plan(spark, "x").collect()}
+    assert set(rows) == set(dp.GEMM_BLOCK_LADDER)
+    r4 = rows[4]
+    assert r4["n_cells"] == 10
+    assert r4["rows_per_block"] == 3
+    assert r4["replicated_rows"] == 40
+    assert r4["cell_pair_rows"] == 9
+    # more blocks => smaller tasks, more replication
+    bs = sorted(rows)
+    for a, b in zip(bs, bs[1:]):
+        assert rows[a]["rows_per_block"] >= rows[b]["rows_per_block"]
+        assert rows[a]["replicated_rows"] <= rows[b]["replicated_rows"]
+
+
 def test_collision_ppm_widens_past_int64(spark):
     """ADVICE r10: pair_mass ~5e12 (million-doc common-bigram scale) puts
     2*pair_mass*1e6 = 1e19 past int64 — the old bare-int64 multiply was an
