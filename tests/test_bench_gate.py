@@ -12,7 +12,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import CALIBRATION_REF_SEC, Calibrator, detect_regressions, load_history
+from bench import CALIBRATION_WARM_REF_SEC, Calibrator, detect_regressions, load_history
 
 
 def _hist(*maps):
@@ -61,6 +61,7 @@ class TestSectionNormalization:
     def _cal(self, probes):
         c = Calibrator.__new__(Calibrator)  # no Spark: inject probes directly
         c.probes = list(probes)
+        c.cold_sec = None
         c.overhead = 0.0
         c.enabled = True
         return c
@@ -68,14 +69,14 @@ class TestSectionNormalization:
     def test_ratio_uses_bracketing_probes(self):
         # section 1 sits between probes[0]=0.34 and probes[1]=0.68:
         # mean 0.51 → ratio 0.34/0.51
-        c = self._cal([CALIBRATION_REF_SEC, 2 * CALIBRATION_REF_SEC])
-        assert abs(c.ratio_for_section(1) - CALIBRATION_REF_SEC / (1.5 * CALIBRATION_REF_SEC)) < 1e-9
+        c = self._cal([CALIBRATION_WARM_REF_SEC, 2 * CALIBRATION_WARM_REF_SEC])
+        assert abs(c.ratio_for_section(1) - CALIBRATION_WARM_REF_SEC / (1.5 * CALIBRATION_WARM_REF_SEC)) < 1e-9
 
     def test_loaded_middle_section_discounted(self):
         # quiet → loaded → quiet box: lines in the loaded era scale DOWN,
         # quiet-era lines stay ~1× — the exact r10 driver-capture failure
         # (a single quiet-moment probe inflated the whole run by 39%)
-        r = CALIBRATION_REF_SEC
+        r = CALIBRATION_WARM_REF_SEC
         c = self._cal([r, 3 * r, r])
         assert c.ratio_for_section(1) < 0.6  # bracketed by quiet+loaded
         assert c.ratio_for_section(2) < 0.6
@@ -83,12 +84,12 @@ class TestSectionNormalization:
         assert abs(c.median_ratio() - 1.0) < 1e-9
 
     def test_clamps_out_of_range_sections(self):
-        c = self._cal([CALIBRATION_REF_SEC])
+        c = self._cal([CALIBRATION_WARM_REF_SEC])
         assert c.ratio_for_section(0) == 1.0
         assert c.ratio_for_section(99) == 1.0
 
     def test_spread_flags_noisy_capture(self):
-        r = CALIBRATION_REF_SEC
+        r = CALIBRATION_WARM_REF_SEC
         assert self._cal([r, 3 * r, r]).spread() == 3.0
         assert self._cal([]).spread() is None
 
