@@ -5499,6 +5499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": q_hard_negative_mining,
         "bloom_sizing_plan": q_bloom_sizing_plan,
         "gemm_block_plan": q_gemm_block_plan,
+        "embedding_threshold_sweep": q_embedding_threshold_sweep,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5653,6 +5654,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negative_mining": sql_hard_negative_mining(),
         "bloom_sizing_plan": sql_bloom_sizing_plan(),
         "gemm_block_plan": sql_gemm_block_plan(),
+        "embedding_threshold_sweep": sql_embedding_threshold_sweep(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -10611,4 +10613,88 @@ SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
             * ((n_vecs + n_blocks - 1) // n_blocks) AS BIGINT)
          AS cell_pair_rows
 FROM grid ORDER BY n_blocks
+"""
+
+
+#: Cosine rungs for the embedding near-dup threshold sweep — from the
+#: shipped COS_THRESHOLD up to near-exact duplicates.
+EMB_SWEEP_LADDER = (0.4, 0.6, 0.8, 0.9)
+
+
+def q_embedding_threshold_sweep(spark, sf_dir):
+    """→ (cos_threshold, n_pairs, n_docs_flagged, docs_flagged_share):
+    the EMBEDDING near-dup threshold knob table — `dedup_threshold_sweep`
+    for the cosine axis: one exact block-grid GEMM pass at the LOWEST
+    rung, then each rung counts its pairs and distinct flagged vectors
+    as riders on that one pair table (membership on the 6dp-rounded
+    cosine, the house rank rule). Picking the cosine cutoff before a
+    100 TB semantic-dedup pass is a one-table read instead of one full
+    pair sweep per candidate threshold.
+
+    Scale shape: the pair table is the GEMM sweep's output (bounded by
+    the lowest rung's selectivity — production runs it once anyway for
+    `dedup_embedding`); rungs are conditional aggregates + per-rung
+    distinct over that table, never a re-sweep of the corpus."""
+    from haystack_traces_spark.datapipe.dedup import embedding_neardup_pairs
+    from haystack_traces_spark.session import materialize
+
+    emb = _emb(spark, sf_dir)
+    n_vecs = emb.count()  # bounded driver scalar (house-allowed class)
+    pairs = materialize(
+        embedding_neardup_pairs(emb, min(EMB_SWEEP_LADDER))
+    )
+    out = None
+    for t in EMB_SWEEP_LADDER:
+        hit = pairs.filter(F.round("cos", 6) >= t)
+        flagged = (
+            hit.select(F.col("id_a").alias("v"))
+            .unionByName(hit.select(F.col("id_b").alias("v")))
+            .distinct()
+        )
+        one = (
+            hit.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(
+                F.broadcast(
+                    flagged.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_docs_flagged")
+                    )
+                )
+            )
+            .select(
+                F.lit(t).cast("double").alias("cos_threshold"),
+                "n_pairs",
+                "n_docs_flagged",
+                F.round(
+                    F.col("n_docs_flagged") / F.lit(float(n_vecs)), 6
+                ).alias("docs_flagged_share"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("cos_threshold")
+
+
+def sql_embedding_threshold_sweep() -> str:
+    lo = min(EMB_SWEEP_LADDER)
+    arms = "\n  UNION ALL ".join(
+        f"""SELECT CAST({t} AS DOUBLE) AS cos_threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs WHERE cos >= {t}) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT v FROM (
+             SELECT id_a AS v FROM pairs WHERE cos >= {t}
+             UNION ALL SELECT id_b FROM pairs WHERE cos >= {t}))) AS n_docs_flagged"""
+        for t in EMB_SWEEP_LADDER
+    )
+    return f"""
+WITH pairs AS (
+  -- raw-cos gate: mirrors the Spark base stage (embedding_neardup_pairs
+  -- / sql_dedup_embedding gate raw; rung membership is on the 6dp round)
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS} >= {lo}
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT cos_threshold, n_pairs, n_docs_flagged,
+       ROUND(n_docs_flagged / CAST(n_vecs AS DOUBLE), 6) AS docs_flagged_share
+FROM ({arms}) CROSS JOIN nv
+ORDER BY cos_threshold
 """

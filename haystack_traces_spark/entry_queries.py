@@ -8282,6 +8282,123 @@ FROM per_field ORDER BY field
     )
 
 
+#: Gap rungs for the sessionization knob sweep — brackets SESSION_GAP_US
+#: (12 h; corpus median inter-event gap ≈ 8 h) a decade down and 2× up.
+SESSION_GAP_LADDER = (HOUR_US, 4 * HOUR_US, SESSION_GAP_US, 24 * HOUR_US)
+
+
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (gap_us, n_sessions, events_per_session, in_session_us,
+    mean_session_dur_us): the SESSIONIZATION-GAP knob table — the T1
+    sessionizer's window parameter (reference
+    `SpanAccumulator`/sessionize config; `event_sessions` is the shipped
+    single-gap face) swept across a ladder, priced from ONE lag pass:
+    every user's first event opens a session and each inter-event gap
+    > g opens another, so n_sessions(g) = n_users + Σ[gap > g], and the
+    in-session wall time is Σ of the gaps a rung does NOT split. The
+    pre-100 TB question: which gap keeps state size (live sessions ≈
+    n_sessions per window) and session semantics in balance — read off
+    the table instead of re-running the sessionizer per candidate gap.
+
+    All exact integers (counts, gap sums; mean duration via integer
+    div); events_per_session is the one 6dp double.
+
+    Scale shape: ONE user-partitioned lag window (the exchange every
+    trace operator shuffles on) + one combinable rollup carrying the 4
+    rungs as conditional sums — the ladder never re-scans."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+    from pyspark.sql import Window
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = events.select(
+        "user_id", "event_id", _epoch_micros(events).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("tus") - F.lag("tus").over(w)).alias("gap")
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+        *[
+            F.sum(F.when(F.col("gap") > g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"splits_{i}")
+            for i, g in enumerate(SESSION_GAP_LADDER)
+        ],
+        *[
+            F.sum(F.when(F.col("gap") <= g, F.col("gap")).otherwise(0))
+            .cast("long")
+            .alias(f"inside_{i}")
+            for i, g in enumerate(SESSION_GAP_LADDER)
+        ],
+    )
+    rung_rows = []
+    for i, g in enumerate(SESSION_GAP_LADDER):
+        rung_rows.append(
+            agg.select(
+                F.lit(g).cast("long").alias("gap_us"),
+                (F.col("n_users") + F.col(f"splits_{i}"))
+                .cast("long")
+                .alias("n_sessions"),
+                F.round(
+                    F.col("n_rows")
+                    / (F.col("n_users") + F.col(f"splits_{i}")).cast("double"),
+                    6,
+                ).alias("events_per_session"),
+                F.col(f"inside_{i}").alias("in_session_us"),
+                F.expr(
+                    f"inside_{i} div (n_users + splits_{i})"
+                ).alias("mean_session_dur_us"),
+            )
+        )
+    out = rung_rows[0]
+    for r in rung_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("gap_us")
+
+
+def sql_session_gap_sweep() -> str:
+    split_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN gap > {g} THEN 1 ELSE 0 END) AS BIGINT) AS splits_{i},\n"
+        f"         CAST(SUM(CASE WHEN gap <= {g} THEN gap ELSE 0 END) AS BIGINT) AS inside_{i}"
+        for i, g in enumerate(SESSION_GAP_LADDER)
+    )
+    arms = "\n  UNION ALL ".join(
+        f"""SELECT {g} AS gap_us, n_users + splits_{i} AS n_sessions,
+       ROUND(n_rows / CAST(n_users + splits_{i} AS DOUBLE), 6)
+         AS events_per_session,
+       inside_{i} AS in_session_us,
+       inside_{i} // (n_users + splits_{i}) AS mean_session_dur_us
+FROM agg"""
+        for i, g in enumerate(SESSION_GAP_LADDER)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+gaps AS (
+  SELECT user_id,
+         tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS gap
+  FROM ev
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users,
+         {split_cols}
+  FROM gaps
+)
+SELECT CAST(gap_us AS BIGINT) AS gap_us, n_sessions, events_per_session,
+       in_session_us, mean_session_dur_us
+FROM ({arms}) ORDER BY gap_us
+"""
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -8340,6 +8457,8 @@ _ROTATION_QUEUE = (
     "hard_negative_mining",
     "bloom_sizing_plan",
     "gemm_block_plan",
+    "session_gap_sweep",
+    "embedding_threshold_sweep",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -8532,6 +8651,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrival_burstiness": q_arrival_burstiness,
         "latency_hourly_percentiles": q_latency_hourly_percentiles,
         "field_entropy": q_field_entropy,
+        "session_gap_sweep": q_session_gap_sweep,
     }
 
 
@@ -8665,4 +8785,5 @@ def _trace_oracles() -> dict[str, str]:
         "arrival_burstiness": sql_arrival_burstiness(),
         "latency_hourly_percentiles": sql_latency_hourly_percentiles(),
         "field_entropy": sql_field_entropy(),
+        "session_gap_sweep": sql_session_gap_sweep(),
     }

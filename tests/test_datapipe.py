@@ -4351,6 +4351,25 @@ def test_gemm_block_plan_hand_case(spark, monkeypatch):
         assert rows[a]["replicated_rows"] <= rows[b]["replicated_rows"]
 
 
+def test_embedding_threshold_sweep_ladder_invariants(spark, sf_dir):
+    """Raising the cosine cutoff can only shrink the flag set: n_pairs
+    and n_docs_flagged non-increasing in threshold; the lowest rung's
+    pair count equals the shipped dedup_embedding face's (same GEMM
+    sweep, same 6dp membership); shares in [0, 1]."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = {r["cos_threshold"]: r for r in dp.q_embedding_threshold_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(dp.EMB_SWEEP_LADDER)
+    ladder = sorted(rows)
+    for a, b in zip(ladder, ladder[1:]):
+        assert rows[a]["n_pairs"] >= rows[b]["n_pairs"]
+        assert rows[a]["n_docs_flagged"] >= rows[b]["n_docs_flagged"]
+    for r in rows.values():
+        assert 0 <= r["docs_flagged_share"] <= 1
+    shipped = dp.q_dedup_embedding(spark, sf_dir).count()
+    assert rows[min(ladder)]["n_pairs"] == shipped
+
+
 def test_collision_ppm_widens_past_int64(spark):
     """ADVICE r10: pair_mass ~5e12 (million-doc common-bigram scale) puts
     2*pair_mass*1e6 = 1e19 past int64 — the old bare-int64 multiply was an

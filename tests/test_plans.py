@@ -858,6 +858,14 @@ def test_round11_operators_have_no_global_bottleneck(spark):
         "field_entropy": (EQ.q_field_entropy, 0),
         "hard_negative_mining": (Q.q_hard_negative_mining, 0),
         "dedup_candidate_funnel": (Q.q_dedup_candidate_funnel, 12),
+        # one keyed lag window into a 1-row conditional-sum rollup,
+        # re-read per ladder rung (4 one-row branches)
+        "session_gap_sweep": (EQ.q_session_gap_sweep, 8),
+        # per rung: 1-row pair count + 1-row flagged-distinct count
+        "embedding_threshold_sweep": (Q.q_embedding_threshold_sweep, 16),
+        # per rung: three 1-row stage aggregates over the broadcast screen
+        "bloom_sizing_plan": (Q.q_bloom_sizing_plan, 16),
+        "gemm_block_plan": (Q.q_gemm_block_plan, 2),
     }
     try:
         with stagecache.plan_view():

@@ -2261,6 +2261,23 @@ def test_field_entropy_pins_hand_distribution(spark):
     assert (op["n_values"], op["entropy"], op["top_share"]) == (1, 0.0, 1.0)
 
 
+def test_session_gap_sweep_ladder_invariants(spark, sf_dir):
+    """A bigger gap can only MERGE sessions: n_sessions non-increasing in
+    gap_us, in_session_us non-decreasing, events_per_session
+    non-decreasing; the SESSION_GAP_US rung's session count equals the
+    shipped event_sessions face's (one lag pass, same islands); floor:
+    n_sessions >= n_users at every rung."""
+    rows = {r["gap_us"]: r for r in EQ.q_session_gap_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(EQ.SESSION_GAP_LADDER)
+    ladder = sorted(rows)
+    for a, b in zip(ladder, ladder[1:]):
+        assert rows[a]["n_sessions"] >= rows[b]["n_sessions"]
+        assert rows[a]["in_session_us"] <= rows[b]["in_session_us"]
+        assert rows[a]["events_per_session"] <= rows[b]["events_per_session"]
+    shipped = EQ.q_event_sessions(spark, sf_dir).count()
+    assert rows[EQ.SESSION_GAP_US]["n_sessions"] == shipped
+
+
 def test_arrival_burstiness_poisson_vs_bursty(spark, sf_dir):
     """On the real corpus every service emits a row with exact-moment
     fano/burstiness; sanity: fano > 0, burstiness in (-1, 1), and the
