@@ -158,6 +158,7 @@ class EventTimeLatencyHistogram(EventTimeHourGate):
         "servicename string, operationname string, hour_ts long, "
         "bucket long, n long"
     )
+    _MOMENT_KEYS = ("servicename", "operationname", "hour_ts", "bucket")
 
     def __init__(
         self,

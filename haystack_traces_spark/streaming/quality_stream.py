@@ -235,6 +235,9 @@ class EventTimeHourGate:
 
     _INPUT_COLS: tuple = ()
     _MOMENT_SCHEMA: str = ""
+    #: grouping columns of the moment log; every other moment column is
+    #: an associative sum (the compaction contract)
+    _MOMENT_KEYS: tuple = ()
 
     def __init__(self, state_dir: str, out_dir: str, delay_us: int, hour_us: int):
         self.state_dir = state_dir.rstrip("/")
@@ -329,6 +332,57 @@ class EventTimeHourGate:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def compact_state(self, spark) -> tuple[int, int]:
+        """OFFLINE moment-log compaction (the neardup-gate contract:
+        stream stopped, checkpoint committed). Moment rows collapse to
+        ONE row per ``_MOMENT_KEYS`` group — lossless for every future
+        verdict because every non-key moment column is an associative
+        SUM, and the verdict's final/emitted-before filters read
+        ``hour_ts`` (a preserved key), never batch_id. The docs log
+        (dedup set + watermark source) is rewritten as-is into one dir.
+        Both land in ``batch_id=-1`` (always "prior" to any future
+        batch). Staged + rename-aside swap exactly as the neardup gate:
+        an interrupted compact leaves the old state or a detectable
+        ``.old`` remnant, detected and raised on the next compact.
+        → (moment rows after, doc rows after). §6's bound-the-FILE-COUNT
+        lever for the hour-gate family (quality drift, latency hist)."""
+        import os
+        import shutil
+
+        for sub in ("moments", "docs"):
+            live = f"{self.state_dir}/{sub}"
+            if not os.path.exists(live) and os.path.exists(live + ".old"):
+                raise RuntimeError(
+                    f"hour-gate state {live} missing but its .old sibling "
+                    "exists — a prior compact_state was interrupted in its "
+                    f"swap window; recover by renaming {live}.old back to "
+                    f"{live} (a leftover {live}.compact is incomplete and "
+                    "can be deleted), then re-run compact_state"
+                )
+
+        moments = self._log(spark, "moments", self._MOMENT_SCHEMA, 1 << 62)
+        all_docs = self._log(spark, "docs", "doc_id long, ts long", 1 << 62)
+        keys = list(self._MOMENT_KEYS)
+        sum_cols = [
+            c for c in moments.columns if c not in keys and c != "batch_id"
+        ]
+        compacted = moments.groupBy(*keys).agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        )
+        counts = []
+        for sub, df in (("moments", compacted), ("docs", all_docs.select("doc_id", "ts"))):
+            live = f"{self.state_dir}/{sub}"
+            staging = live + ".compact"
+            shutil.rmtree(staging, ignore_errors=True)
+            df.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+            counts.append(spark.read.parquet(staging).count())
+            aside = live + ".old"
+            shutil.rmtree(aside, ignore_errors=True)
+            shutil.move(live, aside)
+            shutil.move(staging, live)
+            shutil.rmtree(aside)
+        return counts[0], counts[1]
+
 
 class EventTimeQualityDrift(EventTimeHourGate):
     """foreachBatch EVENT-TIME quality-drift gate (VERDICT r9 ask #6).
@@ -348,6 +402,7 @@ class EventTimeQualityDrift(EventTimeHourGate):
     _MOMENT_SCHEMA = (
         "source string, hour_ts long, n_docs long, s_micro long, ss_micro long"
     )
+    _MOMENT_KEYS = ("source", "hour_ts")
 
     def __init__(
         self,

@@ -2600,6 +2600,77 @@ def test_latency_hist_gate_routes_late_and_emits_once(spark, tmp_path):
     assert moments.agg(F.sum("n")).first()[0] == 9  # 4 + 4 + 1 admitted
 
 
+def test_hour_gate_compact_state_mid_stream_equivalence(spark, tmp_path):
+    """EventTimeHourGate.compact_state: compacting the latency gate's
+    moment + docs logs mid-stream changes NOTHING downstream — later
+    batches emit the same verdicts, stragglers still late-route (the
+    dedup set and watermark survive), and the moment log shrinks to one
+    row per (svc, op, hour, bucket)."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.streaming.latency_stream import (
+        EventTimeLatencyHistogram,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import read_verdicts
+
+    schema = (
+        "doc_id long, ts long, servicename string, operationname string, "
+        "duration long"
+    )
+
+    def run(tag, compact_after_batch1):
+        gate = EventTimeLatencyHistogram(
+            str(tmp_path / f"state_{tag}"), str(tmp_path / f"out_{tag}"),
+            delay_us=100, hour_us=1000,
+        )
+        # hour 0 split across two deliveries (same-hour moments split
+        # across batches — exactly what compaction merges)
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 100, "web", "get", i + 1) for i in range(4)],
+                schema,
+            ),
+            0,
+        )
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 100, "web", "get", i + 1) for i in range(4, 8)],
+                schema,
+            ),
+            1,
+        )
+        if compact_after_batch1:
+            n_moments, n_docs = gate.compact_state(spark)
+            assert n_moments == 4  # buckets {1,2,3,4} of hour 0, merged
+            assert n_docs == 8
+            # a redelivered doc AND a pre-watermark straggler after the
+            # compact: dedup set + watermark must have survived
+            gate.process_batch(
+                spark.createDataFrame(
+                    [(3, 301, "web", "get", 4), (99, 1, "web", "get", 9)],
+                    schema,
+                ),
+                2,
+            )
+        gate.process_batch(
+            spark.createDataFrame([(10, 1500, "web", "get", 50)], schema), 3
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    plain = run("plain", False)
+    compacted = run("compact", True)
+    assert plain == compacted
+    # the straggler (doc 99, ts 1 <= watermark 301-100) was late-routed
+    late = spark.read.parquet(str(tmp_path / "out_compact" / "late"))
+    assert [(r["doc_id"], r["ts"]) for r in late.collect()] == [(99, 1)]
+    # moments stayed compact: 4 merged rows + batch-2 empties + batch-3 row
+    moments = spark.read.parquet(str(tmp_path / "state_compact" / "moments"))
+    assert moments.count() == 5
+
+
 def test_quality_drift_gate_routes_late_and_emits_once(spark, tmp_path):
     """Direct process_batch drive of EventTimeQualityDrift: an hour's
     verdict is emitted exactly once (in the batch whose watermark passes
