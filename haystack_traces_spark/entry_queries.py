@@ -8282,6 +8282,147 @@ FROM per_field ORDER BY field
     )
 
 
+def q_latency_hist_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (servicename, operationname, n_spans, exact_p99_us, hist_p99_us,
+    ratio, within_bound): the MEASURED-ACCURACY face of the log2-bucket
+    histogram estimator (house rule: every approximate family carries
+    one — `ann_recall_report` for LSH, `cms_estimate_quality` for CMS,
+    this for the latency histogram). Per operation: the exact p99 (the
+    p99_confidence rank arithmetic — rank ⌈99n/100⌉ under the
+    (duration, span_id) total order) against the histogram estimate
+    (smallest bucket whose cumulative count reaches the SAME exact rank,
+    upper bound 2^b − 1), the ratio, and the guarantee check
+    hist ≥ exact AND hist < 2·exact as an exact-integer boolean (the
+    estimator promise: true ≤ est < 2·true for durations ≥ 1).
+
+    Scale shape: this is the AUDIT face, so it pays the per-key rank
+    sort once (the monitored path never does — the gate and
+    `latency_hourly_percentiles` are windows over ≤64 bucket rows); at
+    100 TB run it on a sampled fraction like every accuracy report."""
+    from pyspark.sql import Window
+
+    spans = _spans(spark, sf_dir).filter(
+        (F.col("service_name") != "") & (F.col("operation_name") != "")
+    ).select(
+        F.lower("service_name").alias("servicename"),
+        F.lower("operation_name").alias("operationname"),
+        "duration",
+        F.col("span_id").cast("long").alias("sid"),
+    )
+    w = Window.partitionBy("servicename", "operationname").orderBy(
+        "duration", "sid"
+    )
+    wn = Window.partitionBy("servicename", "operationname")
+    ranked = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n") >= P99_MIN_SPANS)
+        .withColumn("r99", F.expr("(99 * n + 99) div 100"))
+    )
+    exact = (
+        ranked.filter(F.col("rn") == F.col("r99"))
+        .select(
+            "servicename",
+            "operationname",
+            F.col("n").alias("n_spans"),
+            F.col("duration").alias("exact_p99_us"),
+        )
+    )
+    hist = (
+        ranked.groupBy(
+            "servicename",
+            "operationname",
+            F.length(F.conv(F.col("duration").cast("string"), 10, 2))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"), F.max("r99").alias("r99"))
+    )
+    wb = Window.partitionBy("servicename", "operationname").orderBy("bucket")
+    est = (
+        hist.withColumn("cum", F.sum("c").over(wb))
+        .filter(F.col("cum") >= F.col("r99"))
+        .groupBy("servicename", "operationname")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "servicename",
+            "operationname",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - 1").alias(
+                "hist_p99_us"
+            ),
+        )
+    )
+    return (
+        exact.join(est, ["servicename", "operationname"])
+        .select(
+            "servicename",
+            "operationname",
+            "n_spans",
+            "exact_p99_us",
+            "hist_p99_us",
+            F.round(
+                F.col("hist_p99_us")
+                / F.nullif(F.col("exact_p99_us").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("ratio"),
+            (
+                (F.col("hist_p99_us") >= F.col("exact_p99_us"))
+                & (F.col("hist_p99_us") < F.lit(2) * F.col("exact_p99_us"))
+            ).alias("within_bound"),
+        )
+        .orderBy("servicename", "operationname")
+    )
+
+
+def sql_latency_hist_accuracy() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, ranked AS (
+  SELECT lower(service_name) AS servicename,
+         lower(operation_name) AS operationname,
+         duration,
+         ROW_NUMBER() OVER (PARTITION BY lower(service_name), lower(operation_name)
+                            ORDER BY duration, CAST(span_id AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY lower(service_name), lower(operation_name)) AS n
+  FROM spans WHERE service_name <> '' AND operation_name <> ''
+),
+marked AS (
+  SELECT *, (99 * n + 99) // 100 AS r99 FROM ranked WHERE n >= {P99_MIN_SPANS}
+),
+exact AS (
+  SELECT servicename, operationname, CAST(MAX(n) AS BIGINT) AS n_spans,
+         MAX(CASE WHEN rn = r99 THEN duration END) AS exact_p99_us
+  FROM marked GROUP BY 1, 2
+),
+hist AS (
+  SELECT servicename, operationname,
+         CAST(length(bin(duration)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c, MAX(r99) AS r99
+  FROM marked GROUP BY 1, 2, 3
+),
+walk AS (
+  SELECT *, SUM(c) OVER (PARTITION BY servicename, operationname
+                         ORDER BY bucket) AS cum
+  FROM hist
+),
+est AS (
+  SELECT servicename, operationname,
+         (CAST(1 AS BIGINT) << CAST(MIN(bucket) AS INT)) - 1 AS hist_p99_us
+  FROM walk WHERE cum >= r99 GROUP BY 1, 2
+)
+SELECT e.servicename, e.operationname, e.n_spans, e.exact_p99_us,
+       s.hist_p99_us,
+       ROUND(s.hist_p99_us / CAST(NULLIF(e.exact_p99_us, 0) AS DOUBLE), 6)
+         AS ratio,
+       (s.hist_p99_us >= e.exact_p99_us
+        AND s.hist_p99_us < 2 * e.exact_p99_us) AS within_bound
+FROM exact e JOIN est s USING (servicename, operationname)
+ORDER BY e.servicename, e.operationname
+"""
+    )
+
+
 #: Gap rungs for the sessionization knob sweep — brackets SESSION_GAP_US
 #: (12 h; corpus median inter-event gap ≈ 8 h) a decade down and 2× up.
 SESSION_GAP_LADDER = (HOUR_US, 4 * HOUR_US, SESSION_GAP_US, 24 * HOUR_US)
@@ -8459,6 +8600,7 @@ _ROTATION_QUEUE = (
     "gemm_block_plan",
     "session_gap_sweep",
     "embedding_threshold_sweep",
+    "latency_hist_accuracy",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -8652,6 +8794,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_hourly_percentiles": q_latency_hourly_percentiles,
         "field_entropy": q_field_entropy,
         "session_gap_sweep": q_session_gap_sweep,
+        "latency_hist_accuracy": q_latency_hist_accuracy,
     }
 
 
@@ -8786,4 +8929,5 @@ def _trace_oracles() -> dict[str, str]:
         "latency_hourly_percentiles": sql_latency_hourly_percentiles(),
         "field_entropy": sql_field_entropy(),
         "session_gap_sweep": sql_session_gap_sweep(),
+        "latency_hist_accuracy": sql_latency_hist_accuracy(),
     }

@@ -866,6 +866,8 @@ def test_round11_operators_have_no_global_bottleneck(spark):
         # per rung: three 1-row stage aggregates over the broadcast screen
         "bloom_sizing_plan": (Q.q_bloom_sizing_plan, 16),
         "gemm_block_plan": (Q.q_gemm_block_plan, 2),
+        # rank + bucket windows all partition on (service, operation)
+        "latency_hist_accuracy": (EQ.q_latency_hist_accuracy, 0),
     }
     try:
         with stagecache.plan_view():

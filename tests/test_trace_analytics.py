@@ -2261,6 +2261,32 @@ def test_field_entropy_pins_hand_distribution(spark):
     assert (op["n_values"], op["entropy"], op["top_share"]) == (1, 0.0, 1.0)
 
 
+def test_latency_hist_accuracy_bound_holds(spark, sf_dir):
+    """The estimator promise true ≤ est < 2·true must hold on EVERY
+    real-corpus operation (within_bound True, ratio in [1, 2)); a
+    crafted ramp pins the exact numbers: durations 1..200 → exact p99 =
+    rank 198 = 198, histogram bucket of 198 is 8 → est 255, ratio
+    255/198."""
+    for r in EQ.q_latency_hist_accuracy(spark, sf_dir).collect():
+        assert r["within_bound"] is True, r
+        assert 1.0 <= r["ratio"] < 2.0
+
+    rows = [
+        mk(trace_id=f"t{i}", span_id=f"{i}", service="s", operation="o",
+           duration=i + 1)
+        for i in range(200)
+    ]
+    out = _patched(
+        spark, rows,
+        lambda: EQ.q_latency_hist_accuracy(spark, "ignored").collect(),
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["exact_p99_us"], r["hist_p99_us"]) == (198, 255)
+    assert r["ratio"] == round(255 / 198, 6)
+    assert r["within_bound"] is True
+
+
 def test_session_gap_sweep_ladder_invariants(spark, sf_dir):
     """A bigger gap can only MERGE sessions: n_sessions non-increasing in
     gap_us, in_session_us non-decreasing, events_per_session
