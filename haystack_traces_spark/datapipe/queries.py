@@ -5500,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_sizing_plan": q_bloom_sizing_plan,
         "gemm_block_plan": q_gemm_block_plan,
         "embedding_threshold_sweep": q_embedding_threshold_sweep,
+        "ivf_cells_plan": q_ivf_cells_plan,
         "canonical_docs": q_canonical_docs,
         # partial oracle (VERDICT r4 #4): the k-means fit is trained
         # driver-side by the shared numpy routine and injected as literal
@@ -5655,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_sizing_plan": sql_bloom_sizing_plan(),
         "gemm_block_plan": sql_gemm_block_plan(),
         "embedding_threshold_sweep": sql_embedding_threshold_sweep(),
+        "ivf_cells_plan": sql_ivf_cells_plan(),
         "canonical_docs": sql_canonical_docs(),
         "bigram_ppl": sql_bigram_ppl(),
         "decontaminate_neardup": sql_decontaminate_neardup(),
@@ -10697,4 +10699,140 @@ SELECT cos_threshold, n_pairs, n_docs_flagged,
        ROUND(n_docs_flagged / CAST(n_vecs AS DOUBLE), 6) AS docs_flagged_share
 FROM ({arms}) CROSS JOIN nv
 ORDER BY cos_threshold
+"""
+
+
+#: Cell-count rungs for the IVF coarse-quantizer ladder — brackets the
+#: shipped IVF_CELLS both directions.
+IVF_CELLS_LADDER = (8, 16, 32, 64)
+IVF_PLAN_NPROBE = 4
+
+
+def q_ivf_cells_plan(spark, sf_dir):
+    """→ (n_cells, imbalance, mean_top_cos, worst_probe_share,
+    uniform_probe_share): the IVF CELL-COUNT knob table — the remaining
+    dial of the ANN family (`ann_storage_plan` prices bytes,
+    `ivf_probe_sweep` prices recall vs n_probe at fixed cells,
+    `ivf_cell_balance` audits occupancy at fixed cells; this sweeps the
+    cell count itself). Per rung: occupancy imbalance (max/mean), the
+    mean cosine of each vector to its assigned centroid (coarse
+    quantization tightness — rises with cells), and the scan-fraction
+    envelope at n_probe=4: worst case (the 4 largest cells — what a
+    query hitting the hot cells pays) vs the uniform ideal
+    n_probe/n_cells. The pre-100 TB read: grow cells until
+    worst_probe_share approaches the uniform line at acceptable
+    imbalance, then size the partition layout.
+
+    Cross-engine discipline: assignment is ann_ivf's rule (argmax raw
+    cosine, cid tiebreak) with the sequential fold (cosine_expr) — the
+    cell_balance precedent, bitwise-equal doubles on both faces; shares
+    divide exact integer counts; mean_top_cos is the one ROUND(AVG, 6).
+
+    Scale shape: per rung one broadcast of n_cells lowest-id centroids
+    + a per-row argmax fold + combinable cell rollups — linear scans,
+    no pair space; the ladder is a 4-row union."""
+    from pyspark.sql import Window
+
+    from haystack_traces_spark.datapipe.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    v = with_norm(_emb(spark, sf_dir))
+    out = None
+    for k in IVF_CELLS_LADDER:
+        cents = (
+            v.orderBy(F.col("vec_id").asc())
+            .limit(k)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("vec_d").alias("cv"),
+                F.col("norm").alias("cnorm"),
+            )
+        )
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            cosine_expr("vec_d", "cv", "norm", "cnorm").alias("cos"),
+        )
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"), "cos")
+        )
+        per_cell = assign.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs")
+        )
+        ranked = per_cell.withColumn("r", F.row_number().over(
+            Window.orderBy(F.col("n_vecs").desc(), F.col("cell").asc())
+        ))
+        occ = ranked.agg(
+            F.sum("n_vecs").alias("total"),
+            F.max("n_vecs").alias("mx"),
+            F.sum(
+                F.when(F.col("r") <= IVF_PLAN_NPROBE, F.col("n_vecs")).otherwise(0)
+            ).alias("top_np"),
+            F.count(F.lit(1)).cast("long").alias("cells_used"),
+        )
+        qual = assign.agg(F.round(F.avg("cos"), 6).alias("mean_top_cos"))
+        one = occ.crossJoin(F.broadcast(qual)).select(
+            F.lit(k).cast("long").alias("n_cells"),
+            F.round(F.col("mx") * F.lit(k) / F.col("total"), 6).alias(
+                "imbalance"
+            ),
+            "mean_top_cos",
+            F.round(F.col("top_np") / F.col("total").cast("double"), 6).alias(
+                "worst_probe_share"
+            ),
+            F.round(F.lit(IVF_PLAN_NPROBE) / F.lit(float(k)), 6).alias(
+                "uniform_probe_share"
+            ),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("n_cells")
+
+
+def sql_ivf_cells_plan() -> str:
+    cos = (
+        "list_dot_product(a.v, c.cv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    arms = []
+    for k in IVF_CELLS_LADDER:
+        arms.append(f"""
+SELECT {k} AS n_cells, occ.imbalance, qual.mean_top_cos,
+       occ.worst_probe_share,
+       ROUND({IVF_PLAN_NPROBE} / CAST({k} AS DOUBLE), 6) AS uniform_probe_share
+FROM (
+  SELECT ROUND(MAX(n_vecs) * {k} * 1.0 / SUM(n_vecs), 6) AS imbalance,
+         ROUND(SUM(CASE WHEN r <= {IVF_PLAN_NPROBE} THEN n_vecs ELSE 0 END)
+               / CAST(SUM(n_vecs) AS DOUBLE), 6) AS worst_probe_share
+  FROM (
+    SELECT n_vecs,
+           ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell ASC) AS r
+    FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT a.vec_id, c.cid,
+                     ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {cos} DESC, c.cid ASC) AS rn
+              FROM e a CROSS JOIN (SELECT vec_id AS cid, v AS cv FROM e
+                                   ORDER BY vec_id LIMIT {k}) c) t
+            WHERE rn = 1)
+          GROUP BY 1))) occ,
+     (
+  SELECT ROUND(AVG(best_cos), 6) AS mean_top_cos
+  FROM (
+    SELECT a.vec_id, MAX({cos}) AS best_cos
+    FROM e a CROSS JOIN (SELECT vec_id AS cid, v AS cv FROM e
+                         ORDER BY vec_id LIMIT {k}) c
+    GROUP BY 1)) qual""")
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+{union}
+ORDER BY n_cells
 """

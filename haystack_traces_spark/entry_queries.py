@@ -8601,6 +8601,7 @@ _ROTATION_QUEUE = (
     "session_gap_sweep",
     "embedding_threshold_sweep",
     "latency_hist_accuracy",
+    "ivf_cells_plan",
 )
 
 _ROTATION_QUEUE_R10 = (

@@ -4370,6 +4370,29 @@ def test_embedding_threshold_sweep_ladder_invariants(spark, sf_dir):
     assert rows[min(ladder)]["n_pairs"] == shipped
 
 
+def test_ivf_cells_plan_ladder_invariants(spark, sf_dir):
+    """More cells give a tighter coarse quantizer (mean_top_cos
+    non-decreasing in n_cells — every smaller ladder's centroids are a
+    prefix subset of the larger's, so the best-centroid cosine can only
+    improve) and a smaller uniform probe share; worst_probe_share >=
+    uniform_probe_share always (the top-4 cells at least match the
+    mean); the shipped IVF_CELLS rung's imbalance reconciles with
+    ivf_cell_balance's own column."""
+    from haystack_traces_spark.datapipe import queries as dp
+
+    rows = {r["n_cells"]: r for r in dp.q_ivf_cells_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(dp.IVF_CELLS_LADDER)
+    ladder = sorted(rows)
+    for a, b in zip(ladder, ladder[1:]):
+        assert rows[a]["mean_top_cos"] <= rows[b]["mean_top_cos"] + 1e-9
+        assert rows[a]["uniform_probe_share"] >= rows[b]["uniform_probe_share"]
+    for r in rows.values():
+        assert r["worst_probe_share"] >= r["uniform_probe_share"] - 1e-9
+        assert r["imbalance"] >= 1.0 - 1e-9
+    balance = dp.q_ivf_cell_balance(spark, sf_dir).collect()
+    assert rows[dp.IVF_CELLS]["imbalance"] == balance[0]["imbalance"]
+
+
 def test_collision_ppm_widens_past_int64(spark):
     """ADVICE r10: pair_mass ~5e12 (million-doc common-bigram scale) puts
     2*pair_mass*1e6 = 1e19 past int64 — the old bare-int64 multiply was an

@@ -868,6 +868,9 @@ def test_round11_operators_have_no_global_bottleneck(spark):
         "gemm_block_plan": (Q.q_gemm_block_plan, 2),
         # rank + bucket windows all partition on (service, operation)
         "latency_hist_accuracy": (EQ.q_latency_hist_accuracy, 0),
+        # per rung: centroid limit + two 1-row rollups (8 total), all
+        # over n_cells-bounded tables; assignment windows key on vec_id
+        "ivf_cells_plan": (Q.q_ivf_cells_plan, 20),
     }
     try:
         with stagecache.plan_view():
