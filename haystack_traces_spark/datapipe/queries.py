@@ -1045,6 +1045,102 @@ LIMIT {BPE_TOP_N}
 """
 
 
+#: merge rounds for the iterative BPE trainer — small like a vocab budget;
+#: the oracle unrolls one CTE block per round, so keep it single-digit
+BPE_TRAIN_ROUNDS = 6
+
+
+def q_bpe_train(spark, sf_dir):
+    return X.bpe_train(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+
+
+def q_bpe_compression(spark, sf_dir):
+    return X.bpe_compression(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+
+
+def _bpe_chain_sql(rounds: int) -> str:
+    """Unrolled CTE chain mirroring ``text._bpe_loop``: per round, pair
+    counts + deterministic argmax (pick_k), then the greedy-leftmost
+    non-overlapping rewrite via gaps-and-islands — candidate positions
+    (tok=a, next=b) form islands of consecutive positions; merges land on
+    even offsets from each island head, which is exactly what the Spark
+    side's left-fold produces. Fully literal-free: the oracle derives
+    every round's argmax from the data itself, so the hash gate verifies
+    the entire training loop (counts, tiebreak, AND rewrite) against an
+    independent relational implementation."""
+    parts = [
+        """seqs_0 AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""pos_{k} AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok, toks[i+1] AS nxt
+  FROM seqs_{k - 1}, UNNEST(generate_series(1, len(toks))) t(i)
+),
+pick_{k} AS (
+  SELECT tok AS a, nxt AS b, COUNT(*) AS n
+  FROM pos_{k} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+),
+mrk_{k} AS (
+  SELECT doc_id, pos, tok, nxt, is_cand,
+         is_cand AND (pos - MIN(pos) OVER (PARTITION BY doc_id, isl)) % 2 = 0
+           AS do_merge
+  FROM (
+    SELECT doc_id, pos, tok, nxt, is_cand,
+           CASE WHEN is_cand THEN pos - ROW_NUMBER()
+             OVER (PARTITION BY doc_id, is_cand ORDER BY pos) END AS isl
+    FROM (SELECT p.doc_id, p.pos, p.tok, p.nxt,
+                 COALESCE(p.tok = k.a AND p.nxt = k.b, FALSE) AS is_cand
+          FROM pos_{k} p CROSS JOIN pick_{k} k)
+  )
+),
+seqs_{k} AS (
+  SELECT doc_id, list(tok ORDER BY pos) AS toks FROM (
+    SELECT doc_id, pos,
+           CASE WHEN do_merge THEN tok || nxt ELSE tok END AS tok,
+           LAG(do_merge, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS absorbed
+    FROM mrk_{k}
+  ) WHERE NOT absorbed GROUP BY doc_id
+)""")
+    return ",\n".join(parts)
+
+
+def sql_bpe_train() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS round, a AS left_tok, b AS right_tok, "
+        f"a || b AS merged_tok, n AS pair_count FROM pick_{k}"
+        for k in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        f"WITH {_bpe_chain_sql(BPE_TRAIN_ROUNDS)}\n"
+        f"SELECT * FROM (\n{union}\n) ORDER BY round"
+    )
+
+
+def sql_bpe_compression() -> str:
+    n = BPE_TRAIN_ROUNDS
+    return f"""
+WITH {_bpe_chain_sql(n)},
+tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(toks)) AS BIGINT) AS tok_before FROM seqs_0),
+ta AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS tok_after FROM seqs_{n}),
+vb AS (SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS vocab_before
+       FROM seqs_0, UNNEST(toks) t(tok)),
+va AS (SELECT CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS vocab_after
+       FROM seqs_{n}, UNNEST(toks) t(tok))
+SELECT n_docs, tok_before, tok_after,
+       ROUND(tok_after / NULLIF(tok_before, 0), 6) AS compression,
+       vocab_before, vocab_after
+FROM tb, ta, vb, va
+"""
+
+
 SUBSTR_K = 8
 SUBSTR_MIN_RUN = 10
 SUBSTR_MAX_DF = 100
@@ -5435,6 +5531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "ann_knn_graph": q_ann_knn_graph,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
+        "bpe_compression": q_bpe_compression,
         "shuffle_order": q_shuffle_order,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
@@ -5592,6 +5690,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": sql_source_overlap(),
         "ann_knn_graph": sql_ann_knn_graph(),
         "bpe_pairs": sql_bpe_pairs(),
+        "bpe_train": sql_bpe_train(),
+        "bpe_compression": sql_bpe_compression(),
         "shuffle_order": sql_shuffle_order(),
         "pq_codes": sql_pq_codes(),
         "pq_search": sql_pq_search(),

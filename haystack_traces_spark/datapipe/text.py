@@ -1004,3 +1004,154 @@ def token_burstiness(docs: DataFrame, top_n: int = 50) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+def _bpe_seqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-level symbol sequences for BPE training: lowercased,
+    space-split, empties dropped (split on a leading/trailing/double
+    space yields '' tokens that would make merged symbols ambiguous —
+    a+'' == a breaks the fold's no-self-remerge invariant)."""
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("toks"),
+    )
+
+
+def _bpe_merge_round(seqs: DataFrame):
+    """One BPE training round over symbol sequences (doc_id, toks).
+
+    Returns ((left, right, count) or None if no adjacent pair exists,
+    rewritten-seqs DataFrame). The count stage is a single exploded
+    2-gram aggregation (map-side combinable; overlapping occurrences
+    count, per Sennrich et al. 2016); the argmax is a 1-row bounded
+    collect (ties: count desc, left asc, right asc). The REWRITE is
+    map-only: a per-row left-fold (F.aggregate) that replaces greedy
+    leftmost non-overlapping (left,right) adjacencies with the merged
+    symbol — no shuffle, so each round costs one aggregation plus one
+    scan regardless of corpus size. Symbols are plain strings (merged =
+    left||right); a merged symbol never re-merges as the LEFT side of
+    the same round's pair because left||right != left for non-empty
+    right, which the tokenizer guarantees."""
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    top = (
+        seqs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n1),
+                    F.slice("toks", 2, n1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None, seqs
+    a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+    rewritten = seqs.select(
+        "doc_id",
+        F.aggregate(
+            "toks",
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            # F.get (0-indexed, NULL out-of-range) not element_at: ANSI
+            # element_at THROWS on the empty accumulator of the first step
+            lambda acc, t: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (t == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+            ).otherwise(F.concat(acc, F.array(t))),
+        ).alias("toks"),
+    )
+    return (a, b, n), rewritten
+
+
+def _bpe_loop(docs: DataFrame, rounds: int, text_col: str = "text"):
+    """Run ``rounds`` BPE merge rounds; returns (merges, final_seqs,
+    initial_seqs). merges = [(round, left, right, merged, count), ...].
+    Each round's sequences are localCheckpoint-ed — the fold otherwise
+    nests ``rounds`` deep in one plan AND the count stage of round k+1
+    would recompute every prior rewrite per action (same lineage
+    quadratics as dedup_clusters' label propagation)."""
+    seqs0 = _bpe_seqs(docs, text_col).localCheckpoint(eager=True)
+    seqs = seqs0
+    merges: list[tuple] = []
+    for k in range(1, rounds + 1):
+        pick, rewritten = _bpe_merge_round(seqs)
+        if pick is None:
+            break  # corpus exhausted all adjacent pairs (tiny inputs)
+        a, b, n = pick
+        merges.append((k, a, b, a + b, n))
+        seqs = rewritten.localCheckpoint(eager=True)
+    return merges, seqs, seqs0
+
+
+def bpe_train(docs: DataFrame, rounds: int = 6, text_col: str = "text") -> DataFrame:
+    """→ (round, left_tok, right_tok, merged_tok, pair_count): the learned
+    merge table of ``rounds`` iterations of byte-pair-encoding tokenizer
+    training at the word level (Sennrich et al. 2016) — count adjacent
+    symbol pairs corpus-wide, merge the argmax pair everywhere, repeat.
+    The iterative-relational shape: N rounds of (tree-aggregate → 1-row
+    argmax → map-only rewrite), the training loop `bpe_pairs` computes
+    one round of.
+
+    100 TB shape: per round, ONE map-side-combinable pair count (the only
+    shuffle) and ONE shuffle-free rewrite scan; the collected argmax is a
+    single row per round. Production tokenizer training samples the
+    corpus first (a `TABLESAMPLE`/filter upstream of this operator);
+    rounds is small (vocab-size budget), so total cost is rounds × one
+    aggregation over the sample."""
+    merges, _, _ = _bpe_loop(docs, rounds, text_col)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "round INT, left_tok STRING, right_tok STRING, merged_tok STRING, "
+        "pair_count BIGINT",
+    ).orderBy("round")
+
+
+def bpe_compression(
+    docs: DataFrame, rounds: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """→ 1 row (n_docs, tok_before, tok_after, compression, vocab_before,
+    vocab_after): what ``rounds`` learned BPE merges buy on the training
+    corpus — total symbol count before/after applying them (compression =
+    after/before) and distinct-symbol vocabulary growth (each merge adds
+    ≤1 new symbol but can retire its parts). The measured-payoff face of
+    `bpe_train`, computed from the ACTUAL rewritten sequences (a real
+    distributed aggregate, not the merge table)."""
+    _, seqs_n, seqs_0 = _bpe_loop(docs, rounds, text_col)
+
+    def _tot(seqs, suffix):
+        return seqs.select(
+            F.sum(F.size("toks")).cast("long").alias(f"tok_{suffix}")
+        )
+
+    def _vocab(seqs, suffix):
+        return (
+            seqs.select(F.explode("toks").alias("t"))
+            .agg(F.countDistinct("t").cast("long").alias(f"vocab_{suffix}"))
+        )
+
+    n_docs = seqs_0.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(_tot(seqs_0, "before")))
+        .crossJoin(F.broadcast(_tot(seqs_n, "after")))
+        .crossJoin(F.broadcast(_vocab(seqs_0, "before")))
+        .crossJoin(F.broadcast(_vocab(seqs_n, "after")))
+        .select(
+            "n_docs",
+            "tok_before",
+            "tok_after",
+            F.round(
+                F.col("tok_after") / F.nullif(F.col("tok_before"), F.lit(0)), 6
+            ).alias("compression"),
+            "vocab_before",
+            "vocab_after",
+        )
+    )

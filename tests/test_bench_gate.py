@@ -12,7 +12,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import CALIBRATION_WARM_REF_SEC, Calibrator, detect_regressions, load_history
+from bench import (
+    CALIBRATION_WARM_REF_SEC,
+    Calibrator,
+    adjudicate_regressions,
+    detect_regressions,
+    load_history,
+    quiet_floor,
+    ref_drift,
+)
 
 
 def _hist(*maps):
@@ -55,6 +63,77 @@ class TestDetectRegressions:
     def test_multiple_sorted(self):
         history = _hist({"b": 1.0, "a": 1.0}, {"b": 1.0, "a": 1.0})
         assert detect_regressions({"b": 3.0, "a": 3.0}, history) == ["a", "b"]
+
+
+class TestAdjudication:
+    """VERDICT r11 ask #1: the rerun verdict. A persistent slowdown keeps
+    its flag; a one-off spike (rerun back under threshold) loses it."""
+
+    HIST = [{"q1": 2.0, "q2": 2.0}, {"q1": 2.1, "q2": 2.1}, {"q1": 1.9, "q2": 1.9}]
+
+    def test_persistent_slowdown_keeps_flag(self):
+        first = {"q1": 8.0}
+        kept, recs = adjudicate_regressions(["q1"], first, {"q1": 7.5}, self.HIST)
+        assert kept == ["q1"]
+        assert recs == [
+            {"line": "q1", "first_sec": 8.0, "rerun_sec": 7.5, "verdict": "persistent"}
+        ]
+
+    def test_load_transient_spike_loses_flag(self):
+        # first sample 8 s (load burst inside one probe bracket), rerun
+        # 2.2 s — under 2× the 2.0 s median → cleared
+        kept, recs = adjudicate_regressions(["q1"], {"q1": 8.0}, {"q1": 2.2}, self.HIST)
+        assert kept == []
+        assert recs[0]["verdict"] == "load-transient"
+        assert recs[0]["rerun_sec"] == 2.2
+
+    def test_missing_rerun_fails_loud(self):
+        # the operator raised on rerun (or the line has no rerun thunk):
+        # the flag must SURVIVE — never silently cleared
+        kept, recs = adjudicate_regressions(["q1"], {"q1": 8.0}, {}, self.HIST)
+        assert kept == ["q1"]
+        assert recs[0]["rerun_sec"] is None
+        assert recs[0]["verdict"] == "persistent"
+
+    def test_mixed_verdicts(self):
+        kept, recs = adjudicate_regressions(
+            ["q1", "q2"], {"q1": 8.0, "q2": 9.0}, {"q1": 2.0, "q2": 8.8}, self.HIST
+        )
+        assert kept == ["q2"]
+        assert [r["verdict"] for r in recs] == ["load-transient", "persistent"]
+
+    def test_rerun_exactly_at_threshold_clears(self):
+        # boundary: detection requires STRICTLY > factor × median; a rerun
+        # landing exactly at 2× median is therefore under the gate
+        kept, recs = adjudicate_regressions(["q1"], {"q1": 8.0}, {"q1": 4.0}, self.HIST)
+        assert kept == []
+
+
+class TestRefDriftGuard:
+    """VERDICT r11 ask #2: the pinned warm REF vs the run's own quiet
+    floor — box-era drift must flag instead of silently rescaling."""
+
+    def test_quiet_floor_is_median_of_three_fastest(self):
+        # probes sorted: [0.20, 0.22, 0.24, 0.9, 1.5] → 3 fastest
+        # [0.20, 0.22, 0.24] → median 0.22 (loaded probes ignored)
+        assert quiet_floor([0.9, 0.22, 1.5, 0.20, 0.24]) == 0.22
+
+    def test_quiet_floor_short_and_empty(self):
+        assert quiet_floor([]) is None
+        assert quiet_floor([0.3]) == 0.3
+        assert quiet_floor([0.3, 0.2]) == 0.25  # median of 2 = mean
+
+    def test_no_drift_inside_tolerance(self):
+        r = CALIBRATION_WARM_REF_SEC
+        assert not ref_drift(r)
+        assert not ref_drift(r * 1.15)
+        assert not ref_drift(r * 0.85)
+        assert not ref_drift(None)
+
+    def test_drift_flags_beyond_tolerance(self):
+        r = CALIBRATION_WARM_REF_SEC
+        assert ref_drift(r * 1.3)  # box got 30% slower at its quiet floor
+        assert ref_drift(r * 0.7)  # or 30% faster (new hardware era)
 
 
 class TestSectionNormalization:

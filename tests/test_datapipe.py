@@ -4414,3 +4414,59 @@ def test_collision_ppm_widens_past_int64(spark):
     ).fetchone()[0]
     assert got == want == (2 * pm * 1_000_000) // denom
     assert isinstance(got, int)
+
+
+class TestBpeTrain:
+    """VERDICT r11 ask #3: the iterative BPE merge-training loop. Planted
+    corpora with hand-computed merge sequences pin the greedy-leftmost
+    rewrite and the (count desc, left asc, right asc) argmax tiebreak."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_planted_merge_sequence(self, spark):
+        from haystack_traces_spark.datapipe.text import bpe_train
+
+        docs = self._docs(spark, ["a b a b c", "a b c c"])
+        rows = [tuple(r) for r in bpe_train(docs, rounds=5).collect()]
+        # r1: (a,b)x3 wins; r2: (ab,c)x2; r3: tie at 1 -> left asc picks
+        # (ab,abc); r4: (abc,c); r5: no pairs left -> loop stops at 4 rows
+        assert rows == [
+            (1, "a", "b", "ab", 3),
+            (2, "ab", "c", "abc", 2),
+            (3, "ab", "abc", "ababc", 1),
+            (4, "abc", "c", "abcc", 1),
+        ]
+
+    def test_greedy_leftmost_nonoverlapping_rewrite(self, spark):
+        from haystack_traces_spark.datapipe.text import bpe_train
+
+        # "a a a": pair (a,a) counts 2 (overlaps count) but the rewrite
+        # merges only the leftmost occurrence -> [aa, a]; round 2 then
+        # sees exactly one (aa,a) pair
+        docs = self._docs(spark, ["a a a"])
+        rows = [tuple(r) for r in bpe_train(docs, rounds=2).collect()]
+        assert rows == [(1, "a", "a", "aa", 2), (2, "aa", "a", "aaa", 1)]
+
+    def test_uppercase_and_stray_spaces_normalized(self, spark):
+        from haystack_traces_spark.datapipe.text import bpe_train
+
+        docs = self._docs(spark, ["A  b", "a b"])
+        rows = [tuple(r) for r in bpe_train(docs, rounds=1).collect()]
+        assert rows == [(1, "a", "b", "ab", 2)]
+
+    def test_compression_face(self, spark):
+        from haystack_traces_spark.datapipe.text import bpe_compression
+
+        docs = self._docs(spark, ["a b a b c", "a b c c"])
+        row = bpe_compression(docs, rounds=5).collect()[0]
+        assert (
+            row["n_docs"],
+            row["tok_before"],
+            row["tok_after"],
+            row["vocab_before"],
+            row["vocab_after"],
+        ) == (2, 9, 2, 3, 2)
+        assert abs(row["compression"] - round(2 / 9, 6)) < 1e-9
