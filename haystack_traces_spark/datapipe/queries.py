@@ -1049,6 +1049,67 @@ LIMIT {BPE_TOP_N}
 #: the oracle unrolls one CTE block per round, so keep it single-digit
 BPE_TRAIN_ROUNDS = 6
 
+KMEANS_TRAIN_K = 8
+KMEANS_TRAIN_ROUNDS = 5
+
+
+def q_kmeans_train(spark, sf_dir):
+    return S.kmeans_train(
+        _emb(spark, sf_dir), KMEANS_TRAIN_K, KMEANS_TRAIN_ROUNDS
+    )
+
+
+def sql_kmeans_train() -> str:
+    """Literal-free mirror of the distributed Lloyd loop: one CTE block
+    per round (assign = struct-min over the cross join with the previous
+    round's centroids, stats, per-dim mean rounded 6dp, empty cells keep
+    their centroid via LEFT JOIN + COALESCE). Both faces round every
+    updated coordinate to 6dp, so the fixed point is exact arithmetic
+    and the hash gate verifies the whole training trajectory."""
+    k, rounds, dim = KMEANS_TRAIN_K, KMEANS_TRAIN_ROUNDS, 64
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""a{r} AS (
+  SELECT e.vec_id, MIN(struct_pack(d := {dist}, cell := c.cell)) AS m
+  FROM e CROSS JOIN c{r - 1} c GROUP BY e.vec_id
+),
+s{r} AS (
+  SELECT CAST({r} AS INT) AS round, m['cell'] AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(SUM(m['d']), 6) AS inertia
+  FROM a{r} GROUP BY 2
+),
+u{r} AS (
+  SELECT a.m['cell'] AS cell, d.i AS dim, ROUND(AVG(e.v[d.i]), 6) AS val
+  FROM a{r} a JOIN e USING (vec_id), UNNEST(generate_series(1, {dim})) d(i)
+  GROUP BY 1, 2
+),
+c{r} AS (
+  SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+  FROM c{r - 1} c LEFT JOIN (
+    SELECT cell, list(val ORDER BY dim) AS cv FROM u{r} GROUP BY cell
+  ) n USING (cell)
+)""")
+    # the final round's u/c CTEs are unreferenced; DuckDB prunes them
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT * FROM (\n{union}\n) ORDER BY round, cell"
+    )
+
 
 def q_bpe_train(spark, sf_dir):
     return X.bpe_train(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
@@ -5533,6 +5594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
+        "kmeans_train": q_kmeans_train,
         "shuffle_order": q_shuffle_order,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
@@ -5692,6 +5754,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": sql_bpe_pairs(),
         "bpe_train": sql_bpe_train(),
         "bpe_compression": sql_bpe_compression(),
+        "kmeans_train": sql_kmeans_train(),
         "shuffle_order": sql_shuffle_order(),
         "pq_codes": sql_pq_codes(),
         "pq_search": sql_pq_search(),

@@ -2006,3 +2006,175 @@ def quantized_topk_recall(
         )
         .orderBy("bits", "query_id")
     )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (round, cell, n_members, inertia): the per-round convergence
+    ledger of ``rounds`` DISTRIBUTED Lloyd iterations over the full
+    embedding table — assign each vector to its nearest centroid, re-mean
+    per cell, repeat. Unlike `kmeans_centroids` (a driver-side numpy fit
+    on a bounded sample, used to SEED production indexes), this is the
+    corpus-scale training loop itself: both stages are relational
+    (broadcast-join argmin + per-dimension mean), so it scales to tables
+    a driver sample can't represent and its whole fixed-point is
+    SQL-mirrorable.
+
+    Engine-portable determinism: seeds are the ``k`` lowest-id vectors
+    (the ivf_topk convention) and every updated centroid coordinate is
+    rounded to 6dp before the next round — the fixed point is then exact
+    arithmetic on both faces instead of an accumulation-order race.
+    Empty cells keep their previous centroid. Ties in the argmin break
+    (distance asc, cell asc) via struct-min.
+
+    100 TB shape, per round: the argmin is MAP-ONLY — all k centroids
+    ride one broadcast row as an array<struct<cell,cv>> and array_min
+    over a transform computes nearest-cell per input row in place (k ≤ a
+    few thousand fits one row comfortably); the only shuffles are the
+    two tiny-key aggregations (≤k stats groups, ≤k×dim mean groups, both
+    map-side combinable). No vec_id-keyed shuffle ever happens. The
+    assignment is localCheckpoint-ed once per round because two
+    consumers read it (stats + update); a long-lived trainer would
+    persist() it. inertia sums squared L2 of members to their
+    round-START centroid, so round 1 is the seed quality and the column
+    is monotone non-increasing modulo rounding."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    w = Window.orderBy(F.col("vec_id").asc())
+    cents = (
+        v.orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .select("cell", F.transform("v", lambda x: F.round(x, 6)).alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    spark = emb.sparkSession
+    per_round = []
+    for r in range(1, rounds + 1):
+        cents_row = cents.agg(
+            F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        )
+        assign = (
+            v.crossJoin(F.broadcast(cents_row))
+            .select(
+                "vec_id",
+                "v",
+                F.array_min(
+                    F.transform(
+                        "cs",
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("v"),
+                                    c["cv"],
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        per_round.append(
+            assign.groupBy(F.col("m.cell").alias("cell")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.round(F.sum("m.d"), 6).alias("inertia"),
+            ).select(F.lit(r).cast("int").alias("round"), "cell", "n_members", "inertia")
+        )
+        means = (
+            assign.select(F.col("m.cell").alias("cell"), F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("val"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("new_cv")
+            )
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select("cell", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("round", "cell")
+
+
+def ivf_coarse_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_col, cell): the IVF coarse quantization under the
+    deterministic lowest-id-centroid convention every ivf_* operator
+    shares — nearest of the ``n_cells`` lowest-id vectors by squared L2,
+    ties (d, cell) ascending. One broadcast of n_cells rows + a
+    min-struct groupBy; no table-sized exchange."""
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    return (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .join(F.broadcast(cents))
+        .withColumn("d", _sqdist("v", "cv"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("d", "cell")).alias("mc"))
+        .select(id_col, F.col("mc.cell").alias("cell"))
+    )
+
+
+def build_ivf_store(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet store:
+    every vector row lands under its coarse cell's directory
+    (``.../cell=<c>/``). This is the write side of the partition-pruning
+    claim the ivf search docstrings make — with the store laid out by
+    cell, a probed-cell read skips the other cells' files entirely
+    (PartitionFilters, asserted in tests/test_plans.py), so candidate
+    I/O is n_probe/n_cells of the table instead of a full scan with a
+    post-read filter. ``repartition("cell")`` before the write keeps it
+    to one file per cell per final task rather than n_tasks × n_cells
+    small files."""
+    assign = ivf_coarse_assign(emb, n_cells, id_col, vec_col)
+    (
+        emb.join(assign, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_store_candidates(spark, path: str, cells) -> DataFrame:
+    """Candidate rows for a probed cell set from a cell-partitioned IVF
+    store. The isin predicate is a partition filter (directory-level
+    skip), never a row filter — the read-side half of build_ivf_store's
+    contract."""
+    return spark.read.parquet(path).filter(F.col("cell").isin(list(cells)))

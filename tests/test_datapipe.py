@@ -4470,3 +4470,47 @@ class TestBpeTrain:
             row["vocab_after"],
         ) == (2, 9, 2, 3, 2)
         assert abs(row["compression"] - round(2 / 9, 6)) < 1e-9
+
+
+class TestKmeansTrain:
+    """Distributed Lloyd loop (r12): planted two-cluster corpus — both
+    seeds start inside cluster A (lowest ids), the loop must still pull
+    one centroid across to cluster B, and total inertia must be
+    non-increasing round over round."""
+
+    def test_planted_two_clusters(self, spark):
+        from haystack_traces_spark.datapipe.similarity import kmeans_train
+
+        near = [[0.0, 0.0], [0.2, 0.0], [0.0, 0.2], [0.2, 0.2]]
+        far = [[10.0, 10.0], [10.2, 10.0], [10.0, 10.2], [10.2, 10.2]]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(near + far)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = kmeans_train(emb, k=2, rounds=4).collect()
+        by_round = {}
+        for r in rows:
+            by_round.setdefault(r["round"], []).append(r)
+        totals = [sum(x["inertia"] for x in by_round[k]) for k in sorted(by_round)]
+        assert all(a >= b - 1e-9 for a, b in zip(totals, totals[1:]))
+        final = {r["cell"]: r["n_members"] for r in by_round[4]}
+        assert sorted(final.values()) == [4, 4]  # converged to the planted split
+        assert totals[-1] < 1.0  # tight clusters: residual is within-cluster spread
+
+    def test_empty_cell_keeps_centroid(self, spark):
+        from haystack_traces_spark.datapipe.similarity import kmeans_train
+
+        # identical seeds: round 1 ties every point to cell 0 (tie -> lowest
+        # cell), cell 1 goes EMPTY but keeps its [1,1] centroid; cell 0's
+        # update drifts to the 3-point mean, so round 2's assignment hands
+        # the two [1,1] points BACK to cell 1 — empty-cell retention must
+        # let a cell reacquire members, not vanish from the model
+        emb = spark.createDataFrame(
+            [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.5, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = kmeans_train(emb, k=2, rounds=2).collect()
+        r1 = {r["cell"]: r["n_members"] for r in rows if r["round"] == 1}
+        r2 = {r["cell"]: r["n_members"] for r in rows if r["round"] == 2}
+        assert r1 == {0: 3}
+        assert r2 == {0: 1, 1: 2}

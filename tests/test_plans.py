@@ -936,3 +936,29 @@ def test_round10_operators_have_no_global_bottleneck(spark):
                     assert "BroadcastExchange" in plan, (name, plan[:1500])
     finally:
         release_materialized()
+
+
+def test_ivf_store_partition_pruning(spark, tmp_path):
+    """VERDICT r11 ask #5: the ivf docstrings' 'written partitioned by
+    cell, the candidate read is partition-pruned' claim as checked
+    behavior — the probed-cell isin must land in PartitionFilters (and
+    NOT survive as a post-scan Filter on data rows)."""
+    from haystack_traces_spark.datapipe.similarity import (
+        build_ivf_store,
+        ivf_store_candidates,
+    )
+
+    emb = spark.range(32).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 5).cast("float")
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf_store")
+    build_ivf_store(emb, path, n_cells=4)
+    cand = ivf_store_candidates(spark, path, [1, 3])
+    plan = _plan(cand)
+    assert re.search(r"PartitionFilters: \[[^\n]*cell", plan), plan[:2000]
+    # pruning is real: only the probed cells' rows are read
+    cells = {r["cell"] for r in cand.select("cell").distinct().collect()}
+    assert cells <= {1, 3}
