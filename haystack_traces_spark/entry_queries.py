@@ -1601,6 +1601,52 @@ FROM p{PAGERANK_ITERS} ORDER BY servicename
     )
 
 
+CHEAPEST_PATH_ROUNDS = 8
+
+
+def q_service_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source cheapest cumulative-latency paths (Bellman-Ford
+    min-plus, CHEAPEST_PATH_ROUNDS relaxation rounds) from the
+    lexicographically-smallest calling service. Integer edge weights
+    (truncating mean child duration) keep the fixed point exact on both
+    faces. Oracle = unrolled relaxation CTEs, literal-free."""
+    from haystack_traces_spark.operators.callgraph import service_cheapest_paths
+
+    return service_cheapest_paths(_spans(spark, sf_dir), CHEAPEST_PATH_ROUNDS)
+
+
+def sql_service_cheapest_paths() -> str:
+    ctes = [
+        """e AS (
+  SELECT lower(p.service_name) AS u, lower(c.service_name) AS v,
+         CAST(SUM(c.duration) // COUNT(*) AS BIGINT) AS w
+  FROM spans c JOIN spans p
+    ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+  WHERE c.parent_span_id <> ''
+  GROUP BY 1, 2
+),
+d0 AS (SELECT MIN(u) AS s, CAST(0 AS BIGINT) AS cost FROM e)"""
+    ]
+    for k in range(1, CHEAPEST_PATH_ROUNDS + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT s, MIN(cost) AS cost FROM (
+    SELECT s, cost FROM d{k - 1}
+    UNION ALL
+    SELECT e.v AS s, d.cost + e.w AS cost
+    FROM d{k - 1} d JOIN e ON d.s = e.u
+  ) GROUP BY s
+)""")
+    return (
+        EVENT_SPANS_CTE
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s AS servicename, cost FROM d{CHEAPEST_PATH_ROUNDS}
+ORDER BY servicename
+"""
+    )
+
+
 def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-cause attribution: for every failing trace, the DEEPEST error
     span is the likely origin (errors propagate up the call tree); the
@@ -8586,22 +8632,16 @@ _CORE_TRACE_BENCHED = ()
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-11 queue: every round-10 queue name earned a green
-    # CORRECTNESS_r10 row (cumulative driver coverage is total — VERDICT
-    # r10), so the queue resets to the round-11 debuts; the ~23 sample
-    # slots behind them fall through to already-green trace entries
+    # round-12 queue: every round-11 queue name earned a green
+    # CORRECTNESS_r11 row (cumulative driver coverage stays total —
+    # VERDICT r11), so the queue resets to the round-12 debuts; the
+    # remaining sample slots fall through to already-green trace entries
     # (harmless re-checks). Keep additions ≤ ~25/round so never-checked
-    # stays at zero (VERDICT r10 ask #4).
-    "latency_hourly_percentiles",
-    "field_entropy",
-    "dedup_candidate_funnel",
-    "hard_negative_mining",
-    "bloom_sizing_plan",
-    "gemm_block_plan",
-    "session_gap_sweep",
-    "embedding_threshold_sweep",
-    "latency_hist_accuracy",
-    "ivf_cells_plan",
+    # stays at zero (VERDICT r11 ask #6).
+    "bpe_train",
+    "bpe_compression",
+    "kmeans_train",
+    "service_cheapest_paths",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -8714,6 +8754,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_shape_stats": q_trace_shape_stats,
         "error_rate_trends": q_error_rate_trends,
         "service_pagerank": q_service_pagerank,
+        "service_cheapest_paths": q_service_cheapest_paths,
         "error_root_causes": q_error_root_causes,
         "trace_duration_percentiles": q_trace_duration_percentiles,
         "apdex": q_apdex,
@@ -8849,6 +8890,7 @@ def _trace_oracles() -> dict[str, str]:
         "trace_shape_stats": sql_trace_shape_stats(),
         "error_rate_trends": sql_error_rate_trends(),
         "service_pagerank": sql_service_pagerank(),
+        "service_cheapest_paths": sql_service_cheapest_paths(),
         "error_root_causes": sql_error_root_causes(),
         "trace_duration_percentiles": sql_trace_duration_percentiles(),
         "apdex": sql_apdex(),

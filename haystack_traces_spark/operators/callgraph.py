@@ -27,12 +27,11 @@ from haystack_traces_spark.transform.tags import (
 )
 
 
-def span_call_edges(spans: DataFrame) -> DataFrame:
-    """Corpus-level service call graph from the raw spans table.
-
-    → (from_service, to_service, calls, avg_duration) for every parent→child
-    span edge crossing services.
-    """
+def _parent_child_spans(spans: DataFrame) -> DataFrame:
+    """Raw parent→child span edge rows (one per child span with a
+    resolved parent): (from_service, to_service, child_duration). The
+    self-join is on (trace_id, parent_span_id = span_id), co-located on
+    the trace exchange like every other trace-level op."""
     child = spans.select(
         F.col("trace_id"),
         F.col("parent_span_id"),
@@ -44,14 +43,23 @@ def span_call_edges(spans: DataFrame) -> DataFrame:
         F.col("span_id"),
         F.col("service_name").alias("from_service"),
     )
-    edges = child.join(
+    return child.join(
         parent,
         (child["trace_id"] == parent["trace_id"])
         & (child["parent_span_id"] == parent["span_id"]),
         "inner",
     )
+
+
+def span_call_edges(spans: DataFrame) -> DataFrame:
+    """Corpus-level service call graph from the raw spans table.
+
+    → (from_service, to_service, calls, avg_duration) for every parent→child
+    span edge crossing services.
+    """
     return (
-        edges.groupBy("from_service", "to_service")
+        _parent_child_spans(spans)
+        .groupBy("from_service", "to_service")
         .agg(
             F.count(F.lit(1)).alias("calls"),
             F.avg("child_duration").alias("avg_duration"),
@@ -147,4 +155,63 @@ def service_pagerank(
         )
     return rank.select(
         F.col("s").alias("servicename"), F.round("pr", 6).alias("pagerank")
+    ).orderBy("servicename")
+
+
+def service_cheapest_paths(spans: DataFrame, rounds: int = 8) -> DataFrame:
+    """→ (servicename, cost): single-source cheapest cumulative-latency
+    path from the ROOT service to every service reachable in ≤ ``rounds``
+    hops — Bellman-Ford min-plus relaxation, run exactly ``rounds``
+    synchronous rounds. The "what is the fastest dependency route to X"
+    complement of `service_pagerank`'s structural ranking, and a second
+    iterative-relational shape on the trace side (min-plus semiring vs
+    pagerank's weighted-sum).
+
+    Deterministic and engine-exact by construction: edge weight = the
+    TRUNCATING integer mean child-span duration in µs per (caller,
+    callee) — SUM accumulated in DECIMAL(38,0) (the r9 ANSI-overflow
+    rule) then ``div`` count, bit-identical to the oracle's HUGEINT
+    ``//`` — so the whole fixed point is int64 arithmetic with zero
+    float-accumulation risk. Root = lexicographically smallest calling
+    service (a scalar aggregate, data-derived on both faces). Edges are
+    grouped on LOWERCASED names (the pagerank convention).
+
+    Scale shape: the span table is touched once (the co-located
+    parent-child self-join) to build a SERVICE-level edge table
+    (thousands of rows at any corpus size); each relaxation round is a
+    broadcast-scale join + combinable min, localCheckpoint-ed because the
+    accumulator is referenced twice per round (union + join) — without
+    truncation the plan doubles every round."""
+    from haystack_traces_spark.session import materialize
+
+    edges = materialize(
+        _parent_child_spans(spans)
+        .groupBy(
+            F.lower("from_service").alias("u"),
+            F.lower("to_service").alias("v"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(child_duration AS DECIMAL(38,0))) "
+                "div count(1) AS BIGINT)"
+            ).alias("w")
+        )
+    )
+    dist = (
+        edges.agg(F.min("u").alias("s"))
+        .select("s", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = dist.join(edges, dist["s"] == edges["u"]).select(
+            edges["v"].alias("s"), (dist["cost"] + edges["w"]).alias("cost")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("s")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("s").alias("servicename"), "cost"
     ).orderBy("servicename")

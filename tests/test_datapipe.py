@@ -4514,3 +4514,88 @@ class TestKmeansTrain:
         r2 = {r["cell"]: r["n_members"] for r in rows if r["round"] == 2}
         assert r1 == {0: 3}
         assert r2 == {0: 1, 1: 2}
+
+
+class TestJpegProperty:
+    def test_jpeg_round_trip_property(self):
+        """VERDICT r11 ask #7: hypothesis fuzz of the JPEG codec the way
+        WAV already is. Two properties: (1) smooth random rasters (random
+        dims ≤32, quality 80-97, 4:4:4/4:2:0, random restart interval)
+        encode→decode within a calibrated error bound (worst observed
+        over 120 calibration trials: 6 at 4:4:4 / 8 at 4:2:0; asserted at
+        2x margin), and the DRI stream decodes BIT-identical to its
+        no-DRI twin; (2) on fully RANDOM rasters — the adversarial case
+        for entropy coding — the progressive (SOF2) encode decodes to the
+        bit-identical raster of the baseline encode (shared quantization
+        front half ⇒ identical coefficients), for both scan scripts."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from haystack_traces_spark.datapipe import multimodal as M
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 32),
+            h=st.integers(1, 32),
+            channels=st.sampled_from([1, 3]),
+            quality=st.integers(80, 97),
+            subsample=st.booleans(),
+            dri=st.integers(1, 4),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def smooth_round_trip(w, h, channels, quality, subsample, dri, seed):
+            subsample = subsample and channels == 3
+            rng = np.random.RandomState(seed)
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.clip(
+                rng.uniform(30, 225, (1, 1, channels))
+                + rng.uniform(-2, 2, channels) * xx[..., None]
+                + rng.uniform(-2, 2, channels) * yy[..., None]
+                + rng.uniform(-2, 2, (h, w, channels)),
+                0, 255,
+            ).astype(np.uint8)
+            jp = M.encode_jpeg(
+                w, h, channels, img.tobytes(), quality=quality, subsample=subsample
+            )
+            W, H, C, r, mx = M.decode_jpeg(jp)
+            assert (W, H, C, mx) == (w, h, channels, 255)
+            dec = np.frombuffer(r, np.uint8).reshape(h, w, channels).astype(int)
+            bound = 16 if subsample else 12
+            assert np.abs(dec - img.astype(int)).max() <= bound
+            jp_dri = M.encode_jpeg(
+                w, h, channels, img.tobytes(), quality=quality,
+                subsample=subsample, restart_interval=dri,
+            )
+            assert M.decode_jpeg(jp_dri)[3] == r
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 24),
+            channels=st.sampled_from([1, 3]),
+            quality=st.integers(60, 97),
+            subsample=st.booleans(),
+            spectral_only=st.booleans(),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def progressive_equals_baseline(
+            w, h, channels, quality, subsample, spectral_only, seed
+        ):
+            subsample = subsample and channels == 3
+            rng = np.random.RandomState(seed)
+            raster = rng.randint(0, 256, (h, w, channels), np.uint8).tobytes()
+            base = M.decode_jpeg(
+                M.encode_jpeg(w, h, channels, raster, quality=quality,
+                              subsample=subsample)
+            )
+            prog = M.decode_jpeg(
+                M.encode_jpeg_progressive(
+                    w, h, channels, raster, quality=quality,
+                    subsample=subsample, spectral_only=spectral_only,
+                )
+            )
+            assert prog == base
+
+        smooth_round_trip()
+        progressive_equals_baseline()
