@@ -1053,6 +1053,56 @@ KMEANS_TRAIN_K = 8
 KMEANS_TRAIN_ROUNDS = 5
 
 
+def q_hll_distinct(spark, sf_dir):
+    return X.hll_distinct(_docs(spark, sf_dir))
+
+
+def sql_hll_distinct() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+    from haystack_traces_spark.datapipe.text import HLL_ALPHA, HLL_P
+
+    m = 1 << HLL_P
+    maxrho = 60 - HLL_P + 1
+    return f"""
+WITH toks AS (
+  SELECT source AS g, t.w
+  FROM (SELECT source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents), UNNEST(ws) t(w)
+),
+hashed AS (SELECT g, {hash60_sql('w', seed='hll:')} AS h FROM toks),
+rho AS (
+  SELECT g, h % {m} AS reg,
+         CASE WHEN h // {m} = 0 THEN {maxrho}
+              ELSE {maxrho} - length(bin(h // {m})) END AS rho
+  FROM hashed
+),
+regs AS (SELECT g, reg, MAX(rho) AS mr FROM rho GROUP BY 1, 2),
+grp AS (
+  SELECT g, SUM(POWER(2.0, -mr)) AS s_present, COUNT(*) AS n_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  -- float literals CAST to DOUBLE: DuckDB parses bare decimal literals
+  -- as DECIMAL and the alpha*m^2 product overflows DECIMAL(18)
+  SELECT g,
+         CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+                   / (s_present + ({m} - n_present)) <= CAST({2.5 * m!r} AS DOUBLE)
+               AND {m} - n_present > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln({m} / ({m} - n_present))
+              ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+                   / (s_present + ({m} - n_present)) END AS e
+  FROM grp
+),
+ex AS (SELECT g, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+       FROM toks GROUP BY 1)
+SELECT g AS source, n_exact, ROUND(e, 3) AS n_hll,
+       ROUND((e - n_exact) / NULLIF(n_exact, 0), 6) AS rel_err
+FROM est JOIN ex USING (g)
+ORDER BY source
+"""
+
+
 def q_kmeans_train(spark, sf_dir):
     return S.kmeans_train(
         _emb(spark, sf_dir), KMEANS_TRAIN_K, KMEANS_TRAIN_ROUNDS
@@ -5595,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
         "kmeans_train": q_kmeans_train,
+        "hll_distinct": q_hll_distinct,
         "shuffle_order": q_shuffle_order,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
@@ -5755,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": sql_bpe_train(),
         "bpe_compression": sql_bpe_compression(),
         "kmeans_train": sql_kmeans_train(),
+        "hll_distinct": sql_hll_distinct(),
         "shuffle_order": sql_shuffle_order(),
         "pq_codes": sql_pq_codes(),
         "pq_search": sql_pq_search(),

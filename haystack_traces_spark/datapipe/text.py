@@ -1155,3 +1155,91 @@ def bpe_compression(
             "vocab_after",
         )
     )
+
+
+#: HLL register-count exponent: 2^8 = 256 registers ≈ 6.5% standard error
+#: (1.04/sqrt(m)) — the accuracy face measures the realized error per group
+HLL_P = 8
+#: alpha_m bias constant for m ≥ 128 (Flajolet et al. 2007, Fig. 3) —
+#: computed ONCE in Python and injected into both faces as the same
+#: literal so neither engine re-derives it with different rounding
+HLL_ALPHA = 0.7213 / (1 + 1.079 / (1 << HLL_P))
+
+
+def hll_distinct(
+    docs: DataFrame,
+    p: int = HLL_P,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """→ (source, n_exact, n_hll, rel_err): per-group distinct-token
+    cardinality by HyperLogLog (Flajolet et al. 2007) next to the exact
+    count — the sketch AND its measured accuracy in one row. The
+    cardinality counterpart of the CMS frequency sketch: at 100 TB the
+    exact COUNT(DISTINCT) needs a full shuffle of every distinct token,
+    while the HLL register table is a bounded (group × 2^p)-row
+    aggregate that is MERGEABLE (max per register) across partitions,
+    days, and sources — the shape you pre-aggregate and union later.
+
+    Engine-exact: tokens hash through hash60 (md5-based, bit-identical
+    on Spark/DuckDB/Python); register = low ``p`` bits, rho = leading
+    zeros of the remaining 60-p bits + 1 via length(bin(w)) (the
+    derive_planes trick); 2^-rho sums are exact powers of two; the
+    small-range linear-counting correction (raw ≤ 2.5m with empty
+    registers) applies identically on both faces. n_hll rounds to 3dp —
+    summation-order noise is ~1e-12 relative, far under the quantum."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    regs = (
+        toks.select("g", hash60(F.col("w"), seed="hll:").alias("h"))
+        .select(
+            "g",
+            F.pmod("h", F.lit(m)).alias("reg"),
+            # integer div, NEVER `/`+cast: h is 60-bit and float division
+            # is off-by-1 past the 53-bit mantissa (verify-skill rule)
+            F.expr(f"h div {m}").alias("hw"),
+        )
+        .select(
+            "g",
+            "reg",
+            F.when(F.col("hw") == 0, F.lit(maxrho))
+            .otherwise(F.lit(maxrho) - F.length(F.bin("hw")))
+            .alias("rho"),
+        )
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    grp = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(m * m))
+        / (F.col("s_present") + (F.lit(m) - F.col("n_present")))
+    )
+    v = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    exact = toks.groupBy("g").agg(
+        F.countDistinct("w").cast("long").alias("n_exact")
+    )
+    return (
+        grp.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            F.round(est, 3).alias("n_hll"),
+            F.round(
+                (est - F.col("n_exact")) / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
+    )

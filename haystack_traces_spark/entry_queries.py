@@ -8642,6 +8642,7 @@ _ROTATION_QUEUE = (
     "bpe_compression",
     "kmeans_train",
     "service_cheapest_paths",
+    "hll_distinct",
 )
 
 _ROTATION_QUEUE_R10 = (

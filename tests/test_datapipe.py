@@ -4599,3 +4599,20 @@ class TestJpegProperty:
 
         smooth_round_trip()
         progressive_equals_baseline()
+
+
+class TestHllDistinct:
+    def test_estimator_accuracy_and_merge_shape(self, spark):
+        """The oracle hash-gate proves Spark==DuckDB; this pins that the
+        estimate is actually CLOSE to the truth (a both-faces-wrong
+        estimator would sail through the parity gate) — 256 registers is
+        ~6.5% standard error, asserted at 4 sigma."""
+        from haystack_traces_spark.datapipe.text import hll_distinct
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = hll_distinct(docs).collect()
+        assert rows, "documents must have at least one source"
+        for r in rows:
+            assert r["n_exact"] > 0
+            assert abs(r["rel_err"]) <= 0.26, (r["source"], r["rel_err"])
+            assert abs(r["n_hll"] / r["n_exact"] - 1 - r["rel_err"]) < 1e-3
