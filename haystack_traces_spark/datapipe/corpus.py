@@ -1180,3 +1180,58 @@ def split_leak_audit(pairs: DataFrame, assign: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
         .orderBy("split_a", "split_b")
     )
+
+
+def weighted_sample(
+    docs: "DataFrame",
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """→ (rank, doc_id, weight, race_key): deterministic weighted sample
+    WITHOUT replacement — k docs drawn with probability proportional to
+    ``weight_col`` by the exponential-race method (Efraimidis & Spirakis
+    2006): each doc gets E = -ln(u)/w with u a uniform derived from its
+    id hash, and the k SMALLEST E win. One pass, no RNG state, identical
+    sample on every engine/run/partitioning — the "sample 1B docs
+    proportional to quality score" primitive a training-data pipeline
+    runs ahead of every expensive stage.
+
+    Engine-exact ordering: u = (hash60(id)+1)/2^60 (identical md5-derived
+    hash on both faces), ln(u) ROUNDED to 9dp before the division —
+    Java's Math.log and DuckDB's std::log may differ in the last ulp, and
+    the round quantizes both to the same grid (ln(u) ∈ (-42, 0), so 9dp
+    keeps ~10 significant digits; a boundary flip needs the true value
+    within 1e-16 of a grid edge). Division and comparison are then
+    bit-identical IEEE ops. Ties (identical race keys) break on doc_id.
+
+    Scale shape: map-only key computation + TakeOrderedAndProject top-k —
+    no shuffle beyond the k-row ordered take; weights need w > 0 (rows
+    with w ≤ 0 are excluded, matching the estimator's support)."""
+    from haystack_traces_spark.datapipe.hashing import hash60
+
+    u = (hash60(F.col(id_col).cast("string"), seed="ws:") + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    e = F.round(F.log(u), 9) * F.lit(-1.0) / F.col(weight_col)
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            e.alias("race_key"),
+        )
+        .orderBy(F.col("race_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("race_key").asc(), F.col(id_col).asc())
+            )
+            .cast("int")
+            .alias("rank"),
+            F.col(id_col),
+            "weight",
+            F.round("race_key", 12).alias("race_key"),
+        )
+    )

@@ -1057,6 +1057,37 @@ def q_hll_distinct(spark, sf_dir):
     return X.hll_distinct(_docs(spark, sf_dir))
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_weighted_sample(spark, sf_dir):
+    from haystack_traces_spark.datapipe import corpus as C
+
+    return C.weighted_sample(_docs(spark, sf_dir), WEIGHTED_SAMPLE_K)
+
+
+def sql_weighted_sample() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed="ws:")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ROUND(LN(({h} + 1) / {float(1 << 60)!r}), 9) * -1.0 / n_chars
+           AS race_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY race_key ASC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, weight, ROUND(race_key, 12) AS race_key
+  FROM keyed
+)
+SELECT rank, doc_id, weight, race_key FROM ranked
+WHERE rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 def sql_hll_distinct() -> str:
     from haystack_traces_spark.datapipe.hashing import hash60_sql
     from haystack_traces_spark.datapipe.text import HLL_ALPHA, HLL_P
@@ -5646,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression": q_bpe_compression,
         "kmeans_train": q_kmeans_train,
         "hll_distinct": q_hll_distinct,
+        "weighted_sample": q_weighted_sample,
         "shuffle_order": q_shuffle_order,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
@@ -5807,6 +5839,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_compression": sql_bpe_compression(),
         "kmeans_train": sql_kmeans_train(),
         "hll_distinct": sql_hll_distinct(),
+        "weighted_sample": sql_weighted_sample(),
         "shuffle_order": sql_shuffle_order(),
         "pq_codes": sql_pq_codes(),
         "pq_search": sql_pq_search(),

@@ -8643,6 +8643,7 @@ _ROTATION_QUEUE = (
     "kmeans_train",
     "service_cheapest_paths",
     "hll_distinct",
+    "weighted_sample",
 )
 
 _ROTATION_QUEUE_R10 = (

@@ -4616,3 +4616,40 @@ class TestHllDistinct:
             assert r["n_exact"] > 0
             assert abs(r["rel_err"]) <= 0.26, (r["source"], r["rel_err"])
             assert abs(r["n_hll"] / r["n_exact"] - 1 - r["rel_err"]) < 1e-3
+
+
+class TestWeightedSample:
+    def test_matches_python_mirror_and_is_weight_sensitive(self, spark):
+        """weighted_sample must (a) reproduce the exponential-race
+        ranking a pure-Python mirror of the same hash/round/divide
+        computes, (b) exclude non-positive weights, (c) actually respond
+        to weights: the same ids with weights heavily skewed to one doc
+        must rank that doc first."""
+        import hashlib
+        import math
+
+        from haystack_traces_spark.datapipe.corpus import weighted_sample
+
+        def race_key(doc_id, w):
+            h = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            return round(math.log(u), 9) * -1.0 / w
+
+        rows = [(i, 10 + (i % 7) * 3) for i in range(40)] + [(99, 0), (98, -5)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = [
+            (r["rank"], r["doc_id"], r["weight"])
+            for r in weighted_sample(docs, k=10).collect()
+        ]
+        want = sorted(
+            ((race_key(i, w), i, w) for i, w in rows if w > 0),
+        )[:10]
+        assert got == [(n + 1, i, w) for n, (_, i, w) in enumerate(want)]
+
+        # weight sensitivity: give doc 7 overwhelming weight
+        skew = spark.createDataFrame(
+            [(i, 1_000_000 if i == 7 else 1) for i in range(40)],
+            "doc_id long, n_chars long",
+        )
+        top = weighted_sample(skew, k=1).collect()[0]
+        assert top["doc_id"] == 7
