@@ -1088,20 +1088,17 @@ WHERE rank <= {WEIGHTED_SAMPLE_K}
 """
 
 
-def sql_hll_distinct() -> str:
+def hll_core_sql() -> str:
+    """Shared oracle CTE chain from ``hsrc(g, w)`` (any grouping, any
+    value) to ``est(g, e)`` — the SQL mirror of
+    text.hll_register_rows + text.hll_estimate. Callers prepend their
+    own hsrc CTE and read est (plus toks/hsrc for exact counts)."""
     from haystack_traces_spark.datapipe.hashing import hash60_sql
     from haystack_traces_spark.datapipe.text import HLL_ALPHA, HLL_P
 
     m = 1 << HLL_P
     maxrho = 60 - HLL_P + 1
-    return f"""
-WITH toks AS (
-  SELECT source AS g, t.w
-  FROM (SELECT source,
-               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        FROM documents), UNNEST(ws) t(w)
-),
-hashed AS (SELECT g, {hash60_sql('w', seed='hll:')} AS h FROM toks),
+    return f"""hashed AS (SELECT g, {hash60_sql('w', seed='hll:')} AS h FROM hsrc),
 rho AS (
   SELECT g, h % {m} AS reg,
          CASE WHEN h // {m} = 0 THEN {maxrho}
@@ -1124,9 +1121,20 @@ est AS (
               ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
                    / (s_present + ({m} - n_present)) END AS e
   FROM grp
+)"""
+
+
+def sql_hll_distinct() -> str:
+    return f"""
+WITH hsrc AS (
+  SELECT source AS g, t.w
+  FROM (SELECT source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents), UNNEST(ws) t(w)
 ),
+{hll_core_sql()},
 ex AS (SELECT g, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
-       FROM toks GROUP BY 1)
+       FROM hsrc GROUP BY 1)
 SELECT g AS source, n_exact, ROUND(e, 3) AS n_hll,
        ROUND((e - n_exact) / NULLIF(n_exact, 0), 6) AS rel_err
 FROM est JOIN ex USING (g)

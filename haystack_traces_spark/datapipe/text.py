@@ -1188,39 +1188,81 @@ def hll_distinct(
     small-range linear-counting correction (raw ≤ 2.5m with empty
     registers) applies identically on both faces. n_hll rounds to 3dp —
     summation-order noise is ~1e-12 relative, far under the quantum."""
-    m = 1 << p
-    maxrho = 60 - p + 1
     toks = docs.select(
         F.col(group_col).alias("g"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
         ).alias("w"),
     )
-    regs = (
-        toks.select("g", hash60(F.col("w"), seed="hll:").alias("h"))
+    regs = hll_register_rows(toks, "w", ("g",), p).groupBy("g", "reg").agg(
+        F.max("rho").alias("mr")
+    )
+    est = hll_estimate(regs, ("g",), p)
+    exact = toks.groupBy("g").agg(
+        F.countDistinct("w").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(exact, "g")
         .select(
-            "g",
+            F.col("g").alias(group_col),
+            "n_exact",
+            F.round("e", 3).alias("n_hll"),
+            F.round(
+                (F.col("e") - F.col("n_exact"))
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_register_rows(
+    df: DataFrame, value_col: str, group_cols: tuple, p: int = HLL_P
+) -> DataFrame:
+    """→ (*group_cols, reg, rho): one HLL register observation per input
+    row — register index from the low ``p`` hash bits, rho = leading-zero
+    rank of the remaining 60-p bits + 1. The pre-aggregation shape both
+    the batch estimator and the streaming gate's moment log share."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    return (
+        df.select(*group_cols, hash60(F.col(value_col), seed="hll:").alias("h"))
+        .select(
+            *group_cols,
             F.pmod("h", F.lit(m)).alias("reg"),
             # integer div, NEVER `/`+cast: h is 60-bit and float division
             # is off-by-1 past the 53-bit mantissa (verify-skill rule)
             F.expr(f"h div {m}").alias("hw"),
         )
         .select(
-            "g",
+            *group_cols,
             "reg",
             F.when(F.col("hw") == 0, F.lit(maxrho))
             .otherwise(F.lit(maxrho) - F.length(F.bin("hw")))
             .alias("rho"),
         )
-        .groupBy("g", "reg")
-        .agg(F.max("rho").alias("mr"))
     )
-    grp = regs.groupBy("g").agg(
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple, p: int = HLL_P
+) -> DataFrame:
+    """→ (*group_cols, e): the HLL cardinality estimate from max-rho
+    register rows (*group_cols, reg, mr) — harmonic mean over 2^p
+    registers (absent registers contribute 2^0) with the small-range
+    linear-counting correction. Pure column arithmetic, identical on
+    both faces."""
+    m = 1 << p
+    # same expression as the HLL_ALPHA module constant (bit-identical for
+    # p=HLL_P), re-derived so callers may pass a different p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    grp = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     raw = (
-        F.lit(HLL_ALPHA)
+        F.lit(alpha)
         * F.lit(float(m * m))
         / (F.col("s_present") + (F.lit(m) - F.col("n_present")))
     )
@@ -1228,18 +1270,4 @@ def hll_distinct(
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
     ).otherwise(raw)
-    exact = toks.groupBy("g").agg(
-        F.countDistinct("w").cast("long").alias("n_exact")
-    )
-    return (
-        grp.join(exact, "g")
-        .select(
-            F.col("g").alias(group_col),
-            "n_exact",
-            F.round(est, 3).alias("n_hll"),
-            F.round(
-                (est - F.col("n_exact")) / F.nullif(F.col("n_exact"), F.lit(0)), 6
-            ).alias("rel_err"),
-        )
-        .orderBy(group_col)
-    )
+    return grp.select(*group_cols, est.alias("e"))

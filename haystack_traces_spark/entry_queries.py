@@ -1647,6 +1647,64 @@ ORDER BY servicename
     )
 
 
+def q_hourly_trace_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct traces per hour: the HLL estimate (the streaming
+    EventTimeDistinct gate's batch face — one mergeable 2^p-register
+    sketch per hour instead of shuffling every trace id) NEXT TO the
+    exact count and realized error, computable here because the corpus
+    is at rest. The monitoring face of trace-volume cardinality."""
+    from haystack_traces_spark.streaming.hll_stream import (
+        HLL_HOUR_US,
+        hourly_distinct_hll,
+    )
+
+    rows = _spans(spark, sf_dir).select(
+        F.col("start_time").alias("ts"), F.col("trace_id").alias("value")
+    )
+    est = hourly_distinct_hll(rows)
+    exact = (
+        rows.select(
+            (F.col("ts") - F.col("ts") % HLL_HOUR_US).alias("hour_ts"), "value"
+        )
+        .groupBy("hour_ts")
+        .agg(F.countDistinct("value").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "hour_ts")
+        .select(
+            "hour_ts",
+            "n_exact",
+            "n_hll",
+            F.round(
+                (F.col("n_hll") - F.col("n_exact"))
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+def sql_hourly_trace_hll() -> str:
+    from haystack_traces_spark.datapipe.queries import hll_core_sql
+
+    hour = 3_600_000_000
+    return (
+        EVENT_SPANS_CTE
+        + f""", hsrc AS (
+  SELECT start_time - start_time % {hour} AS g, trace_id AS w FROM spans
+),
+{hll_core_sql()},
+ex AS (SELECT g, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+       FROM hsrc GROUP BY 1)
+SELECT g AS hour_ts, n_exact, ROUND(e, 3) AS n_hll,
+       ROUND((ROUND(e, 3) - n_exact) / NULLIF(n_exact, 0), 6) AS rel_err
+FROM est JOIN ex USING (g)
+ORDER BY hour_ts
+"""
+    )
+
+
 def q_error_root_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-cause attribution: for every failing trace, the DEEPEST error
     span is the likely origin (errors propagate up the call tree); the
@@ -8644,6 +8702,7 @@ _ROTATION_QUEUE = (
     "service_cheapest_paths",
     "hll_distinct",
     "weighted_sample",
+    "hourly_trace_hll",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -8757,6 +8816,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate_trends": q_error_rate_trends,
         "service_pagerank": q_service_pagerank,
         "service_cheapest_paths": q_service_cheapest_paths,
+        "hourly_trace_hll": q_hourly_trace_hll,
         "error_root_causes": q_error_root_causes,
         "trace_duration_percentiles": q_trace_duration_percentiles,
         "apdex": q_apdex,
@@ -8893,6 +8953,7 @@ def _trace_oracles() -> dict[str, str]:
         "error_rate_trends": sql_error_rate_trends(),
         "service_pagerank": sql_service_pagerank(),
         "service_cheapest_paths": sql_service_cheapest_paths(),
+        "hourly_trace_hll": sql_hourly_trace_hll(),
         "error_root_causes": sql_error_root_causes(),
         "trace_duration_percentiles": sql_trace_duration_percentiles(),
         "apdex": sql_apdex(),

@@ -2733,3 +2733,105 @@ def test_quality_drift_gate_routes_late_and_emits_once(spark, tmp_path):
     # neither straggler entered the moment log (7 + 8 + 6 admitted docs)
     moments = spark.read.parquet(str(tmp_path / "state" / "moments"))
     assert moments.agg(F.sum("n_docs")).first()[0] == 7 + 8 + 6
+
+
+def test_hll_distinct_event_backfill_equals_batch(spark, tmp_path):
+    """EventTimeDistinct (r12): the event-time hourly HLL cardinality
+    gate, backfilled over files NOT in event order, equals the
+    hourly_distinct_hll batch face EXACTLY and is batching-invariant —
+    the per-hour estimate is a pure function of the data. Redelivered
+    doc_ids must not inflate the registers."""
+    import json
+
+    from haystack_traces_spark.streaming.hll_stream import (
+        EventTimeDistinct,
+        hourly_distinct_hll,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import (
+        read_verdicts,
+        run_neardup_backfill,
+    )
+
+    hour_us = 1000
+    schema = "doc_id long, ts long, value string"
+    recs = []
+    i = 0
+    for hour in range(3):
+        # per-hour values: 13 distinct names repeated, plus hour-unique tails
+        for j in range(30 + hour * 5):
+            recs.append(
+                {"doc_id": i, "ts": hour * hour_us + (j % 9) * 100 + 1,
+                 "value": f"v{j % 13}" if j % 3 else f"u{hour}_{j}"}
+            )
+            i += 1
+
+    def backfill(splits, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for j, chunk in enumerate(splits):
+            with open(src / f"part{j}.json", "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+        run_neardup_backfill(
+            spark, str(src), str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            gate_cls=EventTimeDistinct, schema=schema, hour_us=hour_us,
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    # split B redelivers a chunk (overlap) — dedup must absorb it
+    got_a = backfill([recs[40:], recs[:15], recs[15:40]], "a")
+    got_b = backfill([recs[:50], recs[30:], recs[:10]], "b")
+    frame = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["value"]) for r in recs], schema
+    )
+    want = sorted(
+        tuple(r) for r in hourly_distinct_hll(frame, hour_us).collect()
+    )
+    assert got_a == want
+    assert got_b == want
+    assert len(want) == 3 and all(v[1] > 0 for v in want)
+
+
+def test_hll_gate_compact_state_mid_stream_equivalence(spark, tmp_path):
+    """EventTimeDistinct keeps the hour-gate compaction contract by
+    putting (reg, rho) in _MOMENT_KEYS (a max column would break the
+    per-key-SUM losslessness proof): compacting mid-stream changes no
+    later verdict, and same-(hour, reg, rho) rows from different batches
+    merge to one."""
+    from haystack_traces_spark.streaming.hll_stream import EventTimeDistinct
+    from haystack_traces_spark.streaming.neardup_stream import read_verdicts
+
+    schema = "doc_id long, ts long, value string"
+
+    def run(tag, compact):
+        gate = EventTimeDistinct(
+            str(tmp_path / f"s_{tag}"), str(tmp_path / f"o_{tag}"),
+            delay_us=100, hour_us=1000,
+        )
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 100, f"v{i % 5}") for i in range(4)], schema
+            ),
+            0,
+        )
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 100, f"v{i % 5}") for i in range(4, 8)], schema
+            ),
+            1,
+        )
+        if compact:
+            gate.compact_state(spark)
+        gate.process_batch(
+            spark.createDataFrame([(10, 1500, "x")], schema), 2
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(spark, str(tmp_path / f"o_{tag}")).collect()
+        )
+
+    assert run("plain", False) == run("compact", True)
