@@ -1161,15 +1161,15 @@ def sql_kmeans_train() -> str:
         "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
     )
     parts = [
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (
+        f"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          list_transform(v, x -> ROUND(x, 6)) AS cv
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for r in range(1, rounds + 1):
-        parts.append(f"""a{r} AS (
+        parts.append(f"""a{r} AS MATERIALIZED (
   SELECT e.vec_id, MIN(struct_pack(d := {dist}, cell := c.cell)) AS m
   FROM e CROSS JOIN c{r - 1} c GROUP BY e.vec_id
 ),
@@ -1184,7 +1184,7 @@ u{r} AS (
   FROM a{r} a JOIN e USING (vec_id), UNNEST(generate_series(1, {dim})) d(i)
   GROUP BY 1, 2
 ),
-c{r} AS (
+c{r} AS MATERIALIZED (
   SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
   FROM c{r - 1} c LEFT JOIN (
     SELECT cell, list(val ORDER BY dim) AS cv FROM u{r} GROUP BY cell
@@ -1226,11 +1226,11 @@ def _bpe_chain_sql(rounds: int) -> str:
 )"""
     ]
     for k in range(1, rounds + 1):
-        parts.append(f"""pos_{k} AS (
+        parts.append(f"""pos_{k} AS MATERIALIZED (
   SELECT doc_id, i AS pos, toks[i] AS tok, toks[i+1] AS nxt
   FROM seqs_{k - 1}, UNNEST(generate_series(1, len(toks))) t(i)
 ),
-pick_{k} AS (
+pick_{k} AS MATERIALIZED (
   SELECT tok AS a, nxt AS b, COUNT(*) AS n
   FROM pos_{k} WHERE nxt IS NOT NULL
   GROUP BY 1, 2

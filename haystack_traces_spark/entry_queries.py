@@ -1616,8 +1616,12 @@ def q_service_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_service_cheapest_paths() -> str:
+    # AS MATERIALIZED is load-bearing: every d_k references d_{k-1}
+    # TWICE (carry + relax), so an inlined chain re-expands the whole
+    # prefix 2^k times — DuckDB ran out of memory at sf0.1 before the
+    # hint (each round's frame is only |services| rows once pinned)
     ctes = [
-        """e AS (
+        """e AS MATERIALIZED (
   SELECT lower(p.service_name) AS u, lower(c.service_name) AS v,
          CAST(SUM(c.duration) // COUNT(*) AS BIGINT) AS w
   FROM spans c JOIN spans p
@@ -1625,10 +1629,10 @@ def sql_service_cheapest_paths() -> str:
   WHERE c.parent_span_id <> ''
   GROUP BY 1, 2
 ),
-d0 AS (SELECT MIN(u) AS s, CAST(0 AS BIGINT) AS cost FROM e)"""
+d0 AS MATERIALIZED (SELECT MIN(u) AS s, CAST(0 AS BIGINT) AS cost FROM e)"""
     ]
     for k in range(1, CHEAPEST_PATH_ROUNDS + 1):
-        ctes.append(f"""d{k} AS (
+        ctes.append(f"""d{k} AS MATERIALIZED (
   SELECT s, MIN(cost) AS cost FROM (
     SELECT s, cost FROM d{k - 1}
     UNION ALL
