@@ -8648,6 +8648,382 @@ FROM ({arms}) ORDER BY gap_us
 """
 
 
+def q_service_scorecard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain health scorecard in ONE pass: the q_service_scorecard
+    panel computed simultaneously at (service, operation), (service) and
+    corpus-total grain via ROLLUP — the pre-aggregated drill-down cube a
+    dashboard serves without re-scanning per grain. ``grain`` is the
+    standard grouping-id bitmask (0 = leaf, 1 = per-service subtotal,
+    3 = grand total); rolled-up key columns render as ``(all)``.
+
+    Scale shape: Catalyst's Expand node replicates each span row once per
+    grouping set BEFORE the hash aggregate, so all three grains ride one
+    shuffle with map-side combine — at 100 TB that is one scan + one
+    exchange instead of three separate jobs (and the exact percentile
+    still computes per grouping set from the expanded rows). Plan-asserted
+    in test_plans.py (Expand present, single Exchange)."""
+    spans = _spans(spark, sf_dir)
+    is_err = _errorcode() >= ERROR_THRESHOLD
+    return (
+        spans.rollup(
+            F.lower("service_name").alias("servicename"),
+            F.lower("operation_name").alias("operationname"),
+        )
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(
+                F.sum(is_err.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("error_rate"),
+            F.round(F.percentile("duration", F.lit(0.95)), 6).alias("p95"),
+        )
+        .select(
+            F.col("grain").cast("int").alias("grain"),
+            F.coalesce("servicename", F.lit("(all)")).alias("servicename"),
+            F.coalesce("operationname", F.lit("(all)")).alias("operationname"),
+            "n_spans",
+            "error_rate",
+            "p95",
+        )
+        .orderBy("grain", "servicename", "operationname")
+    )
+
+
+def sql_service_scorecard_rollup() -> str:
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+SELECT CAST(GROUPING(lower(service_name), lower(operation_name)) AS INT) AS grain,
+       COALESCE(lower(service_name), '(all)') AS servicename,
+       COALESCE(lower(operation_name), '(all)') AS operationname,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       ROUND(SUM(CASE WHEN COALESCE(errorcode, 0) >= {ERROR_THRESHOLD}
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS error_rate,
+       ROUND(quantile_cont(duration, 0.95), 6) AS p95
+FROM spans
+GROUP BY ROLLUP(lower(service_name), lower(operation_name))
+ORDER BY 1, 2, 3
+"""
+    )
+
+
+#: (numerator, denominator) percentile targets for the quickselect — kept
+#: rational so the k-th rank computes in INTEGER arithmetic on both faces
+#: (a float ceil(p*n) race between Python and DuckDB loses a rank when
+#: p*n lands within an ulp of an integer).
+QUICKSELECT_PS = ((1, 2), (9, 10), (99, 100), (999, 1000))
+QUICKSELECT_BUCKETS = 256
+
+
+def q_duration_quickselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duration percentiles WITHOUT a global sort: distributed
+    quickselect by histogram refinement. Each round counts spans into
+    ``QUICKSELECT_BUCKETS`` equal-width value buckets over the candidate
+    range (one map-side-combinable aggregate, ≤256-row collect), keeps
+    the bucket containing the k-th rank, and narrows — the value range
+    shrinks 256× per round, so 4-5 scans pin the EXACT k-th smallest
+    element of 100 TB where a sort would shuffle the entire table and
+    percentile_approx would only bound the error. Round 1's histogram is
+    shared by all percentile targets; later rounds carry a pushed-down
+    range predicate (min/max row-group skipping makes the narrowed scans
+    progressively cheaper on sorted/partitioned stores).
+
+    Oracle: the straightforward global ROW_NUMBER rank — the fancy
+    algorithm is checked against the naive definition, not mirrored."""
+    spans = _spans(spark, sf_dir)
+    first = spans.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("duration").alias("dmin"),
+        F.max("duration").alias("dmax"),
+    ).first()
+    n, dmin, dmax = first["n"], first["dmin"], first["dmax"]
+    schema = "p double, k long, value long"
+    if not n:
+        return spark.createDataFrame([], schema)
+
+    def hist(lo: int, hi: int, width: int) -> dict[int, int]:
+        rows = (
+            spans.filter(
+                (F.col("duration") >= lo) & (F.col("duration") <= hi)
+            )
+            .groupBy(
+                F.expr(f"(duration - {lo}) DIV {width}").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    w0 = (dmax - dmin) // QUICKSELECT_BUCKETS + 1
+    h0 = hist(dmin, dmax, w0)
+    out = []
+    for num, den in QUICKSELECT_PS:
+        k = (num * n + den - 1) // den  # ceil(p*n) in integer arithmetic
+        lo, hi, below = dmin, dmax, 0
+        width, buckets = w0, h0
+        while lo < hi:
+            cum = below
+            for b in sorted(buckets):
+                c = buckets[b]
+                if cum + c >= k:
+                    new_lo = lo + b * width
+                    hi = min(hi, new_lo + width - 1)
+                    lo, below = new_lo, cum
+                    break
+                cum += c
+            if lo < hi:
+                width = (hi - lo) // QUICKSELECT_BUCKETS + 1
+                buckets = hist(lo, hi, width)
+        out.append((num / den, k, lo))
+    return spark.createDataFrame(out, schema)
+
+
+def sql_duration_quickselect() -> str:
+    ps = ", ".join(f"({num}, {den})" for num, den in QUICKSELECT_PS)
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans),
+ranked AS (
+  SELECT duration, ROW_NUMBER() OVER (ORDER BY duration) AS rn FROM spans
+),
+ps(num, den) AS (VALUES {ps}),
+ks AS (
+  SELECT CAST(num AS DOUBLE) / den AS p,
+         CAST((num * n.n + den - 1) // den AS BIGINT) AS k
+  FROM ps, n
+)
+SELECT ks.p AS p, ks.k AS k, r.duration AS value
+FROM ks JOIN ranked r ON r.rn = ks.k
+ORDER BY p
+"""
+    )
+
+
+ZORDER_CELLS = 256  # per-dimension key cells (8 bits)
+ZORDER_FILES = 64  # simulated files per layout
+
+
+def _morton_terms(div_op: str) -> str:
+    """Bit-interleave of (tkey, skey) as pure integer arithmetic —
+    ``div_op`` is the engine's integer-division token (Spark ``DIV``,
+    DuckDB ``//``); multiplies by literal powers of two instead of
+    shifts (F.shiftleft's numBits is Python-int-only, and the arithmetic
+    form is engine-portable)."""
+    bits = ZORDER_CELLS.bit_length() - 1
+    return " + ".join(
+        f"((tkey {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((skey {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+
+
+def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout planner with a MEASURED pruning receipt: simulates
+    writing the span table as ``ZORDER_FILES`` files under three sort
+    layouts — time-sorted, service-then-time sorted, and Morton/z-order
+    interleaved — records each file's (tkey, skey) min/max zone map from
+    the ACTUAL rows it would hold, then replays a canonical workload
+    (every service × 4 time quartiles, plus time-only sweeps) against
+    the zone maps and reports the fraction of files and rows a min/max-
+    skipping reader must touch. The lakehouse layout decision (sort vs
+    z-order before writing 100 TB of parquet) priced from data instead
+    of folklore: z-order's receipt is rows_frac staying low on BOTH
+    query classes while each single-sort layout only prunes its own.
+
+    Scale shape: keys are pure arithmetic off a 1-row min/max aggregate
+    (no global rank/NTILE — a window over the corpus would serialize the
+    simulation); the service dim is a bounded broadcast catalog; the
+    zone-map join is files × queries, a bounded grid (3·64 × ~100)."""
+    from pyspark.sql import Window
+
+    cells, files = ZORDER_CELLS, ZORDER_FILES
+    spans = _spans(spark, sf_dir).select(
+        "span_id", "start_time", F.lower("service_name").alias("svc")
+    )
+    # spread service ranks across the FULL cell range (z-order needs
+    # equal-width normalized dimensions — a 5-service corpus left at
+    # skey 0..4 only varies 3 morton bits and the interleave degenerates
+    # to a time sort); bounded catalog, so the global window is ~10 rows
+    svc_dim = (
+        spans.select("svc")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("svc")))
+        .withColumn(
+            "nsvc", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+        .select(
+            "svc",
+            F.expr(f"CAST((rn - 1) * {cells} DIV nsvc AS BIGINT)").alias(
+                "skey"
+            ),
+        )
+    )
+    trange = spans.agg(
+        F.min("start_time").alias("tmin"), F.max("start_time").alias("tmax")
+    )
+    enriched = (
+        spans.join(F.broadcast(svc_dim), "svc")
+        .crossJoin(F.broadcast(trange))
+        .withColumn(
+            "tkey",
+            F.expr(
+                f"(start_time - tmin) * {cells} DIV (tmax - tmin + 1)"
+            ),
+        )
+        .withColumn("morton", F.expr(_morton_terms("DIV")))
+    )
+    assigned = enriched.selectExpr(
+        "tkey",
+        "skey",
+        f"stack(3, 'time', tkey * {files} DIV {cells},"
+        f" 'service', (skey * {cells} + tkey) * {files} DIV {cells * cells},"
+        f" 'zorder', morton * {files} DIV {cells * cells}) AS (layout, file)",
+    )
+    file_zones = assigned.groupBy("layout", "file").agg(
+        F.min("tkey").alias("tmin_f"),
+        F.max("tkey").alias("tmax_f"),
+        F.min("skey").alias("smin"),
+        F.max("skey").alias("smax"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    quart = [(0, 63), (64, 127), (128, 191), (192, 255)]
+    quart_df = spark.createDataFrame(quart, "tlo long, thi long")
+    qs = (
+        svc_dim.crossJoin(quart_df)
+        .select(
+            F.lit("svc_time").alias("qclass"),
+            F.col("skey").alias("qskey"),
+            "tlo",
+            "thi",
+        )
+        .unionByName(
+            quart_df.select(
+                F.lit("time").alias("qclass"),
+                F.lit(None).cast("long").alias("qskey"),
+                "tlo",
+                "thi",
+            )
+        )
+    )
+    matched = (
+        file_zones.join(
+            F.broadcast(qs),
+            (
+                F.col("qskey").isNull()
+                | F.col("qskey").between(F.col("smin"), F.col("smax"))
+            )
+            & (F.col("tlo") <= F.col("tmax_f"))
+            & (F.col("thi") >= F.col("tmin_f")),
+        )
+        .groupBy("layout", "qclass")
+        .agg(
+            F.count(F.lit(1)).alias("files_read"),
+            # DECIMAL accumulator: at corpus scale sum(nrows) x queries
+            # exceeds int64 and ANSI mode aborts a long SUM
+            F.sum(F.col("nrows").cast("decimal(38,0)")).alias("rows_read"),
+        )
+    )
+    per_layout = file_zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.col("nrows").cast("decimal(38,0)")).alias("total_rows"),
+    )
+    per_class = qs.groupBy("qclass").agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        per_layout.crossJoin(F.broadcast(per_class))
+        .join(matched, ["layout", "qclass"], "left")
+        .select(
+            "layout",
+            "qclass",
+            "n_files",
+            "n_queries",
+            F.round(
+                F.coalesce("files_read", F.lit(0))
+                / F.col("n_queries").cast("double"),
+                6,
+            ).alias("files_read_avg"),
+            F.round(
+                F.coalesce(F.col("rows_read").cast("double"), F.lit(0.0))
+                / (F.col("n_queries") * F.col("total_rows")).cast("double"),
+                6,
+            ).alias("rows_frac"),
+        )
+        .orderBy("layout", "qclass")
+    )
+
+
+def sql_zorder_layout_plan() -> str:
+    cells, files = ZORDER_CELLS, ZORDER_FILES
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, base AS (
+  SELECT span_id, start_time, lower(service_name) AS svc FROM spans
+),
+svc AS (
+  SELECT svc,
+         CAST((ROW_NUMBER() OVER (ORDER BY svc) - 1) * {cells}
+              // COUNT(*) OVER () AS BIGINT) AS skey
+  FROM (SELECT DISTINCT svc FROM base)
+),
+trange AS (SELECT MIN(start_time) AS tmin, MAX(start_time) AS tmax FROM base),
+keyed AS (
+  SELECT s.skey,
+         (b.start_time - t.tmin) * {cells} // (t.tmax - t.tmin + 1) AS tkey
+  FROM base b JOIN svc s USING (svc) CROSS JOIN trange t
+),
+m AS (SELECT skey, tkey, {_morton_terms('//')} AS morton FROM keyed),
+assigned AS (
+  SELECT 'time' AS layout, tkey * {files} // {cells} AS file, tkey, skey
+  FROM m
+  UNION ALL
+  SELECT 'service', (skey * {cells} + tkey) * {files} // {cells * cells},
+         tkey, skey
+  FROM m
+  UNION ALL
+  SELECT 'zorder', morton * {files} // {cells * cells}, tkey, skey FROM m
+),
+file_zones AS (
+  SELECT layout, file, MIN(tkey) AS tmin_f, MAX(tkey) AS tmax_f,
+         MIN(skey) AS smin, MAX(skey) AS smax,
+         CAST(COUNT(*) AS BIGINT) AS nrows
+  FROM assigned GROUP BY 1, 2
+),
+quart(tlo, thi) AS (VALUES (0, 63), (64, 127), (128, 191), (192, 255)),
+qs AS (
+  SELECT 'svc_time' AS qclass, s.skey AS qskey, q.tlo, q.thi
+  FROM svc s CROSS JOIN quart q
+  UNION ALL
+  SELECT 'time', NULL, tlo, thi FROM quart
+),
+matched AS (
+  SELECT f.layout, q.qclass, CAST(COUNT(*) AS BIGINT) AS files_read,
+         SUM(f.nrows) AS rows_read
+  FROM file_zones f JOIN qs q
+    ON (q.qskey IS NULL OR q.qskey BETWEEN f.smin AND f.smax)
+   AND q.tlo <= f.tmax_f AND q.thi >= f.tmin_f
+  GROUP BY 1, 2
+),
+nf AS (
+  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         SUM(nrows) AS total_rows
+  FROM file_zones GROUP BY 1
+),
+nq AS (SELECT qclass, CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs GROUP BY 1)
+SELECT f.layout AS layout, n.qclass AS qclass, f.n_files AS n_files,
+       n.n_queries AS n_queries,
+       ROUND(COALESCE(m.files_read, 0) / CAST(n.n_queries AS DOUBLE), 6)
+         AS files_read_avg,
+       ROUND(COALESCE(m.rows_read, 0)
+             / CAST(n.n_queries * f.total_rows AS DOUBLE), 6) AS rows_frac
+FROM nf f CROSS JOIN nq n
+LEFT JOIN matched m ON m.layout = f.layout AND m.qclass = n.qclass
+ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -8707,6 +9083,9 @@ _ROTATION_QUEUE = (
     "hll_distinct",
     "weighted_sample",
     "hourly_trace_hll",
+    "service_scorecard_rollup",
+    "duration_quickselect",
+    "zorder_layout_plan",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -8903,6 +9282,9 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_entropy": q_field_entropy,
         "session_gap_sweep": q_session_gap_sweep,
         "latency_hist_accuracy": q_latency_hist_accuracy,
+        "service_scorecard_rollup": q_service_scorecard_rollup,
+        "duration_quickselect": q_duration_quickselect,
+        "zorder_layout_plan": q_zorder_layout_plan,
     }
 
 
@@ -9040,4 +9422,7 @@ def _trace_oracles() -> dict[str, str]:
         "field_entropy": sql_field_entropy(),
         "session_gap_sweep": sql_session_gap_sweep(),
         "latency_hist_accuracy": sql_latency_hist_accuracy(),
+        "service_scorecard_rollup": sql_service_scorecard_rollup(),
+        "duration_quickselect": sql_duration_quickselect(),
+        "zorder_layout_plan": sql_zorder_layout_plan(),
     }

@@ -962,3 +962,22 @@ def test_ivf_store_partition_pruning(spark, tmp_path):
     # pruning is real: only the probed cells' rows are read
     cells = {r["cell"] for r in cand.select("cell").distinct().collect()}
     assert cells <= {1, 3}
+
+
+def test_round12b_operators_plan_shapes(spark):
+    """Round-12b batch. service_scorecard_rollup must ride ONE Expand
+    (all three grains in one shuffle — the point of the operator);
+    zorder_layout_plan's nested-loop joins are all broadcast (1-row
+    range frame, bounded service catalog, bounded query grid) with the
+    corpus side never replicated."""
+    from haystack_traces_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(EQ.q_service_scorecard_rollup(spark, sf))
+    assert "Expand" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(EQ.q_zorder_layout_plan(spark, sf))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastExchange" in plan, plan[:1500]

@@ -2351,3 +2351,92 @@ def test_ab_cohort_constant_durations_yield_null_z_not_nan(spark):
     assert r["mean_a_us"] == r["mean_b_us"] == 17_922_960
     for v in (r["err_rate_a"], r["err_rate_b"]):
         assert v == 0.0 and not math.isnan(v)
+
+
+# ------------------------------------------------------- round 12b ops --
+
+
+def test_scorecard_rollup_grains_are_consistent(spark, sf_dir):
+    """The three ROLLUP grains must be internally consistent: leaf rows
+    sum to their service subtotal, subtotals sum to the grand total, and
+    the grain bitmask carries exactly the standard values (0 leaf,
+    1 per-service, 3 total)."""
+    rows = EQ.q_service_scorecard_rollup(spark, sf_dir).collect()
+    by_grain: dict[int, list] = {}
+    for r in rows:
+        by_grain.setdefault(r["grain"], []).append(r)
+    assert sorted(by_grain) == [0, 1, 3]
+    assert len(by_grain[3]) == 1
+    total = by_grain[3][0]
+    assert total["servicename"] == total["operationname"] == "(all)"
+    assert total["n_spans"] == sum(r["n_spans"] for r in by_grain[0])
+    assert total["n_spans"] == sum(r["n_spans"] for r in by_grain[1])
+    leaf_by_svc: dict[str, int] = {}
+    for r in by_grain[0]:
+        assert r["operationname"] != "(all)"
+        leaf_by_svc[r["servicename"]] = (
+            leaf_by_svc.get(r["servicename"], 0) + r["n_spans"]
+        )
+    for r in by_grain[1]:
+        assert r["operationname"] == "(all)"
+        assert r["n_spans"] == leaf_by_svc[r["servicename"]]
+
+
+def test_duration_quickselect_matches_sorted_rank(spark, sf_dir):
+    """The histogram-refinement selection must return EXACTLY the k-th
+    smallest duration for k = ceil(p*n) — checked against a literal
+    sort of the collected column (sf0.001 is small enough to sort
+    driver-side; the operator never does)."""
+    durs = sorted(
+        r["duration"] for r in EQ._spans(spark, sf_dir).select("duration").collect()
+    )
+    n = len(durs)
+    got = {r["p"]: r for r in EQ.q_duration_quickselect(spark, sf_dir).collect()}
+    assert len(got) == len(EQ.QUICKSELECT_PS)
+    for num, den in EQ.QUICKSELECT_PS:
+        k = (num * n + den - 1) // den
+        r = got[num / den]
+        assert r["k"] == k
+        assert r["value"] == durs[k - 1], (num, den)
+
+
+def _morton_ref(t: int, s: int, bits: int = 8) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((t >> i) & 1) << (2 * i)
+        out |= ((s >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_terms_match_bit_interleave(spark):
+    """The arithmetic Morton expression (engine-portable DIV/% form)
+    equals the reference bit-interleave on a full sweep of 8-bit corner
+    and random keys."""
+    import random
+
+    rng = random.Random(12)
+    pairs = [(t, s) for t in (0, 1, 127, 128, 255) for s in (0, 1, 127, 128, 255)]
+    pairs += [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "tkey long, skey long").withColumn(
+        "morton", F.expr(EQ._morton_terms("DIV"))
+    )
+    for r in df.collect():
+        assert r["morton"] == _morton_ref(r["tkey"], r["skey"]), r
+
+
+def test_zorder_layout_plan_receipt_shape(spark, sf_dir):
+    """Zone-map simulation invariants: all six (layout, qclass) rows
+    present, file counts bounded by ZORDER_FILES, fractions in [0, 1],
+    and the headline receipt — z-order prunes the mixed
+    service+time class at least as well as EITHER single-sort layout
+    on this corpus, while no layout reads more than everything."""
+    rows = {(r["layout"], r["qclass"]): r for r in
+            EQ.q_zorder_layout_plan(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert 1 <= r["n_files"] <= EQ.ZORDER_FILES
+        assert 0.0 <= r["rows_frac"] <= 1.0
+        assert r["files_read_avg"] <= r["n_files"]
+    z = rows[("zorder", "svc_time")]["rows_frac"]
+    assert z <= rows[("time", "svc_time")]["rows_frac"] + 1e-9
+    assert z <= rows[("service", "svc_time")]["rows_frac"] + 1e-9
