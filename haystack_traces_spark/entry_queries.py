@@ -9024,6 +9024,172 @@ ORDER BY 1, 2
     )
 
 
+KMV_K = 256  # k-minimum-values sketch size
+
+
+def q_kmv_trace_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-trace overlap between every service pair, estimated from
+    K-MINIMUM-VALUES (theta) sketches NEXT TO the exact overlap and the
+    realized error — the set-INTERSECTION cardinality HLL structurally
+    cannot give (register maxima only merge as unions). Per service the
+    sketch is the ``KMV_K`` smallest ``hash60`` values of its distinct
+    trace ids; a pair's estimate is the theta-sketch rule: with
+    theta = min(theta_A, theta_B) (each service's k-th smallest hash,
+    or 2^60 when the sketch holds the whole set), count the hashes below
+    theta present in BOTH sketches and scale by 2^60/theta. Exact face
+    computable because the corpus is at rest.
+
+    Scale shape: the sketch build is one distinct + one PER-SERVICE
+    rank window; everything pairwise then runs on sketch rows only
+    (≤ k·|services|) — at 100 TB the n² pair space never touches the
+    span table. The deterministic hash makes the estimator itself
+    oracle-checked bit-for-bit, not just bounded."""
+    return kmv_overlap_from(_spans(spark, sf_dir))
+
+
+def kmv_overlap_from(spans: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    from haystack_traces_spark.datapipe.hashing import hash60
+
+    H = float(1 << 60)
+    st = spans.select(
+        F.lower("service_name").alias("svc"),
+        hash60(F.col("trace_id"), seed="kmv:").alias("h"),
+    ).distinct()
+    ranked = st.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("svc").orderBy("h"))
+    ).filter(F.col("rn") <= KMV_K)
+    sketch = ranked.select("svc", "h")
+    thetas = ranked.groupBy("svc").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
+            F.lit(1 << 60),
+        ).alias("theta")
+    )
+    grid = (
+        thetas.alias("a")
+        .join(
+            F.broadcast(thetas.alias("b")),
+            F.col("a.svc") < F.col("b.svc"),
+        )
+        .select(
+            F.col("a.svc").alias("s1"),
+            F.col("b.svc").alias("s2"),
+            F.least("a.theta", "b.theta").alias("theta"),
+        )
+    )
+    matches = (
+        sketch.alias("a")
+        .join(sketch.alias("b"), "h")
+        .filter(F.col("a.svc") < F.col("b.svc"))
+        .select(F.col("a.svc").alias("s1"), F.col("b.svc").alias("s2"), "h")
+        .join(grid, ["s1", "s2"])
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                (F.col("h") < F.col("theta")).cast("long")
+            ).alias("matches")
+        )
+    )
+    tr = spans.select(
+        F.lower("service_name").alias("svc"), "trace_id"
+    ).distinct()
+    exact = (
+        tr.alias("a")
+        .join(tr.alias("b"), "trace_id")
+        .filter(F.col("a.svc") < F.col("b.svc"))
+        .groupBy(
+            F.col("a.svc").alias("s1"), F.col("b.svc").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        grid.join(matches, ["s1", "s2"], "left")
+        .join(exact, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.round(
+                F.coalesce("matches", F.lit(0)).cast("double")
+                * F.lit(H)
+                / F.col("theta").cast("double"),
+                3,
+            ).alias("n_est"),
+            F.round(
+                (
+                    F.coalesce("matches", F.lit(0)).cast("double")
+                    * F.lit(H)
+                    / F.col("theta").cast("double")
+                    - F.coalesce("n_exact", F.lit(0))
+                )
+                / F.nullif(F.coalesce("n_exact", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+def sql_kmv_trace_overlap() -> str:
+    from haystack_traces_spark.datapipe.hashing import hash60_sql
+
+    H = float(1 << 60)
+    return (
+        EVENT_SPANS_CTE
+        + f"""
+, st AS (
+  SELECT DISTINCT lower(service_name) AS svc,
+         {hash60_sql('trace_id', seed='kmv:')} AS h
+  FROM spans
+),
+ranked AS (
+  SELECT svc, h, ROW_NUMBER() OVER (PARTITION BY svc ORDER BY h) AS rn
+  FROM st
+),
+sk AS (SELECT svc, h, rn FROM ranked WHERE rn <= {KMV_K}),
+th AS (
+  SELECT svc,
+         COALESCE(MAX(CASE WHEN rn = {KMV_K} THEN h END), {1 << 60})
+           AS theta
+  FROM sk GROUP BY svc
+),
+grid AS (
+  SELECT a.svc AS s1, b.svc AS s2, LEAST(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.svc < b.svc
+),
+m AS (
+  SELECT a.svc AS s1, b.svc AS s2, a.h
+  FROM sk a JOIN sk b ON a.h = b.h AND a.svc < b.svc
+),
+mc AS (
+  SELECT g.s1, g.s2,
+         SUM(CASE WHEN m.h < g.theta THEN 1 ELSE 0 END) AS matches
+  FROM grid g JOIN m ON m.s1 = g.s1 AND m.s2 = g.s2
+  GROUP BY 1, 2
+),
+tr AS (SELECT DISTINCT lower(service_name) AS svc, trace_id FROM spans),
+ex AS (
+  SELECT a.svc AS s1, b.svc AS s2, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM tr a JOIN tr b ON a.trace_id = b.trace_id AND a.svc < b.svc
+  GROUP BY 1, 2
+)
+SELECT g.s1 AS s1, g.s2 AS s2,
+       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+       ROUND(CAST(COALESCE(mc.matches, 0) AS DOUBLE) * {H!r}
+             / CAST(g.theta AS DOUBLE), 3) AS n_est,
+       ROUND((CAST(COALESCE(mc.matches, 0) AS DOUBLE) * {H!r}
+              / CAST(g.theta AS DOUBLE) - COALESCE(ex.n_exact, 0))
+             / NULLIF(COALESCE(ex.n_exact, 0), 0), 6) AS rel_err
+FROM grid g
+LEFT JOIN mc ON mc.s1 = g.s1 AND mc.s2 = g.s2
+LEFT JOIN ex ON ex.s1 = g.s1 AND ex.s2 = g.s2
+ORDER BY 1, 2
+"""
+    )
+
+
 #: The reference's OWN API surface (search/fields/counts/fetch/processed)
 #: — these lead the registry every round so the driver's CORRECTNESS gate
 #: always re-verifies the core product before any extension. The full
@@ -9086,6 +9252,7 @@ _ROTATION_QUEUE = (
     "service_scorecard_rollup",
     "duration_quickselect",
     "zorder_layout_plan",
+    "kmv_trace_overlap",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -9285,6 +9452,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_scorecard_rollup": q_service_scorecard_rollup,
         "duration_quickselect": q_duration_quickselect,
         "zorder_layout_plan": q_zorder_layout_plan,
+        "kmv_trace_overlap": q_kmv_trace_overlap,
     }
 
 
@@ -9425,4 +9593,5 @@ def _trace_oracles() -> dict[str, str]:
         "service_scorecard_rollup": sql_service_scorecard_rollup(),
         "duration_quickselect": sql_duration_quickselect(),
         "zorder_layout_plan": sql_zorder_layout_plan(),
+        "kmv_trace_overlap": sql_kmv_trace_overlap(),
     }

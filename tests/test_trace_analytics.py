@@ -2440,3 +2440,37 @@ def test_zorder_layout_plan_receipt_shape(spark, sf_dir):
     z = rows[("zorder", "svc_time")]["rows_frac"]
     assert z <= rows[("time", "svc_time")]["rows_frac"] + 1e-9
     assert z <= rows[("service", "svc_time")]["rows_frac"] + 1e-9
+
+
+def test_kmv_overlap_estimates_partial_intersection(spark):
+    """Crafted partial overlap the synthetic corpus cannot produce (its
+    every trace touches every service): A has traces 0..2999, B has
+    2000..4999 → exact overlap 1000. With 3000 > KMV_K distinct ids per
+    side the sketch path (theta < 2^60) must engage, and the theta
+    estimate must land within 25% of truth at k=256."""
+    rows = [("a", f"t{i}") for i in range(3000)]
+    rows += [("b", f"t{i}") for i in range(2000, 5000)]
+    spans = spark.createDataFrame(
+        rows, "service_name string, trace_id string"
+    )
+    out = EQ.kmv_overlap_from(spans).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s1"], r["s2"]) == ("a", "b")
+    assert r["n_exact"] == 1000
+    assert r["n_est"] != r["n_exact"]  # the sketch actually estimated
+    assert abs(r["rel_err"]) < 0.25, r
+
+
+def test_kmv_overlap_exact_when_sets_fit_in_sketch(spark):
+    """Below KMV_K distinct traces per service, theta stays 2^60 and the
+    estimator must DEGENERATE TO EXACT (matches == intersection)."""
+    rows = [("a", f"t{i}") for i in range(100)]
+    rows += [("b", f"t{i}") for i in range(60, 160)]
+    spans = spark.createDataFrame(
+        rows, "service_name string, trace_id string"
+    )
+    r = EQ.kmv_overlap_from(spans).collect()[0]
+    assert r["n_exact"] == 40
+    assert r["n_est"] == 40.0
+    assert r["rel_err"] == 0.0
