@@ -9024,6 +9024,77 @@ ORDER BY 1, 2
     )
 
 
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` aggregation over the event
+    stream — the third independent implementation of sessionization next
+    to the hand-built gaps-and-islands batch face (q_event_sessions) and
+    the stateful streaming sessionizer (T1), cross-validated against the
+    same DuckDB islands oracle. Exercises the native session-merge
+    physical operator Spark ships for exactly this (it also runs under
+    Structured Streaming with watermark-merged state, so it is the
+    zero-custom-code path a user reaches first).
+
+    Boundary semantics pinned by test: an event EXACTLY gap after the
+    previous one MERGES into the session (Spark merges when the next
+    window's start equals the current window's end), so the islands rule
+    is the same ``> gap`` as q_event_sessions — the crafted-frame test
+    pins the boundary on both sides of the microsecond.
+
+    Scale shape: one shuffle on user_id + per-key session merge — the
+    same exchange as every other per-user operator, no global state."""
+    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.sources.events import _epoch_micros
+
+    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = events.select("user_id", _epoch_micros(events).alias("tus"))
+    return native_sessions_from(ev)
+
+
+def native_sessions_from(
+    ev: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    return (
+        ev.withColumn("ts", F.timestamp_micros("tus"))
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_us} microseconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("tus").alias("session_start"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("session_dur"),
+        )
+        .select("user_id", "session_start", "n_events", "session_dur")
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sql_native_session_windows() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+         -- > gap: Spark MERGES the window whose start equals the
+         -- previous window's end, so an exact-gap event stays in-session
+         CASE WHEN COALESCE(tus - LAG(tus) OVER w, {SESSION_GAP_US + 1})
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT user_id, tus,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, MIN(tus) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(tus) - MIN(tus) AS BIGINT) AS session_dur
+FROM sess GROUP BY user_id, session_idx ORDER BY 1, 2
+"""
+
+
 KMV_K = 256  # k-minimum-values sketch size
 
 
@@ -9253,6 +9324,7 @@ _ROTATION_QUEUE = (
     "duration_quickselect",
     "zorder_layout_plan",
     "kmv_trace_overlap",
+    "native_session_windows",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -9453,6 +9525,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_quickselect": q_duration_quickselect,
         "zorder_layout_plan": q_zorder_layout_plan,
         "kmv_trace_overlap": q_kmv_trace_overlap,
+        "native_session_windows": q_native_session_windows,
     }
 
 
@@ -9594,4 +9667,5 @@ def _trace_oracles() -> dict[str, str]:
         "duration_quickselect": sql_duration_quickselect(),
         "zorder_layout_plan": sql_zorder_layout_plan(),
         "kmv_trace_overlap": sql_kmv_trace_overlap(),
+        "native_session_windows": sql_native_session_windows(),
     }

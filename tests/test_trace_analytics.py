@@ -2474,3 +2474,21 @@ def test_kmv_overlap_exact_when_sets_fit_in_sketch(spark):
     assert r["n_exact"] == 40
     assert r["n_est"] == 40.0
     assert r["rel_err"] == 0.0
+
+
+def test_native_session_windows_boundary_merges_exact_gap(spark):
+    """Spark MERGES a session window whose start equals the previous
+    window's end: an event EXACTLY gap after the previous stays in the
+    session; one microsecond more opens a new one. Pins the > islands
+    rule the oracle mirrors (same rule as q_event_sessions)."""
+    gap = 1000
+    ev = spark.createDataFrame(
+        [("u1", 0), ("u1", 1001), ("u2", 0), ("u2", 1000)],
+        "user_id string, tus long",
+    )
+    rows = EQ.native_sessions_from(ev, gap_us=gap).collect()
+    u1 = [r for r in rows if r["user_id"] == "u1"]
+    u2 = [r for r in rows if r["user_id"] == "u2"]
+    assert len(u1) == 2 and all(r["n_events"] == 1 for r in u1)
+    assert len(u2) == 1
+    assert u2[0]["n_events"] == 2 and u2[0]["session_dur"] == 1000
