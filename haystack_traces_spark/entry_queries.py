@@ -3415,7 +3415,12 @@ def sessionize_events(ev: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
-def sql_event_sessions() -> str:
+def _islands_cte_sql() -> str:
+    """THE islands oracle chain (one definition — sql_event_sessions and
+    sql_native_session_windows differ only in their final projection):
+    ev → flagged (LAG gap rule, ``> gap`` — Spark's native session
+    windows MERGE the exact-gap boundary, so both faces share the rule)
+    → sess (running-SUM island index)."""
     return f"""
 WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
@@ -3435,12 +3440,20 @@ sess AS (
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
+"""
+
+
+def sql_event_sessions() -> str:
+    return (
+        _islands_cte_sql()
+        + """
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(tus) AS session_start,
        CAST(MAX(tus) - MIN(tus) AS BIGINT) AS session_dur
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2
 """
+    )
 
 
 #: Anchored-session window — same horizon as the gap face so the two
@@ -8732,8 +8745,11 @@ def q_duration_quickselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the straightforward global ROW_NUMBER rank — the fancy
     algorithm is checked against the naive definition, not mirrored."""
     spans = _spans(spark, sf_dir)
+    # COUNT(duration), not COUNT(*): a NULL duration is invisible to the
+    # range histograms, so counting it into n would push k past the
+    # rankable rows and the narrowing loop could never reach it
     first = spans.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("duration").alias("n"),
         F.min("duration").alias("dmin"),
         F.max("duration").alias("dmax"),
     ).first()
@@ -8784,9 +8800,10 @@ def sql_duration_quickselect() -> str:
     return (
         EVENT_SPANS_CTE
         + f"""
-, n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans),
+, n AS (SELECT CAST(COUNT(duration) AS BIGINT) AS n FROM spans),
 ranked AS (
-  SELECT duration, ROW_NUMBER() OVER (ORDER BY duration) AS rn FROM spans
+  SELECT duration, ROW_NUMBER() OVER (ORDER BY duration) AS rn
+  FROM spans WHERE duration IS NOT NULL
 ),
 ps(num, den) AS (VALUES {ps}),
 ks AS (
@@ -9070,29 +9087,15 @@ def native_sessions_from(
 
 
 def sql_native_session_windows() -> str:
-    return f"""
-WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, tus,
-         -- > gap: Spark MERGES the window whose start equals the
-         -- previous window's end, so an exact-gap event stays in-session
-         CASE WHEN COALESCE(tus - LAG(tus) OVER w, {SESSION_GAP_US + 1})
-                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-),
-sess AS (
-  SELECT user_id, tus,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_idx
-  FROM flagged
-)
+    return (
+        _islands_cte_sql()
+        + """
 SELECT user_id, MIN(tus) AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(tus) - MIN(tus) AS BIGINT) AS session_dur
 FROM sess GROUP BY user_id, session_idx ORDER BY 1, 2
 """
+    )
 
 
 KMV_K = 256  # k-minimum-values sketch size
@@ -9128,11 +9131,19 @@ def kmv_overlap_from(spans: DataFrame) -> DataFrame:
         F.lower("service_name").alias("svc"),
         hash60(F.col("trace_id"), seed="kmv:").alias("h"),
     ).distinct()
-    ranked = st.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("svc").orderBy("h"))
-    ).filter(F.col("rn") <= KMV_K)
-    sketch = ranked.select("svc", "h")
-    thetas = ranked.groupBy("svc").agg(
+    # keep rn in the truncated sketch so thetas derive from the ≤ k·|svc|
+    # sketch rows — deriving them from the un-truncated rank frame would
+    # run the expensive per-service window a second time (the oracle's
+    # th CTE reads its sk CTE the same way)
+    sketch = (
+        st.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("svc").orderBy("h")),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint(eager=False)
+    )
+    thetas = sketch.groupBy("svc").agg(
         F.coalesce(
             F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
             F.lit(1 << 60),
