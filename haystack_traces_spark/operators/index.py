@@ -179,6 +179,63 @@ def write_trace_index(idx: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def upsert_trace_index(
+    spark,
+    path: str,
+    new_spans: DataFrame,
+    whitelist: WhitelistConfig = DEFAULT_WHITELIST,
+) -> list[tuple[str, int]]:
+    """Fold a NEW batch of spans into an EXISTING on-disk (dt, hb)
+    partitioned index, rewriting ONLY the partitions the batch touches —
+    the incremental maintenance path that keeps a 100 TB index current
+    without the full rebuild ``write_trace_index`` implies. Returns the
+    touched (dt, hb) list.
+
+    Mechanics: build the batch's delta index, collect its touched
+    (dt, hb) buckets (bounded by the batch's time span), read ONLY those
+    partitions of the existing index (partition-pruned scan), compact
+    delta ∪ existing-touched with :func:`compact_trace_index`, and write
+    back under ``partitionOverwriteMode=dynamic`` so untouched partition
+    directories are left byte-identical (pinned by test via file mtimes).
+
+    Safety invariant (why dynamic overwrite cannot clobber an unread
+    partition): a merged row's recomputed bucket comes from
+    ``min(existing.starttime, delta.starttime)`` — both operands' buckets
+    are in the touched set (the existing row was READ from a touched
+    partition; the delta row's bucket is touched by construction), so
+    every written row lands inside the partitions that were read.
+
+    Contract matches the reference's duplicate tolerance: a trace whose
+    earlier rows live in UNTOUCHED buckets keeps those rows (the reader
+    dedups at fetch, TraceMerger.scala:24-34); within touched buckets
+    duplicates are compacted away.
+    """
+    delta = build_trace_index(
+        new_spans, whitelist=whitelist, with_partition_cols=True
+    )
+    touched = [
+        (r["dt"], r["hb"])
+        for r in delta.select("dt", "hb").distinct().collect()
+    ]
+    existing = spark.read.parquet(path)
+    keep = F.lit(False)
+    for dt, hb in touched:
+        keep = keep | ((F.col("dt") == dt) & (F.col("hb") == hb))
+    merged = compact_trace_index(
+        existing.filter(keep).unionByName(delta), whitelist=whitelist
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.repartition("dt", "hb").write.mode("overwrite").partitionBy(
+            "dt", "hb"
+        ).parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    return touched
+
+
 def compact_trace_index(
     idx: DataFrame,
     whitelist: WhitelistConfig = DEFAULT_WHITELIST,
