@@ -8744,7 +8744,11 @@ def q_duration_quickselect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the straightforward global ROW_NUMBER rank — the fancy
     algorithm is checked against the naive definition, not mirrored."""
-    spans = _spans(spark, sf_dir)
+    return duration_quickselect_from(_spans(spark, sf_dir))
+
+
+def duration_quickselect_from(spans: DataFrame) -> DataFrame:
+    spark = spans.sparkSession
     # COUNT(duration), not COUNT(*): a NULL duration is invisible to the
     # range histograms, so counting it into n would push k past the
     # rankable rows and the narrowing loop could never reach it

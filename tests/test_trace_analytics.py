@@ -2492,3 +2492,45 @@ def test_native_session_windows_boundary_merges_exact_gap(spark):
     assert len(u1) == 2 and all(r["n_events"] == 1 for r in u1)
     assert len(u2) == 1
     assert u2[0]["n_events"] == 2 and u2[0]["session_dur"] == 1000
+
+
+def test_duration_quickselect_property_random_frames(spark):
+    """Hypothesis fuzz of the histogram-refinement selection: on random
+    duration multisets (duplicates, all-equal runs, huge spreads, NULLs
+    mixed in) every target must come back as EXACTLY the k-th smallest
+    non-null value for k = ceil(p * count(non-null)) — the NULL-guard
+    regression (review fix: COUNT(duration), not COUNT(*)) is fuzzed,
+    not just reasoned about."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(0, 50),
+                st.integers(0, 10**12),
+            ),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def check(vals):
+        nn = sorted(v for v in vals if v is not None)
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "duration long"
+        )
+        got = EQ.duration_quickselect_from(df).collect()
+        if not nn:
+            assert got == []
+            return
+        n = len(nn)
+        assert len(got) == len(EQ.QUICKSELECT_PS)
+        by_p = {r["p"]: r for r in got}
+        for num, den in EQ.QUICKSELECT_PS:
+            k = (num * n + den - 1) // den
+            r = by_p[num / den]
+            assert r["k"] == k and r["value"] == nn[k - 1], (vals, r)
+
+    check()
