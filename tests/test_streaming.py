@@ -2835,3 +2835,124 @@ def test_hll_gate_compact_state_mid_stream_equivalence(spark, tmp_path):
         )
 
     assert run("plain", False) == run("compact", True)
+
+
+def test_kmv_overlap_event_backfill_equals_batch(spark, tmp_path):
+    """EventTimeServiceOverlap (r12b): the event-time pairwise service-
+    overlap KMV gate, backfilled over files NOT in event order with a
+    redelivered chunk, equals the hourly_kmv_overlap batch face EXACTLY
+    and is batching-invariant. k=4 forces the min-k TRUNCATION path (the
+    per-batch min-k union must still contain the global min-k), verified
+    by at least one engaged (estimating, theta < 2^60) pair."""
+    import json
+
+    from haystack_traces_spark.streaming.kmv_stream import (
+        EventTimeServiceOverlap,
+        hourly_kmv_overlap,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import (
+        read_verdicts,
+        run_neardup_backfill,
+    )
+
+    hour_us = 1000
+    k = 4
+    schema = "doc_id long, ts long, svc string, value string"
+    recs = []
+    i = 0
+    for hour in range(3):
+        for j in range(24):
+            # traces t{hour}_{j%12}: services a and b share the even
+            # ones, c shares a disjoint half — >k distinct per (hour,svc)
+            t = f"t{hour}_{j % 12}"
+            for svc in (["a", "b"] if j % 2 == 0 else ["a", "c"]):
+                recs.append(
+                    {"doc_id": i, "ts": hour * hour_us + (j % 7) * 100 + 1,
+                     "svc": svc, "value": t}
+                )
+                i += 1
+
+    def backfill(splits, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        for j, chunk in enumerate(splits):
+            with open(src / f"part{j}.json", "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+        run_neardup_backfill(
+            spark, str(src), str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"out_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            gate_cls=EventTimeServiceOverlap, schema=schema,
+            hour_us=hour_us, k=k,
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(
+                spark, str(tmp_path / f"out_{tag}")
+            ).collect()
+        )
+
+    got_a = backfill([recs[60:], recs[:25], recs[25:60]], "a")
+    got_b = backfill([recs[:80], recs[40:], recs[:15]], "b")
+    frame = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["svc"], r["value"]) for r in recs], schema
+    )
+    want = sorted(
+        tuple(r) for r in hourly_kmv_overlap(frame, hour_us, k=k).collect()
+    )
+    assert got_a == want
+    assert got_b == want
+    # 3 hours x 3 service pairs, every pair row present
+    assert len(want) == 9
+    # truncation engaged: with 12 distinct traces per (hour, svc) and
+    # k=4 the estimator must actually estimate somewhere (non-integer
+    # n_est betrays the 2^60/theta scaling), and a<b overlap is nonzero
+    assert any(v[3] != int(v[3]) for v in want)
+    assert all(v[3] >= 0 for v in want)
+
+
+def test_kmv_gate_compact_state_mid_stream_equivalence(spark, tmp_path):
+    """EventTimeServiceOverlap keeps the hour-gate compaction contract
+    ((hour_ts, svc, h) are moment KEYS, delivery count the summed
+    moment): compacting mid-stream changes no later verdict, even with
+    per-batch min-k truncation in play (k=2)."""
+    from haystack_traces_spark.streaming.kmv_stream import (
+        EventTimeServiceOverlap,
+    )
+    from haystack_traces_spark.streaming.neardup_stream import read_verdicts
+
+    schema = "doc_id long, ts long, svc string, value string"
+
+    def run(tag, compact):
+        gate = EventTimeServiceOverlap(
+            str(tmp_path / f"s_{tag}"), str(tmp_path / f"o_{tag}"),
+            delay_us=100, hour_us=1000, k=2,
+        )
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 60, "a" if i % 2 else "b", f"t{i % 4}")
+                 for i in range(8)],
+                schema,
+            ),
+            0,
+        )
+        gate.process_batch(
+            spark.createDataFrame(
+                [(i, 1 + i * 60, "a", f"t{i % 4}") for i in range(8, 14)],
+                schema,
+            ),
+            1,
+        )
+        if compact:
+            gate.compact_state(spark)
+        gate.process_batch(
+            spark.createDataFrame([(20, 2500, "b", "t9")], schema), 2
+        )
+        return sorted(
+            tuple(r)
+            for r in read_verdicts(
+                spark, str(tmp_path / f"o_{tag}")
+            ).collect()
+        )
+
+    assert run("plain", False) == run("compact", True)
