@@ -9129,8 +9129,10 @@ def kmv_overlap_from(spans: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from haystack_traces_spark.datapipe.hashing import hash60
+    from haystack_traces_spark.streaming.kmv_stream import (
+        kmv_pair_estimates,
+    )
 
-    H = float(1 << 60)
     st = spans.select(
         F.lower("service_name").alias("svc"),
         hash60(F.col("trace_id"), seed="kmv:").alias("h"),
@@ -9147,37 +9149,11 @@ def kmv_overlap_from(spans: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .localCheckpoint(eager=False)
     )
-    thetas = sketch.groupBy("svc").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
-            F.lit(1 << 60),
-        ).alias("theta")
-    )
-    grid = (
-        thetas.alias("a")
-        .join(
-            F.broadcast(thetas.alias("b")),
-            F.col("a.svc") < F.col("b.svc"),
-        )
-        .select(
-            F.col("a.svc").alias("s1"),
-            F.col("b.svc").alias("s2"),
-            F.least("a.theta", "b.theta").alias("theta"),
-        )
-    )
-    matches = (
-        sketch.alias("a")
-        .join(sketch.alias("b"), "h")
-        .filter(F.col("a.svc") < F.col("b.svc"))
-        .select(F.col("a.svc").alias("s1"), F.col("b.svc").alias("s2"), "h")
-        .join(grid, ["s1", "s2"])
-        .groupBy("s1", "s2")
-        .agg(
-            F.sum(
-                (F.col("h") < F.col("theta")).cast("long")
-            ).alias("matches")
-        )
-    )
+    # ONE implementation of the theta estimator (rule 19): the streaming
+    # gate, its batch face, and this corpus-wide face all ride
+    # kmv_pair_estimates; rel_err therefore reports against the emitted
+    # (3dp-rounded) estimate, mirrored in the oracle
+    est = kmv_pair_estimates(sketch, KMV_K, keys=())
     tr = spans.select(
         F.lower("service_name").alias("svc"), "trace_id"
     ).distinct()
@@ -9190,27 +9166,16 @@ def kmv_overlap_from(spans: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
+    n_exact = F.coalesce("n_exact", F.lit(0))
     return (
-        grid.join(matches, ["s1", "s2"], "left")
-        .join(exact, ["s1", "s2"], "left")
+        est.join(exact, ["s1", "s2"], "left")
         .select(
             "s1",
             "s2",
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            n_exact.alias("n_exact"),
+            "n_est",
             F.round(
-                F.coalesce("matches", F.lit(0)).cast("double")
-                * F.lit(H)
-                / F.col("theta").cast("double"),
-                3,
-            ).alias("n_est"),
-            F.round(
-                (
-                    F.coalesce("matches", F.lit(0)).cast("double")
-                    * F.lit(H)
-                    / F.col("theta").cast("double")
-                    - F.coalesce("n_exact", F.lit(0))
-                )
-                / F.nullif(F.coalesce("n_exact", F.lit(0)), F.lit(0)),
+                (F.col("n_est") - n_exact) / F.nullif(n_exact, F.lit(0)),
                 6,
             ).alias("rel_err"),
         )
@@ -9265,8 +9230,10 @@ SELECT g.s1 AS s1, g.s2 AS s2,
        CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
        ROUND(CAST(COALESCE(mc.matches, 0) AS DOUBLE) * {H!r}
              / CAST(g.theta AS DOUBLE), 3) AS n_est,
-       ROUND((CAST(COALESCE(mc.matches, 0) AS DOUBLE) * {H!r}
-              / CAST(g.theta AS DOUBLE) - COALESCE(ex.n_exact, 0))
+       -- rel_err against the EMITTED (3dp-rounded) estimate: the Spark
+       -- face delegates to the shared estimator and reports likewise
+       ROUND((ROUND(CAST(COALESCE(mc.matches, 0) AS DOUBLE) * {H!r}
+                    / CAST(g.theta AS DOUBLE), 3) - COALESCE(ex.n_exact, 0))
              / NULLIF(COALESCE(ex.n_exact, 0), 0), 6) AS rel_err
 FROM grid g
 LEFT JOIN mc ON mc.s1 = g.s1 AND mc.s2 = g.s2

@@ -191,54 +191,76 @@ def upsert_trace_index(
     without the full rebuild ``write_trace_index`` implies. Returns the
     touched (dt, hb) list.
 
-    Mechanics: build the batch's delta index, collect its touched
-    (dt, hb) buckets (bounded by the batch's time span), read ONLY those
-    partitions of the existing index (partition-pruned scan), compact
-    delta ∪ existing-touched with :func:`compact_trace_index`, and write
-    back under ``partitionOverwriteMode=dynamic`` so untouched partition
+    Mechanics: build the batch's delta index (promoted wl_* columns
+    auto-matched to whatever the on-disk index carries), collect its
+    touched (dt, hb) buckets (bounded by the batch's time span), read
+    ONLY those partitions of the existing index (partition-pruned scan),
+    compact delta ∪ existing-touched PARTITION-LOCALLY, and write back
+    under ``partitionOverwriteMode=dynamic`` so untouched partition
     directories are left byte-identical (pinned by test via file mtimes).
 
-    Safety invariant (why dynamic overwrite cannot clobber an unread
-    partition): a merged row's recomputed bucket comes from
-    ``min(existing.starttime, delta.starttime)`` — both operands' buckets
-    are in the touched set (the existing row was READ from a touched
-    partition; the delta row's bucket is touched by construction), so
-    every written row lands inside the partitions that were read.
+    Why compaction is partition-local (``compact_trace_index(
+    partition_local=True)``): rows never change bucket, so (a) every
+    partition that was read receives rows back and dynamic overwrite
+    rewrites EXACTLY the touched set — a global compact could migrate a
+    bucket's only rows into an earlier bucket, leaving the emptied
+    bucket's stale file untouched on disk — and (b) every written row's
+    bucket is by construction one that was read, so the overwrite can
+    never clobber an unread partition.
 
-    Contract matches the reference's duplicate tolerance: a trace whose
-    earlier rows live in UNTOUCHED buckets keeps those rows (the reader
-    dedups at fetch, TraceMerger.scala:24-34); within touched buckets
+    Contract matches the reference's duplicate tolerance: a trace with
+    rows in MULTIPLE buckets keeps one row per bucket (the reader dedups
+    at fetch, TraceMerger.scala:24-34); within a touched bucket
     duplicates are compacted away.
     """
-    delta = build_trace_index(
-        new_spans, whitelist=whitelist, with_partition_cols=True
-    )
-    touched = [
-        (r["dt"], r["hb"])
-        for r in delta.select("dt", "hb").distinct().collect()
-    ]
     existing = spark.read.parquet(path)
-    keep = F.lit(False)
-    for dt, hb in touched:
-        keep = keep | ((F.col("dt") == dt) & (F.col("hb") == hb))
-    merged = compact_trace_index(
-        existing.filter(keep).unionByName(delta), whitelist=whitelist
+    promoted_fields = tuple(
+        c[len(PROMOTED_PREFIX):]
+        for c in existing.columns
+        if c.startswith(PROMOTED_PREFIX)
     )
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
+    delta = build_trace_index(
+        new_spans,
+        whitelist=whitelist,
+        with_partition_cols=True,
+        promote_whitelist=promoted_fields or False,
+    ).persist()
     try:
-        merged.repartition("dt", "hb").write.mode("overwrite").partitionBy(
-            "dt", "hb"
-        ).parquet(path)
+        touched = [
+            (r["dt"], r["hb"])
+            for r in delta.select("dt", "hb").distinct().collect()
+        ]
+        keep = F.lit(False)
+        for dt, hb in touched:
+            keep = keep | ((F.col("dt") == dt) & (F.col("hb") == hb))
+        # dt arrives as DATE from partition discovery; align with the
+        # delta's string face so the union and the grouped keys agree
+        aligned = existing.filter(keep).withColumn(
+            "dt", F.col("dt").cast("string")
+        )
+        merged = compact_trace_index(
+            aligned.unionByName(delta),
+            whitelist=whitelist,
+            partition_local=True,
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            merged.repartition("dt", "hb").write.mode(
+                "overwrite"
+            ).partitionBy("dt", "hb").parquet(path)
+        finally:
+            spark.conf.set(mode_key, prev)
     finally:
-        spark.conf.set(mode_key, prev)
+        delta.unpersist()
     return touched
 
 
 def compact_trace_index(
     idx: DataFrame,
     whitelist: WhitelistConfig = DEFAULT_WHITELIST,
+    partition_local: bool = False,
 ) -> DataFrame:
     """Merge duplicate per-trace index rows into one — incremental view
     maintenance for the streaming write path, where a trace reopened by a
@@ -257,20 +279,32 @@ def compact_trace_index(
 
     Invariant (pinned by test): for any split A ∪ B of the span table,
     compact(build(A) ∪ build(B)) == build(A ∪ B) up to set order.
+
+    ``partition_local``: group by (traceid, dt, hb) instead of traceid —
+    rows never change bucket and only WITHIN-bucket duplicates merge
+    (cross-bucket duplicates persist; the reader dedups at fetch, the
+    reference's ES-duplicate contract). This is the upsert's mode: it
+    guarantees every partition that contributed rows receives rows back,
+    which dynamic partition overwrite needs to rewrite exactly the
+    partitions it read.
     """
     group_fields = idx.schema["spans"].dataType.elementType.names
     wl_names = [
         f.name for f in whitelist.enabled_fields() if f.name in group_fields
     ]
+    trace_keys = (
+        ["traceid", "dt", "hb"] if partition_local else ["traceid"]
+    )
     g = idx.select(
-        "traceid", "starttime", "rootduration", F.explode("spans").alias("g")
+        *trace_keys, "starttime", "rootduration",
+        F.explode("spans").alias("g"),
     )
     set_aggs = [
         F.array_distinct(F.flatten(F.collect_list(F.col(f"g.{c}")))).alias(c)
         for c in ("starttime", "duration", *wl_names)
     ]
     groups = g.groupBy(
-        "traceid",
+        *trace_keys,
         F.col("g.servicename").alias("servicename"),
         F.col("g.operationname").alias("operationname"),
     ).agg(
@@ -285,7 +319,7 @@ def compact_trace_index(
         F.col("duration"),
         *[F.col(n) for n in wl_names],
     )
-    out = groups.groupBy("traceid").agg(
+    out = groups.groupBy(*trace_keys).agg(
         F.min("_min_start").alias("starttime"),
         F.max("_root_dur").alias("rootduration"),
         F.collect_list(group_struct).alias("spans"),
@@ -300,13 +334,13 @@ def compact_trace_index(
         c for c in idx.columns if c.startswith(PROMOTED_PREFIX)
     ]
     if promoted_cols:
-        promoted = idx.groupBy("traceid").agg(
+        promoted = idx.groupBy(*trace_keys).agg(
             *[
                 F.array_distinct(F.flatten(F.collect_list(c))).alias(c)
                 for c in promoted_cols
             ]
         )
-        out = out.join(promoted, "traceid")
-    if "dt" in idx.columns:
+        out = out.join(promoted, trace_keys)
+    if "dt" in idx.columns and not partition_local:
         out = _with_partition_cols(out)
     return out

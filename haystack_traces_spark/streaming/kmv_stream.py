@@ -123,7 +123,9 @@ class EventTimeServiceOverlap(EventTimeHourGate):
         self.k = int(k)
 
     def moment_rows(self, new: DataFrame) -> DataFrame:
-        hashed = new.select(
+        # NULL trace ids hash to NULL, and NULLS FIRST ranking would let
+        # one occupy a sketch slot and shrink theta — drop them up front
+        hashed = new.filter(F.col("value").isNotNull()).select(
             self._hour_col(),
             "svc",
             hash60(F.col("value"), seed="kmv:").alias("h"),
@@ -158,7 +160,8 @@ def hourly_kmv_overlap(
     frame — identical hashing, min-k sketch and estimator; gate-emitted
     verdicts equal this under any batching. → (hour_ts, s1, s2, n_est)."""
     hours = (
-        rows.select(
+        rows.filter(F.col(value_col).isNotNull())
+        .select(
             (F.col(ts_col) - F.col(ts_col) % hour_us).alias("hour_ts"),
             F.col(svc_col).alias("svc"),
             hash60(F.col(value_col), seed="kmv:").alias("h"),

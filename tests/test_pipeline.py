@@ -404,3 +404,59 @@ def test_upsert_trace_index_rewrites_only_touched_partitions(spark, tmp_path):
         return rows
 
     assert canon(got) == canon(want)
+
+
+def test_upsert_trace_index_promoted_and_cross_bucket(spark, tmp_path):
+    """Review fixes pinned: (1) upserting a PROMOTED index auto-matches
+    the on-disk wl_* columns (the delta is built with the same promoted
+    fields, so the union cannot fail); (2) compaction is PARTITION-LOCAL
+    — a trace with rows in two buckets keeps one row per bucket (reader
+    dedups, the reference's ES-duplicate contract) instead of migrating
+    the later bucket's row into the earlier one and leaving a stale
+    file behind dynamic overwrite's back."""
+    import pyspark.sql.functions as F
+
+    from haystack_traces_spark.operators.index import (
+        HOURS_PER_BUCKET,
+        build_trace_index,
+        upsert_trace_index,
+        write_trace_index,
+    )
+
+    hb_us = HOURS_PER_BUCKET * 3_600_000_000
+    a = spark.createDataFrame(
+        [
+            span(trace_id="t1", span_id="1", start=T0),
+            span(trace_id="tx", span_id="2", start=T0 + hb_us + 100),
+        ],
+        SPAN,
+    )
+    # late span for tx lands in the NEXT bucket
+    b = spark.createDataFrame(
+        [span(trace_id="tx", span_id="3", service="svc_b",
+              start=T0 + 2 * hb_us + 100)],
+        SPAN,
+    )
+    path = str(tmp_path / "pidx")
+    write_trace_index(
+        build_trace_index(a, with_partition_cols=True,
+                          promote_whitelist=True),
+        path,
+    )
+    touched = upsert_trace_index(spark, path, b)
+    assert len(touched) == 1  # only the late span's bucket
+
+    got = spark.read.parquet(path)
+    wl_cols = [c for c in got.columns if c.startswith("wl_")]
+    assert wl_cols, "promoted columns survive the upsert"
+    tx = got.filter(F.col("traceid") == "tx").collect()
+    # one row PER BUCKET for the split trace; the original bucket's row
+    # untouched, the new bucket's row carries the late span's service
+    assert len(tx) == 2
+    assert sorted(int(r["hb"]) for r in tx) == sorted(
+        {int(r["hb"]) for r in tx}
+    )
+    svcs = {
+        grp["servicename"] for r in tx for grp in r["spans"]
+    }
+    assert svcs == {"svc_a", "svc_b"}
