@@ -8827,17 +8827,12 @@ ZORDER_FILES = 64  # simulated files per layout
 
 
 def _morton_terms(div_op: str) -> str:
-    """Bit-interleave of (tkey, skey) as pure integer arithmetic —
-    ``div_op`` is the engine's integer-division token (Spark ``DIV``,
-    DuckDB ``//``); multiplies by literal powers of two instead of
-    shifts (F.shiftleft's numBits is Python-int-only, and the arithmetic
-    form is engine-portable)."""
-    bits = ZORDER_CELLS.bit_length() - 1
-    return " + ".join(
-        f"((tkey {div_op} {1 << i}) % 2) * {1 << (2 * i)}"
-        f" + ((skey {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
-        for i in range(bits)
-    )
+    """One definition of the Morton interleave (operators/layout.py —
+    the WRITE path `write_spans_zordered` sorts real files by the same
+    expression this simulation and its oracle price)."""
+    from haystack_traces_spark.operators.layout import morton_terms
+
+    return morton_terms(div_op, ZORDER_CELLS)
 
 
 def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

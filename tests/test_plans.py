@@ -981,3 +981,60 @@ def test_round12b_operators_plan_shapes(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
     if "BroadcastNestedLoopJoin" in plan:
         assert "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_zorder_write_path_realizes_simulated_pruning(spark, tmp_path):
+    """write_spans_zordered ships the layout zorder_layout_plan prices:
+    written files cover CONTIGUOUS NON-OVERLAPPING morton ranges (range
+    partition + in-file sort), and a (service, time-quartile) predicate's
+    zone-map pruning is (a) SOUND — every matching row lives in a file
+    whose zone map admits the predicate — and (b) NONTRIVIAL — some
+    files are skipped."""
+    from haystack_traces_spark.entry_queries import _spans
+    from haystack_traces_spark.operators.layout import write_spans_zordered
+
+    spans = _spans(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "zstore")
+    write_spans_zordered(spans, path, files=16)
+
+    rows = (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .select("_file", "morton", "tkey", "skey")
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["_file"], []).append(r)
+    assert 1 < len(by_file) <= 16
+
+    spans_total = sum(len(v) for v in by_file.values())
+    assert spans_total == spans.count()
+
+    ranges = sorted(
+        (min(r["morton"] for r in v), max(r["morton"] for r in v))
+        for v in by_file.values()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file morton ranges overlap"
+
+    # zone-map pruning for a mixed predicate: pick a service cell and
+    # the first time quartile
+    some_skey = rows[0]["skey"]
+    tlo, thi = 0, 63
+    matching_files = {
+        f
+        for f, v in by_file.items()
+        if any(
+            r["skey"] == some_skey and tlo <= r["tkey"] <= thi for r in v
+        )
+    }
+    admitted = {
+        f
+        for f, v in by_file.items()
+        if min(r["skey"] for r in v) <= some_skey <= max(r["skey"] for r in v)
+        and min(r["tkey"] for r in v) <= thi
+        and max(r["tkey"] for r in v) >= tlo
+    }
+    assert matching_files <= admitted  # sound
+    assert len(admitted) < len(by_file)  # nontrivial pruning
