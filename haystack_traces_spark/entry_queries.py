@@ -8822,8 +8822,12 @@ ORDER BY p
     )
 
 
-ZORDER_CELLS = 256  # per-dimension key cells (8 bits)
-ZORDER_FILES = 64  # simulated files per layout
+# ONE definition of the layout constants and key derivation: the write
+# path (operators/layout.py) and this simulation price the same layout
+from haystack_traces_spark.operators.layout import (  # noqa: E402
+    ZORDER_CELLS,
+    ZORDER_FILES,
+)
 
 
 def _morton_terms(div_op: str) -> str:
@@ -8851,45 +8855,14 @@ def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: keys are pure arithmetic off a 1-row min/max aggregate
     (no global rank/NTILE — a window over the corpus would serialize the
     simulation); the service dim is a bounded broadcast catalog; the
-    zone-map join is files × queries, a bounded grid (3·64 × ~100)."""
-    from pyspark.sql import Window
+    zone-map join is files × queries, a bounded grid (3·64 × ~100).
+    The (tkey, skey, morton) derivation is the write path's own
+    (operators/layout.py with_morton_key) — the simulation prices
+    exactly the layout write_spans_zordered ships."""
+    from haystack_traces_spark.operators.layout import with_morton_key
 
     cells, files = ZORDER_CELLS, ZORDER_FILES
-    spans = _spans(spark, sf_dir).select(
-        "span_id", "start_time", F.lower("service_name").alias("svc")
-    )
-    # spread service ranks across the FULL cell range (z-order needs
-    # equal-width normalized dimensions — a 5-service corpus left at
-    # skey 0..4 only varies 3 morton bits and the interleave degenerates
-    # to a time sort); bounded catalog, so the global window is ~10 rows
-    svc_dim = (
-        spans.select("svc")
-        .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("svc")))
-        .withColumn(
-            "nsvc", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
-        )
-        .select(
-            "svc",
-            F.expr(f"CAST((rn - 1) * {cells} DIV nsvc AS BIGINT)").alias(
-                "skey"
-            ),
-        )
-    )
-    trange = spans.agg(
-        F.min("start_time").alias("tmin"), F.max("start_time").alias("tmax")
-    )
-    enriched = (
-        spans.join(F.broadcast(svc_dim), "svc")
-        .crossJoin(F.broadcast(trange))
-        .withColumn(
-            "tkey",
-            F.expr(
-                f"(start_time - tmin) * {cells} DIV (tmax - tmin + 1)"
-            ),
-        )
-        .withColumn("morton", F.expr(_morton_terms("DIV")))
-    )
+    enriched = with_morton_key(_spans(spark, sf_dir), cells)
     assigned = enriched.selectExpr(
         "tkey",
         "skey",
@@ -8907,7 +8880,9 @@ def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     quart = [(0, 63), (64, 127), (128, 191), (192, 255)]
     quart_df = spark.createDataFrame(quart, "tlo long, thi long")
     qs = (
-        svc_dim.crossJoin(quart_df)
+        enriched.select("skey")
+        .distinct()
+        .crossJoin(quart_df)
         .select(
             F.lit("svc_time").alias("qclass"),
             F.col("skey").alias("qskey"),
@@ -8975,7 +8950,9 @@ def sql_zorder_layout_plan() -> str:
         EVENT_SPANS_CTE
         + f"""
 , base AS (
-  SELECT span_id, start_time, lower(service_name) AS svc FROM spans
+  -- COALESCE mirrors the write path's NULL-service guard (with_morton_key)
+  SELECT span_id, start_time, lower(COALESCE(service_name, '')) AS svc
+  FROM spans
 ),
 svc AS (
   SELECT svc,
@@ -9121,10 +9098,9 @@ def q_kmv_trace_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmv_overlap_from(spans: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
     from haystack_traces_spark.datapipe.hashing import hash60
     from haystack_traces_spark.streaming.kmv_stream import (
+        _min_k,
         kmv_pair_estimates,
     )
 
@@ -9132,18 +9108,11 @@ def kmv_overlap_from(spans: DataFrame) -> DataFrame:
         F.lower("service_name").alias("svc"),
         hash60(F.col("trace_id"), seed="kmv:").alias("h"),
     ).distinct()
-    # keep rn in the truncated sketch so thetas derive from the ≤ k·|svc|
-    # sketch rows — deriving them from the un-truncated rank frame would
-    # run the expensive per-service window a second time (the oracle's
-    # th CTE reads its sk CTE the same way)
-    sketch = (
-        st.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("svc").orderBy("h")),
-        )
-        .filter(F.col("rn") <= KMV_K)
-        .localCheckpoint(eager=False)
-    )
+    # the ONE min-k ranking (kmv_stream._min_k), truncated so thetas
+    # derive from the ≤ k·|svc| sketch rows — deriving them from the
+    # un-truncated rank frame would run the expensive per-service window
+    # a second time (the oracle's th CTE reads its sk CTE the same way)
+    sketch = _min_k(st, KMV_K, keys=()).localCheckpoint(eager=False)
     # ONE implementation of the theta estimator (rule 19): the streaming
     # gate, its batch face, and this corpus-wide face all ride
     # kmv_pair_estimates; rel_err therefore reports against the emitted

@@ -219,6 +219,20 @@ def upsert_trace_index(
         for c in existing.columns
         if c.startswith(PROMOTED_PREFIX)
     )
+    # fail LOUD if the batch cannot rebuild an on-disk promoted union
+    # (no tags column, or the caller's whitelist no longer enables the
+    # field) — a silent drop would downgrade the promoted table and the
+    # union would fail later with an opaque column mismatch anyway
+    producible = {"servicename", "operationname", "duration", "starttime"}
+    if "tags" in new_spans.columns:
+        producible |= {f.name for f in whitelist.enabled_fields()}
+    missing = [f for f in promoted_fields if f not in producible]
+    if missing:
+        raise ValueError(
+            f"upsert_trace_index: on-disk promoted fields {missing} cannot "
+            "be built from this batch (spans have no tags column, or the "
+            "whitelist does not enable them)"
+        )
     delta = build_trace_index(
         new_spans,
         whitelist=whitelist,

@@ -42,7 +42,12 @@ def with_morton_key(spans: DataFrame, cells: int = ZORDER_CELLS) -> DataFrame:
     the observed range, service ranks spread across the full cell range
     (both dimensions equal-width — see SCALE.md §4.aa for why a narrow
     service dimension degenerates the interleave to a time sort)."""
-    base = spans.withColumn("_svc", F.lower("service_name"))
+    # coalesce NULL service to '' BEFORE the catalog join: an equi-join
+    # on a NULL key never matches and would silently drop the row from
+    # a persistence path
+    base = spans.withColumn(
+        "_svc", F.lower(F.coalesce(F.col("service_name"), F.lit("")))
+    )
     svc_dim = (
         base.select("_svc")
         .distinct()

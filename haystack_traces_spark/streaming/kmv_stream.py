@@ -58,7 +58,10 @@ def kmv_pair_estimates(
     cond = F.col("a.svc") < F.col("b.svc")
     for c in kcols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    grid = a.join(b, cond).select(
+    # explicit broadcast: with keys=() the condition is inequality-only
+    # and thetas descends from a localCheckpoint with unknown stats —
+    # without the hint the planner may pick CartesianProduct
+    grid = a.join(F.broadcast(b), cond).select(
         *[F.col(f"a.{c}") for c in kcols],
         F.col("a.svc").alias("s1"),
         F.col("b.svc").alias("s2"),
