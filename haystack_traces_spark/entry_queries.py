@@ -9074,6 +9074,119 @@ FROM sess GROUP BY user_id, session_idx ORDER BY 1, 2
     )
 
 
+SLIDING_HLL_WINDOW_HOURS = 24
+
+
+def q_sliding_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24 h distinct-trace cardinality at every hour — computed
+    by MERGING the per-hour HLL register tables (max-rho per register
+    across the window) instead of re-scanning the window's raw traffic.
+    This is the mergeability property every HLL face relies on exercised
+    RELATIONALLY with its own accuracy receipt: at 100 TB the per-hour
+    register table is the only thing the sliding pass touches (2^p rows
+    per hour), while the exact column — computable here because the
+    corpus is at rest — would need the window's full distinct set.
+
+    Scale shape: registers merge through the bucketized
+    :func:`operators.asof.interval_join` (each 24 h window explodes to
+    ≤2 day buckets; never an inequality cross product over the hour
+    grid). Oracle: cross-checked, not mirrored — DuckDB replicates the
+    raw (hour, trace) pairs into every window they fall in and runs the
+    plain single-grain HLL chain on the replicated rows; max-rho over
+    replicated rows == max of per-hour maxima, so the estimates must
+    agree bit-for-bit."""
+    from haystack_traces_spark.datapipe.text import (
+        HLL_P,
+        hll_estimate,
+        hll_register_rows,
+    )
+    from haystack_traces_spark.operators.asof import interval_join
+
+    win_us = SLIDING_HLL_WINDOW_HOURS * HOUR_US
+    spans = _spans(spark, sf_dir)
+    rows = spans.select(
+        (F.col("start_time") - F.col("start_time") % HOUR_US).alias(
+            "hour_ts"
+        ),
+        F.col("trace_id").alias("value"),
+    )
+    regs_h = (
+        hll_register_rows(rows, "value", ("hour_ts",), HLL_P)
+        .groupBy("hour_ts", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    # anchor grid: every hour with traffic; its window is (g-24h, g],
+    # i.e. the half-open hour-aligned interval [g-23h, g+1h)
+    grid = regs_h.select(F.col("hour_ts").alias("g")).distinct()
+    intervals = grid.select(
+        "g",
+        (F.col("g") - F.lit(win_us - HOUR_US)).alias("_wstart"),
+        (F.col("g") + F.lit(HOUR_US)).alias("_wend"),
+    )
+    merged = (
+        interval_join(
+            regs_h, intervals, on=[], point_ts="hour_ts",
+            start_col="_wstart", end_col="_wend", bucket=DAY_US,
+        )
+        .groupBy(F.col("g").alias("w_hour"), "reg")
+        .agg(F.max("mr").alias("mr"))
+    )
+    est = hll_estimate(merged, ("w_hour",), HLL_P)
+    exact = (
+        interval_join(
+            rows.distinct(), intervals, on=[], point_ts="hour_ts",
+            start_col="_wstart", end_col="_wend", bucket=DAY_US,
+        )
+        .groupBy(F.col("g").alias("w_hour"))
+        .agg(F.countDistinct("value").cast("long").alias("n_exact"))
+    )
+    n_hll = F.round("e", 3)
+    return (
+        est.join(exact, "w_hour")
+        .select(
+            F.col("w_hour").alias("hour_ts"),
+            "n_exact",
+            n_hll.alias("n_hll"),
+            F.round(
+                (n_hll - F.col("n_exact"))
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+def sql_sliding_hll_cardinality() -> str:
+    from haystack_traces_spark.datapipe.queries import hll_core_sql
+
+    win_us = SLIDING_HLL_WINDOW_HOURS * HOUR_US
+    hour = HOUR_US
+    return (
+        EVENT_SPANS_CTE
+        + f""", pairs AS (
+  SELECT DISTINCT start_time - start_time % {hour} AS h, trace_id AS w
+  FROM spans
+),
+grid AS (SELECT DISTINCT h AS g FROM pairs),
+hsrc AS (
+  SELECT grid.g, pairs.w
+  FROM pairs JOIN grid
+    ON pairs.h <= grid.g AND pairs.h > grid.g - {win_us}
+),
+{hll_core_sql()},
+ex AS (
+  SELECT g, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+  FROM hsrc GROUP BY 1
+)
+SELECT g AS hour_ts, n_exact, ROUND(e, 3) AS n_hll,
+       ROUND((ROUND(e, 3) - n_exact) / NULLIF(n_exact, 0), 6) AS rel_err
+FROM est JOIN ex USING (g)
+ORDER BY hour_ts
+"""
+    )
+
+
 KMV_K = 256  # k-minimum-values sketch size
 
 
@@ -9271,6 +9384,7 @@ _ROTATION_QUEUE = (
     "zorder_layout_plan",
     "kmv_trace_overlap",
     "native_session_windows",
+    "sliding_hll_cardinality",
 )
 
 _ROTATION_QUEUE_R10 = (
@@ -9472,6 +9586,7 @@ def _trace_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_plan": q_zorder_layout_plan,
         "kmv_trace_overlap": q_kmv_trace_overlap,
         "native_session_windows": q_native_session_windows,
+        "sliding_hll_cardinality": q_sliding_hll_cardinality,
     }
 
 
@@ -9614,4 +9729,5 @@ def _trace_oracles() -> dict[str, str]:
         "zorder_layout_plan": sql_zorder_layout_plan(),
         "kmv_trace_overlap": sql_kmv_trace_overlap(),
         "native_session_windows": sql_native_session_windows(),
+        "sliding_hll_cardinality": sql_sliding_hll_cardinality(),
     }
