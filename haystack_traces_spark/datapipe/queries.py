@@ -77,15 +77,25 @@ _DUP_COMPONENTS = f"""dup AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out, memo_plan
 
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return memo_plan(
+        spark,
+        sf_dir,
+        "docs",
+        lambda: fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out, memo_plan
 
-    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return memo_plan(
+        spark,
+        sf_dir,
+        "emb",
+        lambda: fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+    )
 
 
 # ------------------------------------------------------------- dedup ------
@@ -1200,12 +1210,45 @@ c{r} AS MATERIALIZED (
     )
 
 
+#: Session-cached BPE training-loop results, keyed like stagecache —
+#: bpe_train and bpe_compression are two faces of ONE training run (the
+#: merge table and its measured payoff), so the N-round loop (2 jobs per
+#: round: pair-count argmax collect + rewrite checkpoint) runs once per
+#: session instead of twice. Same invariants as `stagecache.shared_stage`:
+#: bounded output-side state (checkpointed symbol sequences + a
+#: rounds-long merge list), keyed by applicationId so nothing leaks
+#: across sessions, and the cached value is exactly what either caller
+#: would have built. bench.py forces it first as its own stage: line.
+_bpe_loop_cache: dict[tuple[str, str], tuple] = {}
+
+
+def _bpe_loop_stage(spark, sf_dir):
+    from haystack_traces_spark.datapipe import stagecache
+
+    if stagecache._plan_view:
+        return X._bpe_loop(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    got = _bpe_loop_cache.get(key)
+    if got is None:
+        got = X._bpe_loop(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+        _bpe_loop_cache[key] = got
+    return got
+
+
 def q_bpe_train(spark, sf_dir):
-    return X.bpe_train(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+    return X.bpe_train(
+        _docs(spark, sf_dir),
+        BPE_TRAIN_ROUNDS,
+        loop=_bpe_loop_stage(spark, sf_dir),
+    )
 
 
 def q_bpe_compression(spark, sf_dir):
-    return X.bpe_compression(_docs(spark, sf_dir), BPE_TRAIN_ROUNDS)
+    return X.bpe_compression(
+        _docs(spark, sf_dir),
+        BPE_TRAIN_ROUNDS,
+        loop=_bpe_loop_stage(spark, sf_dir),
+    )
 
 
 def _bpe_chain_sql(rounds: int) -> str:
@@ -5996,6 +6039,7 @@ def shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, Callable[[], in
         "knn_graph": lambda: _knn_graph_stage(spark, sf_dir).count(),
         "decontaminate": lambda: q_decontaminate(spark, sf_dir).count(),
         "dsir_weights": lambda: q_dsir_weights(spark, sf_dir).count(),
+        "bpe_loop": lambda: len(_bpe_loop_stage(spark, sf_dir)[0]),
     }
 
 

@@ -2033,86 +2033,97 @@ def kmeans_train(
     (distance asc, cell asc) via struct-min.
 
     100 TB shape, per round: the argmin is MAP-ONLY — all k centroids
-    ride one broadcast row as an array<struct<cell,cv>> and array_min
-    over a transform computes nearest-cell per input row in place (k ≤ a
-    few thousand fits one row comfortably); the only shuffles are the
-    two tiny-key aggregations (≤k stats groups, ≤k×dim mean groups, both
-    map-side combinable). No vec_id-keyed shuffle ever happens. The
-    assignment is localCheckpoint-ed once per round because two
-    consumers read it (stats + update); a long-lived trainer would
-    persist() it. inertia sums squared L2 of members to their
-    round-START centroid, so round 1 is the seed quality and the column
-    is monotone non-increasing modulo rounding."""
+    ride the plan as a literal array<struct<cell,cv>> (k·dim ≤ a few
+    thousand doubles fits a plan comfortably) and array_min over a
+    transform computes nearest-cell per input row in place; the ONE
+    shuffle is a single map-side-combinable (cell, pos) aggregate that
+    carries member counts, inertia AND the per-dimension means together
+    (≤ k×dim groups), collected to the driver as ≤ k×dim rows per round.
+    No vec_id-keyed shuffle, no full-table materialization ever happens
+    (r12-opt: the former per-round localCheckpoint pair — assignment +
+    centroids — cost 2 full-table jobs per round purely to let two
+    aggregations share the assignment; folding stats and means into one
+    aggregate removes the second consumer, and collecting the ≤ k×dim
+    stats row is the driver-side analog of the broadcast a long-lived
+    trainer would publish between rounds). All rounding stays in Spark
+    expressions (F.round = HALF_UP) — the driver only ferries already-
+    rounded values back as next-round literals, so the training
+    trajectory is bit-identical to the checkpointed formulation.
+    inertia sums squared L2 of members to their round-START centroid, so
+    round 1 is the seed quality and the column is monotone
+    non-increasing modulo rounding."""
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    w = Window.orderBy(F.col("vec_id").asc())
-    cents = (
+    spark = emb.sparkSession
+    # seeds: the k lowest-id vectors, coords rounded 6dp IN SPARK
+    seed_rows = (
         v.orderBy(F.col("vec_id").asc())
         .limit(k)
-        .withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
-        .select("cell", F.transform("v", lambda x: F.round(x, 6)).alias("cv"))
-        .localCheckpoint(eager=True)
+        .select(F.transform("v", lambda x: F.round(x, 6)).alias("cv"))
+        .collect()
     )
-    spark = emb.sparkSession
-    per_round = []
+    cents: dict[int, list[float]] = {
+        i: list(r["cv"]) for i, r in enumerate(seed_rows)
+    }
+    out_rows: list[tuple] = []
     for r in range(1, rounds + 1):
-        cents_row = cents.agg(
-            F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        cents_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cell).cast("int").alias("cell"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                )
+                for cell, cv in sorted(cents.items())
+            ]
         )
-        assign = (
-            v.crossJoin(F.broadcast(cents_row))
-            .select(
-                "vec_id",
-                "v",
-                F.array_min(
-                    F.transform(
-                        "cs",
-                        lambda c: F.struct(
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("v"),
-                                    c["cv"],
-                                    lambda x, y: (x - y) * (x - y),
-                                ),
-                                F.lit(0.0),
-                                lambda acc, x: acc + x,
-                            ).alias("d"),
-                            c["cell"].alias("cell"),
-                        ),
-                    )
-                ).alias("m"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        per_round.append(
-            assign.groupBy(F.col("m.cell").alias("cell")).agg(
-                F.count(F.lit(1)).cast("long").alias("n_members"),
-                F.round(F.sum("m.d"), 6).alias("inertia"),
-            ).select(F.lit(r).cast("int").alias("round"), "cell", "n_members", "inertia")
-        )
-        means = (
-            assign.select(F.col("m.cell").alias("cell"), F.posexplode("v"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("col"), 6).alias("val"))
-            .groupBy("cell")
-            .agg(
+        assign = v.select(
+            "v",
+            F.array_min(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("new_cv")
+                    cents_lit,
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("v"),
+                                c["cv"],
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        stats = (
+            assign.select(
+                F.col("m.cell").alias("cell"),
+                F.col("m.d").alias("d"),
+                F.posexplode("v"),
             )
+            .groupBy("cell", "pos")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.round(F.sum("d"), 6).alias("inertia"),
+                F.round(F.avg("col"), 6).alias("val"),
+            )
+            .collect()
         )
-        cents = (
-            cents.join(means, "cell", "left")
-            .select("cell", F.coalesce("new_cv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    out = per_round[0]
-    for df in per_round[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("round", "cell")
+        new_cv: dict[int, dict[int, float]] = {}
+        for row in stats:
+            new_cv.setdefault(row["cell"], {})[row["pos"]] = row["val"]
+            if row["pos"] == 0:
+                out_rows.append(
+                    (r, row["cell"], row["n_members"], row["inertia"])
+                )
+        for cell, by_pos in new_cv.items():
+            cents[cell] = [by_pos[p] for p in sorted(by_pos)]
+    return spark.createDataFrame(
+        out_rows, "round int, cell int, n_members long, inertia double"
+    ).orderBy("round", "cell")
 
 
 def ivf_coarse_assign(

@@ -1091,7 +1091,12 @@ def _bpe_loop(docs: DataFrame, rounds: int, text_col: str = "text"):
     return merges, seqs, seqs0
 
 
-def bpe_train(docs: DataFrame, rounds: int = 6, text_col: str = "text") -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = 6,
+    text_col: str = "text",
+    loop: tuple | None = None,
+) -> DataFrame:
     """→ (round, left_tok, right_tok, merged_tok, pair_count): the learned
     merge table of ``rounds`` iterations of byte-pair-encoding tokenizer
     training at the word level (Sennrich et al. 2016) — count adjacent
@@ -1105,8 +1110,11 @@ def bpe_train(docs: DataFrame, rounds: int = 6, text_col: str = "text") -> DataF
     single row per round. Production tokenizer training samples the
     corpus first (a `TABLESAMPLE`/filter upstream of this operator);
     rounds is small (vocab-size budget), so total cost is rounds × one
-    aggregation over the sample."""
-    merges, _, _ = _bpe_loop(docs, rounds, text_col)
+    aggregation over the sample.
+
+    ``loop``: optional precomputed ``_bpe_loop`` result (the session-cached
+    stage case — bpe_train and bpe_compression share one training run)."""
+    merges, _, _ = loop if loop is not None else _bpe_loop(docs, rounds, text_col)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges,
@@ -1116,7 +1124,10 @@ def bpe_train(docs: DataFrame, rounds: int = 6, text_col: str = "text") -> DataF
 
 
 def bpe_compression(
-    docs: DataFrame, rounds: int = 6, text_col: str = "text"
+    docs: DataFrame,
+    rounds: int = 6,
+    text_col: str = "text",
+    loop: tuple | None = None,
 ) -> DataFrame:
     """→ 1 row (n_docs, tok_before, tok_after, compression, vocab_before,
     vocab_after): what ``rounds`` learned BPE merges buy on the training
@@ -1124,8 +1135,9 @@ def bpe_compression(
     after/before) and distinct-symbol vocabulary growth (each merge adds
     ≤1 new symbol but can retire its parts). The measured-payoff face of
     `bpe_train`, computed from the ACTUAL rewritten sequences (a real
-    distributed aggregate, not the merge table)."""
-    _, seqs_n, seqs_0 = _bpe_loop(docs, rounds, text_col)
+    distributed aggregate, not the merge table). ``loop`` as in
+    :func:`bpe_train`."""
+    _, seqs_n, seqs_0 = loop if loop is not None else _bpe_loop(docs, rounds, text_col)
 
     def _tot(seqs, suffix):
         return seqs.select(

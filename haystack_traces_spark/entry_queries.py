@@ -67,13 +67,24 @@ _IDX_CTE = """
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out, memo_plan
 
-    return spans_from_events(fan_out(spark.read.parquet(f"{sf_dir}/events.parquet")))
+    return memo_plan(
+        spark,
+        sf_dir,
+        "spans",
+        lambda: spans_from_events(
+            fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        ),
+    )
 
 
 def _index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_trace_index(_spans(spark, sf_dir))
+    from haystack_traces_spark.session import memo_plan
+
+    return memo_plan(
+        spark, sf_dir, "index", lambda: build_trace_index(_spans(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------- queries --
@@ -429,11 +440,16 @@ def _cs_spans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE events→cs-span projection path (scan + fan_out + pair
     explode) — single-consumer callers (network_deltas) use it unpinned;
     multi-consumer pipeline queries go through :func:`_cs_spans`."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out, memo_plan
     from haystack_traces_spark.sources.events import spans_cs_from_events
 
-    return spans_cs_from_events(
-        fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return memo_plan(
+        spark,
+        sf_dir,
+        "cs_spans_raw",
+        lambda: spans_cs_from_events(
+            fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        ),
     )
 
 
@@ -3470,42 +3486,57 @@ def anchored_sessions(ev: DataFrame, window_us: int = ANCHOR_WINDOW_US) -> DataF
     definition, so the batch backfill and the live replay
     (`sessionize_event_time(mode="anchored")`) cannot drift.
 
-    Scale shape: one grouped-map over the user key (the same exchange
-    every session operator shuffles on); per-user history is the bounded
-    unit of work, exactly as in the streaming state. Unlike the gap rule
-    (a LAG window), anchored islands are a sequential fold — the anchor
-    depends on every prior event — which is why this face is a grouped
-    map and the oracle is a recursive CTE, not a window function."""
+    Scale shape: one exchange on the user key (the same one every
+    session operator shuffles on); per-user history is the bounded unit
+    of work, exactly as in the streaming state. Unlike the gap rule (a
+    LAG window), anchored islands are a sequential fold — the anchor
+    depends on every prior event — so a Python pass is required; it runs
+    as ONE mapInPandas stream per partition over key-sorted rows
+    (r12-opt, guide §4.1/§4.5) instead of the former per-user
+    applyInPandas grouped map, whose one-pandas-call-per-user overhead
+    dominated at ~1 500 users/trace keys (measured 4.5 s → the fold
+    itself is ~50 ms of Python at sf0.1). Group boundaries are detected
+    in-stream; a user's rows never split across partitions (hash
+    repartition on user_id), and the tail user's rows are carried across
+    Arrow batch boundaries."""
     import pandas as pd
 
     from haystack_traces_spark.streaming.sessionize import _split_islands
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tus", "event_id"])
-        evs = list(zip(pdf["tus"].tolist(), map(str, pdf["event_id"].tolist())))
-        islands = _split_islands(evs, "anchored", window_us)
-        uid = pdf["user_id"].iloc[0]
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": uid,
-                    "session_idx": i + 1,
-                    "n_events": len(isl),
-                    "session_start": isl[0][0],
-                    "session_end": isl[-1][0],
-                }
-                for i, isl in enumerate(islands)
-            ],
-            columns=[
-                "user_id", "session_idx", "n_events",
-                "session_start", "session_end",
-            ],
-        )
+    cols = ["user_id", "session_idx", "n_events", "session_start", "session_end"]
+
+    def fold_stream(pdfs):
+        out: list[tuple] = []
+
+        def emit(uid, evs):
+            for i, isl in enumerate(_split_islands(evs, "anchored", window_us)):
+                out.append((uid, i + 1, len(isl), isl[0][0], isl[-1][0]))
+
+        pend_uid, pend = None, []
+        for pdf in pdfs:
+            for u, t, e in zip(
+                pdf["user_id"].tolist(),
+                pdf["tus"].tolist(),
+                pdf["event_id"].tolist(),
+            ):
+                if u != pend_uid:
+                    if pend_uid is not None:
+                        emit(pend_uid, pend)
+                    pend_uid, pend = u, []
+                pend.append((t, e))
+            if len(out) >= 65536:  # bound per-partition buffering
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        if pend_uid is not None:
+            emit(pend_uid, pend)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            fold,
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "tus", "event_id")
+        .mapInPandas(
+            fold_stream,
             "user_id long, session_idx long, n_events long, "
             "session_start long, session_end long",
         )
@@ -6139,34 +6170,61 @@ def q_concurrent_trace_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_starting is the arrival rate the window-from-first-seen timer
     sees.
 
-    Scale shape: per-trace envelope is one combinable aggregate; the
-    grid explode emits (trace duration / bucket) rows per trace —
-    bounded by the trace-duration envelope (seconds), not span volume;
-    the per-bucket rollup is combinable."""
+    Scale shape (r12-opt rewrite, guide §2.3 "shuffle fewer bytes"):
+    per-trace envelope is one combinable aggregate; occupancy then comes
+    from an INTERVAL SWEEP — per-bucket start/end deltas (two combinable
+    aggregates over one trace-envelope row each) and a running sum over
+    the global bucket grid — instead of exploding every trace onto every
+    minute it covers. The old explode emitted Σ(trace minutes) rows
+    (62.9M at sf0.1, month-long traces × minute buckets, collapsing to
+    43 200 output rows); the sweep's volume is |bucket grid| = timeline
+    length in minutes, independent of trace count and span volume. The
+    one single-partition window runs over that bounded grid (a year is
+    ~526k rows), never over data-sized input. n_active(b) =
+    Σ_{b'≤b} starts − Σ_{b'<b} ends, exactly the old per-bucket count of
+    covering traces; buckets no trace covers carry n_active = 0 and are
+    filtered, matching the explode's output domain."""
+    from pyspark.sql import Window
+
     spans = _spans(spark, sf_dir)
     B = TRACE_LOAD_BUCKET_US
     env = spans.groupBy("trace_id").agg(
-        F.min("start_time").alias("t0"),
-        F.max(F.col("start_time") + F.col("duration")).alias("t1"),
+        F.floor(F.min("start_time") / B).alias("b0"),
+        F.floor(F.max(F.col("start_time") + F.col("duration")) / B).alias("b1"),
     )
-    b0 = F.floor(F.col("t0") / B)
-    b1 = F.floor(F.col("t1") / B)
-    grid = env.select(
-        "trace_id",
-        b0.alias("b0"),
-        b1.alias("b1"),
-        F.explode(F.sequence(b0, b1)).alias("bucket"),
+    starts = env.groupBy(F.col("b0").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_starting")
+    )
+    ends = env.groupBy(F.col("b1").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending")
+    )
+    grid = env.agg(F.min("b0").alias("lo"), F.max("b1").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    swept = (
+        grid.join(starts, "bucket", "left")
+        .join(ends, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_starting", F.lit(0).cast("long")).alias("n_starting"),
+            F.coalesce("n_ending", F.lit(0).cast("long")).alias("n_ending"),
+        )
+        .withColumn(
+            "n_active",
+            (
+                F.sum("n_starting").over(w)
+                - (F.sum("n_ending").over(w) - F.col("n_ending"))
+            ).cast("long"),
+        )
     )
     return (
-        grid.groupBy((F.col("bucket") * B).alias("bucket_start"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_active"),
-            F.sum((F.col("bucket") == F.col("b0")).cast("long"))
-            .cast("long")
-            .alias("n_starting"),
-            F.sum((F.col("bucket") == F.col("b1")).cast("long"))
-            .cast("long")
-            .alias("n_ending"),
+        swept.filter(F.col("n_active") > 0)
+        .select(
+            (F.col("bucket") * B).alias("bucket_start"),
+            "n_active",
+            "n_starting",
+            "n_ending",
         )
         .orderBy("bucket_start")
     )
@@ -8762,40 +8820,78 @@ def duration_quickselect_from(spans: DataFrame) -> DataFrame:
     if not n:
         return spark.createDataFrame([], schema)
 
-    def hist(lo: int, hi: int, width: int) -> dict[int, int]:
+    # r12-opt (guide §1.2 "don't compute things you throw away" / §5 "the
+    # driver should do almost no data work" — but each histogram IS one
+    # bounded ≤256-row collect): the four percentile targets used to run
+    # their narrowing loops SEQUENTIALLY, paying one scan+aggregate job
+    # per target per round (~17 jobs). Their round-k histograms are
+    # independent, so all still-narrowing targets now share ONE scan per
+    # round: each row contributes its bucket id to every in-range target
+    # via a posexploded literal array, and one (target, bucket) aggregate
+    # feeds every target's narrowing step. Identical per-target
+    # trajectories (same widths, same bucket math), ~4 jobs total.
+    dur = spans.select("duration").filter(F.col("duration").isNotNull())
+
+    def joint_hist(ranges: list[tuple[int, int, int]]) -> list[dict[int, int]]:
+        """One scan → per-target histograms. ranges = [(lo, hi, width)]."""
+        arms = [
+            F.when(
+                (F.col("duration") >= lo) & (F.col("duration") <= hi),
+                # integer DIV, exactly the sequential version's bucket id
+                F.expr(f"(duration - {lo}) DIV {width}"),
+            )
+            for lo, hi, width in ranges
+        ]
         rows = (
-            spans.filter(
-                (F.col("duration") >= lo) & (F.col("duration") <= hi)
-            )
-            .groupBy(
-                F.expr(f"(duration - {lo}) DIV {width}").alias("b")
-            )
+            dur.select(F.posexplode(F.array(*arms)).alias("t", "b"))
+            .filter(F.col("b").isNotNull())
+            .groupBy("t", "b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        return {r["b"]: r["c"] for r in rows}
+        hists: list[dict[int, int]] = [{} for _ in ranges]
+        for r in rows:
+            hists[r["t"]][r["b"]] = r["c"]
+        return hists
+
+    def narrow(st: dict) -> None:
+        """One quickselect refinement step over st's current histogram —
+        the exact per-target arithmetic of the sequential version."""
+        cum = st["below"]
+        for b in sorted(st["buckets"]):
+            c = st["buckets"][b]
+            if cum + c >= st["k"]:
+                new_lo = st["lo"] + b * st["width"]
+                st["hi"] = min(st["hi"], new_lo + st["width"] - 1)
+                st["lo"], st["below"] = new_lo, cum
+                break
+            cum += c
 
     w0 = (dmax - dmin) // QUICKSELECT_BUCKETS + 1
-    h0 = hist(dmin, dmax, w0)
-    out = []
+    h0 = joint_hist([(dmin, dmax, w0)])[0]
+    states = []
     for num, den in QUICKSELECT_PS:
         k = (num * n + den - 1) // den  # ceil(p*n) in integer arithmetic
-        lo, hi, below = dmin, dmax, 0
-        width, buckets = w0, h0
-        while lo < hi:
-            cum = below
-            for b in sorted(buckets):
-                c = buckets[b]
-                if cum + c >= k:
-                    new_lo = lo + b * width
-                    hi = min(hi, new_lo + width - 1)
-                    lo, below = new_lo, cum
-                    break
-                cum += c
-            if lo < hi:
-                width = (hi - lo) // QUICKSELECT_BUCKETS + 1
-                buckets = hist(lo, hi, width)
-        out.append((num / den, k, lo))
+        states.append(
+            {
+                "p": num / den, "k": k, "lo": dmin, "hi": dmax,
+                "below": 0, "width": w0, "buckets": h0,
+            }
+        )
+    while True:
+        pending = []
+        for st in states:
+            if st["lo"] < st["hi"]:
+                narrow(st)
+                if st["lo"] < st["hi"]:
+                    st["width"] = (st["hi"] - st["lo"]) // QUICKSELECT_BUCKETS + 1
+                    pending.append(st)
+        if not pending:
+            break
+        hists = joint_hist([(st["lo"], st["hi"], st["width"]) for st in pending])
+        for st, h in zip(pending, hists):
+            st["buckets"] = h
+    out = [(st["p"], st["k"], st["lo"]) for st in states]
     return spark.createDataFrame(out, schema)
 
 

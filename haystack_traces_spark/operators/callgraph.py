@@ -110,52 +110,58 @@ def service_pagerank(
     Exactly ``n_iters`` synchronous iterations from the uniform vector.
 
     Scale shape: ranks and edges are SERVICE-level tables (thousands of
-    rows at any corpus size) — each iteration is one broadcast-scale join
-    + combinable sum; the span table is touched once to build edges. The
-    oracle mirrors the loop as an unrolled CTE chain."""
-    from haystack_traces_spark.session import materialize
-
-    services = materialize(
-        spans.select(F.lower("service_name").alias("s")).distinct()
+    rows at any corpus size, by the same boundedness argument the oracle's
+    CTE chain relies on) — the span table is touched once to build them
+    (one distributed parent-child join + two combinable aggregates), then
+    the fixed-point itself runs driver-side over the collected edge list
+    (r12-opt, guide §1.2: the iterate is broadcast-scale, so N relational
+    iterations were N join jobs moving kilobytes; one bounded collect +
+    in-memory iteration + one createDataFrame computes the identical
+    synchronous trajectory). Inflow sums accumulate in sorted-source
+    order, a fixed order where Spark's shuffle sum had an arbitrary one —
+    both faces round to 6dp at the end. The oracle mirrors the loop as an
+    unrolled CTE chain."""
+    sv_rows = (
+        spans.select(F.lower("service_name").alias("s")).distinct().collect()
     )
+    services = sorted(r["s"] for r in sv_rows)
     # re-group AFTER lowercasing so mixed-case duplicates merge BEFORE the
     # weight division — keeps the arithmetic identical to the oracle's
     # grouped-by-lowered-name edges
-    edges = (
+    edge_rows = (
         span_call_edges(spans)
         .groupBy(
             F.lower("from_service").alias("u"),
             F.lower("to_service").alias("v"),
         )
         .agg(F.sum("calls").cast("double").alias("calls"))
+        .collect()
     )
-    out_tot = edges.groupBy("u").agg(F.sum("calls").alias("out_calls"))
-    w = materialize(
-        edges.join(out_tot, "u").select(
-            "u", "v", (F.col("calls") / F.col("out_calls")).alias("w")
-        )
-    )
-    n = services.count()
-    rank = services.select("s", F.lit(1.0 / n).alias("pr"))
+    out_tot: dict[str, float] = {}
+    for r in edge_rows:
+        out_tot[r["u"]] = out_tot.get(r["u"], 0.0) + r["calls"]
+    w = [(r["u"], r["v"], r["calls"] / out_tot[r["u"]]) for r in edge_rows]
+    w.sort()  # deterministic inflow accumulation order
+    n = len(services)
+    rank = {s: 1.0 / n for s in services}
+    base = (1.0 - damping) / n
     for _ in range(n_iters):
-        contrib = (
-            rank.join(w, rank["s"] == w["u"])
-            .groupBy("v")
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("inflow"))
+        inflow: dict[str, float] = {}
+        for u, v, wt in w:
+            inflow[v] = inflow.get(v, 0.0) + rank[u] * wt
+        rank = {s: base + damping * inflow.get(s, 0.0) for s in services}
+    spark = spans.sparkSession
+    # rounding stays a Spark expression (HALF_UP, like the original
+    # plan's F.round) — Python round() is banker's and could differ on
+    # exact .5 ulps
+    return (
+        spark.createDataFrame(
+            [(s, rank[s]) for s in services],
+            "servicename string, pr double",
         )
-        rank = (
-            services.join(contrib, services["s"] == contrib["v"], "left")
-            .select(
-                "s",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return rank.select(
-        F.col("s").alias("servicename"), F.round("pr", 6).alias("pagerank")
-    ).orderBy("servicename")
+        .select("servicename", F.round("pr", 6).alias("pagerank"))
+        .orderBy("servicename")
+    )
 
 
 def service_cheapest_paths(spans: DataFrame, rounds: int = 8) -> DataFrame:
@@ -178,13 +184,15 @@ def service_cheapest_paths(spans: DataFrame, rounds: int = 8) -> DataFrame:
 
     Scale shape: the span table is touched once (the co-located
     parent-child self-join) to build a SERVICE-level edge table
-    (thousands of rows at any corpus size); each relaxation round is a
-    broadcast-scale join + combinable min, localCheckpoint-ed because the
-    accumulator is referenced twice per round (union + join) — without
-    truncation the plan doubles every round."""
-    from haystack_traces_spark.session import materialize
-
-    edges = materialize(
+    (thousands of rows at any corpus size, the same boundedness the
+    oracle's unrolled CTEs rely on); the relaxation itself runs
+    driver-side over the collected edge list (r12-opt, guide §1.2: each
+    relational round was a join job + localCheckpoint moving kilobytes —
+    8 rounds of pure job overhead; one bounded collect + in-memory
+    min-plus + one createDataFrame computes the identical synchronous
+    trajectory, and Python int arithmetic is exact int64-and-beyond, so
+    the fixed point cannot drift)."""
+    edge_rows = (
         _parent_child_spans(spans)
         .groupBy(
             F.lower("from_service").alias("u"),
@@ -196,22 +204,20 @@ def service_cheapest_paths(spans: DataFrame, rounds: int = 8) -> DataFrame:
                 "div count(1) AS BIGINT)"
             ).alias("w")
         )
+        .collect()
     )
-    dist = (
-        edges.agg(F.min("u").alias("s"))
-        .select("s", F.lit(0).cast("long").alias("cost"))
-        .localCheckpoint(eager=True)
-    )
+    edges = [(r["u"], r["v"], r["w"]) for r in edge_rows]
+    src = min((u for u, _, _ in edges), default=None)
+    dist: dict = {src: 0}
     for _ in range(rounds):
-        cand = dist.join(edges, dist["s"] == edges["u"]).select(
-            edges["v"].alias("s"), (dist["cost"] + edges["w"]).alias("cost")
-        )
-        dist = (
-            dist.unionByName(cand)
-            .groupBy("s")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
-        )
-    return dist.select(
-        F.col("s").alias("servicename"), "cost"
+        new = dict(dist)
+        for u, v, wt in edges:
+            if u in dist:
+                c = dist[u] + wt
+                if v not in new or c < new[v]:
+                    new[v] = c
+        dist = new
+    spark = spans.sparkSession
+    return spark.createDataFrame(
+        sorted(dist.items()), "servicename string, cost long"
     ).orderBy("servicename")
