@@ -2069,20 +2069,24 @@ def kmeans_train(
     }
     out_rows: list[tuple] = []
     for r in range(1, rounds + 1):
-        cents_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(cell).cast("int").alias("cell"),
-                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                )
-                for cell, cv in sorted(cents.items())
-            ]
+        # centroids ride ONE broadcast row rebuilt from the collected
+        # stats (createDataFrame of k tiny rows), NOT a literal array —
+        # a literal-laden plan would be rebuilt through py4j (k·dim lit
+        # calls) and Janino-recompiled EVERY round (different constants
+        # → different generated source), where this plan's shape is
+        # round-invariant so codegen caches across rounds
+        cents_df = spark.createDataFrame(
+            [(cell, cv) for cell, cv in sorted(cents.items())],
+            "cell int, cv array<double>",
         )
-        assign = v.select(
+        cents_row = cents_df.agg(
+            F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        )
+        assign = v.crossJoin(F.broadcast(cents_row)).select(
             "v",
             F.array_min(
                 F.transform(
-                    cents_lit,
+                    "cs",
                     lambda c: F.struct(
                         F.aggregate(
                             F.zip_with(

@@ -161,6 +161,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # guide §2.2: partitions below a few MB are pure scheduling
+        # overhead at ANY scale (the guide's target is 100MB-1GB).
+        # Default AQE keeps parallelism-many partitions however tiny the
+        # shuffle; raising the coalesce floor to 4MB merges only
+        # partitions no sane deployment wants (measured r12-opt: −10-30%
+        # on most bench lines, heavy join stages included, at identical
+        # results). Parameterized for clusters that want a bigger floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
