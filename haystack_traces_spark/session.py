@@ -161,16 +161,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # guide §2.2: partitions below a few MB are pure scheduling
-        # overhead at ANY scale (the guide's target is 100MB-1GB).
-        # Default AQE keeps parallelism-many partitions however tiny the
-        # shuffle; raising the coalesce floor to 4MB merges only
-        # partitions no sane deployment wants (measured r12-opt: −10-30%
-        # on most bench lines, heavy join stages included, at identical
-        # results). Parameterized for clusters that want a bigger floor.
+        # AQE coalesce floor stays at Spark's default (1m, parallelism-
+        # first). An r12-opt experiment raised it to 4m — shuffle BYTES
+        # are the wrong proxy for stage cost here: the numpy/Arrow verify
+        # stages (kNN-graph scoring, pair verification) shuffle few MB but
+        # carry most of the compute, and the higher floor coalesced them
+        # onto 1-5 cores (isolated cold A/B: knn_graph stage 8.0-8.8 s
+        # default vs 10.8-12.7 s at 4m; full bench heavy lines +2-3x).
+        # Parameterized override for deployments whose shuffles are
+        # byte-dominated rather than compute-dominated.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "4m"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

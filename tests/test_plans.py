@@ -1048,3 +1048,28 @@ def test_zorder_write_path_realizes_simulated_pruning(spark, tmp_path):
     # service degeneration SCALE.md §4.aa describes) admits most files
     assert matching_files <= admitted
     assert len(admitted) <= len(by_file) // 2, (len(admitted), len(by_file))
+
+
+def test_memo_plan_shares_plan_objects_without_caching_data(spark):
+    """The r12-opt source-prefix memo caches PLAN OBJECTS, never data:
+    same (session, sf_dir, key) returns the one object (build runs once),
+    different sf_dir or key builds fresh, and the memoized frame is not
+    persisted — every action still recomputes from source."""
+    from haystack_traces_spark.session import memo_plan
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    a = memo_plan(spark, "/data/sfA", "prefix", build)
+    b = memo_plan(spark, "/data/sfA", "prefix", build)
+    assert a is b and calls["n"] == 1
+    c = memo_plan(spark, "/data/sfB", "prefix", build)
+    d = memo_plan(spark, "/data/sfA", "other", build)
+    assert calls["n"] == 3 and c is not a and d is not a
+    # plan-only: the shared frame carries no persisted storage level
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+    # and actions through the memoized plan still compute (fresh rows)
+    assert a.count() == 10 and b.agg(F.sum("v")).collect()[0][0] == 90
