@@ -5,11 +5,13 @@ start time, indented by tree depth, offset from the trace's first span
 (haystack-ui trace view; the reader feeds it the merged span list from
 TraceReader.scala). This operator materializes exactly those rows.
 
-Shape: one grouped-map pandas UDF per trace riding the same trace_id
-exchange every per-trace operator shares (SCALE.md §2). Depth is hops
-along in-trace parent links, memoized per group — a span whose parent is
-empty or missing from the trace sits at depth 0, matching the SpanTree
-root semantics the repair transformers enforce
+Shape: one Python walk per trace, streamed as a single mapInPandas pass
+per partition over trace-sorted rows on the same trace_id exchange every
+per-trace operator shares (SCALE.md §2; r12-opt — the former per-trace
+applyInPandas grouped map paid one pandas/Arrow transition per trace).
+Depth is hops along in-trace parent links, memoized per group — a span
+whose parent is empty or missing from the trace sits at depth 0, matching
+the SpanTree root semantics the repair transformers enforce
 (reader/.../transformers/SpanTreeBuilder, spantree.py)."""
 
 from __future__ import annotations
@@ -49,34 +51,65 @@ def _depths(span_ids, parents) -> dict[str, int]:
     return memo
 
 
-def trace_timeline(spans: DataFrame) -> DataFrame:
-    """→ (trace_id, span_id, depth, offset_us, duration, servicename)."""
+def _trace_stream(spans: DataFrame, cols, core, schema: str) -> DataFrame:
+    """Run ``core(trace_id, *column_lists) -> list[tuple]`` once per trace
+    as ONE mapInPandas stream per partition over trace-sorted rows
+    (r12-opt, guide §4.1/§4.5) instead of a per-trace applyInPandas
+    grouped map — the grouped map pays one pandas-frame construction and
+    one Arrow transition PER TRACE (~10k tiny groups at sf0.1, where the
+    per-trace Python walk itself is microseconds). Group boundaries are
+    detected in-stream; a trace's rows never split across partitions
+    (hash repartition on trace_id), and the tail trace's rows are carried
+    across Arrow batch boundaries. Row order within a trace is arbitrary,
+    exactly as applyInPandas delivered it — every core is order-invariant."""
+    out_names = [c.strip().split()[0] for c in schema.split(",")]
 
-    def one(pdf: pd.DataFrame) -> pd.DataFrame:
-        memo = _depths(pdf["span_id"].tolist(), pdf["parent_span_id"].tolist())
-        t0 = int(pdf["start_time"].min())
-        return pd.DataFrame(
-            {
-                "trace_id": pdf["trace_id"],
-                "span_id": pdf["span_id"],
-                "depth": [memo[s] for s in pdf["span_id"]],
-                "offset_us": pdf["start_time"] - t0,
-                "duration": pdf["duration"],
-                "servicename": pdf["service_name"],
-            }
-        )
+    def stream(pdfs):
+        out: list[tuple] = []
+        pend_tid = None
+        pend: list[list] = [[] for _ in cols]
+        for pdf in pdfs:
+            lists = [pdf[c].tolist() for c in ("trace_id", *cols)]
+            for row in zip(*lists):
+                if row[0] != pend_tid:
+                    if pend_tid is not None:
+                        out.extend(core(pend_tid, *pend))
+                    pend_tid = row[0]
+                    pend = [[] for _ in cols]
+                for acc, v in zip(pend, row[1:]):
+                    acc.append(v)
+            if len(out) >= 65536:  # bound per-partition buffering
+                yield pd.DataFrame(out, columns=out_names)
+                out = []
+        if pend_tid is not None:
+            out.extend(core(pend_tid, *pend))
+        if out:
+            yield pd.DataFrame(out, columns=out_names)
 
     return (
-        spans.select(
-            "trace_id",
-            "span_id",
-            "parent_span_id",
-            "service_name",
-            "start_time",
-            "duration",
-        )
-        .groupBy("trace_id")
-        .applyInPandas(one, TIMELINE_SCHEMA)
+        spans.select("trace_id", *cols)
+        .repartition("trace_id")
+        .sortWithinPartitions("trace_id")
+        .mapInPandas(stream, schema)
+    )
+
+
+def _timeline_core(tid, sids, parents, services, starts, durs):
+    memo = _depths(sids, parents)
+    t0 = min(starts)
+    return [
+        (tid, s, memo[s], st - t0, d, sv)
+        for s, sv, st, d in zip(sids, services, starts, durs)
+    ]
+
+
+def trace_timeline(spans: DataFrame) -> DataFrame:
+    """→ (trace_id, span_id, depth, offset_us, duration, servicename)."""
+    return _trace_stream(
+        spans.withColumnRenamed("service_name", "servicename"),
+        ("span_id", "parent_span_id", "servicename", "start_time", "duration"),
+        _timeline_core,
+        TIMELINE_SCHEMA,
     )
 
 
@@ -126,61 +159,58 @@ def critical_path(spans: DataFrame) -> DataFrame:
     model (sum of durations along the path; overlap-aware self-time models
     refine it — see span_self_time); ties break on leaf span_id.
 
-    Same grouped-map shape as trace_timeline: one walk per trace on the
-    shared trace exchange; the oracle accumulates paths with a recursive
+    Same per-trace walk as trace_timeline, streamed through
+    :func:`_trace_stream`; the oracle accumulates paths with a recursive
     CTE and takes the per-trace argmax."""
-    import pandas as pd
-
-    def one(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
-        dur = dict(zip(pdf["span_id"], pdf["duration"]))
-        total: dict[str, tuple[int, int]] = {}  # span -> (path_dur, hops)
-
-        def path_of(s):
-            stack = []
-            on_path = set()
-            cur = s
-            while cur not in total:
-                # cycle guard — mirrors _depths: a cyclic parent link roots
-                # the path at the cycle member instead of looping forever
-                on_path.add(cur)
-                p = parent.get(cur, "")
-                if p == "" or p not in parent or p in on_path:
-                    total[cur] = (int(dur[cur]), 1)
-                    break
-                stack.append(cur)
-                cur = p
-            while stack:
-                nxt = stack.pop()
-                pd_, hops = total[parent[nxt]]
-                total[nxt] = (pd_ + int(dur[nxt]), hops + 1)
-            return total[s]
-
-        children = set(p for p in pdf["parent_span_id"] if p in parent)
-        leaves = [s for s in pdf["span_id"] if s not in children]
-        # an all-cycle trace has no leaves — rank every span instead
-        leaves = leaves or list(pdf["span_id"])
-        # tie-break: largest path_duration, then SMALLEST leaf span_id
-        _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
-        d, hops = path_of(s0)
-        return pd.DataFrame(
-            {
-                "trace_id": [pdf["trace_id"].iloc[0]],
-                "leaf_span_id": [s0],
-                "path_spans": [hops],
-                "path_duration": [d],
-            }
-        )
-
-    return (
-        spans.select("trace_id", "span_id", "parent_span_id", "duration")
-        .groupBy("trace_id")
-        .applyInPandas(
-            one,
-            "trace_id string, leaf_span_id string, path_spans long, "
-            "path_duration long",
-        )
+    return _trace_stream(
+        spans,
+        ("span_id", "parent_span_id", "duration"),
+        _critical_path_core,
+        "trace_id string, leaf_span_id string, path_spans long, "
+        "path_duration long",
     )
+
+
+def _heaviest_leaf(sids, parents, durs):
+    """Shared argmax walk of the critical-path pair: → (winning leaf,
+    (path_dur, hops) per reached span, parent map). Ties break largest
+    path_duration then SMALLEST leaf span_id."""
+    parent = dict(zip(sids, parents))
+    dur = dict(zip(sids, durs))
+    total: dict[str, tuple[int, int]] = {}  # span -> (path_dur, hops)
+
+    def path_of(s):
+        stack = []
+        on_path = set()
+        cur = s
+        while cur not in total:
+            # cycle guard — mirrors _depths: a cyclic parent link roots
+            # the path at the cycle member instead of looping forever
+            on_path.add(cur)
+            p = parent.get(cur, "")
+            if p == "" or p not in parent or p in on_path:
+                total[cur] = (int(dur[cur]), 1)
+                break
+            stack.append(cur)
+            cur = p
+        while stack:
+            nxt = stack.pop()
+            pd_, hops = total[parent[nxt]]
+            total[nxt] = (pd_ + int(dur[nxt]), hops + 1)
+        return total[s]
+
+    children = set(p for p in parents if p in parent)
+    leaves = [s for s in sids if s not in children]
+    # an all-cycle trace has no leaves — rank every span instead
+    leaves = leaves or list(sids)
+    _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
+    return s0, total, parent
+
+
+def _critical_path_core(tid, sids, parents, durs):
+    s0, total, _ = _heaviest_leaf(sids, parents, durs)
+    d, hops = total[s0]
+    return [(tid, s0, hops, d)]
 
 
 def critical_path_members(spans: DataFrame) -> DataFrame:
@@ -188,56 +218,26 @@ def critical_path_members(spans: DataFrame) -> DataFrame:
     path (the same argmax root-to-leaf chain :func:`critical_path`
     summarizes — ties break largest path_duration then smallest leaf
     span_id). Feeds the corpus-level "which service owns the critical
-    path" rollup; same one-walk-per-trace grouped-map shape on the shared
-    trace exchange, same cycle guard."""
-    import pandas as pd
-
-    def one(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
-        dur = dict(zip(pdf["span_id"], pdf["duration"]))
-        total: dict[str, tuple[int, int]] = {}
-
-        def path_of(s):
-            stack = []
-            on_path = set()
-            cur = s
-            while cur not in total:
-                on_path.add(cur)
-                p = parent.get(cur, "")
-                if p == "" or p not in parent or p in on_path:
-                    total[cur] = (int(dur[cur]), 1)
-                    break
-                stack.append(cur)
-                cur = p
-            while stack:
-                nxt = stack.pop()
-                pd_, hops = total[parent[nxt]]
-                total[nxt] = (pd_ + int(dur[nxt]), hops + 1)
-            return total[s]
-
-        children = set(p for p in pdf["parent_span_id"] if p in parent)
-        leaves = [s for s in pdf["span_id"] if s not in children]
-        leaves = leaves or list(pdf["span_id"])
-        _, s0 = sorted((-path_of(s)[0], s) for s in leaves)[0]
-        # walk the winning chain leaf→root (same guard as path_of)
-        chain, seen = [], set()
-        cur = s0
-        while True:
-            chain.append(cur)
-            seen.add(cur)
-            p = parent.get(cur, "")
-            if p == "" or p not in parent or p in seen:
-                break
-            cur = p
-        return pd.DataFrame(
-            {
-                "trace_id": [pdf["trace_id"].iloc[0]] * len(chain),
-                "span_id": chain,
-            }
-        )
-
-    return (
-        spans.select("trace_id", "span_id", "parent_span_id", "duration")
-        .groupBy("trace_id")
-        .applyInPandas(one, "trace_id string, span_id string")
+    path" rollup; same one-walk-per-trace core streamed through
+    :func:`_trace_stream`, same cycle guard."""
+    return _trace_stream(
+        spans,
+        ("span_id", "parent_span_id", "duration"),
+        _members_core,
+        "trace_id string, span_id string",
     )
+
+
+def _members_core(tid, sids, parents, durs):
+    s0, _, parent = _heaviest_leaf(sids, parents, durs)
+    # walk the winning chain leaf→root (same guard as path_of)
+    chain, seen = [], set()
+    cur = s0
+    while True:
+        chain.append(cur)
+        seen.add(cur)
+        p = parent.get(cur, "")
+        if p == "" or p not in parent or p in seen:
+            break
+        cur = p
+    return [(tid, s) for s in chain]
