@@ -453,17 +453,20 @@ def ppl_buckets(
         )
     else:
         w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
-        n = scored.agg(F.count(F.lit(1)).alias("n"))
-        out = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .crossJoin(F.broadcast(n))
-            .select(
-                "doc_id",
-                "ppl",
-                F.floor(F.lit(n_buckets) * (F.col("rn") - 1) / F.col("n"))
-                .cast("long")
-                .alias("bucket"),
+        # total count as a global window aggregate: same single-partition
+        # stage the rank already pays, and `scored` (the whole
+        # bigram_logprob subtree) is evaluated ONCE — the former separate
+        # count branch + crossJoin re-executed it per action
+        out = scored.select(
+            "doc_id",
+            "ppl",
+            F.floor(
+                F.lit(n_buckets)
+                * (F.row_number().over(w) - 1)
+                / F.count(F.lit(1)).over(Window.partitionBy())
             )
+            .cast("long")
+            .alias("bucket"),
         )
     if n_buckets == 3:
         label = (
