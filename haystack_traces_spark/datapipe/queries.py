@@ -7266,9 +7266,14 @@ def q_ivf_probe_sweep(spark, sf_dir):
     `dedup_threshold_sweep` for the ANN side: pick n_probe FROM this
     table, not folklore.
 
-    Scale shape: one `ivf_topk` per swept probe count (each a broadcast
-    centroid assignment + probed-cells-only rerank); the recall joins
-    touch |queries|·k rows per probe setting."""
+    Scale shape: ONE shared `ivf_sweep_scored` scan (assignment and
+    query cosines are probe-independent — each candidate row carries its
+    cell's per-query probe rank, so every swept setting is a filter over
+    the same materialized table; r12-opt, was one full ivf_topk scan per
+    probe count); the per-probe rerank windows and recall joins touch
+    |queries|·k rows per setting."""
+    from pyspark.sql import Window
+
     from haystack_traces_spark.session import materialize
 
     emb = _emb(spark, sf_dir)
@@ -7280,11 +7285,23 @@ def q_ivf_probe_sweep(spark, sf_dir):
             emb, ANN_QUERY_IDS, ANN_K, rank_rounded=True
         ).select("query_id", "neighbor_id")
     )
+    # ... and `scored` feeds every probe branch's rerank window
+    scored = materialize(
+        S.ivf_sweep_scored(
+            emb, ANN_QUERY_IDS, IVF_CELLS, max(IVF_SWEEP_PROBES)
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.round("cos_raw", 6).desc(), F.col("neighbor_id").asc()
+    )
     outs = []
     for p in IVF_SWEEP_PROBES:
-        t = S.ivf_topk(
-            emb, ANN_QUERY_IDS, ANN_K, IVF_CELLS, p, rank_rounded=True
-        ).select("query_id", "neighbor_id")
+        t = (
+            scored.filter(F.col("cell_rank") <= p)
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", "neighbor_id")
+        )
         hits = (
             full.join(t, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")

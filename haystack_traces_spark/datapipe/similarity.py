@@ -403,6 +403,84 @@ def ivf_topk(
     )
 
 
+def ivf_sweep_scored(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 16,
+    max_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos_raw, cell_rank): ONE pass of the
+    :func:`ivf_topk` scan emitting every candidate inside the query's
+    ``max_probe`` nearest cells, tagged with the 1-based rank of the
+    candidate's cell in the query's centroid-cosine probe order (the
+    identical ``(cos desc, cid asc)`` lexsort ivf_topk uses, lowest-id
+    centroids). ``filter(cell_rank <= p)`` reproduces
+    ``ivf_topk(n_probe=p)``'s candidate set EXACTLY — same coarse
+    assignment (argmax, first-lowest-cid ties), same self-exclusion,
+    same raw cosine — so a probe SWEEP prices one full-table GEMM scan
+    total instead of one per swept setting (r12-opt; the sweep's |probes|
+    rerank windows then run over this one materialized table). At 100 TB
+    the emitted volume equals the single largest swept setting's
+    candidate volume, strictly less than the per-probe-scan sum."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent_pdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .toPandas()
+    )
+    C = np.asarray(cent_pdf[vec_col].tolist(), dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    q_pdf = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).toPandas()
+    Q = np.asarray(q_pdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
+
+    # per-query probe ranks over cell INDICES: cent_pdf is id-ascending, so
+    # index order == cid order and lexsort((indices, -cos)) is exactly
+    # ivf_topk's lexsort((cids, -cos)); unprobed cells rank n_cells+1 (> any
+    # swept p)
+    qc = Qn @ Cn.T  # (n_q, n_cells)
+    idx = np.arange(Cn.shape[0])
+    ranks = np.full((len(qids), Cn.shape[0]), Cn.shape[0] + 1, dtype=np.int64)
+    for r in range(len(qids)):
+        order = np.lexsort((idx, -qc[r]))[:max_probe]
+        ranks[r, order] = np.arange(1, len(order) + 1)
+    bc = spark.sparkContext.broadcast((qids, Qn, Cn, ranks))
+
+    def score_cells(batches):
+        import pandas as pd
+
+        qids_, Qn_, Cn_, ranks_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = np.argmax(An @ Cn_.T, axis=1)  # first (lowest cid) wins ties
+            qcos = An @ Qn_.T  # (n, n_q)
+            out = {"query_id": [], "neighbor_id": [], "cos_raw": [], "cell_rank": []}
+            for qi, qid in enumerate(qids_):
+                cr = ranks_[qi, cells]
+                sel = (cr <= ranks_.shape[1]) & (ids != qid)
+                out["query_id"].append(np.full(sel.sum(), qid))
+                out["neighbor_id"].append(ids[sel])
+                out["cos_raw"].append(qcos[sel, qi])
+                out["cell_rank"].append(cr[sel])
+            yield pd.DataFrame({k_: np.concatenate(v) for k_, v in out.items()})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score_cells,
+        schema="query_id long, neighbor_id long, cos_raw double, cell_rank long",
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

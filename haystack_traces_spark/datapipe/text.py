@@ -1077,11 +1077,15 @@ def _bpe_merge_round(seqs: DataFrame):
 def _bpe_loop(docs: DataFrame, rounds: int, text_col: str = "text"):
     """Run ``rounds`` BPE merge rounds; returns (merges, final_seqs,
     initial_seqs). merges = [(round, left, right, merged, count), ...].
-    Each round's sequences are localCheckpoint-ed — the fold otherwise
-    nests ``rounds`` deep in one plan AND the count stage of round k+1
-    would recompute every prior rewrite per action (same lineage
-    quadratics as dedup_clusters' label propagation)."""
-    seqs0 = _bpe_seqs(docs, text_col).localCheckpoint(eager=True)
+    Each round's sequences are persist()-ed LAZILY — round k+1's
+    pair-count job then materializes round k's rewrite as part of its own
+    scan (ONE job per round instead of the former eager-localCheckpoint
+    pair, r12-opt), while the cache still stops the count stage of round
+    k+1 from recomputing every prior rewrite per action (the lineage
+    quadratics dedup_clusters' label propagation guards against). The
+    final round's rewrite stays lazy: bpe_train never evaluates it and
+    bpe_compression's aggregates materialize it exactly once."""
+    seqs0 = _bpe_seqs(docs, text_col).persist()
     seqs = seqs0
     merges: list[tuple] = []
     for k in range(1, rounds + 1):
@@ -1090,7 +1094,7 @@ def _bpe_loop(docs: DataFrame, rounds: int, text_col: str = "text"):
             break  # corpus exhausted all adjacent pairs (tiny inputs)
         a, b, n = pick
         merges.append((k, a, b, a + b, n))
-        seqs = rewritten.localCheckpoint(eager=True)
+        seqs = rewritten.persist()
     return merges, seqs, seqs0
 
 

@@ -159,6 +159,46 @@ def test_ivf_kmeans_centroids_recall(emb):
     assert rec["kmeans"] >= 0.4, rec
 
 
+def test_ivf_sweep_scored_reproduces_per_probe_ivf_topk(emb):
+    """The shared-scan probe sweep (r12-opt) must be result-identical to
+    one ivf_topk per probe setting: filtering the tagged scan to
+    cell_rank <= p and reranking (round(cos,6) desc, neighbor asc) is
+    the claimed-equivalent formulation, checked here for every swept p
+    including p = n_cells (all cells probed)."""
+    from pyspark.sql import Window
+
+    qids = [0, 1, 2, 3, 4]
+    k, n_cells = 10, 16
+    scored = S.ivf_sweep_scored(emb, qids, n_cells, max_probe=16).cache()
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos_raw", 6).desc(), F.col("neighbor_id").asc()
+    )
+    try:
+        for p in (1, 2, 4, 8, 16):
+            want = {
+                (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                for r in S.ivf_topk(
+                    emb, qids, k, n_cells, p, rank_rounded=True
+                ).collect()
+            }
+            got = {
+                (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                for r in scored.filter(F.col("cell_rank") <= p)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round("cos_raw", 6).alias("cos"),
+                    F.col("rank").cast("long").alias("rank"),
+                )
+                .collect()
+            }
+            assert got == want, f"probe sweep diverged from ivf_topk at p={p}"
+    finally:
+        scored.unpersist()
+
+
 def test_pii_scan_detects_planted_pii(spark):
     """The synthetic corpus is digit-free (pii counts all zero there — the
     oracle entry verifies the zero case); detection itself is proven on
