@@ -2148,17 +2148,18 @@ def kmeans_train(
     out_rows: list[tuple] = []
     for r in range(1, rounds + 1):
         # centroids ride ONE broadcast row rebuilt from the collected
-        # stats (createDataFrame of k tiny rows), NOT a literal array —
-        # a literal-laden plan would be rebuilt through py4j (k·dim lit
-        # calls) and Janino-recompiled EVERY round (different constants
-        # → different generated source), where this plan's shape is
-        # round-invariant so codegen caches across rounds
-        cents_df = spark.createDataFrame(
-            [(cell, cv) for cell, cv in sorted(cents.items())],
-            "cell int, cv array<double>",
-        )
-        cents_row = cents_df.agg(
-            F.sort_array(F.collect_list(F.struct("cell", "cv"))).alias("cs")
+        # stats (createDataFrame of a single pre-sorted array row), NOT a
+        # literal array — a literal-laden plan would be rebuilt through
+        # py4j (k·dim lit calls) and Janino-recompiled EVERY round
+        # (different constants → different generated source), where this
+        # plan's shape is round-invariant so codegen caches across
+        # rounds. The row is assembled cell-ascending driver-side (the
+        # exact order the former sort_array(collect_list(struct)) agg
+        # produced), so the broadcast is a LocalTableScan with no
+        # per-round aggregation job (r12-opt).
+        cents_row = spark.createDataFrame(
+            [([(cell, cv) for cell, cv in sorted(cents.items())],)],
+            "cs array<struct<cell:int,cv:array<double>>>",
         )
         assign = v.crossJoin(F.broadcast(cents_row)).select(
             "v",

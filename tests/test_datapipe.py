@@ -1348,6 +1348,20 @@ class TestRound5bOperators:
         safe = C.leakage_safe_split(docs, clusters)
         assert C.split_leak_audit(pairs, safe).count() == 0
 
+    def test_dup_clusters_long_chain_converges_in_log_rounds(self, spark):
+        """Pointer doubling (r12-opt): a 33-node path graph has diameter
+        32, so the former edge-only propagation needed ~32 rounds and
+        would RAISE at a 12-round budget; label-of-label halving must
+        converge in ~log2(32)+2 rounds with the component min intact."""
+        from haystack_traces_spark.datapipe import dedup as D
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+        )
+        rows = D.dup_clusters(pairs, max_rounds=12).collect()
+        assert len(rows) == 33
+        assert {r["cluster"] for r in rows} == {0}
+
     def test_window_cooccurrence_rejects_degenerate_window(self, spark):
         """window=0 would turn F.sequence into a DESCENDING range and
         fabricate self-pairs — guarded with an explicit raise."""
