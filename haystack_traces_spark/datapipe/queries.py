@@ -3014,17 +3014,17 @@ def q_cluster_stability(spark, sf_dir):
         & (F.col("doc_a") < F.col("doc_b")),
     ).select("h", "doc_a", "doc_b")
 
-    halved = []
-    for hx in (0, 1):
-        px = pairs.filter(
-            (half("doc_a") == hx) & (half("doc_b") == hx)
-        ).select("doc_a", "doc_b")
-        cx = D.dup_clusters(px).select(
-            F.col("doc_id"), F.col("cluster").alias("hcluster"),
-            F.lit(hx).cast("long").alias("h"),
-        )
-        halved.append(cx)
-    hc = halved[0].unionByName(halved[1])
+    # both halves re-cluster in ONE label propagation: the two
+    # half-internal pair graphs have disjoint node sets, so components of
+    # their union are exactly the per-half components with identical
+    # min-id labels (r12-opt — the former per-half loop paid the
+    # diameter-many propagation rounds twice)
+    px = pairs.filter(half("doc_a") == half("doc_b")).select("doc_a", "doc_b")
+    hc = D.dup_clusters(px).select(
+        F.col("doc_id"),
+        F.col("cluster").alias("hcluster"),
+        half("doc_id").alias("h"),
+    )
     stable = (
         fp.join(
             hc.select(

@@ -5303,8 +5303,13 @@ def q_dependency_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list is a |services|²-bounded aggregate
     (service-level, independent of span volume); self/mutual/triangle
     enumeration joins that tiny table against itself — never the span
-    table."""
-    edges = (
+    table. The edge table is PINNED: it feeds six branches of one action
+    (self/mutual×2/triangle×3) and without the pin each branch re-ran
+    the span parent-child join from parquet (10 scans in the plan,
+    zero ReusedExchange — r12-opt)."""
+    from haystack_traces_spark.session import materialize
+
+    edges = materialize(
         span_call_edges(_spans(spark, sf_dir))
         .select(
             F.lower("from_service").alias("a"),
@@ -8966,16 +8971,25 @@ def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" 'service', (skey * {cells} + tkey) * {files} DIV {cells * cells},"
         f" 'zorder', morton * {files} DIV {cells * cells}) AS (layout, file)",
     )
-    file_zones = assigned.groupBy("layout", "file").agg(
-        F.min("tkey").alias("tmin_f"),
-        F.max("tkey").alias("tmax_f"),
-        F.min("skey").alias("smin"),
-        F.max("skey").alias("smax"),
-        F.count(F.lit(1)).alias("nrows"),
+    # both bounded tables are PINNED (zone maps: 3·files rows; workload:
+    # |services|·4+4 rows): file_zones feeds the zone-map join AND the
+    # per-layout totals, qs feeds the join AND the per-class counts —
+    # unpinned, each extra branch re-ran the span scan + service-rank
+    # window underneath (r12-opt)
+    from haystack_traces_spark.session import materialize
+
+    file_zones = materialize(
+        assigned.groupBy("layout", "file").agg(
+            F.min("tkey").alias("tmin_f"),
+            F.max("tkey").alias("tmax_f"),
+            F.min("skey").alias("smin"),
+            F.max("skey").alias("smax"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
     )
     quart = [(0, 63), (64, 127), (128, 191), (192, 255)]
     quart_df = spark.createDataFrame(quart, "tlo long, thi long")
-    qs = (
+    qs = materialize(
         enriched.select("skey")
         .distinct()
         .crossJoin(quart_df)
