@@ -2163,6 +2163,7 @@ def q_critical_path_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly; the guard behavior is pinned by
     test_timeline_cycle_guard_terminates."""
     from haystack_traces_spark.operators.timeline import critical_path_members
+    from haystack_traces_spark.session import materialize
 
     spans = _spans(spark, sf_dir)
     members = critical_path_members(spans)
@@ -2175,9 +2176,14 @@ def q_critical_path_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["trace_id", "span_id"],
     )
-    per = j.groupBy("servicename").agg(
-        F.countDistinct("trace_id").cast("long").alias("n_traces"),
-        F.sum("duration").cast("long").alias("path_time"),
+    # per is |services|-bounded and feeds BOTH the output and its own
+    # total — unpinned, the mapInPandas path walk underneath ran twice
+    # per action (r12-opt)
+    per = materialize(
+        j.groupBy("servicename").agg(
+            F.countDistinct("trace_id").cast("long").alias("n_traces"),
+            F.sum("duration").cast("long").alias("path_time"),
+        )
     )
     tot = per.agg(F.sum("path_time").alias("t"))
     return (
@@ -2290,13 +2296,18 @@ def q_critical_path_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["trace_id", "span_id"],
     ).join(tr0, "trace_id")
     late = F.col("t0") > F.lit(mid)
-    per = j.groupBy("servicename").agg(
-        F.sum(F.when(~late, F.col("duration")).otherwise(0))
-        .cast("long")
-        .alias("path_time_early"),
-        F.sum(F.when(late, F.col("duration")).otherwise(0))
-        .cast("long")
-        .alias("path_time_late"),
+    # per is |services|-bounded and feeds BOTH the output and its own
+    # totals — unpinned, the path walk + joins underneath ran twice per
+    # action (r12-opt)
+    per = materialize(
+        j.groupBy("servicename").agg(
+            F.sum(F.when(~late, F.col("duration")).otherwise(0))
+            .cast("long")
+            .alias("path_time_early"),
+            F.sum(F.when(late, F.col("duration")).otherwise(0))
+            .cast("long")
+            .alias("path_time_late"),
+        )
     )
     tot = per.agg(
         F.sum("path_time_early").alias("te"),
@@ -5773,6 +5784,9 @@ def q_sampling_rate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     spans = _spans(spark, sf_dir)
+    # NOTE (r12-opt): pinning vol was prototyped and REFUTED — AQE
+    # exchange reuse already shares the volume aggregate across the
+    # branches (7 jobs unpinned vs 10 pinned, wall neutral)
     vol = spans.groupBy(F.lower("service_name").alias("servicename")).agg(
         F.count(F.lit(1)).cast("double").alias("n_spans")
     )
@@ -6907,6 +6921,8 @@ def q_tail_latency_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tail_latency_attribution_from(spans_df: DataFrame) -> DataFrame:
+    from haystack_traces_spark.session import materialize
+
     per = spans_df.groupBy(
         "trace_id", F.lower("service_name").alias("servicename")
     ).agg(F.sum("duration").cast("long").alias("svc_time"))
@@ -6920,11 +6936,16 @@ def tail_latency_attribution_from(spans_df: DataFrame) -> DataFrame:
         F.expr(f"percentile(wall, {TAIL_PCTL})").alias("thr")
     )
     tagged = per.join(walls, "trace_id").crossJoin(F.broadcast(thr))
-    agg = tagged.groupBy("servicename").agg(
-        F.sum("svc_time").cast("long").alias("t_all"),
-        F.sum(F.when(F.col("wall") >= F.col("thr"), F.col("svc_time")))
-        .cast("long")
-        .alias("t_slow"),
+    # agg is |services|-bounded and feeds BOTH the output and its own
+    # totals — unpinned, the whole per/walls/threshold subtree (two
+    # trace-keyed aggregates + join) ran twice per action (r12-opt)
+    agg = materialize(
+        tagged.groupBy("servicename").agg(
+            F.sum("svc_time").cast("long").alias("t_all"),
+            F.sum(F.when(F.col("wall") >= F.col("thr"), F.col("svc_time")))
+            .cast("long")
+            .alias("t_slow"),
+        )
     )
     tot = agg.agg(
         F.sum("t_all").alias("g_all"),
