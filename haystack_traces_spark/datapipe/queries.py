@@ -1785,7 +1785,14 @@ def q_dedup_cascade_yield(spark, sf_dir):
         .select(F.col("doc_b").alias("doc_id"), F.lit(4).alias("stage"))
         .distinct()
     )
-    flagged = ex.unionByName(no).unionByName(mh).unionByName(ct)
+    # flagged is output-side (non-canonical docs only) and feeds BOTH
+    # rollups — unpinned, the exact/normalized dedup passes ran twice
+    # per action (r12-opt)
+    from haystack_traces_spark.session import materialize
+
+    flagged = materialize(
+        ex.unionByName(no).unionByName(mh).unionByName(ct)
+    )
     per_stage = flagged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("long").alias("n_flagged")
     )
