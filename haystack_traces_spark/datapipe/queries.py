@@ -7621,9 +7621,16 @@ def q_label_cohesion(spark, sf_dir):
     Scale shape: one explode + per-(label, dim) combinable sum, a
     ≤|labels|·d fold, and a broadcast of the global sum vector. O(n·d)
     total; no pair space, no window over vectors."""
+    from haystack_traces_spark.session import materialize
+
     emb = _emb(spark, sf_dir)
     unit = _unit_components(emb, ("label",))
-    ldims = unit.groupBy("label", "d").agg(F.sum("val").alias("s"))
+    # ldims is ≤|labels|·d rows and feeds BOTH the global-sum branch and
+    # the per-label fold — unpinned, the unit-component explode ran
+    # twice per action (r12-opt)
+    ldims = materialize(
+        unit.groupBy("label", "d").agg(F.sum("val").alias("s"))
+    )
     gdims = ldims.groupBy("d").agg(F.sum("s").alias("g"))
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
     per_label = (
@@ -8631,10 +8638,17 @@ def q_split_balance_audit(spark, sf_dir):
     corpus shares."""
     from haystack_traces_spark.datapipe import corpus as C
 
+    from haystack_traces_spark.session import materialize
+
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     assigned = docs.join(C.split_assign(docs.select("doc_id")), "doc_id")
-    cell = assigned.groupBy("split", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # cell is (split × source)-bounded and feeds FOUR branches (output,
+    # split totals, corpus mix, grand total) — unpinned, the doc scan +
+    # split-assign join ran four times per action (12 plan scans, r12-opt)
+    cell = materialize(
+        assigned.groupBy("split", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
     )
     split_tot = cell.groupBy("split").agg(F.sum("n_docs").alias("n_split"))
     corpus = cell.groupBy("source").agg(F.sum("n_docs").alias("n_src"))

@@ -1319,9 +1319,16 @@ def knn_label_consistency(
     from pyspark.sql import Window
 
     from haystack_traces_spark.datapipe.dedup import embedding_neardup_pairs
+    from haystack_traces_spark.session import materialize
 
-    pairs = embedding_neardup_pairs(
-        emb, threshold=-2.0, id_col=id_col, vec_col=vec_col
+    # pinned: the pair table feeds BOTH directions of the undirected
+    # union — unpinned, the block-grid GEMM sweep ran twice per action
+    # (r12-opt). This is the documented inherently-quadratic EXACT face;
+    # the 100 TB path is knn_graph's capped candidates.
+    pairs = materialize(
+        embedding_neardup_pairs(
+            emb, threshold=-2.0, id_col=id_col, vec_col=vec_col
+        )
     )
     und = pairs.select(
         F.col("id_a").alias(id_col), F.col("id_b").alias("nb"), "cos"
