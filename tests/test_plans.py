@@ -700,8 +700,13 @@ def test_round8_operators_have_no_global_bottleneck(spark):
         "lsh_candidate_precision": (Q.q_lsh_candidate_precision, 2),
         "simhash_hamming_spectrum": (Q.q_simhash_hamming_spectrum, 2),
         # three 1-row aggregates: the p90 threshold, the per-cohort
-        # grand totals, and the final rollup — all bounded by design
-        "tail_latency_attribution": (EQ.q_tail_latency_attribution, 3),
+        # grand totals, and the final rollup — all bounded by design.
+        # 5 since r12-opt: the services rollup is pinned (it feeds the
+        # output AND its own totals), and explain() re-renders the
+        # InMemoryRelation child — with its threshold SinglePartition —
+        # under EACH InMemoryTableScan reference; the EXECUTED plan
+        # computes the cached subtree once (the pin's whole point)
+        "tail_latency_attribution": (EQ.q_tail_latency_attribution, 5),
         "band_contribution": (Q.q_band_contribution, 0),
         # 1-row doc-count + 1-row final rollup; pair join is the
         # broadcast SAMPLE (quadratic in the 1-in-8 sample by design)
