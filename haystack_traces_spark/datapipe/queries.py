@@ -2534,7 +2534,17 @@ def q_simhash_hamming_spectrum(spark, sf_dir):
 def simhash_spectrum_from(spark, docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    fp = D.simhash_fingerprints(docs, SIMHASH_PAIR_BITS)
+    from haystack_traces_spark.session import materialize
+
+    # the fingerprint table feeds BOTH sides of the all-pairs join, and the
+    # per-hamming rollup used to feed a separate 1-row total branch — each
+    # extra branch re-executed the quadratic pair join at runtime (executed
+    # plan: 2 BroadcastNestedLoopJoins, zero ReusedExchange). Pin the
+    # fingerprints (one narrow row per SAMPLED doc — strictly smaller than
+    # the pair volume the operator computes by design) so the sample is
+    # fingerprinted once, and take the total as a window SUM over the
+    # bits+1 catalog rows so the pair join executes exactly once.
+    fp = materialize(D.simhash_fingerprints(docs, SIMHASH_PAIR_BITS))
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
@@ -2548,18 +2558,19 @@ def simhash_spectrum_from(spark, docs: DataFrame) -> DataFrame:
     catalog = spark.createDataFrame(
         [(i,) for i in range(SIMHASH_PAIR_BITS + 1)], "hamming long"
     )
-    tot = per.agg(F.sum("n_pairs").alias("total"))
     w = Window.orderBy("hamming").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )  # bits+1 catalog rows — bounded global
+    w_all = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         catalog.join(F.broadcast(per), "hamming", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "hamming",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.col("total"),
         )
+        .withColumn("total", F.sum("n_pairs").over(w_all))
         .withColumn(
             "share", F.round(F.col("n_pairs") / F.expr("NULLIF(total, 0)"), 6)
         )
@@ -2631,7 +2642,15 @@ def q_band_contribution(spark, sf_dir):
 
 
 def band_contribution_from(spark, docs, verified=None) -> DataFrame:
-    cand = D.minhash_band_pairs(docs, max_bucket=None)
+    from haystack_traces_spark.session import materialize
+
+    # the band-labeled pair table feeds THREE branches of one action (the
+    # verify probe, the per-pair band count, and the join spine) — unpinned,
+    # the signature build + band self-join re-executed per branch (executed
+    # plan had the band SMJ twice, zero ReusedExchange). The pin is
+    # output-side: |candidate pairs| rows, exactly the volume the bucketed
+    # design bounds.
+    cand = materialize(D.minhash_band_pairs(docs, max_bucket=None))
     if verified is None:
         # exact-Jaccard verify of the UNCAPPED candidate set — never the
         # capped session stage (face parity; see the q_ docstring)
