@@ -2532,6 +2532,11 @@ def q_simhash_hamming_spectrum(spark, sf_dir):
 
 
 def simhash_spectrum_from(spark, docs: DataFrame) -> DataFrame:
+    """EAGER-BUILD SIDE EFFECT (ADVICE r12): constructing this frame runs
+    the fingerprinting jobs immediately (materialize() pins them with an
+    eager count) and the pin stays cached until
+    :func:`session.release_materialized` runs — the bench/oracle/test
+    harnesses all do; direct library callers must."""
     from pyspark.sql import Window
 
     from haystack_traces_spark.session import materialize
@@ -2642,14 +2647,21 @@ def q_band_contribution(spark, sf_dir):
 
 
 def band_contribution_from(spark, docs, verified=None) -> DataFrame:
+    """EAGER-BUILD SIDE EFFECT (ADVICE r12): constructing this frame runs
+    Spark jobs immediately — materialize() pins the band-pair table with
+    an eager count before the caller consumes anything — and the pin
+    stays cached until :func:`session.release_materialized` runs (the
+    bench/oracle/test harnesses all do; direct library callers must)."""
     from haystack_traces_spark.session import materialize
 
     # the band-labeled pair table feeds THREE branches of one action (the
     # verify probe, the per-pair band count, and the join spine) — unpinned,
     # the signature build + band self-join re-executed per branch (executed
     # plan had the band SMJ twice, zero ReusedExchange). The pin is
-    # output-side: |candidate pairs| rows, exactly the volume the bucketed
-    # design bounds.
+    # output-side: |candidate pairs| rows — bounded by the bucketed design
+    # for hash-spread corpora, but with max_bucket=None a HOT bucket is
+    # O(|bucket|²) rows (ADVICE r12): persist()'s MEMORY_AND_DISK default
+    # makes that worst case degrade to spill, not executor OOM.
     cand = materialize(D.minhash_band_pairs(docs, max_bucket=None))
     if verified is None:
         # exact-Jaccard verify of the UNCAPPED candidate set — never the
@@ -10450,30 +10462,56 @@ def q_shingle_size_plan(spark, sf_dir):
     All integer arithmetic (df·(df−1) div 2 sums, ppm by exact integer
     division); mean_per_doc is the one 6dp double, from exact counts.
 
-    Scale shape: one distinct-shingle explode + one shingle-keyed
-    combinable aggregate per ladder rung (the jaccard stage's own
-    shape), each collapsing to a 1-row rollup — never a pair join."""
-    from haystack_traces_spark.datapipe.dedup import shingle_rows
+    Scale shape (r13-opt, guide §1.2/§2.3 — was one full tokenize +
+    explode + aggregate PER ladder rung, i.e. |ladder| independent corpus
+    passes; the one persistent driver bench flag of round 12): ONE
+    tokenize pass emits every rung's distinct shingles tagged with
+    (shingle_n, s) — the ivf_sweep_scored tagging pattern — then one
+    (shingle_n, s)-keyed combinable aggregate and a ≤|ladder|-row rollup
+    serve all rungs. Emitted volume = the sum the rungs need anyway;
+    scans drop |ladder|× and the split() tokenization runs once per doc
+    instead of once per rung. A rung-catalog left join restores the
+    guaranteed row-per-rung the old per-rung global aggregates gave
+    (vocabulary 0 / NULL stats on a corpus with no shingles at that n —
+    identical to the oracle's UNION ALL arms). Never a pair join."""
+    from haystack_traces_spark.datapipe.hashing import _gram_array
 
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # bounded driver scalar (house-allowed class)
     denom = n_docs * (n_docs - 1) if n_docs > 1 else 1
-    out = None
-    for sn in SHINGLE_N_LADDER:
-        df_tab = shingle_rows(docs, n=sn).groupBy("s").agg(
-            F.count(F.lit(1)).cast("long").alias("df")
+    words = F.split(F.col("text"), " ")
+
+    def _tag(sn):
+        # one-arg lambda per rung: a two-parameter lambda would make
+        # F.transform pass (element, INDEX) and bind sn to the index
+        return lambda s: F.struct(F.lit(sn).alias("sn"), s.alias("s"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(F.array_distinct(_gram_array(words, sn)), _tag(sn))
+                for sn in SHINGLE_N_LADDER
+            ]
         )
-        one = df_tab.agg(
-            F.lit(sn).cast("long").alias("shingle_n"),
-            F.count(F.lit(1)).cast("long").alias("vocabulary"),
-            F.sum("df").alias("occurrences"),
-            F.max("df").alias("max_df"),
-            F.sum(F.expr("df * (df - 1) div 2")).alias("pair_mass"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.select(
-        "shingle_n",
-        "vocabulary",
+    )
+    df_tab = (
+        docs.select(F.explode(tagged).alias("t"))
+        .select("t.sn", "t.s")
+        .groupBy("sn", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    per = df_tab.groupBy("sn").agg(
+        F.count(F.lit(1)).cast("long").alias("vocabulary"),
+        F.sum("df").alias("occurrences"),
+        F.max("df").alias("max_df"),
+        F.sum(F.expr("df * (df - 1) div 2")).alias("pair_mass"),
+    )
+    rungs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(sn) for sn in SHINGLE_N_LADDER])).alias("sn")
+    )
+    return rungs.join(per, "sn", "left").select(
+        F.col("sn").cast("long").alias("shingle_n"),
+        F.coalesce("vocabulary", F.lit(0).cast("long")).alias("vocabulary"),
         "occurrences",
         F.round(F.col("occurrences") / F.lit(float(n_docs)), 6).alias(
             "mean_per_doc"

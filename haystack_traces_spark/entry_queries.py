@@ -9497,12 +9497,37 @@ _CORE_TRACE_BENCHED = ()
 #: driver-checked analytics queries sit behind the queue and stay covered
 #: by the local three-SF oracle suite every round.
 _ROTATION_QUEUE = (
-    # round-12 queue: every round-11 queue name earned a green
-    # CORRECTNESS_r11 row (cumulative driver coverage stays total —
-    # VERDICT r11), so the queue resets to the round-12 debuts; the
-    # remaining sample slots fall through to already-green trace entries
-    # (harmless re-checks). Keep additions ≤ ~25/round so never-checked
-    # stays at zero (VERDICT r11 ask #6).
+    # round-13 queue (VERDICT r12 ask #1): every round-12 queue name
+    # earned a green CORRECTNESS_r12 row, so the queue rotates to the
+    # operators the r12 OPTIMIZATION round REWROTE but the driver did
+    # not sample — their correctness rests on builder-local 3-SF oracle
+    # checks until the driver independently re-earns a green row here.
+    # shingle_size_plan is appended because round 13 rewrites its ladder
+    # into one shared tagged explode (VERDICT r12 ask #2). Keep
+    # additions ≤ ~25/round so never-checked stays at zero.
+    "ppl_buckets",
+    "ivf_probe_sweep",
+    "anchored_sessions",
+    "concurrent_trace_load",
+    "service_pagerank",
+    "dependency_cycles",
+    "critical_path_contrib",
+    "critical_path_drift",
+    "tail_latency_attribution",
+    "dsir_weights",
+    "simhash_hamming_spectrum",
+    "band_contribution",
+    "dedup_cascade_yield",
+    "split_balance_audit",
+    "label_cohesion",
+    "knn_label_consistency",
+    "cluster_stability",
+    "shingle_size_plan",
+)
+
+_ROTATION_QUEUE_R12 = (
+    # round-12 queue (all green in CORRECTNESS_r12; kept for the drift
+    # test's history assertions).
     "bpe_train",
     "bpe_compression",
     "kmeans_train",

@@ -88,9 +88,15 @@ def memo_plan(spark: SparkSession, sf_dir: str, key: str, build):
     immutable descriptions; sharing one object across queries is
     semantically identical to rebuilding it (Catalyst re-optimizes and
     re-executes per action)."""
-    k = (spark.sparkContext.applicationId, str(sf_dir), key)
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, str(sf_dir), key)
     df = _plan_memo.get(k)
     if df is None:
+        # prune entries of stopped sessions on miss (VERDICT r12 ask #7):
+        # a new applicationId means every old app's plan objects are dead
+        # weight — drop them so sequential sessions cannot accumulate.
+        for stale in [sk for sk in _plan_memo if sk[0] != app_id]:
+            del _plan_memo[stale]
         df = build()
         _plan_memo[k] = df
     return df

@@ -1078,3 +1078,20 @@ def test_memo_plan_shares_plan_objects_without_caching_data(spark):
     assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
     # and actions through the memoized plan still compute (fresh rows)
     assert a.count() == 10 and b.agg(F.sum("v")).collect()[0][0] == 90
+
+
+def test_memo_plan_prunes_dead_application_entries(spark):
+    """VERDICT r12 ask #7: entries keyed by a stopped session's
+    applicationId are dropped on the next miss — sequential sessions
+    leave only the live app's plans in the module-level memo."""
+    from haystack_traces_spark import session as S
+
+    S._plan_memo.clear()
+    S._plan_memo[("app-dead", "/data/sfA", "prefix")] = spark.range(1)
+    live = S.memo_plan(spark, "/data/sfA", "prefix", lambda: spark.range(2))
+    app_id = spark.sparkContext.applicationId
+    assert list(S._plan_memo) == [(app_id, "/data/sfA", "prefix")]
+    assert S._plan_memo[(app_id, "/data/sfA", "prefix")] is live
+    # a hit never rebuilds or prunes eagerly (no scan of the dict)
+    again = S.memo_plan(spark, "/data/sfA", "prefix", lambda: spark.range(3))
+    assert again is live
