@@ -67,14 +67,17 @@ _IDX_CTE = """
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out, memo_plan
+    from haystack_traces_spark.session import fan_out_cheap, memo_plan
 
+    # fan_out_cheap: the spans projection is pure Catalyst expressions —
+    # every Python walk downstream re-shuffles by trace_id first, so the
+    # scan-side width can follow input size (r13-opt, session.py)
     return memo_plan(
         spark,
         sf_dir,
         "spans",
         lambda: spans_from_events(
-            fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
         ),
     )
 
@@ -440,15 +443,17 @@ def _cs_spans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ONE events→cs-span projection path (scan + fan_out + pair
     explode) — single-consumer callers (network_deltas) use it unpinned;
     multi-consumer pipeline queries go through :func:`_cs_spans`."""
-    from haystack_traces_spark.session import fan_out, memo_plan
+    from haystack_traces_spark.session import fan_out_cheap, memo_plan
     from haystack_traces_spark.sources.events import spans_cs_from_events
 
+    # fan_out_cheap: pure-expression projection; the transformer chain
+    # re-groups by trace_id behind its own exchange (r13-opt, session.py)
     return memo_plan(
         spark,
         sf_dir,
         "cs_spans_raw",
         lambda: spans_cs_from_events(
-            fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
         ),
     )
 
@@ -3383,10 +3388,10 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one LAG + one running-SUM window, both partitioned by
     USER (the trace key — same exchange every trace operator shuffles
     on), then a combinable (user, session) rollup. No global window."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev = events.select(
         "user_id", "event_id", _epoch_micros(events).alias("tus")
     )
@@ -3556,10 +3561,10 @@ def anchored_sessions(ev: DataFrame, window_us: int = ANCHOR_WINDOW_US) -> DataF
 
 
 def q_anchored_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return anchored_sessions(
         events.select("user_id", "event_id", _epoch_micros(events).alias("tus"))
     )
@@ -3661,10 +3666,10 @@ PATH_STEPS = 3  # leading steps that define a session's path signature
 
 
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return session_paths_from(
         events.select(
             "user_id",
@@ -4055,10 +4060,10 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the user-key exchange), pure-expression order checks, one
     global 4-long sum, and a 4-row explode. Nothing bigger than |users|
     touches a shuffle."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return funnel_counts(
         events.select("user_id", "event_type", _epoch_micros(events).alias("tus"))
     )
@@ -4151,10 +4156,10 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join cost, never the per-key cross product a naive range join
     pays."""
     from haystack_traces_spark.operators.asof import asof_join
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev = events.select(
         "user_id", "event_id", "event_type", _epoch_micros(events).alias("tus")
     )
@@ -4381,9 +4386,9 @@ def q_user_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (user, type) pairs ride one combinable
     shuffle; signature assembly is a per-user collect_set over ≤
     |event-type catalog| elements; the rollup is signature-keyed."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # unit-separator join (0x1f): a comma inside an event-type name would
     # collide distinct signatures — e.g. one user with the single type
     # 'a,b' hiding inside the {'a','b'} cohort, defeating the k gate
@@ -4432,10 +4437,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (user, period) pairs ride one combinable
     shuffle; the per-user first period is a min aggregate; cohort sizes
     broadcast back; output is bounded by periods²."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     period = F.expr(f"(tus - {T0}) DIV {PERIOD_US}")
     active = (
         events.select("user_id", _epoch_micros(events).alias("tus"))
@@ -7351,10 +7356,10 @@ def q_user_lifetime_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one per-user min/max aggregate, a ≤4-row broadcast
     ladder, one combinable rollup."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     life = events.select(
         "user_id", _epoch_micros(events).alias("tus")
     ).groupBy("user_id").agg(
@@ -8652,11 +8657,11 @@ def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE user-partitioned lag window (the exchange every
     trace operator shuffles on) + one combinable rollup carrying the 4
     rungs as conditional sums — the ladder never re-scans."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
     from pyspark.sql import Window
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev = events.select(
         "user_id", "event_id", _epoch_micros(events).alias("tus")
     )
@@ -9166,10 +9171,10 @@ def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on user_id + per-key session merge — the
     same exchange as every other per-user operator, no global state."""
-    from haystack_traces_spark.session import fan_out
+    from haystack_traces_spark.session import fan_out_cheap
     from haystack_traces_spark.sources.events import _epoch_micros
 
-    events = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = fan_out_cheap(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev = events.select("user_id", _epoch_micros(events).alias("tus"))
     return native_sessions_from(ev)
 

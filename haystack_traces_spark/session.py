@@ -55,6 +55,13 @@ def fan_out(df, min_parts: int | None = None):
     work. A real multi-file table (the 100 TB case) already has >= cores
     splits and is returned untouched — the repartition is strictly a
     small-input adaptation, never an extra shuffle at scale.
+
+    Width: the FULL defaultParallelism. That is the right (and only safe)
+    default for chains whose scan side carries heavy per-row compute —
+    the mapInPandas GEMM/bucketing stages run directly on this output,
+    and narrowing them was measured 2-3x slower (the r12 AQE-floor
+    refutation). Chains that are pure Catalyst expressions should use
+    :func:`fan_out_cheap`, which derives the width from input size.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     # inputFiles() is a catalog listing — unlike df.rdd.getNumPartitions()
@@ -68,6 +75,73 @@ def fan_out(df, min_parts: int | None = None):
     if n_src < max(target // 2, 2):
         return df.repartition(target)
     return df
+
+
+#: fan_out_cheap sizing: one task per this many input bytes. ~256 KiB of
+#: zstd parquet decodes to a few MB of rows — past the point where the
+#: per-task scheduling overhead (~5-10 ms serialize+launch+commit per
+#: task, r13-opt floor experiment) beats the expression work it spreads.
+#: Parameterized for deployments whose cheap chains are denser per byte.
+FAN_OUT_CHEAP_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_BYTES_PER_TASK", str(256 * 1024))
+)
+
+
+def _input_bytes(df) -> int | None:
+    """Total on-disk bytes of the frame's LOCAL input files; None when the
+    listing is empty or any file is remote/unstatable (callers then fall
+    back to the compute-safe full width)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            p = "/" + f[5:].lstrip("/")
+        elif "://" in f:
+            return None
+        else:
+            p = f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def fan_out_cheap(df, min_parts: int | None = None):
+    """fan_out for ROW-CHEAP chains: scan-side work that is pure Catalyst
+    expressions (projections, windows, aggregates) with no Python/numpy
+    stage before the first exchange.
+
+    Guide §2.2/§8 (r13-opt): at tiny inputs a full-width repartition
+    manufactures defaultParallelism near-empty tasks per downstream map
+    stage, and the per-task scheduling floor dominates — the measured
+    cause of the r12 32-core-slower-than-8-core inversion (warm tail
+    actions ~2x slower at width 32 than width 8 on kB-MB inputs; width 8
+    at 32 cores reproduces the 8-core times). The width is therefore
+    derived from INPUT SIZE — one task per FAN_OUT_CHEAP_BYTES_PER_TASK,
+    clamped to [2, defaultParallelism] — so it adapts across scale
+    factors instead of being a constant tuned for either local mode or
+    the cluster. At real scale the clamp hits defaultParallelism long
+    before the multi-split fast path stops mattering, and fan_out's
+    untouched-input path takes over entirely.
+
+    Byte-derived widths are the WRONG proxy for compute-heavy chains
+    (the r12 AQE-floor refutation: few shuffled MB can carry most of the
+    job's compute) — which is exactly why this is a separate entry point
+    the call site opts into with knowledge the optimizer lacks, never a
+    global knob. Falls back to full-width fan_out whenever input bytes
+    are unknowable (in-memory frames, remote filesystems)."""
+    cap = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    b = _input_bytes(df)
+    if b is None:
+        return fan_out(df, cap)
+    target = max(2, min(cap, -(-b // FAN_OUT_CHEAP_BYTES_PER_TASK)))
+    return fan_out(df, target)
 
 
 # Memoized *unresolved DataFrame plans* for the shared per-query source

@@ -1095,3 +1095,33 @@ def test_memo_plan_prunes_dead_application_entries(spark):
     # a hit never rebuilds or prunes eagerly (no scan of the dict)
     again = S.memo_plan(spark, "/data/sfA", "prefix", lambda: spark.range(3))
     assert again is live
+
+
+def test_fan_out_cheap_width_follows_input_size(spark, tmp_path):
+    """r13-opt: fan_out_cheap derives the repartition width from input
+    bytes (one task per FAN_OUT_CHEAP_BYTES_PER_TASK, clamped to
+    [2, defaultParallelism]) so row-cheap chains stop paying
+    defaultParallelism near-empty tasks per stage at tiny SFs, while
+    compute chains keep full-width fan_out. Unknowable input bytes
+    (in-memory frames) fall back to the compute-safe full width."""
+    from haystack_traces_spark import session as S
+
+    # small local parquet: width = ceil(bytes / chunk) clamped to >= 2
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    total = S._input_bytes(df)
+    assert total and 0 < total < S.FAN_OUT_CHEAP_BYTES_PER_TASK
+    narrow = S.fan_out_cheap(df)
+    assert narrow.rdd.getNumPartitions() == 2
+    # results identical either way (round-robin repartition, no data change)
+    assert narrow.count() == 100
+    # width caps at defaultParallelism for big inputs
+    cap = spark.sparkContext.defaultParallelism
+    assert (
+        S.fan_out_cheap(df, min_parts=2).rdd.getNumPartitions() == 2
+    )
+    # in-memory frame: bytes unknowable -> full-width fan_out fallback
+    mem = spark.range(10).toDF("id")
+    assert S._input_bytes(mem) is None
+    assert S.fan_out_cheap(mem).rdd.getNumPartitions() == cap
